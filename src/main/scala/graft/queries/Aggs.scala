@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY.md §2 section D): grouped aggs, distinct counts,
+  * rollup/cube/grouping sets, time-bucket and entity-rollup (the two
+  * Minerva-core aggregation semantics), and a typed UDAF.
+  *
+  * All of these compile to HashAggregateExec with map-side partial
+  * aggregation — the shuffle carries pre-aggregated state, not raw rows,
+  * which is the property that holds at 100 TB.
+  */
+object Aggs {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // D1 — TPC-H Q1 shape: the flagship (also wired as SparkEntry.entry).
+    "agg_groupby" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // D2 — exact distinct count (expand + two-phase aggregation).
+    "agg_count_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    // D3 — HLL sketch distinct per day; approximate, so no SQL oracle —
+    // scalatest asserts it lands within 2% of the exact count. This is the
+    // 100 TB path: a mergeable sketch instead of a shuffle-heavy expand.
+    "agg_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy("day")
+    }),
+
+    // D4 — ROLLUP hierarchy subtotals with grouping flags. Expressed via the
+    // SQL front end (same LogicalPlan IR; the DataFrame rollup+grouping()
+    // combination trips Spark's ambiguous-self-join detector through the
+    // Expand node). Dims are broadcast-hinted: the fact side never shuffles
+    // for the join, only for the rollup aggregation itself.
+    "agg_rollup" -> ((s, d) => {
+      s.sql(
+        s"""SELECT /*+ BROADCAST(n, r) */ r_name, n_name,
+           |       CAST(grouping(r_name) AS INT) AS g_r,
+           |       CAST(grouping(n_name) AS INT) AS g_n,
+           |       count(*) AS cnt, round(sum(c_acctbal), 4) AS sum_bal
+           |FROM parquet.`$d/customer.parquet` c
+           |JOIN parquet.`$d/nation.parquet` n ON c_nationkey = n_nationkey
+           |JOIN parquet.`$d/region.parquet` r ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name)
+           |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    }),
+
+    // D5 — CUBE over (event_type, day).
+    "agg_cube" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .cube("event_type", "day")
+        .agg(
+          grouping(col("event_type")).cast("int").as("g_t"),
+          grouping(col("day")).cast("int").as("g_d"),
+          count(lit(1)).as("cnt"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy(col("g_t"), col("g_d"), col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+    }),
+
+    // D6 — explicit GROUPING SETS via the SQL front end (same LogicalPlan IR
+    // as the DataFrame API; SURVEY.md §3.2).
+    "agg_grouping_sets" -> ((s, d) => {
+      s.sql(
+        s"""SELECT o_orderpriority, o_orderstatus,
+           |       CAST(grouping(o_orderpriority) AS INT) AS g_p,
+           |       CAST(grouping(o_orderstatus) AS INT) AS g_s,
+           |       count(*) AS cnt, round(sum(o_totalprice), 4) AS total
+           |FROM parquet.`$d/orders.parquet`
+           |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+           |ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    }),
+
+    // D7 — Minerva core: time aggregation to 1-hour buckets per entity.
+    // date_trunc keeps the column a plain timestamp (groupable, prunable);
+    // at scale this is a single shuffle on (bucket, entity).
+    "agg_time_bucket" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("user_id"))
+        .agg(round(sum("value"), 4).as("sum_value"), count(lit(1)).as("samples"))
+        .orderBy("bucket", "user_id")
+    }),
+
+    // D8 — Minerva core: entity aggregation along the relation hierarchy
+    // customer -> nation -> region (broadcast dims; fact shuffles once).
+    "agg_entity_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          round(sum("o_totalprice"), 4).as("total"),
+          count(lit(1)).as("samples"),
+          countDistinct(col("o_custkey")).as("entities"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // D9 — typed Aggregator UDAF: sample-weighted average
+    // (graft.functions.WeightedAvg; merges associatively -> partial agg).
+    "agg_weighted_udaf" -> ((s, d) => {
+      val wavg = udaf(graft.functions.WeightedAvg)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name,
+        |       CAST(grouping(r_name) AS INTEGER) AS g_r, CAST(grouping(n_name) AS INTEGER) AS g_n,
+        |       count(*) AS cnt, round(sum(c_acctbal), 4) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |       CAST(grouping(event_type) AS INTEGER) AS g_t,
+        |       CAST(grouping(CAST(ts AS DATE)) AS INTEGER) AS g_d,
+        |       count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
+        |ORDER BY g_t, g_d, event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(grouping(o_orderpriority) AS INTEGER) AS g_p,
+        |       CAST(grouping(o_orderstatus) AS INTEGER) AS g_s,
+        |       count(*) AS cnt, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "agg_time_bucket" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket, user_id,
+        |       round(sum(value), 4) AS sum_value, count(*) AS samples
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, user_id""".stripMargin,
+    "agg_entity_rollup" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 4) AS total,
+        |       count(*) AS samples, count(DISTINCT o_custkey) AS entities
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "agg_weighted_udaf" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

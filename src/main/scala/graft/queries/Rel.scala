@@ -1,0 +1,294 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, projection/filter, joins, sorts/limits, set ops
+  * (SURVEY.md §2 rows A1/A3, B*, C*, F*, G*).
+  *
+  * Every query ends with a total ORDER BY and rounds aggregated doubles to
+  * 4 decimals so the driver's DuckDB hash-compare is deterministic
+  * (SURVEY.md §2 determinism rules).
+  */
+object Rel {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1 — parquet scan with projection + per-group count: proves the
+    // pushdown/pruning path (only 2 columns reach the scan).
+    "scan_parquet" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A3 — JSON property extraction from events.props.
+    "scan_json_props" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // B1 — column pruning + computed column.
+    "project_compute" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // B2 — conjunct/disjunct predicates: range, BETWEEN, IN; all pushed to
+    // the parquet scan by Catalyst.
+    "filter_pred" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.02, 0.06)
+          && col("l_returnflag").isin("A", "R")
+          && col("l_quantity") > 5.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // C1 — equi inner join (planner picks SMJ/SHJ; at scale the shuffle is
+    // keyed on the join column only).
+    "join_inner_hash" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 4).as("total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // C2 — left outer with a filtered build side so null-fill actually shows.
+    "join_left_outer" -> ((s, d) => {
+      val smallParts = Tables.part(s, d).where(col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+      Tables.lineitem(s, d)
+        .join(smallParts, col("l_partkey") === col("p_partkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("p_size"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // C3 — semi join (EXISTS): no payload from the right side, no row blowup.
+    "join_semi" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // C4 — anti join (NOT EXISTS).
+    "join_anti" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // C5 — explicit broadcast of the dims: BroadcastHashJoin, no shuffle of
+    // the fact side. This is the 100 TB pattern for star-schema rollups.
+    "join_broadcast" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // C6 — theta/range self-join on price proximity. Instead of a naive
+    // O(n^2) nested loop we band prices into width-0.5 buckets (bucket width
+    // >= window width so +-1 bucket covers the range) and equi-join on the
+    // bucket — the scalable banding pattern for interval/range joins.
+    "join_theta_range" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"),
+          floor(col("p_retailprice") / 0.5).cast("long").as("b"))
+      val probe = p.withColumn("bs", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+        .select(col("p_partkey").as("a_key"), col("p_retailprice").as("a_price"), col("bs"))
+      val build = p.select(col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"), col("b"))
+      probe.join(build,
+          col("bs") === col("b")
+            && col("a_key") =!= col("b_key")
+            && col("b_price").between(col("a_price") - 0.5, col("a_price") + 0.5))
+        .groupBy(col("a_key").as("p_partkey"))
+        .agg(count(lit(1)).as("n_close"))
+        .orderBy("p_partkey")
+    }),
+
+    // C7 — as-of join (Minerva attribute.at(ts) semantics, ties pinned <=).
+    // Implemented as the scalable merge pattern: union events ("updates") and
+    // orders ("queries") tagged by kind, one shuffle on the entity key, then
+    // last non-null update per query via a running window — no pair blowup.
+    // Order timestamps are mapped into the events' 2024 window
+    // deterministically so the lookup is non-degenerate.
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id").as("uid"), col("ts").as("ats"),
+        lit(0).as("kind"), col("event_id"), lit(null).cast("long").as("o_orderkey"))
+      val od = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(150)).cast("long").as("uid"),
+        expr("TIMESTAMP '2024-01-01' + make_interval(0, 0, 0, CAST(o_orderkey % 30 AS INT), CAST(o_custkey % 24 AS INT), 0, 0)").as("ats"),
+        lit(1).as("kind"), lit(null).cast("long").as("event_id"), col("o_orderkey"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("uid")
+        .orderBy(col("ats"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(od)
+        .withColumn("asof_event_id", last(col("event_id"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("o_orderkey"), col("asof_event_id"))
+        .orderBy("o_orderkey")
+    }),
+
+    // C8 — interval-overlap join: events falling inside per-order 1-day
+    // validity windows. The equi component (user key) drives the shuffle;
+    // the range predicate is a post-filter — the plan stays a hash/merge
+    // join, never a nested loop.
+    "join_interval" -> ((s, d) => {
+      val win = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        pmod(col("o_custkey"), lit(150)).cast("long").as("uid"),
+        expr("TIMESTAMP '2024-01-01' + make_interval(0, 0, 0, CAST(o_orderkey % 30 AS INT), 0, 0, 0)").as("w_start"))
+        .withColumn("w_end", expr("w_start + INTERVAL 1 DAY"))
+      val ev = Tables.events(s, d)
+      win.join(ev,
+          col("uid") === col("user_id")
+            && col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("o_orderkey")
+    }),
+
+    // F1 — multi-key sort with explicit null ordering (nulls injected via
+    // NULLIF so the NULLS FIRST path is actually exercised).
+    "sort_multi" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+          col("c_acctbal"))
+        .orderBy(col("seg").asc_nulls_first, col("c_acctbal").desc, col("c_custkey").asc)
+    }),
+
+    // F2 — global top-k (TakeOrderedAndProject: per-partition top-k then
+    // merge on the driver — no full sort, no full shuffle).
+    "limit_topk" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    }),
+
+    // G1 — UNION ALL by name of two filtered slices.
+    "set_union" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"))
+      ev.where(col("event_type") === "click")
+        .unionByName(ev.where(col("event_type") === "error"))
+        .orderBy("event_id")
+    }),
+
+    // G2 — INTERSECT (distinct semantics on both engines).
+    "set_intersect" -> ((s, d) => {
+      val a = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      a.intersect(b).orderBy("c_custkey")
+    }),
+
+    // G3 — EXCEPT: parts never ordered.
+    "set_except" -> ((s, d) => {
+      val a = Tables.part(s, d).select(col("p_partkey"))
+      val b = Tables.lineitem(s, d).select(col("l_partkey").as("p_partkey"))
+      a.except(b).orderBy("p_partkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "scan_json_props" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "project_compute" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_returnflag IN ('A','R') AND l_quantity > 5.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_inner_hash" ->
+      """SELECT o_orderkey, c_name, round(o_totalprice, 4) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+    "join_left_outer" ->
+      """SELECT l_orderkey, l_linenumber, p.p_name, p.p_size
+        |FROM lineitem LEFT JOIN (SELECT p_partkey, p_name, p_size FROM part WHERE p_size <= 25) p
+        |  ON l_partkey = p.p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_theta_range" ->
+      """SELECT a.p_partkey, count(*) AS n_close
+        |FROM part a JOIN part b
+        |  ON b.p_partkey <> a.p_partkey
+        | AND b.p_retailprice BETWEEN a.p_retailprice - 0.5 AND a.p_retailprice + 0.5
+        |GROUP BY a.p_partkey ORDER BY a.p_partkey""".stripMargin,
+    "join_asof" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS uid,
+        |         TIMESTAMP '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY
+        |           + (o_custkey % 24) * INTERVAL 1 HOUR AS ats
+        |  FROM orders
+        |), m AS (
+        |  SELECT o.o_orderkey, e.event_id,
+        |         row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM o JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+        |    ON e.user_id = o.uid AND e.ts <= o.ats
+        |)
+        |SELECT o.o_orderkey, m.event_id AS asof_event_id
+        |FROM o LEFT JOIN (SELECT o_orderkey, event_id FROM m WHERE rn = 1) m
+        |  ON m.o_orderkey = o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "join_interval" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS uid,
+        |         TIMESTAMP '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY AS w_start,
+        |         TIMESTAMP '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY + INTERVAL 1 DAY AS w_end
+        |  FROM orders
+        |)
+        |SELECT w.o_orderkey, count(*) AS n_events, round(sum(e.value), 4) AS sum_value
+        |FROM w JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+        |  ON e.user_id = w.uid AND e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY w.o_orderkey ORDER BY w.o_orderkey""".stripMargin,
+    "sort_multi" ->
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+        |FROM customer ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey""".stripMargin,
+    "limit_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+        |FROM lineitem ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "set_union" ->
+      """SELECT event_id, event_type, round(value, 4) AS value FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type, round(value, 4) AS value FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin,
+    "set_except" ->
+      """SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem ORDER BY p_partkey""".stripMargin,
+  )
+}

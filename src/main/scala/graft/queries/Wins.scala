@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2 section E). Every window's ORDER BY ends
+  * with a unique key so frame contents are deterministic across engines;
+  * doubles that leave the query are rounded to 4 decimals.
+  *
+  * At scale each of these is a single shuffle on the partition key followed
+  * by an in-partition sort — no driver-side work.
+  */
+object Wins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // E1 — ranked top-3 orders per customer.
+    "win_topn_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("rnk"), col("drnk"),
+          round(col("o_totalprice"), 4).as("total"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // E2 — counter -> delta via lag (Minerva counter-rate semantics).
+    "win_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("delta"))
+        .orderBy("event_id")
+    }),
+
+    // E3 — moving average over an explicit ROWS frame.
+    "win_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      Tables.events(s, d)
+        .withColumn("ma", round(avg(col("value")).over(w), 4))
+        .select(col("event_id"), col("ma"))
+        .orderBy("event_id")
+    }),
+
+    // E4 — running sum over a RANGE frame: peers (equal order dates) share
+    // the same running value, so ties are deterministic by construction.
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running", round(sum(col("o_totalprice")).over(w), 4))
+        .select(col("o_orderkey"), col("running"))
+        .orderBy("o_orderkey")
+    }),
+
+    // E5 — analytic functions over a global ordering.
+    "win_analytic" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          ntile(4).over(w).as("nt"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
+    // E6 — first/last value with an explicit unbounded frame (attribute
+    // store "latest per entity" lookup shape).
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(first(col("value")).over(w), 4).as("fv"),
+          round(last(col("value")).over(w), 4).as("lv"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_topn_group" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk,
+        |       round(o_totalprice, 4) AS total
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_lag_delta" ->
+      """SELECT event_id, user_id,
+        |       round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+        |ORDER BY event_id""".stripMargin,
+    "win_moving_avg" ->
+      """SELECT event_id,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+        |ORDER BY event_id""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_analytic" ->
+      """SELECT c_custkey, CAST(ntile(4) OVER w AS INTEGER) AS nt,
+        |       round(percent_rank() OVER w, 4) AS pr, round(cume_dist() OVER w, 4) AS cd
+        |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT event_id, round(first_value(value) OVER w, 4) AS fv,
+        |       round(last_value(value) OVER w, 4) AS lv
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY event_id""".stripMargin,
+  )
+}
