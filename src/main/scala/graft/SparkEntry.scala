@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Aggs.queries ++
       graft.queries.Wins.queries ++
       graft.queries.Scalars.queries ++
-      graft.queries.SideEffects.queries
+      graft.queries.SideEffects.queries ++
+      graft.queries.Llm.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Aggs.oracles ++
       graft.queries.Wins.oracles ++
       graft.queries.Scalars.oracles ++
-      graft.queries.SideEffects.oracles
+      graft.queries.SideEffects.oracles ++
+      graft.queries.Llm.oracles
 }

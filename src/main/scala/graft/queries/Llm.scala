@@ -1,0 +1,511 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** North-star LLM-data-pipeline operators (SURVEY.md §2 section K plus the
+  * extended dedup / text-analysis / ANN surface): exact and near dedup
+  * (token-Jaccard, MinHash+LSH, SimHash), brute-force + bucketed similarity
+  * search, k-NN labeling, language ID, quality scoring, token counting,
+  * shingle fingerprinting, and multimodal column assembly.
+  *
+  * Portability rule that makes these oracle-checkable: `md5()` produces the
+  * identical lowercase hex string in Spark and DuckDB, and lexicographic
+  * MIN over hex strings agrees in both engines — so MinHash signatures,
+  * LSH band keys and fingerprints hash-match exactly.
+  *
+  * Scale stance (100 TB): every pairwise op is either blocked (same-lang /
+  * shared-token / LSH-band / sign-bucket) so candidate generation is an
+  * equi-join, or explicitly a small-table cross product (embeddings dims).
+  * Nothing here relies on a driver-side collect.
+  */
+object Llm {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct, non-empty whitespace tokens per document: (doc_id, lang, token). */
+  private def tokensDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
+
+  /** All tokens in order (with duplicates): (doc_id, lang, source, token). */
+  private def tokensAll(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+
+  /** Double-precision dot product of two float vectors, summed in index
+    * order so Spark and DuckDB produce bit-identical doubles. Backed by the
+    * codegen `graft.functions.VecDot` expression (the interpreted HOF
+    * formulation dominated the pairwise benchmarks). */
+  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  private def l2norm(a: Column): Column = sqrt(call_function("vec_dot", a, a))
+
+  /** Embeddings with a precomputed L2 norm (computed once, not per pair). */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"), l2norm(col("embedding")).as("norm"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // K1 — exact dedup on normalized text hash; keep min doc_id per cluster.
+    // At scale: one hash-keyed shuffle, no pairwise work at all.
+    "llm_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(lower(trim(col("text")))).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("h")
+    }),
+
+    // K2 — near-dup pairs: distinct-token Jaccard >= 0.5 with same-lang +
+    // shared-token blocking (candidate pairs come from an equi-join on the
+    // token, never a cross product). The MinHash key below is the same
+    // pipeline's sub-quadratic variant for 100 TB.
+    "llm_dedup_near" -> ((s, d) => {
+      // Exact Jaccard via dictionary-encoded token bitmasks: build a global
+      // token dictionary (one tiny distinct + window), OR each doc's token
+      // ids into a 64-bit mask, then the pair loop is a broadcast hash join
+      // on the lang block key where intersection = bit_count(a & b) — pure
+      // codegen'd long arithmetic, no token-level shuffle and no per-pair
+      // array materialization. Generalizes to ceil(V/64) mask words; above
+      // that the sub-quadratic path is llm_dedup_minhash's LSH banding.
+      val tok = tokensDistinct(s, d)
+      val vocab = tok.select("token").distinct()
+        .withColumn("tid", row_number().over(Window.orderBy("token")) - 1)
+      val v = vocab.count() // dictionary cardinality gate (tiny scan)
+      require(v <= 64, s"token vocabulary $v exceeds single-mask capacity; use llm_dedup_minhash")
+      val masks = tok.join(broadcast(vocab), "token")
+        .groupBy("doc_id", "lang")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid))").as("mask"))
+      val a = masks.select(col("doc_id").as("a_id"), col("lang"), col("mask").as("a_mask"))
+      val b = masks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("mask").as("b_mask"))
+      a.join(broadcast(b), col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+        .withColumn("n_inter", expr("bit_count(a_mask & b_mask)"))
+        .withColumn("jacc", col("n_inter").cast("double")
+          / (expr("bit_count(a_mask)") + expr("bit_count(b_mask)") - col("n_inter")))
+        .where(col("jacc") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // K2b — MinHash (8 hashes via seeded md5, lexicographic min) + LSH
+    // (2 bands x 4 rows — tuned for near-identical dup detection: 50%
+    // capture at J≈0.84, so highly-similar corpora don't flood the
+    // candidate set): candidate pairs = docs sharing any band key, from an
+    // equi-join on (band index, band key); cost is bounded by bucket sizes.
+    "llm_dedup_minhash" -> ((s, d) => {
+      val tok = tokensDistinct(s, d)
+      val mhCols = (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("token")))).as(s"mh$i"))
+      val mh = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val bands = mh.select(col("doc_id"), posexplode(array(
+        (0 until 2).map(j => md5(concat(
+          col(s"mh${4 * j}"), col(s"mh${4 * j + 1}"),
+          col(s"mh${4 * j + 2}"), col(s"mh${4 * j + 3}")))): _*)))
+        .toDF("doc_id", "band_i", "band_v")
+      val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
+      val r = bands.select(col("doc_id").as("b_id"), col("band_i").as("bi2"), col("band_v").as("bv2"))
+      // Broadcast the band table (4 rows/doc): the candidate join is then a
+      // shuffle-free BHJ on the band key; only the per-pair count shuffles.
+      l.join(broadcast(r), col("band_i") === col("bi2") && col("band_v") === col("bv2")
+          && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // K2c — 16-bit SimHash per document from token md5 bits: bit j of the
+    // signature is the sign of sum over tokens of (+1/-1 by the token
+    // hash's bit j). One shuffle on doc_id; signature is a compact near-dup
+    // sketch (hamming distance ≤ r ⇒ candidate).
+    "llm_dedup_simhash" -> ((s, d) => {
+      tokensDistinct(s, d)
+        .withColumn("tv", conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"))
+        .select(col("doc_id"), col("tv"), explode(sequence(lit(0), lit(15))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(expr("CASE WHEN ((tv >> j) & 1) = 1 THEN 1 ELSE -1 END")).as("sgn"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("sgn") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // K3 — brute-force cosine top-k pairs (the correctness baseline for
+    // similarity search; llm_ann_bucket is the bucketed scale path).
+    // Norms are precomputed per vector; pair ordering uses the exact double
+    // sim (bit-identical across engines: sequential double sums) with id
+    // tie-breaks, so the LIMIT boundary is deterministic.
+    "llm_cosine_topk" -> ((s, d) => {
+      val v = vecs(s, d)
+      val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("norm").as("a_n"))
+      val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("norm").as("b_n"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+        .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+        .limit(100)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    // K4 — k-NN majority label (k=5, self excluded): per query vector take
+    // the 5 most similar, vote, tie-break lower label. Output also carries
+    // the true label so accuracy is computable downstream.
+    "llm_knn_label" -> ((s, d) => {
+      val v = vecs(s, d)
+      val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+        col("norm").as("q_n"), col("label").as("true_label"))
+      val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+        col("norm").as("c_n"), col("label").as("c_label"))
+      val sims = q.join(c, col("q_id") =!= col("c_id"))
+        .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+      val wNN = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+      val top = sims.withColumn("rn", row_number().over(wNN)).where(col("rn") <= 5)
+      val votes = top.groupBy("q_id", "true_label", "c_label")
+        .agg(count(lit(1)).as("votes"))
+      val wV = Window.partitionBy("q_id").orderBy(col("votes").desc, col("c_label"))
+      votes.withColumn("vr", row_number().over(wV)).where(col("vr") === 1)
+        .select(col("q_id").as("vec_id"), col("c_label").as("pred_label"),
+          col("true_label"), col("votes"))
+        .orderBy("vec_id")
+    }),
+
+    // K5 — per-(lang, source) text statistics via the explode path.
+    "llm_text_stats" -> ((s, d) => {
+      tokensAll(s, d)
+        .groupBy("lang", "source")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct"),
+          round(avg(length(col("token"))), 4).as("avg_tok_len"))
+        .orderBy("lang", "source")
+    }),
+
+    // K5b — corpus-driven language ID: per-language profile = top-20 tokens
+    // by document frequency (tie-break token asc); each doc is classified
+    // to the profile with the largest distinct-token overlap (tie-break
+    // lang asc), 'und' when no profile token matches. The profile is tiny
+    // (langs x 20 rows) — broadcast at any scale.
+    "llm_lang_id" -> ((s, d) => {
+      val tok = tokensDistinct(s, d)
+      val dfreq = tok.groupBy(col("lang").as("p_lang"), col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val wP = Window.partitionBy("p_lang").orderBy(col("df").desc, col("token"))
+      val profile = dfreq.withColumn("r", row_number().over(wP)).where(col("r") <= 20)
+        .select(col("p_lang"), col("token").as("p_token"))
+      val overlap = tok.join(broadcast(profile), col("token") === col("p_token"))
+        .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("n_overlap"))
+      val wB = Window.partitionBy("doc_id").orderBy(col("n_overlap").desc, col("p_lang"))
+      val best = overlap.withColumn("br", row_number().over(wB)).where(col("br") === 1)
+        .select(col("doc_id").as("b_doc"), col("p_lang").as("pred_lang"), col("n_overlap"))
+      Tables.documents(s, d)
+        .join(best, col("doc_id") === col("b_doc"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (col("lang") === coalesce(col("pred_lang"), lit("und"))).cast("int").as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    // K5c — per-document quality scoring: token count, mean token length,
+    // stopword ratio against a fixed list, long-word ratio, composite score.
+    "llm_quality_score" -> ((s, d) => {
+      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "it")
+      tokensAll(s, d)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tok"),
+          round(avg(length(col("token"))), 4).as("avg_len"),
+          round(sum(when(col("token").isin(stop: _*), 1).otherwise(0)).cast("double")
+            / count(lit(1)), 4).as("stop_ratio"),
+          round(sum(when(length(col("token")) > 7, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 4).as("long_ratio"))
+        // Exact decimal arithmetic (multiplication only): the weighted sum
+        // can land exactly on a .00005 boundary where Spark (half-up) and
+        // DuckDB (half-even) disagree on double rounding; decimals round
+        // identically in both engines.
+        .withColumn("score", expr(
+          """CAST(round(CAST(0.025 AS DECIMAL(6,3)) * least(n_tok, 20)
+            |  + CAST(0.3 AS DECIMAL(2,1)) * (1 - CAST(stop_ratio AS DECIMAL(18,4)))
+            |  + CAST(0.2 AS DECIMAL(2,1)) * CAST(long_ratio AS DECIMAL(18,4)), 4) AS DOUBLE)""".stripMargin))
+        .orderBy("doc_id")
+    }),
+
+    // K5d — token counting three ways: whitespace split, regex word
+    // extraction (BPE-ish subword proxy), and chars/4 estimate.
+    "llm_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => length(t) > 0)).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("re_tokens"),
+          ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // K5e — document fingerprint: rolling 3-token shingles, md5 each, keep
+    // the lexicographic minimum (winnowing-style min-sampling; two docs
+    // sharing content share fingerprints). Docs shorter than 3 tokens get a
+    // whole-text fallback fingerprint.
+    "llm_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("fp",
+          when(size(col("toks")) >= 3,
+            array_min(transform(sequence(lit(0), size(col("toks")) - 3),
+              i => md5(concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))))))
+            .otherwise(md5(col("text"))))
+        .select(col("doc_id"), col("fp"),
+          greatest(size(col("toks")) - 2, lit(1)).as("n_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // K3b — bucketed ANN (IVF-style): coarse cell = sign bits of the first
+    // 8 dimensions, nearest neighbor searched within the cell only. The
+    // scale path: candidate pairs come from an equi-join on the bucket, so
+    // cost follows bucket occupancy, not n². Singleton buckets yield NULL.
+    "llm_ann_bucket" -> ((s, d) => {
+      val bucketed = vecs(s, d).withColumn("bucket",
+        (0 until 8).map(i => when(element_at(col("embedding"), i + 1) > 0f,
+          lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
+      val a = bucketed.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+        col("norm").as("a_n"), col("bucket"))
+      val b = bucketed.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+        col("norm").as("b_n"), col("bucket").as("b_bucket"))
+      val sims = a.join(b, col("bucket") === col("b_bucket") && col("a_id") =!= col("b_id"))
+        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
+      bucketed.join(nn, col("vec_id") === col("a_id"), "left")
+        .select(col("vec_id"), col("bucket"), col("nn_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // K6 — multimodal column assembly: text + opaque binary payload +
+    // vector + typed metadata in one row. The binary column stands in for
+    // image/audio bytes (no media libs offline — SURVEY.md §0); the
+    // "decode" is a deterministic metadata extraction (byte length + md5),
+    // which is exactly the Spark-side plumbing shape a real decoder plugs
+    // into. Flattened deterministic columns for the oracle compare.
+    "llm_multimodal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v = vecs(s, d)
+      docs.join(v, col("doc_id") === col("vec_id"))
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"), col("lang"), col("source"), col("label"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("text")).as("content_hash"),
+          size(col("embedding")).as("dim"),
+          round(col("norm"), 4).as("norm"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  private val tokCte =
+    """tok AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_filter(
+      |    string_split(text, ' '), t -> len(t) > 0))) AS token
+      |  FROM documents
+      |)""".stripMargin
+
+  private val tokAllCte =
+    """tok AS (
+      |  SELECT doc_id, lang, source, unnest(list_filter(
+      |    string_split(text, ' '), t -> len(t) > 0)) AS token
+      |  FROM documents
+      |)""".stripMargin
+
+  private val vecCte =
+    """v AS (
+      |  SELECT vec_id, embedding, label,
+      |         sqrt(list_aggregate(list_transform(embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private val dotSql =
+    """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |  s -> CAST(struct_extract(s, 1) AS DOUBLE) * CAST(struct_extract(s, 2) AS DOUBLE)), 'sum')""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "llm_dedup_near" ->
+      s"""WITH $tokCte,
+        |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id,
+        |       round(CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter), 4) AS jacc
+        |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "llm_dedup_minhash" ->
+      s"""WITH $tokCte,
+        |mh AS (
+        |  SELECT doc_id,
+        |         min(md5('0:' || token)) AS mh0, min(md5('1:' || token)) AS mh1,
+        |         min(md5('2:' || token)) AS mh2, min(md5('3:' || token)) AS mh3,
+        |         min(md5('4:' || token)) AS mh4, min(md5('5:' || token)) AS mh5,
+        |         min(md5('6:' || token)) AS mh6, min(md5('7:' || token)) AS mh7
+        |  FROM tok GROUP BY doc_id
+        |),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_i, md5(mh0 || mh1 || mh2 || mh3) AS band_v FROM mh
+        |  UNION ALL SELECT doc_id, 1, md5(mh4 || mh5 || mh6 || mh7) FROM mh
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+        |FROM bands a JOIN bands b
+        |  ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin,
+    "llm_dedup_simhash" ->
+      s"""WITH $tokCte,
+        |tv AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(token), 1, 4)) AS BIGINT) AS tv
+        |  FROM tok
+        |),
+        |bits AS (
+        |  SELECT doc_id, j, sum(CASE WHEN ((tv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM tv, (SELECT unnest(range(0, 16)) AS j)
+        |  GROUP BY doc_id, j
+        |)
+        |SELECT doc_id,
+        |       sum(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_cosine_topk" ->
+      s"""WITH $vecCte
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round($dotSql / (a.norm * b.norm), 4) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |ORDER BY $dotSql / (a.norm * b.norm) DESC, a_id, b_id
+        |LIMIT 100""".stripMargin,
+    "llm_knn_label" ->
+      s"""WITH $vecCte,
+        |sims AS (
+        |  SELECT a.vec_id AS q_id, a.label AS true_label, b.label AS c_label, b.vec_id AS c_id,
+        |         $dotSql / (a.norm * b.norm) AS sim
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |),
+        |top AS (
+        |  SELECT q_id, true_label, c_label,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+        |  FROM sims
+        |),
+        |votes AS (
+        |  SELECT q_id, true_label, c_label, count(*) AS votes
+        |  FROM top WHERE rn <= 5 GROUP BY 1, 2, 3
+        |)
+        |SELECT q_id AS vec_id, c_label AS pred_label, true_label, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, c_label) AS vr
+        |  FROM votes
+        |) WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "llm_text_stats" ->
+      s"""WITH $tokAllCte
+        |SELECT lang, source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+        |       count(DISTINCT token) AS n_distinct, round(avg(len(token)), 4) AS avg_tok_len
+        |FROM tok GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "llm_lang_id" ->
+      s"""WITH $tokCte,
+        |dfreq AS (
+        |  SELECT lang AS p_lang, token, count(DISTINCT doc_id) AS df
+        |  FROM tok GROUP BY 1, 2
+        |),
+        |profile AS (
+        |  SELECT p_lang, token AS p_token FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY p_lang ORDER BY df DESC, token) AS r
+        |    FROM dfreq
+        |  ) WHERE r <= 20
+        |),
+        |overlap AS (
+        |  SELECT t.doc_id, p.p_lang, count(*) AS n_overlap
+        |  FROM tok t JOIN profile p ON t.token = p.p_token
+        |  GROUP BY 1, 2
+        |),
+        |best AS (
+        |  SELECT doc_id AS b_doc, p_lang AS pred_lang, n_overlap FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n_overlap DESC, p_lang) AS br
+        |    FROM overlap
+        |  ) WHERE br = 1
+        |)
+        |SELECT d.doc_id, d.lang, coalesce(b.pred_lang, 'und') AS pred_lang,
+        |       coalesce(b.n_overlap, 0) AS n_overlap,
+        |       CAST(d.lang = coalesce(b.pred_lang, 'und') AS INTEGER) AS correct
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.b_doc
+        |ORDER BY d.doc_id""".stripMargin,
+    "llm_quality_score" ->
+      s"""WITH $tokAllCte,
+        |q AS (
+        |  SELECT doc_id, count(*) AS n_tok, round(avg(len(token)), 4) AS avg_len,
+        |         round(CAST(sum(CASE WHEN token IN ('the','of','and','a','to','in','is','it')
+        |           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS stop_ratio,
+        |         round(CAST(sum(CASE WHEN len(token) > 7 THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / count(*), 4) AS long_ratio
+        |  FROM tok GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tok, avg_len, stop_ratio, long_ratio,
+        |       CAST(round(CAST(0.025 AS DECIMAL(6,3)) * least(n_tok, 20)
+        |         + CAST(0.3 AS DECIMAL(2,1)) * (1 - CAST(stop_ratio AS DECIMAL(18,4)))
+        |         + CAST(0.2 AS DECIMAL(2,1)) * CAST(long_ratio AS DECIMAL(18,4)), 4) AS DOUBLE) AS score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS INTEGER) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
+        |       CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN len(toks) >= 3 THEN
+        |         list_aggregate(list_transform(range(1, len(toks) - 1),
+        |           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])), 'min')
+        |       ELSE md5(text) END AS fp,
+        |       greatest(len(toks) - 2, 1) AS n_shingles
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "llm_ann_bucket" ->
+      s"""WITH $vecCte,
+        |bv AS (
+        |  SELECT vec_id, embedding, norm,
+        |         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+        |       + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+        |       + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+        |       + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+        |       + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM v
+        |),
+        |sims AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+        |         $dotSql / (a.norm * b.norm) AS sim
+        |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |),
+        |nn AS (
+        |  SELECT a_id, b_id AS nn_id, round(sim, 4) AS sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+        |    FROM sims
+        |  ) WHERE rn = 1
+        |)
+        |SELECT bv.vec_id, CAST(bv.bucket AS BIGINT) AS bucket, nn.nn_id, nn.sim
+        |FROM bv LEFT JOIN nn ON bv.vec_id = nn.a_id
+        |ORDER BY bv.vec_id""".stripMargin,
+    "llm_multimodal" ->
+      s"""WITH $vecCte
+        |SELECT d.doc_id, d.lang, d.source, v.label,
+        |       CAST(len(text) AS INTEGER) AS n_bytes, md5(text) AS content_hash,
+        |       CAST(len(embedding) AS INTEGER) AS dim, round(norm, 4) AS norm
+        |FROM documents d JOIN v ON d.doc_id = v.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+  )
+}
