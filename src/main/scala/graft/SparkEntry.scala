@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Wins.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.SideEffects.queries ++
-      graft.queries.Llm.queries
+      graft.queries.Llm.queries ++
+      graft.streaming.Streams.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Wins.oracles ++
       graft.queries.Scalars.oracles ++
       graft.queries.SideEffects.oracles ++
-      graft.queries.Llm.oracles
+      graft.queries.Llm.oracles ++
+      graft.streaming.Streams.oracles
 }

@@ -1,0 +1,219 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2 section I): tumbling /
+  * sliding / session windows, watermarked dedup, and explicit per-key state
+  * — the Spark-native re-expression of the reference's near-real-time
+  * harvesting + late-data-aware materialization.
+  *
+  * Each entry runs a REAL streaming query (file source → incremental
+  * execution with state store → memory sink), drains it, and returns the
+  * sink contents as a DataFrame. Because the bounded replay fits one
+  * micro-batch and aggregations run in Complete mode, the drained result
+  * equals the batch twin — which is what makes these keys oracle-checkable
+  * (the scalatest suite additionally exercises true multi-batch behavior:
+  * late-data drop, cross-batch dedup, state timeouts via MemoryStream).
+  *
+  * At scale the same plans run unchanged against a Kafka/file stream with
+  * checkpointing: state is keyed by (window, entity) / user, so it shards
+  * across executors; watermark = the reference's stability delay.
+  */
+object Streams {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Explicit schema for the events stream (file sources require one).
+    * ts arrives as TIMESTAMP(NANOS) parquet — read as long, truncate to µs
+    * exactly like Tables.events. */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source requires a directory; stage the single-file
+    // table behind a symlink (a real deployment points at the ingest dir).
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_src",
+      Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
+    s.readStream.schema(eventsRawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink, return the
+    * sink table. The checkpoint lives under java.io.tmpdir per query name. */
+  private def drain(s: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_ckpt_$name").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // I1 — tumbling 1 h windows per event type with a 10 min watermark
+    // (late rows older than the watermark are dropped once it advances;
+    // the multi-batch behavior is asserted in StreamingSpec).
+    "stream_tumbling" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      drain(s, agg, "graft_stream_tumbling", OutputMode.Complete())
+        .select(col("window.start").as("bucket"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    }),
+
+    // I2 — sliding windows: 1 h length, 15 min slide (each event lands in 4
+    // overlapping windows).
+    "stream_sliding" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      drain(s, agg, "graft_stream_sliding", OutputMode.Complete())
+        .select(col("window.start").as("w_start"), col("cnt"), col("sum_value"))
+        .orderBy("w_start")
+    }),
+
+    // I3 — session windows per user, 30 min inactivity gap.
+    "stream_session" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      drain(s, agg, "graft_stream_session", OutputMode.Complete())
+        .select(col("session_window.start").as("s_start"), col("user_id"),
+          col("n_events"), col("sum_value"))
+        .orderBy("s_start", "user_id")
+    }),
+
+    // I4 — watermarked exactly-once ingest: duplicates of event_id within
+    // the watermark horizon are dropped (true cross-batch dedup is
+    // asserted in StreamingSpec; on this bounded replay the output equals
+    // DISTINCT input, aggregated per type for a stable compare).
+    "stream_dedup" -> ((s, d) => {
+      val deduped = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      val out = drain(s, deduped, "graft_stream_dedup", OutputMode.Append())
+      out.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("event_id")).as("n_ids"))
+        .orderBy("event_type")
+    }),
+
+    // I5 — explicit per-user state (flatMapGroupsWithState): running event
+    // count and maximum inter-event gap in seconds — the reference's
+    // stability-delay / gap-detection analogue. Events are sorted by ts
+    // inside each group invocation so the fold is deterministic.
+    "stream_stateful" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select(col("user_id"), col("ts").cast("long").as("ts_sec"))
+        .as[(Long, Long)]
+      val agg: Dataset[(Long, Long, Long)] = typed
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          GapState.update)
+      val out = drain(s, agg.toDF("user_id", "n_events", "max_gap_sec"),
+        "graft_stream_stateful", OutputMode.Append())
+      out.orderBy("user_id")
+    }),
+  )
+
+  /** Oracle SQL for the streaming keys: the batch-equivalent queries over
+    * the same events table (ts truncated to µs on the DuckDB side exactly
+    * like the Spark read path). */
+  val oracles: Map[String, String] = {
+    val ev = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+    Map(
+      "stream_tumbling" ->
+        s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
+           |       count(*) AS cnt, round(sum(value), 4) AS sum_value
+           |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+      "stream_sliding" ->
+        s"""WITH e AS (SELECT ts, value FROM $ev events),
+           |w AS (
+           |  SELECT TIMESTAMP '1970-01-01'
+           |           + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900)
+           |             * INTERVAL 1 SECOND AS w_start, ts, value
+           |  FROM e, (SELECT unnest(range(0, 4)) AS k) k
+           |)
+           |SELECT w_start, count(*) AS cnt, round(sum(value), 4) AS sum_value
+           |FROM w WHERE w_start > ts - INTERVAL 1 HOUR
+           |GROUP BY w_start ORDER BY w_start""".stripMargin,
+      "stream_session" ->
+        s"""WITH e AS (
+           |  SELECT user_id, ts, value,
+           |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |                > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |              THEN 1 ELSE 0 END AS new_session
+           |  FROM $ev events
+           |),
+           |g AS (
+           |  SELECT user_id, ts, value,
+           |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           |  FROM e
+           |)
+           |SELECT min(ts) AS s_start, user_id, count(*) AS n_events,
+           |       round(sum(value), 4) AS sum_value
+           |FROM g GROUP BY user_id, sess ORDER BY s_start, user_id""".stripMargin,
+      "stream_dedup" ->
+        s"""SELECT event_type, count(*) AS n_events, count(DISTINCT event_id) AS n_ids
+           |FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // Spark casts timestamp→long by truncating to whole seconds, so the
+      // oracle must floor each endpoint before differencing (DuckDB's
+      // double→bigint CAST rounds instead).
+      "stream_stateful" ->
+        s"""SELECT user_id, count(*) AS n_events,
+           |       coalesce(max(CAST(floor(epoch(ts)) AS BIGINT)
+           |         - CAST(floor(epoch(lag_ts)) AS BIGINT)), 0) AS max_gap_sec
+           |FROM (
+           |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS lag_ts
+           |  FROM $ev events
+           |)
+           |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    )
+  }
+}
+
+/** State fold for `stream_stateful`: (count so far, last ts, max gap). */
+object GapState {
+  def update(userId: Long, rows: Iterator[(Long, Long)],
+             state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+    val sorted = rows.map(_._2).toSeq.sorted
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (n0, last0, gap0) =
+        state.getOption.getOrElse((0L, Long.MinValue, 0L))
+      var n = n0; var last = last0; var gap = gap0
+      sorted.foreach { t =>
+        if (last != Long.MinValue && t - last > gap) gap = t - last
+        last = t
+        n += 1
+      }
+      state.update((n, last, gap))
+      Iterator.single((userId, n, gap))
+    }
+  }
+}

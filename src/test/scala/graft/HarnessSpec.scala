@@ -1,0 +1,24 @@
+package graft
+
+/** Driver-contract consistency: the smoke entry returns rows, every oracle
+  * key has a query implementation, and query names match SURVEY.md §2. */
+class HarnessSpec extends SparkSpec {
+
+  test("entry (t1 smoke) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query implementation") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
+  }
+
+  test("every query runs and returns a non-empty, deterministic result") {
+    val skipEmpty = Set("join_anti", "set_except", "llm_dedup_near") // legitimately empty at sf0.001
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      if (!skipEmpty.contains(name))
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+/** Plan-shape assertions (SURVEY.md §4): the optimizer behaviors we rely on
+  * at 100 TB must actually appear in the physical plans — pushdown reaching
+  * the parquet scan, broadcast joins for dims, top-k short-circuiting, and
+  * the custom vector expression participating in codegen. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(key: String): String =
+    SparkEntry.queries(key)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val p = planOf("filter_pred")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in plan:\n$p")
+    assert(p.contains("GreaterThan") || p.contains("In(l_returnflag"), p)
+  }
+
+  test("scan_parquet prunes columns at the scan") {
+    val p = planOf("scan_parquet")
+    assert(p.contains("ReadSchema"), p)
+    // only the two referenced columns are read, not all 16 lineitem columns
+    assert(!p.contains("l_extendedprice"), s"unpruned scan:\n$p")
+  }
+
+  test("join_broadcast uses BroadcastHashJoin") {
+    val p = planOf("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dims should not shuffle:\n$p")
+  }
+
+  test("agg_entity_rollup broadcasts every dimension") {
+    val p = planOf("agg_entity_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("limit_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = planOf("limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_groupby is a two-phase hash aggregate") {
+    val p = planOf("agg_groupby")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final:\n$p")
+  }
+
+  test("llm_cosine_topk uses the native vec_dot expression inside codegen") {
+    // AQE wraps the plan so codegen explain sees no subtrees until
+    // execution; disable it for this static inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("llm_cosine_topk")(spark, sf0001).queryExecution
+      assert(qe.executedPlan.toString.contains("vec_dot"))
+      val codegen = qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      // the generated Java contains the primitive loop, not a call into an
+      // interpreted expression
+      assert(codegen.contains("getFloat"), "vec_dot did not generate code")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("join_asof is a single shuffle + window, not a pair join") {
+    val p = planOf("join_asof")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** True multi-batch streaming semantics via MemoryStream: watermark
+  * late-data drop, cross-batch dedup, cross-batch state — plus equivalence
+  * of each drained stream query against its batch twin (SURVEY.md §5.2). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked tumbling window drops data older than the watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("b"), col("cnt"))
+    val ckpt = tmpDir("ckpt_late")
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+    // batch 1: two events in hour 08, one at 10:00 -> watermark reaches 09:50
+    in.addData((ts("2024-01-01 08:05:00"), 1.0), (ts("2024-01-01 08:30:00"), 1.0),
+      (ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    // batch 2: a late hour-08 event, far behind the 09:50 watermark -> dropped
+    in.addData((ts("2024-01-01 08:45:00"), 9.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark past 11:00 so the hour-10 window also closes
+    in.addData((ts("2024-01-01 11:30:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_test").collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(out("2024-01-01 08:00:00.0") == 2L, s"late row must be dropped: $out")
+    assert(out("2024-01-01 10:00:00.0") == 1L, out.toString)
+  }
+
+  test("dropDuplicatesWithinWatermark deduplicates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val dedup = in.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val ckpt = tmpDir("ckpt_dedup")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+    in.addData((1L, ts("2024-01-01 08:00:00")), (2L, ts("2024-01-01 08:01:00")))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 08:02:00")), (3L, ts("2024-01-01 08:03:00"))) // 1 is a dup
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_test").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), ids.mkString(","))
+  }
+
+  test("stateful gap detection accumulates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, ts_sec)
+    val agg = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(graft.streaming.GapState.update)
+    val ckpt = tmpDir("ckpt_state")
+    val q = agg.toDF("user_id", "n_events", "max_gap_sec")
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+    in.addData((7L, 100L), (7L, 160L)) // gap 60
+    q.processAllAvailable()
+    in.addData((7L, 400L)) // gap 240 across the batch boundary
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("state_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // last emission carries the cross-batch state
+    assert(rows.contains((7L, 3L, 240L)), rows.mkString(";"))
+  }
+
+  test("drained stream queries equal their batch twins on sf0.001") {
+    val stream = graft.streaming.Streams.queries("stream_tumbling")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
+  test("session windows match the batch islands formulation") {
+    val stream = graft.streaming.Streams.queries("stream_session")(spark, sf0001)
+      .agg(count(lit(1)), sum("n_events")).collect().head
+    val ev = Tables.events(spark, sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val batchSessions = ev
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess", when(col("prev").isNull
+        || col("ts").cast("double") - col("prev").cast("double") > 1800, 1).otherwise(0))
+      .agg(sum(col("new_sess")), count(lit(1))).collect().head
+    assert(stream.getLong(0) == batchSessions.getLong(0), s"$stream vs $batchSessions")
+    assert(stream.getLong(1) == batchSessions.getLong(1))
+  }
+}
