@@ -1,0 +1,71 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Attribute store: slowly-changing per-entity attributes with history —
+  * the reference's attribute_history with its "current" view, point-in-time
+  * `at(ts)` lookup, and run compaction.
+  *
+  * History rows are (entity_id, ts, attribute columns...). All three reads
+  * are one shuffle on entity_id + an in-partition sort — the shape that
+  * scales: no self-join, no pair blowup.
+  */
+object AttributeStore {
+
+  private def attrCols(history: DataFrame): Seq[String] =
+    history.columns.filterNot(Set("entity_id", "ts")).toSeq
+
+  /** Latest attribute row per entity (the `_curr` view). Deterministic:
+    * ties on ts resolved by the largest attribute tuple. */
+  def current(history: DataFrame): DataFrame = {
+    val w = Window.partitionBy("entity_id")
+      .orderBy(col("ts").desc, struct(attrCols(history).map(col): _*).desc)
+    history.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Point-in-time view: the attribute values in force at `ts` (inclusive,
+    * the reference's `at(ts)` semantics — ties pinned to <=). */
+  def at(history: DataFrame, ts: String): DataFrame =
+    current(history.where(col("ts") <= lit(ts).cast("timestamp")))
+
+  /** As-of join a fact table to the history: for each fact row, the latest
+    * attribute row of its entity at-or-before the fact timestamp.
+    * Implemented as the single-shuffle merge pattern (union + running
+    * last_value over one entity-keyed window), not a pair join. */
+  def asofJoin(history: DataFrame, facts: DataFrame,
+               factEntity: String, factTs: String): DataFrame = {
+    val attrs = attrCols(history)
+    val h = history.select(col("entity_id").as("__ent"), col("ts").as("__ts"),
+      lit(0).as("__kind"), lit(null).cast("long").as("__fact_id"),
+      struct(attrs.map(col): _*).as("__attrs"))
+    val f = facts.withColumn("__fact_id", monotonically_increasing_id())
+    val fk = f.select(col(factEntity).as("__ent"), col(factTs).as("__ts"),
+      lit(1).as("__kind"), col("__fact_id"),
+      lit(null).cast(h.schema("__attrs").dataType).as("__attrs"))
+    val w = Window.partitionBy("__ent").orderBy(col("__ts"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val resolved = h.unionByName(fk)
+      .withColumn("__asof", last(col("__attrs"), ignoreNulls = true).over(w))
+      .where(col("__kind") === 1)
+      .select(col("__fact_id"), col("__asof"))
+    val flat = attrs.foldLeft(f.join(resolved, "__fact_id")) {
+      (acc, a) => acc.withColumn(a, col("__asof").getField(a))
+    }
+    flat.drop("__asof", "__fact_id")
+  }
+
+  /** Run compaction: collapse consecutive history rows whose attribute
+    * values are unchanged, keeping the first row of each run — the
+    * reference's periodic attribute compaction. */
+  def compact(history: DataFrame): DataFrame = {
+    val attrs = attrCols(history)
+    val w = Window.partitionBy("entity_id").orderBy("ts")
+    val hashed = history.withColumn("__h", xxhash64(attrs.map(col): _*))
+    hashed.withColumn("__prev", lag(col("__h"), 1).over(w))
+      .where(col("__prev").isNull || col("__h") =!= col("__prev"))
+      .drop("__h", "__prev")
+  }
+}

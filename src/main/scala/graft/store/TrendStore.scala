@@ -1,0 +1,64 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Trend store: the reference's core time-series relation — a wide table
+  * keyed (entity_id, timestamp) with one column per counter, split by
+  * granularity and time-partitioned.
+  *
+  * Spark mapping: one parquet dataset per (store, granularity), directory-
+  * partitioned by day (`d=yyyy-MM-dd`). Partition pruning on `d` replaces
+  * the reference's PostgreSQL time-partition elimination; the declared
+  * schema is asserted on read (never inferred — at 100 TB inference is an
+  * extra full pass and a correctness hazard).
+  */
+final class TrendStore(
+    spark: SparkSession,
+    rootDir: String,
+    val counters: Seq[String]) {
+
+  private val keyCols = Seq("entity_id", "ts")
+
+  def dir(granularity: String): String = s"$rootDir/granularity=$granularity"
+
+  /** Append a data package (rows of entity_id, ts, counters...) at a
+    * granularity. The write shuffles nothing: rows land in day partitions
+    * written by whatever partitioning the source already has. */
+  def write(df: DataFrame, granularity: String): Unit = {
+    val missing = (keyCols ++ counters).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"data package missing columns: ${missing.mkString(",")}")
+    df.select((keyCols ++ counters).map(col): _*)
+      .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Append).partitionBy("d").parquet(dir(granularity))
+  }
+
+  /** Read one granularity, asserting the declared columns exist. Filters on
+    * `d` (or on `ts` through the `d` column) prune partitions at planning
+    * time. */
+  def read(granularity: String): DataFrame = {
+    val df = spark.read.parquet(dir(granularity))
+    val missing = (keyCols ++ counters).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"trend store corrupt, missing: ${missing.mkString(",")}")
+    df
+  }
+
+  /** Re-aggregate counters to a coarser granularity (the reference's
+    * time aggregation): sums per counter plus a `samples` count. One
+    * shuffle on (entity, coarse bucket); partial aggregation map-side. */
+  def aggregateTime(df: DataFrame, truncUnit: String): DataFrame = {
+    val aggs = counters.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("samples")
+    df.groupBy(col("entity_id"), date_trunc(truncUnit, col("ts")).as("ts"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Roll counters up an entity relation (source_id -> target_id), i.e.
+    * cell -> site aggregation. The relation is dimension-sized: broadcast. */
+  def aggregateEntity(df: DataFrame, relation: DataFrame): DataFrame = {
+    val aggs = counters.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("samples")
+    df.join(broadcast(relation), col("entity_id") === col("source_id"))
+      .groupBy(col("target_id").as("entity_id"), col("ts"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

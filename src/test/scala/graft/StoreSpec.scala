@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.directory.EntityDirectory
+import graft.store.{AttributeStore, TrendStore, Triggers}
+
+/** The reference's domain pipeline end-to-end: DN registration → trend
+  * store write/read with partition layout → time + entity rollup →
+  * attribute history (current / at / asof / compact) → trigger rules into
+  * the notification store. */
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kpiSource = Tables.events(spark, sf0001)
+    .select(
+      EntityDirectory.dnBuild(
+        "Network" -> lit("G1"),
+        "Node" -> lpad(col("user_id").cast("string"), 3, "0")).as("dn"),
+      col("ts"), col("value").as("kpi_load"))
+
+  test("entity registration is idempotent and DN parsing round-trips") {
+    val src = kpiSource
+    val dir1 = EntityDirectory.register(src, "dn", "Node")
+    val dir2 = EntityDirectory.register(src, "dn", "Node")
+    assert(dir1.collect().toSet == dir2.collect().toSet)
+    assert(dir1.select("entity_id").distinct().count() == dir1.count(), "id collision")
+    val parsed = dir1.select(EntityDirectory.dnPart(col("dn"), "Node").as("node")).as[String].collect()
+    assert(parsed.forall(_.matches("[0-9]{3}")))
+    // resolve maps every fact row to a registered id
+    val resolved = EntityDirectory.resolve(src, dir1, "dn")
+    assert(resolved.where(col("entity_id").isNull).count() == 0)
+  }
+
+  test("trend store: write partitioned by day, read with pruning, rollups conserve") {
+    val root = tmpDir("trend")
+    val store = new TrendStore(spark, root, Seq("kpi_load"))
+    val dir = EntityDirectory.register(kpiSource, "dn", "Node")
+    val rows = EntityDirectory.resolve(kpiSource, dir, "dn")
+      .select("entity_id", "ts", "kpi_load")
+    store.write(rows, "raw")
+
+    // partition layout on disk is d=yyyy-MM-dd
+    val days = new java.io.File(store.dir("raw")).listFiles().map(_.getName).filter(_.startsWith("d="))
+    assert(days.nonEmpty)
+
+    val back = store.read("raw")
+    assert(back.count() == rows.count())
+    // a day filter prunes partitions at the scan
+    val oneDay = days.head.stripPrefix("d=")
+    val plan = back.where(col("d") === oneDay).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(d"), plan)
+
+    // hour rollup conserves the counter sum
+    val hourly = store.aggregateTime(back, "hour")
+    val a = hourly.agg(sum("kpi_load")).as[Double].head()
+    val b = rows.agg(sum("kpi_load")).as[Double].head()
+    assert(math.abs(a - b) < 1e-6)
+
+    // entity rollup along a relation conserves too
+    val rel = dir.select(col("entity_id").as("source_id"),
+      pmod(col("entity_id"), lit(7)).as("target_id"))
+    val rolled = store.aggregateEntity(back, rel)
+    val c = rolled.agg(sum("kpi_load")).as[Double].head()
+    assert(math.abs(c - b) < 1e-6)
+    assert(rolled.select("entity_id").distinct().count() <= 7)
+  }
+
+  test("attribute store: current / at / compact semantics") {
+    val hist = Seq(
+      (1L, "2024-01-01 00:00:00", "planned"),
+      (1L, "2024-01-05 00:00:00", "active"),
+      (1L, "2024-01-09 00:00:00", "active"),   // duplicate run -> compacted
+      (1L, "2024-01-12 00:00:00", "inactive"),
+      (2L, "2024-01-02 00:00:00", "active"))
+      .toDF("entity_id", "ts", "status")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+    val cur = AttributeStore.current(hist)
+      .select("entity_id", "status").as[(Long, String)].collect().toMap
+    assert(cur == Map(1L -> "inactive", 2L -> "active"))
+
+    val at = AttributeStore.at(hist, "2024-01-06 00:00:00")
+      .select("entity_id", "status").as[(Long, String)].collect().toMap
+    assert(at == Map(1L -> "active", 2L -> "active"))
+
+    val compacted = AttributeStore.compact(hist)
+    assert(compacted.count() == 4, "identical consecutive row must collapse")
+    assert(compacted.where(col("ts") === lit("2024-01-09 00:00:00").cast("timestamp")).count() == 0)
+  }
+
+  test("attribute asof join equals per-row at() lookup") {
+    val hist = Seq(
+      (10L, "2024-01-01 00:00:00", "v1"),
+      (10L, "2024-01-10 00:00:00", "v2"),
+      (20L, "2024-01-05 00:00:00", "w1"))
+      .toDF("entity_id", "ts", "version")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val facts = Seq(
+      (10L, "2024-01-01 00:00:00"), // exactly on the change: <= semantics -> v1
+      (10L, "2024-01-09 23:59:59"),
+      (10L, "2024-01-10 00:00:00"),
+      (20L, "2024-01-04 00:00:00"), // before any history -> null
+      (30L, "2024-02-01 00:00:00")) // unknown entity -> null
+      .toDF("ent", "fts")
+      .withColumn("fts", col("fts").cast("timestamp"))
+    val joined = AttributeStore.asofJoin(hist, facts, "ent", "fts")
+      .select("ent", "fts", "version").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getString(2))).toSet
+    assert(joined == Set(
+      (10L, "2024-01-01 00:00:00.0", "v1"),
+      (10L, "2024-01-09 23:59:59.0", "v1"),
+      (10L, "2024-01-10 00:00:00.0", "v2"),
+      (20L, "2024-01-04 00:00:00.0", null),
+      (30L, "2024-02-01 00:00:00.0", null)), joined.toString)
+  }
+
+  test("trigger rules produce notifications; store is append-only by day") {
+    val dir = EntityDirectory.register(kpiSource, "dn", "Node")
+    val kpis = EntityDirectory.resolve(kpiSource, dir, "dn")
+    val rules = Seq(
+      Triggers.Rule("load_high", "kpi_load", "major")(_ > 90.0),
+      Triggers.Rule("load_negative", "kpi_load", "warning")(_ < 0.0))
+    val notes = Triggers.evaluate(kpis, rules)
+    val brute = kpis.where(col("kpi_load") > 90.0 || col("kpi_load") < 0.0).count()
+    assert(notes.count() == brute)
+    assert(notes.select("rule").distinct().count() >= 1)
+
+    val out = tmpDir("notif")
+    Triggers.store(notes, out)
+    Triggers.store(notes, out) // append-only: second write doubles
+    assert(spark.read.parquet(out).count() == 2 * notes.count())
+  }
+}
