@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Plan auditor: prints, for every declared query, the physical-plan
+  * features that matter at 100 TB — shuffle (Exchange) count, join
+  * strategies, pushed filters, and scale red flags (CartesianProduct,
+  * unpruned scans). Run with `sbt "runMain graft.tools.PlanScan [sfDir]"`.
+  *
+  * Streaming keys are skipped: their plans are per-micro-batch
+  * (IncrementalExecution) and are asserted in StreamingSpec instead. */
+object PlanScan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val skip = Set("stream_tumbling", "stream_sliding", "stream_session",
+      "stream_dedup", "stream_stateful", "scan_csv_typed", "sink_partitioned")
+    var flags = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip.contains(name)) {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        def n(p: String) = p.r.findAllIn(plan).size
+        val cartesian = n("CartesianProduct")
+        val bnl = n("BroadcastNestedLoopJoin")
+        val marks = Seq(
+          if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
+          // BNL is intentional only for the bounded pairwise similarity ops
+          if (bnl > 0 && !name.startsWith("llm_")) s"BNL=$bnl" else "",
+          if (!plan.contains("PushedFilters") && plan.contains("Filter")) "NO_PUSHDOWN" else ""
+        ).filter(_.nonEmpty)
+        if (marks.nonEmpty) flags += 1
+        println(f"[plan] $name%-22s exchanges=${n("Exchange")}%-2d bhj=${n("BroadcastHashJoin")}%-2d " +
+          f"smj=${n("SortMergeJoin")}%-2d shj=${n("ShuffledHashJoin")}%-2d " +
+          f"win=${n("Window")}%-2d ${marks.mkString(" ")}")
+      }
+    }
+    println(s"[plan] red-flagged queries: $flags")
+    spark.stop()
+  }
+}
