@@ -116,6 +116,49 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // K2b' — n-gram Jaccard near-dup: 3-token shingle sets, Jaccard >= 0.5.
+    // Shingles are near-unique, so the shared-shingle equi-join is sparse:
+    // candidate generation cost follows true similarity, not n². This is
+    // the scalable exact path when token-level blocking is too coarse.
+    "llm_dedup_ngram" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3))))).as("sh"))
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, col("sh") === col("b_sh") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+        .join(n.select(col("doc_id").as("a_id"), col("nsh").as("n_a")), "a_id")
+        .join(n.select(col("doc_id").as("b_id"), col("nsh").as("n_b")), "b_id")
+        .withColumn("jacc", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .where(col("jacc") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // K2d — embedding-cosine near-dup: vector pairs above a cosine
+    // threshold (semantic duplicates; production corpora use ~0.99, this
+    // corpus's random embeddings top out near 0.51 so the demo threshold
+    // is 0.45). Brute force at testdata scale; llm_ann_bucket is the
+    // bucketed variant of the same candidate generation.
+    "llm_dedup_embed" -> ((s, d) => {
+      val v = vecs(s, d)
+      val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("norm").as("a_n"))
+      val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("norm").as("b_n"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+        .where(col("sim") >= 0.45)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // K2c — 16-bit SimHash per document from token md5 bits: bit j of the
     // signature is the sign of sum over tokens of (+1/-1 by the token
     // hash's bit j). One shuffle on doc_id; signature is a compact near-dup
@@ -365,6 +408,34 @@ object Llm {
         |FROM bands a JOIN bands b
         |  ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin,
+    "llm_dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM (
+        |    SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 3
+        |  )
+        |),
+        |n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id,
+        |       round(CAST(n_inter AS DOUBLE) / (na.nsh + nb.nsh - n_inter), 4) AS jacc
+        |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |WHERE CAST(n_inter AS DOUBLE) / (na.nsh + nb.nsh - n_inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "llm_dedup_embed" ->
+      s"""WITH $vecCte
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round($dotSql / (a.norm * b.norm), 4) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE $dotSql / (a.norm * b.norm) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
     "llm_dedup_simhash" ->
       s"""WITH $tokCte,
         |tv AS (
