@@ -41,6 +41,27 @@ object SideEffects {
         .orderBy("r_regionkey")
     }),
 
+    // A2b — 3GPP-style XML measurement ingest (the reference's primary
+    // harvest format): render a small measurement file from events data,
+    // re-read it with the hand-rolled distributed XML parser.
+    "scan_xml_typed" -> ((s, d) => {
+      val out = scratch("xml_meas")
+      val counters = Seq("kpi_load", "kpi_err")
+      val src = Tables.events(s, d).limit(50)
+        .select(
+          concat(lit("Network=G1,Node="), lpad(col("user_id").cast("string"), 3, "0")).as("dn"),
+          date_trunc("minute", col("ts")).as("ts"),
+          round(col("value"), 4).as("kpi_load"),
+          (col("event_id") % 5).cast("double").as("kpi_err"))
+        .orderBy("dn", "ts").collect().toSeq
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out, "meas0.xml"),
+        graft.sources.MeasurementXml.render(src, counters))
+      graft.sources.MeasurementXml.read(s, out, counters)
+        .orderBy("dn", "ts", "kpi_load", "kpi_err")
+    }),
+
     // A4 — partitioned trend-store sink: write events partitioned by day
     // (the reference's time-partitioned wide-table layout), read back and
     // count per partition. Partition pruning on `d` is then free.
@@ -56,6 +77,6 @@ object SideEffects {
     }),
   )
 
-  // Both rows are intentionally oracle-omitted (side-channel files).
+  // All rows are intentionally oracle-omitted (side-channel files).
   val oracles: Map[String, String] = Map.empty
 }

@@ -46,6 +46,16 @@ object PipelineDemo {
     Triggers.store(notes, s"$work/notifications")
     println(s"[pipeline] ${notes.count()} notifications raised")
 
+    // 3b. maintenance: compact the (many-small-files) notification store
+    val (fBefore, fAfter) = graft.store.Compaction.compactTo(
+      spark, s"$work/notifications", s"$work/notifications_c", rowsPerFile = 100000)
+    println(s"[pipeline] compaction: $fBefore files -> $fAfter")
+
+    // 3c. skew-safe rollup of the hourly KPIs (hot entities spread over salts)
+    val salted = graft.ops.Skew.saltedAgg(store.read("1h"), Seq("entity_id"), 8,
+      Map("total" -> ("kpi_load", "sum"), "n" -> ("kpi_load", "count")))
+    println(s"[pipeline] salted rollup rows: ${salted.count()}")
+
     // 4. attribute history + as-of enrichment of the notifications
     val hist = registry.select(col("entity_id"),
         lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+import graft.sources.MeasurementXml
+import graft.store.Compaction
+
+/** XML harvest source round-trip, salted-aggregation equivalence, and
+  * small-file compaction. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("XML measurement ingest round-trips values, nulls, and schema policy") {
+    val counters = Seq("kpi_a", "kpi_b")
+    val xml =
+      """<measCollecFile>
+        |  <measData dn="Network=G1,Node=001" granularity="900">
+        |    <measTypes>kpi_a kpi_b kpi_ignored</measTypes>
+        |    <measValue ts="2024-01-01T00:15:00"><r>1.5</r><r>2.5</r><r>9.9</r></measValue>
+        |    <measValue ts="2024-01-01T00:30:00"><r>3.5</r><r></r><r>9.9</r></measValue>
+        |  </measData>
+        |  <measData dn="Network=G1,Node=002" granularity="900">
+        |    <measTypes>kpi_b</measTypes>
+        |    <measValue ts="2024-01-01T00:15:00"><r>7.0</r></measValue>
+        |  </measData>
+        |</measCollecFile>""".stripMargin
+    val dir = tmpDir("xml_src")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "f.xml"), xml)
+
+    val df = MeasurementXml.read(spark, dir, counters)
+    val rows = df.orderBy("dn", "ts").collect()
+    assert(rows.length == 3)
+    // declared schema wins: kpi_ignored dropped, missing kpi_a is null
+    assert(df.columns.toSeq == Seq("dn", "ts", "kpi_a", "kpi_b"))
+    assert(rows(0).getDouble(2) == 1.5 && rows(0).getDouble(3) == 2.5)
+    assert(rows(1).isNullAt(3), "empty <r/> must be null")
+    assert(rows(2).isNullAt(2) && rows(2).getDouble(3) == 7.0)
+    // no shuffle: file-parallel parse
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("XML render/read round-trip equals the source rows") {
+    val counters = Seq("c1")
+    val src = Seq(("Network=G1,Node=001", "2024-01-01 01:00:00", 5.25),
+      ("Network=G1,Node=002", "2024-01-01 02:00:00", 6.5))
+      .toDF("dn", "ts", "c1").withColumn("ts", col("ts").cast("timestamp"))
+    val dir = tmpDir("xml_rt")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "m.xml"),
+      MeasurementXml.render(src.collect().toSeq, counters))
+    val back = MeasurementXml.read(spark, dir, counters)
+    assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    // heavily skewed: 90% of rows share one key
+    val df = spark.range(100000)
+      .select(when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), col("id") % 7)).as("k"),
+        (col("id") % 100).cast("double").as("v"))
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val salted = Skew.saltedAgg(df, Seq("k"), 16,
+      Map("s" -> ("v", "sum"), "c" -> ("v", "count"), "mn" -> ("v", "min"), "mx" -> ("v", "max")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (s, c, mn, mx)) =>
+      val (ds, dc, dmn, dmx) = direct(k)
+      assert(c == dc && mn == dmn && mx == dmx, k)
+      assert(math.abs(s - ds) < 1e-6, s"$k: $s vs $ds")
+    }
+  }
+
+  test("compaction reduces file count and preserves data") {
+    val src = tmpDir("compact_src")
+    Tables.events(spark, sf0001).repartition(24)
+      .write.mode("overwrite").parquet(src)
+    val dst = tmpDir("compact_dst")
+    val (before, after) = Compaction.compactTo(spark, src, dst, rowsPerFile = 1000,
+      sortCols = Seq("ts"))
+    assert(before == 24, s"expected 24 input files, got $before")
+    assert(after == 1, s"1000 rows/file over 1000 rows -> 1 file, got $after")
+    val a = spark.read.parquet(src)
+    val b = spark.read.parquet(dst)
+    assert(a.count() == b.count())
+    assert(a.unionByName(b).distinct().count() == a.distinct().count())
+  }
+}
