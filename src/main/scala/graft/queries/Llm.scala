@@ -194,13 +194,22 @@ object Llm {
     // the 5 most similar, vote, tie-break lower label. Output also carries
     // the true label so accuracy is computable downstream.
     "llm_knn_label" -> ((s, d) => {
+      // Cosine is symmetric: evaluate each unordered pair's dot product
+      // once (a < b), then mirror the pair into both query directions —
+      // halves the VecDot work before the per-query top-5 window.
       val v = vecs(s, d)
-      val q = v.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
-        col("norm").as("q_n"), col("label").as("true_label"))
-      val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
-        col("norm").as("c_n"), col("label").as("c_label"))
-      val sims = q.join(c, col("q_id") =!= col("c_id"))
-        .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+      val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+        col("norm").as("a_n"), col("label").as("a_l"))
+      val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+        col("norm").as("b_n"), col("label").as("b_l"))
+      val sims = a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+        .select(explode(array(
+          struct(col("a_id").as("q_id"), col("a_l").as("true_label"),
+            col("b_id").as("c_id"), col("b_l").as("c_label"), col("sim")),
+          struct(col("b_id").as("q_id"), col("b_l").as("true_label"),
+            col("a_id").as("c_id"), col("a_l").as("c_label"), col("sim")))).as("p"))
+        .select(col("p.*"))
       val wNN = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
       val top = sims.withColumn("rn", row_number().over(wNN)).where(col("rn") <= 5)
       val votes = top.groupBy("q_id", "true_label", "c_label")
