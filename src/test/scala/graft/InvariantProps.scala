@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.multimodal.Media
+import graft.sources.MeasurementXml
+
+/** Generative properties over the pure (driver-side) kernels — run by
+  * scalacheck's own sbt test framework. Spark-job invariants live in
+  * InvariantsSpec; these cover the algebra that must hold for ANY input. */
+object InvariantProps extends Properties("graft.kernels") {
+
+  private val weighted = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(-1e4, 1e4), Gen.choose(0.1, 100.0)))
+
+  property("weightedAvg: split+merge equals direct fold for any split") =
+    Prop.forAll(weighted, Gen.choose(0, 1000)) { (xs, cut) =>
+      val direct = {
+        val (n, d) = xs.foldLeft((0.0, 0.0)) { case ((n, d), (v, w)) => (n + v * w, d + w) }
+        n / d
+      }
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      def fold(p: List[(Double, Double)]) =
+        p.foldLeft(graft.functions.WeightedAvg.zero)(graft.functions.WeightedAvg.reduce)
+      val merged = graft.functions.WeightedAvg.finish(
+        graft.functions.WeightedAvg.merge(fold(l), fold(r)))
+      math.abs(merged - direct) <= 1e-9 * math.max(1.0, math.abs(direct))
+    }
+
+  property("byteHistogram: 16 bins, normalized, deterministic") =
+    Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val arr = bytes.toArray
+      val h = Media.byteHistogram(arr)
+      val h2 = Media.byteHistogram(arr)
+      h.length == 16 &&
+        h.sameElements(h2) &&
+        (arr.isEmpty || math.abs(h.sum - 1.0) < 1e-9) &&
+        h.forall(b => b >= 0.0 && b <= 1.0)
+    }
+
+  private val dnGen = for {
+    net <- Gen.alphaUpperChar
+    node <- Gen.choose(0, 999)
+  } yield f"Network=$net%c,Node=$node%03d"
+
+  private val measRow = for {
+    dn <- dnGen
+    hour <- Gen.choose(0, 23)
+    a <- Gen.option(Gen.choose(-1e6, 1e6))
+    b <- Gen.option(Gen.choose(-1e6, 1e6))
+  } yield Row(dn, Timestamp.valueOf(f"2024-03-01 $hour%02d:00:00"),
+    a.map(v => math.rint(v * 1e4) / 1e4).map(java.lang.Double.valueOf).orNull,
+    b.map(v => math.rint(v * 1e4) / 1e4).map(java.lang.Double.valueOf).orNull)
+
+  property("measurementXml: render -> parse round-trips rows incl. nulls") =
+    Prop.forAll(Gen.nonEmptyListOf(measRow)) { rows =>
+      // render groups by dn and sorts by ts; compare as multisets
+      val counters = Seq("kpi_a", "kpi_b")
+      val xml = MeasurementXml.render(rows, counters)
+      val back = MeasurementXml.parseFile(xml, counters).toList
+      back.map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap ==
+        rows.map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Correctness for the oracle-omitted keys (SURVEY.md §2/§5): the CSV
+  * round-trip, the partitioned sink layout, and the approx-distinct
+  * accuracy bound. */
+class SideEffectsSpec extends SparkSpec {
+
+  test("scan_csv_typed round-trips region rows with typed timestamp parse") {
+    val got = SparkEntry.queries("scan_csv_typed")(spark, sf0001).collect()
+    val src = Tables.region(spark, sf0001).orderBy("r_regionkey").collect()
+    assert(got.length == src.length)
+    got.zip(src).foreach { case (g, s) =>
+      assert(g.getInt(0) == s.getInt(0))
+      assert(g.getString(1) == s.getString(1))
+      assert(g.getTimestamp(2).toString == "2024-01-15 06:30:00.0", g.toString)
+    }
+  }
+
+  test("sink_partitioned lays out d=... directories and counts match direct groupBy") {
+    val got = SparkEntry.queries("sink_partitioned")(spark, sf0001)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("d")).count()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == direct)
+    val dirs = new java.io.File("/root/repo/target/scratch/events_by_day")
+      .listFiles().map(_.getName).filter(_.startsWith("d="))
+    assert(dirs.length == direct.size, s"one directory per day: ${dirs.length} vs ${direct.size}")
+  }
+
+  test("agg_approx_distinct lands within 2% of the exact count per day") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf001)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, n) =>
+      val a = approx(day)
+      assert(math.abs(a - n) <= math.max(1L, (0.02 * n).round), s"$day: approx $a vs exact $n")
+    }
+  }
+}
