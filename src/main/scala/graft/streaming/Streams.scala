@@ -197,6 +197,43 @@ object Streams {
   }
 }
 
+/** The same gap-detection logic on Spark 4's arbitrary-state v2 API
+  * (`transformWithState` + `StatefulProcessor` + typed `ValueState`).
+  * Requires the RocksDB state store provider; `StreamingSpec` asserts it
+  * produces the same results as the `flatMapGroupsWithState` fold. The v2
+  * API adds per-state TTL and timers — the natural home for the
+  * reference's stability-delay timeouts in a long-running deployment. */
+class GapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    state = getHandle.getValueState[(Long, Long, Long)]("gap", enc, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val sorted = rows.map(_._2).toSeq.sorted
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (n0, last0, gap0) =
+        if (state.exists()) state.get() else (0L, Long.MinValue, 0L)
+      var n = n0; var last = last0; var gap = gap0
+      sorted.foreach { t =>
+        if (last != Long.MinValue && t - last > gap) gap = t - last
+        last = t
+        n += 1
+      }
+      state.update((n, last, gap))
+      Iterator.single((key, n, gap))
+    }
+  }
+}
+
 /** State fold for `stream_stateful`: (count so far, last ts, max gap). */
 object GapState {
   def update(userId: Long, rows: Iterator[(Long, Long)],

@@ -81,6 +81,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((7L, 3L, 240L)), rows.mkString(";"))
   }
 
+  test("transformWithState (arbitrary state v2) matches the flatMapGroupsWithState fold") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long)]
+      val agg = in.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.GapProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val ckpt = tmpDir("ckpt_tws")
+      val q = agg.toDF("user_id", "n_events", "max_gap_sec")
+        .writeStream.format("memory").queryName("tws_test")
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+      in.addData((7L, 100L), (7L, 160L), (9L, 50L))
+      q.processAllAvailable()
+      in.addData((7L, 400L)) // cross-batch state: gap 240
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((7L, 3L, 240L)), rows.mkString(";"))
+      assert(rows.contains((9L, 1L, 0L)), rows.mkString(";"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("drained stream queries equal their batch twins on sf0.001") {
     val stream = graft.streaming.Streams.queries("stream_tumbling")(spark, sf0001)
       .collect().map(_.toSeq).toSet
