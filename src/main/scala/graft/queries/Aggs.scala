@@ -118,6 +118,45 @@ object Aggs {
         .orderBy("r_name", "n_name")
     }),
 
+    // D10 — statistical aggregates (PG stats surface Minerva KPIs use):
+    // stddev/variance/correlation/covariance. Well-conditioned at 4
+    // decimals: corr is bounded and the variances carry ~8 guard digits.
+    "agg_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"))
+        .orderBy("l_returnflag")
+    }),
+
+    // D11 — exact percentiles via ordered-set aggregates (PG
+    // percentile_cont/percentile_disc); SQL front end on both engines.
+    "agg_percentile" -> ((s, d) => {
+      s.sql(
+        s"""SELECT o_orderpriority,
+           |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_price,
+           |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_price,
+           |       round(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_disc
+           |FROM parquet.`$d/orders.parquet`
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // D12 — correlated scalar subquery (orders above their customer's own
+    // average): Catalyst decorrelates into an aggregate + join
+    // (RewriteCorrelatedScalarSubquery) — no per-row re-execution.
+    "sub_scalar_corr" -> ((s, d) => {
+      s.sql(
+        s"""SELECT o_orderkey, round(o_totalprice, 4) AS total
+           |FROM parquet.`$d/orders.parquet` o
+           |WHERE o_totalprice > 1.5 * (
+           |  SELECT avg(o_totalprice) FROM parquet.`$d/orders.parquet` i
+           |  WHERE i.o_custkey = o.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // D9 — typed Aggregator UDAF: sample-weighted average
     // (graft.functions.WeightedAvg; merges associatively -> partial agg).
     "agg_weighted_udaf" -> ((s, d) => {
@@ -174,6 +213,25 @@ object Aggs {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_price,
+        |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_price,
+        |       round(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_disc
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sub_scalar_corr" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS total
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "agg_weighted_udaf" ->
       """SELECT l_returnflag,
         |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
