@@ -108,8 +108,10 @@ object Llm {
         .toDF("doc_id", "band_i", "band_v")
       val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
       val r = bands.select(col("doc_id").as("b_id"), col("band_i").as("bi2"), col("band_v").as("bv2"))
-      // Broadcast the band table (4 rows/doc): the candidate join is then a
+      // Broadcast the band table (2 rows/doc): the candidate join is then a
       // shuffle-free BHJ on the band key; only the per-pair count shuffles.
+      // (Packing the pair into one long was measured and bought nothing —
+      // the aggregation is not shuffle-width-bound at this scale.)
       l.join(broadcast(r), col("band_i") === col("bi2") && col("band_v") === col("bv2")
           && col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
