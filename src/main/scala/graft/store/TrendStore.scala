@@ -53,6 +53,16 @@ final class TrendStore(
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Granularity-catalog variant, guarding the reference's valid rollup
+    * edges (e.g. hours never roll into weeks through months). */
+  def aggregateTime(df: DataFrame, from: Granularity, to: Granularity): DataFrame = {
+    require(Granularity.canRollupTo(from, to),
+      s"cannot re-aggregate ${from.name} -> ${to.name}")
+    val aggs = counters.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("samples")
+    df.groupBy(col("entity_id"), to.bucket(col("ts")).as("ts"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Roll counters up an entity relation (source_id -> target_id), i.e.
     * cell -> site aggregation. The relation is dimension-sized: broadcast. */
   def aggregateEntity(df: DataFrame, relation: DataFrame): DataFrame = {
