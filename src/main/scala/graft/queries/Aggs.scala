@@ -157,6 +157,17 @@ object Aggs {
            |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // D13 — pivot: long event rows -> wide per-type sum columns (the
+    // counter-table shaping that pairs with udtf_unpivot). Pivot values
+    // are declared, not discovered — at scale discovery is an extra pass.
+    "agg_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum("value"), 4))
+        .orderBy("user_id")
+    }),
+
     // D9 — typed Aggregator UDAF: sample-weighted average
     // (graft.functions.WeightedAvg; merges associatively -> partial agg).
     "agg_weighted_udaf" -> ((s, d) => {
@@ -213,6 +224,14 @@ object Aggs {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        |       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |       round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
