@@ -197,8 +197,11 @@ object Llm {
     // the true label so accuracy is computable downstream.
     "llm_knn_label" -> ((s, d) => {
       // Cosine is symmetric: evaluate each unordered pair's dot product
-      // once (a < b), then mirror the pair into both query directions —
-      // halves the VecDot work before the per-query top-5 window.
+      // once (a < b), then mirror the pair into both query directions.
+      // The per-query top-5 uses the bounded TopKNeighbors aggregator,
+      // which reduces candidates map-side BEFORE the shuffle — the
+      // exchange carries one ≤5-element list per query, not the full
+      // candidate set a window row_number would have to sort.
       val v = vecs(s, d)
       val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
         col("norm").as("a_n"), col("label").as("a_l"))
@@ -212,9 +215,11 @@ object Llm {
           struct(col("b_id").as("q_id"), col("b_l").as("true_label"),
             col("a_id").as("c_id"), col("a_l").as("c_label"), col("sim")))).as("p"))
         .select(col("p.*"))
-      val wNN = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-      val top = sims.withColumn("rn", row_number().over(wNN)).where(col("rn") <= 5)
-      val votes = top.groupBy("q_id", "true_label", "c_label")
+      val top5 = udaf(new graft.functions.TopKNeighbors(5))
+      val top = sims.groupBy("q_id", "true_label")
+        .agg(top5(col("sim"), col("c_id"), col("c_label")).as("nn"))
+        .select(col("q_id"), col("true_label"), explode(col("nn")).as("n"))
+      val votes = top.groupBy(col("q_id"), col("true_label"), col("n.label").as("c_label"))
         .agg(count(lit(1)).as("votes"))
       val wV = Window.partitionBy("q_id").orderBy(col("votes").desc, col("c_label"))
       votes.withColumn("vr", row_number().over(wV)).where(col("vr") === 1)
