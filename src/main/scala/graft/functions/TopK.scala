@@ -16,8 +16,14 @@ case class Neighbor(sim: Double, cId: Long, label: Int)
   * must shuffle and sort the full candidate set.
   */
 class TopKNeighbors(k: Int) extends Aggregator[Neighbor, List[Neighbor], List[Neighbor]] {
+  // Fully total order (label as the final tie-break): in the k-NN query a
+  // candidate id appears once per query so (sim, cId) already decides, but
+  // a partial order would make reduce/merge order-sensitive for pathological
+  // inputs — found by the InvariantProps generative test.
   private def better(a: Neighbor, b: Neighbor): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.cId < b.cId)
+    a.sim > b.sim ||
+      (a.sim == b.sim && (a.cId < b.cId ||
+        (a.cId == b.cId && a.label < b.label)))
 
   override def zero: List[Neighbor] = Nil
 

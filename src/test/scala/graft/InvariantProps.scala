@@ -55,6 +55,22 @@ object InvariantProps extends Properties("graft.kernels") {
     a.map(v => math.rint(v * 1e4) / 1e4).map(java.lang.Double.valueOf).orNull,
     b.map(v => math.rint(v * 1e4) / 1e4).map(java.lang.Double.valueOf).orNull)
 
+  private val neighborGen = for {
+    sim <- Gen.oneOf(Gen.choose(-1.0, 1.0), Gen.oneOf(0.5, 0.25)) // force ties
+    id <- Gen.choose(0L, 50L)
+    label <- Gen.choose(0, 9)
+  } yield graft.functions.Neighbor(sim, id, label)
+
+  property("topKNeighbors: reduce/merge at any split equals global sort-take") =
+    Prop.forAll(Gen.listOf(neighborGen), Gen.choose(1, 8), Gen.choose(0, 100)) { (xs, k, cut) =>
+      val agg = new graft.functions.TopKNeighbors(k)
+      val expected = xs.sortBy(n => (-n.sim, n.cId, n.label)).take(k)
+      val direct = xs.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      direct == expected && merged == expected
+    }
+
   property("measurementXml: render -> parse round-trips rows incl. nulls") =
     Prop.forAll(Gen.nonEmptyListOf(measRow)) { rows =>
       // render groups by dn and sorts by ts; compare as multisets
