@@ -65,32 +65,8 @@ object Llm {
     // shared-token blocking (candidate pairs come from an equi-join on the
     // token, never a cross product). The MinHash key below is the same
     // pipeline's sub-quadratic variant for 100 TB.
-    "llm_dedup_near" -> ((s, d) => {
-      // Exact Jaccard via dictionary-encoded token bitmasks: build a global
-      // token dictionary (one tiny distinct + window), OR each doc's token
-      // ids into a 64-bit mask, then the pair loop is a broadcast hash join
-      // on the lang block key where intersection = bit_count(a & b) — pure
-      // codegen'd long arithmetic, no token-level shuffle and no per-pair
-      // array materialization. Generalizes to ceil(V/64) mask words; above
-      // that the sub-quadratic path is llm_dedup_minhash's LSH banding.
-      val tok = tokensDistinct(s, d)
-      val vocab = tok.select("token").distinct()
-        .withColumn("tid", row_number().over(Window.orderBy("token")) - 1)
-      val v = vocab.count() // dictionary cardinality gate (tiny scan)
-      require(v <= 64, s"token vocabulary $v exceeds single-mask capacity; use llm_dedup_minhash")
-      val masks = tok.join(broadcast(vocab), "token")
-        .groupBy("doc_id", "lang")
-        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid))").as("mask"))
-      val a = masks.select(col("doc_id").as("a_id"), col("lang"), col("mask").as("a_mask"))
-      val b = masks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("mask").as("b_mask"))
-      a.join(broadcast(b), col("lang") === col("b_lang") && col("a_id") < col("b_id"))
-        .withColumn("n_inter", expr("bit_count(a_mask & b_mask)"))
-        .withColumn("jacc", col("n_inter").cast("double")
-          / (expr("bit_count(a_mask)") + expr("bit_count(b_mask)") - col("n_inter")))
-        .where(col("jacc") >= 0.5)
-        .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
-        .orderBy("a_id", "b_id")
-    }),
+    "llm_dedup_near" -> ((s, d) =>
+      Dedup.jaccardBitmask(s, Tables.documents(s, d), threshold = 0.5)),
 
     // K2b — MinHash (8 hashes via seeded md5, lexicographic min) + LSH
     // (2 bands x 4 rows — tuned for near-identical dup detection: 50%
