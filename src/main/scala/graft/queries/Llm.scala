@@ -68,6 +68,11 @@ object Llm {
     "llm_dedup_near" -> ((s, d) =>
       Dedup.jaccardBitmask(s, Tables.documents(s, d), threshold = 0.5)),
 
+    // K2a — the production dedup pipeline: LSH candidates (sub-quadratic)
+    // verified with exact Jaccard. Precision exact; recall set by banding.
+    "llm_dedup_lsh_verified" -> ((s, d) =>
+      Dedup.lshVerified(s, Tables.documents(s, d), threshold = 0.5)),
+
     // K2b — MinHash (8 hashes via seeded md5, lexicographic min) + LSH
     // (2 bands x 4 rows — tuned for near-identical dup detection: 50%
     // capture at J≈0.84, so highly-similar corpora don't flood the
@@ -400,6 +405,38 @@ object Llm {
         |FROM bands a JOIN bands b
         |  ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin,
+    "llm_dedup_lsh_verified" ->
+      s"""WITH $tokCte,
+        |mh AS (
+        |  SELECT doc_id,
+        |         min(md5('0:' || token)) AS mh0, min(md5('1:' || token)) AS mh1,
+        |         min(md5('2:' || token)) AS mh2, min(md5('3:' || token)) AS mh3,
+        |         min(md5('4:' || token)) AS mh4, min(md5('5:' || token)) AS mh5,
+        |         min(md5('6:' || token)) AS mh6, min(md5('7:' || token)) AS mh7
+        |  FROM tok GROUP BY doc_id
+        |),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_i, md5(mh0 || mh1 || mh2 || mh3) AS band_v FROM mh
+        |  UNION ALL SELECT doc_id, 1, md5(mh4 || mh5 || mh6 || mh7) FROM mh
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
+        |),
+        |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN tok ta ON ta.doc_id = c.a_id
+        |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.token = ta.token
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.a_id, i.b_id,
+        |       round(CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter), 4) AS jacc
+        |FROM inter i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
+        |WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
     "llm_dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM (
