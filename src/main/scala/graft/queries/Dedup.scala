@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,14 +21,47 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Distinct non-empty whitespace tokens: (doc_id, lang, token). Built
+    * once per pipeline and shared by every stage. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
+
+  /** MinHash (8 seeded-md5 hashes, lexicographic min) + LSH banding
+    * (2 bands × 4 rows): one (doc_id, band_i, band_v) row per band.
+    * Shared by `lshVerified` and the `llm_dedup_minhash` key so the
+    * banding scheme cannot drift between them. */
+  private[queries] def bandKeys(tok: DataFrame): DataFrame = {
+    val mhCols = (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("token")))).as(s"mh$i"))
+    val mh = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    mh.select(col("doc_id"), posexplode(array(
+      (0 until 2).map(j => md5(concat(
+        col(s"mh${4 * j}"), col(s"mh${4 * j + 1}"),
+        col(s"mh${4 * j + 2}"), col(s"mh${4 * j + 3}")))): _*)))
+      .toDF("doc_id", "band_i", "band_v")
+  }
+
+  /** The matching oracle-side CTEs for [[bandKeys]] (requires a `tok` CTE
+    * with doc_id, token). */
+  private[queries] val bandsCte: String =
+    """mh AS (
+      |  SELECT doc_id,
+      |         min(md5('0:' || token)) AS mh0, min(md5('1:' || token)) AS mh1,
+      |         min(md5('2:' || token)) AS mh2, min(md5('3:' || token)) AS mh3,
+      |         min(md5('4:' || token)) AS mh4, min(md5('5:' || token)) AS mh5,
+      |         min(md5('6:' || token)) AS mh6, min(md5('7:' || token)) AS mh7
+      |  FROM tok GROUP BY doc_id
+      |),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_i, md5(mh0 || mh1 || mh2 || mh3) AS band_v FROM mh
+      |  UNION ALL SELECT doc_id, 1, md5(mh4 || mh5 || mh6 || mh7) FROM mh
+      |)""".stripMargin
+
   /** Per-doc token bitmask(s) plus the matching intersection and
     * per-side cardinality SQL expressions (over columns named
     * `a_mask`/`b_mask`); physical representation chosen from the measured
     * dictionary size (see object doc). */
-  private def tokenMasks(s: SparkSession, docs: DataFrame)
-      : (DataFrame, String, String => String) = {
-    val tok = docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
+  private def tokenMasks(tok: DataFrame): (DataFrame, String, String => String) = {
     val vocab = tok.select("token").distinct()
       .withColumn("tid", row_number().over(Window.orderBy("token")) - 1)
     val v = vocab.count() // dictionary cardinality gate (tiny scan)
@@ -55,15 +88,18 @@ object Dedup {
     }
   }
 
-  /** Attach exact Jaccard to candidate pairs (a_id, b_id) and filter. */
+  /** Attach exact Jaccard to candidate pairs (a_id, b_id) and filter.
+    * Plain equi-joins on the pair ids — the planner (and AQE) picks
+    * broadcast vs shuffle from actual sizes, so this stage scales with
+    * the candidate count, not a forced driver-side broadcast. */
   private def verifyPairs(candidates: DataFrame, masks: DataFrame,
                           interExpr: String, cardExpr: String => String,
                           threshold: Double): DataFrame = {
     val a = masks.select(col("doc_id").as("ma_id"), col("mask").as("a_mask"))
     val b = masks.select(col("doc_id").as("mb_id"), col("mask").as("b_mask"))
     candidates
-      .join(broadcast(a), col("a_id") === col("ma_id"))
-      .join(broadcast(b), col("b_id") === col("mb_id"))
+      .join(a, col("a_id") === col("ma_id"))
+      .join(b, col("b_id") === col("mb_id"))
       .withColumn("n_inter", expr(interExpr))
       .withColumn("jacc", col("n_inter").cast("double")
         / (expr(cardExpr("a")) + expr(cardExpr("b")) - col("n_inter")))
@@ -75,8 +111,9 @@ object Dedup {
   /** Brute-force exact Jaccard with same-language blocking: all same-lang
     * pairs through the bitmask intersection. Right up to broadcastable
     * corpora; beyond that use [[lshVerified]]. */
-  def jaccardBitmask(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
-    val (masks, interExpr, cardExpr) = tokenMasks(s, docs)
+  def jaccardBitmask(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                     threshold: Double): DataFrame = {
+    val (masks, interExpr, cardExpr) = tokenMasks(tokens(docs))
     val a = masks.select(col("doc_id").as("a_id"), col("lang"), col("mask").as("a_mask"))
     val b = masks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("mask").as("b_mask"))
     a.join(broadcast(b), col("lang") === col("b_lang") && col("a_id") < col("b_id"))
@@ -89,29 +126,29 @@ object Dedup {
   }
 
   /** The production dedup pipeline: MinHash+LSH banding generates
-    * candidate pairs sub-quadratically (equi-join on band keys), then each
-    * candidate is verified with EXACT Jaccard via the bitmasks. Output =
-    * verified near-dup pairs. Candidate recall is governed by the banding
-    * scheme (2 bands × 4 rows ⇒ ~50% capture at J≈0.84, rising steeply);
-    * precision is exact by construction.
+    * candidate pairs sub-quadratically (equi-join on band keys, no
+    * forced broadcasts — every join here lets the planner choose), then
+    * each candidate is verified with EXACT Jaccard via the bitmasks.
+    *
+    * Semantics: deliberately NOT language-blocked, unlike
+    * [[jaccardBitmask]] — LSH dedup is content-driven, so near-identical
+    * documents in different declared languages ARE reported.
+    *
+    * Recall follows the banding S-curve P(candidate) = 1-(1-J^4)^2:
+    * ≈50% at J≈0.74, ≈75% at J≈0.84, >99% at J≥0.95 — tuned for
+    * near-identical dup detection. Precision is exact by construction.
     */
-  def lshVerified(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
-    val mhCols = (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("token")))).as(s"mh$i"))
-    val mh = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    val bands = mh.select(col("doc_id"), posexplode(array(
-      (0 until 2).map(j => md5(concat(
-        col(s"mh${4 * j}"), col(s"mh${4 * j + 1}"),
-        col(s"mh${4 * j + 2}"), col(s"mh${4 * j + 3}")))): _*)))
-      .toDF("doc_id", "band_i", "band_v")
+  def lshVerified(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                  threshold: Double): DataFrame = {
+    val tok = tokens(docs)
+    val bands = bandKeys(tok)
     val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
     val r = bands.select(col("doc_id").as("b_id"), col("band_i").as("bi2"), col("band_v").as("bv2"))
-    val candidates = l.join(broadcast(r),
+    val candidates = l.join(r,
         col("band_i") === col("bi2") && col("band_v") === col("bv2")
           && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val (masks, interExpr, cardExpr) = tokenMasks(s, docs)
+    val (masks, interExpr, cardExpr) = tokenMasks(tok)
     verifyPairs(candidates, masks, interExpr, cardExpr, threshold)
   }
 }

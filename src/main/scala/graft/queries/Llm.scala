@@ -69,31 +69,26 @@ object Llm {
       Dedup.jaccardBitmask(s, Tables.documents(s, d), threshold = 0.5)),
 
     // K2a — the production dedup pipeline: LSH candidates (sub-quadratic)
-    // verified with exact Jaccard. Precision exact; recall set by banding.
+    // verified with exact Jaccard. Precision exact; recall set by the
+    // banding S-curve (see Dedup.lshVerified). Unlike llm_dedup_near it is
+    // content-driven, not language-blocked: cross-language near-identical
+    // docs ARE reported.
     "llm_dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerified(s, Tables.documents(s, d), threshold = 0.5)),
 
-    // K2b — MinHash (8 hashes via seeded md5, lexicographic min) + LSH
-    // (2 bands x 4 rows — tuned for near-identical dup detection: 50%
-    // capture at J≈0.84, so highly-similar corpora don't flood the
-    // candidate set): candidate pairs = docs sharing any band key, from an
-    // equi-join on (band index, band key); cost is bounded by bucket sizes.
+    // K2b — MinHash+LSH candidate generation (shared Dedup.bandKeys: 8
+    // seeded-md5 hashes, 2 bands x 4 rows; capture follows the S-curve
+    // 1-(1-J^4)^2 — ~50% at J≈0.74, ~75% at J≈0.84 — tuned so highly
+    // similar corpora don't flood the candidate set). Candidate pairs =
+    // docs sharing any band key via an equi-join; the band table is
+    // dimension-sized so the planner broadcasts it on its own. (Packing
+    // the pair into one long was measured and bought nothing — the
+    // aggregation is not shuffle-width-bound at this scale.)
     "llm_dedup_minhash" -> ((s, d) => {
-      val tok = tokensDistinct(s, d)
-      val mhCols = (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("token")))).as(s"mh$i"))
-      val mh = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-      val bands = mh.select(col("doc_id"), posexplode(array(
-        (0 until 2).map(j => md5(concat(
-          col(s"mh${4 * j}"), col(s"mh${4 * j + 1}"),
-          col(s"mh${4 * j + 2}"), col(s"mh${4 * j + 3}")))): _*)))
-        .toDF("doc_id", "band_i", "band_v")
+      val bands = Dedup.bandKeys(tokensDistinct(s, d))
       val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
       val r = bands.select(col("doc_id").as("b_id"), col("band_i").as("bi2"), col("band_v").as("bv2"))
-      // Broadcast the band table (2 rows/doc): the candidate join is then a
-      // shuffle-free BHJ on the band key; only the per-pair count shuffles.
-      // (Packing the pair into one long was measured and bought nothing —
-      // the aggregation is not shuffle-width-bound at this scale.)
-      l.join(broadcast(r), col("band_i") === col("bi2") && col("band_v") === col("bv2")
+      l.join(r, col("band_i") === col("bi2") && col("band_v") === col("bv2")
           && col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
         .orderBy("a_id", "b_id")
@@ -389,36 +384,14 @@ object Llm {
         |ORDER BY a_id, b_id""".stripMargin,
     "llm_dedup_minhash" ->
       s"""WITH $tokCte,
-        |mh AS (
-        |  SELECT doc_id,
-        |         min(md5('0:' || token)) AS mh0, min(md5('1:' || token)) AS mh1,
-        |         min(md5('2:' || token)) AS mh2, min(md5('3:' || token)) AS mh3,
-        |         min(md5('4:' || token)) AS mh4, min(md5('5:' || token)) AS mh5,
-        |         min(md5('6:' || token)) AS mh6, min(md5('7:' || token)) AS mh7
-        |  FROM tok GROUP BY doc_id
-        |),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_i, md5(mh0 || mh1 || mh2 || mh3) AS band_v FROM mh
-        |  UNION ALL SELECT doc_id, 1, md5(mh4 || mh5 || mh6 || mh7) FROM mh
-        |)
+        |${Dedup.bandsCte}
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
         |FROM bands a JOIN bands b
         |  ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin,
     "llm_dedup_lsh_verified" ->
       s"""WITH $tokCte,
-        |mh AS (
-        |  SELECT doc_id,
-        |         min(md5('0:' || token)) AS mh0, min(md5('1:' || token)) AS mh1,
-        |         min(md5('2:' || token)) AS mh2, min(md5('3:' || token)) AS mh3,
-        |         min(md5('4:' || token)) AS mh4, min(md5('5:' || token)) AS mh5,
-        |         min(md5('6:' || token)) AS mh6, min(md5('7:' || token)) AS mh7
-        |  FROM tok GROUP BY doc_id
-        |),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_i, md5(mh0 || mh1 || mh2 || mh3) AS band_v FROM mh
-        |  UNION ALL SELECT doc_id, 1, md5(mh4 || mh5 || mh6 || mh7) FROM mh
-        |),
+        |${Dedup.bandsCte},
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM bands a JOIN bands b
