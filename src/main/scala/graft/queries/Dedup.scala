@@ -125,6 +125,43 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over near-dup pairs: collapse pairwise matches
+    * into clusters and elect the minimum doc id as each cluster's
+    * canonical representative — the step that turns "similar pairs" into
+    * "keep one copy". Iterative minimum-label propagation:
+    * every node repeatedly adopts the smallest label among itself and its
+    * neighbors until a fixpoint; converges in O(component diameter)
+    * rounds, each round one join + one aggregation. `localCheckpoint`
+    * cuts the growing plan lineage per round (essential for iteration on
+    * Spark). Returns (doc_id, cluster_id = min doc id in the component).
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    // Materialize the edge list ONCE: `pairs` is typically an expensive
+    // pipeline (LSH + verification), and every propagation round joins
+    // against the edges — without this checkpoint each round would
+    // re-execute the whole upstream plan.
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("id2")).agg(min("cluster_id").as("nmin"))
+      val next = labels.join(neighborMin, col("id") === col("id2"), "left")
+        .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .where(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   /** The production dedup pipeline: MinHash+LSH banding generates
     * candidate pairs sub-quadratically (equi-join on band keys, no
     * forced broadcasts — every join here lets the planner choose), then

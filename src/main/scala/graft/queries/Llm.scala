@@ -137,6 +137,36 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // K2a' — dedup clusters: connected components over near-identical
+    // pairs (Jaccard >= 0.9 — merging transitively at lower thresholds
+    // would chain half-similar docs into one blob), electing min doc_id
+    // as each cluster's canonical copy — the "keep one" step real dedup
+    // ends with. Pairs come from the exact bitmask path here (cheapest at
+    // this corpus scale); Dedup.clusters accepts any pair source,
+    // including lshVerified for the sub-quadratic route. Deterministic,
+    // so rows-only-checkable; DedupSpec verifies against union-find.
+    "llm_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.jaccardBitmask(s, Tables.documents(s, d), threshold = 0.9)
+      Dedup.clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), min("id").as("canonical_id"))
+        .orderBy("cluster_id")
+    }),
+
+    // K5f — text redaction (PII-scrubbing shape): numbers masked, long
+    // tokens truncated; emits the redacted-text hash + redaction count so
+    // the compare stays compact and deterministic.
+    "llm_redact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("red", regexp_replace(
+          regexp_replace(col("text"), "[0-9]+", "<num>"),
+          "[a-z]{10,}", "<long>"))
+        .select(col("doc_id"), md5(col("red")).as("redacted_hash"),
+          (size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            + size(regexp_extract_all(col("text"), lit("[a-z]{10,}"), lit(0)))).as("n_redactions"))
+        .orderBy("doc_id")
+    }),
+
     // K2c — 16-bit SimHash per document from token md5 bits: bit j of the
     // signature is the sign of sum over tokens of (+1/-1 by the token
     // hash's bit j). One shuffle on doc_id; signature is a compact near-dup
@@ -438,6 +468,13 @@ object Llm {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE $dotSql / (a.norm * b.norm) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+    "llm_redact" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+        |           '[a-z]{10,}', '<long>', 'g')) AS redacted_hash,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+'))
+        |         + len(regexp_extract_all(text, '[a-z]{10,}')) AS INTEGER) AS n_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_dedup_simhash" ->
       s"""WITH $tokCte,
         |tv AS (

@@ -42,6 +42,32 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "test corpus must produce similar pairs")
   }
 
+  test("connected components match driver-side union-find") {
+    val pairs = graft.queries.Dedup.lshVerified(spark, Tables.documents(spark, sf0001), 0.5)
+    val got = graft.queries.Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // brute force union-find on the same pairs
+    val edges = pairs.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    assert(got.keySet == expected.keySet)
+    // same partition into components, with min-id canonical labels
+    expected.foreach { case (id, root) => assert(got(id) == got(root), s"$id") }
+    got.foreach { case (id, c) => assert(c <= id && got(c) == c, s"$id -> $c") }
+    val gotComponents = got.groupBy(_._2).values.map(_.keySet).toSet
+    val expComponents = expected.groupBy(_._2).values.map(_.keySet).toSet
+    assert(gotComponents == expComponents)
+  }
+
   test("single-word fast path still serves the shared corpus") {
     // vocabulary 31 => single-long mask plan (no zip_with in the plan)
     val df = Dedup.jaccardBitmask(spark, Tables.documents(spark, sf0001), 0.5)
