@@ -23,9 +23,16 @@ object CorpusDemo {
     val docs = graft.Tables.documents(spark, sfDir)
     val n0 = docs.count()
 
-    // 1. exact dedup: keep one representative per normalized-text cluster
-    val keep = SparkEntry.queries("llm_dedup_exact")(spark, sfDir).select("keep_id")
-    val deduped = docs.join(keep, col("doc_id") === col("keep_id")).drop("keep_id")
+    // 1. dedup: exact clusters (md5) PLUS near-identical clusters
+    //    (connected components at J >= 0.9) — keep each cluster's
+    //    canonical (min id) representative
+    val keepExact = SparkEntry.queries("llm_dedup_exact")(spark, sfDir).select("keep_id")
+    val exactKept = docs.join(keepExact, col("doc_id") === col("keep_id")).drop("keep_id")
+    val nearPairs = graft.queries.Dedup.jaccardBitmask(spark, exactKept, threshold = 0.9)
+    val dupMembers = graft.queries.Dedup.clusters(nearPairs)
+      .where(col("id") =!= col("cluster_id")) // non-canonical members drop
+      .select(col("id").as("drop_id"))
+    val deduped = exactKept.join(dupMembers, col("doc_id") === col("drop_id"), "left_anti")
     val n1 = deduped.count()
 
     // 2. language ID agreement filter: drop docs whose predicted language
