@@ -19,10 +19,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the LAST 2000 chars of output and parses the
+    // JSON line out of that tail; sbt appends its own "[success] ..." line
+    // after us. Round-1's un-rounded doubles made the line ~2.5k chars and it
+    // was truncated mid-line -> BENCH parsed:null. Keep the line compact
+    // (3-decimal seconds, ~1.8k chars for 71 keys) so it fits whole.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

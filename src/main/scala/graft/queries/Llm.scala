@@ -412,6 +412,34 @@ object Llm {
         |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // Connected components in SQL: WITH RECURSIVE computes each node's
+    // reachable set; a component's id is the minimum reachable node —
+    // exactly the fixpoint Dedup.clusters' min-label propagation reaches.
+    // Pair generation repeats llm_dedup_near's Jaccard CTEs at the 0.9
+    // near-identical threshold (same-lang blocking, matching
+    // Dedup.jaccardBitmask).
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $tokCte,
+        |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a_id, b_id
+        |  FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |  WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.9
+        |),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT rc.id, e.v FROM reach rc JOIN edges e ON e.u = rc.r
+        |),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, count(*) AS n_members, min(id) AS canonical_id
+        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "llm_dedup_minhash" ->
       s"""WITH $tokCte,
         |${Dedup.bandsCte}
@@ -487,7 +515,8 @@ object Llm {
         |  GROUP BY doc_id, j
         |)
         |SELECT doc_id,
-        |       sum(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |       CAST(sum(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+        |            AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_cosine_topk" ->
       s"""WITH $vecCte

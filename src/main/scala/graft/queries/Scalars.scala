@@ -63,12 +63,17 @@ object Scalars {
     }),
 
     // H5 — decimal cast + exact decimal sums (the oracle-exactness
-    // workhorse: decimal aggregation is order-insensitive).
+    // workhorse: decimal aggregation is order-insensitive). The final cast
+    // back to DOUBLE is deliberate: a DECIMAL output column survives the
+    // parquet dump as decimal128 (stringifies '123.4500') while DuckDB's
+    // DECIMAL result reaches pandas as float64 ('123.45') — round 1's only
+    // driver-side hash mismatch besides simhash. The exact decimal sum is
+    // still what's computed; only the output representation is double.
     "scalar_cast_decimal" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_price"),
-          sum(col("l_quantity").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_qty"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     }),
 
@@ -146,8 +151,8 @@ object Scalars {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "scalar_cast_decimal" ->
       """SELECT l_returnflag,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "scalar_array" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

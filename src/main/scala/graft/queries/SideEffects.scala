@@ -5,9 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Side-effecting source/sink rows (SURVEY.md §2 A2/A4): oracle-omitted,
-  * verified by scalatest; Verify still dumps their output for the driver's
-  * rows-only check. Scratch space lives under the repo's target dir.
+/** Side-effecting source/sink rows (SURVEY.md §2 A2/A4). The side channel
+  * (write a scratch file, read it back) doesn't prevent oracle checking:
+  * each round-trip's OUTPUT is a deterministic function of the source
+  * table, so the oracle SQL simply recomputes that function directly —
+  * round-trip fidelity itself is what's being proven. Scalatest covers the
+  * file-layout details the oracle can't see (headers, partition dirs, null
+  * encoding). Scratch space lives under the repo's target dir.
   */
 object SideEffects {
   type Q = (SparkSession, String) => DataFrame
@@ -44,14 +48,18 @@ object SideEffects {
     // A2b — 3GPP-style XML measurement ingest (the reference's primary
     // harvest format): render a small measurement file from events data,
     // re-read it with the hand-rolled distributed XML parser.
+    // Determinism: the subset is selected by event_id (not limit(n), whose
+    // row choice is plan-dependent), and kpi_load carries the raw double —
+    // Double.toString/parse round-trips bit-exactly, so no round() is
+    // needed and the Spark-vs-DuckDB rounding-mode corner never arises.
     "scan_xml_typed" -> ((s, d) => {
       val out = scratch("xml_meas")
       val counters = Seq("kpi_load", "kpi_err")
-      val src = Tables.events(s, d).limit(50)
+      val src = Tables.events(s, d).where(col("event_id") < 50)
         .select(
           concat(lit("Network=G1,Node="), lpad(col("user_id").cast("string"), 3, "0")).as("dn"),
           date_trunc("minute", col("ts")).as("ts"),
-          round(col("value"), 4).as("kpi_load"),
+          col("value").as("kpi_load"),
           (col("event_id") % 5).cast("double").as("kpi_err"))
         .orderBy("dn", "ts").collect().toSeq
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
@@ -77,6 +85,24 @@ object SideEffects {
     }),
   )
 
-  // All rows are intentionally oracle-omitted (side-channel files).
-  val oracles: Map[String, String] = Map.empty
+  // Each oracle recomputes the round-trip's output directly from the
+  // source table (see object doc): if the write or the re-read mangled
+  // anything — types, timestamp parsing, partition values — the hashes
+  // diverge.
+  val oracles: Map[String, String] = Map(
+    "scan_csv_typed" ->
+      """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name,
+        |       TIMESTAMP '2024-01-15 06:30:00' AS loaded_at
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "scan_xml_typed" ->
+      """SELECT concat('Network=G1,Node=', lpad(CAST(user_id AS VARCHAR), 3, '0')) AS dn,
+        |       CAST(date_trunc('minute', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts,
+        |       value AS kpi_load,
+        |       CAST(event_id % 5 AS DOUBLE) AS kpi_err
+        |FROM events WHERE event_id < 50
+        |ORDER BY dn, ts, kpi_load, kpi_err""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
+        |FROM events GROUP BY d ORDER BY d""".stripMargin,
+  )
 }
