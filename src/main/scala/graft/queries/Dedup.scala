@@ -151,12 +151,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id2")).agg(min("cluster_id").as("nmin"))
+      // The change flag is computed in the SAME select as the new label, so
+      // convergence detection is a scan of the just-materialized checkpoint
+      // — not a second labels⋈next join (which round 1 ran, doubling the
+      // per-round join count).
       val next = labels.join(neighborMin, col("id") === col("id2"), "left")
-        .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .where(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      labels = next.drop("chg")
       rounds += 1
     }
     labels

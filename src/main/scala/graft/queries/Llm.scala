@@ -367,6 +367,40 @@ object Llm {
           round(col("norm"), 4).as("norm"))
         .orderBy("doc_id")
     }),
+
+    // K8 — token-window chunking (training-data prep): 40-token windows
+    // with stride 30 (10-token overlap), each chunk fingerprinted. Chunk
+    // boundaries are pure per-row arithmetic — embarrassingly parallel, no
+    // shuffle at all until the final presentation sort.
+    "llm_chunk_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .withColumn("ntok", size(col("toks")))
+        .where(col("ntok") > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, (ntok - 1) div 30)")).as("chunk_idx"))
+        .withColumn("chunk", slice(col("toks"), col("chunk_idx") * 30 + 1, lit(40)))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          size(col("chunk")).as("n_tokens"),
+          md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // K9 — deterministic hash-based sampling (reproducible corpus
+    // sampling: at 100 TB, rand() re-draws per re-run and per retry, a
+    // hash of a stable key never does). Stratified per language: keep a
+    // doc when the first 16 bits of md5(doc_id:lang) fall under the
+    // stratum's rate — en at 50%, everything else at 25%.
+    "llm_sample_hash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("hv", conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("lang"))), 1, 4),
+          16, 10).cast("long"))
+        .where(col("hv") < when(col("lang") === "en", 32768L).otherwise(16384L))
+        .select(col("doc_id"), col("lang"), col("source"), col("hv"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val tokCte =
@@ -646,5 +680,26 @@ object Llm {
         |       CAST(len(embedding) AS INTEGER) AS dim, round(norm, 4) AS norm
         |FROM documents d JOIN v ON d.doc_id = v.vec_id
         |ORDER BY d.doc_id""".stripMargin,
+    "llm_chunk_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, (len(toks) - 1) // 30 + 1)) AS chunk_idx
+        |  FROM t WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |       CAST(len(toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40]) AS INTEGER) AS n_tokens,
+        |       md5(array_to_string(toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "llm_sample_hash" ->
+      """SELECT doc_id, lang, source,
+        |       CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)) AS BIGINT) AS hv
+        |FROM documents
+        |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)) AS BIGINT)
+        |      < CASE WHEN lang = 'en' THEN 32768 ELSE 16384 END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

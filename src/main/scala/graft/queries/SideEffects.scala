@@ -70,6 +70,31 @@ object SideEffects {
         .orderBy("dn", "ts", "kpi_load", "kpi_err")
     }),
 
+    // A2c — JSON-lines ingest round-trip (the third harvest format next
+    // to CSV and XML): write an events subset as JSONL, re-read with a
+    // declared schema — no inference pass. Timestamps round-trip via
+    // Spark's ISO rendering; doubles via shortest-round-trip JSON numbers.
+    "scan_jsonl" -> ((s, d) => {
+      val out = scratch("jsonl_events")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      // Default JSON timestamp rendering is millisecond-precision; the
+      // source carries microseconds, so declare a µs format on both sides
+      // or the round-trip silently truncates.
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      Tables.events(s, d)
+        .where(col("event_id") < 200)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1)
+        .write.mode("overwrite").option("timestampFormat", tsFmt).json(out)
+      s.read.schema(schema).option("timestampFormat", tsFmt).json(out)
+        .orderBy("event_id")
+    }),
+
     // A4 — partitioned trend-store sink: write events partitioned by day
     // (the reference's time-partitioned wide-table layout), read back and
     // count per partition. Partition pruning on `d` is then free.
@@ -101,6 +126,9 @@ object SideEffects {
         |       CAST(event_id % 5 AS DOUBLE) AS kpi_err
         |FROM events WHERE event_id < 50
         |ORDER BY dn, ts, kpi_load, kpi_err""".stripMargin,
+    "scan_jsonl" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
     "sink_partitioned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,

@@ -80,6 +80,27 @@ object Wins {
           round(last(col("value")).over(w), 4).as("lv"))
         .orderBy("event_id")
     }),
+
+    // E7 — batch sessionization: a 30-minute inactivity gap starts a new
+    // session (the batch twin of stream_session, via lag + cumulative sum
+    // instead of session_window). Gaps compare exact microsecond epochs —
+    // no truncation corner between engines. One shuffle on user_id; the
+    // two windows and the groupBy all reuse that partitioning.
+    "win_session_batch" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum("new_s").over(run))
+        .groupBy("user_id", "session_no")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("user_id", "session_no")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -118,5 +139,22 @@ object Wins {
         |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY event_id""".stripMargin,
+    "win_session_batch" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (
+        |  SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM e
+        |),
+        |g AS (
+        |  SELECT *, sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM l
+        |)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
   )
 }

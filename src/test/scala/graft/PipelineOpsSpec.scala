@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the r2 pipeline additions: chunking geometry, sampling
+  * determinism, batch/stream sessionization agreement, JSONL round-trip.
+  * (Value-level correctness is oracle-checked by the driver; these pin the
+  * semantic properties an oracle diff can't express.) */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("llm_chunk_split covers every token: stride/window geometry holds per doc") {
+    val chunks = SparkEntry.queries("llm_chunk_split")(spark, sf0001)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("chunk_idx").as("max_idx"),
+        sum(when(col("n_tokens") < 1 || col("n_tokens") > 40, 1).otherwise(0)).as("bad_size"))
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(filter(split(col("text"), " "), t => length(t) > 0)).as("ntok"))
+      .where(col("ntok") > 0)
+    val joined = chunks.join(toks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (n, maxIdx, bad, ntok) = (r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4))
+      assert(bad == 0, s"doc ${r.getLong(0)}: chunk size outside [1,40]")
+      assert(n == (ntok - 1) / 30 + 1, s"doc ${r.getLong(0)}: $n chunks for $ntok tokens")
+      assert(maxIdx == n - 1)
+      // every token index is inside some [idx*30, idx*30+40) window
+      assert(maxIdx * 30 < ntok && maxIdx * 30 + 40 >= ntok)
+    }
+  }
+
+  test("llm_sample_hash is deterministic and stratified (en kept at ~2x the rate of others)") {
+    val q = SparkEntry.queries("llm_sample_hash")
+    val a = q(spark, sf001).collect().map(_.getLong(0)).toSeq
+    val b = q(spark, sf001).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "re-running the sample must select identical rows")
+    val rates = q(spark, sf001)
+      .groupBy(when(col("lang") === "en", "en").otherwise("other").as("stratum")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf001)
+      .groupBy(when(col("lang") === "en", "en").otherwise("other").as("stratum")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = rates("en").toDouble / totals("en")
+    val otherRate = rates("other").toDouble / totals("other")
+    assert(math.abs(enRate - 0.5) < 0.15, s"en rate $enRate")
+    assert(math.abs(otherRate - 0.25) < 0.15, s"other rate $otherRate")
+  }
+
+  test("win_session_batch agrees with stream_session on the session inventory") {
+    val batch = SparkEntry.queries("win_session_batch")(spark, sf0001)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val stream = SparkEntry.queries("stream_session")(spark, sf0001)
+      .select("user_id", "s_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(batch == stream, "batch lag+cumsum sessions must equal session_window sessions")
+  }
+
+  test("scan_jsonl round-trips microsecond timestamps and full-precision doubles") {
+    val got = SparkEntry.queries("scan_jsonl")(spark, sf0001).collect()
+    val src = Tables.events(spark, sf0001).where(col("event_id") < 200)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id").collect()
+    assert(got.length == src.length && got.nonEmpty)
+    got.zip(src).foreach { case (g, s) =>
+      assert(g.getTimestamp(1) == s.getTimestamp(1), s"ts drift on event ${g.getLong(0)}")
+      assert(g.getDouble(4) == s.getDouble(4))
+    }
+  }
+}
