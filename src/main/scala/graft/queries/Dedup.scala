@@ -145,17 +145,27 @@ object Dedup {
       .localCheckpoint(true)
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
+    // Size gate, measured once: below ~5M nodes the label table is a few
+    // tens of MB — broadcast it and the per-round edge join plus the label
+    // update run map-side (one shuffle per round instead of three). Above
+    // the gate (100 TB corpora have billions of nodes) broadcasting is
+    // impossible, so fall back to plain shuffle joins; the checkpointed
+    // plans lack stats, which is why the planner can't make this call
+    // itself.
+    val nNodes = labels.count()
+    def maybeBc(df: DataFrame): DataFrame =
+      if (nNodes < 5000000L) broadcast(df) else df
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .join(maybeBc(labels.withColumnRenamed("id", "dst2")), col("dst") === col("dst2"))
         .groupBy(col("src").as("id2")).agg(min("cluster_id").as("nmin"))
       // The change flag is computed in the SAME select as the new label, so
       // convergence detection is a scan of the just-materialized checkpoint
       // — not a second labels⋈next join (which round 1 ran, doubling the
       // per-round join count).
-      val next = labels.join(neighborMin, col("id") === col("id2"), "left")
+      val next = labels.join(maybeBc(neighborMin), col("id") === col("id2"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
           (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("chg"))

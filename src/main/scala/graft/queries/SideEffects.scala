@@ -102,6 +102,11 @@ object SideEffects {
       val out = scratch("events_by_day")
       Tables.events(s, d)
         .withColumn("d", to_date(col("ts")))
+        // Partition-aligned shuffle before the write: without it every
+        // task writes into every day directory (tasks x days small files
+        // — the classic trend-store fragmentation). At larger scale the
+        // same line becomes repartition(n, $"d") or range partitioning.
+        .repartition(col("d"))
         .write.mode("overwrite").partitionBy("d").parquet(out)
       s.read.parquet(out)
         .groupBy("d")

@@ -53,18 +53,31 @@ object Streams {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return the
-    * sink table. The checkpoint lives under java.io.tmpdir per query name. */
+    * sink table. The checkpoint lives under java.io.tmpdir per query name.
+    *
+    * Stateful-operator parallelism (= state-store instance count) is frozen
+    * from spark.sql.shuffle.partitions at query start and every micro-batch
+    * pays a fixed cost per instance — so it must track STATE VOLUME, not
+    * host cores. On a 32-core bench host the session default of 32 made
+    * each streaming key ~4x slower than an 8-partition run of the same
+    * bounded replay. Cap it while the query starts, restore after (a real
+    * deployment sizes this by keyspace and scales executors under it). */
   private def drain(s: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val ckpt = java.nio.file.Files
       .createTempDirectory(s"graft_ckpt_$name").toString
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prev.toInt, 8).toString)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
