@@ -23,12 +23,14 @@ object Bench {
     // JSON line out of that tail; sbt appends its own "[success] ..." line
     // after us. Round-1's un-rounded doubles made the line ~2.5k chars and it
     // was truncated mid-line -> BENCH parsed:null. Keep the line compact
-    // (3-decimal seconds, ~1.8k chars for 71 keys) so it fits whole.
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // (2-decimal seconds, short sf tag: ~1.75k chars for 77 keys) so it
+    // fits whole with margin.
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfTag = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

@@ -177,6 +177,22 @@ object Aggs {
         .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"))
         .orderBy("l_returnflag")
     }),
+
+    // D14 — salted two-phase aggregation over hot keys: events has only 5
+    // event types, so a plain groupBy funnels 20k+ rows per reducer key;
+    // Skew.saltedAgg spreads each hot key over 16 salt buckets and merges
+    // partials. Results are identical to the plain groupBy (the oracle IS
+    // the plain GROUP BY) — the key exists to keep the skew path
+    // result-checked, not just unit-tested.
+    "agg_skew_salted" -> ((s, d) => {
+      graft.ops.Skew.saltedAgg(
+        Tables.events(s, d), Seq("event_type"), saltBuckets = 16,
+        Map("n" -> ("value", "count"), "sum_value" -> ("value", "sum"),
+          "min_value" -> ("value", "min"), "max_value" -> ("value", "max")))
+        .select(col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"),
+          round(col("min_value"), 4).as("min_value"), round(col("max_value"), 4).as("max_value"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,5 +271,9 @@ object Aggs {
       """SELECT l_returnflag,
         |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_skew_salted" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+        |       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -100,6 +100,43 @@ object Rel {
         .orderBy("r_name", "n_name")
     }),
 
+    // C5b — bucket-co-located join: both sides are written bucketed (and
+    // bucket-sorted) on the join key, so the join's distribution
+    // requirement is satisfied by the SCAN — no exchange on either side.
+    // This is the 100 TB pattern for repeated fact-fact joins: pay the
+    // shuffle once at layout time, never per query. PipelineOpsSpec pins
+    // the exchange-free plan (with broadcast disabled, since at testdata
+    // scale the planner would otherwise just broadcast the small side).
+    "join_bucketed" -> ((s, d) => {
+      val nb = 8
+      // A fresh session's in-memory catalog has no memory of a previous
+      // run's managed table, but the warehouse directory survives and
+      // saveAsTable then fails with LOCATION_ALREADY_EXISTS — clear both.
+      def reset(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val p = java.nio.file.Paths.get(wh, name)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+      }
+      reset("graft_orders_bucketed")
+      reset("graft_customer_bucketed")
+      Tables.orders(s, d).repartition(nb, col("o_custkey"))
+        .write.mode("overwrite").bucketBy(nb, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_bucketed")
+      Tables.customer(s, d).repartition(nb, col("c_custkey"))
+        .write.mode("overwrite").bucketBy(nb, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_bucketed")
+      s.table("graft_orders_bucketed")
+        .join(s.table("graft_customer_bucketed"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // C6 — theta/range self-join on price proximity. Instead of a naive
     // O(n^2) nested loop we band prices into width-0.5 buckets (bucket width
     // >= window width so +-1 bucket covers the range) and equi-join on the
@@ -241,6 +278,10 @@ object Rel {
       """SELECT r_name, n_name, count(*) AS cnt
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_theta_range" ->
       """SELECT a.p_partkey, count(*) AS n_close
         |FROM part a JOIN part b

@@ -55,6 +55,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(batch == stream, "batch lag+cumsum sessions must equal session_window sessions")
   }
 
+  test("join_bucketed joins without any exchange (bucketed scans satisfy distribution)") {
+    // Force the non-broadcast path: at testdata scale the planner would
+    // broadcast the small side, which trivially has no shuffle and would
+    // prove nothing about bucketing.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      SparkEntry.queries("join_bucketed")(spark, sf0001).collect() // writes the bucketed tables
+      val join = spark.table("graft_orders_bucketed")
+        .join(spark.table("graft_customer_bucketed"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = join.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("agg_skew_salted equals the plain groupBy it spreads") {
+    val salted = SparkEntry.queries("agg_skew_salted")(spark, sf001).collect()
+    val plain = Tables.events(spark, sf001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"),
+        round(min("value"), 4).as("min_value"), round(max("value"), 4).as("max_value"))
+      .orderBy("event_type").collect()
+    assert(salted.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+  }
+
   test("scan_jsonl round-trips microsecond timestamps and full-precision doubles") {
     val got = SparkEntry.queries("scan_jsonl")(spark, sf0001).collect()
     val src = Tables.events(spark, sf0001).where(col("event_id") < 200)
