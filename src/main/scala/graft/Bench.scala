@@ -25,7 +25,13 @@ object Bench {
     // was truncated mid-line -> BENCH parsed:null. Keep the line compact
     // (2-decimal seconds, short sf tag: ~1.75k chars for 77 keys) so it
     // fits whole with margin.
-    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def f(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

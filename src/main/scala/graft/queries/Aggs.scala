@@ -178,6 +178,19 @@ object Aggs {
         .orderBy("l_returnflag")
     }),
 
+    // D15 — deterministic list aggregation: collect_list is
+    // order-nondeterministic by itself, so the canonical form is
+    // sort_array + a string join (emitting the raw array would also trip
+    // cross-engine array stringification in the compare).
+    "agg_array_agg" -> ((s, d) => {
+      Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    }),
+
     // D14 — salted two-phase aggregation over hot keys: events has only 5
     // event types, so a plain groupBy funnels 20k+ rows per reducer key;
     // Skew.saltedAgg spreads each hot key over 16 salt buckets and merges
@@ -275,5 +288,10 @@ object Aggs {
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
         |       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_array_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
   )
 }

@@ -387,6 +387,26 @@ object Llm {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // K10 — distinctive terms per source via TF-IDF: term frequency within
+    // the source x ln(inverse document-frequency across sources), top 3
+    // per source with a token tie-break (all-source tokens tie at score 0,
+    // so the tie-break is load-bearing for determinism). The source count
+    // is one dimension-cardinality action, not per-row driver work.
+    "llm_tfidf_terms" -> ((s, d) => {
+      val nSrc = Tables.documents(s, d).select("source").distinct().count().toDouble
+      val tok = tokensAll(s, d)
+      val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select("source", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("source").orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, "token")
+        .withColumn("score", col("tf") * log(lit(nSrc) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("source"), col("token"), round(col("score"), 4).as("score"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
     // K9 — deterministic hash-based sampling (reproducible corpus
     // sampling: at 100 TB, rand() re-draws per re-run and per retry, a
     // hash of a stable key never does). Stratified per language: keep a
@@ -701,5 +721,20 @@ object Llm {
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)) AS BIGINT)
         |      < CASE WHEN lang = 'en' THEN 32768 ELSE 16384 END
         |ORDER BY doc_id""".stripMargin,
+    "llm_tfidf_terms" ->
+      s"""WITH $tokAllCte,
+        |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(DISTINCT source) AS df FROM tok GROUP BY 1),
+        |ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.source, tf.token, tf.tf * ln(ns.n / dfreq.df) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN ns
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rn
+        |  FROM sc
+        |)
+        |SELECT source, token, round(score, 4) AS score, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
   )
 }

@@ -100,6 +100,36 @@ object Rel {
         .orderBy("r_name", "n_name")
     }),
 
+    // C2b — full outer join with null-fill on both sides: per-user click
+    // vs view activity; users with only one kind of event surface with a
+    // NULL on the other side.
+    "join_full_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(count(lit(1)).as("n_views"))
+      clicks.join(views, Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("n_clicks"), col("n_views"))
+        .orderBy("user_id")
+    }),
+
+    // G4 — NOT IN subquery with the three-valued-logic trap: one NULL in
+    // the subquery list makes NOT IN return no rows. Both engines must
+    // agree on the ANSI semantics; the output carries both counts so the
+    // null case is actually exercised, not just the clean one.
+    "sub_not_in_null" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("g_part")
+      Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM g_part
+          |   WHERE p_partkey NOT IN (SELECT l_partkey FROM g_lineitem)) AS n_clean,
+          |  (SELECT count(*) FROM g_part
+          |   WHERE p_partkey NOT IN (SELECT nullif(l_partkey, 1) FROM g_lineitem)) AS n_with_null
+          |""".stripMargin)
+    }),
+
     // C5b — bucket-co-located join: both sides are written bucketed (and
     // bucket-sorted) on the join key, so the join's distribution
     // requirement is satisfied by the SCAN — no exchange on either side.
@@ -282,6 +312,19 @@ object Rel {
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_full_outer" ->
+      """WITH e AS (SELECT user_id, event_type FROM events),
+        |c AS (SELECT user_id, count(*) AS n_clicks FROM e WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (SELECT user_id, count(*) AS n_views FROM e WHERE event_type = 'view' GROUP BY user_id)
+        |SELECT coalesce(c.user_id, v.user_id) AS user_id, c.n_clicks, v.n_views
+        |FROM c FULL JOIN v ON c.user_id = v.user_id
+        |ORDER BY user_id""".stripMargin,
+    "sub_not_in_null" ->
+      """SELECT
+        |  (SELECT count(*) FROM part
+        |   WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)) AS n_clean,
+        |  (SELECT count(*) FROM part
+        |   WHERE p_partkey NOT IN (SELECT nullif(l_partkey, 1) FROM lineitem)) AS n_with_null""".stripMargin,
     "join_theta_range" ->
       """SELECT a.p_partkey, count(*) AS n_close
         |FROM part a JOIN part b

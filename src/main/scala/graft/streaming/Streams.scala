@@ -133,6 +133,29 @@ object Streams {
         .orderBy("event_type")
     }),
 
+    // I6 — stream-static enrichment join: the event stream joins a static
+    // weight dimension (stateless — no watermark needed for the join
+    // itself, and at scale the static side broadcasts to every task),
+    // then aggregates weighted value per hour and type. The reference
+    // shape: enriching a harvest stream against the entity/attribute
+    // registry on the way in.
+    "stream_static_join" -> ((s, d) => {
+      import s.implicits._
+      val weights = Seq(
+        ("click", 1.0), ("view", 0.5), ("purchase", 2.0),
+        ("signup", 1.5), ("error", 0.0)).toDF("event_type", "w")
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .join(weights, "event_type")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value") * col("w")), 4).as("wsum"))
+      drain(s, agg, "graft_stream_static_join", OutputMode.Complete())
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("cnt"), col("wsum"))
+        .orderBy("bucket", "event_type")
+    }),
+
     // I5 — explicit per-user state (flatMapGroupsWithState): running event
     // count and maximum inter-event gap in seconds — the reference's
     // stability-delay / gap-detection analogue. Events are sorted by ts
@@ -161,6 +184,12 @@ object Streams {
       "stream_tumbling" ->
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
            |       count(*) AS cnt, round(sum(value), 4) AS sum_value
+           |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+      "stream_static_join" ->
+        s"""SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
+           |       round(sum(value * CASE event_type
+           |         WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5 WHEN 'purchase' THEN 2.0
+           |         WHEN 'signup' THEN 1.5 ELSE 0.0 END), 4) AS wsum
            |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
       "stream_sliding" ->
         s"""WITH e AS (SELECT ts, value FROM $ev events),
