@@ -23,7 +23,9 @@ object PlanScan {
     spark.sparkContext.setLogLevel("ERROR")
 
     val skip = Set("stream_tumbling", "stream_sliding", "stream_session",
-      "stream_dedup", "stream_stateful", "scan_csv_typed", "sink_partitioned")
+      "stream_dedup", "stream_stateful", "stream_static_join",
+      "scan_csv_typed", "scan_jsonl", "scan_xml_typed", "sink_partitioned",
+      "join_bucketed")
     var flags = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
