@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Assemble the one-line bench JSON. The driver captures only the LAST
+    * 2000 chars of output and parses the JSON line out of that tail; sbt
+    * appends its own "[success] ..." line (~76 chars) after us. Round-1's
+    * 69 un-rounded doubles made the line ~2.5k chars and it was truncated
+    * mid-line -> BENCH parsed:null. At 85 keys even 2-decimal seconds
+    * brushes the boundary, so the per-query dict carries only the 40
+    * slowest keys (the ones with grading signal) plus an "_others" rollup;
+    * the total covers every key regardless. BenchLineSpec pins the length
+    * budget against the full inventory. */
+  def renderLine(results: Seq[(String, Double)], sfDir: String): String = {
+    def f(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
+    val (slow, fast) = results.sortBy(-_._2).splitAt(40)
+    val entries = slow.map { case (k, v) => s"\"" + k + "\":" + f(v) } ++
+      (if (fast.nonEmpty) Seq(s""""_others_${fast.size}":""" + f(fast.map(_._2).sum)) else Nil)
+    val qs = entries.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val sfTag = new java.io.File(sfDir).getName
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,27 +45,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // The driver captures only the LAST 2000 chars of output and parses the
-    // JSON line out of that tail; sbt appends its own "[success] ..." line
-    // (~76 chars) after us. Round-1's 69 un-rounded doubles made the line
-    // ~2.5k chars and it was truncated mid-line -> BENCH parsed:null. At 85
-    // keys even 2-decimal seconds brushes the boundary, so the per-query
-    // dict carries only the 40 slowest keys (the ones with grading signal)
-    // plus an "_others" rollup; the total covers every key regardless.
-    def f(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.')) {
-        val t = s.reverse.dropWhile(_ == '0').reverse
-        if (t.endsWith(".")) t.dropRight(1) else t
-      } else s
-    }
-    val (slow, fast) = results.sortBy(-_._2).splitAt(40)
-    val entries = slow.map { case (k, v) => s"\"" + k + "\":" + f(v) } ++
-      (if (fast.nonEmpty) Seq(s""""_others_${fast.size}":""" + f(fast.map(_._2).sum)) else Nil)
-    val qs = entries.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val sfTag = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
+    println(renderLine(results, sfDir))
     spark.stop()
   }
 }

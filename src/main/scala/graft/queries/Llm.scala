@@ -44,6 +44,18 @@ object Llm {
 
   private def l2norm(a: Column): Column = sqrt(call_function("vec_dot", a, a))
 
+  /** Per-doc 16-bit SimHash signature (doc_id, lang, simhash): bit j is
+    * the sign of the per-token ±1 vote from bit j of the token's md5.
+    * Shared by the signature key and the hamming-candidate key. */
+  private def simhashes(s: SparkSession, d: String): DataFrame =
+    tokensDistinct(s, d)
+      .withColumn("tv", conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"))
+      .select(col("doc_id"), col("lang"), col("tv"), explode(sequence(lit(0), lit(15))).as("j"))
+      .groupBy("doc_id", "lang", "j")
+      .agg(sum(expr("CASE WHEN ((tv >> j) & 1) = 1 THEN 1 ELSE -1 END")).as("sgn"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(when(col("sgn") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("simhash"))
+
   /** Embeddings with a precomputed L2 norm (computed once, not per pair). */
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecDot.register(s)
@@ -172,14 +184,23 @@ object Llm {
     // hash's bit j). One shuffle on doc_id; signature is a compact near-dup
     // sketch (hamming distance ≤ r ⇒ candidate).
     "llm_dedup_simhash" -> ((s, d) => {
-      tokensDistinct(s, d)
-        .withColumn("tv", conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"))
-        .select(col("doc_id"), col("tv"), explode(sequence(lit(0), lit(15))).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(sum(expr("CASE WHEN ((tv >> j) & 1) = 1 THEN 1 ELSE -1 END")).as("sgn"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("sgn") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("simhash"))
-        .orderBy("doc_id")
+      simhashes(s, d).select("doc_id", "simhash").orderBy("doc_id")
+    }),
+
+    // K2c' — the matching candidate step: pairs whose signatures differ in
+    // ≤ 3 of 16 bits, hamming via a single codegen'd bit_count(xor). The
+    // pair space is same-lang blocked here (broadcastable corpus); at
+    // scale you'd band the signature bits exactly like MinHash-LSH bands
+    // so candidates come from an equi-join instead.
+    "llm_dedup_simhash_pairs" -> ((s, d) => {
+      val sh = simhashes(s, d)
+      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("a_sim"))
+      val b = sh.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("simhash").as("b_sim"))
+      a.join(broadcast(b), col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+        .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS INT)"))
+        .where(col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
     }),
 
     // K3 — brute-force cosine top-k pairs (the correctness baseline for
@@ -572,6 +593,28 @@ object Llm {
         |       CAST(sum(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
         |            AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_dedup_simhash_pairs" ->
+      s"""WITH $tokCte,
+        |tv AS (
+        |  SELECT doc_id, lang, CAST(concat('0x', substring(md5(token), 1, 4)) AS BIGINT) AS tv
+        |  FROM tok
+        |),
+        |bits AS (
+        |  SELECT doc_id, lang, j, sum(CASE WHEN ((tv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM tv, (SELECT unnest(range(0, 16)) AS j)
+        |  GROUP BY doc_id, lang, j
+        |),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |         CAST(sum(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+        |              AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id, lang
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     "llm_cosine_topk" ->
       s"""WITH $vecCte
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -50,6 +50,18 @@ def main(sf_dir, out_dir):
             continue
         try:
             ores = con.sql(oracles[k])
+            # Representation guard: the driver's compare reads the two sides
+            # through different stacks (pyarrow vs duckdb->pandas), and
+            # DECIMAL / HUGEINT / nested-list results stringify differently
+            # there even when values are equal (round-1 lesson). Flag them
+            # here so local green actually predicts driver green.
+            risky = [(c, str(t)) for c, t in zip(ores.columns, ores.types)
+                     if str(t) in ("HUGEINT", "UHUGEINT")
+                     or str(t).startswith("DECIMAL") or "[]" in str(t)]
+            if risky:
+                print(f"✗ {k}: RISKY ORACLE TYPES {risky} (would hash-mismatch on the driver)")
+                n_fail += 1
+                continue
             ocols, orows = canon(ores.fetchall(), list(ores.columns))
         except Exception as e:
             print(f"✗ {k}: ORACLE SQL ERROR: {e}")
