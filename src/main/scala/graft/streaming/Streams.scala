@@ -156,6 +156,30 @@ object Streams {
         .orderBy("bucket", "event_type")
     }),
 
+    // I7 — watermarked stream-stream join: click->purchase conversion
+    // pairs within one hour, per user. Both sides carry watermarks and the
+    // join condition bounds event time on both ends, so the state store
+    // can evict rows once the watermark passes — the unbounded-state trap
+    // of stream-stream joins is handled by construction. Inner-join
+    // matches emit as they arrive; the drained result is aggregated to a
+    // stable per-user count.
+    "stream_stream_join" -> ((s, d) => {
+      val clicks = eventsStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("user_id = p_user AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"))
+      val out = drain(s, joined, "graft_stream_stream_join", OutputMode.Append())
+      out.groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // I5 — explicit per-user state (flatMapGroupsWithState): running event
     // count and maximum inter-event gap in seconds — the reference's
     // stability-delay / gap-detection analogue. Events are sorted by ts
@@ -185,6 +209,13 @@ object Streams {
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
            |       count(*) AS cnt, round(sum(value), 4) AS sum_value
            |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+      "stream_stream_join" ->
+        s"""SELECT c.user_id, count(*) AS n_pairs
+           |FROM (SELECT user_id, ts FROM $ev WHERE event_type = 'click') c
+           |JOIN (SELECT user_id, ts FROM $ev WHERE event_type = 'purchase') p
+           |  ON c.user_id = p.user_id
+           | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+           |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
       "stream_static_join" ->
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
            |       round(sum(value * CASE event_type
