@@ -111,6 +111,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join matches in-batch and evicts state past the watermark") {
+    implicit val sq = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Timestamp)]
+    val purchIn = MemoryStream[(Long, Timestamp)]
+    val clicks = clicksIn.toDF().toDF("user_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = purchIn.toDF().toDF("p_user", "p_ts")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      expr("user_id = p_user AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"))
+      .select("user_id", "click_ts", "p_ts")
+    val ckpt = tmpDir("ckpt_ssj")
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+    // batch 1: click at 08:00, purchase at 08:20 -> joins
+    clicksIn.addData((1L, ts("2024-01-01 08:00:00")))
+    purchIn.addData((1L, ts("2024-01-01 08:20:00")))
+    q.processAllAvailable()
+    // batch 2: advance both watermarks far past the click's join horizon
+    clicksIn.addData((2L, ts("2024-01-01 12:00:00")))
+    purchIn.addData((2L, ts("2024-01-01 12:30:00")))
+    q.processAllAvailable()
+    // batch 3: a purchase that WOULD match user 1's click but arrives after
+    // its state was evicted (watermark ~11:50 >> 08:00 click + 1h horizon)
+    purchIn.addData((1L, ts("2024-01-01 08:40:00")))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssj_test").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSet
+    assert(pairs.contains((1L, "2024-01-01 08:20:00.0")), pairs.mkString(";"))
+    assert(pairs.contains((2L, "2024-01-01 12:30:00.0")), pairs.mkString(";"))
+    assert(!pairs.contains((1L, "2024-01-01 08:40:00.0")),
+      s"late purchase must not match evicted click state: $pairs")
+  }
+
   test("drained stream queries equal their batch twins on sf0.001") {
     val stream = graft.streaming.Streams.queries("stream_tumbling")(spark, sf0001)
       .collect().map(_.toSeq).toSet
