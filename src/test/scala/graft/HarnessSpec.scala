@@ -13,6 +13,19 @@ class HarnessSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
   }
 
+  test("SURVEY.md §2 inventory and SparkEntry.queries agree exactly, both directions") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/SURVEY.md")))
+    // inventory rows are the only table rows whose first cell is a backticked key
+    val declared = """(?m)^\| `([a-z0-9_]+)` \|""".r
+      .findAllMatchIn(survey).map(_.group(1)).toSet
+    val implemented = SparkEntry.queries.keySet
+    assert((declared -- implemented).isEmpty,
+      s"declared in SURVEY §2 but not implemented: ${declared -- implemented}")
+    assert((implemented -- declared).isEmpty,
+      s"implemented but missing from SURVEY §2: ${implemented -- declared}")
+  }
+
   test("every query runs and returns a non-empty, deterministic result") {
     val skipEmpty = Set("join_anti", "set_except", "llm_dedup_near") // legitimately empty at sf0.001
     SparkEntry.queries.foreach { case (name, fn) =>
