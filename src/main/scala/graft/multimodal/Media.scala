@@ -56,6 +56,69 @@ object Media {
     StructField("height", IntegerType),
     StructField("n_bytes", LongType)))
 
+  /** Deterministic stand-in for a real resize: byte-stride subsampling to
+    * a target payload size. A real implementation replaces ONLY this
+    * kernel (bytes => resized bytes); the column plumbing stays. */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (bytes.length <= targetBytes) bytes
+    else {
+      val out = new Array[Byte](targetBytes)
+      val stride = bytes.length.toDouble / targetBytes
+      var i = 0
+      while (i < targetBytes) { out(i) = bytes((i * stride).toInt); i += 1 }
+      out
+    }
+  }
+
+  /** Resize the binary payload of `binCol` in place (same row count, new
+    * `resized` column + its length) — the thumbnailing stage shape. */
+  def resize(df: DataFrame, binCol: String, targetBytes: Int = 4096): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    require(inSchema(binIdx).dataType == BinaryType, s"$binCol must be binary")
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("resized_bytes", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val r = resizeStub(b, targetBytes)
+        Row.fromSeq(row.toSeq :+ r :+ r.length)
+      }
+    }(enc)
+  }
+
+  /** Sample "frames" from a binary container: the payload is chunked into
+    * fixed-size frames and every `every`-th frame is emitted as its own
+    * row with per-frame features — the one-row-to-many-frames explode that
+    * real video sampling produces. A real implementation replaces only the
+    * chunking with a demuxer; schema, fan-out and feature plumbing stay. */
+  def frameSample(df: DataFrame, binCol: String,
+                  frameBytes: Int = 256, every: Int = 2): DataFrame = {
+    require(frameBytes > 0 && every > 0)
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    require(inSchema(binIdx).dataType == BinaryType, s"$binCol must be binary")
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("frame_features", ArrayType(DoubleType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val nFrames = (b.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by every).iterator.map { f =>
+          val frame = java.util.Arrays.copyOfRange(
+            b, f * frameBytes, math.min((f + 1) * frameBytes, b.length))
+          Row.fromSeq(row.toSeq :+ f :+ byteHistogram(frame).toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract a binary column. Input: any DataFrame with a
     * `BinaryType` column `binCol`. Output: input columns + `media` struct +
     * `features` array<double>, produced partition-wise in batches of

@@ -39,6 +39,25 @@ class MediaSpec extends SparkSpec {
     rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Double](1)))
   }
 
+  test("resize bounds the payload and keeps row count; frameSample fans out by chunk geometry") {
+    val resized = Media.resize(withPayload, "payload", targetBytes = 64)
+    assert(resized.count() == withPayload.count())
+    resized.select("resized_bytes").collect().foreach(r => assert(r.getInt(0) <= 64))
+
+    val frames = Media.frameSample(withPayload, "payload", frameBytes = 100, every = 2)
+    val got = frames.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = withPayload
+      .select(col("doc_id"), length(col("payload")).as("n"))
+      .collect().map { r =>
+        val nFrames = (r.getInt(1) + 99) / 100
+        r.getLong(0) -> ((nFrames + 1) / 2).toLong // every 2nd frame, starting at 0
+      }.toMap
+    assert(got == expected)
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "frame sampling must not shuffle")
+  }
+
   test("rejects a non-binary column with a clear error") {
     val ex = intercept[IllegalArgumentException] {
       Media.extractFeatures(Tables.documents(spark, sf0001), "text")
