@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen dot product over two float-vector columns.
+/** Native codegen dot product over two numeric-vector columns
+  * (array<float> or array<double>, independently per side).
   *
   * The higher-order-function formulation
   * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) is semantically identical
@@ -16,34 +17,44 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * This expression participates in whole-stage codegen: the generated Java
   * is a tight primitive loop over the unsafe array data.
   *
-  * Accumulation is sequential in index order, float widened to double per
-  * element — bit-identical to both the HOF formulation and DuckDB's
+  * Accumulation is sequential in index order, each element widened to
+  * double — bit-identical to both the HOF formulation and DuckDB's
   * `list_aggregate(list_transform(list_zip(a,b), ...), 'sum')`, so oracle
-  * hash-compares are unaffected.
+  * hash-compares are unaffected. The double-array side exists for
+  * vector-vs-centroid products (IVF coarse quantization), where centroids
+  * are per-cell means and live naturally in double.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(elemType(_).isDefined)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot requires two array<float> arguments, got (${left.dataType}, ${right.dataType})")
+      s"vec_dot requires array<float|double> arguments, got (${left.dataType}, ${right.dataType})")
   }
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  private def get(v: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => v.getFloat(i).toDouble
+    case _         => v.getDouble(i)
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left).get, elemType(right).get)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s += get(x, i, lt) * get(y, i, rt)
       i += 1
     }
     s
@@ -51,6 +62,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      def getter(arr: String, i: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _         => s"$arr.getDouble($i)"
+      }
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
@@ -58,7 +73,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $s += ${getter(a, i, elemType(left).get)} * ${getter(b, i, elemType(right).get)};
          |}
          |${ev.value} = $s;
        """.stripMargin

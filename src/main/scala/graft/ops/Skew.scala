@@ -42,4 +42,28 @@ object Skew {
       .agg(p.head, p.tail: _*)
     salted.groupBy(keys.map(col): _*).agg(m.head, m.tail: _*)
   }
+
+  /** Salted equi-join for a hot-keyed fact against a replicable dimension:
+    * the dim side is exploded across `saltBuckets` salt values, the fact
+    * side draws a salt per row, and the join runs on (key, salt) — so a
+    * key that funnels into one reducer under a plain shuffle join spreads
+    * over `saltBuckets` tasks. The result is identical to the plain join
+    * for ANY salt assignment (each fact row matches exactly one replica of
+    * its key), which is what OpsSpec asserts.
+    *
+    * The dim side is hinted to a sort-merge join: at demo scale every dim
+    * is broadcastable and the planner would (rightly) never shuffle — the
+    * hint keeps the salted exchange real so its shape is testable. At
+    * 100 TB the hint is unnecessary (a dim past the broadcast threshold
+    * shuffles anyway) but harmless; AQE's skew-split is the alternative
+    * when the build side cannot be replicated.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0)
+    val salted = dim.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    fact
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .join(salted.hint("merge"), Seq(key, "__salt"))
+      .drop("__salt")
+  }
 }

@@ -219,6 +219,42 @@ object Aggs {
           round(col("min_value"), 4).as("min_value"), round(col("max_value"), 4).as("max_value"))
         .orderBy("event_type")
     }),
+
+    // D16 — min_by / max_by (PG's closest analogue is DISTINCT ON; DuckDB
+    // arg_min/arg_max): per user, the event_type of their first and last
+    // ingested event. The ordering key is event_id — unique by contract —
+    // so the pick is deterministic (rule: never order min_by/max_by on a
+    // column that can tie).
+    "agg_minmax_by" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          expr("min_by(event_type, event_id)").as("first_type"),
+          expr("max_by(event_type, event_id)").as("last_type"),
+          min("event_id").as("first_event_id"),
+          max("event_id").as("last_event_id"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // D17 — sketch partial aggregation (the 100 TB re-aggregation story):
+    // per-day HLL sketches of the user set, merged to weekly estimates
+    // with hll_union_agg. Sketches are the only way distinct counts
+    // re-aggregate without a second pass over raw data — Minerva's
+    // materialized-counter rollups need exactly this shape for
+    // distinct-valued KPIs. Estimates are engine-specific, so the key is
+    // rows-only checked by the driver; SketchSpec asserts the estimate
+    // lands within 2% of the exact count and that merged(daily) equals
+    // sketch(raw week) exactly (mergeability).
+    "agg_sketch_merge" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"), count(lit(1)).as("n_events"))
+        .groupBy(weekofyear(col("day")).as("week"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"),
+          sum("n_events").as("n_events"), count(lit(1)).as("n_days"))
+        .orderBy("week")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,6 +271,13 @@ object Aggs {
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_minmax_by" ->
+      """SELECT user_id,
+        |       arg_min(event_type, event_id) AS first_type,
+        |       arg_max(event_type, event_id) AS last_type,
+        |       min(event_id) AS first_event_id, max(event_id) AS last_event_id,
+        |       count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name,
         |       CAST(grouping(r_name) AS INTEGER) AS g_r, CAST(grouping(n_name) AS INTEGER) AS g_n,

@@ -428,6 +428,143 @@ object Llm {
         .orderBy("source", "rn")
     }),
 
+    // K11 — per-doc repetition signals (Gopher-style quality filters):
+    // duplicate-2-gram fraction (1 - distinct/total) and the share of all
+    // 2-gram occurrences taken by the single most frequent one. The dup
+    // fraction is pure per-row array arithmetic (no shuffle); the top-gram
+    // share explodes 2-grams and aggregates twice on doc_id, so the whole
+    // key is one doc-keyed shuffle — embarrassingly parallel at any scale.
+    "llm_repetition" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("g2", transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .withColumn("dup2_frac",
+          round(lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")), 4))
+      val top2 = base.select(col("doc_id"), explode(col("g2")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("tot"))
+        .select(col("doc_id"), round(col("top_c").cast("double") / col("tot"), 4).as("top2_frac"))
+      base.select("doc_id", "n_tok", "dup2_frac").join(top2, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // K12 — corpus-level boilerplate detection (CCNet-paragraph-dedup
+    // shape): a 3-token shingle is boilerplate when it appears in >= 1% of
+    // documents; per doc, count and fraction of shingle occurrences that
+    // are boilerplate. The threshold is relative so the semantics survive
+    // scale-up; the boilerplate set is the high-doc-frequency tail, so the
+    // flagging join's build side stays small and broadcasts naturally.
+    "llm_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      val sh = docs
+        .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3)))).as("g"))
+      val boiler = sh.select("doc_id", "g").distinct()
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") * 100 >= nDocs)
+        .select(col("g"), lit(1L).as("is_b"))
+      sh.join(boiler, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+        .withColumn("boiler_frac", round(col("n_boiler").cast("double") / col("n_shingles"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // K13 — C4-style quality-filter funnel: four rules applied in
+    // sequence (min tokens, mean token length, 2-gram repetition, stopword
+    // floor), reporting in/dropped/out per stage. One pass computes every
+    // per-doc stat, one global aggregation produces the whole funnel —
+    // the accounting a production corpus-curation run reports per shard.
+    "llm_filter_funnel" -> ((s, d) => {
+      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "it")
+      val st = Tables.documents(s, d)
+        .select(filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(
+          size(col("toks")).as("n_tok"),
+          (aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("double") / size(col("toks"))).as("avg_len"),
+          when(size(col("toks")) >= 2,
+            lit(1.0) - size(array_distinct(transform(sequence(lit(0), size(col("toks")) - 2),
+              i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+              .cast("double") / (size(col("toks")) - 1))
+            .otherwise(lit(0.0)).as("dup2"),
+          (size(filter(col("toks"), t => t.isin(stop: _*))).cast("double")
+            / size(col("toks"))).as("stop_ratio"))
+        .select(
+          col("n_tok") >= 25,
+          col("avg_len") <= 4.7,
+          col("dup2") <= 0.05,
+          col("stop_ratio") >= 0.02)
+        .toDF("r1", "r2", "r3", "r4")
+      val c = st.agg(
+        count(lit(1)).as("c0"),
+        sum(when(col("r1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("r1") && col("r2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("r1") && col("r2") && col("r3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L).otherwise(0L)).as("c4"))
+      def row(stage: Int, rule: String, in: Column, out: Column) =
+        struct(lit(stage).as("stage"), lit(rule).as("rule"),
+          in.as("n_in"), (in - out).as("n_dropped"), out.as("n_out"))
+      c.select(explode(array(
+          row(1, "min_tokens", col("c0"), col("c1")),
+          row(2, "avg_token_len", col("c1"), col("c2")),
+          row(3, "repetition", col("c2"), col("c3")),
+          row(4, "stopword_floor", col("c3"), col("c4")))).as("f"))
+        .select(col("f.*"))
+        .orderBy("stage")
+    }),
+
+    // K3c — IVF similarity search (the genuine scale path past the
+    // sign-bit bucketing of llm_ann_bucket): 16 data-dependent coarse
+    // centroids (per-dim means over deterministic md5 seed cells — one
+    // k-means update step on a reproducible init), every vector assigned
+    // to its nearest centroid by cosine, then NN searched within the cell
+    // only (nprobe = 1; probing the q nearest cells is the recall knob at
+    // scale). Assignment is a 16-row broadcast — linear in corpus size;
+    // cell occupancy bounds the pair work exactly like an IVF index.
+    // Centroids are rounded to 6 decimals so both engines quantize the
+    // (order-sensitive) mean the same way before any dot product.
+    "llm_ivf_centroids" -> ((s, d) => {
+      val v = vecs(s, d)
+      val seeded = v.withColumn("seed",
+        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(16)))
+      val cent = seeded
+        .select(col("seed"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("seed", "i").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("seed")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+        .select(col("seed").as("cell"),
+          transform(col("im"), e => round(e.getField("m"), 6)).as("centroid"))
+        .withColumn("cnorm", sqrt(call_function("vec_dot", col("centroid"), col("centroid"))))
+      val assigned = seeded.crossJoin(broadcast(cent))
+        .withColumn("csim", dot(col("embedding"), col("centroid")) / (col("norm") * col("cnorm")))
+      val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+      val cells = assigned.withColumn("r", row_number().over(wA)).where(col("r") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+      val a = cells.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+        col("norm").as("a_n"), col("cell"))
+      val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+        col("norm").as("b_n"), col("cell").as("b_cell"))
+      val sims = a.join(b, col("cell") === col("b_cell") && col("a_id") =!= col("b_id"))
+        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
+      cells.join(nn, col("vec_id") === col("a_id"), "left")
+        .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
     // K9 — deterministic hash-based sampling (reproducible corpus
     // sampling: at 100 TB, rand() re-draws per re-run and per retry, a
     // hash of a stable key never does). Stratified per language: keep a
@@ -764,6 +901,130 @@ object Llm {
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)) AS BIGINT)
         |      < CASE WHEN lang = 'en' THEN 32768 ELSE 16384 END
         |ORDER BY doc_id""".stripMargin,
+    "llm_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(toks) AS n_tok,
+        |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g2
+        |  FROM t WHERE len(toks) >= 2
+        |),
+        |r AS (
+        |  SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |         round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4) AS dup2_frac
+        |  FROM b
+        |),
+        |x AS (SELECT doc_id, unnest(g2) AS g FROM b),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM x GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4) AS top2_frac
+        |       FROM c GROUP BY 1)
+        |SELECT r.doc_id, r.n_tok, r.dup2_frac, tp.top2_frac
+        |FROM r JOIN tp USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "llm_boilerplate" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM t WHERE len(toks) >= 3
+        |),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |boiler AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g), nd
+        |  WHERE df * 100 >= n_docs
+        |)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*), 4) AS boiler_frac
+        |FROM sh LEFT JOIN boiler b ON sh.g = b.g
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "llm_filter_funnel" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |s AS (
+        |  SELECT len(toks) AS n_tok,
+        |         CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+        |           / len(toks) AS avg_len,
+        |         CASE WHEN len(toks) >= 2 THEN
+        |           1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1)
+        |         ELSE 0.0 END AS dup2,
+        |         CAST(len(list_filter(toks, x -> x IN ('the','of','and','a','to','in','is','it')))
+        |           AS DOUBLE) / len(toks) AS stop_ratio
+        |  FROM t WHERE len(toks) > 0
+        |),
+        |r AS (
+        |  SELECT n_tok >= 25 AS r1, avg_len <= 4.7 AS r2, dup2 <= 0.05 AS r3,
+        |         stop_ratio >= 0.02 AS r4
+        |  FROM s
+        |),
+        |c AS (
+        |  SELECT count(*) AS c0,
+        |         CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |         CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |         CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        |  FROM r
+        |)
+        |SELECT 1 AS stage, 'min_tokens' AS rule, c0 AS n_in, c0 - c1 AS n_dropped, c1 AS n_out FROM c
+        |UNION ALL
+        |SELECT 2, 'avg_token_len', c1, c1 - c2, c2 FROM c
+        |UNION ALL
+        |SELECT 3, 'repetition', c2, c2 - c3, c3 FROM c
+        |UNION ALL
+        |SELECT 4, 'stopword_floor', c3, c3 - c4, c4 FROM c
+        |ORDER BY stage""".stripMargin,
+    "llm_ivf_centroids" ->
+      s"""WITH $vecCte,
+        |seeded AS (
+        |  SELECT vec_id, embedding, norm,
+        |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |           % 16 AS seed
+        |  FROM v
+        |),
+        |px AS (
+        |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM seeded
+        |),
+        |cm AS (SELECT seed, i, avg(x) AS m FROM px GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT seed AS cell, list(round(m, 6) ORDER BY i) AS centroid
+        |  FROM cm GROUP BY seed
+        |),
+        |centn AS (
+        |  SELECT cell, centroid,
+        |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+        |  FROM cent
+        |),
+        |asg AS (
+        |  SELECT s.vec_id, s.embedding, s.norm, c.cell,
+        |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
+        |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+        |           / (s.norm * c.cnorm) AS csim
+        |  FROM seeded s CROSS JOIN centn c
+        |),
+        |cells AS (
+        |  SELECT vec_id, embedding, norm, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+        |    FROM asg
+        |  ) WHERE r = 1
+        |),
+        |sims AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         $dotSql / (a.norm * b.norm) AS sim
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |),
+        |nn AS (
+        |  SELECT a_id, b_id AS nn_id, round(sim, 4) AS sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+        |    FROM sims
+        |  ) WHERE rn = 1
+        |)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
+        |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
+        |ORDER BY c.vec_id""".stripMargin,
     "llm_tfidf_terms" ->
       s"""WITH $tokAllCte,
         |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -185,6 +185,22 @@ object Rel {
         .orderBy("c_mktsegment")
     }),
 
+    // C5c — salted shuffle join on a hot key: events carry only 5 distinct
+    // event_type values, so a plain shuffle join funnels 20k+ rows per
+    // reducer key; Skew.saltedJoin spreads each key over 16 (key, salt)
+    // reducer slots by replicating the dim side. Result-checked against
+    // the plain join (the oracle computes it unsalted). The downstream
+    // per-type classification agg is dimension-sized.
+    "join_skew_salted" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.groupBy("event_type").agg(round(avg("value"), 4).as("type_avg"))
+      graft.ops.Skew.saltedJoin(ev, dim, "event_type", 16)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > col("type_avg"), 1L).otherwise(0L)).as("n_above"))
+        .orderBy("event_type")
+    }),
+
     // C6 — theta/range self-join on price proximity. Instead of a naive
     // O(n^2) nested loop we band prices into width-0.5 buckets (bucket width
     // >= window width so +-1 bucket covers the range) and equi-join on the
@@ -352,6 +368,13 @@ object Rel {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
         |) t
         |ORDER BY c.c_custkey""".stripMargin,
+    "join_skew_salted" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |dim AS (SELECT event_type, round(avg(value), 4) AS type_avg FROM e GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "join_theta_range" ->
       """SELECT a.p_partkey, count(*) AS n_close
         |FROM part a JOIN part b

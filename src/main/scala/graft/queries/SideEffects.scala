@@ -95,6 +95,28 @@ object SideEffects {
         .orderBy("event_id")
     }),
 
+    // A2d — ORC ingest round-trip (the second columnar format next to
+    // parquet; Spark's native ORC source, no external package): write an
+    // events subset as ORC, re-read with a declared schema. ORC stores
+    // timestamps at nanosecond capability, so the µs-precision source
+    // round-trips losslessly.
+    "scan_orc" -> ((s, d) => {
+      val out = scratch("orc_events")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      Tables.events(s, d)
+        .where(col("event_id") < 300)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1)
+        .write.mode("overwrite").orc(out)
+      s.read.schema(schema).orc(out)
+        .orderBy("event_id")
+    }),
+
     // A4 — partitioned trend-store sink: write events partitioned by day
     // (the reference's time-partitioned wide-table layout), read back and
     // count per partition. Partition pruning on `d` is then free.
@@ -134,6 +156,9 @@ object SideEffects {
     "scan_jsonl" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    "scan_orc" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
     "sink_partitioned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,

@@ -95,6 +95,30 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E9 — regular-grid resample with carry-forward fill (the trend-store
+    // "align samples to the granularity grid" operation): per user, an
+    // hourly grid spanning that user's observed range, the hourly mean
+    // where samples exist, and the last known mean carried forward into
+    // empty buckets. The grid is generated distributed (sequence + explode
+    // per user — no driver loop); the join and the fill window share the
+    // user_id shuffle.
+    "win_resample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(avg(col("value")), 4).as("v"), count(lit(1)).as("n_obs"))
+      val bounds = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"), date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("h"), col("v"), col("filled"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        .orderBy("user_id", "h")
+    }),
+
     // E7 — batch sessionization: a 30-minute inactivity gap starts a new
     // session (the batch twin of stream_session, via lag + cumulative sum
     // instead of session_window). Gaps compare exact microsecond epochs —
@@ -161,6 +185,24 @@ object Wins {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
         |ORDER BY event_id""".stripMargin,
+    "win_resample" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v,
+        |         count(*) AS n_obs
+        |  FROM e GROUP BY 1, 2
+        |),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM e GROUP BY 1
+        |),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT g.user_id, g.h, hr.v,
+        |       last_value(hr.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |       coalesce(hr.n_obs, 0) AS n_obs
+        |FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+        |ORDER BY g.user_id, g.h""".stripMargin,
     "win_session_batch" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |l AS (

@@ -71,6 +71,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals direct join and exchanges on (key, salt)") {
+    val fact = spark.range(50000)
+      .select(when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), col("id") % 7)).as("k"),
+        col("id").as("v"))
+    val dim = fact.select("k").distinct().withColumn("w", length(col("k")).cast("long"))
+    val direct = fact.join(dim, "k")
+      .groupBy("k").agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val saltedJoined = Skew.saltedJoin(fact, dim, "k", 16)
+    val salted = saltedJoined
+      .groupBy("k").agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == direct)
+    // the join's exchange must carry the salt, not just the hot key
+    val plan = saltedJoined.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salted join plan must partition on (key, __salt)")
+  }
+
   test("compaction reduces file count and preserves data") {
     val src = tmpDir("compact_src")
     Tables.events(spark, sf0001).repartition(24)
