@@ -435,19 +435,21 @@ object Llm {
     // share explodes 2-grams and aggregates twice on doc_id, so the whole
     // key is one doc-keyed shuffle — embarrassingly parallel at any scale.
     "llm_repetition" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      // One text scan, one explode, one (doc_id, gram)-keyed shuffle: every
+      // output — token count, duplicate-2-gram fraction, top-gram share —
+      // derives from the per-gram counts (n_tok = total grams + 1), so no
+      // per-row distinct pass and no doc-keyed rejoin against the corpus.
+      Tables.documents(s, d)
         .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
         .where(size(col("toks")) >= 2)
-        .withColumn("n_tok", size(col("toks")))
-        .withColumn("g2", transform(sequence(lit(0), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
-        .withColumn("dup2_frac",
-          round(lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")), 4))
-      val top2 = base.select(col("doc_id"), explode(col("g2")).as("g"))
+        .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("tot"))
-        .select(col("doc_id"), round(col("top_c").cast("double") / col("tot"), 4).as("top2_frac"))
-      base.select("doc_id", "n_tok", "dup2_frac").join(top2, "doc_id")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("nd"), max(col("c")).as("top_c"))
+        .select(col("doc_id"), (col("tot") + 1).cast("int").as("n_tok"),
+          round(lit(1.0) - col("nd").cast("double") / col("tot"), 4).as("dup2_frac"),
+          round(col("top_c").cast("double") / col("tot"), 4).as("top2_frac"))
         .orderBy("doc_id")
     }),
 
@@ -578,6 +580,73 @@ object Llm {
         .where(col("hv") < when(col("lang") === "en", 32768L).otherwise(16384L))
         .select(col("doc_id"), col("lang"), col("source"), col("hv"))
         .orderBy("doc_id")
+    }),
+
+    // K13 — benchmark decontamination: flag training docs sharing any
+    // 5-token shingle with a held-out eval set (here: the deterministic 5%
+    // md5 bucket of doc_ids — in production, the benchmark suite). The
+    // eval shingle set is eval-sized (small by construction), so the
+    // membership join broadcasts; the corpus side streams through it —
+    // linear in corpus size, the standard decontamination shape at 100 TB.
+    "llm_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .where(size(col("toks")) >= 5)
+        .withColumn("is_eval",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") < 3277L)
+            .cast("int"))
+      val sh = docs.select(col("doc_id"), col("is_eval"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 5),
+          i => concat_ws(" ", (0 to 4).map(k => element_at(col("toks"), i + k + 1)): _*)))).as("g"))
+      val evalSh = sh.where(col("is_eval") === 1).select("g").distinct()
+        .withColumn("hit", lit(1L))
+      sh.where(col("is_eval") === 0)
+        .join(evalSh, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("contam_frac", round(col("n_hits").cast("double") / col("n_shingles"), 4))
+        .withColumn("flagged", (col("n_hits") > 0).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // K14 — training-sequence packing (concatenate-and-chunk): per source,
+    // docs concatenate in doc_id order and every 2048-token window is one
+    // batch; a doc belongs to the batch its first token lands in. One
+    // source-keyed shuffle + running sum — the deterministic, restartable
+    // packing shape (greedy bin-packing is sequential and irreproducible
+    // under retries). Batch stats out: docs, tokens, doc_id span.
+    "llm_pack_batches" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n_tok"))
+        .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("batch", expr("start_tok div 2048"))
+        .groupBy("source", "batch")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "batch")
+    }),
+
+    // K15 — domain mixture accounting: per (source, lang) doc/token totals,
+    // exact corpus token share, and a sqrt-damped sampling weight relative
+    // to the dominant domain (the data-mixing knob for training runs).
+    // Denominators come from exact integer totals via a 1-row broadcast —
+    // never a float sum whose order could differ across engines/retries.
+    "llm_domain_mix" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n_tok"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val tot = g.agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("tok_share", round(col("n_tokens").cast("double") / col("tot"), 4))
+        .withColumn("samp_weight",
+          round(sqrt(col("n_tokens").cast("double")) / sqrt(col("mx").cast("double")), 4))
+        .select("source", "lang", "n_docs", "n_tokens", "tok_share", "samp_weight")
+        .orderBy("source", "lang")
     }),
   )
 
@@ -901,6 +970,59 @@ object Llm {
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)) AS BIGINT)
         |      < CASE WHEN lang = 'en' THEN 32768 ELSE 16384 END
         |ORDER BY doc_id""".stripMargin,
+    "llm_decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |              < 3277 THEN 1 ELSE 0 END AS is_eval,
+        |         list_distinct(list_transform(range(1, len(toks) - 3),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |                || ' ' || toks[i+4])) AS gs
+        |  FROM t WHERE len(toks) >= 5
+        |),
+        |sh AS (SELECT doc_id, is_eval, unnest(gs) AS g FROM d),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE is_eval = 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       round(CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*), 4) AS contam_frac,
+        |       CAST(max(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS flagged
+        |FROM sh LEFT JOIN ev ON sh.g = ev.g
+        |WHERE sh.is_eval = 0
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "llm_pack_batches" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |         CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t
+        |)
+        |SELECT source, start_tok // 2048 AS batch, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, batch""".stripMargin,
+    "llm_domain_mix" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT source, lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1, 2
+        |),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, max(n_tokens) AS mx FROM g)
+        |SELECT source, lang, n_docs, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / tot, 4) AS tok_share,
+        |       round(sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)), 4) AS samp_weight
+        |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin,
     "llm_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |           FROM documents),
