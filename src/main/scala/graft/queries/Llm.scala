@@ -223,30 +223,15 @@ object Llm {
     // the 5 most similar, vote, tie-break lower label. Output also carries
     // the true label so accuracy is computable downstream.
     "llm_knn_label" -> ((s, d) => {
-      // Cosine is symmetric: evaluate each unordered pair's dot product
-      // once (a < b), then mirror the pair into both query directions.
-      // The per-query top-5 uses the bounded TopKNeighbors aggregator,
-      // which reduces candidates map-side BEFORE the shuffle — the
-      // exchange carries one ≤5-element list per query, not the full
-      // candidate set a window row_number would have to sort.
-      val v = vecs(s, d)
-      val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
-        col("norm").as("a_n"), col("label").as("a_l"))
-      val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
-        col("norm").as("b_n"), col("label").as("b_l"))
-      val sims = a.join(b, col("a_id") < col("b_id"))
-        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
-        .select(explode(array(
-          struct(col("a_id").as("q_id"), col("a_l").as("true_label"),
-            col("b_id").as("c_id"), col("b_l").as("c_label"), col("sim")),
-          struct(col("b_id").as("q_id"), col("b_l").as("true_label"),
-            col("a_id").as("c_id"), col("a_l").as("c_label"), col("sim")))).as("p"))
-        .select(col("p.*"))
-      val top5 = udaf(new graft.functions.TopKNeighbors(5))
-      val top = sims.groupBy("q_id", "true_label")
-        .agg(top5(col("sim"), col("c_id"), col("c_label")).as("nn"))
-        .select(col("q_id"), col("true_label"), explode(col("nn")).as("n"))
-      val votes = top.groupBy(col("q_id"), col("true_label"), col("n.label").as("c_label"))
+      // Exact 5-NN via the broadcast blocked scan (graft.ops.Knn): corpus
+      // broadcast as primitive arrays, query partitions stream it with a
+      // bounded (sim desc, id asc) buffer — no candidate-pair rows ever
+      // materialize. KnnSpec pins this against the declarative pair-join +
+      // TopKNeighbors-aggregator formulation (the shuffle-reduced exact
+      // path that remains the answer when candidates are pre-blocked and
+      // the corpus outgrows a broadcast).
+      val top = graft.ops.Knn.topKCosine(Tables.embeddings(s, d), 5).toDF()
+      val votes = top.groupBy(col("q_id"), col("true_label"), col("c_label"))
         .agg(count(lit(1)).as("votes"))
       val wV = Window.partitionBy("q_id").orderBy(col("votes").desc, col("c_label"))
       votes.withColumn("vr", row_number().over(wV)).where(col("vr") === 1)

@@ -119,6 +119,40 @@ object Wins {
         .orderBy("user_id", "h")
     }),
 
+    // E10 — counter-delta-with-reset-handling (the reference's core
+    // counter-to-rate transform): per entity stream, the delta against the
+    // previous sample; a negative delta means the counter reset and the
+    // raw value IS the delta (counting restarted from zero); rate divides
+    // by the exact microsecond interval. One entity-keyed shuffle.
+    "win_counter_rate" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("du", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .where(col("prev_v").isNotNull)
+        .withColumn("eff", when(col("value") - col("prev_v") < 0, col("value"))
+          .otherwise(col("value") - col("prev_v")))
+        .select(col("event_id"), col("user_id"), round(col("eff"), 4).as("delta"),
+          round(col("eff") * lit(1000000.0) / nullif(col("du").cast("double"), lit(0.0)), 4)
+            .as("rate_per_s"))
+        .orderBy("event_id")
+    }),
+
+    // E11 — sample-gap detection (the reference's existence/completeness
+    // check over trend series): per entity, flag successive samples more
+    // than 24 h apart — the holes a granularity-aligned store must either
+    // backfill or report. Exact µs arithmetic; one entity-keyed shuffle.
+    "win_gap_detect" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .where(col("gap_us") > lit(86400L) * 1000000L)
+        .select(col("user_id"), col("event_id"), col("prev_ts"), col("ts"),
+          expr("gap_us div 1000000").as("gap_s"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // E7 — batch sessionization: a 30-minute inactivity gap starts a new
     // session (the batch twin of stream_session, via lag + cumulative sum
     // instead of session_window). Gaps compare exact microsecond epochs —
@@ -142,6 +176,34 @@ object Wins {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_counter_rate" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, value,
+        |         lag(value) OVER w AS prev_v,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS du
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |f AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN value - prev_v < 0 THEN value ELSE value - prev_v END AS eff, du
+        |  FROM l WHERE prev_v IS NOT NULL
+        |)
+        |SELECT event_id, user_id, round(eff, 4) AS delta,
+        |       round(eff * 1000000.0 / nullif(CAST(du AS DOUBLE), 0.0), 4) AS rate_per_s
+        |FROM f ORDER BY event_id""".stripMargin,
+    "win_gap_detect" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e
+        |)
+        |SELECT user_id, event_id, prev_ts, ts,
+        |       (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_s
+        |FROM l
+        |WHERE epoch_us(ts) - epoch_us(prev_ts) > CAST(86400 AS BIGINT) * 1000000
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_topn_group" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk,

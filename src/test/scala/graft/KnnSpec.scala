@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Knn
+
+/** The broadcast blocked-scan k-NN must agree edge-for-edge with the
+  * declarative pair-join + window formulation (same tie-break: sim desc,
+  * then smaller candidate id). */
+class KnnSpec extends SparkSpec {
+
+  test("blocked-scan top-5 equals the declarative window top-5 on sf0.001") {
+    graft.functions.VecDot.register(spark)
+    val v = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("norm"))
+    val a = v.select(col("vec_id").as("q_id"), col("embedding").as("a_e"),
+      col("norm").as("a_n"), col("label").as("true_label"))
+    val b = v.select(col("vec_id").as("c_id"), col("embedding").as("b_e"),
+      col("norm").as("b_n"), col("label").as("c_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    val declarative = a.join(b, col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        call_function("vec_dot", col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select("q_id", "true_label", "c_id", "c_label", "sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+      .toSet
+
+    val blocked = Knn.topKCosine(Tables.embeddings(spark, sf0001), 5)
+      .collect().map(e => (e.q_id, e.true_label, e.c_id, e.c_label, e.sim)).toSet
+
+    assert(blocked == declarative,
+      s"edge sets differ: only-blocked=${(blocked -- declarative).take(3)} " +
+        s"only-declarative=${(declarative -- blocked).take(3)}")
+  }
+
+  test("every query yields exactly k edges (self excluded) and no self-match") {
+    val edges = Knn.topKCosine(Tables.embeddings(spark, sf0001), 3).collect()
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(edges.length == n * 3)
+    assert(edges.forall(e => e.q_id != e.c_id))
+    val perQuery = edges.groupBy(_.q_id)
+    perQuery.values.foreach { es =>
+      // returned in rank order: sim non-increasing, id ascending on ties
+      val sorted = es.sortBy(e => (-e.sim, e.c_id))
+      assert(es.map(e => (e.c_id, e.sim)).toSeq == sorted.map(e => (e.c_id, e.sim)).toSeq)
+    }
+  }
+}
