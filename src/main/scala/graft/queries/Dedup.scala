@@ -177,6 +177,59 @@ object Dedup {
     labels
   }
 
+  /** Connected components with pointer jumping (path compression): each
+    * round propagates the neighborhood minimum like [[clusters]], then
+    * additionally chases pointers — every label is replaced by its own
+    * label's label — halving pointer-tree depth per round. Convergence is
+    * O(log diameter) instead of O(diameter): a 1 000-node chain needs ~15
+    * rounds here versus 1 000 under plain propagation (which the 50-round
+    * safety cap would cut off mid-run). The published family is the
+    * MapReduce star-contraction / pointer-doubling line (Kiveris et al.,
+    * SOCC'14); this is the pointer-doubling variant over the label forest.
+    *
+    * Same contract and gates as [[clusters]]: returns (id, cluster_id =
+    * component minimum); label side broadcasts under the measured node
+    * gate, shuffle joins above it. Prefer this for corpora whose duplicate
+    * graphs may contain long paths (chained edits, crawl mirrors);
+    * [[clusters]] does one fewer join per round and matches it on the
+    * dense near-clique graphs LSH verification produces.
+    */
+  def clustersPointerJump(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
+    val nNodes = labels.count()
+    def maybeBc(df: DataFrame): DataFrame =
+      if (nNodes < 5000000L) broadcast(df) else df
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(maybeBc(labels.withColumnRenamed("id", "dst2")), col("dst") === col("dst2"))
+        .groupBy(col("src").as("id2")).agg(min("cluster_id").as("nmin"))
+      val prop = labels.join(maybeBc(neighborMin), col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("chg"))
+      // pointer jump: cluster_id := label(cluster_id). Labels are node ids,
+      // so the parent lookup is a self-join on the label table; the left
+      // join + coalesce covers a label whose node sits in another partition
+      // of the forest mid-flight.
+      val parents = prop.select(col("id").as("p_id"), col("cluster_id").as("p_cl"))
+      val next = prop.join(maybeBc(parents), col("cluster_id") === col("p_id"), "left")
+        .select(col("id"),
+          coalesce(col("p_cl"), col("cluster_id")).as("cluster_id"),
+          (col("chg") || coalesce(col("p_cl"), col("cluster_id")) < col("cluster_id")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.where(col("chg")).count()
+      labels = next.drop("chg")
+      rounds += 1
+    }
+    labels
+  }
+
   /** The production dedup pipeline: MinHash+LSH banding generates
     * candidate pairs sub-quadratically (equi-join on band keys, no
     * forced broadcasts — every join here lets the planner choose), then

@@ -54,6 +54,22 @@ object Rel {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // B3 — trigger rules → notification records (the reference's
+    // trigger/notification machinery as a query): threshold rules
+    // evaluated over per-entity-hour KPI rollups, exceedances in the
+    // append-only notification shape. One bucket-keyed shuffle for the
+    // rollup; rule evaluation is narrow filters unioned.
+    "filter_trigger_notify" -> ((s, d) => {
+      val kpis = Tables.events(s, d)
+        .groupBy(col("user_id").as("entity_id"), date_trunc("hour", col("ts")).as("ts"))
+        .agg(round(avg(col("value")), 4).as("kpi_load"),
+          count(lit(1)).cast("double").as("kpi_burst"))
+      graft.store.Triggers.evaluate(kpis, Seq(
+        graft.store.Triggers.Rule("load_high", "kpi_load", "major")(_ > 200.0),
+        graft.store.Triggers.Rule("burst", "kpi_burst", "warning")(_ >= 2.0)))
+        .orderBy("rule", "entity_id", "ts")
+    }),
+
     // C1 — equi inner join (planner picks SMJ/SHJ; at scale the shuffle is
     // keyed on the join column only).
     "join_inner_hash" -> ((s, d) => {
@@ -368,6 +384,19 @@ object Rel {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
         |) t
         |ORDER BY c.c_custkey""".stripMargin,
+    "filter_trigger_notify" ->
+      """WITH k AS (
+        |  SELECT user_id AS entity_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+        |         round(avg(value), 4) AS kpi_load, CAST(count(*) AS DOUBLE) AS kpi_burst
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT entity_id, ts, 'load_high' AS rule, 'major' AS severity,
+        |       'kpi_load' AS kpi, kpi_load AS value
+        |FROM k WHERE kpi_load > 200
+        |UNION ALL
+        |SELECT entity_id, ts, 'burst', 'warning', 'kpi_burst', kpi_burst
+        |FROM k WHERE kpi_burst >= 2
+        |ORDER BY rule, entity_id, ts""".stripMargin,
     "join_skew_salted" ->
       """WITH e AS (SELECT event_type, value FROM events),
         |dim AS (SELECT event_type, round(avg(value), 4) AS type_avg FROM e GROUP BY 1)

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dev timer for individual query keys: `sbt "runMain graft.tools.TimeOne
+  * <key>[,<key>...] [sfDir] [reps]"`. Times `.count()` per rep after one
+  * warm-up of the session (same warm-up as Bench). */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val keys = args.headOption.map(_.split(",").toSeq)
+      .getOrElse(sys.error("usage: TimeOne <key>[,<key>...] [sfDir] [reps]"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    keys.foreach { k =>
+      val fn = SparkEntry.queries.getOrElse(k, sys.error(s"unknown key $k"))
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[timeone] $k rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

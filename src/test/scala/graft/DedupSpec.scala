@@ -68,6 +68,26 @@ class DedupSpec extends SparkSpec {
     assert(gotComponents == expComponents)
   }
 
+  test("pointer-jump components equal plain propagation on the real pair graph") {
+    val pairs = graft.queries.Dedup.lshVerified(spark, Tables.documents(spark, sf0001), 0.5)
+    val plain = graft.queries.Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jumped = graft.queries.Dedup.clustersPointerJump(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jumped == plain)
+  }
+
+  test("pointer jumping converges on a 1024-node chain (diameter >> round cap)") {
+    // plain propagation moves the min label one hop per round, so a chain
+    // this long cannot converge inside the 50-round cap — pointer jumping
+    // must (O(log n) rounds).
+    val chain = (0L until 1023L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = graft.queries.Dedup.clustersPointerJump(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 1024)
+    assert(labels.values.forall(_ == 0L), s"non-root labels: ${labels.filter(_._2 != 0L).take(5)}")
+  }
+
   test("single-word fast path still serves the shared corpus") {
     // vocabulary 31 => single-long mask plan (no zip_with in the plan)
     val df = Dedup.jaccardBitmask(spark, Tables.documents(spark, sf0001), 0.5)
