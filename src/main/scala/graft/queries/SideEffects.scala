@@ -117,6 +117,31 @@ object SideEffects {
         .orderBy("event_id")
     }),
 
+    // A2e — binary-file ingest (the media-lake shape behind the multimodal
+    // keys): one opaque blob per document on disk, read back with Spark's
+    // native `binaryFile` source (path, length, content) — the scan is
+    // file-parallel, content stays opaque bytes, identity/metadata derive
+    // from the path and the byte stream. The fixture write is a bounded
+    // driver loop (one file per doc, like a real object-store landing
+    // zone); the OPERATOR under test is the distributed scan.
+    "scan_binary" -> ((s, d) => {
+      val out = scratch("bin_docs")
+      val dir = java.nio.file.Paths.get(out)
+      java.nio.file.Files.createDirectories(dir)
+      Tables.documents(s, d).where(col("doc_id") < 100)
+        .select("doc_id", "text").collect()
+        .foreach { r =>
+          java.nio.file.Files.write(dir.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
     // A4 — partitioned trend-store sink: write events partitioned by day
     // (the reference's time-partitioned wide-table layout), read back and
     // count per partition. Partition pruning on `d` is then free.
@@ -159,6 +184,9 @@ object SideEffects {
     "scan_orc" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
+    "scan_binary" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_hash
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "sink_partitioned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,

@@ -25,7 +25,7 @@ object PlanScan {
     val skip = Set("stream_tumbling", "stream_sliding", "stream_session",
       "stream_dedup", "stream_stateful", "stream_static_join",
       "scan_csv_typed", "scan_jsonl", "scan_xml_typed", "sink_partitioned",
-      "join_bucketed")
+      "join_bucketed", "scan_binary")
     var flags = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
