@@ -63,4 +63,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("llm_decontaminate joins the eval shingle set by broadcast") {
+    // the membership join's build side is the eval-bucket shingle set —
+    // eval-sized by construction, so it must broadcast, never shuffle the
+    // corpus side
+    val p = planOf("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not co-shuffle:\n$p")
+  }
+
+  test("llm_pack_batches shuffles once on source (window + agg share the key)") {
+    val p = planOf("llm_pack_batches")
+    // window partition key (source) and groupBy key (source, batch) — the
+    // agg reuses the window's hash partitioning where batch derives from
+    // it; what we pin: no more than 2 exchanges incl. the final sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(p.contains("Window"), p)
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n$p")
+  }
+
+  test("win_counter_rate collapses both lags into one Window operator") {
+    val p = planOf("win_counter_rate")
+    assert("Window\\b".r.findAllIn(p).size <= 2, s"windows not collapsed:\n$p")
+  }
+
+  test("llm_domain_mix broadcasts the 1-row totals, never a float-order sum") {
+    val p = planOf("llm_domain_mix")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
