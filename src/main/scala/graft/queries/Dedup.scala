@@ -242,6 +242,14 @@ object Dedup {
     * Recall follows the banding S-curve P(candidate) = 1-(1-J^4)^2:
     * ≈50% at J≈0.74, ≈75% at J≈0.84, >99% at J≥0.95 — tuned for
     * near-identical dup detection. Precision is exact by construction.
+    *
+    * The band/mask tables feed self-joins, so their plans re-execute per
+    * branch. Measured at sf0.1 this is the right trade: the 31-token
+    * vocabulary makes the token pipeline cheaper to re-run than an eager
+    * localCheckpoint (which cost 0.4–0.6 s in serialization + lost codegen
+    * fusion). On a wide-vocabulary corpus, persist/checkpoint `bands` and
+    * the `tokenMasks` output before the joins — the trade flips once
+    * minhash/mask construction dominates candidate volume.
     */
   def lshVerified(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
                   threshold: Double): DataFrame = {
