@@ -220,6 +220,24 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // D18 — fixed-grid histogram (the trend store's distribution rollup):
+    // per event type, counts over 10 width-50 value buckets with edge
+    // clamping. Fixed grids are the re-aggregable histogram form — partial
+    // counts merge by addition across time partitions, unlike quantile
+    // sketches; one shuffle keyed on (type, bucket), partial agg map-side.
+    "agg_histogram" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("bucket",
+          least(greatest(floor(col("value") / 50), lit(0.0)), lit(9.0)).cast("int"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("bucket"),
+          (col("bucket") * 50).cast("double").as("lo"),
+          ((col("bucket") + 1) * 50).cast("double").as("hi"),
+          col("n"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // D16 — min_by / max_by (PG's closest analogue is DISTINCT ON; DuckDB
     // arg_min/arg_max): per user, the event_type of their first and last
     // ingested event. The ordering key is event_id — unique by contract —
@@ -271,6 +289,16 @@ object Aggs {
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(least(greatest(floor(value / 50), 0), 9) AS INTEGER) AS bucket
+        |  FROM events
+        |)
+        |SELECT event_type, bucket,
+        |       CAST(bucket * 50 AS DOUBLE) AS lo, CAST((bucket + 1) * 50 AS DOUBLE) AS hi,
+        |       count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "agg_minmax_by" ->
       """SELECT user_id,
         |       arg_min(event_type, event_id) AS first_type,

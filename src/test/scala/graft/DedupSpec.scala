@@ -88,6 +88,33 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.forall(_ == 0L), s"non-root labels: ${labels.filter(_._2 != 0L).take(5)}")
   }
 
+  test("pointer jumping matches union-find on random graph topologies") {
+    val rnd = new scala.util.Random(42)
+    // three seeded random graphs: sparse, dense, and forest-of-stars
+    val graphs = Seq(
+      (0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)),
+      (0 until 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)),
+      (0 until 50).map(i => ((i % 7).toLong * 100, (i + 10).toLong)))
+    graphs.zipWithIndex.foreach { case (raw, gi) =>
+      val edges = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val pairs = edges.toDF("a_id", "b_id")
+      val got = graft.queries.Dedup.clustersPointerJump(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      assert(got == expected, s"graph $gi: ${got.toSet.diff(expected.toSet).take(5)}")
+    }
+  }
+
   test("single-word fast path still serves the shared corpus") {
     // vocabulary 31 => single-long mask plan (no zip_with in the plan)
     val df = Dedup.jaccardBitmask(spark, Tables.documents(spark, sf0001), 0.5)
