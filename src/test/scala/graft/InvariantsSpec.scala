@@ -85,6 +85,61 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing conserves tokens: batch sums equal per-source totals") {
+    val batches = SparkEntry.queries("llm_pack_batches")(spark, sf0001)
+    val fromBatches = batches.groupBy("source")
+      .agg(sum("n_tokens").as("t"), sum("n_docs").as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = Tables.documents(spark, sf0001)
+      .select(col("source"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("t"), count(lit(1)).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromBatches == direct, "packing must neither drop nor duplicate docs/tokens")
+    // every batch except a source's last must hold > 0 docs and batches are
+    // dense from 0 (concatenate-and-chunk leaves no empty windows behind)
+    val perSource = batches.select("source", "batch").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    perSource.foreach { case (src, ids) =>
+      assert(ids.head == 0L && ids.toSeq == (ids.head to ids.last).toSeq,
+        s"sparse batches for $src")
+    }
+  }
+
+  test("decontamination never reports eval-bucket docs and flags consistently") {
+    val out = SparkEntry.queries("llm_decontaminate")(spark, sf0001).collect()
+    val evalIds = Tables.documents(spark, sf0001)
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") < 3277L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !evalIds.contains(r.getLong(0))),
+      "eval docs must not appear as corpus rows")
+    out.foreach { r =>
+      val (nSh, nHits, flagged) = (r.getLong(1), r.getLong(2), r.getInt(4))
+      assert(nHits <= nSh)
+      assert((flagged == 1) == (nHits > 0))
+    }
+  }
+
+  test("resample grid is dense per user and carry-forward only fills gaps") {
+    val rs = SparkEntry.queries("win_resample")(spark, sf0001).collect()
+    val byUser = rs.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rows) =>
+      val hours = rows.map(_.getTimestamp(1).getTime).sorted
+      // dense hourly grid: consecutive timestamps are exactly 1h apart
+      hours.sliding(2).foreach { case Array(a, b) =>
+        assert(b - a == 3600000L, s"user $u grid hole between $a and $b")
+      case _ => ()
+      }
+      // where an observation exists the filled value IS the observation
+      rows.foreach { r =>
+        if (!r.isNullAt(2)) assert(r.getDouble(3) == r.getDouble(2), s"user $u")
+      }
+      // first grid row is an observed hour, so filled is never null
+      assert(rows.forall(r => !r.isNullAt(3)), s"user $u has unfilled rows")
+    }
+  }
+
   test("set algebra: (A except B) union (A intersect B) == A for key sets") {
     val a = Tables.part(spark, sf0001).select("p_partkey")
     val b = Tables.lineitem(spark, sf0001).select(col("l_partkey").as("p_partkey"))
