@@ -89,6 +89,41 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("__salt"), "salted join plan must partition on (key, __salt)")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the 100 TB fallback)") {
+    // Salting (Skew.saltedJoin) is the explicit mitigation; AQE's runtime
+    // skew split is the automatic one we claim works when the build side
+    // can't be replicated. Force an SMJ over a 90%-one-key fact with
+    // thresholds scaled to test data and assert the executed plan marks
+    // the skew split.
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), col("id") % 7)).as("k"),
+          col("id").as("v"))
+      // dim must be a plain scan: OptimizeSkewedJoin only matches a join
+      // whose children read DIRECTLY from shuffle stages — an aggregate
+      // between the sort and the exchange disqualifies the side
+      val dim = (Seq("hot") ++ (0 until 7).map("k" + _))
+        .map(k => (k, k.length.toLong)).toDF("k", "w")
+      val joined = fact.join(dim.hint("merge"), "k")
+      // AQE finalizes the plan only on execution of THIS queryExecution —
+      // collect (not count, which builds a separate plan), then inspect.
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in adaptive plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("compaction reduces file count and preserves data") {
     val src = tmpDir("compact_src")
     Tables.events(spark, sf0001).repartition(24)
