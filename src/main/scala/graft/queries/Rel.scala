@@ -148,6 +148,21 @@ object Rel {
           |ORDER BY c.c_custkey""".stripMargin)
     }),
 
+    // G5 — relational division ("for all"): users that produced EVERY
+    // event type. Division-by-counting: per-user distinct-type count vs
+    // the corpus distinct-type count via a broadcast 1-row scalar — one
+    // user-keyed shuffle, no double-anti-join formulation needed.
+    "sub_division" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val total = ev.select(countDistinct("event_type").as("nt"))
+      ev.groupBy("user_id")
+        .agg(countDistinct("event_type").as("n_types"), count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(total))
+        .where(col("n_types") === col("nt"))
+        .select(col("user_id"), col("n_types"), col("n_events"))
+        .orderBy("user_id")
+    }),
+
     // G4 — NOT IN subquery with the three-valued-logic trap: one NULL in
     // the subquery list makes NOT IN return no rows. Both engines must
     // agree on the ANSI semantics; the output carries both counts so the
@@ -368,6 +383,12 @@ object Rel {
         |v AS (SELECT user_id, count(*) AS n_views FROM e WHERE event_type = 'view' GROUP BY user_id)
         |SELECT coalesce(c.user_id, v.user_id) AS user_id, c.n_clicks, v.n_views
         |FROM c FULL JOIN v ON c.user_id = v.user_id
+        |ORDER BY user_id""".stripMargin,
+    "sub_division" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types, count(*) AS n_events
+        |FROM events GROUP BY user_id
+        |HAVING count(DISTINCT event_type) =
+        |       (SELECT count(DISTINCT event_type) FROM events)
         |ORDER BY user_id""".stripMargin,
     "sub_not_in_null" ->
       """SELECT
