@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VecDot
+
+/** Session-extension entry point: the production registration path for the
+  * library's custom Catalyst expressions, activated with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`).
+  *
+  * Unlike `VecDot.register` (a temp-function on one session), functions
+  * injected here are part of every session state built over the context —
+  * including `spark.newSession()` children — which is what a cluster
+  * deployment wants: set one config, every session sees `vec_dot`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(
+        classOf[VecDot].getName,
+        null,
+        "vec_dot",
+        "vec_dot(a, b) - dot product of two array<float|double> vectors, accumulated left-to-right in double.",
+        ""),
+      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+  }
+}

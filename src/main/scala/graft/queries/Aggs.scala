@@ -273,6 +273,24 @@ object Aggs {
           sum("n_events").as("n_events"), count(lit(1)).as("n_days"))
         .orderBy("week")
     }),
+
+    // D18 — deterministic mode (most frequent value per group). Both
+    // engines' native mode() is tie-nondeterministic, so the key pins the
+    // tie-break explicitly: highest count, then smallest value. Two
+    // aggregations, both keyed: the count shuffle on (group, value), then
+    // a window over the group-sized intermediate — no global exchange.
+    "agg_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("user_id").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("user_id").as("mode_user"), col("cnt"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -383,5 +401,12 @@ object Aggs {
         |       count(DISTINCT event_type) AS n_types,
         |       count(*) AS n_events
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY event_type, user_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rn FROM c
+        |)
+        |SELECT event_type, user_id AS mode_user, cnt FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -570,6 +570,23 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K12b — stratified EXACT-COUNT sampling: exactly 20 docs per lang,
+    // picked by md5 order (reproducible at any scale, insensitive to row
+    // order — rand() is neither). Complements the rate-based
+    // `llm_sample_hash`: rates for proportional draws, ranked hashes when
+    // the downstream contract is "n per stratum". One shuffle on the
+    // stratum key; the per-stratum sort is by the 32-hex key, and the
+    // window emits nothing past rank n.
+    "llm_sample_stratified" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("/"), col("lang"))))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("h"))
+        .orderBy("lang", "rn")
+    }),
+
     // K13 — benchmark decontamination: flag training docs sharing any
     // 5-token shingle with a held-out eval set (here: the deterministic 5%
     // md5 bucket of doc_ids — in production, the benchmark suite). The
@@ -958,6 +975,13 @@ object Llm {
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)) AS BIGINT)
         |      < CASE WHEN lang = 'en' THEN 32768 ELSE 16384 END
         |ORDER BY doc_id""".stripMargin,
+    "llm_sample_stratified" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || '/' || lang) AS h FROM documents
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h
+        |)
+        |SELECT lang, rn, doc_id, h FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     "llm_decontaminate" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |           FROM documents),

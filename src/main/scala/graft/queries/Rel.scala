@@ -338,6 +338,24 @@ object Rel {
       val b = Tables.lineitem(s, d).select(col("l_partkey").as("p_partkey"))
       a.except(b).orderBy("p_partkey")
     }),
+
+    // A5 — ingest upsert (the reference's bulk-COPY-with-fallback-to-
+    // UPDATE): a batch of updated click readings plus brand-new rows merged
+    // into the base last-writer-wins on the key. One shuffle on event_id
+    // (`ops.Upsert.lastWriterWins`); no pair join. The partition-scoped
+    // store rewrite lives in TrendStore.upsert (StoreSpec).
+    "store_upsert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val updates = ev.where(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+      val inserts = ev.where(col("event_type") === "purchase")
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+      graft.ops.Upsert.lastWriterWins(ev, updates.unionByName(inserts), Seq("event_id"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -474,5 +492,19 @@ object Rel {
         |INTERSECT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin,
     "set_except" ->
       """SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem ORDER BY p_partkey""".stripMargin,
+    "store_upsert" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events
+        |), batch AS (
+        |  SELECT event_id, ts, user_id, event_type, value * 2 AS value FROM ev WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id + 10000000, ts, user_id, event_type, value FROM ev WHERE event_type = 'purchase'
+        |), u AS (
+        |  SELECT *, 0 AS pri FROM ev UNION ALL SELECT *, 1 AS pri FROM batch
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY pri DESC) AS rn FROM u
+        |)
+        |SELECT event_id, ts, user_id, event_type, round(value, 4) AS value
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
   )
 }

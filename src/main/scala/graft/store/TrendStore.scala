@@ -34,6 +34,31 @@ final class TrendStore(
       .write.mode(SaveMode.Append).partitionBy("d").parquet(dir(granularity))
   }
 
+  /** Upsert a data package: batch rows replace stored rows with the same
+    * (entity_id, ts) key, new keys append — the reference's COPY-with-
+    * fallback-to-UPDATE ingest path. The rewrite is scoped to the day
+    * partitions the batch touches (dynamic partition overwrite), so cost
+    * tracks batch days, not store size: at 100 TB a late one-day batch
+    * rewrites one day. The affected-day list is batch-sized (collected to
+    * drive static partition pruning of the base read), and the merged frame
+    * is locally checkpointed before the write because Spark refuses plans
+    * that read from the path they overwrite.
+    */
+  def upsert(batch: DataFrame, granularity: String): Unit = {
+    val missing = (keyCols ++ counters).filterNot(batch.columns.contains)
+    require(missing.isEmpty, s"data package missing columns: ${missing.mkString(",")}")
+    val batchD = batch.select((keyCols ++ counters).map(col): _*)
+      .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+    val days = batchD.select("d").distinct().collect().map(_.getString(0)).toSeq
+    val base = read(granularity).where(col("d").isin(days: _*))
+      .select(batchD.columns.map(col): _*)
+    val merged = graft.ops.Upsert
+      .lastWriterWins(base, batchD, keyCols)
+      .localCheckpoint(true)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode(SaveMode.Overwrite).partitionBy("d").parquet(dir(granularity))
+  }
+
   /** Read one granularity, asserting the declared columns exist. Filters on
     * `d` (or on `ts` through the `d` column) prune partitions at planning
     * time. */

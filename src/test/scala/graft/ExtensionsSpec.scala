@@ -1,0 +1,46 @@
+package graft
+
+/** GraftExtensions: the spark.sql.extensions registration path for the
+  * library's custom expressions. The shared test session is built with
+  * `spark.sql.extensions=graft.GraftExtensions` (SparkSpec), same as
+  * Verify/Bench — these tests prove the injection is what makes `vec_dot`
+  * available, not the per-session temp-function fallback.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("vec_dot resolves via SQL on the extensions-configured session") {
+    val v = spark
+      .sql("SELECT vec_dot(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS d")
+      .head().getDouble(0)
+    assert(v == 32.0)
+  }
+
+  test("extension functions survive into newSession() children; temp functions do not") {
+    // A fresh child session rebuilds its function registry from the
+    // extensions captured at context creation. A temp function registered
+    // on the parent (the VecDot.register escape hatch) is session-local,
+    // so its absence in the child shows the child resolved vec_dot through
+    // the extension, not through registry leakage.
+    graft.functions.VecDot.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_probe_temp_fn",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VecDot(children.head, children(1)),
+      "built-in")
+
+    val child = spark.newSession()
+    val v = child
+      .sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(v == 11.0)
+    assert(child.sessionState.functionRegistry
+      .lookupFunctionBuilder(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_probe_temp_fn"))
+      .isEmpty)
+  }
+
+  test("DESCRIBE FUNCTION carries the injected usage text") {
+    val desc = spark.sql("DESCRIBE FUNCTION vec_dot")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("vec_dot"))
+  }
+}

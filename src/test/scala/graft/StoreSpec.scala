@@ -66,6 +66,50 @@ class StoreSpec extends SparkSpec {
     assert(rolled.select("entity_id").distinct().count() <= 7)
   }
 
+  test("trend store upsert rewrites only the touched day partitions") {
+    val root = tmpDir("trend_upsert")
+    val store = new TrendStore(spark, root, Seq("kpi_load"))
+    val base = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-02 10:00:00", 2.0),
+      (2L, "2024-01-01 11:00:00", 3.0), (2L, "2024-01-03 12:00:00", 4.0))
+      .toDF("entity_id", "ts", "kpi_load")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    store.write(base, "raw")
+    val filesBefore = new java.io.File(store.dir("raw")).listFiles()
+      .filter(_.getName.startsWith("d=")).map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+
+    // batch: update one Jan-1 reading, insert a new Jan-1 entity — Jan 2/3 untouched
+    val batch = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0), (9L, "2024-01-01 09:00:00", 9.0))
+      .toDF("entity_id", "ts", "kpi_load")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    store.upsert(batch, "raw")
+
+    val back = store.read("raw").select("entity_id", "ts", "kpi_load")
+    assert(back.count() == 5) // 4 base + 1 insert, 1 overwritten in place
+    assert(back.where(col("entity_id") === 1 && col("kpi_load") === 10.0).count() == 1)
+    assert(back.where(col("entity_id") === 1 && col("kpi_load") === 1.0).count() == 0)
+    assert(back.where(col("entity_id") === 9).count() == 1)
+    // untouched day partitions keep their original files (no store-wide rewrite)
+    val filesAfter = new java.io.File(store.dir("raw")).listFiles()
+      .filter(_.getName.startsWith("d=")).map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    assert(filesAfter("d=2024-01-02") == filesBefore("d=2024-01-02"))
+    assert(filesAfter("d=2024-01-03") == filesBefore("d=2024-01-03"))
+    assert(filesAfter("d=2024-01-01") != filesBefore("d=2024-01-01"))
+  }
+
+  test("lastWriterWins merges updates, inserts, and leaves the rest; one exchange") {
+    val base = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+    val batch = Seq((2L, 20.0), (4L, 40.0)).toDF("k", "v")
+    val merged = graft.ops.Upsert.lastWriterWins(base, batch, Seq("k"))
+    assert(merged.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0), (4L, 40.0)))
+    // exactly one shuffle: the window's key exchange
+    val exchanges = merged.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+
   test("attribute store: current / at / compact semantics") {
     val hist = Seq(
       (1L, "2024-01-01 00:00:00", "planned"),
