@@ -19,11 +19,43 @@ object Relations {
              (rule: => DataFrame): DataFrame = {
     val rel = rule.select(col("source_id"), col("target_id")).distinct()
     rel.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rootDir/$name")
+    // a re-refresh replaces the files; drop any cached listing of the path
+    spark.catalog.refreshByPath(s"$rootDir/$name")
     spark.read.parquet(s"$rootDir/$name")
   }
 
   def load(spark: SparkSession, rootDir: String, name: String): DataFrame =
     spark.read.parquet(s"$rootDir/$name")
+
+  /** Fingerprint-gated refresh (the Materializer's gate applied to
+    * relations): the rule is re-evaluated only when the defining source's
+    * fingerprint — (row count, bit_xor of xxhash64), order-independent,
+    * one aggregation pass — differs from the stored one. An unchanged
+    * registry costs one cheap agg instead of rule + write; at 100 TB the
+    * agg is map-side-partial over the source, the rule possibly much more.
+    */
+  def refreshIncremental(spark: SparkSession, rootDir: String, name: String)
+                        (source: DataFrame)(rule: DataFrame => DataFrame): RefreshResult = {
+    val fpRow = source
+      .agg(count(lit(1)), bit_xor(xxhash64(source.columns.sorted.map(col): _*)))
+      .head()
+    val fp = s"${fpRow.getLong(0)}:${if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)}"
+    val fpPath = java.nio.file.Paths.get(rootDir, s"$name._fingerprint")
+    val relPath = java.nio.file.Paths.get(rootDir, name)
+    val prev =
+      if (java.nio.file.Files.exists(fpPath)) Some(java.nio.file.Files.readString(fpPath))
+      else None
+    if (prev.contains(fp) && java.nio.file.Files.exists(relPath))
+      RefreshResult(load(spark, rootDir, name), refreshed = false)
+    else {
+      val rel = refresh(spark, rootDir, name)(rule(source))
+      java.nio.file.Files.createDirectories(fpPath.getParent)
+      java.nio.file.Files.writeString(fpPath, fp)
+      RefreshResult(rel, refreshed = true)
+    }
+  }
+
+  final case class RefreshResult(relation: DataFrame, refreshed: Boolean)
 
   /** Compose two relations (a→b, b→c ⇒ a→c): multi-level hierarchy in one
     * broadcast-sized join. */

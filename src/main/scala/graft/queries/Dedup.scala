@@ -57,24 +57,55 @@ object Dedup {
       |  UNION ALL SELECT doc_id, 1, md5(mh4 || mh5 || mh6 || mh7) FROM mh
       |)""".stripMargin
 
+  /** Dense token-id assignment for the mask dictionary. Two routes with
+    * identical output (a bijection token → 0..V-1 in lexicographic order,
+    * pinned equal by DedupSpec):
+    *  - window `row_number` over the distinct tokens — one single-partition
+    *    sort, fine to ~10 M vocabulary;
+    *  - RDD `sortBy(token).zipWithIndex` — distributed sort, per-partition
+    *    offsets from partition sizes, no single-partition stage; the route
+    *    for web-scale vocabularies (the one genuine RDD drop-down in the
+    *    library, used exactly where a global dense rank can't be a window).
+    */
+  private[graft] def assignTokenIds(distinctTokens: DataFrame, viaRdd: Boolean): DataFrame = {
+    if (!viaRdd)
+      distinctTokens.withColumn("tid", row_number().over(Window.orderBy("token")) - 1)
+    else {
+      val s = distinctTokens.sparkSession
+      val rdd = distinctTokens.select("token").rdd.map(_.getString(0))
+        .sortBy(identity).zipWithIndex()
+        .map { case (t, i) => org.apache.spark.sql.Row(t, i.toInt) }
+      s.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tid", org.apache.spark.sql.types.IntegerType))))
+    }
+  }
+
+  /** Dictionaries stay window-assigned and broadcast below this size;
+    * above it id assignment goes distributed and the dictionary join
+    * becomes a shuffle join. */
+  private val LargeVocab = 10000000L
+
   /** Per-doc token bitmask(s) plus the matching intersection and
     * per-side cardinality SQL expressions (over columns named
     * `a_mask`/`b_mask`); physical representation chosen from the measured
     * dictionary size (see object doc). */
   private def tokenMasks(tok: DataFrame): (DataFrame, String, String => String) = {
-    val vocab = tok.select("token").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("token")) - 1)
-    val v = vocab.count() // dictionary cardinality gate (tiny scan)
+    val distinctTok = tok.select("token").distinct()
+    val v = distinctTok.count() // dictionary cardinality gate (tiny scan)
+    val vocab = assignTokenIds(distinctTok, viaRdd = v > LargeVocab)
+    // a >10M-token dictionary must not be broadcast either
+    def dict(df: DataFrame): DataFrame = if (v > LargeVocab) df else broadcast(df)
 
     if (v <= 64) {
-      val m = tok.join(broadcast(vocab), "token")
+      val m = tok.join(dict(vocab), "token")
         .groupBy("doc_id", "lang")
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid))").as("mask"))
       (m, "bit_count(a_mask & b_mask)",
         (side: String) => s"bit_count(${side}_mask)")
     } else {
       val words = ((v - 1) / 64 + 1).toInt
-      val m = tok.join(broadcast(vocab), "token")
+      val m = tok.join(dict(vocab), "token")
         .withColumn("widx", (col("tid") / 64).cast("int"))
         .groupBy("doc_id", "lang", "widx")
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid % 64))").as("w"))

@@ -42,6 +42,21 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "test corpus must produce similar pairs")
   }
 
+  test("RDD zipWithIndex id assignment equals the window route (large-vocab path)") {
+    val toks = (0 until 500).map(i => f"w$i%04d")
+    val distinctTok = new scala.util.Random(3).shuffle(toks).toDF("token")
+      .repartition(7) // spread over partitions so zipWithIndex offsets matter
+      .distinct()
+    val viaWindow = Dedup.assignTokenIds(distinctTok, viaRdd = false)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val viaRdd = Dedup.assignTokenIds(distinctTok, viaRdd = true)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaWindow == viaRdd)
+    // dense lexicographic bijection 0..V-1
+    assert(viaRdd.values.toSeq.sorted == (0 until 500))
+    assert(toks.sorted.zipWithIndex.forall { case (t, i) => viaRdd(t) == i })
+  }
+
   test("connected components match driver-side union-find") {
     val pairs = graft.queries.Dedup.lshVerified(spark, Tables.documents(spark, sf0001), 0.5)
     val got = graft.queries.Dedup.clusters(pairs)

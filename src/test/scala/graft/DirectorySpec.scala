@@ -33,6 +33,31 @@ class DirectorySpec extends SparkSpec {
     assert(back.collect().toSet == custNation.collect().toSet)
   }
 
+  test("incremental refresh re-evaluates the rule only when the source changed") {
+    val root = tmpDir("relations_inc")
+    var ruleRuns = 0
+    def rule(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      ruleRuns += 1
+      src.select(col("c_custkey").as("source_id"), col("c_nationkey").cast("long").as("target_id"))
+    }
+    val cust = Tables.customer(spark, sf0001)
+
+    val first = Relations.refreshIncremental(spark, root, "cn")(cust)(rule)
+    assert(first.refreshed && ruleRuns == 1)
+    val firstRows = first.relation.collect().toSet
+
+    // same source: fingerprint matches, rule skipped, same relation served
+    val second = Relations.refreshIncremental(spark, root, "cn")(cust)(rule)
+    assert(!second.refreshed && ruleRuns == 1)
+    assert(second.relation.collect().toSet == firstRows)
+
+    // changed source (one row dropped): rule re-runs, result reflects it
+    val third = Relations.refreshIncremental(spark, root, "cn")(
+      cust.where(col("c_custkey") =!= 1L))(rule)
+    assert(third.refreshed && ruleRuns == 2)
+    assert(third.relation.count() == firstRows.size - 1)
+  }
+
   test("granularity catalog: buckets and the valid rollup graph") {
     import Granularity._
     assert(Granularity("1h") == Hour)
