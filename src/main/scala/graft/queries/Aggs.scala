@@ -274,6 +274,44 @@ object Aggs {
         .orderBy("week")
     }),
 
+    // D19 — data-quality profile (the ingest-side check every warehouse
+    // runs before trusting a batch): per-column null count, exact distinct
+    // count, numeric min/max — ONE pass over the fact table (a single
+    // aggregation with multiple count-distincts → Catalyst's Expand
+    // two-phase plan, never one scan per column), then a stack() unpivot
+    // into one row per column.
+    "agg_dq_profile" -> ((s, d) => {
+      Tables.events(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id").isNull.cast("long")).as("id_nulls"),
+          countDistinct(col("event_id")).as("id_distinct"),
+          round(min("event_id").cast("double"), 4).as("id_min"),
+          round(max("event_id").cast("double"), 4).as("id_max"),
+          sum(col("user_id").isNull.cast("long")).as("u_nulls"),
+          countDistinct(col("user_id")).as("u_distinct"),
+          round(min("user_id").cast("double"), 4).as("u_min"),
+          round(max("user_id").cast("double"), 4).as("u_max"),
+          sum(col("value").isNull.cast("long")).as("v_nulls"),
+          countDistinct(col("value")).as("v_distinct"),
+          round(min("value"), 4).as("v_min"),
+          round(max("value"), 4).as("v_max"),
+          sum(col("event_type").isNull.cast("long")).as("t_nulls"),
+          countDistinct(col("event_type")).as("t_distinct"),
+          min("event_type").as("t_min_str"),
+          max("event_type").as("t_max_str"))
+        .selectExpr("n_rows",
+          """stack(4,
+            |  'event_id',   id_nulls, id_distinct, id_min, id_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'event_type', t_nulls,  t_distinct,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t_min_str, t_max_str,
+            |  'user_id',    u_nulls,  u_distinct,  u_min, u_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'value',      v_nulls,  v_distinct,  v_min, v_max, CAST(NULL AS STRING), CAST(NULL AS STRING))
+            |AS (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+        .orderBy("col_name")
+    }),
+
     // D18 — deterministic mode (most frequent value per group). Both
     // engines' native mode() is tie-nondeterministic, so the key pins the
     // tie-break explicitly: highest count, then smallest value. Two
@@ -401,6 +439,36 @@ object Aggs {
         |       count(DISTINCT event_type) AS n_types,
         |       count(*) AS n_events
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "agg_dq_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS id_nulls,
+        |         count(DISTINCT event_id) AS id_distinct,
+        |         round(CAST(min(event_id) AS DOUBLE), 4) AS id_min,
+        |         round(CAST(max(event_id) AS DOUBLE), 4) AS id_max,
+        |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u_nulls,
+        |         count(DISTINCT user_id) AS u_distinct,
+        |         round(CAST(min(user_id) AS DOUBLE), 4) AS u_min,
+        |         round(CAST(max(user_id) AS DOUBLE), 4) AS u_max,
+        |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nulls,
+        |         count(DISTINCT value) AS v_distinct,
+        |         round(min(value), 4) AS v_min,
+        |         round(max(value), 4) AS v_max,
+        |         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
+        |         count(DISTINCT event_type) AS t_distinct,
+        |         min(event_type) AS t_min_str,
+        |         max(event_type) AS t_max_str
+        |  FROM events
+        |)
+        |SELECT 'event_id' AS col_name, n_rows, id_nulls AS n_nulls, id_distinct AS n_distinct,
+        |       id_min AS min_num, id_max AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        |UNION ALL
+        |SELECT 'event_type', n_rows, t_nulls, t_distinct, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t_min_str, t_max_str FROM a
+        |UNION ALL
+        |SELECT 'user_id', n_rows, u_nulls, u_distinct, u_min, u_max, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+        |UNION ALL
+        |SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+        |ORDER BY col_name""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY event_type, user_id

@@ -339,6 +339,29 @@ object Rel {
       a.except(b).orderBy("p_partkey")
     }),
 
+    // C10 — the flagship OLAP shape: a 5-table star join through plain
+    // SQL over the registered catalog views (graft.Catalog). Catalyst
+    // picks the physical strategy per join: region/nation broadcast,
+    // orders⋈lineitem and customer⋈orders shuffle on their keys — the
+    // exact plan a hand-tuned DataFrame build would produce, from
+    // declarative SQL. The one key whose entry path is the SQL parser
+    // end-to-end (SURVEY §3.2).
+    "sql_star_join" -> ((s, d) => {
+      graft.Catalog.registerAll(s, d)
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_items,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-07-01'
+          |GROUP BY r_name, n_name
+          |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
     // A5 — ingest upsert (the reference's bulk-COPY-with-fallback-to-
     // UPDATE): a batch of updated click readings plus brand-new rows merged
     // into the base last-writer-wins on the key. One shuffle on event_id
@@ -492,6 +515,18 @@ object Rel {
         |INTERSECT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin,
     "set_except" ->
       """SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem ORDER BY p_partkey""".stripMargin,
+    "sql_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
     "store_upsert" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events

@@ -92,4 +92,30 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("llm_domain_mix")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("sql_star_join broadcasts the dims and keeps the fact joins keyed") {
+    val p = planOf("sql_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dim filter dynamically prunes the partitioned fact scan (DPP)") {
+    // The 100 TB layout: fact partitioned by day on disk, dim filter
+    // selecting few days — DynamicPartitionPruning must reach the fact's
+    // PartitionFilters so unselected day directories are never listed.
+    val root = tmpDir("dpp_fact")
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, sf0001)
+      .withColumn("d", to_date(col("ts")))
+      .repartition(col("d"))
+      .write.mode("overwrite").partitionBy("d").parquet(root)
+    val fact = spark.read.parquet(root)
+    val dim = Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("dim_d")).distinct()
+      .withColumn("tag", (dayofmonth(col("dim_d")) <= 3).cast("int"))
+    val q = fact.join(dim.where(col("tag") === 1), col("d") === col("dim_d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), s"no DPP filter on the fact scan:\n$p")
+  }
 }
