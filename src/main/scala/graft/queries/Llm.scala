@@ -168,6 +168,25 @@ object Llm {
         .orderBy("cluster_id")
     }),
 
+    // K5e2 — unigram-LM perplexity proxy (the CCNet/KenLM quality-filter
+    // shape): corpus unigram distribution → per-doc mean negative
+    // log-likelihood. Docs far from the corpus distribution (high avg_nll)
+    // are the "surprising" ones a perplexity filter drops. The unigram
+    // table is dictionary-sized so it broadcasts; the 1-row total joins as
+    // a broadcast cross join (exact integer, no float-order drift) —
+    // the corpus side streams through both, linear at 100 TB.
+    "llm_perplexity" -> ((s, d) => {
+      val tok = tokensAll(s, d).select("doc_id", "token")
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      tok.join(broadcast(counts), "token")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("cnt").cast("double") / col("total"))), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // K5f — text redaction (PII-scrubbing shape): numbers masked, long
     // tokens truncated; emits the redacted-text hash + redaction count so
     // the compare stays compact and deterministic.
@@ -782,6 +801,14 @@ object Llm {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE $dotSql / (a.norm * b.norm) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+    "llm_perplexity" ->
+      s"""WITH $tokAllCte,
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |t AS (SELECT count(*) AS total FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(-ln(CAST(c.cnt AS DOUBLE) / t.total)), 4) AS avg_nll
+        |FROM tok JOIN c USING (token) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_redact" ->
       """SELECT doc_id,
         |       md5(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
