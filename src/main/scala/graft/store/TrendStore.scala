@@ -47,6 +47,11 @@ final class TrendStore(
   def upsert(batch: DataFrame, granularity: String): Unit = {
     val missing = (keyCols ++ counters).filterNot(batch.columns.contains)
     require(missing.isEmpty, s"data package missing columns: ${missing.mkString(",")}")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir(granularity)))) {
+      // nothing stored yet — the upsert degenerates to the append path
+      write(batch, granularity)
+      return
+    }
     val batchD = batch.select((keyCols ++ counters).map(col): _*)
       .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
     val days = batchD.select("d").distinct().collect().map(_.getString(0)).toSeq

@@ -81,6 +81,23 @@ object Streams {
     s.table(name)
   }
 
+  /** Near-real-time harvest into a trend store: each micro-batch upserts
+    * last-writer-wins on (entity_id, ts) via `TrendStore.upsert` — the
+    * reference's harvester loop (parse → resolve → COPY/upsert) as a
+    * `foreachBatch` sink. Because the upsert is idempotent per key, a
+    * micro-batch replayed after a failure converges to the same store
+    * contents: effective exactly-once without a transactional sink.
+    * The input must carry (entity_id, ts, store.counters...). */
+  def harvestIntoTrendStore(events: DataFrame, store: graft.store.TrendStore,
+                            granularity: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        store.upsert(batch.toDF(), granularity)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   val queries: Map[String, Q] = Map(
     // I1 — tumbling 1 h windows per event type with a 10 min watermark
     // (late rows older than the watermark are dropped once it advances;
