@@ -66,6 +66,27 @@ class InvariantsSpec extends SparkSpec {
     assert(twice.count() == once.count())
   }
 
+  test("upsert is idempotent and key-unique for any batch split") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id").as("k"), col("value").as("v"))
+    val batch = ev.where(col("event_id") % 3 === 0)
+      .withColumn("v", col("v") * 2)
+      .unionByName(ev.where(col("event_id") % 7 === 0)
+        .withColumn("k", col("k") + 1000000L))
+    def merge(b: org.apache.spark.sql.DataFrame, x: org.apache.spark.sql.DataFrame) =
+      graft.ops.Upsert.lastWriterWins(b, x, Seq("k"))
+
+    val once = merge(ev, batch)
+    // one row per key, and re-applying the same batch changes nothing
+    assert(once.groupBy("k").count().where(col("count") > 1).isEmpty)
+    assert(merge(once, batch).collect().toSet == once.collect().toSet)
+    // applying the batch in two arbitrary pieces equals one application
+    // (batch pieces are key-disjoint here, as in a partitioned ingest)
+    val split = merge(merge(ev, batch.where(col("k") % 2 === 0)),
+      batch.where(col("k") % 2 =!= 0))
+    assert(split.collect().toSet == once.collect().toSet)
+  }
+
   test("weighted-average merge is associative and order-insensitive") {
     val rnd = new scala.util.Random(42)
     (1 to 100).foreach { _ =>
