@@ -274,6 +274,20 @@ object Aggs {
         .orderBy("week")
     }),
 
+    // D20 — boolean aggregates (the trigger-rule / SLA-check primitives):
+    // every / any / count_if per group, emitted as ints so both engines
+    // stringify identically.
+    "agg_bool" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr("every(value > 0)").cast("int").as("all_pos"),
+          expr("any(value > 900)").cast("int").as("any_high"),
+          expr("count_if(value > 900)").as("n_high"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // D19 — data-quality profile (the ingest-side check every warehouse
     // runs before trusting a batch): per-column null count, exact distinct
     // count, numeric min/max — ONE pass over the fact table (a single
@@ -439,6 +453,13 @@ object Aggs {
         |       count(DISTINCT event_type) AS n_types,
         |       count(*) AS n_events
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "agg_bool" ->
+      """SELECT event_type,
+        |       CAST(bool_and(value > 0) AS INTEGER) AS all_pos,
+        |       CAST(bool_or(value > 900) AS INTEGER) AS any_high,
+        |       CAST(count(*) FILTER (WHERE value > 900) AS BIGINT) AS n_high,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_dq_profile" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,

@@ -277,6 +277,33 @@ object Rel {
         .orderBy("o_orderkey")
     }),
 
+    // C7b — FORWARD as-of: for each order timestamp, the EARLIEST event of
+    // its user at-or-after it (the "next sample" lookup gap backfill
+    // needs — the mirror of attribute.at(ts)). Same one-shuffle shape as
+    // join_asof with the frame reversed: first_value over
+    // [currentRow, unboundedFollowing]. Tie at equal ts: the event is
+    // visible (>= semantics), smallest event_id wins.
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id").as("uid"), col("ts").as("ats"),
+        lit(0).as("kind"), col("event_id"), lit(null).cast("long").as("o_orderkey"))
+      val od = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(150)).cast("long").as("uid"),
+        expr("TIMESTAMP '2024-01-01' + make_interval(0, 0, 0, CAST(o_orderkey % 30 AS INT), CAST(o_custkey % 24 AS INT), 0, 0)").as("ats"),
+        lit(1).as("kind"), lit(null).cast("long").as("event_id"), col("o_orderkey"))
+      import org.apache.spark.sql.expressions.Window
+      // kind desc puts the query row before same-ts events, so the forward
+      // frame starting at the query row includes them
+      val w = Window.partitionBy("uid")
+        .orderBy(col("ats"), col("kind").desc, col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.unionByName(od)
+        .withColumn("next_event_id", first(col("event_id"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("o_orderkey"), col("next_event_id"))
+        .orderBy("o_orderkey")
+    }),
+
     // C8 — interval-overlap join: events falling inside per-order 1-day
     // validity windows. The equi component (user key) drives the shuffle;
     // the range predicate is a post-filter — the plan stays a hash/merge
@@ -485,6 +512,22 @@ object Rel {
         |    ON e.user_id = o.uid AND e.ts <= o.ats
         |)
         |SELECT o.o_orderkey, m.event_id AS asof_event_id
+        |FROM o LEFT JOIN (SELECT o_orderkey, event_id FROM m WHERE rn = 1) m
+        |  ON m.o_orderkey = o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "join_asof_forward" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS uid,
+        |         TIMESTAMP '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY
+        |           + (o_custkey % 24) * INTERVAL 1 HOUR AS ats
+        |  FROM orders
+        |), m AS (
+        |  SELECT o.o_orderkey, e.event_id,
+        |         row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        |  FROM o JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+        |    ON e.user_id = o.uid AND e.ts >= o.ats
+        |)
+        |SELECT o.o_orderkey, m.event_id AS next_event_id
         |FROM o LEFT JOIN (SELECT o_orderkey, event_id FROM m WHERE rn = 1) m
         |  ON m.o_orderkey = o.o_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
