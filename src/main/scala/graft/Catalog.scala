@@ -12,22 +12,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Catalog {
 
-  val tableNames: Seq[String] = Seq(
-    "region", "nation", "supplier", "customer", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
+  /** name → schema-asserted reader; the single source of truth for both
+    * the inventory and the registration. */
+  private val readers: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    Seq(
+      "region" -> (Tables.region _),
+      "nation" -> (Tables.nation _),
+      "supplier" -> (Tables.supplier _),
+      "customer" -> (Tables.customer _),
+      "part" -> (Tables.part _),
+      "orders" -> (Tables.orders _),
+      "lineitem" -> (Tables.lineitem _),
+      "events" -> (Tables.events _),
+      "documents" -> (Tables.documents _),
+      "embeddings" -> (Tables.embeddings _))
+
+  val tableNames: Seq[String] = readers.map(_._1)
 
   /** Register all testdata tables under their own names on `spark`'s
     * current (session-local) view catalog. Idempotent. */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    Tables.region(spark, dir).createOrReplaceTempView("region")
-    Tables.nation(spark, dir).createOrReplaceTempView("nation")
-    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
-    Tables.customer(spark, dir).createOrReplaceTempView("customer")
-    Tables.part(spark, dir).createOrReplaceTempView("part")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-  }
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    readers.foreach { case (name, reader) =>
+      reader(spark, dir).createOrReplaceTempView(name)
+    }
 }

@@ -27,6 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vec_dot",
         "vec_dot(a, b) - dot product of two array<float|double> vectors, accumulated left-to-right in double.",
         ""),
-      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+      (children: Seq[Expression]) => VecDot.builder(children)))
   }
 }

@@ -29,28 +29,49 @@ object Relations {
 
   /** Fingerprint-gated refresh (the Materializer's gate applied to
     * relations): the rule is re-evaluated only when the defining source's
-    * fingerprint — (row count, bit_xor of xxhash64), order-independent,
-    * one aggregation pass — differs from the stored one. An unchanged
-    * registry costs one cheap agg instead of rule + write; at 100 TB the
-    * agg is map-side-partial over the source, the rule possibly much more.
+    * fingerprint — (row count, bit_xor of xxhash64, DECIMAL sum of
+    * xxhash64), order-independent, one aggregation pass — differs from the
+    * stored one. The xor alone is blind to changes of even multiplicity
+    * (two identical rows cancel to zero), so the multiset-sensitive
+    * DECIMAL(38,0) hash sum rides along; it cannot overflow (|xxhash64|
+    * < 1e19 ⇒ even 1e19 rows stay within 38 digits). An unchanged registry
+    * costs one cheap agg instead of rule + write; at 100 TB the agg is
+    * map-side-partial over the source, the rule possibly much more.
+    *
+    * The fingerprint file lives on the SAME filesystem as the relation
+    * (HDFS/S3 in a real deployment) — a driver-local file would neither
+    * survive nor be shared.
     */
   def refreshIncremental(spark: SparkSession, rootDir: String, name: String)
                         (source: DataFrame)(rule: DataFrame => DataFrame): RefreshResult = {
+    val h = xxhash64(source.columns.sorted.map(col): _*)
     val fpRow = source
-      .agg(count(lit(1)), bit_xor(xxhash64(source.columns.sorted.map(col): _*)))
+      .agg(count(lit(1)), bit_xor(h),
+        sum(h.cast(org.apache.spark.sql.types.DecimalType(38, 0))))
       .head()
-    val fp = s"${fpRow.getLong(0)}:${if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)}"
-    val fpPath = java.nio.file.Paths.get(rootDir, s"$name._fingerprint")
-    val relPath = java.nio.file.Paths.get(rootDir, name)
+    val fp = Seq(
+      fpRow.getLong(0),
+      if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1),
+      if (fpRow.isNullAt(2)) "0" else fpRow.getDecimal(2).toBigInteger.toString
+    ).mkString(":")
+
+    val conf = spark.sessionState.newHadoopConf()
+    val fpPath = new org.apache.hadoop.fs.Path(rootDir, s"$name._fingerprint")
+    val relPath = new org.apache.hadoop.fs.Path(rootDir, name)
+    val fs = fpPath.getFileSystem(conf)
     val prev =
-      if (java.nio.file.Files.exists(fpPath)) Some(java.nio.file.Files.readString(fpPath))
-      else None
-    if (prev.contains(fp) && java.nio.file.Files.exists(relPath))
+      if (fs.exists(fpPath)) {
+        val in = fs.open(fpPath)
+        try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } else None
+    if (prev.contains(fp) && fs.exists(relPath))
       RefreshResult(load(spark, rootDir, name), refreshed = false)
     else {
       val rel = refresh(spark, rootDir, name)(rule(source))
-      java.nio.file.Files.createDirectories(fpPath.getParent)
-      java.nio.file.Files.writeString(fpPath, fp)
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
       RefreshResult(rel, refreshed = true)
     }
   }

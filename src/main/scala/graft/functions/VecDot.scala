@@ -84,9 +84,18 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VecDot {
+  /** Expression builder with an arity check, shared by the temp-function
+    * and extensions registration paths — a wrong-arity SQL call gets a
+    * clean message instead of an IndexOutOfBoundsException. */
+  def builder(children: Seq[Expression]): VecDot = {
+    require(children.size == 2,
+      s"vec_dot requires exactly 2 arguments, got ${children.size}")
+    VecDot(children.head, children(1))
+  }
+
   /** Register `vec_dot` on the session so it is usable via
     * `functions.call_function("vec_dot", a, b)` / SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", (children: Seq[Expression]) => VecDot(children.head, children(1)), "built-in")
+      "vec_dot", builder _, "built-in")
 }

@@ -42,7 +42,9 @@ final class Materializer(spark: SparkSession, stateDir: String) {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("fp_count", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("fp_hash", org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.StructField("fp_hash", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("fp_sum",
+            org.apache.spark.sql.types.DecimalType(38, 0)))))
   }
 
   /** Fingerprint every bucket of `source` (bucket column must be named
@@ -50,9 +52,14 @@ final class Materializer(spark: SparkSession, stateDir: String) {
     * `date_format(date_trunc("hour", ts), "yyyy-MM-dd HH")`). */
   private def fingerprints(source: DataFrame): DataFrame = {
     val dataCols = source.columns.filter(_ != "bucket").sorted.map(col)
+    val h = xxhash64(dataCols: _*)
+    // xor alone cancels over pairs of identical rows (blind to changes of
+    // even multiplicity); the DECIMAL(38,0) hash sum is multiset-sensitive
+    // and overflow-free, and the row count guards both
     source.groupBy("bucket").agg(
       count(lit(1)).as("fp_count"),
-      bit_xor(xxhash64(dataCols: _*)).as("fp_hash"))
+      bit_xor(h).as("fp_hash"),
+      sum(h.cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("fp_sum"))
   }
 
   /** Run one materialization pass; returns the buckets recomputed.
@@ -76,13 +83,15 @@ final class Materializer(spark: SparkSession, stateDir: String) {
       case None     => fingerprints(source)
     }
     val st = readState()
-      .select(col("bucket").as("s_bucket"), col("fp_count").as("s_count"), col("fp_hash").as("s_hash"))
+      .select(col("bucket").as("s_bucket"), col("fp_count").as("s_count"),
+        col("fp_hash").as("s_hash"), col("fp_sum").as("s_sum"))
 
     val joined = fps.join(st, col("bucket") === col("s_bucket"), "left")
     val stale = joined.where(
         col("s_bucket").isNull ||
         col("fp_count") =!= col("s_count") ||
-        !(col("fp_hash") <=> col("s_hash")))
+        !(col("fp_hash") <=> col("s_hash")) ||
+        !(col("fp_sum") <=> col("s_sum")))
       .select("bucket").collect().map(_.getString(0)).sorted
 
     if (stale.nonEmpty) {
@@ -100,7 +109,8 @@ final class Materializer(spark: SparkSession, stateDir: String) {
       // persist the new state: recomputed buckets' fresh fingerprints merged
       // over the previous state (unchanged buckets keep their entries).
       val kept = st.where(!col("s_bucket").isin(stale.toSeq: _*))
-        .select(col("s_bucket").as("bucket"), col("s_count").as("fp_count"), col("s_hash").as("fp_hash"))
+        .select(col("s_bucket").as("bucket"), col("s_count").as("fp_count"),
+          col("s_hash").as("fp_hash"), col("s_sum").as("fp_sum"))
       val fresh = fps.where(col("bucket").isin(stale.toSeq: _*))
       val newState = kept.unionByName(fresh)
       // two-phase write so a crash never leaves a half-written state dir

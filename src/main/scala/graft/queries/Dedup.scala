@@ -68,16 +68,20 @@ object Dedup {
     *    library, used exactly where a global dense rank can't be a window).
     */
   private[graft] def assignTokenIds(distinctTokens: DataFrame, viaRdd: Boolean): DataFrame = {
+    // tid is LongType on both routes: the RDD route exists precisely for
+    // dictionaries past the window's comfort zone, where an Int would
+    // silently wrap
     if (!viaRdd)
-      distinctTokens.withColumn("tid", row_number().over(Window.orderBy("token")) - 1)
+      distinctTokens.withColumn("tid",
+        (row_number().over(Window.orderBy("token")) - 1).cast("long"))
     else {
       val s = distinctTokens.sparkSession
       val rdd = distinctTokens.select("token").rdd.map(_.getString(0))
         .sortBy(identity).zipWithIndex()
-        .map { case (t, i) => org.apache.spark.sql.Row(t, i.toInt) }
+        .map { case (t, i) => org.apache.spark.sql.Row(t, i) }
       s.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("tid", org.apache.spark.sql.types.IntegerType))))
+        org.apache.spark.sql.types.StructField("tid", org.apache.spark.sql.types.LongType))))
     }
   }
 
@@ -100,7 +104,7 @@ object Dedup {
     if (v <= 64) {
       val m = tok.join(dict(vocab), "token")
         .groupBy("doc_id", "lang")
-        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid))").as("mask"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT)))").as("mask"))
       (m, "bit_count(a_mask & b_mask)",
         (side: String) => s"bit_count(${side}_mask)")
     } else {
@@ -108,7 +112,7 @@ object Dedup {
       val m = tok.join(dict(vocab), "token")
         .withColumn("widx", (col("tid") / 64).cast("int"))
         .groupBy("doc_id", "lang", "widx")
-        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid % 64))").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT)))").as("w"))
         .groupBy("doc_id", "lang")
         .agg(map_from_arrays(collect_list("widx"), collect_list("w")).as("wm"))
         // fixed-length word array (missing words = 0) so zip_with lines up

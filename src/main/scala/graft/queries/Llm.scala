@@ -179,7 +179,11 @@ object Llm {
       val tok = tokensAll(s, d).select("doc_id", "token")
       val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
       val total = tok.agg(count(lit(1)).as("total"))
-      tok.join(broadcast(counts), "token")
+      // no broadcast hint on counts: the unigram table is vocabulary-sized,
+      // which can exceed broadcast limits on a web corpus — AQE broadcasts
+      // it at runtime whenever it actually fits (the same gate philosophy
+      // as Dedup.LargeVocab); only the 1-row total is forced
+      tok.join(counts, "token")
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),

@@ -47,7 +47,12 @@ final class TrendStore(
   def upsert(batch: DataFrame, granularity: String): Unit = {
     val missing = (keyCols ++ counters).filterNot(batch.columns.contains)
     require(missing.isEmpty, s"data package missing columns: ${missing.mkString(",")}")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir(granularity)))) {
+    // existence must be answered by the store's OWN filesystem (HDFS/S3 in
+    // a real deployment) — a driver-local java.nio check would silently
+    // report "empty" there and turn the merge into a duplicating append
+    val storePath = new org.apache.hadoop.fs.Path(dir(granularity))
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(storePath)) {
       // nothing stored yet — the upsert degenerates to the append path
       write(batch, granularity)
       return
@@ -60,8 +65,11 @@ final class TrendStore(
     val merged = graft.ops.Upsert
       .lastWriterWins(base, batchD, keyCols)
       .localCheckpoint(true)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode(SaveMode.Overwrite).partitionBy("d").parquet(dir(granularity))
+    merged.write.mode(SaveMode.Overwrite)
+      // writer-local, NOT session conf: other writers on this session must
+      // keep their own overwrite semantics
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("d").parquet(dir(granularity))
   }
 
   /** Read one granularity, asserting the declared columns exist. Filters on

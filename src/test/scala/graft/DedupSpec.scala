@@ -48,12 +48,12 @@ class DedupSpec extends SparkSpec {
       .repartition(7) // spread over partitions so zipWithIndex offsets matter
       .distinct()
     val viaWindow = Dedup.assignTokenIds(distinctTok, viaRdd = false)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val viaRdd = Dedup.assignTokenIds(distinctTok, viaRdd = true)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaWindow == viaRdd)
     // dense lexicographic bijection 0..V-1
-    assert(viaRdd.values.toSeq.sorted == (0 until 500))
+    assert(viaRdd.values.toSeq.sorted == (0L until 500L))
     assert(toks.sorted.zipWithIndex.forall { case (t, i) => viaRdd(t) == i })
   }
 

@@ -58,6 +58,24 @@ class DirectorySpec extends SparkSpec {
     assert(third.relation.count() == firstRows.size - 1)
   }
 
+  test("fingerprint detects even-multiplicity changes (the xor blind spot)") {
+    val root = tmpDir("relations_mult")
+    var runs = 0
+    def rule(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      runs += 1; src
+    }
+    // both copies of a duplicated row change together: count is unchanged
+    // and the pair's xxhash64 xor cancels to the same value — only the
+    // multiset-sensitive hash sum can tell these sources apart
+    val a = Seq((1L, 10L), (1L, 10L), (2L, 20L)).toDF("source_id", "target_id")
+    val b = Seq((1L, 11L), (1L, 11L), (2L, 20L)).toDF("source_id", "target_id")
+    val r1 = Relations.refreshIncremental(spark, root, "m")(a)(rule)
+    assert(r1.refreshed && runs == 1)
+    val r2 = Relations.refreshIncremental(spark, root, "m")(b)(rule)
+    assert(r2.refreshed && runs == 2, "pairwise change must invalidate the fingerprint")
+    assert(r2.relation.where(col("target_id") === 11L).count() == 1)
+  }
+
   test("granularity catalog: buckets and the valid rollup graph") {
     import Granularity._
     assert(Granularity("1h") == Hour)

@@ -33,16 +33,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.clustersPointerJump(pairs).isEmpty)
   }
 
-  test("k-NN with k exceeding the corpus returns all other vectors, ordered") {
+  test("k-NN with k exceeding the corpus returns all other vectors with exact cosines") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 1), (2L, Array(1.0f, 1.0f), 0))
       .toDF("vec_id", "embedding", "label")
     val edges = Knn.topKCosine(vecs, k = 10).collect()
     assert(edges.length == 6) // each of 3 vectors sees the other 2
-    edges.groupBy(_.q_id).foreach { case (_, es) =>
-      val sims = es.sortBy(e => (-e.sim, e.c_id)).map(_.sim).toSeq
-      assert(sims == es.map(_.sim).sorted.reverse.toSeq)
-    }
+    // brute-force expectation: cos(0,1)=0, cos(0,2)=cos(1,2)=1/sqrt(2)
+    val got = edges.map(e => (e.q_id, e.c_id) -> math.rint(e.sim * 1e9) / 1e9).toMap
+    val r = math.rint(1.0 / math.sqrt(2.0) * 1e9) / 1e9
+    assert(got == Map(
+      (0L, 1L) -> 0.0, (0L, 2L) -> r,
+      (1L, 0L) -> 0.0, (1L, 2L) -> r,
+      (2L, 0L) -> r, (2L, 1L) -> r))
   }
 
   test("salted aggregation of an empty frame is empty, not a crash") {
@@ -50,20 +53,6 @@ class EdgeCasesSpec extends SparkSpec {
       Seq.empty[(String, Double)].toDF("g", "v"), Seq("g"), 4,
       Map("n" -> ("v", "count"), "s" -> ("v", "sum")))
     assert(out.isEmpty)
-  }
-
-  test("single-sample resample emits exactly one bucket with its own value") {
-    // one reading -> an hourly grid of one bucket; carry-forward has
-    // nothing to fill
-    val one = Seq((7L, "2024-01-01 10:20:00", 5.0)).toDF("user_id", "ts", "value")
-      .withColumn("ts", col("ts").cast("timestamp"))
-    one.createOrReplaceTempView("edge_resample_in")
-    val grid = spark.sql(
-      """SELECT user_id, explode(sequence(date_trunc('hour', min_ts),
-        |       date_trunc('hour', max_ts), INTERVAL 1 HOUR)) AS h
-        |FROM (SELECT user_id, min(ts) AS min_ts, max(ts) AS max_ts
-        |      FROM edge_resample_in GROUP BY user_id)""".stripMargin)
-    assert(grid.count() == 1)
   }
 
   test("fingerprint-gated refresh works when the source is empty") {

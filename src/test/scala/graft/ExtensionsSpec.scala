@@ -38,6 +38,15 @@ class ExtensionsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("wrong-arity vec_dot call fails with a clean arity message") {
+    val e = intercept[Throwable] {
+      spark.sql("SELECT vec_dot(array(1.0F))").collect()
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("exactly 2 arguments"), messages)
+  }
+
   test("DESCRIBE FUNCTION carries the injected usage text") {
     val desc = spark.sql("DESCRIBE FUNCTION vec_dot")
       .collect().map(_.getString(0)).mkString("\n")
