@@ -41,4 +41,33 @@ object EntityDirectory {
     facts.join(broadcast(dir), facts(dnCol) === col("__dir_dn"), "left")
       .drop("__dir_dn")
   }
+
+  /** Alias registry: alternative names for registered entities (the
+    * reference's `directory.alias`). One (alias, entity_id) row each;
+    * idempotent like `register`. */
+  def aliases(directory: DataFrame, aliasOf: Column): DataFrame =
+    directory.select(aliasOf.as("alias"), col("entity_id"))
+      .where(col("alias").isNotNull).distinct()
+
+  /** Resolve facts by alias instead of DN — same broadcast shape as
+    * [[resolve]]. */
+  def resolveByAlias(facts: DataFrame, aliasReg: DataFrame, aliasCol: String): DataFrame = {
+    val dir = aliasReg.select(col("alias").as("__dir_alias"), col("entity_id"))
+    facts.join(broadcast(dir), facts(aliasCol) === col("__dir_alias"), "left")
+      .drop("__dir_alias")
+  }
+
+  /** Tag entities by predicate over the directory (the reference's
+    * `directory.tag` grouping): returns (entity_id, tag) rows for every
+    * entity matching. Accumulate several calls with unionByName. */
+  def tag(directory: DataFrame, predicate: Column, tagName: String): DataFrame =
+    directory.where(predicate)
+      .select(col("entity_id"), lit(tagName).as("tag"))
+
+  /** Restrict facts to entities carrying `tagName` — a broadcast semi
+    * join, so the fact side never shuffles. */
+  def filterByTag(facts: DataFrame, tags: DataFrame, tagName: String): DataFrame =
+    facts.join(
+      broadcast(tags.where(col("tag") === tagName).select("entity_id")),
+      Seq("entity_id"), "left_semi")
 }

@@ -32,6 +32,30 @@ class StoreSpec extends SparkSpec {
     assert(resolved.where(col("entity_id").isNull).count() == 0)
   }
 
+  test("aliases and tags: alternative-name resolve and tag-filtered rollup") {
+    val dir = EntityDirectory.register(kpiSource, "dn", "Node")
+    // alias = the bare node number; resolves to the same ids as the DN path
+    val aliasReg = EntityDirectory.aliases(dir, EntityDirectory.dnPart(col("dn"), "Node"))
+    assert(aliasReg.count() == dir.count())
+    val byAlias = EntityDirectory.resolveByAlias(
+      kpiSource.withColumn("node", EntityDirectory.dnPart(col("dn"), "Node")),
+      aliasReg, "node")
+    val byDn = EntityDirectory.resolve(kpiSource, dir, "dn")
+    assert(byAlias.select("entity_id").collect().toSeq.sorted(Ordering.by((r: org.apache.spark.sql.Row) => r.getLong(0)))
+      == byDn.select("entity_id").collect().toSeq.sorted(Ordering.by((r: org.apache.spark.sql.Row) => r.getLong(0))))
+
+    // tag low-numbered nodes; the tag filter keeps exactly their rows
+    val lowTag = EntityDirectory.tag(dir,
+      EntityDirectory.dnPart(col("dn"), "Node").cast("int") < 10, "low_node")
+    val kept = EntityDirectory.filterByTag(byDn, lowTag, "low_node")
+    val expected = byDn.where(EntityDirectory.dnPart(col("dn"), "Node").cast("int") < 10)
+    assert(kept.count() == expected.count())
+    assert(kept.count() > 0 && kept.count() < byDn.count())
+    // the semi join broadcasts: fact side must not shuffle
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
   test("trend store: write partitioned by day, read with pruning, rollups conserve") {
     val root = tmpDir("trend")
     val store = new TrendStore(spark, root, Seq("kpi_load"))
