@@ -99,6 +99,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("llm_perplexity's unhinted unigram join is broadcast by AQE at runtime") {
+    // the unigram table carries no static stats (it comes off a groupBy),
+    // so the static plan can't pick broadcast — AQE must convert the join
+    // once the actual build-side size is known. This is the behavior the
+    // no-hint design relies on (hinting would force a broadcast even on a
+    // web-scale vocabulary).
+    val df = SparkEntry.queries("llm_perplexity")(spark, sf0001)
+    df.collect() // execute so AQE finalizes the plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"), s"AQE did not broadcast:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"), s"corpus side shuffled:\n$finalPlan")
+  }
+
   test("dim filter dynamically prunes the partitioned fact scan (DPP)") {
     // The 100 TB layout: fact partitioned by day on disk, dim filter
     // selecting few days — DynamicPartitionPruning must reach the fact's
