@@ -274,6 +274,41 @@ object Aggs {
         .orderBy("week")
     }),
 
+    // D21 — ordered funnel stages (behavioral analytics): per user, the
+    // first 'view', the first 'click' strictly after it, the first
+    // 'purchase' strictly after that. Each stage is one user-keyed
+    // aggregation joined back on the user — three cheap shuffles on the
+    // same key (co-partitioned after the first), no per-user sort, no
+    // window over the whole fact.
+    "agg_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.join(v, "user_id")
+        .where(col("event_type") === "click" && col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.join(c, "user_id")
+        .where(col("event_type") === "purchase" && col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          col("t_purchase").isNotNull.cast("int").as("completed"))
+        .orderBy("user_id")
+    }),
+
+    // D22 — cohort retention: users bucketed by their first-activity day,
+    // activity counted per (cohort day, day offset). Two user-keyed aggs;
+    // the first-day dimension joins back onto the fact by user.
+    "agg_cohort" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "ts")
+      val firstDay = ev.groupBy("user_id").agg(to_date(min("ts")).as("cohort_d"))
+      ev.join(firstDay, "user_id")
+        .groupBy(col("cohort_d"),
+          datediff(to_date(col("ts")), col("cohort_d")).as("day_offset"))
+        .agg(countDistinct("user_id").as("active_users"), count(lit(1)).as("n_events"))
+        .orderBy("cohort_d", "day_offset")
+    }),
+
     // D20 — boolean aggregates (the trigger-rule / SLA-check primitives):
     // every / any / count_if per group, emitted as ints so both engines
     // stringify identically.
@@ -453,6 +488,28 @@ object Aggs {
         |       count(DISTINCT event_type) AS n_types,
         |       count(*) AS n_events
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "agg_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |       CAST(p.t_purchase IS NOT NULL AS INTEGER) AS completed
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "agg_cohort" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_d FROM ev GROUP BY user_id)
+        |SELECT f.cohort_d,
+        |       date_diff('day', f.cohort_d, CAST(ev.ts AS DATE)) AS day_offset,
+        |       count(DISTINCT ev.user_id) AS active_users, count(*) AS n_events
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_bool" ->
       """SELECT event_type,
         |       CAST(bool_and(value > 0) AS INTEGER) AS all_pos,
