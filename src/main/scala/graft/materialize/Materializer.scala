@@ -32,9 +32,12 @@ final class Materializer(spark: SparkSession, stateDir: String) {
   import Materializer._
 
   private def readState(): DataFrame = {
-    val p = java.nio.file.Paths.get(stateDir)
-    if (java.nio.file.Files.exists(p) &&
-        java.nio.file.Files.list(p).findFirst().isPresent)
+    // existence answered by the state dir's OWN filesystem — with state on
+    // HDFS/S3 a driver-local check would always report "empty" and silently
+    // disable the incremental gate (every bucket recomputed every run)
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       spark.read.parquet(stateDir)
     else
       spark.createDataFrame(

@@ -24,10 +24,15 @@ object Compaction {
       if (sortCols.nonEmpty) df.repartitionByRange(target, sortCols.map(col): _*)
       else df.repartition(target)
     out.write.mode(SaveMode.Overwrite).parquet(dstDir)
+    // count through the dataset's own filesystem — stores live on HDFS/S3
+    // in a real deployment, where a driver-local walk sees nothing
     def countFiles(dir: String): Int = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
-      finally s.close()
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
     }
     (countFiles(srcDir), countFiles(dstDir))
   }
