@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-filesystem facade for store/state/fingerprint paths.
+  *
+  * Every persistent path in the library (trend stores, materializer state,
+  * relation fingerprints, compaction targets) must be answered by the
+  * path's OWN filesystem — HDFS/S3 in a real deployment, where a
+  * driver-local `java.nio` check silently reports "missing" and corrupts
+  * the calling logic. Four modules were hand-rolling the same idiom with
+  * subtly different emptiness rules; this object is the one place that
+  * decides them. Hidden entries (`_SUCCESS`, `_temporary`, dotfiles) are
+  * never data: a directory holding only write markers counts as empty, so
+  * a crash that leaves markers behind degrades to the conservative
+  * empty-state branch instead of a permanent read failure.
+  */
+object Fs {
+
+  def fileSystem(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def isHidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = fileSystem(spark, dir)
+    fs.exists(p)
+  }
+
+  /** Directory exists and contains at least one non-hidden entry. */
+  def existsNonEmptyData(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = fileSystem(spark, dir)
+    fs.exists(p) && fs.listStatus(p).exists(st => !isHidden(st.getPath.getName))
+  }
+
+  /** Count committed data files ending in `suffix` under `dir`, skipping
+    * anything inside a hidden subtree (a leftover `_temporary/` from a
+    * failed write must not inflate the count). */
+  def countDataFiles(spark: SparkSession, dir: String, suffix: String): Int = {
+    val (fs, p) = fileSystem(spark, dir)
+    val root = fs.makeQualified(p)
+    def inHiddenSubtree(f: Path): Boolean = {
+      var q = f.getParent
+      while (q != null && q != root && !q.equals(root)) {
+        if (isHidden(q.getName)) return true
+        q = q.getParent
+      }
+      false
+    }
+    val it = fs.listFiles(root, true)
+    var files = 0
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (!isHidden(f.getName) && f.getName.endsWith(suffix) && !inHiddenSubtree(f))
+        files += 1
+    }
+    files
+  }
+
+  /** Read a small control file (fingerprint, marker) as UTF-8, if present. */
+  def readUtf8(spark: SparkSession, file: String): Option[String] = {
+    val (fs, p) = fileSystem(spark, file)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** Overwrite a small control file with UTF-8 `content`. */
+  def writeUtf8(spark: SparkSession, file: String, content: String): Unit = {
+    val (fs, p) = fileSystem(spark, file)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

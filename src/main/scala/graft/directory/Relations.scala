@@ -55,23 +55,13 @@ object Relations {
       if (fpRow.isNullAt(2)) "0" else fpRow.getDecimal(2).toBigInteger.toString
     ).mkString(":")
 
-    val conf = spark.sessionState.newHadoopConf()
-    val fpPath = new org.apache.hadoop.fs.Path(rootDir, s"$name._fingerprint")
-    val relPath = new org.apache.hadoop.fs.Path(rootDir, name)
-    val fs = fpPath.getFileSystem(conf)
-    val prev =
-      if (fs.exists(fpPath)) {
-        val in = fs.open(fpPath)
-        try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-        finally in.close()
-      } else None
-    if (prev.contains(fp) && fs.exists(relPath))
+    val fpFile = s"$rootDir/$name._fingerprint"
+    val prev = graft.Fs.readUtf8(spark, fpFile)
+    if (prev.contains(fp) && graft.Fs.exists(spark, s"$rootDir/$name"))
       RefreshResult(load(spark, rootDir, name), refreshed = false)
     else {
       val rel = refresh(spark, rootDir, name)(rule(source))
-      val out = fs.create(fpPath, true)
-      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      graft.Fs.writeUtf8(spark, fpFile, fp)
       RefreshResult(rel, refreshed = true)
     }
   }

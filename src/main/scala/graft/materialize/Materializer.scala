@@ -32,12 +32,11 @@ final class Materializer(spark: SparkSession, stateDir: String) {
   import Materializer._
 
   private def readState(): DataFrame = {
-    // existence answered by the state dir's OWN filesystem — with state on
-    // HDFS/S3 a driver-local check would always report "empty" and silently
-    // disable the incremental gate (every bucket recomputed every run)
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    // graft.Fs answers existence on the state dir's OWN filesystem and
+    // ignores write markers: a crash that left only _temporary/_SUCCESS
+    // behind degrades to the empty-state branch (conservative full
+    // recompute) instead of a permanent parquet read failure
+    if (graft.Fs.existsNonEmptyData(spark, stateDir))
       spark.read.parquet(stateDir)
     else
       spark.createDataFrame(

@@ -24,16 +24,9 @@ object Compaction {
       if (sortCols.nonEmpty) df.repartitionByRange(target, sortCols.map(col): _*)
       else df.repartition(target)
     out.write.mode(SaveMode.Overwrite).parquet(dstDir)
-    // count through the dataset's own filesystem — stores live on HDFS/S3
-    // in a real deployment, where a driver-local walk sees nothing
-    def countFiles(dir: String): Int = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    (countFiles(srcDir), countFiles(dstDir))
+    // committed data files only, on the dataset's own filesystem
+    // (graft.Fs skips _temporary leftovers that would skew the ratio)
+    (graft.Fs.countDataFiles(spark, srcDir, ".parquet"),
+      graft.Fs.countDataFiles(spark, dstDir, ".parquet"))
   }
 }

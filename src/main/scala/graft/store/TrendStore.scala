@@ -50,9 +50,7 @@ final class TrendStore(
     // existence must be answered by the store's OWN filesystem (HDFS/S3 in
     // a real deployment) — a driver-local java.nio check would silently
     // report "empty" there and turn the merge into a duplicating append
-    val storePath = new org.apache.hadoop.fs.Path(dir(granularity))
-    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(storePath)) {
+    if (!graft.Fs.exists(spark, dir(granularity))) {
       // nothing stored yet — the upsert degenerates to the append path
       write(batch, granularity)
       return
