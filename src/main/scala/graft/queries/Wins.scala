@@ -119,6 +119,47 @@ object Wins {
         .orderBy("user_id", "h")
     }),
 
+    // E9b — linear interpolation on the hourly grid (the other gap-fill
+    // mode next to win_resample's carry-forward): empty buckets between
+    // two observations take the time-weighted value; before the first /
+    // after the last observation falls back to nearest. Interpolation
+    // reads the ROUNDED hourly means so both engines interpolate
+    // bit-identical inputs. Same single user-keyed shuffle as
+    // win_resample; both frames share one Window partition sort.
+    "win_interpolate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      val bounds = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val wPrev = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+        // floor-truncate instead of round: interpolation midpoints land
+        // exactly on .00005 boundaries, where Spark's string-based round
+        // (HALF_UP on the shortest decimal) and DuckDB's arithmetic round
+        // disagree. floor(x*1e4)/1e4 is pure IEEE double arithmetic —
+        // bit-identical on both engines for identical inputs.
+        .withColumn("interp", floor(
+          (when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv"))
+                * (unix_micros(col("h")) - unix_micros(col("pt"))).cast("double")
+                / (unix_micros(col("nt")) - unix_micros(col("pt"))).cast("double"))
+            .otherwise(coalesce(col("pv"), col("nv")))) * 10000) / 10000.0)
+        .select(col("user_id"), col("h"), col("v"), col("interp"))
+        .orderBy("user_id", "h")
+    }),
+
     // E10 — counter-delta-with-reset-handling (the reference's core
     // counter-to-rate transform): per entity stream, the delta against the
     // previous sample; a negative delta means the counter reset and the
@@ -176,6 +217,39 @@ object Wins {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_interpolate" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
+        |  FROM e GROUP BY 1, 2
+        |),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM e GROUP BY 1
+        |),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |j AS (SELECT g.user_id, g.h, hr.v
+        |      FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h),
+        |w AS (
+        |  SELECT *,
+        |         last_value(v IGNORE NULLS) OVER wp AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS pt,
+        |         first_value(v IGNORE NULLS) OVER wn AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nt
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, h, v,
+        |       floor((CASE WHEN v IS NOT NULL THEN v
+        |                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |                     pv + (nv - pv)
+        |                       * CAST(epoch_us(h) - epoch_us(pt) AS DOUBLE)
+        |                       / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)
+        |                   ELSE coalesce(pv, nv) END) * 10000) / 10000 AS interp
+        |FROM w ORDER BY user_id, h""".stripMargin,
     "win_counter_rate" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |l AS (
