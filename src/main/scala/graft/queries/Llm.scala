@@ -96,6 +96,36 @@ object Llm {
     // dimension-sized so the planner broadcasts it on its own. (Packing
     // the pair into one long was measured and bought nothing — the
     // aggregation is not shuffle-width-bound at this scale.)
+    // K4b — MinHash estimate vs ground truth: for a bounded doc sample,
+    // the 8-hash signature agreement fraction next to the exact token
+    // Jaccard — the empirical accuracy check on the sketch the whole LSH
+    // family rides on. Deterministic (seeded md5), so fully oracle-checked
+    // — sketch ESTIMATES here are cross-engine reproducible, unlike HLL's.
+    "llm_minhash_est" -> ((s, d) => {
+      val tok = tokensDistinct(s, d).where(col("doc_id") < 100).select("doc_id", "token")
+      val mhCols = (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("token")))).as(s"mh$i"))
+      val sig = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val n = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+      val inter = tok.as("a")
+        .join(tok.as("b"),
+          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("ni"))
+      val sa = sig.select(col("doc_id").as("a_id") +: (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("b_id") +: (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+      inter
+        .join(n.select(col("doc_id").as("a_id"), col("ntok").as("na")), "a_id")
+        .join(n.select(col("doc_id").as("b_id"), col("ntok").as("nb")), "b_id")
+        .join(sa, "a_id").join(sb, "b_id")
+        .withColumn("n_match",
+          (0 until 8).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _))
+        .select(col("a_id"), col("b_id"),
+          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 4).as("jacc"),
+          col("n_match"),
+          round(col("n_match") / lit(8.0), 4).as("est"))
+        .orderBy("a_id", "b_id")
+    }),
+
     "llm_dedup_minhash" -> ((s, d) => {
       val bands = Dedup.bandKeys(tokensDistinct(s, d))
       val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
@@ -756,6 +786,39 @@ object Llm {
         |FROM bands a JOIN bands b
         |  ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin,
+    "llm_minhash_est" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split(text, ' '), t -> len(t) > 0))) AS token
+        |  FROM documents WHERE doc_id < 100
+        |),
+        |mh AS (
+        |  SELECT doc_id,
+        |         min(md5('0:' || token)) AS mh0, min(md5('1:' || token)) AS mh1,
+        |         min(md5('2:' || token)) AS mh2, min(md5('3:' || token)) AS mh3,
+        |         min(md5('4:' || token)) AS mh4, min(md5('5:' || token)) AS mh5,
+        |         min(md5('6:' || token)) AS mh6, min(md5('7:' || token)) AS mh7
+        |  FROM tok GROUP BY doc_id
+        |),
+        |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+        |i AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.a_id, i.b_id,
+        |       round(CAST(ni AS DOUBLE) / (na.ntok + nb.ntok - ni), 4) AS jacc,
+        |       (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+        |        + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END
+        |        + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END
+        |        + CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END + CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) AS n_match,
+        |       round((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+        |        + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END
+        |        + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END
+        |        + CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END + CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) / 8.0, 4) AS est
+        |FROM i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
+        |       JOIN mh a ON a.doc_id = i.a_id JOIN mh b ON b.doc_id = i.b_id
+        |ORDER BY a_id, b_id""".stripMargin,
     "llm_dedup_lsh_verified" ->
       s"""WITH $tokCte,
         |${Dedup.bandsCte},
