@@ -36,9 +36,17 @@ final class Materializer(spark: SparkSession, stateDir: String) {
     // ignores write markers: a crash that left only _temporary/_SUCCESS
     // behind degrades to the empty-state branch (conservative full
     // recompute) instead of a permanent parquet read failure
-    if (graft.Fs.existsNonEmptyData(spark, stateDir))
-      spark.read.parquet(stateDir)
-    else
+    if (graft.Fs.existsNonEmptyData(spark, stateDir)) {
+      val df = spark.read.parquet(stateDir)
+      // State written by an older version (before fp_sum joined the
+      // fingerprint) parses fine as parquet but lacks the column; surface
+      // it as NULL instead of letting the downstream select throw — the
+      // null-safe compare then marks every such bucket stale, so old state
+      // degrades to a one-time full recompute rather than a permanent crash.
+      if (df.columns.contains("fp_sum")) df
+      else df.withColumn("fp_sum",
+        lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    } else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(

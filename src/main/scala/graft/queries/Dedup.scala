@@ -76,8 +76,27 @@ object Dedup {
         (row_number().over(Window.orderBy("token")) - 1).cast("long"))
     else {
       val s = distinctTokens.sparkSession
+      // Sort by UTF-8 bytes (unsigned), NOT String's natural order: Java
+      // compares UTF-16 code units, so supplementary characters (emoji —
+      // common in the web-scale corpora this route exists for) order
+      // differently than Spark's UTF8String binary order the window route
+      // uses. Bytewise-unsigned UTF-8 order equals code-point order, which
+      // is what ORDER BY on a string column gives — keeping the two routes'
+      // bijections identical beyond the BMP.
+      implicit val utf8Ord: Ordering[Array[Byte]] = new Ordering[Array[Byte]] {
+        def compare(a: Array[Byte], b: Array[Byte]): Int = {
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) {
+            val c = (a(i) & 0xff) - (b(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          a.length - b.length
+        }
+      }
       val rdd = distinctTokens.select("token").rdd.map(_.getString(0))
-        .sortBy(identity).zipWithIndex()
+        .sortBy(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).zipWithIndex()
         .map { case (t, i) => org.apache.spark.sql.Row(t, i) }
       s.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType),

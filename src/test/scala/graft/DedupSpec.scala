@@ -57,6 +57,21 @@ class DedupSpec extends SparkSpec {
     assert(toks.sorted.zipWithIndex.forall { case (t, i) => viaRdd(t) == i })
   }
 
+  test("RDD id assignment matches the window route beyond the BMP (emoji tokens)") {
+    // U+FFFD (BMP, UTF-8 EF BF BD) vs U+1F600 (surrogate pair D83D DE00,
+    // UTF-8 F0 9F 98 80): UTF-16 code-unit order puts the emoji FIRST
+    // (0xD83D < 0xFFFD) while UTF-8 binary order — what the window route's
+    // ORDER BY uses — puts it LAST (0xF0 > 0xEF). A natural-String sortBy
+    // would diverge here; the bytewise route must not.
+    val toks = Seq("a", "😀", "�", "z", "😁", "é")
+      .toDF("token").repartition(3).distinct()
+    val viaWindow = Dedup.assignTokenIds(toks, viaRdd = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaRdd = Dedup.assignTokenIds(toks, viaRdd = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaRdd == viaWindow, s"rdd=$viaRdd window=$viaWindow")
+  }
+
   test("connected components match driver-side union-find") {
     val pairs = graft.queries.Dedup.lshVerified(spark, Tables.documents(spark, sf0001), 0.5)
     val got = graft.queries.Dedup.clusters(pairs)

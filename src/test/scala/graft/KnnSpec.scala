@@ -36,6 +36,31 @@ class KnnSpec extends SparkSpec {
         s"only-declarative=${(declarative -- blocked).take(3)}")
   }
 
+  test("aggregator route equals the blocked scan edge-for-edge (size-gate fallback)") {
+    val blocked = Knn.topKCosineBlocked(Tables.embeddings(spark, sf0001), 5)
+      .collect().map(e => (e.q_id, e.true_label, e.c_id, e.c_label, e.sim)).toSet
+    val agg = Knn.topKCosineAgg(Tables.embeddings(spark, sf0001), 5)
+      .collect().map(e => (e.q_id, e.true_label, e.c_id, e.c_label, e.sim)).toSet
+    assert(agg == blocked,
+      s"only-agg=${(agg -- blocked).take(3)} only-blocked=${(blocked -- agg).take(3)}")
+  }
+
+  test("zero-norm vectors emit no edges and are never candidates, on both routes") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 0f), 1), // zero norm: cosine undefined
+      (3L, Array(0.5f, 0.5f), 1),
+      (4L, Array(-1f, 0.2f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    for (edges <- Seq(Knn.topKCosineBlocked(vs, 2).collect(),
+                      Knn.topKCosineAgg(vs, 2).collect())) {
+      assert(edges.forall(e => e.q_id != 2L && e.c_id != 2L), edges.mkString(","))
+      assert(edges.map(_.q_id).distinct.sorted.toSeq == Seq(1L, 3L, 4L))
+      assert(edges.forall(e => !e.sim.isNaN))
+    }
+  }
+
   test("every query yields exactly k edges (self excluded) and no self-match") {
     val edges = Knn.topKCosine(Tables.embeddings(spark, sf0001), 3).collect()
     val n = Tables.embeddings(spark, sf0001).count()

@@ -67,6 +67,27 @@ class MaterializerSpec extends SparkSpec {
     assert(a.unionByName(b.select(a.columns.map(col): _*)).distinct().count() == b.count())
   }
 
+  test("pre-fp_sum state (older schema) degrades to recompute, not a crash") {
+    val src = bucketed(Tables.events(spark, sf0001))
+    val state = tmpDir("mat_state_mig")
+    val target = tmpDir("mat_target_mig")
+    val m = new Materializer(spark, state)
+    m.materialize(src, transform, target)
+
+    // simulate state written by the pre-fp_sum version of the fingerprint
+    val old = spark.read.parquet(state).drop("fp_sum")
+    val tmp = state + ".old"
+    old.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).coalesce(1).write.mode(SaveMode.Overwrite).parquet(state)
+
+    // the missing column must surface as NULL -> every bucket compares
+    // stale (null-safe) -> one-time full recompute; next run is a no-op
+    val r = m.materialize(src, transform, target)
+    assert(r.nRecomputed.toLong == src.select("bucket").distinct().count())
+    val r2 = m.materialize(src, transform, target)
+    assert(r2.nRecomputed == 0, s"state not re-upgraded: ${r2.recomputedBuckets}")
+  }
+
   test("stability delay keeps hot buckets unmaterialized") {
     val src = bucketed(Tables.events(spark, sf0001))
     val state = tmpDir("mat_state3")
