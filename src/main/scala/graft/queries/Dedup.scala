@@ -162,11 +162,26 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Corpora at or under this doc count run the exact all-pairs broadcast
+    * path (the masks build side stays well inside broadcast budget); above
+    * it all-pairs work is infeasible no matter the join strategy, so the
+    * gate routes to the sub-quadratic scale sibling instead of OOMing. */
+  private[graft] val BroadcastDocs = 200000L
+
   /** Brute-force exact Jaccard with same-language blocking: all same-lang
     * pairs through the bitmask intersection. Right up to broadcastable
-    * corpora; beyond that use [[lshVerified]]. */
+    * corpora; above [[BroadcastDocs]] (measured, one cheap count) the call
+    * degrades to [[lshVerified]] — recall then follows the banding S-curve
+    * and blocking is content-driven rather than language-blocked, which is
+    * the correct trade once exact all-pairs is off the table. */
   def jaccardBitmask(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
-                     threshold: Double): DataFrame = {
+                     threshold: Double): DataFrame =
+    jaccardBitmaskGated(s, docs, threshold, BroadcastDocs)
+
+  private[graft] def jaccardBitmaskGated(s: org.apache.spark.sql.SparkSession,
+                                         docs: DataFrame, threshold: Double,
+                                         gate: Long): DataFrame = {
+    if (docs.count() > gate) return lshVerified(s, docs, threshold)
     val (masks, interExpr, cardExpr) = tokenMasks(tokens(docs))
     val a = masks.select(col("doc_id").as("a_id"), col("lang"), col("mask").as("a_mask"))
     val b = masks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("mask").as("b_mask"))

@@ -63,6 +63,95 @@ object Llm {
       .select(col("vec_id"), col("embedding"), col("label"), l2norm(col("embedding")).as("norm"))
   }
 
+  /** Sign bits of the first 8 dimensions — the coarse LSH cell shared by
+    * `llm_ann_bucket` and the above-gate block of the pairwise keys. */
+  private def signBucket(e: Column): Column =
+    (0 until 8).map(i => when(element_at(e, i + 1) > 0f,
+      lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** Vector/doc counts at or under this run the exact all-pairs baselines;
+    * above it (measured, one cheap count) the pairwise keys block their
+    * pair join on an LSH cell so candidate generation is an equi-join.
+    * Sized so the all-pairs side stays ~10^9 candidate pairs max. */
+  private[graft] val PairJoinGate = 50000L
+
+  /** 4×4-bit band keys over the 16-bit SimHash signature: one (doc_id,
+    * lang, simhash, band_i, band_v) row per band. A pair at hamming
+    * distance ≤ 3 differs in at most 3 bands, so it shares at least one
+    * intact band — banded candidate generation has 100% recall at r=3. */
+  private def simhashBands(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("lang"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), 4 * j).bitwiseAND(lit(15L))): _*)).as(Seq("band_i", "band_v")))
+
+  /** `llm_dedup_embed` body: exact all-pairs at or under `gate`, sign-cell
+    * blocked equi-join above it (reports only same-cell pairs — the ANN
+    * trade, documented at the key). */
+  private[graft] def dedupEmbed(s: SparkSession, d: String, gate: Long): DataFrame = {
+    val v = vecs(s, d)
+    val blocked = v.count() > gate
+    val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+      col("norm").as("a_n"), signBucket(col("embedding")).as("a_bkt"))
+    val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+      col("norm").as("b_n"), signBucket(col("embedding")).as("b_bkt"))
+    val cond =
+      if (blocked) col("a_id") < col("b_id") && col("a_bkt") === col("b_bkt")
+      else col("a_id") < col("b_id")
+    a.join(b, cond)
+      .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+      .where(col("sim") >= 0.45)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** `llm_cosine_topk` body: same gate discipline as [[dedupEmbed]]. */
+  private[graft] def cosineTopK(s: SparkSession, d: String, gate: Long): DataFrame = {
+    val v = vecs(s, d)
+    val blocked = v.count() > gate
+    val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+      col("norm").as("a_n"), signBucket(col("embedding")).as("a_bkt"))
+    val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+      col("norm").as("b_n"), signBucket(col("embedding")).as("b_bkt"))
+    val cond =
+      if (blocked) col("a_id") < col("b_id") && col("a_bkt") === col("b_bkt")
+      else col("a_id") < col("b_id")
+    a.join(b, cond)
+      .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(100)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** `llm_dedup_simhash_pairs` body: under `gate` the same-lang broadcast
+    * pair join; above it band-keyed candidates + same-lang filter. The two
+    * routes return IDENTICAL rows at any size (pigeonhole recall is exact
+    * at r=3), so the gate here trades plan shape only, not results. */
+  private[graft] def simhashPairs(s: SparkSession, d: String, gate: Long): DataFrame = {
+    val sh = simhashes(s, d)
+    val candidates =
+      if (sh.count() <= gate) {
+        val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("a_sim"))
+        val b = sh.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+          col("simhash").as("b_sim"))
+        a.join(broadcast(b), col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "a_sim", "b_sim")
+      } else {
+        val bands = simhashBands(sh)
+        val a = bands.select(col("doc_id").as("a_id"), col("lang"),
+          col("simhash").as("a_sim"), col("band_i"), col("band_v"))
+        val b = bands.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+          col("simhash").as("b_sim"), col("band_i").as("bi2"), col("band_v").as("bv2"))
+        a.join(b, col("band_i") === col("bi2") && col("band_v") === col("bv2")
+            && col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "a_sim", "b_sim").distinct()
+      }
+    candidates
+      .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS INT)"))
+      .where(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // K1 — exact dedup on normalized text hash; keep min doc_id per cluster.
     // At scale: one hash-keyed shuffle, no pairwise work at all.
@@ -166,18 +255,10 @@ object Llm {
     // K2d — embedding-cosine near-dup: vector pairs above a cosine
     // threshold (semantic duplicates; production corpora use ~0.99, this
     // corpus's random embeddings top out near 0.51 so the demo threshold
-    // is 0.45). Brute force at testdata scale; llm_ann_bucket is the
-    // bucketed variant of the same candidate generation.
-    "llm_dedup_embed" -> ((s, d) => {
-      val v = vecs(s, d)
-      val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("norm").as("a_n"))
-      val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("norm").as("b_n"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
-        .where(col("sim") >= 0.45)
-        .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
-        .orderBy("a_id", "b_id")
-    }),
+    // is 0.45). Exact all-pairs at or under PairJoinGate (measured);
+    // above it the pair join blocks on the llm_ann_bucket sign cell —
+    // an equi-join reporting same-cell pairs only, the ANN recall trade.
+    "llm_dedup_embed" -> ((s, d) => dedupEmbed(s, d, PairJoinGate)),
 
     // K2a' — dedup clusters: connected components over near-identical
     // pairs (Jaccard >= 0.9 — merging transitively at lower thresholds
@@ -243,16 +324,31 @@ object Llm {
       simhashes(s, d).select("doc_id", "simhash").orderBy("doc_id")
     }),
 
-    // K2c' — the matching candidate step: pairs whose signatures differ in
-    // ≤ 3 of 16 bits, hamming via a single codegen'd bit_count(xor). The
-    // pair space is same-lang blocked here (broadcastable corpus); at
-    // scale you'd band the signature bits exactly like MinHash-LSH bands
-    // so candidates come from an equi-join instead.
-    "llm_dedup_simhash_pairs" -> ((s, d) => {
-      val sh = simhashes(s, d)
-      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("a_sim"))
-      val b = sh.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("simhash").as("b_sim"))
-      a.join(broadcast(b), col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+    // K2c' — the matching candidate step: same-lang pairs whose signatures
+    // differ in ≤ 3 of 16 bits, hamming via one codegen'd bit_count(xor).
+    // Under PairJoinGate: broadcast pair join; above: band-keyed equi-join
+    // + lang filter — identical rows either way (pigeonhole recall is
+    // exact at r=3), so the gate swaps plan shape, never results.
+    "llm_dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d, PairJoinGate)),
+
+    // K2c'' — SimHash LSH banding: the sub-quadratic ending for the
+    // SimHash route. The 16-bit signature splits into 4 bands of 4 bits;
+    // a pair at hamming distance <= 3 differs in at most 3 bands, so at
+    // least one band survives intact (pigeonhole) — the band equi-join
+    // therefore finds EVERY such pair: 100% recall by construction, with
+    // candidate generation an equi-join exactly like MinHash-LSH bands
+    // (the scheme llm_dedup_simhash_pairs' brute-force demo stands in
+    // for). Content-driven, not lang-blocked, like the LSH family; the
+    // hamming verify on candidates is one codegen'd bit_count(xor).
+    "llm_dedup_simhash_lsh" -> ((s, d) => {
+      val bands = simhashBands(simhashes(s, d))
+      val l = bands.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"),
+        col("band_i"), col("band_v"))
+      val r = bands.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"),
+        col("band_i").as("bi2"), col("band_v").as("bv2"))
+      l.join(r, col("band_i") === col("bi2") && col("band_v") === col("bv2")
+          && col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_sim", "b_sim").distinct()
         .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS INT)"))
         .where(col("hamming") <= 3)
         .select("a_id", "b_id", "hamming")
@@ -263,17 +359,10 @@ object Llm {
     // similarity search; llm_ann_bucket is the bucketed scale path).
     // Norms are precomputed per vector; pair ordering uses the exact double
     // sim (bit-identical across engines: sequential double sums) with id
-    // tie-breaks, so the LIMIT boundary is deterministic.
-    "llm_cosine_topk" -> ((s, d) => {
-      val v = vecs(s, d)
-      val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("norm").as("a_n"))
-      val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("norm").as("b_n"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
-        .orderBy(col("sim").desc, col("a_id"), col("b_id"))
-        .limit(100)
-        .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
-    }),
+    // tie-breaks, so the LIMIT boundary is deterministic. Above
+    // PairJoinGate the pair join blocks on the sign cell (equi-join; the
+    // top-k then ranks same-cell candidates — the ANN recall trade).
+    "llm_cosine_topk" -> ((s, d) => cosineTopK(s, d, PairJoinGate)),
 
     // K4 — k-NN majority label (k=5, self excluded): per query vector take
     // the 5 most similar, vote, tie-break lower label. Output also carries
@@ -394,9 +483,7 @@ object Llm {
     // scale path: candidate pairs come from an equi-join on the bucket, so
     // cost follows bucket occupancy, not n². Singleton buckets yield NULL.
     "llm_ann_bucket" -> ((s, d) => {
-      val bucketed = vecs(s, d).withColumn("bucket",
-        (0 until 8).map(i => when(element_at(col("embedding"), i + 1) > 0f,
-          lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
+      val bucketed = vecs(s, d).withColumn("bucket", signBucket(col("embedding")))
       val a = bucketed.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
         col("norm").as("a_n"), col("bucket"))
       val b = bucketed.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
@@ -918,6 +1005,31 @@ object Llm {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Brute-force all-pairs oracle: legitimate BECAUSE the 4x4-bit banding
+    // captures every hamming<=3 pair (pigeonhole) — band join and brute
+    // force produce identical row sets, so the hash compare is exact.
+    "llm_dedup_simhash_lsh" ->
+      s"""WITH $tokCte,
+        |tv AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(token), 1, 4)) AS BIGINT) AS tv
+        |  FROM tok
+        |),
+        |bits AS (
+        |  SELECT doc_id, j, sum(CASE WHEN ((tv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM tv, (SELECT unnest(range(0, 16)) AS j)
+        |  GROUP BY doc_id, j
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+        |              AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
     "llm_cosine_topk" ->

@@ -145,6 +145,58 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("SimHash band join finds every hamming<=3 pair (pigeonhole: recall = 100%)") {
+    val sig = graft.queries.Llm.queries("llm_dedup_simhash")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exhaustive pairs on the driver — the ground truth the equi-join must hit
+    val expected = (for {
+      (ai, sa) <- sig; (bi, sb) <- sig if ai < bi
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ai, bi, h)).toSet
+    val got = graft.queries.Llm.queries("llm_dedup_simhash_lsh")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.nonEmpty, "fixture must contain hamming<=3 pairs")
+  }
+
+  test("jaccard gate routes to lshVerified above the measured doc count") {
+    val docs = Tables.documents(spark, sf0001)
+    val viaGate = Dedup.jaccardBitmaskGated(spark, docs, 0.5, gate = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.lshVerified(spark, docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaGate == lsh)
+  }
+
+  test("simhash pair routes agree exactly above and below the gate") {
+    val under = graft.queries.Llm.simhashPairs(spark, sf0001, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val over = graft.queries.Llm.simhashPairs(spark, sf0001, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(over == under,
+      s"missing=${(under -- over).take(5)} extra=${(over -- under).take(5)}")
+    assert(under.nonEmpty)
+  }
+
+  test("blocked embed/topk routes report exactly the same-cell subset") {
+    val cells = Tables.embeddings(spark, sf0001).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> {
+        val e = r.getSeq[Float](1)
+        (0 until 8).map(i => if (e(i) > 0f) 1L << i else 0L).sum
+      }).toMap
+    val exact = graft.queries.Llm.dedupEmbed(spark, sf0001, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = graft.queries.Llm.dedupEmbed(spark, sf0001, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = exact.filter { case (a, b, _) => cells(a) == cells(b) }
+    assert(blocked == expected)
+
+    val topBlocked = graft.queries.Llm.cosineTopK(spark, sf0001, 0).collect()
+    assert(topBlocked.nonEmpty)
+    assert(topBlocked.forall(r => cells(r.getLong(0)) == cells(r.getLong(1))))
+  }
+
   test("single-word fast path still serves the shared corpus") {
     // vocabulary 31 => single-long mask plan (no zip_with in the plan)
     val df = Dedup.jaccardBitmask(spark, Tables.documents(spark, sf0001), 0.5)
