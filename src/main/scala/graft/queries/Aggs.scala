@@ -118,6 +118,37 @@ object Aggs {
         .orderBy("r_name", "n_name")
     }),
 
+    // D23 — tag-filtered entity rollup: the reference's directory.tag →
+    // filter → aggregate composition, end-to-end through the
+    // EntityDirectory machinery. Customers register under a DN; a tag
+    // marks the subset whose DN-parsed key falls in the first three
+    // deciles; orders resolve their DN to entity ids, restrict to the tag
+    // via the broadcast SEMI join (the fact side never shuffles for the
+    // filter), then roll up along the nation dimension. The oracle states
+    // the equivalent semantic predicate directly (o_custkey % 10 < 3) —
+    // xxhash64 entity ids never surface in the output.
+    "agg_tag_rollup" -> ((s, d) => {
+      import graft.directory.EntityDirectory
+      val cust = Tables.customer(s, d)
+        .withColumn("dn", EntityDirectory.dnBuild("Cust" -> col("c_custkey").cast("string")))
+      val dir = EntityDirectory.register(cust, "dn", "customer")
+      val tags = EntityDirectory.tag(dir,
+        EntityDirectory.dnPart(col("dn"), "Cust").cast("long") % 10 < 3, "decile03")
+      val facts = EntityDirectory.resolve(
+        Tables.orders(s, d).withColumn("dn",
+          EntityDirectory.dnBuild("Cust" -> col("o_custkey").cast("string"))),
+        dir, "dn")
+      val tagged = EntityDirectory.filterByTag(facts, tags, "decile03")
+      tagged
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 4).as("total"),
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("n_name")
+    }),
+
     // D10 — statistical aggregates (PG stats surface Minerva KPIs use):
     // stddev/variance/correlation/covariance. Well-conditioned at 4
     // decimals: corr is bounded and the variances carry ~8 guard digits.
@@ -324,42 +355,13 @@ object Aggs {
     }),
 
     // D19 — data-quality profile (the ingest-side check every warehouse
-    // runs before trusting a batch): per-column null count, exact distinct
+    // runs before trusting a batch): per-column null count, distinct
     // count, numeric min/max — ONE pass over the fact table (a single
     // aggregation with multiple count-distincts → Catalyst's Expand
     // two-phase plan, never one scan per column), then a stack() unpivot
-    // into one row per column.
-    "agg_dq_profile" -> ((s, d) => {
-      Tables.events(s, d)
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(col("event_id").isNull.cast("long")).as("id_nulls"),
-          countDistinct(col("event_id")).as("id_distinct"),
-          round(min("event_id").cast("double"), 4).as("id_min"),
-          round(max("event_id").cast("double"), 4).as("id_max"),
-          sum(col("user_id").isNull.cast("long")).as("u_nulls"),
-          countDistinct(col("user_id")).as("u_distinct"),
-          round(min("user_id").cast("double"), 4).as("u_min"),
-          round(max("user_id").cast("double"), 4).as("u_max"),
-          sum(col("value").isNull.cast("long")).as("v_nulls"),
-          countDistinct(col("value")).as("v_distinct"),
-          round(min("value"), 4).as("v_min"),
-          round(max("value"), 4).as("v_max"),
-          sum(col("event_type").isNull.cast("long")).as("t_nulls"),
-          countDistinct(col("event_type")).as("t_distinct"),
-          min("event_type").as("t_min_str"),
-          max("event_type").as("t_max_str"))
-        .selectExpr("n_rows",
-          """stack(4,
-            |  'event_id',   id_nulls, id_distinct, id_min, id_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-            |  'event_type', t_nulls,  t_distinct,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t_min_str, t_max_str,
-            |  'user_id',    u_nulls,  u_distinct,  u_min, u_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-            |  'value',      v_nulls,  v_distinct,  v_min, v_max, CAST(NULL AS STRING), CAST(NULL AS STRING))
-            |AS (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
-        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
-          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
-        .orderBy("col_name")
-    }),
+    // into one row per column. Distinct counts are EXACT at or under the
+    // measured row gate and HLL estimates above it (see dqProfile).
+    "agg_dq_profile" -> ((s, d) => dqProfile(Tables.events(s, d), DqExactRows)),
 
     // D18 — deterministic mode (most frequent value per group). Both
     // engines' native mode() is tie-nondeterministic, so the key pins the
@@ -379,6 +381,51 @@ object Aggs {
         .orderBy("event_type")
     }),
   )
+
+  /** Row counts at or under this keep the profile's distinct counts exact;
+    * above it the multi-COUNT(DISTINCT) Expand exchange carries per-column
+    * distinct sets that grow with cardinality (measured 0.55→1.45 s across
+    * 100× input), so the profile switches to HLL sketches — same schema
+    * (both emit BIGINT), bounded exchange, ±2% accuracy (SketchSpec). */
+  private[graft] val DqExactRows = 50000000L
+
+  private[graft] def dqProfile(events: DataFrame, exactGate: Long): DataFrame = {
+    val exact = events.count() <= exactGate
+    // HLL path sketches the string image of each column: cardinality is
+    // representation-invariant and hll_sketch_agg has no double overload
+    def dcount(c: String): org.apache.spark.sql.Column =
+      if (exact) countDistinct(col(c))
+      else expr(s"hll_sketch_estimate(hll_sketch_agg(CAST($c AS STRING)))")
+    events
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id").isNull.cast("long")).as("id_nulls"),
+          dcount("event_id").as("id_distinct"),
+          round(min("event_id").cast("double"), 4).as("id_min"),
+          round(max("event_id").cast("double"), 4).as("id_max"),
+          sum(col("user_id").isNull.cast("long")).as("u_nulls"),
+          dcount("user_id").as("u_distinct"),
+          round(min("user_id").cast("double"), 4).as("u_min"),
+          round(max("user_id").cast("double"), 4).as("u_max"),
+          sum(col("value").isNull.cast("long")).as("v_nulls"),
+          dcount("value").as("v_distinct"),
+          round(min("value"), 4).as("v_min"),
+          round(max("value"), 4).as("v_max"),
+          sum(col("event_type").isNull.cast("long")).as("t_nulls"),
+          dcount("event_type").as("t_distinct"),
+          min("event_type").as("t_min_str"),
+          max("event_type").as("t_max_str"))
+        .selectExpr("n_rows",
+          """stack(4,
+            |  'event_id',   id_nulls, id_distinct, id_min, id_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'event_type', t_nulls,  t_distinct,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t_min_str, t_max_str,
+            |  'user_id',    u_nulls,  u_distinct,  u_min, u_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'value',      v_nulls,  v_distinct,  v_min, v_max, CAST(NULL AS STRING), CAST(NULL AS STRING))
+            |AS (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+        .orderBy("col_name")
+  }
 
   val oracles: Map[String, String] = Map(
     "agg_groupby" ->
@@ -442,6 +489,16 @@ object Aggs {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    // The directory tag predicate (first-3-deciles of the DN-parsed
+    // custkey) is semantically o_custkey % 10 < 3 — the oracle states it
+    // directly; xxhash64 entity ids never reach the output.
+    "agg_tag_rollup" ->
+      """SELECT n_name, round(sum(o_totalprice), 4) AS total,
+        |       count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_custkey % 10 < 3
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_pivot" ->
       """SELECT user_id,
         |       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,

@@ -58,14 +58,40 @@ object Wins {
         .orderBy("o_orderkey")
     }),
 
-    // E5 — analytic functions over a global ordering.
+    // E5 — analytic functions over a global ordering, WITHOUT the global
+    // single-partition window (which funnels every row through one task at
+    // scale). Two-pass distributed rank instead: range-partition on the
+    // order key, row_number within each range, then lift to a global rank
+    // by adding each partition's broadcast prefix offset. The order key is
+    // unique (c_custkey tie-break), so rank == row_number and ntile /
+    // percent_rank / cume_dist reduce to exact integer arithmetic on
+    // (rank, n). The only partition-less window left runs over the
+    // partition-COUNT-sized table (≤ #partitions rows) — the offsets.
     "win_analytic" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
-        .select(col("c_custkey"),
-          ntile(4).over(w).as("nt"),
-          round(percent_rank().over(w), 4).as("pr"),
-          round(cume_dist().over(w), 4).as("cd"))
+      val parts = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        .repartitionByRange(16, col("c_acctbal"), col("c_custkey"))
+        .withColumn("pid", spark_partition_id())
+      val counts = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts.withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+      val total = counts.agg(sum("cnt").as("n_rows"))
+      val wLocal = Window.partitionBy("pid").orderBy(col("c_acctbal"), col("c_custkey"))
+      parts
+        .withColumn("lr", row_number().over(wLocal))
+        .join(broadcast(offsets.select(col("pid"), col("off"))), "pid")
+        .crossJoin(broadcast(total))
+        .withColumn("g", col("off") + col("lr"))
+        // ntile(4): the first (n mod 4) buckets carry ceil(n/4) rows —
+        // the ELSE's div-by-zero branch is unreachable when n < 4 (the
+        // WHEN then covers every rank)
+        .withColumn("nt", expr(
+          """CAST(CASE WHEN g <= (n_rows % 4) * (n_rows div 4 + 1)
+            |  THEN (g - 1) div (n_rows div 4 + 1) + 1
+            |  ELSE (n_rows % 4) + (g - (n_rows % 4) * (n_rows div 4 + 1) - 1) div (n_rows div 4) + 1
+            |END AS INT)""".stripMargin))
+        .withColumn("pr", round((col("g") - 1).cast("double") / (col("n_rows") - 1), 4))
+        .withColumn("cd", round(col("g").cast("double") / col("n_rows"), 4))
+        .select("c_custkey", "nt", "pr", "cd")
         .orderBy("c_custkey")
     }),
 

@@ -112,6 +112,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!finalPlan.contains("SortMergeJoin"), s"corpus side shuffled:\n$finalPlan")
   }
 
+  test("win_analytic carries the data through a range-partitioned window, not one task") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("win_analytic")(spark, sf0001)
+    // value parity with the straightforward global-window formulation
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    val ref = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"),
+        ntile(4).over(w).as("nt"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .orderBy("c_custkey")
+    assert(df.collect().toSeq == ref.collect().toSeq)
+    // the full table flows through a rangepartitioning exchange, and more
+    // than one of its partitions actually carries rows (the sort is spread)
+    assert(df.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+      "no range exchange in the plan")
+    val spread = Tables.customer(spark, sf0001).select("c_custkey", "c_acctbal")
+      .repartitionByRange(16, col("c_acctbal"), col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").count().count()
+    assert(spread > 1, s"all rows landed in $spread partition(s)")
+  }
+
   test("dim filter dynamically prunes the partitioned fact scan (DPP)") {
     // The 100 TB layout: fact partitioned by day on disk, dim filter
     // selecting few days — DynamicPartitionPruning must reach the fact's

@@ -24,6 +24,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("dq profile switches to HLL above the row gate: same schema, <=2% drift") {
+    val ev = Tables.events(spark, sf0001)
+    val exact = graft.queries.Aggs.dqProfile(ev, Long.MaxValue)
+    val approx = graft.queries.Aggs.dqProfile(ev, 0L) // force the sketch path
+    assert(approx.schema == exact.schema,
+      s"gate must not change the contract: ${approx.schema} vs ${exact.schema}")
+    val e = exact.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val a = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a.keySet == e.keySet)
+    e.foreach { case (c, n) =>
+      assert(math.abs(a(c) - n) <= math.max(1L, (n * 0.02).toLong),
+        s"column $c: estimate ${a(c)} vs exact $n drifts past 2%")
+    }
+    // the sketch path must not plan the Expand-based exact multi-distinct
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "HLL path still carries the Expand exchange")
+  }
+
   test("merging daily sketches equals sketching the raw week (mergeability)") {
     val ev = Tables.events(spark, sf0001)
     val merged = ev.groupBy(to_date(col("ts")).as("day"))
