@@ -122,6 +122,58 @@ object Llm {
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF similarity search (the genuine scale path past sign-bit
+    * bucketing): 16 data-dependent coarse centroids (per-dim means over
+    * deterministic md5 seed cells — one k-means update step on a
+    * reproducible init), every vector assigned to its nearest centroid by
+    * cosine, NN searched within the probed cell(s) only. Assignment is a
+    * 16-row broadcast — linear in corpus size; cell occupancy bounds the
+    * pair work exactly like an IVF index. `nprobe` is the recall knob:
+    * each query probes its `nprobe` nearest cells and re-ranks the union
+    * (the index side keeps one cell per vector, so no duplicate pairs).
+    *
+    * Determinism of the centroids: per-dim values are summed in SORTED
+    * order (both engines fold the identical sorted sequence of doubles —
+    * a plain avg() is accumulation-order-sensitive in Spark), and the
+    * mean is floor-quantized at 1e-6 — round() would HALF_UP on the
+    * shortest decimal in Spark but round the binary value in DuckDB on
+    * midpoints; floor of the product is pure IEEE, bit-identical. */
+  private[graft] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val v = vecs(s, d)
+    val seeded = v.withColumn("seed",
+      pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(16)))
+    val cent = seeded
+      .select(col("seed"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("seed", "i")
+      .agg(sort_array(collect_list(col("x").cast("double"))).as("xs"))
+      .select(col("seed"), col("i"),
+        (aggregate(col("xs"), lit(0.0), (acc, e) => acc + e) / size(col("xs"))).as("m"))
+      .groupBy("seed")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+      .select(col("seed").as("cell"),
+        transform(col("im"), e => floor(e.getField("m") * 1e6) / 1e6).as("centroid"))
+      .withColumn("cnorm", sqrt(call_function("vec_dot", col("centroid"), col("centroid"))))
+    val assigned = seeded.crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("embedding"), col("centroid")) / (col("norm") * col("cnorm")))
+    val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val ranked = assigned.withColumn("r", row_number().over(wA))
+    val cells = ranked.where(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    val probes = ranked.where(col("r") <= nprobe)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+        col("norm").as("a_n"), col("cell").as("p_cell"))
+    val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+      col("norm").as("b_n"), col("cell").as("b_cell"))
+    val sims = probes.join(b, col("p_cell") === col("b_cell") && col("a_id") =!= col("b_id"))
+      .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
+    cells.join(nn, col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
+      .orderBy("vec_id")
+  }
+
   /** `llm_dedup_simhash_pairs` body: under `gate` the same-lang broadcast
     * pair join; above it band-keyed candidates + same-lang filter. The two
     * routes return IDENTICAL rows at any size (pigeonhole recall is exact
@@ -264,15 +316,15 @@ object Llm {
     // pairs (Jaccard >= 0.9 — merging transitively at lower thresholds
     // would chain half-similar docs into one blob), electing min doc_id
     // as each cluster's canonical copy — the "keep one" step real dedup
-    // ends with. Pairs come from the exact bitmask path here (cheapest at
-    // this corpus scale); both cluster routines accept any pair source,
-    // including lshVerified for the sub-quadratic route. The pointer-jump
-    // variant runs here: same cost as plain propagation on these dense
-    // near-clique graphs (measured: 3.8 vs 4.0 s at sf0.1) and O(log
-    // diameter) instead of O(diameter) rounds when a corpus produces
-    // long-chain components. DedupSpec verifies both against union-find.
+    // ends with. Pairs come from the LSH-verified path, so the flagship
+    // clustering key is sub-quadratic END-TO-END: band equi-join
+    // candidates → exact-Jaccard verify → pointer-jump components (O(log
+    // diameter) rounds; same cost as plain propagation on dense
+    // near-clique graphs, measured 3.8 vs 4.0 s at sf0.1). Both cluster
+    // routines accept any pair source. DedupSpec verifies both against
+    // union-find.
     "llm_dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.jaccardBitmask(s, Tables.documents(s, d), threshold = 0.9)
+      val pairs = Dedup.lshVerified(s, Tables.documents(s, d), threshold = 0.9)
       Dedup.clustersPointerJump(pairs)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"), min("id").as("canonical_id"))
@@ -664,36 +716,16 @@ object Llm {
     // cell occupancy bounds the pair work exactly like an IVF index.
     // Centroids are rounded to 6 decimals so both engines quantize the
     // (order-sensitive) mean the same way before any dot product.
-    "llm_ivf_centroids" -> ((s, d) => {
-      val v = vecs(s, d)
-      val seeded = v.withColumn("seed",
-        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(16)))
-      val cent = seeded
-        .select(col("seed"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy("seed", "i").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("seed")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-        .select(col("seed").as("cell"),
-          transform(col("im"), e => round(e.getField("m"), 6)).as("centroid"))
-        .withColumn("cnorm", sqrt(call_function("vec_dot", col("centroid"), col("centroid"))))
-      val assigned = seeded.crossJoin(broadcast(cent))
-        .withColumn("csim", dot(col("embedding"), col("centroid")) / (col("norm") * col("cnorm")))
-      val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
-      val cells = assigned.withColumn("r", row_number().over(wA)).where(col("r") === 1)
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
-      val a = cells.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
-        col("norm").as("a_n"), col("cell"))
-      val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
-        col("norm").as("b_n"), col("cell").as("b_cell"))
-      val sims = a.join(b, col("cell") === col("b_cell") && col("a_id") =!= col("b_id"))
-        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
-      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-      val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
-      cells.join(nn, col("vec_id") === col("a_id"), "left")
-        .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
-        .orderBy("vec_id")
-    }),
+    "llm_ivf_centroids" -> ((s, d) => ivfSearch(s, d, nprobe = 1)),
+
+    // K3c' — IVF with nprobe = 2, the recall knob the nprobe=1 key
+    // documents: each QUERY probes its 2 nearest coarse cells and unions
+    // the candidates (the index side still holds each vector in exactly
+    // one cell, so no pair is generated twice); the re-rank picks the best
+    // across both probes. Candidate volume doubles, recall strictly
+    // dominates nprobe=1 (superset of candidates — KnnSpec pins it), and
+    // the plan stays an equi-join on the cell key.
+    "llm_ivf_probe" -> ((s, d) => ivfSearch(s, d, nprobe = 2)),
 
     // K9 — deterministic hash-based sampling (reproducible corpus
     // sampling: at 100 TB, rand() re-draws per re-run and per retry, a
@@ -821,6 +853,64 @@ object Llm {
     """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
       |  s -> CAST(struct_extract(s, 1) AS DOUBLE) * CAST(struct_extract(s, 2) AS DOUBLE)), 'sum')""".stripMargin
 
+  /** The [[ivfSearch]] oracle, parameterized by nprobe. Mirrors the Spark
+    * side exactly: sorted-order per-dim sums (list(x ORDER BY x) folded
+    * sequentially), floor-quantized centroids, one index cell per vector,
+    * `nprobe` probe cells per query. */
+  private def ivfSql(nprobe: Int): String =
+    s"""WITH $vecCte,
+      |seeded AS (
+      |  SELECT vec_id, embedding, norm,
+      |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |           % 16 AS seed
+      |  FROM v
+      |),
+      |px AS (
+      |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
+      |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      |  FROM seeded
+      |),
+      |cm AS (
+      |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+      |  FROM px GROUP BY 1, 2
+      |),
+      |cent AS (
+      |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+      |  FROM cm GROUP BY seed
+      |),
+      |centn AS (
+      |  SELECT cell, centroid,
+      |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+      |  FROM cent
+      |),
+      |asg AS (
+      |  SELECT s.vec_id, s.embedding, s.norm, c.cell,
+      |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
+      |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+      |           / (s.norm * c.cnorm) AS csim
+      |  FROM seeded s CROSS JOIN centn c
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+      |  FROM asg
+      |),
+      |cells AS (SELECT vec_id, embedding, norm, cell FROM ranked WHERE r = 1),
+      |probes AS (SELECT vec_id, embedding, norm, cell FROM ranked WHERE r <= $nprobe),
+      |sims AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |         $dotSql / (a.norm * b.norm) AS sim
+      |  FROM probes a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |),
+      |nn AS (
+      |  SELECT a_id, b_id AS nn_id, round(sim, 4) AS sim FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+      |    FROM sims
+      |  ) WHERE rn = 1
+      |)
+      |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
+      |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
+      |ORDER BY c.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -841,20 +931,28 @@ object Llm {
     // Connected components in SQL: WITH RECURSIVE computes each node's
     // reachable set; a component's id is the minimum reachable node —
     // exactly the fixpoint Dedup.clusters' min-label propagation reaches.
-    // Pair generation repeats llm_dedup_near's Jaccard CTEs at the 0.9
-    // near-identical threshold (same-lang blocking, matching
-    // Dedup.jaccardBitmask).
+    // Pair generation repeats the lshVerified CTEs (band candidates +
+    // exact Jaccard) at the 0.9 near-identical threshold, matching the
+    // key's sub-quadratic pair source.
     "llm_dedup_clusters" ->
       s"""WITH RECURSIVE $tokCte,
+        |${Dedup.bandsCte},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
+        |),
         |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
         |inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-        |  FROM tok a JOIN tok b ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN tok ta ON ta.doc_id = c.a_id
+        |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.token = ta.token
         |  GROUP BY 1, 2
         |),
         |pairs AS (
-        |  SELECT a_id, b_id
-        |  FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |  SELECT i.a_id, i.b_id
+        |  FROM inter i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
         |  WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.9
         |),
         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
@@ -1315,56 +1413,8 @@ object Llm {
         |UNION ALL
         |SELECT 4, 'stopword_floor', c3, c3 - c4, c4 FROM c
         |ORDER BY stage""".stripMargin,
-    "llm_ivf_centroids" ->
-      s"""WITH $vecCte,
-        |seeded AS (
-        |  SELECT vec_id, embedding, norm,
-        |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
-        |           % 16 AS seed
-        |  FROM v
-        |),
-        |px AS (
-        |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
-        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
-        |  FROM seeded
-        |),
-        |cm AS (SELECT seed, i, avg(x) AS m FROM px GROUP BY 1, 2),
-        |cent AS (
-        |  SELECT seed AS cell, list(round(m, 6) ORDER BY i) AS centroid
-        |  FROM cm GROUP BY seed
-        |),
-        |centn AS (
-        |  SELECT cell, centroid,
-        |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
-        |  FROM cent
-        |),
-        |asg AS (
-        |  SELECT s.vec_id, s.embedding, s.norm, c.cell,
-        |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
-        |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
-        |           / (s.norm * c.cnorm) AS csim
-        |  FROM seeded s CROSS JOIN centn c
-        |),
-        |cells AS (
-        |  SELECT vec_id, embedding, norm, cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
-        |    FROM asg
-        |  ) WHERE r = 1
-        |),
-        |sims AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |         $dotSql / (a.norm * b.norm) AS sim
-        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-        |),
-        |nn AS (
-        |  SELECT a_id, b_id AS nn_id, round(sim, 4) AS sim FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
-        |    FROM sims
-        |  ) WHERE rn = 1
-        |)
-        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
-        |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
-        |ORDER BY c.vec_id""".stripMargin,
+    "llm_ivf_centroids" -> ivfSql(1),
+    "llm_ivf_probe" -> ivfSql(2),
     "llm_tfidf_terms" ->
       s"""WITH $tokAllCte,
         |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),

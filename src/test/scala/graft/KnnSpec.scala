@@ -61,6 +61,30 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF nprobe=2 dominates nprobe=1: no lost neighbors, sims and recall never drop") {
+    def nnMap(key: String) = SparkEntry.queries(key)(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3))))).toMap
+    val np1 = nnMap("llm_ivf_centroids")
+    val np2 = nnMap("llm_ivf_probe")
+    assert(np1.keySet == np2.keySet)
+    // probing more cells only ADDS candidates: every query keeps a
+    // neighbor at least as similar as before
+    np1.foreach { case (q, o1) =>
+      (o1, np2(q)) match {
+        case (Some((_, s1)), Some((_, s2))) => assert(s2 >= s1 - 1e-12, s"$q: $s2 < $s1")
+        case (Some(_), None) => fail(s"query $q lost its neighbor with more probes")
+        case _ => ()
+      }
+    }
+    val exact = Knn.topKCosineBlocked(Tables.embeddings(spark, sf0001), 1)
+      .collect().map(e => e.q_id -> e.c_id).toMap
+    def recall(m: Map[Long, Option[(Long, Double)]]) =
+      exact.count { case (q, nn) => m.get(q).flatten.exists(_._1 == nn) }.toDouble / exact.size
+    assert(recall(np2) >= recall(np1),
+      s"recall dropped: np2=${recall(np2)} np1=${recall(np1)}")
+  }
+
   test("every query yields exactly k edges (self excluded) and no self-match") {
     val edges = Knn.topKCosine(Tables.embeddings(spark, sf0001), 3).collect()
     val n = Tables.embeddings(spark, sf0001).count()
