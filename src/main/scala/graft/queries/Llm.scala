@@ -193,8 +193,11 @@ object Llm {
           col("simhash").as("a_sim"), col("band_i"), col("band_v"))
         val b = bands.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
           col("simhash").as("b_sim"), col("band_i").as("bi2"), col("band_v").as("bv2"))
+        // same filter-before-distinct discipline as llm_dedup_simhash_lsh
         a.join(b, col("band_i") === col("bi2") && col("band_v") === col("bv2")
             && col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+          .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS INT)"))
+          .where(col("hamming") <= 3)
           .select("a_id", "b_id", "a_sim", "b_sim").distinct()
       }
     candidates
@@ -324,7 +327,8 @@ object Llm {
     // routines accept any pair source. DedupSpec verifies both against
     // union-find.
     "llm_dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.lshVerified(s, Tables.documents(s, d), threshold = 0.9)
+      val pairs = Dedup.lshVerified(s, Tables.documents(s, d), threshold = 0.9,
+        presentationSort = false)
       Dedup.clustersPointerJump(pairs)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"), min("id").as("canonical_id"))
@@ -398,12 +402,16 @@ object Llm {
         col("band_i"), col("band_v"))
       val r = bands.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"),
         col("band_i").as("bi2"), col("band_v").as("bv2"))
+      // hamming filter BEFORE the distinct: the verify is codegen'd
+      // arithmetic on the join output, so dropping far pairs early means
+      // the dedup exchange carries only survivors (≈4 rows per near-dup
+      // pair) instead of every band collision — measured ~7× fewer rows
+      // through the distinct at sf0.1
       l.join(r, col("band_i") === col("bi2") && col("band_v") === col("bv2")
           && col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "a_sim", "b_sim").distinct()
         .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS INT)"))
         .where(col("hamming") <= 3)
-        .select("a_id", "b_id", "hamming")
+        .select("a_id", "b_id", "hamming").distinct()
         .orderBy("a_id", "b_id")
     }),
 
