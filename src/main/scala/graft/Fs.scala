@@ -61,6 +61,18 @@ object Fs {
     files
   }
 
+  /** Non-recursive listing of committed data files directly under `dir`
+    * (hidden entries skipped), sorted for deterministic iteration order.
+    * Empty when the directory is missing — a landing dir that does not
+    * exist yet simply has nothing to harvest. */
+  def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, p) = fileSystem(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !isHidden(st.getPath.getName))
+      .map(_.getPath.toString).sorted
+  }
+
   /** Read a small control file (fingerprint, marker) as UTF-8, if present. */
   def readUtf8(spark: SparkSession, file: String): Option[String] = {
     val (fs, p) = fileSystem(spark, file)

@@ -72,14 +72,18 @@ object Wins {
         .repartitionByRange(16, col("c_acctbal"), col("c_custkey"))
         .withColumn("pid", spark_partition_id())
       val counts = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      // prefix offset AND grand total as two frames over the same tiny
+      // table — one broadcast join carries both, no extra cross join
       val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = counts.withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
-      val total = counts.agg(sum("cnt").as("n_rows"))
+      val wAll = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val offsets = counts
+        .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+        .withColumn("n_rows", sum("cnt").over(wAll))
       val wLocal = Window.partitionBy("pid").orderBy(col("c_acctbal"), col("c_custkey"))
       parts
         .withColumn("lr", row_number().over(wLocal))
-        .join(broadcast(offsets.select(col("pid"), col("off"))), "pid")
-        .crossJoin(broadcast(total))
+        .join(broadcast(offsets.select(col("pid"), col("off"), col("n_rows"))), "pid")
         .withColumn("g", col("off") + col("lr"))
         // ntile(4): the first (n mod 4) buckets carry ceil(n/4) rows —
         // the ELSE's div-by-zero branch is unreachable when n < 4 (the
