@@ -71,6 +71,33 @@ object InvariantProps extends Properties("graft.kernels") {
       direct == expected && merged == expected
     }
 
+  // clusters of near-duplicate 16-bit signatures: a base plus variants at
+  // hamming distance 0..5 — the distribution the banding must not miss on
+  private val sigClusterGen = for {
+    base <- Gen.choose(0L, 65535L)
+    nVar <- Gen.choose(0, 3)
+    variants <- Gen.listOfN(nVar, for {
+      k <- Gen.choose(0, 5)
+      bits <- Gen.listOfN(k, Gen.choose(0, 15))
+    } yield bits.foldLeft(base)((s, b) => s ^ (1L << b)))
+  } yield base :: variants
+
+  property("simhash 4x4 banding covers EVERY hamming<=3 pair (pigeonhole)") =
+    Prop.forAll(Gen.listOf(sigClusterGen)) { clusters =>
+      val ids = clusters.flatten.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      def bandV(s: Long, j: Int): Long = (s >> (4 * j)) & 15L
+      val banded = (for {
+        (ai, sa) <- ids; (bi, sb) <- ids if ai < bi
+        if (0 until 4).exists(j => bandV(sa, j) == bandV(sb, j)) // candidate
+        if java.lang.Long.bitCount(sa ^ sb) <= 3                 // verify
+      } yield (ai, bi)).toSet
+      val brute = (for {
+        (ai, sa) <- ids; (bi, sb) <- ids if ai < bi
+        if java.lang.Long.bitCount(sa ^ sb) <= 3
+      } yield (ai, bi)).toSet
+      banded == brute
+    }
+
   property("measurementXml: render -> parse round-trips rows incl. nulls") =
     Prop.forAll(Gen.nonEmptyListOf(measRow)) { rows =>
       // render groups by dn and sorts by ts; compare as multisets
