@@ -148,10 +148,11 @@ object Dedup {
     * the candidate count, not a forced driver-side broadcast. */
   private def verifyPairs(candidates: DataFrame, masks: DataFrame,
                           interExpr: String, cardExpr: String => String,
-                          threshold: Double, sorted: Boolean): DataFrame = {
+                          threshold: Double, sorted: Boolean,
+                          dedupAfterVerify: Boolean): DataFrame = {
     val a = masks.select(col("doc_id").as("ma_id"), col("mask").as("a_mask"))
     val b = masks.select(col("doc_id").as("mb_id"), col("mask").as("b_mask"))
-    val out = candidates
+    val verified = candidates
       .join(a, col("a_id") === col("ma_id"))
       .join(b, col("b_id") === col("mb_id"))
       .withColumn("n_inter", expr(interExpr))
@@ -159,6 +160,10 @@ object Dedup {
         / (expr(cardExpr("a")) + expr(cardExpr("b")) - col("n_inter")))
       .where(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+    // when the caller fed RAW band collisions (no candidate distinct),
+    // dedupe the survivors here — jacc is functionally determined by the
+    // pair, so distinct-on-three-columns equals distinct-on-pair
+    val out = if (dedupAfterVerify) verified.distinct() else verified
     if (sorted) out.orderBy("a_id", "b_id") else out
   }
 
@@ -334,13 +339,23 @@ object Dedup {
     val bands = bandKeys(tok)
     val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
     val r = bands.select(col("doc_id").as("b_id"), col("band_i").as("bi2"), col("band_v").as("bv2"))
-    val candidates = l.join(r,
+    val rawCand = l.join(r,
         col("band_i") === col("bi2") && col("band_v") === col("bv2")
           && col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
+    // Candidate-dedup placement is survivor-rate-dependent (measured at
+    // sf0.1: 6.6 M raw collisions → 5.2 M distinct): at low thresholds
+    // nearly every candidate passes verification (5.0 M of 5.2 M at 0.5),
+    // so dedup BEFORE the verify joins — the exchange is smallest there.
+    // At high thresholds survivors are sparse (0.9 M at 0.9), so let the
+    // ≤2-per-pair duplicates ride the codegen'd bitmask verify and dedup
+    // the survivors — the 5 M-row candidate exchange disappears.
+    val dedupLate = threshold >= 0.7
+    val candidates = if (dedupLate) rawCand else rawCand.distinct()
     val (masks, interExpr, cardExpr) = tokenMasks(tok)
     // presentationSort=false skips the final global sort — the right call
     // when the pairs feed clustering (which re-keys them immediately)
-    verifyPairs(candidates, masks, interExpr, cardExpr, threshold, presentationSort)
+    verifyPairs(candidates, masks, interExpr, cardExpr, threshold,
+      presentationSort, dedupAfterVerify = dedupLate)
   }
 }
