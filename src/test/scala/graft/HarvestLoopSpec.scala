@@ -75,6 +75,32 @@ class HarvestLoopSpec extends SparkSpec {
     assert(spark.read.parquet(loop.notificationsDir).count() == 3)
   }
 
+  test("raw rows landed without an ingest-log entry (crash window) still materialize") {
+    import org.apache.spark.sql.SaveMode
+    val landing = tmpDir("hl_landing3")
+    val work = tmpDir("hl_work3")
+    writeCsv(landing, "f1.csv", Seq("1,2024-01-01 10:05:00,10.0"))
+    val loop = mkLoop(landing, work)
+    loop.tick()
+
+    // simulate the documented crash window: rows appended to the raw store
+    // with no corresponding log entry (as if the tick died between writes)
+    spark.createDataFrame(Seq((2L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 400.0)))
+      .toDF("entity_id", "ts", "value")
+      .withColumn("bucket", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$work/raw")
+
+    // the bucket fingerprint sees the orphaned rows -> recompute, notify
+    val r = loop.tick()
+    assert(r.filesIngested.isEmpty)
+    assert(r.bucketsRecomputed == Seq("2024-01-01 10"))
+    assert(r.notificationsRaised == 1L) // entity 2: 400 > 150
+    val derived = spark.read.parquet(loop.derivedDir)
+      .select("entity_id", "kpi_load")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(derived == Set((1L, 10.0), (2L, 400.0)))
+  }
+
   test("stability delay keeps hot buckets out of a tick, picked up later") {
     val landing = tmpDir("hl_landing2")
     val work = tmpDir("hl_work2")
