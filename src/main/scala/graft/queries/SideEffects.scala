@@ -142,6 +142,25 @@ object SideEffects {
         .orderBy("doc_id")
     }),
 
+    // A4b — statically partition-pruned scan: the read twin of
+    // sink_partitioned. The predicate on the partition column becomes a
+    // PartitionFilter on the scan — unselected day directories are never
+    // listed or read (PlanShapeSpec asserts it). At 100 TB this is THE
+    // mechanism that turns "first 3 days of a month of trend data" into a
+    // 3-directory scan instead of a full-table pass.
+    "scan_parquet_pruned" -> ((s, d) => {
+      val out = scratch("events_pruned")
+      Tables.events(s, d)
+        .withColumn("d", to_date(col("ts")))
+        .repartition(col("d"))
+        .write.mode("overwrite").partitionBy("d").parquet(out)
+      s.read.parquet(out)
+        .where(col("d") < lit("2024-01-04").cast("date"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("d")
+    }),
+
     // A4 — partitioned trend-store sink: write events partitioned by day
     // (the reference's time-partitioned wide-table layout), read back and
     // count per partition. Partition pruning on `d` is then free.
@@ -187,6 +206,11 @@ object SideEffects {
     "scan_binary" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_hash
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "scan_parquet_pruned" ->
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-04'
+        |GROUP BY d ORDER BY d""".stripMargin,
     "sink_partitioned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,

@@ -136,6 +136,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(spread > 1, s"all rows landed in $spread partition(s)")
   }
 
+  test("scan_parquet_pruned carries the day predicate as a PartitionFilter") {
+    val p = planOf("scan_parquet_pruned")
+    assert("PartitionFilters: \\[[^\\]]*d#".r.findFirstIn(p).isDefined,
+      s"no partition filter on the day column:\n$p")
+    // the pruning predicate must NOT appear as a post-scan data Filter
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("dim filter dynamically prunes the partitioned fact scan (DPP)") {
     // The 100 TB layout: fact partitioned by day on disk, dim filter
     // selecting few days — DynamicPartitionPruning must reach the fact's
