@@ -47,8 +47,8 @@ class SimHashSpec extends SparkSpec {
     assert(a.values.exists(s => (s >>> 32) != 0L))
     // near-identical docs (same family) land within hamming 3; different
     // families land far apart — the sketch separates
-    val fam0 = a.filterKeys(_ % 5 == 0).values.toSeq
-    val fam1 = a.filterKeys(_ % 5 == 1).values.toSeq
+    val fam0 = a.collect { case (k, v) if k % 5 == 0 => v }.toSeq
+    val fam1 = a.collect { case (k, v) if k % 5 == 1 => v }.toSeq
     assert(java.lang.Long.bitCount(fam0.head ^ fam1.head) > 10)
   }
 }
