@@ -55,6 +55,25 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("64-bit SimHash on empty and single-doc corpora is empty/pairless") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.SimHash.signatures(empty).isEmpty)
+    assert(graft.ops.SimHash.bandedPairs(graft.ops.SimHash.signatures(empty)).isEmpty)
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(graft.ops.SimHash.signatures(one).count() == 1)
+    assert(graft.ops.SimHash.bandedPairs(graft.ops.SimHash.signatures(one)).isEmpty)
+  }
+
+  test("harvest tick on an empty or missing landing dir is a clean no-op") {
+    val loop = new graft.pipeline.HarvestLoop(
+      spark, tmpDir("el_landing") + "/never_created", tmpDir("el_work"),
+      paths => spark.read.csv(paths: _*), identity, Seq.empty)
+    val r = loop.tick()
+    assert(r.isNoOp, r.toString)
+    // and again — still a no-op, no state dirs accidentally created wrong
+    assert(loop.tick().isNoOp)
+  }
+
   test("fingerprint-gated refresh works when the source is empty") {
     val root = tmpDir("relations_empty")
     val empty = Seq.empty[(Long, Long)].toDF("source_id", "target_id")
