@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VecDot
+import graft.functions.{MaskCard, MaskIntersect, MaskOps, VecDot}
 
 /** Session-extension entry point: the production registration path for the
   * library's custom Catalyst expressions, activated with
@@ -28,5 +28,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vec_dot(a, b) - dot product of two array<float|double> vectors, accumulated left-to-right in double.",
         ""),
       (children: Seq[Expression]) => VecDot.builder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("mask_intersect"),
+      new ExpressionInfo(
+        classOf[MaskIntersect].getName,
+        null,
+        "mask_intersect",
+        "mask_intersect(a, b) - popcount of the bitwise AND of two array<bigint> bitmasks.",
+        ""),
+      (children: Seq[Expression]) => MaskOps.intersectExpr(children)))
+    ext.injectFunction((
+      FunctionIdentifier("mask_card"),
+      new ExpressionInfo(
+        classOf[MaskCard].getName,
+        null,
+        "mask_card",
+        "mask_card(a) - total popcount of an array<bigint> bitmask.",
+        ""),
+      (children: Seq[Expression]) => MaskOps.cardExpr(children)))
   }
 }

@@ -137,8 +137,12 @@ object Dedup {
         // fixed-length word array (missing words = 0) so zip_with lines up
         .withColumn("mask", expr(s"transform(sequence(0, ${words - 1}), i -> coalesce(wm[i], CAST(0 AS BIGINT)))"))
         .drop("wm")
-      (m, "aggregate(zip_with(a_mask, b_mask, (x, y) -> bit_count(x & y)), 0, (acc, n) -> acc + n)",
-        (side: String) => s"aggregate(transform(${side}_mask, x -> bit_count(x)), 0, (acc, n) -> acc + n)")
+      // codegen expressions, not the HOF formulation: the intersection
+      // runs once per candidate PAIR, and zip_with/aggregate evaluate
+      // interpreted per mask word — graft.functions.MaskOps generates a
+      // tight Long.bitCount loop instead (same rationale as VecDot)
+      (m, "mask_intersect(a_mask, b_mask)",
+        (side: String) => s"mask_card(${side}_mask)")
     }
   }
 
@@ -186,6 +190,7 @@ object Dedup {
   private[graft] def jaccardBitmaskGated(s: org.apache.spark.sql.SparkSession,
                                          docs: DataFrame, threshold: Double,
                                          gate: Long): DataFrame = {
+    graft.functions.MaskOps.register(s)
     if (docs.count() > gate) return lshVerified(s, docs, threshold)
     val (masks, interExpr, cardExpr) = tokenMasks(tokens(docs))
     val a = masks.select(col("doc_id").as("a_id"), col("lang"), col("mask").as("a_mask"))
@@ -335,6 +340,7 @@ object Dedup {
     */
   def lshVerified(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
                   threshold: Double, presentationSort: Boolean = true): DataFrame = {
+    graft.functions.MaskOps.register(s)
     val tok = tokens(docs)
     val bands = bandKeys(tok)
     val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
