@@ -833,6 +833,101 @@ object Llm {
         .select("source", "lang", "n_docs", "n_tokens", "tok_share", "samp_weight")
         .orderBy("source", "lang")
     }),
+
+    // K15b — temperature-scaled domain mixing (added r3): the n^alpha
+    // sampling rule that up-weights small domains in a training mix,
+    // normalized so weights sum to 1, plus the effective epoch count each
+    // domain is replayed at under the mixture (weight / natural share).
+    // The key pins alpha = 0.5 because sqrt is an exactly-rounded IEEE op
+    // (bit-identical across engines, unlike pow's 1-ulp slack); exact
+    // integer totals feed every double. Per-domain rows are
+    // dictionary-sized, so the 1-row denominator broadcast is the only
+    // data movement after the token count agg.
+    "llm_mix_temperature" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("source"),
+          size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val denom = g.agg(sum(sqrt(col("n_tokens").cast("double"))).as("den"),
+        sum("n_tokens").as("tot"))
+      g.crossJoin(broadcast(denom))
+        .withColumn("raw_share", col("n_tokens").cast("double") / col("tot"))
+        .withColumn("w", sqrt(col("n_tokens").cast("double")) / col("den"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("raw_share"), 4).as("raw_share"),
+          round(col("w"), 4).as("temp_weight"),
+          round(col("w") / col("raw_share"), 4).as("eff_epochs"))
+        .orderBy("source")
+    }),
+
+    // K5e' — winnowing fingerprints (added r3): the MOSS-style robust
+    // upgrade of llm_fingerprint's single global min. Hash every 3-token
+    // shingle, slide a w=4 window over the hash sequence, keep each
+    // window's minimum — guaranteeing any match of length >= w+k-1 tokens
+    // shares a fingerprint, while storing only ~2/(w+1) of the hashes.
+    // Emitted as (doc_id, fp) rows: the inverted-index shape a
+    // fingerprint-match join consumes directly. Short docs degrade exactly
+    // like llm_fingerprint (single min, then whole-text md5).
+    //
+    // Deliberately row-based (posexplode + per-doc window min), NOT an
+    // array-lambda over per-window slices: any expression referencing the
+    // shingle-hash array inside a transform() lambda is re-evaluated per
+    // WINDOW after projection collapse — O(shingles^2) md5 calls per doc,
+    // measured 372 s at sf0.1 vs ~2 s for this shape. Each shingle is
+    // hashed exactly once here, and the 4-row sliding min stays inside
+    // codegen; one doc_id-keyed shuffle at any scale.
+    "llm_winnow_fingerprint" -> ((s, d) => {
+      val k = 3
+      val win = 4
+      val toks = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+      val shingled = toks.where(size(col("toks")) >= k)
+        .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("nh"),
+          posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+            i => md5(concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3))))).as(Seq("pos", "h")))
+      val frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, win - 1)
+      // window starts: pos 0..nh-win (the frame truncates to "all hashes"
+      // when nh <= win, reproducing the short-doc single-min fallback)
+      val sel = shingled
+        .withColumn("winmin", min("h").over(frame))
+        .where(col("pos") <= greatest(col("nh") - win, lit(0)))
+        .select(col("doc_id"), col("winmin").as("fp"))
+        .distinct()
+      val short = toks.where(size(col("toks")) < k)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      sel.unionByName(short).orderBy("doc_id", "fp")
+    }),
+
+    // K2a'' — dedup survivors (added r3): the manifest a dedup pass
+    // actually ships. LSH-verified pairs at J >= 0.9 → pointer-jump
+    // components; every document joins its cluster (singletons are their
+    // own), and each cluster keeps its longest member (ties to the lowest
+    // doc_id) — "keep best", not llm_dedup_clusters' "keep first".
+    // Sub-quadratic end-to-end: the only additions over the clusters key
+    // are one left join against the (small) component table and one
+    // cluster-keyed window.
+    "llm_dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshVerified(s, docs, threshold = 0.9, presentationSort = false)
+      val comp = Dedup.clustersPointerJump(pairs)
+      val assigned = docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("n_chars"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      assigned
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("kept_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("kept_chars"))
+        .orderBy("cluster_id")
+    }),
   )
 
   private val tokCte =
@@ -841,6 +936,39 @@ object Llm {
       |    string_split(text, ' '), t -> len(t) > 0))) AS token
       |  FROM documents
       |)""".stripMargin
+
+  /** Shared CTE chain for the clustering oracles: LSH band candidates →
+    * exact-Jaccard pairs at 0.9 → WITH RECURSIVE connected components
+    * (`comp(id, cluster_id)`, cluster_id = min reachable node — the same
+    * fixpoint the pointer-jump routine reaches). */
+  private lazy val componentCtes =
+    s"""WITH RECURSIVE $tokCte,
+      |${Dedup.bandsCte},
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
+      |),
+      |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN tok ta ON ta.doc_id = c.a_id
+      |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.token = ta.token
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT i.a_id, i.b_id
+      |  FROM inter i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.9
+      |),
+      |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      |reach AS (
+      |  SELECT u AS id, u AS r FROM edges
+      |  UNION
+      |  SELECT rc.id, e.v FROM reach rc JOIN edges e ON e.u = rc.r
+      |),
+      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   private val tokAllCte =
     """tok AS (
@@ -943,35 +1071,26 @@ object Llm {
     // exact Jaccard) at the 0.9 near-identical threshold, matching the
     // key's sub-quadratic pair source.
     "llm_dedup_clusters" ->
-      s"""WITH RECURSIVE $tokCte,
-        |${Dedup.bandsCte},
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN bands b
-        |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
-        |),
-        |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.a_id, c.b_id, count(*) AS n_inter
-        |  FROM cand c
-        |  JOIN tok ta ON ta.doc_id = c.a_id
-        |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.token = ta.token
-        |  GROUP BY 1, 2
-        |),
-        |pairs AS (
-        |  SELECT i.a_id, i.b_id
-        |  FROM inter i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
-        |  WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.9
-        |),
-        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
-        |reach AS (
-        |  SELECT u AS id, u AS r FROM edges
-        |  UNION
-        |  SELECT rc.id, e.v FROM reach rc JOIN edges e ON e.u = rc.r
-        |),
-        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      s"""$componentCtes
         |SELECT cluster_id, count(*) AS n_members, min(id) AS canonical_id
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // Survivors = components + per-cluster argmax. Same CTE chain as the
+    // clusters oracle; singletons enter via the LEFT JOIN's coalesce.
+    "llm_dedup_survivors" ->
+      s"""$componentCtes,
+        |assigned AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM assigned
+        |)
+        |SELECT cluster_id, count(*) AS n_members,
+        |       max(CASE WHEN rn = 1 THEN doc_id END) AS kept_id,
+        |       max(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars
+        |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "llm_dedup_minhash" ->
       s"""WITH $tokCte,
         |${Dedup.bandsCte}
@@ -1347,6 +1466,50 @@ object Llm {
         |       round(CAST(n_tokens AS DOUBLE) / tot, 4) AS tok_share,
         |       round(sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)), 4) AS samp_weight
         |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin,
+    "llm_mix_temperature" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(sqrt(CAST(n_tokens AS DOUBLE))) AS DOUBLE) AS den,
+        |         CAST(sum(n_tokens) AS BIGINT) AS tot
+        |  FROM g
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / tot, 4) AS raw_share,
+        |       round(sqrt(CAST(n_tokens AS DOUBLE)) / den, 4) AS temp_weight,
+        |       round(sqrt(CAST(n_tokens AS DOUBLE)) / den
+        |             / (CAST(n_tokens AS DOUBLE) / tot), 4) AS eff_epochs
+        |FROM g CROSS JOIN tot ORDER BY source""".stripMargin,
+    "llm_winnow_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |),
+        |h AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN len(toks) >= 3 THEN
+        |           list_transform(range(1, len(toks) - 1),
+        |             i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |         END AS hs
+        |  FROM t
+        |),
+        |s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN hs IS NULL THEN [md5(text)]
+        |              WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+        |              ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+        |                j -> list_aggregate(list_slice(hs, j, j + 3), 'min')))
+        |         END AS sel
+        |  FROM h
+        |)
+        |SELECT doc_id, unnest(sel) AS fp FROM s ORDER BY doc_id, fp""".stripMargin,
     "llm_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |           FROM documents),

@@ -244,6 +244,29 @@ object Wins {
           count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
         .orderBy("user_id", "session_no")
     }),
+
+    // E12 — rolling z-score anomaly flags (added r3): each sample scored
+    // against the trailing 20-sample mean/stddev of its own entity — the
+    // adaptive-baseline variant of the reference's fixed-threshold trigger.
+    // The frame is leave-one-out (20 PRECEDING .. 1 PRECEDING) so a spike
+    // can't dampen its own baseline; warm-up (< 5 priors) and flat
+    // baselines (sd = 0, exact in both engines when all values are equal)
+    // yield NULL. The anomaly flag compares the ROUNDED score so both
+    // engines threshold the same value. One entity-keyed shuffle.
+    "win_zscore_anomaly" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      Tables.events(s, d)
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .withColumn("n_prior", count(col("value")).over(w))
+        .withColumn("z",
+          when(col("n_prior") >= 5 && col("sd") > 0,
+            round((col("value") - col("mu")) / col("sd"), 4)))
+        .select(col("event_id"), col("user_id"), col("z"),
+          coalesce(abs(col("z")) > 2.0, lit(false)).as("is_anomaly"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -386,5 +409,23 @@ object Wins {
         |       min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM g GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+    "win_zscore_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, value,
+        |         avg(value) OVER wf AS mu,
+        |         stddev_samp(value) OVER wf AS sd,
+        |         count(value) OVER wf AS n_prior
+        |  FROM e WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        |),
+        |z AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN n_prior >= 5 AND sd > 0
+        |              THEN round((value - mu) / sd, 4) END AS z
+        |  FROM w
+        |)
+        |SELECT event_id, user_id, z, coalesce(abs(z) > 2.0, false) AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
   )
 }
