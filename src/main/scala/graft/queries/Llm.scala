@@ -36,6 +36,39 @@ object Llm {
       .select(col("doc_id"), col("lang"), col("source"),
         explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
 
+  /** Winnowing fingerprint selection (k=3 token shingles, w=4 window):
+    * md5 each shingle, slide a w-hash window, keep each window's min —
+    * the distinct (doc_id, fp) inverted-index rows. Row-based (posexplode
+    * + per-doc window min) on purpose: an array-lambda over per-window
+    * slices re-evaluates the shingle-hash array per WINDOW after
+    * projection collapse — O(shingles²) md5 calls per doc, measured 372 s
+    * at sf0.1 vs ~2 s for this shape. Short docs degrade to a single min,
+    * then a whole-text md5. */
+  private def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    val win = 4
+    val toks = Tables.documents(s, d)
+      .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+    val shingled = toks.where(size(col("toks")) >= k)
+      .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("nh"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => md5(concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))).as(Seq("pos", "h")))
+    val frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, win - 1)
+    // window starts: pos 0..nh-win (the frame truncates to "all hashes"
+    // when nh <= win, reproducing the short-doc single-min fallback)
+    val sel = shingled
+      .withColumn("winmin", min("h").over(frame))
+      .where(col("pos") <= greatest(col("nh") - win, lit(0)))
+      .select(col("doc_id"), col("winmin").as("fp"))
+      .distinct()
+    val short = toks.where(size(col("toks")) < k)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    sel.unionByName(short)
+  }
+
   /** Double-precision dot product of two float vectors, summed in index
     * order so Spark and DuckDB produce bit-identical doubles. Backed by the
     * codegen `graft.functions.VecDot` expression (the interpreted HOF
@@ -868,38 +901,23 @@ object Llm {
     // shares a fingerprint, while storing only ~2/(w+1) of the hashes.
     // Emitted as (doc_id, fp) rows: the inverted-index shape a
     // fingerprint-match join consumes directly. Short docs degrade exactly
-    // like llm_fingerprint (single min, then whole-text md5).
-    //
-    // Deliberately row-based (posexplode + per-doc window min), NOT an
-    // array-lambda over per-window slices: any expression referencing the
-    // shingle-hash array inside a transform() lambda is re-evaluated per
-    // WINDOW after projection collapse — O(shingles^2) md5 calls per doc,
-    // measured 372 s at sf0.1 vs ~2 s for this shape. Each shingle is
-    // hashed exactly once here, and the 4-row sliding min stays inside
-    // codegen; one doc_id-keyed shuffle at any scale.
-    "llm_winnow_fingerprint" -> ((s, d) => {
-      val k = 3
-      val win = 4
-      val toks = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
-      val shingled = toks.where(size(col("toks")) >= k)
-        .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("nh"),
-          posexplode(transform(sequence(lit(0), size(col("toks")) - k),
-            i => md5(concat_ws(" ",
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2),
-              element_at(col("toks"), i + 3))))).as(Seq("pos", "h")))
-      val frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, win - 1)
-      // window starts: pos 0..nh-win (the frame truncates to "all hashes"
-      // when nh <= win, reproducing the short-doc single-min fallback)
-      val sel = shingled
-        .withColumn("winmin", min("h").over(frame))
-        .where(col("pos") <= greatest(col("nh") - win, lit(0)))
-        .select(col("doc_id"), col("winmin").as("fp"))
-        .distinct()
-      val short = toks.where(size(col("toks")) < k)
-        .select(col("doc_id"), md5(col("text")).as("fp"))
-      sel.unionByName(short).orderBy("doc_id", "fp")
+    // like llm_fingerprint (single min, then whole-text md5). See
+    // winnowFingerprints for the measured row-based-vs-array-lambda note.
+    "llm_winnow_fingerprint" -> ((s, d) => winnowFingerprints(s, d).orderBy("doc_id", "fp")),
+
+    // K5e'' — winnow match (added r3): the consumer of the winnowing
+    // inverted index. Self-equi-join on fingerprint, candidate pairs
+    // sharing >= 2 selected hashes — the shape a plagiarism/overlap
+    // detector runs over the fingerprint store. Same sparse-equi-join
+    // scale stance as llm_dedup_ngram, over a ~2/(w+1)-compressed index.
+    "llm_winnow_match" -> ((s, d) => {
+      val fps = winnowFingerprints(s, d)
+      val a = fps.select(col("doc_id").as("a_id"), col("fp"))
+      val b = fps.select(col("doc_id").as("b_id"), col("fp").as("fp2"))
+      a.join(b, col("fp") === col("fp2") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("a_id", "b_id")
     }),
 
     // K2a'' — dedup survivors (added r3): the manifest a dedup pass
@@ -969,6 +987,32 @@ object Llm {
       |  SELECT rc.id, e.v FROM reach rc JOIN edges e ON e.u = rc.r
       |),
       |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** Shared CTE chain for the winnowing oracles: tokens → 3-gram md5
+    * shingle hashes → per-window (w=4) min selection with the short-doc
+    * fallbacks, ending in `s(doc_id, sel)`. */
+  private val winnowCtes =
+    """WITH t AS (
+      |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |),
+      |h AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN len(toks) >= 3 THEN
+      |           list_transform(range(1, len(toks) - 1),
+      |             i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |         END AS hs
+      |  FROM t
+      |),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN hs IS NULL THEN [md5(text)]
+      |              WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+      |              ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+      |                j -> list_aggregate(list_slice(hs, j, j + 3), 'min')))
+      |         END AS sel
+      |  FROM h
+      |)""".stripMargin
 
   private val tokAllCte =
     """tok AS (
@@ -1488,28 +1532,14 @@ object Llm {
         |             / (CAST(n_tokens AS DOUBLE) / tot), 4) AS eff_epochs
         |FROM g CROSS JOIN tot ORDER BY source""".stripMargin,
     "llm_winnow_fingerprint" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-        |  FROM documents
-        |),
-        |h AS (
-        |  SELECT doc_id, text,
-        |         CASE WHEN len(toks) >= 3 THEN
-        |           list_transform(range(1, len(toks) - 1),
-        |             i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |         END AS hs
-        |  FROM t
-        |),
-        |s AS (
-        |  SELECT doc_id,
-        |         CASE WHEN hs IS NULL THEN [md5(text)]
-        |              WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
-        |              ELSE list_distinct(list_transform(range(1, len(hs) - 2),
-        |                j -> list_aggregate(list_slice(hs, j, j + 3), 'min')))
-        |         END AS sel
-        |  FROM h
-        |)
+      s"""$winnowCtes
         |SELECT doc_id, unnest(sel) AS fp FROM s ORDER BY doc_id, fp""".stripMargin,
+    "llm_winnow_match" ->
+      s"""$winnowCtes,
+        |fp AS (SELECT doc_id, unnest(sel) AS fp FROM s)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a_id, b_id""".stripMargin,
     "llm_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |           FROM documents),

@@ -267,6 +267,34 @@ object Wins {
           coalesce(abs(col("z")) > 2.0, lit(false)).as("is_anomaly"))
         .orderBy("event_id")
     }),
+
+    // E13 — exponentially weighted moving average (added r3), the classic
+    // trend-smoothing transform a plain window sum can't express (each
+    // output depends recursively on the previous). Bounded-history form:
+    // fold the last 16 samples oldest→newest with y = αx + (1-α)y,
+    // α = 0.25, seeded with the oldest sample — truncation bias ≤ 0.75¹⁵
+    // ≈ 1.3% of weight. The fold is strictly sequential in both engines
+    // (Spark `aggregate` over a frame-ordered collect_list; DuckDB
+    // `list_reduce`, which seeds with the first element — hence the
+    // slice-from-2 here), so the doubles are bit-identical. Quantized with
+    // the floor idiom, NOT round(): on a bit-identical input the single
+    // x*1e4 multiply is deterministic, while the engines' round()s
+    // disagree when that multiply lands exactly on a .5 (measured: fold
+    // 29.678749999999997 → ×1e4 = 296787.5 exactly → DuckDB 29.6788,
+    // Spark's shortest-repr HALF_UP 29.6787). O(16) per row, one
+    // entity-keyed shuffle at any scale.
+    "win_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, 0)
+      Tables.events(s, d)
+        .withColumn("l", collect_list(col("value")).over(w))
+        .withColumn("ewma", expr(
+          """floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
+            |  CAST(element_at(l, 1) AS DOUBLE),
+            |  (acc, x) -> 0.25 * x + 0.75 * acc) * 10000) / 10000""".stripMargin))
+        .select(col("event_id"), col("user_id"), col("ewma"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -427,5 +455,16 @@ object Wins {
         |)
         |SELECT event_id, user_id, z, coalesce(abs(z) > 2.0, false) AS is_anomaly
         |FROM z ORDER BY event_id""".stripMargin,
+    "win_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (
+        |  SELECT event_id, user_id,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e
+        |)
+        |SELECT event_id, user_id,
+        |       floor(list_reduce(l, (acc, x) -> 0.25 * x + 0.75 * acc) * 10000) / 10000 AS ewma
+        |FROM l ORDER BY event_id""".stripMargin,
   )
 }
