@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken —
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD '03):
+  * hash every k-token shingle, slide a w-hash window, keep each window's
+  * minimum. Guarantees any shared token run of length >= k + w - 1 yields a
+  * shared fingerprint, while selecting ~2/(w+1) of the hashes.
+  *
+  * Deliberately row-based (posexplode + per-doc window min), NOT an
+  * array-lambda over per-window slices: any expression referencing the
+  * shingle-hash array inside a transform() lambda is re-evaluated per
+  * WINDOW after projection collapse — O(shingles²) md5 calls per doc,
+  * measured 372 s at sf0.1 vs ~2 s for this shape. Each shingle is hashed
+  * exactly once, the w-row sliding min stays inside codegen, and the only
+  * shuffle is doc_id-keyed — linear at any scale.
+  *
+  * Degenerate inputs degrade like the single-min fingerprint: fewer than w
+  * window starts → one global min; fewer than k tokens → whole-text md5.
+  */
+object Winnow {
+
+  /** Distinct selected fingerprints as (doc_id, fp) rows — the
+    * inverted-index shape a fingerprint-match join consumes directly.
+    * `docs` must carry (doc_id, text). */
+  def fingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val toks = docs
+      .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+    val shingleExpr = transform(sequence(lit(0), size(col("toks")) - k),
+      i => md5(concat_ws(" ", (0 until k).map(o => element_at(col("toks"), i + o + 1)): _*)))
+    val shingled = toks.where(size(col("toks")) >= k)
+      .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("nh"),
+        posexplode(shingleExpr).as(Seq("pos", "h")))
+    val frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    // window starts: pos 0..nh-w (the frame truncates to "all hashes" when
+    // nh <= w, reproducing the short-doc single-min fallback)
+    val sel = shingled
+      .withColumn("winmin", min("h").over(frame))
+      .where(col("pos") <= greatest(col("nh") - w, lit(0)))
+      .select(col("doc_id"), col("winmin").as("fp"))
+      .distinct()
+    val short = toks.where(size(col("toks")) < k)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    sel.unionByName(short)
+  }
+}

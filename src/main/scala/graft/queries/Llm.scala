@@ -36,38 +36,11 @@ object Llm {
       .select(col("doc_id"), col("lang"), col("source"),
         explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
 
-  /** Winnowing fingerprint selection (k=3 token shingles, w=4 window):
-    * md5 each shingle, slide a w-hash window, keep each window's min —
-    * the distinct (doc_id, fp) inverted-index rows. Row-based (posexplode
-    * + per-doc window min) on purpose: an array-lambda over per-window
-    * slices re-evaluates the shingle-hash array per WINDOW after
-    * projection collapse — O(shingles²) md5 calls per doc, measured 372 s
-    * at sf0.1 vs ~2 s for this shape. Short docs degrade to a single min,
-    * then a whole-text md5. */
-  private def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
-    val k = 3
-    val win = 4
-    val toks = Tables.documents(s, d)
-      .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
-    val shingled = toks.where(size(col("toks")) >= k)
-      .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("nh"),
-        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
-          i => md5(concat_ws(" ",
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2),
-            element_at(col("toks"), i + 3))))).as(Seq("pos", "h")))
-    val frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, win - 1)
-    // window starts: pos 0..nh-win (the frame truncates to "all hashes"
-    // when nh <= win, reproducing the short-doc single-min fallback)
-    val sel = shingled
-      .withColumn("winmin", min("h").over(frame))
-      .where(col("pos") <= greatest(col("nh") - win, lit(0)))
-      .select(col("doc_id"), col("winmin").as("fp"))
-      .distinct()
-    val short = toks.where(size(col("toks")) < k)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-    sel.unionByName(short)
-  }
+  /** Winnowing fingerprint selection at the keys' pinned k=3, w=4 — see
+    * [[graft.ops.Winnow.fingerprints]] for the algorithm and the measured
+    * row-based-vs-array-lambda note. */
+  private def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    graft.ops.Winnow.fingerprints(Tables.documents(s, d))
 
   /** Double-precision dot product of two float vectors, summed in index
     * order so Spark and DuckDB produce bit-identical doubles. Backed by the
