@@ -142,6 +142,35 @@ object SideEffects {
         .orderBy("doc_id")
     }),
 
+    // A2f — Avro container-file ingest round-trip (the fourth harvest
+    // format next to CSV/XML/JSONL; r2 missing-list #3). No spark-avro
+    // DataSource exists offline, so the reader is hand-rolled on Avro
+    // core over the file-parallel binaryFile scan (graft.sources.AvroFile)
+    // — a distributed per-partition sink plus a per-file executor decode,
+    // no shuffle either way. The nullable `maybe_type` column exercises
+    // the union{null,T} decode; timestamps round-trip at µs precision via
+    // the timestamp-micros logical type.
+    "scan_avro_typed" -> ((s, d) => {
+      val out = scratch("avro_events")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("ts", TimestampType, nullable = false),
+        StructField("user_id", LongType, nullable = false),
+        StructField("maybe_type", StringType, nullable = true),
+        StructField("value", DoubleType, nullable = false)))
+      val src = Tables.events(s, d)
+        .where(col("event_id") < 400)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          nullif(col("event_type"), lit("click")).as("maybe_type"), col("value"))
+        // Two range partitions -> two container files: the read-back path
+        // proves multi-file parallel decode, not just a single blob.
+        .repartitionByRange(2, col("event_id"))
+        .sortWithinPartitions("event_id")
+      graft.sources.AvroFile.write(src, out)
+      graft.sources.AvroFile.read(s, out, schema)
+        .orderBy("event_id")
+    }),
+
     // A4b — statically partition-pruned scan: the read twin of
     // sink_partitioned. The predicate on the partition column becomes a
     // PartitionFilter on the scan — unselected day directories are never
@@ -206,6 +235,10 @@ object SideEffects {
     "scan_binary" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_hash
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "scan_avro_typed" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |       nullif(event_type, 'click') AS maybe_type, value
+        |FROM events WHERE event_id < 400 ORDER BY event_id""".stripMargin,
     "scan_parquet_pruned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt,
         |       round(sum(value), 4) AS sum_value
