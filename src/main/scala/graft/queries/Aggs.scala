@@ -305,6 +305,30 @@ object Aggs {
         .orderBy("week")
     }),
 
+    // D24 — heavy hitters via a mergeable Misra–Gries summary + exact
+    // second pass (functions.MisraGries: summary guarantees every item
+    // with freq > n/(k+1) is among its ≤k candidates, any partitioning,
+    // any merge order). Pass 1 reduces each map task's slice to ≤k
+    // counters before the exchange; pass 2 counts ONLY the candidate
+    // items exactly (predicate pushed to the scan) and keeps those over
+    // the threshold — so the final rows are exact and deterministic even
+    // though the sketch contents aren't. At 100 TB the shuffle tracks k,
+    // never vocabulary width; the ≤k-entry candidate set is the only
+    // thing that touches the driver. k=128 < the 150-user keyspace, so
+    // eviction is genuinely exercised at every SF.
+    "agg_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val k = 128
+      val items = Tables.events(s, d).select(col("user_id").cast("string").as("item"))
+      val sk = items.as[String]
+        .select(new graft.functions.MisraGries(k).toColumn.name("sk"))
+        .head()
+      items.where(col("item").isin(sk.counts.keys.toSeq: _*))
+        .groupBy("item").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * (k + 1) > sk.n)
+        .orderBy("item")
+    }),
+
     // D21 — ordered funnel stages (behavioral analytics): per user, the
     // first 'view', the first 'click' strictly after it, the first
     // 'purchase' strictly after that. Each stage is one user-keyed
@@ -604,6 +628,11 @@ object Aggs {
         |UNION ALL
         |SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
         |ORDER BY col_name""".stripMargin,
+    "agg_heavy_hitters" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |     t AS (SELECT count(*) AS n FROM events)
+        |SELECT item, cnt FROM c, t WHERE cnt * 129 > n ORDER BY item""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY event_type, user_id

@@ -338,6 +338,49 @@ object Dedup {
     * the `tokenMasks` output before the joins — the trade flips once
     * minhash/mask construction dominates candidate volume.
     */
+  /** Incremental (batch-vs-corpus) LSH dedup — the daily-ingest shape: a
+    * new batch of documents is checked against the existing corpus AND
+    * against itself, without ever re-pairing the corpus with the corpus.
+    *
+    * At production scale the corpus band table is a STORED artifact (the
+    * inverted band index the previous run wrote, partitioned by band_v);
+    * the per-batch job computes bands only for the batch and equi-joins
+    * them against the stored index, so per-ingest cost tracks
+    * batch_bands × collision rate — never corpus size, and never
+    * corpus × corpus. This routine recomputes the corpus bands only
+    * because the fixture has no stored index; the join shape is the
+    * stored-index shape (batch side is the small stream side).
+    *
+    * Verification masks use a dictionary over corpus ∪ batch: exact
+    * Jaccard needs one id space. The production variant keeps the mask
+    * table as a second stored per-doc artifact under a versioned
+    * dictionary (or fixed-width feature-hashed masks, trading exactness
+    * for a frozen dictionary); either way the batch only appends.
+    *
+    * Returns (a_id = new doc, b_id = prior doc or earlier peer, jacc).
+    */
+  def lshVerifiedIncremental(s: org.apache.spark.sql.SparkSession,
+                             corpus: DataFrame, batch: DataFrame,
+                             threshold: Double): DataFrame = {
+    graft.functions.MaskOps.register(s)
+    val corpusBands = bandKeys(tokens(corpus))
+    val batchBands = bandKeys(tokens(batch))
+    val l = batchBands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
+    val rc = corpusBands.select(col("doc_id").as("b_id"),
+      col("band_i").as("bi2"), col("band_v").as("bv2"))
+    val rb = batchBands.select(col("doc_id").as("b_id"),
+      col("band_i").as("bi2"), col("band_v").as("bv2"))
+    val onBand = col("band_i") === col("bi2") && col("band_v") === col("bv2")
+    // vs corpus: every collision; vs peers: a < b so each in-batch pair
+    // surfaces once, exactly like the self-join path
+    val candidates = l.join(rc, onBand).select("a_id", "b_id")
+      .unionByName(l.join(rb, onBand && col("a_id") < col("b_id")).select("a_id", "b_id"))
+      .distinct()
+    val (masks, interExpr, cardExpr) = tokenMasks(tokens(corpus.unionByName(batch)))
+    verifyPairs(candidates, masks, interExpr, cardExpr, threshold,
+      sorted = true, dedupAfterVerify = false)
+  }
+
   def lshVerified(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
                   threshold: Double, presentationSort: Boolean = true): DataFrame = {
     graft.functions.MaskOps.register(s)

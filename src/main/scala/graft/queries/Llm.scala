@@ -238,6 +238,25 @@ object Llm {
     "llm_dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerified(s, Tables.documents(s, d), threshold = 0.5)),
 
+    // K2a-inc — incremental dedup (the daily-ingest production shape):
+    // the newest 100 docs are the "batch", everything before them the
+    // "corpus"; the batch is LSH-checked against the corpus band index
+    // AND against itself, the corpus is never re-paired with itself. See
+    // Dedup.lshVerifiedIncremental for the stored-index scale contract.
+    // J >= 0.9: an ingest gate wants near-identical copies, not the 0.5
+    // analysis threshold.
+    "llm_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val split = docs.agg((max("doc_id") - 99).as("split_id"))
+      val withS = docs.crossJoin(broadcast(split))
+      Dedup.lshVerifiedIncremental(s,
+        corpus = withS.where(col("doc_id") < col("split_id")).drop("split_id"),
+        batch = withS.where(col("doc_id") >= col("split_id")).drop("split_id"),
+        threshold = 0.9)
+        .select(col("a_id").as("new_id"), col("b_id").as("dup_of"), col("jacc"))
+        .orderBy("new_id", "dup_of")
+    }),
+
     // K2b — MinHash+LSH candidate generation (shared Dedup.bandKeys: 8
     // seeded-md5 hashes, 2 bands x 4 rows; capture follows the S-curve
     // 1-(1-J^4)^2 — ~50% at J≈0.74, ~75% at J≈0.84 — tuned so highly
@@ -561,6 +580,32 @@ object Llm {
         .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
       bucketed.join(nn, col("vec_id") === col("a_id"), "left")
         .select(col("vec_id"), col("bucket"), col("nn_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // K3c — int8 scalar quantization of the embedding column: per-vector
+    // symmetric scale amax/127, q_i = floor(x_i*127/amax) — the standard
+    // 4x memory/bandwidth lever for ANN indexes at 100 TB (the index scan
+    // reads int8 rows; full-precision vectors are only fetched for the
+    // final re-rank). Pure element-wise transform: no shuffle, stays in
+    // whole-stage codegen. floor (not round) keeps the lattice assignment
+    // bit-identical across engines (the win_interpolate midpoint rule);
+    // float->double widening is exact on both. Zero vectors quantize to
+    // all-zeros with scale 0 instead of NaN. QuantizeSpec pins the int8
+    // range, exact dequantization error bound (|x - q*amax/127| <=
+    // amax/127), and top-1-neighbor recall of the dequantized corpus.
+    "llm_embed_quantize" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("amax",
+          array_max(transform(col("embedding"), e => abs(e.cast("double")))))
+        .select(
+          col("vec_id"),
+          floor(col("amax") * 1e6) / 1e6 as "scale_q",
+          concat_ws(",",
+            transform(col("embedding"), e =>
+              when(col("amax") === 0d, lit(0L))
+                .otherwise(floor(e.cast("double") * 127.0d / col("amax")))
+                .cast("int").cast("string"))).as("q_int8"))
         .orderBy("vec_id")
     }),
 
@@ -1169,6 +1214,31 @@ object Llm {
         |FROM inter i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
         |WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "llm_dedup_incremental" ->
+      s"""WITH $tokCte,
+        |${Dedup.bandsCte},
+        |s AS (SELECT max(doc_id) - 99 AS split_id FROM documents),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_i = b.band_i AND a.band_v = b.band_v
+        |  CROSS JOIN s
+        |  WHERE a.doc_id >= s.split_id
+        |    AND (b.doc_id < s.split_id OR a.doc_id < b.doc_id)
+        |),
+        |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN tok ta ON ta.doc_id = c.a_id
+        |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.token = ta.token
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.a_id AS new_id, i.b_id AS dup_of,
+        |       round(CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter), 4) AS jacc
+        |FROM inter i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
+        |WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.9
+        |ORDER BY new_id, dup_of""".stripMargin,
     "llm_dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM (
@@ -1395,6 +1465,19 @@ object Llm {
         |SELECT bv.vec_id, CAST(bv.bucket AS BIGINT) AS bucket, nn.nn_id, nn.sim
         |FROM bv LEFT JOIN nn ON bv.vec_id = nn.a_id
         |ORDER BY bv.vec_id""".stripMargin,
+    "llm_embed_quantize" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |       floor(amax * 1000000) / 1000000 AS scale_q,
+        |       array_to_string(list_transform(embedding, x ->
+        |         CAST(CAST(CASE WHEN amax = 0 THEN 0
+        |                        ELSE floor(CAST(x AS DOUBLE) * 127.0 / amax)
+        |                   END AS INTEGER) AS VARCHAR)), ',') AS q_int8
+        |FROM a ORDER BY vec_id""".stripMargin,
     "llm_multimodal" ->
       s"""WITH $vecCte
         |SELECT d.doc_id, d.lang, d.source, v.label,

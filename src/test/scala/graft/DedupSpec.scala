@@ -197,6 +197,28 @@ class DedupSpec extends SparkSpec {
     assert(topBlocked.forall(r => cells(r.getLong(0)) == cells(r.getLong(1))))
   }
 
+  test("incremental batch-vs-corpus dedup equals the full self-join restricted to batch pairs") {
+    // corpus ids all precede batch ids (split by id), so a full-corpus
+    // lshVerified pair involving the batch always has its batch doc on
+    // the b side; the incremental routine reports it as (new, prior).
+    val docs = Tables.documents(spark, sf0001)
+    val split = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0) - 99
+    val full = Dedup.lshVerified(spark, docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a >= split || b >= split }
+      .map { case (a, b, j) => (math.max(a, b), math.min(a, b), j) }.toSet
+    val inc = Dedup.lshVerifiedIncremental(spark,
+        corpus = docs.where(col("doc_id") < split),
+        batch = docs.where(col("doc_id") >= split), threshold = 0.9)
+      .collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.max(a, b), math.min(a, b), r.getDouble(2))
+      }.toSet
+    assert(inc == full, "incremental pairs + jacc must equal the filtered self-join")
+    assert(inc.nonEmpty, "fixture must produce batch duplicates")
+  }
+
   test("single-word fast path still serves the shared corpus") {
     // vocabulary 31 => single-long mask plan (no zip_with in the plan)
     val df = Dedup.jaccardBitmask(spark, Tables.documents(spark, sf0001), 0.5)

@@ -55,4 +55,45 @@ class SketchSpec extends SparkSpec {
     assert(merged == direct,
       "union of daily sketches must estimate identically to one sketch over the raw week")
   }
+
+  // --- Misra–Gries heavy hitters (`agg_heavy_hitters`) ---
+
+  test("MG summary keeps every item over n/(k+1) under any partitioning; estimates under-count by at most n/(k+1)") {
+    import spark.implicits._
+    // sf0.01: 150 distinct users > k=128, so eviction genuinely runs,
+    // and the densest users still clear the n/(k+1) threshold.
+    val k = 128
+    val items = Tables.events(spark, sf001)
+      .select(col("user_id").cast("string").as("item"))
+    val exact = items.groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val heavy = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
+    assert(heavy.nonEmpty && exact.size > k,
+      s"fixture must exercise eviction: ${exact.size} items, ${heavy.size} heavy")
+    for (parts <- Seq(1, 3, 17)) {
+      val sk = items.repartition(parts).as[String]
+        .select(new graft.functions.MisraGries(k).toColumn.name("sk")).head()
+      assert(sk.n == n)
+      assert(heavy.subsetOf(sk.counts.keySet),
+        s"parts=$parts: summary must contain every heavy item")
+      sk.counts.foreach { case (i, est) =>
+        val t = exact(i)
+        assert(est <= t && t - est <= n / (k + 1),
+          s"parts=$parts item $i: estimate $est outside [true - n/(k+1), true] = [${t - n / (k + 1)}, $t]")
+      }
+    }
+  }
+
+  test("agg_heavy_hitters output is the exact HAVING answer regardless of partitioning") {
+    val got = SparkEntry.queries("agg_heavy_hitters")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val items = Tables.events(spark, sf0001)
+      .select(col("user_id").cast("string").as("item"))
+    val exact = items.groupBy("item").count()
+    val n = items.count()
+    val want = exact.where(col("count") * 129 > n).orderBy("item")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == want)
+  }
 }
