@@ -583,6 +583,44 @@ object Llm {
         .orderBy("vec_id")
     }),
 
+    // K12b — BM25 relevance scoring (Robertson–Spärck Jones; k1=1.2,
+    // b=0.75), the retrieval twin of tf-idf: score every doc matching any
+    // query term. The shape at scale: query terms prune the exploded
+    // token stream BEFORE its shuffle (tf is computed only for matching
+    // rows), df is a ≤|query|-row aggregate, and corpus stats (N, avgdl)
+    // are one broadcast row — per-query cost tracks posting-list volume,
+    // not corpus size, exactly like an inverted-index retrieval plan.
+    // Determinism: per-term scores are summed in FIXED written order via
+    // one conditional sum per term (each sees ≤1 row per doc, so no
+    // float-order drift), and ln/round follow the llm_tfidf_terms
+    // precedent. Output is every matching doc ordered by doc_id — no
+    // top-k rank boundary to flip on a last-ulp score tie.
+    "llm_bm25_search" -> ((s, d) => {
+      val qTerms = Seq("hash", "join", "vector") // fixed, lexicographic
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+      val tf = toks.where(col("token").isin(qTerms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d)))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("s", col("idf") * (col("tf") * 2.2d)
+          / (col("tf") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl") / col("avgdl"))))
+      val perTerm = qTerms.map(t =>
+        coalesce(sum(when(col("token") === t, col("s"))), lit(0d)))
+      scored.groupBy("doc_id")
+        .agg(perTerm.reduce(_ + _).as("bm25_raw"), count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"), col("n_terms"))
+        .orderBy("doc_id")
+    }),
+
     // K3c — int8 scalar quantization of the embedding column: per-vector
     // symmetric scale amax/127, q_i = floor(x_i*127/amax) — the standard
     // 4x memory/bandwidth lever for ANN indexes at 100 TB (the index scan
@@ -1687,5 +1725,28 @@ object Llm {
         |)
         |SELECT source, token, round(score, 4) AS score, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+    "llm_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        |  FROM documents
+        |),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+        |               / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        |)
+        |SELECT doc_id,
+        |       round(coalesce(sum(CASE WHEN token = 'hash' THEN s END), 0.0)
+        |           + coalesce(sum(CASE WHEN token = 'join' THEN s END), 0.0)
+        |           + coalesce(sum(CASE WHEN token = 'vector' THEN s END), 0.0), 4) AS bm25,
+        |       count(*) AS n_terms
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

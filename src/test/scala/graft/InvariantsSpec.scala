@@ -161,6 +161,33 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 scores match a driver-side reference computation") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    val q = Seq("hash", "join", "vector")
+    val dl = docs.map { case (id, t) => id -> t.length }
+    val n = dl.size.toLong
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / n
+    val df = q.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    def score(id: Long): Double = q.map { t =>
+      val tf = docs(id).count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+    }.sum
+    val got = SparkEntry.queries("llm_bm25_search")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, bm25, nTerms) =>
+      assert(nTerms == q.count(docs(id).contains(_)), s"doc $id matched-term count")
+      assert(math.abs(bm25 - score(id)) < 1e-3, s"doc $id: $bm25 vs ${score(id)}")
+    }
+    // every doc containing a query term is present — no silent top-k cap
+    assert(got.length == docs.count { case (_, t) => q.exists(t.contains(_)) })
+  }
+
   test("set algebra: (A except B) union (A intersect B) == A for key sets") {
     val a = Tables.part(spark, sf0001).select("p_partkey")
     val b = Tables.lineitem(spark, sf0001).select(col("l_partkey").as("p_partkey"))
