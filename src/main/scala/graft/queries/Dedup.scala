@@ -361,7 +361,12 @@ object Dedup {
     */
   def lshVerifiedIncremental(s: org.apache.spark.sql.SparkSession,
                              corpus: DataFrame, batch: DataFrame,
-                             threshold: Double): DataFrame = {
+                             threshold: Double): DataFrame =
+    lshVerifiedIncrementalGated(s, corpus, batch, threshold, BroadcastDocs)
+
+  private[graft] def lshVerifiedIncrementalGated(
+      s: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+      batch: DataFrame, threshold: Double, gate: Long): DataFrame = {
     graft.functions.MaskOps.register(s)
     val corpusBands = bandKeys(tokens(corpus))
     val batchBands = bandKeys(tokens(batch))
@@ -373,10 +378,29 @@ object Dedup {
     val onBand = col("band_i") === col("bi2") && col("band_v") === col("bv2")
     // vs corpus: every collision; vs peers: a < b so each in-batch pair
     // surfaces once, exactly like the self-join path
-    val candidates = l.join(rc, onBand).select("a_id", "b_id")
+    val rawCand = l.join(rc, onBand).select("a_id", "b_id")
       .unionByName(l.join(rb, onBand && col("a_id") < col("b_id")).select("a_id", "b_id"))
       .distinct()
-    val (masks, interExpr, cardExpr) = tokenMasks(tokens(corpus.unionByName(batch)))
+    // Mask-scope gate (measured, same constant as the pair-join gate):
+    // Jaccard between two docs depends on their two token sets alone, so
+    // the verification dictionary may be scoped to docs that appear in a
+    // candidate pair without changing a single jacc value (DedupSpec pins
+    // both routes equal). Below the gate a corpus-wide dictionary is one
+    // cheap scan and the candidate plan stays lazy (measured at sf0.1:
+    // scoping cost 6.2 s vs 2.3 s — checkpoint + double explode buy
+    // nothing when candidates touch most of a small corpus). Above the
+    // gate the corpus-wide dictionary pass is exactly the corpus-sized
+    // cost the stored band index exists to avoid: checkpoint the (small)
+    // pair list once, then every downstream stage is ∝ batch + matches.
+    val scoped = corpus.count() > gate
+    val candidates = if (scoped) rawCand.localCheckpoint(true) else rawCand
+    val base = corpus.unionByName(batch)
+    val docsForMasks = if (scoped) {
+      val candDocs = candidates.select(col("a_id").as("doc_id"))
+        .unionByName(candidates.select(col("b_id").as("doc_id"))).distinct()
+      base.join(candDocs, Seq("doc_id"), "left_semi")
+    } else base
+    val (masks, interExpr, cardExpr) = tokenMasks(tokens(docsForMasks))
     verifyPairs(candidates, masks, interExpr, cardExpr, threshold,
       sorted = true, dedupAfterVerify = false)
   }

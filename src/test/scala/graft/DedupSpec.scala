@@ -217,6 +217,17 @@ class DedupSpec extends SparkSpec {
       }.toSet
     assert(inc == full, "incremental pairs + jacc must equal the filtered self-join")
     assert(inc.nonEmpty, "fixture must produce batch duplicates")
+
+    // the candidate-scoped mask dictionary (gate=0 forces the large-corpus
+    // route) must not change a single pair or jacc value
+    val scoped = Dedup.lshVerifiedIncrementalGated(spark,
+        corpus = docs.where(col("doc_id") < split),
+        batch = docs.where(col("doc_id") >= split), threshold = 0.9, gate = 0L)
+      .collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.max(a, b), math.min(a, b), r.getDouble(2))
+      }.toSet
+    assert(scoped == full, "mask scoping must be invisible in the output")
   }
 
   test("single-word fast path still serves the shared corpus") {
