@@ -406,6 +406,20 @@ object Rel {
           round(col("value"), 4).as("value"))
         .orderBy("event_id")
     }),
+
+    // A6 — attribute-history run compaction (the reference's periodic
+    // attribute_directory maintenance): collapse consecutive history rows
+    // whose attribute values are unchanged, keeping each run's first row
+    // (AttributeStore.compact — one entity shuffle + in-partition sort,
+    // no self-join). History fixture pre-aggregates to unique
+    // (entity_id, ts) so the run order is total on both engines.
+    "store_attr_compact" -> ((s, d) => {
+      val hist = Tables.events(s, d)
+        .groupBy(col("user_id").as("entity_id"), col("ts"))
+        .agg(min("event_type").as("status"))
+      graft.store.AttributeStore.compact(hist)
+        .orderBy("entity_id", "ts")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -584,5 +598,15 @@ object Rel {
         |)
         |SELECT event_id, ts, user_id, event_type, round(value, 4) AS value
         |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "store_attr_compact" ->
+      """WITH h AS (
+        |  SELECT user_id AS entity_id, CAST(ts AS TIMESTAMP) AS ts, min(event_type) AS status
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT *, lag(status) OVER (PARTITION BY entity_id ORDER BY ts) AS prev FROM h
+        |)
+        |SELECT entity_id, ts, status FROM l
+        |WHERE prev IS NULL OR status <> prev
+        |ORDER BY entity_id, ts""".stripMargin,
   )
 }
