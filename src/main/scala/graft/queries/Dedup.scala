@@ -364,11 +364,33 @@ object Dedup {
                              threshold: Double): DataFrame =
     lshVerifiedIncrementalGated(s, corpus, batch, threshold, BroadcastDocs)
 
+  /** The stored band index (doc_id, band_i, band_v) for `docs` — the
+    * artifact an ingest pipeline writes once per corpus version and every
+    * incremental batch probes. Written as plain parquet: the batch side of
+    * the probe is broadcast-sized, so the index is STREAMED through a
+    * broadcast hash join and needs no particular layout; at warehouse
+    * scale `bucketBy("band_v")` (the `join_bucketed` layout) additionally
+    * makes index-index maintenance joins exchange-free. */
+  def writeBandIndex(docs: DataFrame, dir: String): Unit =
+    bandKeys(tokens(docs)).write.mode("overwrite").parquet(dir)
+
+  /** Incremental dedup against a PRE-BUILT corpus band index (see
+    * [[writeBandIndex]]): identical output to the self-computing overload
+    * (DedupSpec pins it), but the corpus text is touched only for mask
+    * verification of candidate partners — band construction cost for the
+    * corpus is paid once at index-write time, not per batch. */
+  def lshVerifiedIncremental(s: org.apache.spark.sql.SparkSession,
+                             corpus: DataFrame, corpusBands: DataFrame,
+                             batch: DataFrame, threshold: Double): DataFrame =
+    lshVerifiedIncrementalGated(s, corpus, batch, threshold, BroadcastDocs,
+      Some(corpusBands))
+
   private[graft] def lshVerifiedIncrementalGated(
       s: org.apache.spark.sql.SparkSession, corpus: DataFrame,
-      batch: DataFrame, threshold: Double, gate: Long): DataFrame = {
+      batch: DataFrame, threshold: Double, gate: Long,
+      storedBands: Option[DataFrame] = None): DataFrame = {
     graft.functions.MaskOps.register(s)
-    val corpusBands = bandKeys(tokens(corpus))
+    val corpusBands = storedBands.getOrElse(bandKeys(tokens(corpus)))
     val batchBands = bandKeys(tokens(batch))
     val l = batchBands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
     val rc = corpusBands.select(col("doc_id").as("b_id"),

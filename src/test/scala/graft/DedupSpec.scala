@@ -228,6 +228,19 @@ class DedupSpec extends SparkSpec {
         (math.max(a, b), math.min(a, b), r.getDouble(2))
       }.toSet
     assert(scoped == full, "mask scoping must be invisible in the output")
+
+    // stored-band-index route: write the index once, probe it — identical
+    // pairs and jacc to the self-computing overload
+    val idxDir = tmpDir("band_index")
+    val corpus = docs.where(col("doc_id") < split)
+    Dedup.writeBandIndex(corpus, idxDir)
+    val stored = Dedup.lshVerifiedIncremental(spark, corpus,
+        spark.read.parquet(idxDir), docs.where(col("doc_id") >= split), 0.9)
+      .collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.max(a, b), math.min(a, b), r.getDouble(2))
+      }.toSet
+    assert(stored == full, "the stored index must be a drop-in for computed bands")
   }
 
   test("single-word fast path still serves the shared corpus") {
