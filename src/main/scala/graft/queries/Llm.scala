@@ -647,6 +647,51 @@ object Llm {
         .orderBy("vec_id")
     }),
 
+    // K3d — product quantization codes (Jégou et al., PQ): the 64-dim
+    // vector splits into 8 subspaces of 8 dims; each subspace gets 16
+    // centroids (one k-means update step over deterministic md5 seed
+    // cells — the llm_ivf_centroids recipe, per subspace) and every
+    // subvector is assigned its nearest centroid by L2 (ties to the
+    // lowest centroid id). 8 codes × 4 bits = 4 bytes per vector — 64×
+    // smaller than float32, the codebook-compression rung below int8 on
+    // the ANN ladder (scan PQ codes via distance tables, re-rank the few
+    // survivors at full precision). Centroids follow the proven
+    // determinism recipe: sorted-order sums, floor-1e-6 quantization,
+    // array-order distance folds. PqSpec pins code shape and that argmin
+    // assignment never loses to the seeding assignment it refines.
+    "llm_pq_encode" -> ((s, d) => {
+      val subs = Tables.embeddings(s, d)
+        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("embedding"))
+        .withColumn("subvec", slice(col("embedding"), col("sub") * 8 + 1, lit(8)))
+        .withColumn("cellseed",
+          pmod(conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"), col("sub"))),
+            1, 4), 16, 10).cast("long"), lit(16)))
+        .drop("embedding")
+      val cent = subs
+        .select(col("sub"), col("cellseed"), posexplode(col("subvec")).as(Seq("i", "x")))
+        .groupBy("sub", "cellseed", "i")
+        .agg(sort_array(collect_list(col("x").cast("double"))).as("xs"))
+        .select(col("sub"), col("cellseed"), col("i"),
+          (aggregate(col("xs"), lit(0.0), (acc, e) => acc + e) / size(col("xs"))).as("m"))
+        .groupBy("sub", "cellseed")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+        .select(col("sub"), col("cellseed").as("cid"),
+          transform(col("im"), e => floor(e.getField("m") * 1e6) / 1e6).as("centroid"))
+      val asg = subs.join(broadcast(cent), "sub")
+        .withColumn("dist", aggregate(
+          zip_with(col("subvec"), col("centroid"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, e) => acc + e))
+      val wC = Window.partitionBy("vec_id", "sub").orderBy(col("dist").asc, col("cid").asc)
+      asg.withColumn("rn", row_number().over(wC)).where(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("sc"),
+            e => e.getField("cid").cast("string"))).as("pq_codes"))
+        .orderBy("vec_id")
+    }),
+
     // K6 — multimodal column assembly: text + opaque binary payload +
     // vector + typed metadata in one row. The binary column stands in for
     // image/audio bytes (no media libs offline — SURVEY.md §0); the
@@ -1516,6 +1561,51 @@ object Llm {
         |                        ELSE floor(CAST(x AS DOUBLE) * 127.0 / amax)
         |                   END AS INTEGER) AS VARCHAR)), ',') AS q_int8
         |FROM a ORDER BY vec_id""".stripMargin,
+    "llm_pq_encode" ->
+      """WITH sub AS (
+        |  SELECT vec_id, s.sub,
+        |         list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS subvec
+        |  FROM embeddings, (SELECT unnest(range(0, 8)) AS sub) s
+        |),
+        |seeded AS (
+        |  SELECT *, CAST(concat('0x', substring(md5(
+        |           CAST(vec_id AS VARCHAR) || ':' || CAST(sub AS VARCHAR)), 1, 4))
+        |         AS BIGINT) % 16 AS cellseed
+        |  FROM sub
+        |),
+        |px AS (
+        |  SELECT sub, cellseed, unnest(range(1, len(subvec) + 1)) AS i,
+        |         unnest(list_transform(subvec, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM seeded
+        |),
+        |cm AS (
+        |  SELECT sub, cellseed, i,
+        |         list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+        |  FROM px GROUP BY 1, 2, 3
+        |),
+        |cent AS (
+        |  SELECT sub, cellseed AS cid,
+        |         list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+        |  FROM cm GROUP BY 1, 2
+        |),
+        |asg AS (
+        |  SELECT se.vec_id, se.sub, c.cid,
+        |         list_aggregate(list_transform(list_zip(se.subvec, c.centroid),
+        |           p -> (CAST(struct_extract(p, 1) AS DOUBLE) - struct_extract(p, 2))
+        |              * (CAST(struct_extract(p, 1) AS DOUBLE) - struct_extract(p, 2))),
+        |           'sum') AS dist
+        |  FROM seeded se JOIN cent c ON se.sub = c.sub
+        |),
+        |best AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |                                 ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM asg
+        |  ) WHERE rn = 1
+        |)
+        |SELECT vec_id,
+        |       string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS pq_codes
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "llm_multimodal" ->
       s"""WITH $vecCte
         |SELECT d.doc_id, d.lang, d.source, v.label,
