@@ -144,8 +144,48 @@ object Llm {
     * mean is floor-quantized at 1e-6 — round() would HALF_UP on the
     * shortest decimal in Spark but round the binary value in DuckDB on
     * midpoints; floor of the product is pure IEEE, bit-identical. */
-  private[graft] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val v = vecs(s, d)
+  /** PQ building blocks shared by `llm_pq_encode` and `llm_pq_adc`:
+    * the per-(vector, subspace) slices with their md5 seed cell, the
+    * 16-entry-per-subspace codebook (seeded k-means step, floor-quantized
+    * — see the `llm_pq_encode` doc), and the argmin code assignment
+    * (vec_id, sub, cid). One codebook construction, both keys. */
+  private def pqParts(v: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val subs = v
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("embedding"))
+      .withColumn("subvec", slice(col("embedding"), col("sub") * 8 + 1, lit(8)))
+      .withColumn("cellseed",
+        pmod(conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"), col("sub"))),
+          1, 4), 16, 10).cast("long"), lit(16)))
+      .drop("embedding")
+    val cent = subs
+      .select(col("sub"), col("cellseed"), posexplode(col("subvec")).as(Seq("i", "x")))
+      .groupBy("sub", "cellseed", "i")
+      .agg(sort_array(collect_list(col("x").cast("double"))).as("xs"))
+      .select(col("sub"), col("cellseed"), col("i"),
+        (aggregate(col("xs"), lit(0.0), (acc, e) => acc + e) / size(col("xs"))).as("m"))
+      .groupBy("sub", "cellseed")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+      .select(col("sub"), col("cellseed").as("cid"),
+        transform(col("im"), e => floor(e.getField("m") * 1e6) / 1e6).as("centroid"))
+    // dists doubles as the ADC distance table: for every vector (qua
+    // query), its L2 distance to each of the 16 centroids per subspace
+    val dists = subs.join(broadcast(cent), "sub")
+      .withColumn("dist", aggregate(
+        zip_with(col("subvec"), col("centroid"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, e) => acc + e))
+      .select("vec_id", "sub", "cid", "dist")
+    val wC = Window.partitionBy("vec_id", "sub").orderBy(col("dist").asc, col("cid").asc)
+    val codes = dists.withColumn("rn", row_number().over(wC)).where(col("rn") === 1)
+      .select("vec_id", "sub", "cid")
+    (dists, cent, codes)
+  }
+
+  /** Coarse IVF assignment shared by the IVF keys and IVF-PQ: 16 seeded
+    * centroids (one k-means step, the determinism recipe in [[ivfSearch]]'s
+    * doc), every vector ranked against every cell by cosine. Returns the
+    * ranked assignment (vec_id, embedding, norm, cell, csim, r). */
+  private def coarseRanked(v: DataFrame): DataFrame = {
     val seeded = v.withColumn("seed",
       pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(16)))
     val cent = seeded
@@ -162,7 +202,12 @@ object Llm {
     val assigned = seeded.crossJoin(broadcast(cent))
       .withColumn("csim", dot(col("embedding"), col("centroid")) / (col("norm") * col("cnorm")))
     val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
-    val ranked = assigned.withColumn("r", row_number().over(wA))
+    assigned.withColumn("r", row_number().over(wA))
+  }
+
+  private[graft] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val v = vecs(s, d)
+    val ranked = coarseRanked(v)
     val cells = ranked.where(col("r") === 1)
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
     val probes = ranked.where(col("r") <= nprobe)
@@ -659,31 +704,58 @@ object Llm {
     // determinism recipe: sorted-order sums, floor-1e-6 quantization,
     // array-order distance folds. PqSpec pins code shape and that argmin
     // assignment never loses to the seeding assignment it refines.
-    "llm_pq_encode" -> ((s, d) => {
-      val subs = Tables.embeddings(s, d)
-        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("embedding"))
-        .withColumn("subvec", slice(col("embedding"), col("sub") * 8 + 1, lit(8)))
-        .withColumn("cellseed",
-          pmod(conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"), col("sub"))),
-            1, 4), 16, 10).cast("long"), lit(16)))
-        .drop("embedding")
-      val cent = subs
-        .select(col("sub"), col("cellseed"), posexplode(col("subvec")).as(Seq("i", "x")))
-        .groupBy("sub", "cellseed", "i")
-        .agg(sort_array(collect_list(col("x").cast("double"))).as("xs"))
-        .select(col("sub"), col("cellseed"), col("i"),
-          (aggregate(col("xs"), lit(0.0), (acc, e) => acc + e) / size(col("xs"))).as("m"))
-        .groupBy("sub", "cellseed")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-        .select(col("sub"), col("cellseed").as("cid"),
-          transform(col("im"), e => floor(e.getField("m") * 1e6) / 1e6).as("centroid"))
-      val asg = subs.join(broadcast(cent), "sub")
-        .withColumn("dist", aggregate(
-          zip_with(col("subvec"), col("centroid"),
-            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+    // K3e — IVF-PQ search (the FAISS index architecture assembled from
+    // the two structures above): coarse seeded cells restrict the pair
+    // work (like llm_ivf_centroids), and WITHIN a cell the query never
+    // touches database vectors — it scans their 4-byte PQ codes via its
+    // per-subspace Asymmetric Distance Computation table (8×16 L2
+    // distances from the query's true subvectors to the codebook). At
+    // 100 TB this is the whole point of the codes: one broadcast-sized
+    // dtable per query + an equi-join over int codes replaces touching
+    // 256 B of floats per candidate. Determinism: the dtable lookup folds
+    // in subspace order (zip_with over position-aligned arrays), all
+    // inputs are the floor-quantized codebook distances. PqSpec pins ADC
+    // against a driver-side reference and its recall vs exact 1-NN.
+    "llm_pq_adc" -> ((s, d) => {
+      val ranked = coarseRanked(vecs(s, d))
+      val cells = ranked.where(col("r") === 1).select(col("vec_id"), col("cell"))
+      val (dists, _, codes) = pqParts(Tables.embeddings(s, d))
+      // per-query nested dtable: 8 subspaces × 16 cid-indexed distances
+      val dtab = dists
+        .groupBy("vec_id", "sub")
+        .agg(array_sort(collect_list(struct(col("cid"), col("dist")))).as("cd"))
+        .select(col("vec_id"), col("sub"),
+          transform(col("cd"), e => e.getField("dist")).as("ds"))
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("sub"), col("ds")))).as("sd"))
+        .select(col("vec_id"),
+          transform(col("sd"), e => e.getField("ds")).as("dtab"))
+      // per-db-vector code word: 8 subspace codes in subspace order
+      val words = codes
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+        .select(col("vec_id"),
+          transform(col("sc"), e => e.getField("cid")).as("codes"))
+      val q = cells.join(dtab, "vec_id")
+        .select(col("vec_id").as("a_id"), col("cell"), col("dtab"))
+      val b = cells.join(words, "vec_id")
+        .select(col("vec_id").as("b_id"), col("cell").as("b_cell"), col("codes"))
+      val adc = q.join(b, col("cell") === col("b_cell") && col("a_id") =!= col("b_id"))
+        .withColumn("adc", aggregate(
+          zip_with(col("dtab"), col("codes"),
+            (arr, c) => element_at(arr, c.cast("int") + 1)),
           lit(0.0), (acc, e) => acc + e))
-      val wC = Window.partitionBy("vec_id", "sub").orderBy(col("dist").asc, col("cid").asc)
-      asg.withColumn("rn", row_number().over(wC)).where(col("rn") === 1)
+      val w = Window.partitionBy("a_id").orderBy(col("adc").asc, col("b_id"))
+      val nn = adc.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("nn_id"), round(col("adc"), 4).as("adc_dist"))
+      cells.join(nn, col("vec_id") === col("a_id"), "left")
+        .select(col("vec_id"), col("cell"), col("nn_id"), col("adc_dist"))
+        .orderBy("vec_id")
+    }),
+
+    "llm_pq_encode" -> ((s, d) => {
+      val (_, _, codes) = pqParts(Tables.embeddings(s, d))
+      codes
         .groupBy("vec_id")
         .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
         .select(col("vec_id"),
@@ -1561,6 +1633,107 @@ object Llm {
         |                        ELSE floor(CAST(x AS DOUBLE) * 127.0 / amax)
         |                   END AS INTEGER) AS VARCHAR)), ',') AS q_int8
         |FROM a ORDER BY vec_id""".stripMargin,
+    "llm_pq_adc" ->
+      s"""WITH $vecCte,
+        |seeded AS (
+        |  SELECT vec_id, embedding, norm,
+        |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |           % 16 AS seed
+        |  FROM v
+        |),
+        |px AS (
+        |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM seeded
+        |),
+        |cm AS (
+        |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+        |  FROM px GROUP BY 1, 2
+        |),
+        |cent AS (
+        |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+        |  FROM cm GROUP BY seed
+        |),
+        |centn AS (
+        |  SELECT cell, centroid,
+        |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+        |  FROM cent
+        |),
+        |casg AS (
+        |  SELECT s.vec_id, c.cell,
+        |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
+        |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+        |           / (s.norm * c.cnorm) AS csim
+        |  FROM seeded s CROSS JOIN centn c
+        |),
+        |cells AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+        |    FROM casg
+        |  ) WHERE r = 1
+        |),
+        |psub AS (
+        |  SELECT vec_id, s.sub,
+        |         list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS subvec
+        |  FROM embeddings, (SELECT unnest(range(0, 8)) AS sub) s
+        |),
+        |pseeded AS (
+        |  SELECT *, CAST(concat('0x', substring(md5(
+        |           CAST(vec_id AS VARCHAR) || ':' || CAST(sub AS VARCHAR)), 1, 4))
+        |         AS BIGINT) % 16 AS cellseed
+        |  FROM psub
+        |),
+        |ppx AS (
+        |  SELECT sub, cellseed, unnest(range(1, len(subvec) + 1)) AS i,
+        |         unnest(list_transform(subvec, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM pseeded
+        |),
+        |pcm AS (
+        |  SELECT sub, cellseed, i,
+        |         list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+        |  FROM ppx GROUP BY 1, 2, 3
+        |),
+        |pcent AS (
+        |  SELECT sub, cellseed AS cid,
+        |         list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+        |  FROM pcm GROUP BY 1, 2
+        |),
+        |pdist AS (
+        |  SELECT se.vec_id, se.sub, c.cid,
+        |         list_aggregate(list_transform(list_zip(se.subvec, c.centroid),
+        |           p -> (CAST(struct_extract(p, 1) AS DOUBLE) - struct_extract(p, 2))
+        |              * (CAST(struct_extract(p, 1) AS DOUBLE) - struct_extract(p, 2))),
+        |           'sum') AS dist
+        |  FROM pseeded se JOIN pcent c ON se.sub = c.sub
+        |),
+        |qdt1 AS (SELECT vec_id, sub, list(dist ORDER BY cid) AS ds FROM pdist GROUP BY 1, 2),
+        |qdt AS (SELECT vec_id, list(ds ORDER BY sub) AS dtab FROM qdt1 GROUP BY 1),
+        |best AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |                                 ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM pdist
+        |  ) WHERE rn = 1
+        |),
+        |words AS (SELECT vec_id, list(cid ORDER BY sub) AS codes FROM best GROUP BY 1),
+        |adcs AS (
+        |  SELECT qa.vec_id AS a_id, qb.vec_id AS b_id,
+        |         list_aggregate(list_transform(list_zip(q.dtab, wb.codes),
+        |           p -> struct_extract(p, 1)[CAST(struct_extract(p, 2) AS INTEGER) + 1]),
+        |           'sum') AS adc
+        |  FROM cells qa JOIN cells qb ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id
+        |  JOIN qdt q ON q.vec_id = qa.vec_id
+        |  JOIN words wb ON wb.vec_id = qb.vec_id
+        |),
+        |nn AS (
+        |  SELECT a_id, b_id AS nn_id, round(adc, 4) AS adc_dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY adc ASC, b_id) AS rn
+        |    FROM adcs
+        |  ) WHERE rn = 1
+        |)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.adc_dist
+        |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
+        |ORDER BY c.vec_id""".stripMargin,
     "llm_pq_encode" ->
       """WITH sub AS (
         |  SELECT vec_id, s.sub,

@@ -23,30 +23,38 @@ class PqSpec extends SparkSpec {
     assert(rows.map(_._2.toSeq).distinct.length > 100, "codes must discriminate vectors")
   }
 
-  test("argmin assignment never loses to the md5 seeding it refines") {
-    // reconstruct both assignments driver-side from first principles
-    val vecs = Tables.embeddings(spark, sf0001).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    def seedOf(id: Long, sub: Int): Int =
-      (java.lang.Long.parseLong(
-        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$id:$sub").substring(0, 4),
-        16) % 16).toInt
-    // per (sub, cell): mean of member subvectors (plain mean is fine for
-    // the inequality check; quantization shifts both sides equally)
+  private def vecsById() = Tables.embeddings(spark, sf0001).collect()
+    .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def seedOf(id: Long, sub: Int): Int =
+    (java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$id:$sub").substring(0, 4),
+      16) % 16).toInt
+
+  /** Driver-side codebook: per (sub, cell) floor-quantized mean of the
+    * member subvectors — the reference the engine output is checked
+    * against (sum-order drift vs the engine is ~1e-15, absorbed by the
+    * assertion tolerances). */
+  private def codebook(vecs: Map[Long, Array[Double]]): Map[(Int, Int), Array[Double]] = {
     val members = scala.collection.mutable.Map.empty[(Int, Int), List[Array[Double]]]
     for ((id, v) <- vecs; sub <- 0 until 8) {
-      val sv = v.slice(sub * 8, sub * 8 + 8)
       val k = (sub, seedOf(id, sub))
-      members(k) = sv :: members.getOrElse(k, Nil)
+      members(k) = v.slice(sub * 8, sub * 8 + 8) :: members.getOrElse(k, Nil)
     }
-    val cent = members.map { case (k, svs) =>
+    members.map { case (k, svs) =>
       val m = new Array[Double](8)
       svs.foreach(sv => (0 until 8).foreach(i => m(i) += sv(i)))
       (0 until 8).foreach(i => m(i) = math.floor(m(i) / svs.size * 1e6) / 1e6)
       k -> m
-    }
-    def l2(a: Array[Double], b: Array[Double]): Double =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    }.toMap
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("argmin assignment never loses to the md5 seeding it refines") {
+    val vecs = vecsById()
+    val cent = codebook(vecs)
     val codes = parsed().toMap
     var strictlyBetter = 0
     for ((id, v) <- vecs; sub <- 0 until 8) {
@@ -58,5 +66,57 @@ class PqSpec extends SparkSpec {
       if (chosen < seededD - 1e-9) strictlyBetter += 1
     }
     assert(strictlyBetter > 500, s"refinement must actually move assignments ($strictlyBetter)")
+  }
+
+  test("ADC distance of the reported neighbor matches a driver-side recomputation") {
+    val vecs = vecsById()
+    val cent = codebook(vecs)
+    val codes = parsed().toMap
+    val out = SparkEntry.queries("llm_pq_adc")(spark, sf0001).collect()
+    val withNn = out.filter(!_.isNullAt(2))
+    assert(withNn.length > 400, "most cells must have >1 member")
+    withNn.foreach { r =>
+      val (q, nnId, adc) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val ref = (0 until 8).map { sub =>
+        l2(vecs(q).slice(sub * 8, sub * 8 + 8), cent((sub, codes(nnId)(sub))))
+      }.sum
+      assert(math.abs(adc - ref) < 1e-3, s"q=$q nn=$nnId: adc $adc vs ref $ref")
+    }
+  }
+
+  test("ADC neighbor is near-optimal in true distance even where argmin flips") {
+    // This corpus is near-orthogonal noise (max pairwise cosine ≈ 0.51 —
+    // see NOTES), so within a cell every peer is nearly equidistant and
+    // top-1 identity recall is a weak metric: quantization noise flips
+    // ties between equally-good neighbors. The meaningful guarantee is
+    // that the neighbor ADC picks is almost as CLOSE as the exact one —
+    // the distance ratio d(chosen)/d(best), which production re-ranking
+    // then resolves exactly. Identity recall is still pinned well above
+    // the 1/|cell| ≈ 0.03 random-pick floor.
+    val vecs = vecsById()
+    val out = SparkEntry.queries("llm_pq_adc")(spark, sf0001).collect()
+    val cells = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nn = out.filter(!_.isNullAt(2)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val byCell = vecs.keys.groupBy(cells)
+    var hit = 0
+    var tot = 0
+    val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for ((id, v) <- vecs) {
+      val peers = byCell(cells(id)).filter(_ != id)
+      if (peers.nonEmpty) {
+        tot += 1
+        val exact = peers.minBy(p => (l2(v, vecs(p)), p))
+        if (nn(id) == exact) hit += 1
+        ratios += math.sqrt(l2(v, vecs(nn(id)))) / math.sqrt(l2(v, vecs(exact)))
+      }
+    }
+    assert(tot == nn.size, "every multi-member cell query must report a neighbor")
+    val recall = hit.toDouble / tot
+    assert(recall >= 0.15, s"identity recall $recall under the measured 0.204")
+    val sorted = ratios.sorted
+    val median = sorted(sorted.length / 2)
+    val p90 = sorted((sorted.length * 9) / 10)
+    assert(median <= 1.10, s"median distance ratio $median")
+    assert(p90 <= 1.25, s"p90 distance ratio $p90")
   }
 }
