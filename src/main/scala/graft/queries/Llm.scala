@@ -205,6 +205,44 @@ object Llm {
     assigned.withColumn("r", row_number().over(wA))
   }
 
+  /** ADC pair scoring shared by `llm_pq_adc` and `llm_pq_rerank`: every
+    * query's coarse-cell-mates scored through the query's own 8×16 ADC
+    * table over their 4-byte PQ code words (never their floats). Returns
+    * (cells, adc): the coarse assignment (vec_id, cell) and the scored
+    * pairs (a_id, cell, b_id, adc). */
+  private def adcPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ranked = coarseRanked(vecs(s, d))
+    val cells = ranked.where(col("r") === 1).select(col("vec_id"), col("cell"))
+    val (dists, _, codes) = pqParts(Tables.embeddings(s, d))
+    // per-query nested dtable: 8 subspaces × 16 cid-indexed distances
+    val dtab = dists
+      .groupBy("vec_id", "sub")
+      .agg(array_sort(collect_list(struct(col("cid"), col("dist")))).as("cd"))
+      .select(col("vec_id"), col("sub"),
+        transform(col("cd"), e => e.getField("dist")).as("ds"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("ds")))).as("sd"))
+      .select(col("vec_id"),
+        transform(col("sd"), e => e.getField("ds")).as("dtab"))
+    // per-db-vector code word: 8 subspace codes in subspace order
+    val words = codes
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), e => e.getField("cid")).as("codes"))
+    val q = cells.join(dtab, "vec_id")
+      .select(col("vec_id").as("a_id"), col("cell"), col("dtab"))
+    val b = cells.join(words, "vec_id")
+      .select(col("vec_id").as("b_id"), col("cell").as("b_cell"), col("codes"))
+    val adc = q.join(b, col("cell") === col("b_cell") && col("a_id") =!= col("b_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("dtab"), col("codes"),
+          (arr, c) => element_at(arr, c.cast("int") + 1)),
+        lit(0.0), (acc, e) => acc + e))
+      .select("a_id", "cell", "b_id", "adc")
+    (cells, adc)
+  }
+
   private[graft] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val v = vecs(s, d)
     val ranked = coarseRanked(v)
@@ -717,39 +755,48 @@ object Llm {
     // inputs are the floor-quantized codebook distances. PqSpec pins ADC
     // against a driver-side reference and its recall vs exact 1-NN.
     "llm_pq_adc" -> ((s, d) => {
-      val ranked = coarseRanked(vecs(s, d))
-      val cells = ranked.where(col("r") === 1).select(col("vec_id"), col("cell"))
-      val (dists, _, codes) = pqParts(Tables.embeddings(s, d))
-      // per-query nested dtable: 8 subspaces × 16 cid-indexed distances
-      val dtab = dists
-        .groupBy("vec_id", "sub")
-        .agg(array_sort(collect_list(struct(col("cid"), col("dist")))).as("cd"))
-        .select(col("vec_id"), col("sub"),
-          transform(col("cd"), e => e.getField("dist")).as("ds"))
-        .groupBy("vec_id")
-        .agg(array_sort(collect_list(struct(col("sub"), col("ds")))).as("sd"))
-        .select(col("vec_id"),
-          transform(col("sd"), e => e.getField("ds")).as("dtab"))
-      // per-db-vector code word: 8 subspace codes in subspace order
-      val words = codes
-        .groupBy("vec_id")
-        .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
-        .select(col("vec_id"),
-          transform(col("sc"), e => e.getField("cid")).as("codes"))
-      val q = cells.join(dtab, "vec_id")
-        .select(col("vec_id").as("a_id"), col("cell"), col("dtab"))
-      val b = cells.join(words, "vec_id")
-        .select(col("vec_id").as("b_id"), col("cell").as("b_cell"), col("codes"))
-      val adc = q.join(b, col("cell") === col("b_cell") && col("a_id") =!= col("b_id"))
-        .withColumn("adc", aggregate(
-          zip_with(col("dtab"), col("codes"),
-            (arr, c) => element_at(arr, c.cast("int") + 1)),
-          lit(0.0), (acc, e) => acc + e))
+      val (cells, adc) = adcPairs(s, d)
       val w = Window.partitionBy("a_id").orderBy(col("adc").asc, col("b_id"))
       val nn = adc.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("a_id"), col("b_id").as("nn_id"), round(col("adc"), 4).as("adc_dist"))
       cells.join(nn, col("vec_id") === col("a_id"), "left")
         .select(col("vec_id"), col("cell"), col("nn_id"), col("adc_dist"))
+        .orderBy("vec_id")
+    }),
+
+    // K3f — IVF-PQ with exact re-rank, the production pipeline's final
+    // stage: the ADC scan only SHORTLISTS (top-10 cell-mates per query by
+    // code-word distance); the shortlist alone is re-scored at full
+    // precision against the true embeddings and the reported neighbor is
+    // the exact-L2 argmin. At 100 TB this is the stage contract that
+    // makes 4-byte codes viable: ≤10 uncompressed vector reads per query
+    // regardless of cell occupancy (the re-rank join is shortlist-sized,
+    // not candidate-sized). It also resolves the ADC near-ties the
+    // near-orthogonal fixture exposes (NOTES r3): quantized distances
+    // rank nearly-equidistant peers noisily; the exact pass settles them.
+    // Determinism: d² is a zip_with fold in array order (both engines
+    // fold identical doubles), floor-quantized at 1e-4 (the
+    // win_interpolate idiom — round() would HALF_UP-diverge on midpoints).
+    "llm_pq_rerank" -> ((s, d) => {
+      val (cells, adc) = adcPairs(s, d)
+      val wS = Window.partitionBy("a_id").orderBy(col("adc").asc, col("b_id"))
+      val shortlist = adc.withColumn("rn", row_number().over(wS))
+        .where(col("rn") <= 10).select("a_id", "b_id")
+      val v = Tables.embeddings(s, d)
+      val ae = v.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+      val be = v.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+      val exact = shortlist.join(ae, "a_id").join(be, "b_id")
+        .withColumn("d2", aggregate(
+          zip_with(col("a_e"), col("b_e"),
+            (x, y) => (x.cast("double") - y.cast("double"))
+              * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, e) => acc + e))
+      val wR = Window.partitionBy("a_id").orderBy(col("d2").asc, col("b_id"))
+      val nn = exact.withColumn("rn", row_number().over(wR)).where(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("nn_id"),
+          (floor(col("d2") * 1e4) / 1e4).as("l2sq"))
+      cells.join(nn, col("vec_id") === col("a_id"), "left")
+        .select(col("vec_id"), col("cell"), col("nn_id"), col("l2sq"))
         .orderBy("vec_id")
     }),
 
@@ -1264,6 +1311,104 @@ object Llm {
       |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
       |ORDER BY c.vec_id""".stripMargin
 
+  /** The [[adcPairs]] oracle prefix shared by `llm_pq_adc` and
+    * `llm_pq_rerank`: coarse cells (the ivfSql recipe), PQ codebook,
+    * per-query ADC tables (`qdt`), per-vector code words (`words`), and
+    * the within-cell ADC-scored pairs (`adcs`). Consumers append their
+    * own final CTEs after this block. */
+  private val pqAdcCtes =
+    s"""$vecCte,
+      |seeded AS (
+      |  SELECT vec_id, embedding, norm,
+      |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |           % 16 AS seed
+      |  FROM v
+      |),
+      |px AS (
+      |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
+      |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      |  FROM seeded
+      |),
+      |cm AS (
+      |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+      |  FROM px GROUP BY 1, 2
+      |),
+      |cent AS (
+      |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+      |  FROM cm GROUP BY seed
+      |),
+      |centn AS (
+      |  SELECT cell, centroid,
+      |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+      |  FROM cent
+      |),
+      |casg AS (
+      |  SELECT s.vec_id, c.cell,
+      |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
+      |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+      |           / (s.norm * c.cnorm) AS csim
+      |  FROM seeded s CROSS JOIN centn c
+      |),
+      |cells AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+      |    FROM casg
+      |  ) WHERE r = 1
+      |),
+      |psub AS (
+      |  SELECT vec_id, s.sub,
+      |         list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS subvec
+      |  FROM embeddings, (SELECT unnest(range(0, 8)) AS sub) s
+      |),
+      |pseeded AS (
+      |  SELECT *, CAST(concat('0x', substring(md5(
+      |           CAST(vec_id AS VARCHAR) || ':' || CAST(sub AS VARCHAR)), 1, 4))
+      |         AS BIGINT) % 16 AS cellseed
+      |  FROM psub
+      |),
+      |ppx AS (
+      |  SELECT sub, cellseed, unnest(range(1, len(subvec) + 1)) AS i,
+      |         unnest(list_transform(subvec, x -> CAST(x AS DOUBLE))) AS x
+      |  FROM pseeded
+      |),
+      |pcm AS (
+      |  SELECT sub, cellseed, i,
+      |         list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+      |  FROM ppx GROUP BY 1, 2, 3
+      |),
+      |pcent AS (
+      |  SELECT sub, cellseed AS cid,
+      |         list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+      |  FROM pcm GROUP BY 1, 2
+      |),
+      |pdist AS (
+      |  SELECT se.vec_id, se.sub, c.cid,
+      |         list_aggregate(list_transform(list_zip(se.subvec, c.centroid),
+      |           p -> (CAST(struct_extract(p, 1) AS DOUBLE) - struct_extract(p, 2))
+      |              * (CAST(struct_extract(p, 1) AS DOUBLE) - struct_extract(p, 2))),
+      |           'sum') AS dist
+      |  FROM pseeded se JOIN pcent c ON se.sub = c.sub
+      |),
+      |qdt1 AS (SELECT vec_id, sub, list(dist ORDER BY cid) AS ds FROM pdist GROUP BY 1, 2),
+      |qdt AS (SELECT vec_id, list(ds ORDER BY sub) AS dtab FROM qdt1 GROUP BY 1),
+      |best AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |                                 ORDER BY dist ASC, cid ASC) AS rn
+      |    FROM pdist
+      |  ) WHERE rn = 1
+      |),
+      |words AS (SELECT vec_id, list(cid ORDER BY sub) AS codes FROM best GROUP BY 1),
+      |adcs AS (
+      |  SELECT qa.vec_id AS a_id, qb.vec_id AS b_id,
+      |         list_aggregate(list_transform(list_zip(q.dtab, wb.codes),
+      |           p -> struct_extract(p, 1)[CAST(struct_extract(p, 2) AS INTEGER) + 1]),
+      |           'sum') AS adc
+      |  FROM cells qa JOIN cells qb ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id
+      |  JOIN qdt q ON q.vec_id = qa.vec_id
+      |  JOIN words wb ON wb.vec_id = qb.vec_id
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -1634,97 +1779,7 @@ object Llm {
         |                   END AS INTEGER) AS VARCHAR)), ',') AS q_int8
         |FROM a ORDER BY vec_id""".stripMargin,
     "llm_pq_adc" ->
-      s"""WITH $vecCte,
-        |seeded AS (
-        |  SELECT vec_id, embedding, norm,
-        |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
-        |           % 16 AS seed
-        |  FROM v
-        |),
-        |px AS (
-        |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
-        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
-        |  FROM seeded
-        |),
-        |cm AS (
-        |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
-        |  FROM px GROUP BY 1, 2
-        |),
-        |cent AS (
-        |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
-        |  FROM cm GROUP BY seed
-        |),
-        |centn AS (
-        |  SELECT cell, centroid,
-        |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
-        |  FROM cent
-        |),
-        |casg AS (
-        |  SELECT s.vec_id, c.cell,
-        |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
-        |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
-        |           / (s.norm * c.cnorm) AS csim
-        |  FROM seeded s CROSS JOIN centn c
-        |),
-        |cells AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
-        |    FROM casg
-        |  ) WHERE r = 1
-        |),
-        |psub AS (
-        |  SELECT vec_id, s.sub,
-        |         list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS subvec
-        |  FROM embeddings, (SELECT unnest(range(0, 8)) AS sub) s
-        |),
-        |pseeded AS (
-        |  SELECT *, CAST(concat('0x', substring(md5(
-        |           CAST(vec_id AS VARCHAR) || ':' || CAST(sub AS VARCHAR)), 1, 4))
-        |         AS BIGINT) % 16 AS cellseed
-        |  FROM psub
-        |),
-        |ppx AS (
-        |  SELECT sub, cellseed, unnest(range(1, len(subvec) + 1)) AS i,
-        |         unnest(list_transform(subvec, x -> CAST(x AS DOUBLE))) AS x
-        |  FROM pseeded
-        |),
-        |pcm AS (
-        |  SELECT sub, cellseed, i,
-        |         list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
-        |  FROM ppx GROUP BY 1, 2, 3
-        |),
-        |pcent AS (
-        |  SELECT sub, cellseed AS cid,
-        |         list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
-        |  FROM pcm GROUP BY 1, 2
-        |),
-        |pdist AS (
-        |  SELECT se.vec_id, se.sub, c.cid,
-        |         list_aggregate(list_transform(list_zip(se.subvec, c.centroid),
-        |           p -> (CAST(struct_extract(p, 1) AS DOUBLE) - struct_extract(p, 2))
-        |              * (CAST(struct_extract(p, 1) AS DOUBLE) - struct_extract(p, 2))),
-        |           'sum') AS dist
-        |  FROM pseeded se JOIN pcent c ON se.sub = c.sub
-        |),
-        |qdt1 AS (SELECT vec_id, sub, list(dist ORDER BY cid) AS ds FROM pdist GROUP BY 1, 2),
-        |qdt AS (SELECT vec_id, list(ds ORDER BY sub) AS dtab FROM qdt1 GROUP BY 1),
-        |best AS (
-        |  SELECT vec_id, sub, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |                                 ORDER BY dist ASC, cid ASC) AS rn
-        |    FROM pdist
-        |  ) WHERE rn = 1
-        |),
-        |words AS (SELECT vec_id, list(cid ORDER BY sub) AS codes FROM best GROUP BY 1),
-        |adcs AS (
-        |  SELECT qa.vec_id AS a_id, qb.vec_id AS b_id,
-        |         list_aggregate(list_transform(list_zip(q.dtab, wb.codes),
-        |           p -> struct_extract(p, 1)[CAST(struct_extract(p, 2) AS INTEGER) + 1]),
-        |           'sum') AS adc
-        |  FROM cells qa JOIN cells qb ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id
-        |  JOIN qdt q ON q.vec_id = qa.vec_id
-        |  JOIN words wb ON wb.vec_id = qb.vec_id
-        |),
+      s"""WITH $pqAdcCtes,
         |nn AS (
         |  SELECT a_id, b_id AS nn_id, round(adc, 4) AS adc_dist FROM (
         |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY adc ASC, b_id) AS rn
@@ -1732,6 +1787,35 @@ object Llm {
         |  ) WHERE rn = 1
         |)
         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.adc_dist
+        |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
+        |ORDER BY c.vec_id""".stripMargin,
+    "llm_pq_rerank" ->
+      s"""WITH $pqAdcCtes,
+        |shortlist AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY adc ASC, b_id) AS rn
+        |    FROM adcs
+        |  ) WHERE rn <= 10
+        |),
+        |ex AS (
+        |  SELECT sl.a_id, sl.b_id,
+        |         list_aggregate(list_transform(list_zip(ea.embedding, eb.embedding),
+        |           p -> (CAST(struct_extract(p, 1) AS DOUBLE)
+        |                   - CAST(struct_extract(p, 2) AS DOUBLE))
+        |              * (CAST(struct_extract(p, 1) AS DOUBLE)
+        |                   - CAST(struct_extract(p, 2) AS DOUBLE))),
+        |           'sum') AS d2
+        |  FROM shortlist sl
+        |  JOIN embeddings ea ON ea.vec_id = sl.a_id
+        |  JOIN embeddings eb ON eb.vec_id = sl.b_id
+        |),
+        |nn AS (
+        |  SELECT a_id, b_id AS nn_id, floor(d2 * 10000) / 10000 AS l2sq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY d2 ASC, b_id) AS rn
+        |    FROM ex
+        |  ) WHERE rn = 1
+        |)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.l2sq
         |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
     "llm_pq_encode" ->

@@ -119,4 +119,47 @@ class PqSpec extends SparkSpec {
     assert(median <= 1.10, s"median distance ratio $median")
     assert(p90 <= 1.25, s"p90 distance ratio $p90")
   }
+
+  test("exact re-rank picks the shortlist's true-L2 argmin and dominates raw ADC") {
+    val vecs = vecsById()
+    val cent = codebook(vecs)
+    val codes = parsed().toMap
+    val adcOut = SparkEntry.queries("llm_pq_adc")(spark, sf0001).collect()
+    val rrOut = SparkEntry.queries("llm_pq_rerank")(spark, sf0001).collect()
+    val cells = adcOut.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rrOut.map(r => r.getLong(0) -> r.getLong(1)).toMap == cells,
+      "re-rank must report the same coarse cells as the ADC key")
+    val byCell = vecs.keys.groupBy(cells)
+    def adcDist(q: Long, b: Long): Double = (0 until 8).map { sub =>
+      l2(vecs(q).slice(sub * 8, sub * 8 + 8), cent((sub, codes(b)(sub))))
+    }.sum
+    val adcNn = adcOut.filter(!_.isNullAt(2)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rrNn = rrOut.filter(!_.isNullAt(2)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rrNn.keySet == adcNn.keySet,
+      "both keys must answer exactly the multi-member-cell queries")
+    var adcHit = 0
+    var rrHit = 0
+    for ((id, v) <- vecs) {
+      val peers = byCell(cells(id)).filter(_ != id).toSeq
+      if (peers.nonEmpty) {
+        // the engine's shortlist: ADC-top-10 peers, ties to lowest id —
+        // recomputed driver-side, then the exact argmin over it
+        val shortlist = peers.sortBy(p => (adcDist(id, p), p)).take(10)
+        val expected = shortlist.minBy(p => (l2(v, vecs(p)), p))
+        assert(rrNn(id) == expected,
+          s"q=$id: re-rank picked ${rrNn(id)}, exact shortlist argmin is $expected")
+        val exact = peers.minBy(p => (l2(v, vecs(p)), p))
+        if (adcNn(id) == exact) adcHit += 1
+        if (rrNn(id) == exact) rrHit += 1
+      }
+    }
+    // the whole point of the stage: exact re-ranking resolves the ADC
+    // near-ties, so identity recall must strictly improve on this
+    // near-orthogonal fixture
+    info(f"identity recall: adc ${adcHit.toDouble / adcNn.size}%.3f -> rerank ${rrHit.toDouble / rrNn.size}%.3f")
+    assert(rrHit > adcHit,
+      s"re-rank identity recall ($rrHit/${rrNn.size}) must beat ADC ($adcHit/${adcNn.size})")
+    assert(rrHit.toDouble / rrNn.size >= 0.6,
+      s"re-rank identity recall ${rrHit.toDouble / rrNn.size} too low for a top-10 shortlist")
+  }
 }
