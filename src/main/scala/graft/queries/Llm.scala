@@ -615,6 +615,84 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek et al.): per-language
+    // head/middle/tail terciles of the unigram avg-NLL — the standard
+    // corpus-curation split (keep head, sample middle, drop tail). The
+    // rank is per-lang ntile(3) over the SAME rounded avg_nll the
+    // llm_perplexity oracle already hash-matches, doc_id tie-break, so
+    // the tile boundary is deterministic across engines. One extra
+    // lang-keyed window over the perplexity aggregation — no new
+    // shuffle shape beyond the unigram join.
+    "llm_ppl_bucket" -> ((s, d) => {
+      val tok = tokensAll(s, d).select("doc_id", "lang", "token")
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      // unigram table deliberately NOT force-broadcast (vocabulary-sized
+      // at web scale) — same AQE stance as llm_perplexity
+      val nll = tok.join(counts, "token")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 4).as("avg_nll"))
+      val w = Window.partitionBy("lang").orderBy(col("avg_nll").asc, col("doc_id"))
+      nll.withColumn("tile", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("avg_nll"),
+          when(col("tile") === 1, "head")
+            .when(col("tile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // The Gopher quality-rule set (Rae et al. 2021, App. A1.1) — the
+    // canonical document filter battery, one flag per rule plus the
+    // conjunction: word count in [50, 100k], mean word length in [3, 10],
+    // symbol-to-word ratio (# and …) ≤ 0.1, ≤90% bullet-started lines,
+    // ≤30% ellipsis-ended lines, ≥80% words with an alphabetic char,
+    // ≥2 of the 8 canonical stopwords. Pure element-wise array math over
+    // (text) — zero shuffles, whole-stage codegen, trivially 100 TB-safe.
+    // Flag comparisons use raw int/int doubles (identical in both
+    // engines); only the DISPLAYED ratios are floor-quantized (the
+    // win_interpolate idiom — round() HALF_UP-diverges on midpoints,
+    // and count/count rationals DO land on 1e-4 midpoints).
+    "llm_gopher_rules" -> ((s, d) => {
+      val stop8 = array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+      Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("lines", split(col("text"), "\n"))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("n_lines", size(col("lines")))
+        .withColumn("sum_len", aggregate(col("toks"), lit(0), (a, t) => a + length(t)))
+        .withColumn("mean_len", col("sum_len").cast("double") / col("n_words"))
+        .withColumn("n_sym",
+          (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))) +
+          (length(col("text")) - length(replace(col("text"), lit("…"), lit("")))))
+        .withColumn("n_bullet", size(filter(col("lines"),
+          l => l.startsWith("-") || l.startsWith("•"))))
+        .withColumn("n_ellip", size(filter(col("lines"),
+          l => l.endsWith("…") || l.endsWith("..."))))
+        .withColumn("n_alpha", size(filter(col("toks"), t => t.rlike("[A-Za-z]"))))
+        .withColumn("n_stop", size(array_intersect(
+          transform(col("toks"), t => lower(t)), stop8)))
+        .withColumn("f_words", col("n_words").between(50, 100000))
+        .withColumn("f_meanlen", col("mean_len").between(3.0, 10.0))
+        .withColumn("f_symbol",
+          col("n_sym").cast("double") / col("n_words") <= 0.1)
+        .withColumn("f_bullet",
+          col("n_bullet").cast("double") / col("n_lines") <= 0.9)
+        .withColumn("f_ellipsis",
+          col("n_ellip").cast("double") / col("n_lines") <= 0.3)
+        .withColumn("f_alpha",
+          col("n_alpha").cast("double") / col("n_words") >= 0.8)
+        .withColumn("f_stop", col("n_stop") >= 2)
+        .select(col("doc_id"), col("n_words"),
+          (floor(col("mean_len") * 1e4) / 1e4).as("mean_len"),
+          (floor(col("n_alpha").cast("double") / col("n_words") * 1e4) / 1e4).as("alpha_ratio"),
+          col("n_stop"), col("f_words"), col("f_meanlen"), col("f_symbol"),
+          col("f_bullet"), col("f_ellipsis"), col("f_alpha"), col("f_stop"),
+          (col("f_words") && col("f_meanlen") && col("f_symbol") && col("f_bullet")
+            && col("f_ellipsis") && col("f_alpha") && col("f_stop")).as("pass"))
+        .orderBy("doc_id")
+    }),
+
     // K5d — token counting three ways: whitespace split, regex word
     // extraction (BPE-ish subword proxy), and chars/4 estimate.
     "llm_token_count" -> ((s, d) => {
@@ -1719,6 +1797,66 @@ object Llm {
         |         + CAST(0.3 AS DECIMAL(2,1)) * (1 - CAST(stop_ratio AS DECIMAL(18,4)))
         |         + CAST(0.2 AS DECIMAL(2,1)) * CAST(long_ratio AS DECIMAL(18,4)), 4) AS DOUBLE) AS score
         |FROM q ORDER BY doc_id""".stripMargin,
+    "llm_ppl_bucket" ->
+      s"""WITH $tokAllCte,
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |t AS (SELECT count(*) AS total FROM tok),
+        |nll AS (
+        |  SELECT doc_id, lang,
+        |         round(avg(-ln(CAST(c.cnt AS DOUBLE) / t.total)), 4) AS avg_nll
+        |  FROM tok JOIN c USING (token) CROSS JOIN t
+        |  GROUP BY doc_id, lang
+        |),
+        |b AS (
+        |  SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll ASC, doc_id) AS tile
+        |  FROM nll
+        |)
+        |SELECT doc_id, lang, avg_nll,
+        |       CASE WHEN tile = 1 THEN 'head'
+        |            WHEN tile = 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "llm_gopher_rules" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id,
+        |         len(toks) AS n_words, len(lines) AS n_lines,
+        |         CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+        |           / len(toks) AS mean_len,
+        |         (len(text) - len(replace(text, '#', '')))
+        |           + (len(text) - len(replace(text, '…', ''))) AS n_sym,
+        |         len(list_filter(lines, l -> starts_with(l, '-')
+        |           OR starts_with(l, '•'))) AS n_bullet,
+        |         len(list_filter(lines, l -> ends_with(l, '…')
+        |           OR ends_with(l, '...'))) AS n_ellip,
+        |         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+        |         len(list_intersect(list_transform(toks, t -> lower(t)),
+        |           ['the','be','to','of','and','that','have','with'])) AS n_stop
+        |  FROM g
+        |)
+        |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |       floor(mean_len * 10000) / 10000 AS mean_len,
+        |       floor(CAST(n_alpha AS DOUBLE) / n_words * 10000) / 10000 AS alpha_ratio,
+        |       CAST(n_stop AS INTEGER) AS n_stop,
+        |       n_words BETWEEN 50 AND 100000 AS f_words,
+        |       mean_len BETWEEN 3.0 AND 10.0 AS f_meanlen,
+        |       CAST(n_sym AS DOUBLE) / n_words <= 0.1 AS f_symbol,
+        |       CAST(n_bullet AS DOUBLE) / n_lines <= 0.9 AS f_bullet,
+        |       CAST(n_ellip AS DOUBLE) / n_lines <= 0.3 AS f_ellipsis,
+        |       CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS f_alpha,
+        |       n_stop >= 2 AS f_stop,
+        |       (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+        |         AND (CAST(n_sym AS DOUBLE) / n_words <= 0.1)
+        |         AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+        |         AND (CAST(n_ellip AS DOUBLE) / n_lines <= 0.3)
+        |         AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+        |         AND (n_stop >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS INTEGER) AS ws_tokens,

@@ -94,4 +94,55 @@ class PipelineOpsSpec extends SparkSpec {
       assert(g.getDouble(4) == s.getDouble(4))
     }
   }
+
+  test("llm_ppl_bucket splits every language into near-equal head/middle/tail terciles") {
+    val out = SparkEntry.queries("llm_ppl_bucket")(spark, sf0001).collect()
+    assert(out.length == Tables.documents(spark, sf0001).count(),
+      "every document gets exactly one bucket")
+    val sizes = out.groupBy(r => (r.getString(1), r.getString(3)))
+      .view.mapValues(_.length).toMap
+    for ((lang, byBucket) <- sizes.groupBy(_._1._1)) {
+      val counts = byBucket.values.toSeq
+      assert(byBucket.keySet.map(_._2) == Set("head", "middle", "tail"),
+        s"$lang: all three buckets present")
+      assert(counts.max - counts.min <= 1, s"$lang: tercile sizes $counts not balanced")
+    }
+    // head really is the low-NLL (most fluent) end: per lang, every head
+    // avg_nll <= every tail avg_nll
+    for ((lang, rows) <- out.groupBy(_.getString(1))) {
+      val headMax = rows.filter(_.getString(3) == "head").map(_.getDouble(2)).max
+      val tailMin = rows.filter(_.getString(3) == "tail").map(_.getDouble(2)).min
+      assert(headMax <= tailMin, s"$lang: head/tail NLL ranges overlap")
+    }
+  }
+
+  test("llm_gopher_rules flags agree with a direct driver recomputation") {
+    val out = SparkEntry.queries("llm_gopher_rules")(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    val stop8 = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    out.foreach { r =>
+      val text = docs(r.getLong(0))
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val lines = text.split("\n", -1)
+      assert(r.getInt(1) == toks.length, s"doc ${r.getLong(0)}: n_words")
+      assert(r.getInt(4) == toks.map(_.toLowerCase).toSet.intersect(stop8).size,
+        s"doc ${r.getLong(0)}: n_stop")
+      assert(r.getBoolean(5) == (toks.length >= 50 && toks.length <= 100000),
+        s"doc ${r.getLong(0)}: f_words")
+      val meanLen = toks.map(_.length).sum.toDouble / toks.length
+      assert(r.getBoolean(6) == (meanLen >= 3.0 && meanLen <= 10.0),
+        s"doc ${r.getLong(0)}: f_meanlen")
+      val alpha = toks.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+      assert(r.getBoolean(10) == (alpha.toDouble / toks.length >= 0.8),
+        s"doc ${r.getLong(0)}: f_alpha")
+      val ell = lines.count(l => l.endsWith("…") || l.endsWith("..."))
+      assert(r.getBoolean(9) == (ell.toDouble / lines.length <= 0.3),
+        s"doc ${r.getLong(0)}: f_ellipsis")
+      // pass is exactly the conjunction of the seven flags
+      val flags = (5 to 11).map(r.getBoolean)
+      assert(r.getBoolean(12) == flags.forall(identity), s"doc ${r.getLong(0)}: pass")
+    }
+  }
 }
