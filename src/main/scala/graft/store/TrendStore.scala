@@ -99,6 +99,28 @@ final class TrendStore(
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Retention expiry — the reference's per-granularity data-retention
+    * job re-expressed as a pure partition drop: day directories whose
+    * `d` key is strictly before `cutoff` (yyyy-MM-dd; lexicographic =
+    * chronological for this format) are deleted through the store's own
+    * FileSystem (HDFS/S3-safe, like [[upsert]]'s existence check), with
+    * no scan and no data movement. Cost is a directory listing at
+    * operational cardinality (days in the store) — expiring a year from
+    * a 100 TB store is a few hundred metadata ops. Returns the dropped
+    * day keys sorted, the daemon's audit record. */
+  def expire(granularity: String, cutoff: String): Seq[String] = {
+    require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"), s"cutoff not yyyy-MM-dd: $cutoff")
+    if (!graft.Fs.exists(spark, dir(granularity))) return Nil
+    val (fs, root) = graft.Fs.fileSystem(spark, dir(granularity))
+    val dropped = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix("d=")))
+      .filter { case (_, day) => day < cutoff }
+      .sortBy { case (_, day) => day }
+    dropped.foreach { case (p, _) => fs.delete(p, true) }
+    dropped.map { case (_, day) => day }
+  }
+
   /** Roll counters up an entity relation (source_id -> target_id), i.e.
     * cell -> site aggregation. The relation is dimension-sized: broadcast. */
   def aggregateEntity(df: DataFrame, relation: DataFrame): DataFrame = {

@@ -90,6 +90,34 @@ class StoreSpec extends SparkSpec {
     assert(rolled.select("entity_id").distinct().count() <= 7)
   }
 
+  test("trend store expire drops exactly the day partitions before the cutoff") {
+    val root = tmpDir("trendexp")
+    val store = new TrendStore(spark, root, Seq("kpi_load"))
+    val rows = EntityDirectory.resolve(kpiSource,
+        EntityDirectory.register(kpiSource, "dn", "Node"), "dn")
+      .select("entity_id", "ts", "kpi_load")
+    store.write(rows, "raw")
+    val allDays = new java.io.File(store.dir("raw")).listFiles()
+      .map(_.getName).filter(_.startsWith("d=")).map(_.stripPrefix("d=")).sorted.toSeq
+    assert(allDays.size >= 2, s"fixture must span multiple days, got $allDays")
+
+    val cutoff = allDays(1) // keep all but the first day
+    val expectedKept = rows
+      .where(date_format(col("ts"), "yyyy-MM-dd") >= cutoff).count()
+
+    val dropped = store.expire("raw", cutoff)
+    assert(dropped == Seq(allDays.head), s"dropped $dropped, expected first day only")
+    val left = new java.io.File(store.dir("raw")).listFiles()
+      .map(_.getName).filter(_.startsWith("d=")).map(_.stripPrefix("d=")).sorted.toSeq
+    assert(left == allDays.tail, "surviving partitions are exactly the at/after-cutoff days")
+    assert(store.read("raw").count() == expectedKept, "reads see only retained rows")
+
+    // idempotent: a second pass with the same cutoff is a no-op
+    assert(store.expire("raw", cutoff).isEmpty)
+    // and a missing granularity is a quiet no-op, not an error
+    assert(store.expire("nope", cutoff).isEmpty)
+  }
+
   test("trend store upsert rewrites only the touched day partitions") {
     val root = tmpDir("trend_upsert")
     val store = new TrendStore(spark, root, Seq("kpi_load"))
