@@ -73,6 +73,28 @@ object Fs {
       .map(_.getPath.toString).sorted
   }
 
+  /** Delete partition directories `<key>=<value>` directly under `dir`
+    * whose value sorts lexicographically below `cutoff` — the shared
+    * retention primitive (TrendStore day expiry, HarvestLoop bucket
+    * expiry). Metadata-only: no scan, no data movement; cost is one
+    * directory listing at partition cardinality. Callers use sortable
+    * value formats (yyyy-MM-dd, yyyy-MM-dd HH) so lexicographic =
+    * chronological; values Spark escaped on write (%xx) compare in
+    * escaped form. Returns the dropped values sorted — the audit record.
+    * Missing `dir` is a quiet no-op. */
+  def dropPartitions(spark: SparkSession, dir: String, key: String, cutoff: String): Seq[String] = {
+    if (!exists(spark, dir)) return Nil
+    val (fs, root) = fileSystem(spark, dir)
+    val prefix = key + "="
+    val dropped = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => (st.getPath, st.getPath.getName.stripPrefix(prefix)))
+      .filter { case (_, v) => v < cutoff }
+      .sortBy { case (_, v) => v }
+    dropped.foreach { case (p, _) => fs.delete(p, true) }
+    dropped.map { case (_, v) => v }
+  }
+
   /** Read a small control file (fingerprint, marker) as UTF-8, if present. */
   def readUtf8(spark: SparkSession, file: String): Option[String] = {
     val (fs, p) = fileSystem(spark, file)

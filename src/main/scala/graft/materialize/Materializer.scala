@@ -130,6 +130,24 @@ final class Materializer(spark: SparkSession, stateDir: String) {
     }
     MaterializeResult(stale.toSeq)
   }
+
+  /** Retention companion: drop state rows for buckets strictly below
+    * `cutoff`, so buckets whose raw partitions were expired don't linger
+    * in the fingerprint state forever (they would never be flagged —
+    * the stale join is source-driven — but the state file would grow
+    * without bound, and retention exists precisely to bound it). Same
+    * two-phase state rewrite as [[materialize]]. Returns rows dropped. */
+  def purgeStateBefore(cutoff: String): Long = {
+    val st = readState()
+    val keep = st.where(col("bucket") >= cutoff)
+    val nDropped = st.count() - keep.count()
+    if (nDropped > 0) {
+      val tmp = stateDir + ".tmp"
+      keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      spark.read.parquet(tmp).coalesce(1).write.mode(SaveMode.Overwrite).parquet(stateDir)
+    }
+    nDropped
+  }
 }
 
 object Materializer {

@@ -63,8 +63,16 @@ final class HarvestLoop(
     else Set.empty
 
   /** One orchestration cycle; see class doc. `stableBefore` is the
-    * materialization stability delay (buckets at or past it stay hot). */
-  def tick(stableBefore: Option[String] = None): TickReport = {
+    * materialization stability delay (buckets at or past it stay hot);
+    * `expireBefore` is the retention cutoff — bucket partitions strictly
+    * below it are dropped from the raw and derived stores (metadata-only
+    * partition deletes, [[graft.Fs.dropPartitions]]) and purged from the
+    * materializer state, BEFORE materialization so a tick never recomputes
+    * a bucket it is about to expire. Notifications are deliberately NOT
+    * expired here: they are the append-only event log. */
+  def tick(
+      stableBefore: Option[String] = None,
+      expireBefore: Option[String] = None): TickReport = {
     import spark.implicits._
 
     val fresh = (Fs.listDataFiles(spark, landingDir).toSet -- ingestedFiles())
@@ -80,8 +88,17 @@ final class HarvestLoop(
       fresh.toDF("file").coalesce(1).write.mode(SaveMode.Append).parquet(ingestLogDir)
     }
 
+    val expired = expireBefore match {
+      case Some(cut) =>
+        val raw = Fs.dropPartitions(spark, rawDir, "bucket", cut)
+        val der = Fs.dropPartitions(spark, derivedDir, "bucket", cut)
+        new Materializer(spark, stateDir).purgeStateBefore(cut)
+        (raw ++ der).distinct.sorted
+      case None => Nil
+    }
+
     if (!Fs.existsNonEmptyData(spark, rawDir))
-      return TickReport(fresh, Nil, 0L)
+      return TickReport(fresh, Nil, 0L, expired)
 
     val raw = spark.read.parquet(rawDir)
     val result = new Materializer(spark, stateDir)
@@ -95,7 +112,7 @@ final class HarvestLoop(
       raised = notes.count()
       if (raised > 0) Triggers.store(notes, notificationsDir)
     }
-    TickReport(fresh, result.recomputedBuckets, raised)
+    TickReport(fresh, result.recomputedBuckets, raised, expired)
   }
 }
 
@@ -104,8 +121,10 @@ object HarvestLoop {
   final case class TickReport(
       filesIngested: Seq[String],
       bucketsRecomputed: Seq[String],
-      notificationsRaised: Long) {
+      notificationsRaised: Long,
+      bucketsExpired: Seq[String] = Nil) {
     def isNoOp: Boolean =
-      filesIngested.isEmpty && bucketsRecomputed.isEmpty && notificationsRaised == 0
+      filesIngested.isEmpty && bucketsRecomputed.isEmpty &&
+        notificationsRaised == 0 && bucketsExpired.isEmpty
   }
 }

@@ -110,15 +110,7 @@ final class TrendStore(
     * day keys sorted, the daemon's audit record. */
   def expire(granularity: String, cutoff: String): Seq[String] = {
     require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"), s"cutoff not yyyy-MM-dd: $cutoff")
-    if (!graft.Fs.exists(spark, dir(granularity))) return Nil
-    val (fs, root) = graft.Fs.fileSystem(spark, dir(granularity))
-    val dropped = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
-      .map(s => (s.getPath, s.getPath.getName.stripPrefix("d=")))
-      .filter { case (_, day) => day < cutoff }
-      .sortBy { case (_, day) => day }
-    dropped.foreach { case (p, _) => fs.delete(p, true) }
-    dropped.map { case (_, day) => day }
+    graft.Fs.dropPartitions(spark, dir(granularity), "d", cutoff)
   }
 
   /** Roll counters up an entity relation (source_id -> target_id), i.e.

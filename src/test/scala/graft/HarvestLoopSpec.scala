@@ -101,6 +101,36 @@ class HarvestLoopSpec extends SparkSpec {
     assert(derived == Set((1L, 10.0), (2L, 400.0)))
   }
 
+  test("retention expires old buckets from raw/derived/state; notifications survive") {
+    val landing = tmpDir("hl_landing4")
+    val work = tmpDir("hl_work4")
+    writeCsv(landing, "f1.csv", Seq(
+      "1,2024-01-01 10:05:00,200.0",
+      "2,2024-01-01 11:05:00,200.0",
+      "3,2024-01-01 12:05:00,30.0"))
+    val loop = mkLoop(landing, work)
+    val r1 = loop.tick()
+    assert(r1.bucketsRecomputed.size == 3 && r1.notificationsRaised == 2L)
+
+    // expire everything before the 12h bucket
+    val r2 = loop.tick(expireBefore = Some("2024-01-01 12"))
+    assert(r2.bucketsExpired == Seq("2024-01-01 10", "2024-01-01 11"), r2.toString)
+    assert(r2.filesIngested.isEmpty && r2.bucketsRecomputed.isEmpty,
+      "expiry must not trigger recomputation of surviving buckets")
+    // raw + derived keep only the retained bucket
+    assert(spark.read.parquet(s"$work/raw").select("bucket").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("2024-01-01 12"))
+    assert(spark.read.parquet(loop.derivedDir).select("bucket").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("2024-01-01 12"))
+    // state purged with them: bounded by the retention window
+    assert(spark.read.parquet(s"$work/state").count() == 1)
+    // the append-only event log is NOT expired
+    assert(spark.read.parquet(loop.notificationsDir).count() == 2)
+
+    // the next plain tick is a clean no-op — expiry left no stale signal
+    assert(loop.tick().isNoOp)
+  }
+
   test("stability delay keeps hot buckets out of a tick, picked up later") {
     val landing = tmpDir("hl_landing2")
     val work = tmpDir("hl_work2")
