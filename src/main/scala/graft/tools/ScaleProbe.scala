@@ -75,12 +75,35 @@ object ScaleProbe {
         .withColumn("text", perturb(i)))
       .write.mode(SaveMode.Overwrite).parquet(s"$OutDir/documents.parquet")
 
-    // dims/suppliers/parts/embeddings pass through unchanged (dimension-
-    // sized; the probed keys either broadcast them or don't read them)
-    Seq("region", "nation", "supplier", "part", "embeddings").foreach { t =>
+    // dims/suppliers/parts pass through unchanged (dimension-sized; the
+    // probed keys either broadcast them or don't read them)
+    Seq("region", "nation", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$OutDir/$t.parquet")
     }
+  }
+
+  /** 10× embeddings (guarded separately so probe dirs built before this
+    * existed upgrade in place): shifted vec_ids plus a deterministic
+    * ±0.005 per-dim jitter — enough to decorrelate copies (no exact
+    * duplicate vectors) while preserving the corpus's near-orthogonal
+    * geometry, so IVF cell occupancy grows 10× the way a real corpus
+    * grows. Labels pass through (knn strata keep their balance). */
+  private def buildEmb(spark: SparkSession, src: String, OutDir: String): Unit = {
+    val out = s"$OutDir/embeddings.parquet"
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+    val want = base.count() * Copies
+    if (graft.Fs.existsNonEmptyData(spark, out) &&
+        spark.read.parquet(out).count() == want) return
+    println(s"[scale] building ${Copies}x embeddings at $out")
+    (0 until Copies).map { i =>
+      base
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000))
+            .cast("double") - 499.5d) * lit(1e-5d)).cast("float")))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(out)
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,6 +123,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     build(spark, "/root/testdata/sf0.1", OutDir, clean)
+    buildEmb(spark, "/root/testdata/sf0.1", OutDir)
     spark.range(1000).selectExpr("sum(id)").collect()
     keys.foreach { k =>
       val fn = SparkEntry.queries.getOrElse(k, sys.error(s"unknown key $k"))
