@@ -149,6 +149,35 @@ object Aggs {
         .orderBy("n_name")
     }),
 
+    // D10b — per-type OLS trend slope over time, the telemetry trend
+    // detector (is this counter drifting up?). regr_slope's float sums
+    // are accumulation-order-sensitive, so the sufficient statistics are
+    // accumulated EXACTLY instead: x = epoch seconds (integer, rebased to
+    // the fixture's day-0 so squares stay small), y floor-quantized at
+    // 1e-6 (pure IEEE), Σx/Σy/Σxy/Σx² in DECIMAL(38,0) — order-free and
+    // overflow-free (|n·Σxy| ≲ 1e27 << 1e38). The slope is then ONE IEEE
+    // divide of two exact integers, floor-quantized. Same one-shuffle
+    // groupBy shape as any aggregate, partials map-side.
+    "agg_trend_slope" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = Tables.events(s, d).select(col("event_type"),
+        (expr("unix_micros(ts) div 1000000") - lit(1704067200L)).as("x"),
+        floor(col("value") * 1e6).cast("long").as("yq"))
+      e.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("yq").cast(dec)).as("sy"),
+          sum(col("x").cast(dec) * col("yq").cast(dec)).as("sxy"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"))
+        .select(col("event_type"), col("n_points"),
+          (floor(
+            (col("n_points").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n_points").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double")
+              / 1e6 * 1e9) / 1e9).as("slope"))
+        .orderBy("event_type")
+    }),
+
     // D10 — statistical aggregates (PG stats surface Minerva KPIs use):
     // stddev/variance/correlation/covariance. Well-conditioned at 4
     // decimals: corr is bounded and the variances carry ~8 guard digits.
@@ -531,6 +560,24 @@ object Aggs {
         |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
         |       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_trend_slope" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1704067200 AS x,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS yq
+        |  FROM events
+        |),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * yq) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+        |       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000 * 1e9) / 1e9 AS slope
+        |FROM s ORDER BY event_type""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
