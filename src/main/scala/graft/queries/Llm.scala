@@ -878,6 +878,24 @@ object Llm {
         .orderBy("vec_id")
     }),
 
+    // K3g — ANN index health report: per-cell occupancy of the coarse IVF
+    // assignment plus each cell's share of the corpus. The operational
+    // readout behind the 10× probe's nlist note (NOTES): occupancy² drives
+    // within-cell candidate volume, so a skewed cell IS the query-latency
+    // hot spot, and this is the table an operator watches to re-size nlist
+    // or re-seed centroids. One 16-row aggregate over the linear
+    // assignment — index-build cost, no pair work.
+    "llm_index_stats" -> ((s, d) => {
+      val ranked = coarseRanked(vecs(s, d))
+      val cells = ranked.where(col("r") === 1).select(col("vec_id"), col("cell"))
+      val tot = cells.agg(count(lit(1)).as("tot"))
+      cells.groupBy("cell").agg(count(lit(1)).as("occupancy"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("occupancy"),
+          (floor(col("occupancy") * 1e4 / col("tot")) / 1e4).as("occ_share"))
+        .orderBy("cell")
+    }),
+
     "llm_pq_encode" -> ((s, d) => {
       val (_, _, codes) = pqParts(Tables.embeddings(s, d))
       codes
@@ -1956,6 +1974,50 @@ object Llm {
         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.l2sq
         |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
+    "llm_index_stats" ->
+      s"""WITH $vecCte,
+        |seeded AS (
+        |  SELECT vec_id, embedding, norm,
+        |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |           % 16 AS seed
+        |  FROM v
+        |),
+        |px AS (
+        |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM seeded
+        |),
+        |cm AS (
+        |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+        |  FROM px GROUP BY 1, 2
+        |),
+        |cent AS (
+        |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+        |  FROM cm GROUP BY seed
+        |),
+        |centn AS (
+        |  SELECT cell, centroid,
+        |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+        |  FROM cent
+        |),
+        |casg AS (
+        |  SELECT s.vec_id, c.cell,
+        |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
+        |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+        |           / (s.norm * c.cnorm) AS csim
+        |  FROM seeded s CROSS JOIN centn c
+        |),
+        |cells AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+        |    FROM casg
+        |  ) WHERE r = 1
+        |),
+        |t AS (SELECT count(*) AS tot FROM cells)
+        |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS occupancy,
+        |       floor(count(*) * 10000.0 / t.tot) / 10000 AS occ_share
+        |FROM cells CROSS JOIN t
+        |GROUP BY cell, t.tot ORDER BY cell""".stripMargin,
     "llm_pq_encode" ->
       """WITH sub AS (
         |  SELECT vec_id, s.sub,

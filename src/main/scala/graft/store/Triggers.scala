@@ -31,4 +31,31 @@ object Triggers {
     notifications
       .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
       .write.mode(SaveMode.Append).partitionBy("d").parquet(dir)
+
+  /** Cooldown suppression — the daemon's alarm-flood guard: a
+    * (entity, rule) pair raises at most once per `cooldown`. A fresh
+    * exceedance is dropped unless it is strictly more than `cooldown`
+    * after the pair's LAST stored notification — which also silences the
+    * re-raises a late-data recompute produces for already-alarmed
+    * periods. The prior-notification side is pruned BEFORE its shuffle:
+    * the per-pair `max(ts)` aggregate reduces the store to
+    * (entity, rule) cardinality — operational, not data, volume — and
+    * the anti-join is a broadcast-friendly equi-join on the pair plus
+    * one timestamp compare. A missing/empty store suppresses nothing. */
+  def evaluateWithCooldown(
+      kpis: DataFrame,
+      rules: Seq[Rule],
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cooldown: String): DataFrame = {
+    val fresh = evaluate(kpis, rules)
+    if (!graft.Fs.existsNonEmptyData(spark, dir)) return fresh
+    val prior = spark.read.parquet(dir)
+      .groupBy(col("entity_id").as("p_entity"), col("rule").as("p_rule"))
+      .agg(max(col("ts")).as("p_ts"))
+    fresh.join(prior,
+        col("entity_id") === col("p_entity") && col("rule") === col("p_rule")
+          && col("ts") <= col("p_ts") + expr(s"INTERVAL $cooldown"),
+        "left_anti")
+  }
 }

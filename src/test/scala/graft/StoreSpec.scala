@@ -227,4 +227,36 @@ class StoreSpec extends SparkSpec {
     Triggers.store(notes, out) // append-only: second write doubles
     assert(spark.read.parquet(out).count() == 2 * notes.count())
   }
+
+  test("cooldown suppression: at most one alarm per (entity, rule) per window") {
+    import spark.implicits._
+    def kpi(rows: (Long, String, Double)*) = rows.toSeq
+      .toDF("entity_id", "ts", "kpi_load")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rules = Seq(Triggers.Rule("load_high", "kpi_load", "major")(_ > 90.0))
+    val out = tmpDir("notif_cd")
+
+    // empty store: nothing suppressed
+    val first = kpi((1L, "2024-01-01 10:00:00", 100.0), (2L, "2024-01-01 10:00:00", 50.0))
+    val n1 = Triggers.evaluateWithCooldown(first, rules, spark, out, "2 hours")
+    assert(n1.count() == 1)
+    Triggers.store(n1, out)
+
+    val again = kpi(
+      (1L, "2024-01-01 10:00:00", 100.0), // identical re-raise (late-data recompute)
+      (1L, "2024-01-01 11:30:00", 99.0),  // within the 2h window
+      (2L, "2024-01-01 11:00:00", 95.0))  // different entity: its first alarm
+    val n2 = Triggers.evaluateWithCooldown(again, rules, spark, out, "2 hours")
+    assert(n2.select("entity_id").as[Long].collect().toSeq == Seq(2L),
+      "entity 1 is in cooldown, entity 2 raises")
+    Triggers.store(n2, out)
+
+    // past the window the same pair raises again
+    val later = kpi((1L, "2024-01-01 12:00:01", 120.0))
+    val n3 = Triggers.evaluateWithCooldown(later, rules, spark, out, "2 hours")
+    assert(n3.count() == 1, "cooldown expired: the pair alarms again")
+
+    // with no cooldown the identical inputs re-raise everything
+    assert(Triggers.evaluate(again, rules).count() == 3)
+  }
 }
