@@ -878,6 +878,33 @@ object Llm {
         .orderBy("vec_id")
     }),
 
+    // K3h — SemDeDup (Abbas et al. 2023): semantic dedup over embedding
+    // clusters — within its coarse IVF cell, a vector is DROPPED when a
+    // lower-id cell-mate sits above the cosine threshold (the paper's
+    // keep-one-per-duplicate-set, made order-deterministic via the min-id
+    // witness, which the output names). Same pair-bounding as every cell
+    // key: candidates are within-cell only, and nlist is the scale knob
+    // (the 10× probe note). τ=0.45 is the fixture's demo threshold
+    // (near-orthogonal corpus, max pairwise cosine ≈ 0.51; production
+    // SemDeDup ≈ 0.95+). Threshold compares are on bit-identical doubles
+    // (index-order dot folds in both engines).
+    "llm_semdedup" -> ((s, d) => {
+      val ranked = coarseRanked(vecs(s, d))
+      val cells = ranked.where(col("r") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+      val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+        col("norm").as("b_n"), col("cell").as("b_cell"))
+      val dup = cells.join(b, col("cell") === col("b_cell") && col("b_id") < col("vec_id"))
+        .withColumn("sim", dot(col("embedding"), col("b_e")) / (col("norm") * col("b_n")))
+        .where(col("sim") >= 0.45)
+        .groupBy("vec_id").agg(min("b_id").as("dup_of"))
+      cells.select(col("vec_id"), col("cell"))
+        .join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("dup_of"),
+          col("dup_of").isNull.as("keep"))
+        .orderBy("vec_id")
+    }),
+
     // K3g — ANN index health report: per-cell occupancy of the coarse IVF
     // assignment plus each cell's share of the corpus. The operational
     // readout behind the 10× probe's nlist note (NOTES): occupancy² drives
@@ -1973,6 +2000,55 @@ object Llm {
         |)
         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.l2sq
         |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
+        |ORDER BY c.vec_id""".stripMargin,
+    "llm_semdedup" ->
+      s"""WITH $vecCte,
+        |seeded AS (
+        |  SELECT vec_id, embedding, norm,
+        |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |           % 16 AS seed
+        |  FROM v
+        |),
+        |px AS (
+        |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM seeded
+        |),
+        |cm AS (
+        |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+        |  FROM px GROUP BY 1, 2
+        |),
+        |cent AS (
+        |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+        |  FROM cm GROUP BY seed
+        |),
+        |centn AS (
+        |  SELECT cell, centroid,
+        |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+        |  FROM cent
+        |),
+        |casg AS (
+        |  SELECT s.vec_id, s.embedding, s.norm, c.cell,
+        |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
+        |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+        |           / (s.norm * c.cnorm) AS csim
+        |  FROM seeded s CROSS JOIN centn c
+        |),
+        |cells AS (
+        |  SELECT vec_id, embedding, norm, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+        |    FROM casg
+        |  ) WHERE r = 1
+        |),
+        |dup AS (
+        |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  WHERE $dotSql / (a.norm * b.norm) >= 0.45
+        |  GROUP BY a.vec_id
+        |)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, dup.dup_of,
+        |       dup.dup_of IS NULL AS keep
+        |FROM cells c LEFT JOIN dup ON c.vec_id = dup.vec_id
         |ORDER BY c.vec_id""".stripMargin,
     "llm_index_stats" ->
       s"""WITH $vecCte,

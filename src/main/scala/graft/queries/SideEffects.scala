@@ -190,6 +190,34 @@ object SideEffects {
         .orderBy("d")
     }),
 
+    // A4b — retention round-trip through the real TrendStore: write events
+    // day-partitioned, expire the first three days (metadata-only
+    // partition drops — graft.Fs.dropPartitions), read back what survived.
+    // The oracle recomputes survivorship directly with the cutoff filter,
+    // so the partition-drop path itself is what the hash proves. The
+    // store dir is recreated per run (expiry is destructive; a stale
+    // scratch dir would otherwise leak rows across runs).
+    "store_retention" -> ((s, d) => {
+      val out = scratch("events_retention")
+      val dir = new java.io.File(out)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+      val store = new graft.store.TrendStore(s, out, Seq("value"))
+      store.write(Tables.events(s, d)
+        .select(col("event_id").as("entity_id"), col("ts"), col("value")), "raw")
+      store.expire("raw", "2024-01-04")
+      store.read("raw")
+        .groupBy("d")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .select(col("d").cast("string").as("d"), col("cnt"), col("sum_value"))
+        .orderBy("d")
+    }),
+
     // A4 — partitioned trend-store sink: write events partitioned by day
     // (the reference's time-partitioned wide-table layout), read back and
     // count per partition. Partition pruning on `d` is then free.
@@ -247,5 +275,12 @@ object SideEffects {
     "sink_partitioned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,
+    "store_retention" ->
+      """WITH e AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, value
+        |  FROM events
+        |)
+        |SELECT d, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM e WHERE d >= '2024-01-04' GROUP BY d ORDER BY d""".stripMargin,
   )
 }
