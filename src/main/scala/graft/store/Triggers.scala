@@ -41,7 +41,15 @@ object Triggers {
     * the per-pair `max(ts)` aggregate reduces the store to
     * (entity, rule) cardinality — operational, not data, volume — and
     * the anti-join is a broadcast-friendly equi-join on the pair plus
-    * one timestamp compare. A missing/empty store suppresses nothing. */
+    * one timestamp compare. A missing/empty store suppresses nothing.
+    *
+    * The store read is day-pruned before anything else: only priors newer
+    * than `min(fresh ts) − cooldown` can suppress (any prior at or after a
+    * fresh ts suppresses it trivially; older ones must be within the
+    * window), so the `d` partition filter bounds the scan by the cooldown
+    * horizon, not by years of notification history. The one driver-side
+    * value is that min timestamp — a 1-row aggregate over the fresh
+    * exceedances. */
   def evaluateWithCooldown(
       kpis: DataFrame,
       rules: Seq[Rule],
@@ -50,7 +58,14 @@ object Triggers {
       cooldown: String): DataFrame = {
     val fresh = evaluate(kpis, rules)
     if (!graft.Fs.existsNonEmptyData(spark, dir)) return fresh
+    val minDay = fresh
+      .select(date_format(
+        min(col("ts")) - expr(s"INTERVAL $cooldown") - expr("INTERVAL 1 DAY"),
+        "yyyy-MM-dd"))
+      .head().getString(0)
+    if (minDay == null) return fresh // no fresh exceedances at all
     val prior = spark.read.parquet(dir)
+      .where(col("d") >= minDay)
       .groupBy(col("entity_id").as("p_entity"), col("rule").as("p_rule"))
       .agg(max(col("ts")).as("p_ts"))
     fresh.join(prior,
