@@ -178,6 +178,36 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // D10c — Gini coefficient per event type (added r3): how unevenly a
+    // counter is distributed across events — the load-concentration
+    // readout (a handful of hot cells vs an even network). Computed from
+    // the rank formulation G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over
+    // ascending-sorted exact integers (value floor-quantized at 1e-6;
+    // Σ and Σrank·x in DECIMAL(38,0)/HUGEINT). Tie order can't leak in:
+    // swapping equal x values never changes Σrank·x. Finals are IEEE ops
+    // on exact integers, floor-quantized at 1e-6. One rank window + one
+    // groupBy, both keyed on event_type.
+    "agg_gini" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("yq").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("rnk", row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(col("yq").cast(dec)).as("s"),
+          sum(col("rnk").cast(dec) * col("yq").cast(dec)).as("a"))
+        .select(col("event_type"), col("n_points"),
+          (floor(
+            (lit(2.0) * col("a").cast("double")
+              / (col("n_points").cast("double") * col("s").cast("double"))
+              - (col("n_points") + lit(1)).cast("double") / col("n_points").cast("double"))
+              * 1e6) / 1e6).as("gini"))
+        .orderBy("event_type")
+    }),
+
     // D10 — statistical aggregates (PG stats surface Minerva KPIs use):
     // stddev/variance/correlation/covariance. Well-conditioned at 4
     // decimals: corr is bounded and the variances carry ~8 guard digits.
@@ -560,6 +590,28 @@ object Aggs {
         |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
         |       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_gini" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS yq
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT event_type, yq,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY yq ASC, event_id ASC) AS rnk
+        |  FROM e
+        |),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(yq AS HUGEINT)) AS s,
+        |         sum(CAST(rnk AS HUGEINT) * yq) AS a
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+        |       floor((2.0 * CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        |              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) / 1000000 AS gini
+        |FROM s ORDER BY event_type""".stripMargin,
     "agg_trend_slope" ->
       """WITH e AS (
         |  SELECT event_type,

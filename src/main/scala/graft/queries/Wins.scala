@@ -295,9 +295,34 @@ object Wins {
         .select(col("event_id"), col("user_id"), col("ewma"))
         .orderBy("event_id")
     }),
+
+    // E14 — CUSUM control chart (added r3): per-user running sum of the
+    // deviation from a reference value, the classic SPC drift detector
+    // (pairs with win_zscore_anomaly's point outliers — CUSUM catches
+    // small persistent shifts). Determinism: the deviation is accumulated
+    // in exact integers (value floor-quantized at 1e-6, reference 500 as
+    // 5e8 micro-units) under a totally-ordered frame (ts, event_id), so
+    // the running sum is order-free arithmetic; the single final divide
+    // of an exact integer is IEEE-identical in both engines. One
+    // user-keyed shuffle + in-partition sort at any scale.
+    "win_cusum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("cusum", sum(col("yq") - lit(500000000L)).over(w) / 1e6)
+        .select(col("event_id"), col("user_id"), col("ts"), col("cusum"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "win_cusum" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       sum(CAST(floor(value * 1000000) AS BIGINT) - 500000000)
+        |         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |               ROWS UNBOUNDED PRECEDING) / 1000000.0 AS cusum
+        |FROM events ORDER BY event_id""".stripMargin,
     "win_interpolate" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |hourly AS (
