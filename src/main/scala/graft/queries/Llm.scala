@@ -615,6 +615,32 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM scoring — the Markov step past `llm_perplexity`'s unigram
+    // model (the KenLM-shaped fluency signal corpus filters actually use):
+    // per-doc average conditional NLL −ln c(w1,w2)/c(w1·) under the
+    // corpus's own MLE bigram model (self-scoring, so no OOV zeros).
+    // Plan shape matches perplexity: the bigram/context tables are
+    // vocabulary-sized and deliberately NOT force-broadcast (AQE picks
+    // broadcast when they fit); two equi-joins on the exploded bigram
+    // stream, partial aggs map-side.
+    "llm_bigram_nll" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .where(size(col("toks")) >= 2)
+        .withColumn("z", arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1)))
+        .select(col("doc_id"), explode(col("z")).as("b"))
+        .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(col("c2").cast("double") / col("c1"))), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al.): per-language
     // head/middle/tail terciles of the unigram avg-NLL — the standard
     // corpus-curation split (keep head, sample middle, drop tail). The
@@ -1842,6 +1868,23 @@ object Llm {
         |         + CAST(0.3 AS DECIMAL(2,1)) * (1 - CAST(stop_ratio AS DECIMAL(18,4)))
         |         + CAST(0.2 AS DECIMAL(2,1)) * CAST(long_ratio AS DECIMAL(18,4)), 4) AS DOUBLE) AS score
         |FROM q ORDER BY doc_id""".stripMargin,
+    "llm_bigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+        |         unnest(list_slice(toks, 2, len(toks))) AS w2
+        |  FROM t WHERE len(toks) >= 2
+        |),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln(CAST(c2.c2 AS DOUBLE) / c1.c1)), 4) AS avg_nll
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_ppl_bucket" ->
       s"""WITH $tokAllCte,
         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
