@@ -178,6 +178,32 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // D10d — OHLC resample bars (added r3): per (user, hour) the
+    // open/high/low/close + sample count — the canonical downsample for
+    // any gauge-style counter (what a trend dashboard renders). Every
+    // output is an exact selection (window-first/-last under a total
+    // (ts, event_id) order, plain min/max) — NO float accumulation
+    // anywhere, so no rounding is needed at all. One (user, hour)-keyed
+    // window + the same-keyed groupBy reuse one shuffle.
+    "agg_ohlc" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("h", date_trunc("hour", col("ts")))
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "h").orderBy(col("ts").asc, col("event_id").asc)
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "h").orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy("user_id", "h")
+        .agg(
+          count(lit(1)).as("n_samples"),
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"))
+        .orderBy("user_id", "h")
+    }),
+
     // D10c — Gini coefficient per event type (added r3): how unevenly a
     // counter is distributed across events — the load-concentration
     // readout (a handful of hot cells vs an even network). Computed from
@@ -590,6 +616,25 @@ object Aggs {
         |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
         |       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_ohlc" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY user_id, h
+        |                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |         row_number() OVER (PARTITION BY user_id, h
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e
+        |)
+        |SELECT user_id, h, count(*) AS n_samples,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |FROM r GROUP BY user_id, h ORDER BY user_id, h""".stripMargin,
     "agg_gini" ->
       """WITH e AS (
         |  SELECT event_type, event_id,
