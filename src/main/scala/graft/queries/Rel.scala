@@ -277,6 +277,37 @@ object Rel {
         .orderBy("o_orderkey")
     }),
 
+    // B10b — as-of join with a tolerance bound (the polars/pandas
+    // `tolerance` semantic): the match is dropped when the latest prior
+    // event is MORE than 12 hours older than the probe — a stale quote
+    // is no quote. Same single union-window shuffle as `join_asof` (no
+    // pair join anywhere); the matched event's timestamp rides the same
+    // ignoreNulls window as its id (both are null exactly on probe rows,
+    // so the two `last`s pick the same event row), and the bound is one
+    // interval compare at projection time.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id").as("uid"), col("ts").as("ats"),
+        lit(0).as("kind"), col("event_id"), lit(null).cast("long").as("o_orderkey"))
+      val od = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(150)).cast("long").as("uid"),
+        expr("TIMESTAMP '2024-01-01' + make_interval(0, 0, 0, CAST(o_orderkey % 30 AS INT), CAST(o_custkey % 24 AS INT), 0, 0)").as("ats"),
+        lit(1).as("kind"), lit(null).cast("long").as("event_id"), col("o_orderkey"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("uid")
+        .orderBy(col("ats"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(od)
+        .withColumn("m_id", last(col("event_id"), ignoreNulls = true).over(w))
+        .withColumn("m_ts",
+          last(when(col("kind") === 0, col("ats")), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("o_orderkey"),
+          when(col("m_ts") >= col("ats") - expr("INTERVAL 12 HOURS"), col("m_id"))
+            .as("asof_event_id"))
+        .orderBy("o_orderkey")
+    }),
+
     // C7b — FORWARD as-of: for each order timestamp, the EARLIEST event of
     // its user at-or-after it (the "next sample" lookup gap backfill
     // needs — the mirror of attribute.at(ts)). Same one-shuffle shape as
@@ -524,6 +555,23 @@ object Rel {
         |         row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.ts DESC, e.event_id DESC) AS rn
         |  FROM o JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
         |    ON e.user_id = o.uid AND e.ts <= o.ats
+        |)
+        |SELECT o.o_orderkey, m.event_id AS asof_event_id
+        |FROM o LEFT JOIN (SELECT o_orderkey, event_id FROM m WHERE rn = 1) m
+        |  ON m.o_orderkey = o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS uid,
+        |         TIMESTAMP '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY
+        |           + (o_custkey % 24) * INTERVAL 1 HOUR AS ats
+        |  FROM orders
+        |), m AS (
+        |  SELECT o.o_orderkey, e.event_id,
+        |         row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM o JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+        |    ON e.user_id = o.uid AND e.ts <= o.ats
+        |       AND e.ts >= o.ats - INTERVAL 12 HOUR
         |)
         |SELECT o.o_orderkey, m.event_id AS asof_event_id
         |FROM o LEFT JOIN (SELECT o_orderkey, event_id FROM m WHERE rn = 1) m
