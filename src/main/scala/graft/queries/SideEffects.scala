@@ -190,6 +190,33 @@ object SideEffects {
         .orderBy("d")
     }),
 
+    // A2c — schema-evolution round-trip: two harvest batches written with
+    // DIFFERENT schemas (the new harvester version added a column — the
+    // classic lake drift), read back through mergeSchema and audited per
+    // batch. The oracle recomputes the audit from the source, so what the
+    // hash proves is that old rows surface the new column as NULL and new
+    // rows keep it — the exact contract downstream jobs rely on when a
+    // source evolves mid-retention-window. mergeSchema is the read-time
+    // opt-in (at 100 TB schema unification is a footer-only pass, no data
+    // read).
+    "scan_schema_merge" -> ((s, d) => {
+      val out = scratch("events_schema_merge")
+      val e = Tables.events(s, d)
+      e.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("value"))
+        .write.mode("overwrite").parquet(s"$out/b=1")
+      e.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("value"),
+          round(col("value") * 2, 4).as("value_adj"))
+        .write.mode("overwrite").parquet(s"$out/b=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"),
+          count(col("value_adj")).as("n_adj"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("b")
+    }),
+
     // A4b — retention round-trip through the real TrendStore: write events
     // day-partitioned, expire the first three days (metadata-only
     // partition drops — graft.Fs.dropPartitions), read back what survived.
@@ -275,6 +302,14 @@ object SideEffects {
     "sink_partitioned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,
+    "scan_schema_merge" ->
+      """SELECT 1 AS b, count(*) AS n, CAST(0 AS BIGINT) AS n_adj,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT 2, count(*), count(*), round(sum(value), 4)
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY b""".stripMargin,
     "store_retention" ->
       """WITH e AS (
         |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, value

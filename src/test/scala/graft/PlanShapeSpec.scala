@@ -163,4 +163,20 @@ class PlanShapeSpec extends SparkSpec {
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("dynamicpruning"), s"no DPP filter on the fact scan:\n$p")
   }
+
+  test("agg_ohlc window and groupBy share one hash exchange") {
+    // both windows and the aggregate key on (user_id, h): the aggregate
+    // must reuse the window's partitioning, not re-shuffle
+    val p = planOf("agg_ohlc")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("join_asof_tolerance stays a window plan — no pair join anywhere") {
+    val p = planOf("join_asof_tolerance")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"asof tolerance must not plan a join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
 }
