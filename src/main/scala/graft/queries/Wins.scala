@@ -314,6 +314,33 @@ object Wins {
         .select(col("event_id"), col("user_id"), col("ts"), col("cusum"))
         .orderBy("event_id")
     }),
+
+    // E15 — busy hour (added r3): per (user, day) the hour carrying the
+    // most traffic — the canonical telecom-PM readout (networks are
+    // dimensioned on the busy hour, not the mean). Determinism: the
+    // ranking quantity is a sum of exact integers (value floor-quantized
+    // at 1e-6, summed in DECIMAL(38,0)), never a float sum whose
+    // accumulation order could flip a near-tie across engines; exact ties
+    // break on the earlier hour. One (user, day, hour) groupBy shuffle +
+    // a (user, day)-keyed window over the 24-row-per-key hourly rollup —
+    // the window input is already aggregated, so the sort is trivial at
+    // any scale.
+    "win_busy_hour" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(col("ts")).as("day"),
+          hour(col("ts")).as("hr"),
+          floor(col("value") * 1e6).cast("long").as("vq"))
+        .groupBy("user_id", "day", "hr")
+        .agg(sum(col("vq").cast(dec)).as("tq"), count(lit(1)).as("n_samples"))
+      val w = Window.partitionBy("user_id", "day")
+        .orderBy(col("tq").desc, col("hr").asc)
+      hourly.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("hr").as("busy_hour"),
+          (col("tq").cast("double") / 1e6).as("traffic"), col("n_samples"))
+        .orderBy("user_id", "day")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -491,5 +518,25 @@ object Wins {
         |SELECT event_id, user_id,
         |       floor(list_reduce(l, (acc, x) -> 0.25 * x + 0.75 * acc) * 10000) / 10000 AS ewma
         |FROM l ORDER BY event_id""".stripMargin,
+    "win_busy_hour" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS vq
+        |  FROM events
+        |),
+        |h AS (
+        |  SELECT user_id, day, hr, sum(CAST(vq AS HUGEINT)) AS tq,
+        |         count(*) AS n_samples
+        |  FROM e GROUP BY 1, 2, 3
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |                               ORDER BY tq DESC, hr ASC) AS rn
+        |  FROM h
+        |)
+        |SELECT user_id, day, hr AS busy_hour,
+        |       CAST(tq AS DOUBLE) / 1000000 AS traffic, n_samples
+        |FROM r WHERE rn = 1 ORDER BY user_id, day""".stripMargin,
   )
 }
