@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through verbatim instead of
+// re-logging each line with an "[info] "/"[error] " prefix: the bench
+// driver parses the one-line JSON out of the output tail, and the sbt
+// prefix broke that parse in rounds 2 and 3 (BENCH parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap sized for local[32]: 32 concurrent tasks share the unified memory
+  // region, so 8g (~230 MB/task before GC headroom) thrashes on the wider
+  // shuffles; 32g keeps ~1 GB/task on the documented 128 GiB machine while
+  // leaving room for sbt + the OS page cache that parquet scans live on.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

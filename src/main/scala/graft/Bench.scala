@@ -27,6 +27,23 @@ object Bench {
     s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
   }
 
+  /** The driver line carries only the 40 slowest keys (length budget, see
+    * [[renderLine]]) — which round 3 showed hides regressions in the other
+    * ~110: a key invisible in the `_others` rollup can silently grow 5×.
+    * So every run also writes the COMPLETE per-key map (sorted by key, 2 ms
+    * resolution) to a committed artifact for round-over-round diffing. */
+  def writeFull(results: Seq[(String, Double)], sfDir: String, path: String): Unit = {
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val sfTag = new java.io.File(sfDir).getName
+    val body = results.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": ${f(v)}""" }.mkString(",\n")
+    val total = f(results.map(_._2).sum)
+    val json =
+      s"""{\n  "_total_sec": $total,\n  "_sf": "$sfTag",\n  "_keys": ${results.size},\n$body\n}\n"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,6 +71,8 @@ object Bench {
       }.sorted
       name -> times(times.size / 2)
     }
+    writeFull(results, sfDir,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json"))
     println(renderLine(results, sfDir))
     spark.stop()
   }

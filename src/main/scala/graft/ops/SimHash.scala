@@ -25,25 +25,32 @@ import org.apache.spark.sql.functions._
 object SimHash {
 
   /** Per-doc 64-bit signature: (doc_id, simhash64). `docs` must carry
-    * (doc_id, text); tokens are distinct whitespace tokens. */
+    * (doc_id, text); tokens are distinct whitespace tokens.
+    *
+    * Physical shape: ONE token-row groupBy carrying 64 conditional sums
+    * (per-bit set-counts), not a 64× bit-position explode — the vote
+    * sgn_j = ones_j − (n − ones_j) is positive iff 2·ones_j > n, so the
+    * per-bit counts plus the token count reconstruct every sign without
+    * amplifying the token stream. The r3 formulation exploded 64 rows per
+    * token (sf0.1: ~5 M tokens → 320 M rows through a two-level agg); this
+    * one shuffles exactly the per-doc partial aggregates, which is what
+    * survives a 100 TB corpus. */
   def signatures(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
     // four 16-bit chunks of the token md5 carry the 64 vote bits
     val chunks = tok.select(col("doc_id") +: (0 until 4).map(k =>
       conv(substring(md5(col("token")), 1 + 4 * k, 4), 16, 10).cast("long").as(s"tv$k")): _*)
-    chunks
-      .select(col("doc_id"), col("tv0"), col("tv1"), col("tv2"), col("tv3"),
-        explode(sequence(lit(0), lit(63))).as("j"))
-      .select(col("doc_id"), col("j"),
-        expr("CASE j div 16 WHEN 0 THEN tv0 WHEN 1 THEN tv1 WHEN 2 THEN tv2 ELSE tv3 END").as("tv"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("CASE WHEN ((tv >> (j % 16)) & 1) = 1 THEN 1 ELSE -1 END")).as("sgn"))
-      .groupBy("doc_id")
+    val aggs = (0 until 64).map { j =>
+      sum(shiftright(col(s"tv${j / 16}"), j % 16).bitwiseAND(lit(1L))).as(s"c$j")
+    } :+ count(lit(1)).as("n")
+    chunks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       // distinct bit positions -> no carries, so SUM of shifted ones IS the
       // bitwise OR (incl. bit 63, whose two's-complement sum is exact)
-      .agg(sum(when(col("sgn") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L)).as("simhash64"))
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"c$j") * 2 > col("n"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), $j)")).otherwise(0L))
+          .reduce(_ + _).as("simhash64"))
   }
 
   /** Near-dup candidate pairs at hamming ≤ `maxHamming` (must be ≤ 3 for

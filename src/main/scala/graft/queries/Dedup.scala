@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Free a superseded `localCheckpoint`'s storage blocks immediately —
+    * see [[graft.ops.Checkpoints]] for why lazy (GC-driven) reclamation is
+    * a leak in iterative loops and sequential multi-query JVMs, and why it
+    * caps live storage at one round's working set here. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    graft.ops.Checkpoints.free(df)
+
   /** Distinct non-empty whitespace tokens: (doc_id, lang, token). Built
     * once per pipeline and shared by every stage. */
   private def tokens(docs: DataFrame): DataFrame =
@@ -226,6 +233,9 @@ object Dedup {
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    // edges is eagerly materialized above, so the one-directional
+    // projection's blocks are dead weight from here on — free them now.
+    freeCheckpoint(p)
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
     // Size gate, measured once: below ~5M nodes the label table is a few
@@ -254,9 +264,16 @@ object Dedup {
           (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("chg"))
         .localCheckpoint(true)
       changed = next.where(col("chg")).count()
+      // next is materialized (the count above) and lineage-free, so the
+      // previous round's label checkpoint can be reclaimed immediately.
+      freeCheckpoint(labels)
       labels = next.drop("chg")
       rounds += 1
     }
+    freeCheckpoint(edges)
+    // The final labels checkpoint stays persisted — the caller's plan
+    // reads it; its (single, node-sized) block set is reclaimed by the
+    // context cleaner once the result is consumed.
     labels
   }
 
@@ -285,6 +302,7 @@ object Dedup {
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    freeCheckpoint(p) // edges materialized; the projection is dead weight
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
     val nNodes = labels.count()
@@ -311,9 +329,11 @@ object Dedup {
           (col("chg") || coalesce(col("p_cl"), col("cluster_id")) < col("cluster_id")).as("chg"))
         .localCheckpoint(true)
       changed = next.where(col("chg")).count()
+      freeCheckpoint(labels) // superseded round — reclaim immediately
       labels = next.drop("chg")
       rounds += 1
     }
+    freeCheckpoint(edges)
     labels
   }
 

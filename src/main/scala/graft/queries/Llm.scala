@@ -523,6 +523,22 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // K2c'''' — PRODUCTION-width SimHash dedup (64-bit, `ops.SimHash`,
+    // added r4): the same 4-band pigeonhole scheme as the 16-bit demo key
+    // but with 2^16-value bands, so random band collisions thin by three
+    // orders of magnitude and the equi-join stays sub-quadratic at corpus
+    // sizes where 16 bits degenerate (n ≫ 2^16). Runs the actual library
+    // route (signatures → bandedPairs). Oracle-checkable despite DuckDB's
+    // lack of unsigned 64-bit bit ops: hamming decomposes exactly over the
+    // signature's two 32-bit halves (bit_count(hi⊕hi')+bit_count(lo⊕lo')),
+    // and the oracle may brute-force all pairs because 4×16-bit banding
+    // has 100% recall at hamming ≤ 3 (pigeonhole) — identical row sets.
+    "llm_dedup_simhash64" -> ((s, d) => {
+      val sigs = graft.ops.SimHash.signatures(
+        Tables.documents(s, d).select("doc_id", "text"))
+      graft.ops.SimHash.bandedPairs(sigs).orderBy("a_id", "b_id")
+    }),
+
     // K3 — brute-force cosine top-k pairs (the correctness baseline for
     // similarity search; llm_ann_bucket is the bucketed scale path).
     // Norms are precomputed per vector; pair ordering uses the exact double
@@ -1792,6 +1808,43 @@ object Llm {
         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Brute-force all-pairs oracle over the signature's two 32-bit halves
+    // (DuckDB lacks unsigned 64-bit bit ops; 2^63 would overflow BIGINT in
+    // the power() sum, the halves never exceed 2^32). Legitimate for the
+    // same pigeonhole reason as the 16-bit lsh key: 4×16-bit banding finds
+    // EVERY hamming<=3 pair, so band join and brute force agree exactly.
+    "llm_dedup_simhash64" ->
+      s"""WITH $tokCte,
+        |tv AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substring(md5(token), 1, 4)) AS BIGINT) AS tv0,
+        |         CAST(concat('0x', substring(md5(token), 5, 4)) AS BIGINT) AS tv1,
+        |         CAST(concat('0x', substring(md5(token), 9, 4)) AS BIGINT) AS tv2,
+        |         CAST(concat('0x', substring(md5(token), 13, 4)) AS BIGINT) AS tv3
+        |  FROM tok
+        |),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |         sum(CASE WHEN (((CASE WHEN j < 16 THEN tv0 WHEN j < 32 THEN tv1
+        |                               WHEN j < 48 THEN tv2 ELSE tv3 END)
+        |                         >> (j % 16)) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM tv, (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN sgn > 0 AND j >= 32 THEN CAST(power(2, j - 32) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN sgn > 0 AND j < 32 THEN CAST(power(2, j) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER)
+        |         AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
     "llm_cosine_topk" ->
       s"""WITH $vecCte

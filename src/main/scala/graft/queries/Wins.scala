@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 
 /** Window functions (SURVEY.md §2 section E). Every window's ORDER BY ends
   * with a unique key so frame contents are deterministic across engines;
-  * doubles that leave the query are rounded to 4 decimals.
+  * doubles that leave the query are rounded to 4 decimals — except columns
+  * derived from exact integers by a single final divide (win_busy_hour's
+  * `traffic` = DECIMAL(38,0) µ-units / 1e6): one IEEE divide of the same
+  * exact integer is bit-identical in both engines, so rounding would only
+  * discard resolution.
   *
   * At scale each of these is a single shuffle on the partition key followed
   * by an in-partition sort — no driver-side work.

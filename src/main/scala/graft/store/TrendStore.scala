@@ -68,6 +68,9 @@ final class TrendStore(
       // keep their own overwrite semantics
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("d").parquet(dir(granularity))
+    // the write consumed the checkpoint; reclaim its blocks now instead of
+    // leaving them to tax the rest of the JVM until a GC happens to run
+    graft.ops.Checkpoints.free(merged)
   }
 
   /** Read one granularity, asserting the declared columns exist. Filters on
