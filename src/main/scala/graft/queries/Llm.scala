@@ -78,7 +78,18 @@ object Llm {
   /** Vector/doc counts at or under this run the exact all-pairs baselines;
     * above it (measured, one cheap count) the pairwise keys block their
     * pair join on an LSH cell so candidate generation is an equi-join.
-    * Sized so the all-pairs side stays ~10^9 candidate pairs max. */
+    * Sized so the all-pairs side stays ~10^9 candidate pairs max.
+    *
+    * Boundary audited r4 (`tools.ProfGate`, sf0.1 = 5 000 docs / 2 000
+    * vectors, 3-rep medians): the exact side is the RIGHT side at bench
+    * scale — simhash all-pairs 1.43 s vs banded 2.42 s (identical 992 384
+    * rows; 16-value bands collide heavily at small n, so banding only wins
+    * once n is large enough that n²/16 ≫ band-bucket volume), and the
+    * blocked embed/cosine sides (0.3 s vs ~1 s) are not comparable wins:
+    * they change the answer (same-cell pairs only — dedup_embed 6 rows vs
+    * 144 exact). Lowering the gate to chase the bench number would swap an
+    * exact 1 s answer for an approximate one; the gate stays an
+    * exactness-budget knob, not a bench knob. */
   private[graft] val PairJoinGate = 50000L
 
   /** 4×4-bit band keys over the 16-bit SimHash signature: one (doc_id,
