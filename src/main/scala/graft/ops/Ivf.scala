@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF coarse quantizer as a library routine, with the `nlist` sizing rule
+  * the oracle keys cannot apply.
+  *
+  * The oracle IVF keys (`llm_ivf_centroids`, `llm_ivf_probe`, `llm_pq_*`)
+  * pin `nlist = 16` so the DuckDB oracle reproduces the exact cell layout.
+  * That is a demo constraint, and NOTES' 10× scale probe shows its cost:
+  * with nlist fixed, per-cell occupancy grows linearly with the corpus and
+  * within-cell pair work grows with occupancy² — the probe measured
+  * exactly that super-linear growth on `llm_ivf_probe`/`llm_pq_adc`.
+  *
+  * Production IVF sizes the index to the corpus instead: per-query work is
+  * one centroid scan (`nlist` comparisons) plus `nprobe` cell scans
+  * (`nprobe · n / nlist` candidates), minimized at
+  * `nlist ≈ √(nprobe · n)` — the standard √n rule. At that setting both
+  * terms grow as √n, so a 10× corpus costs ~3.2× per query, not 10×
+  * (IvfSpec pins this, and pins fixed-nlist occupancy growing 10× on the
+  * same data).
+  *
+  * Determinism recipe shared with the oracle keys (seeded md5 cells, one
+  * k-means update step, per-dim sums folded in sorted order, floor-1e-6
+  * quantization) so a caller can hash-compare results across engines and
+  * runs; `Llm.coarseRanked` delegates here with `nlist = 16`.
+  */
+object Ivf {
+
+  /** Cells the √-rule picks for a corpus of `n` vectors probed at
+    * `nprobe`: `⌈√(nprobe·n)⌉` clamped to [16, 65536] — below 16 the
+    * index is pointless, above 64 k the centroid scan itself needs an
+    * index (a second quantizer level, out of scope here). */
+  def autoNlist(n: Long, nprobe: Int = 1): Int = {
+    require(n >= 0 && nprobe >= 1)
+    math.min(65536L, math.max(16L,
+      math.ceil(math.sqrt(nprobe.toDouble * n.toDouble)).toLong)).toInt
+  }
+
+  /** Seeded one-step centroids over `nlist` cells + every vector ranked
+    * against every centroid by cosine. `vectors` must carry
+    * (vec_id, embedding: array<float>, norm); returns
+    * (vec_id, embedding, norm, cell, csim, r) with r=1 the home cell.
+    * The centroid table is `nlist` rows — broadcast, so assignment stays
+    * linear in corpus size at any legal `nlist`. */
+  def coarseRanked(vectors: DataFrame, nlist: Int): DataFrame = {
+    require(nlist >= 1)
+    val s = vectors.sparkSession
+    graft.functions.VecDot.register(s)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("vec_dot", a, b)
+    val seeded = vectors.withColumn("seed",
+      pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long"),
+        lit(nlist.toLong)))
+    val cent = seeded
+      .select(col("seed"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("seed", "i")
+      .agg(sort_array(collect_list(col("x").cast("double"))).as("xs"))
+      .select(col("seed"), col("i"),
+        (aggregate(col("xs"), lit(0.0), (acc, e) => acc + e) / size(col("xs"))).as("m"))
+      .groupBy("seed")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+      .select(col("seed").as("cell"),
+        transform(col("im"), e => floor(e.getField("m") * 1e6) / 1e6).as("centroid"))
+      .withColumn("cnorm", sqrt(dot(col("centroid"), col("centroid"))))
+    val assigned = seeded.crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("embedding"), col("centroid")) / (col("norm") * col("cnorm")))
+    val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    assigned.withColumn("r", row_number().over(wA))
+  }
+
+  /** Auto-sized variant: counts the corpus once (the same measured-gate
+    * discipline as `Knn.topKCosine`) and applies [[autoNlist]]. */
+  def coarseRankedAuto(vectors: DataFrame, nprobe: Int = 1): DataFrame =
+    coarseRanked(vectors, autoNlist(vectors.count(), nprobe))
+
+  /** Per-query IVF candidate generation at `nprobe` probes: each vector's
+    * candidates are the r=1 members of its `nprobe` nearest cells. Returns
+    * (a_id, b_id, cell) candidate pairs (a ≠ b) — the bounded pair stream
+    * the caller scores (full-precision cosine, or ADC over PQ codes).
+    * Candidate volume per query ≈ nprobe·n/nlist; with [[autoNlist]] that
+    * is √(nprobe·n), so doubling the corpus does not double the work. */
+  def candidates(ranked: DataFrame, nprobe: Int): DataFrame = {
+    val cells = ranked.where(col("r") === 1)
+      .select(col("vec_id").as("b_id"), col("cell"))
+    val probes = ranked.where(col("r") <= nprobe)
+      .select(col("vec_id").as("a_id"), col("cell"))
+    probes.join(cells, Seq("cell"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("cell"))
+  }
+}

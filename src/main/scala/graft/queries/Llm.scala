@@ -195,26 +195,13 @@ object Llm {
   /** Coarse IVF assignment shared by the IVF keys and IVF-PQ: 16 seeded
     * centroids (one k-means step, the determinism recipe in [[ivfSearch]]'s
     * doc), every vector ranked against every cell by cosine. Returns the
-    * ranked assignment (vec_id, embedding, norm, cell, csim, r). */
-  private def coarseRanked(v: DataFrame): DataFrame = {
-    val seeded = v.withColumn("seed",
-      pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(16)))
-    val cent = seeded
-      .select(col("seed"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("seed", "i")
-      .agg(sort_array(collect_list(col("x").cast("double"))).as("xs"))
-      .select(col("seed"), col("i"),
-        (aggregate(col("xs"), lit(0.0), (acc, e) => acc + e) / size(col("xs"))).as("m"))
-      .groupBy("seed")
-      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-      .select(col("seed").as("cell"),
-        transform(col("im"), e => floor(e.getField("m") * 1e6) / 1e6).as("centroid"))
-      .withColumn("cnorm", sqrt(call_function("vec_dot", col("centroid"), col("centroid"))))
-    val assigned = seeded.crossJoin(broadcast(cent))
-      .withColumn("csim", dot(col("embedding"), col("centroid")) / (col("norm") * col("cnorm")))
-    val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
-    assigned.withColumn("r", row_number().over(wA))
-  }
+    * ranked assignment (vec_id, embedding, norm, cell, csim, r).
+    *
+    * nlist=16 is PINNED here for DuckDB-oracle cell-layout compatibility;
+    * the production sizing rule (nlist ≈ √(nprobe·n), occupancy bounded)
+    * lives in [[graft.ops.Ivf]], which this delegates to. */
+  private def coarseRanked(v: DataFrame): DataFrame =
+    graft.ops.Ivf.coarseRanked(v, nlist = 16)
 
   /** ADC pair scoring shared by `llm_pq_adc` and `llm_pq_rerank`: every
     * query's coarse-cell-mates scored through the query's own 8×16 ADC

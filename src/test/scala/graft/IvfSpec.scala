@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ivf
+
+/** The IVF sizing rule (VERDICT r3 #5): with `autoNlist` the per-query
+  * work (centroid scan + probed-cell candidates) must stay ~√n, so a 10×
+  * corpus costs ~3.2× per query — while the oracle keys' pinned nlist=16
+  * shows the linear occupancy growth the rule exists to remove. */
+class IvfSpec extends SparkSpec {
+
+  test("autoNlist follows the sqrt rule and clamps at [16, 65536]") {
+    assert(Ivf.autoNlist(0) == 16)
+    assert(Ivf.autoNlist(100) == 16)
+    assert(Ivf.autoNlist(10000) == 100)
+    assert(Ivf.autoNlist(1000000) == 1000)
+    assert(Ivf.autoNlist(250000, nprobe = 4) == 1000)
+    assert(Ivf.autoNlist(1L << 40) == 65536)
+  }
+
+  /** n deterministic pseudo-random 8-dim vectors (md5-derived uniforms in
+    * [-0.5, 0.5]) with precomputed norms — near-uniform cell occupancy. */
+  private def corpus(n: Long): DataFrame = {
+    graft.functions.VecDot.register(spark)
+    spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)), j =>
+          (conv(substring(md5(concat(col("id").cast("string"), lit(":"), j.cast("string"))),
+            1, 4), 16, 10).cast("double") / 65535.0 - 0.5).cast("float")).as("embedding"))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+  }
+
+  /** Mean per-query candidate count from the home-cell occupancies:
+    * Σ occ·(occ−1) / n — what `Ivf.candidates` materializes at nprobe=1. */
+  private def meanCandidates(ranked: DataFrame): Double = {
+    val occs = ranked.where(col("r") === 1).groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    occs.map(o => o.toDouble * (o - 1)).sum / occs.sum
+  }
+
+  test("candidates at nprobe=1 materializes exactly the occupancy formula") {
+    val ranked = Ivf.coarseRanked(corpus(500), nlist = 16)
+    val pairRows = Ivf.candidates(ranked, nprobe = 1).count()
+    val expected = math.round(meanCandidates(ranked) * 500)
+    assert(pairRows == expected, s"$pairRows pair rows vs occupancy-derived $expected")
+    // every vector has exactly one home cell
+    assert(ranked.where(col("r") === 1).count() == 500)
+  }
+
+  test("auto nlist keeps per-query work ~sqrt(n); fixed nlist grows linearly") {
+    val n1 = 2000L
+    val n2 = 20000L // 10× corpus
+    val fixedSmall = meanCandidates(Ivf.coarseRanked(corpus(n1), 16))
+    val fixedBig = meanCandidates(Ivf.coarseRanked(corpus(n2), 16))
+    val autoSmall = meanCandidates(Ivf.coarseRankedAuto(corpus(n1)))
+    val autoBig = meanCandidates(Ivf.coarseRankedAuto(corpus(n2)))
+
+    val fixedGrowth = fixedBig / fixedSmall
+    val autoGrowth = autoBig / autoSmall
+    // fixed nlist: occupancy ∝ n, so candidates grow ~10× at a 10× corpus
+    assert(fixedGrowth > 6.0, f"fixed-nlist growth $fixedGrowth%.1f× — expected ~10×")
+    // auto nlist: occupancy ∝ √n, so ~√10 ≈ 3.2× — allow skew headroom
+    assert(autoGrowth < 5.0, f"auto-nlist growth $autoGrowth%.1f× — expected ~3.2×")
+    // and the absolute per-query work at 10× is far below the fixed route's
+    assert(autoBig < fixedBig / 2,
+      f"auto $autoBig%.0f candidates/query vs fixed $fixedBig%.0f — sizing rule not biting")
+  }
+}
