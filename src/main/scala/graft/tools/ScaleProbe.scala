@@ -89,7 +89,7 @@ object ScaleProbe {
     * duplicate vectors) while preserving the corpus's near-orthogonal
     * geometry, so IVF cell occupancy grows 10× the way a real corpus
     * grows. Labels pass through (knn strata keep their balance). */
-  private def buildEmb(spark: SparkSession, src: String, OutDir: String): Unit = {
+  private[tools] def buildEmb(spark: SparkSession, src: String, OutDir: String): Unit = {
     val out = s"$OutDir/embeddings.parquet"
     val base = spark.read.parquet(s"$src/embeddings.parquet")
     val want = base.count() * Copies
