@@ -413,6 +413,43 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // K2e' — repeated-SPAN detection (exact-substring dedup at shingle
+    // granularity, added r4 — the Lee et al. "Deduplicating Training Data
+    // Makes Language Models Better" signal): token-Jaccard keys miss a
+    // verbatim 50-token quote inside two otherwise-different docs; this
+    // key reports doc pairs sharing a CONTIGUOUS run of ≥ 4 overlapping
+    // 5-gram shingles (≥ 8-token verbatim span) and the longest such span.
+    // Shape: positional shingle equi-join (sparse, sub-quadratic — same
+    // candidate discipline as the ngram key) → per-(pair, diagonal)
+    // gaps-and-islands (run = consecutive positions at constant ai−bj,
+    // the classic rowNumber-difference trick) → max island per pair.
+    // Repeated shingles within a doc yield one row per alignment
+    // (separate diagonals), exactly what substring matching wants. At
+    // 100 TB: shuffle volume tracks shingle-collision volume (true
+    // verbatim overlap), never doc-pairs².
+    "llm_dedup_span" -> ((s, d) => {
+      val k = 5
+      val sh = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .where(size(col("toks")) >= k)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+            i => concat_ws(" ", (0 until k).map(o => element_at(col("toks"), i + o + 1)): _*)))
+            .as(Seq("pos", "sh")))
+      val a = sh.select(col("doc_id").as("a_id"), col("pos").as("ai"), col("sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("pos").as("bj"), col("sh").as("b_sh"))
+      val w = Window.partitionBy("a_id", "b_id", "diag").orderBy("ai")
+      a.join(b, col("sh") === col("b_sh") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("ai"), (col("ai") - col("bj")).as("diag"))
+        .withColumn("island", col("ai") - row_number().over(w))
+        .groupBy("a_id", "b_id", "diag", "island")
+        .agg(count(lit(1)).as("run"))
+        .groupBy("a_id", "b_id")
+        .agg((max(col("run")) + lit(k - 1)).as("span_tokens"))
+        .where(col("span_tokens") >= k + 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // K2d — embedding-cosine near-dup: vector pairs above a cosine
     // threshold (semantic duplicates; production corpora use ~0.99, this
     // corpus's random embeddings top out near 0.51 so the demo threshold
@@ -1722,6 +1759,38 @@ object Llm {
         |       round(CAST(n_inter AS DOUBLE) / (na.nsh + nb.nsh - n_inter), 4) AS jacc
         |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |WHERE CAST(n_inter AS DOUBLE) / (na.nsh + nb.nsh - n_inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Positional 5-gram shingles (generate_subscripts zips with unnest),
+    // same diagonal gaps-and-islands as the Spark plan.
+    "llm_dedup_span" ->
+      """WITH sh AS (
+        |  SELECT doc_id, generate_subscripts(shingles, 1) - 1 AS pos,
+        |         unnest(shingles) AS sh
+        |  FROM (
+        |    SELECT doc_id, list_transform(range(1, len(toks) - 3),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                  || ' ' || toks[i+3] || ' ' || toks[i+4]) AS shingles
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 5
+        |  )
+        |),
+        |hits AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS ai, a.pos - b.pos AS diag
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |),
+        |isl AS (
+        |  SELECT a_id, b_id, diag,
+        |         ai - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY ai) AS island
+        |  FROM hits
+        |),
+        |runs AS (
+        |  SELECT a_id, b_id, count(*) AS run
+        |  FROM isl GROUP BY a_id, b_id, diag, island
+        |)
+        |SELECT a_id, b_id, max(run) + 4 AS span_tokens
+        |FROM runs GROUP BY a_id, b_id
+        |HAVING max(run) + 4 >= 8
         |ORDER BY a_id, b_id""".stripMargin,
     "llm_dedup_embed" ->
       s"""WITH $vecCte

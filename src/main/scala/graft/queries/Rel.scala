@@ -335,6 +335,48 @@ object Rel {
         .orderBy("o_orderkey")
     }),
 
+    // C7c — NEAREST as-of (pandas merge_asof direction='nearest', added
+    // r4): each probe matches its user's event at the smallest |Δts| in
+    // EITHER direction — the sensor-alignment semantic where a reading
+    // just after the probe beats a stale one long before it. Same single
+    // union shuffle as join_asof: one exchange on uid, two in-partition
+    // sorts (backward and forward frames), then one integer-µs distance
+    // compare at projection time — still no pair join. Ties: equal
+    // distance prefers the backward event (asof's own convention);
+    // same-ts ties inherit each direction's id order (backward largest,
+    // forward smallest — the join_asof/join_asof_forward contracts).
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id").as("uid"), col("ts").as("ats"),
+        lit(0).as("kind"), col("event_id"), lit(null).cast("long").as("o_orderkey"))
+      val od = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(150)).cast("long").as("uid"),
+        expr("TIMESTAMP '2024-01-01' + make_interval(0, 0, 0, CAST(o_orderkey % 30 AS INT), CAST(o_custkey % 24 AS INT), 0, 0)").as("ats"),
+        lit(1).as("kind"), lit(null).cast("long").as("event_id"), col("o_orderkey"))
+      import org.apache.spark.sql.expressions.Window
+      val wb = Window.partitionBy("uid")
+        .orderBy(col("ats"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("uid")
+        .orderBy(col("ats"), col("kind").desc, col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.unionByName(od)
+        .withColumn("b_id", last(col("event_id"), ignoreNulls = true).over(wb))
+        .withColumn("b_ts",
+          last(when(col("kind") === 0, col("ats")), ignoreNulls = true).over(wb))
+        .withColumn("f_id", first(col("event_id"), ignoreNulls = true).over(wf))
+        .withColumn("f_ts",
+          first(when(col("kind") === 0, col("ats")), ignoreNulls = true).over(wf))
+        .where(col("kind") === 1)
+        .select(col("o_orderkey"),
+          when(col("b_id").isNull, col("f_id"))
+            .when(col("f_id").isNull, col("b_id"))
+            .when(unix_micros(col("ats")) - unix_micros(col("b_ts"))
+              <= unix_micros(col("f_ts")) - unix_micros(col("ats")), col("b_id"))
+            .otherwise(col("f_id")).as("nearest_event_id"))
+        .orderBy("o_orderkey")
+    }),
+
     // C8 — interval-overlap join: events falling inside per-order 1-day
     // validity windows. The equi component (user key) drives the shuffle;
     // the range predicate is a post-filter — the plan stays a hash/merge
@@ -590,6 +632,30 @@ object Rel {
         |    ON e.user_id = o.uid AND e.ts >= o.ats
         |)
         |SELECT o.o_orderkey, m.event_id AS next_event_id
+        |FROM o LEFT JOIN (SELECT o_orderkey, event_id FROM m WHERE rn = 1) m
+        |  ON m.o_orderkey = o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // Brute-force nearest oracle: rank every same-user event by |Δµs|,
+    // tie → backward side first (ts <= ats sorts before ts > ats), then
+    // the per-direction id order (backward largest id, forward smallest)
+    // — exactly the Spark key's two-window contract.
+    "join_asof_nearest" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS uid,
+        |         TIMESTAMP '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY
+        |           + (o_custkey % 24) * INTERVAL 1 HOUR AS ats
+        |  FROM orders
+        |), m AS (
+        |  SELECT o.o_orderkey, e.event_id,
+        |         row_number() OVER (PARTITION BY o.o_orderkey ORDER BY
+        |           abs(epoch_us(e.ts) - epoch_us(o.ats)) ASC,
+        |           (e.ts > o.ats) ASC,
+        |           CASE WHEN e.ts <= o.ats THEN -e.event_id ELSE e.event_id END ASC
+        |         ) AS rn
+        |  FROM o JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+        |    ON e.user_id = o.uid
+        |)
+        |SELECT o.o_orderkey, m.event_id AS nearest_event_id
         |FROM o LEFT JOIN (SELECT o_orderkey, event_id FROM m WHERE rn = 1) m
         |  ON m.o_orderkey = o.o_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,

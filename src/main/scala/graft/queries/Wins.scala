@@ -300,6 +300,31 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E13b — Holt's LINEAR (double) exponential smoothing (added r4): the
+    // trend-aware sibling of win_ewma — simple EWMA lags a trending
+    // series systematically; Holt carries (level, trend) state so the
+    // one-step forecast lv+tr tracks a drift. Same bounded-16-sample
+    // recursive-fold discipline as win_ewma: a two-field named_struct
+    // accumulator seeded (x₀, 0) folds strictly sequentially (α=0.3,
+    // β=0.4), so both engines execute the identical IEEE op sequence —
+    // bit-identical doubles, floor-quantized at 1e-4 (the win_interpolate
+    // midpoint rule). One user-keyed shuffle + in-partition sort.
+    "win_holt" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, 0)
+      Tables.events(s, d)
+        .withColumn("l", collect_list(col("value")).over(w))
+        .withColumn("holt_forecast", expr(
+          """floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
+            |  named_struct('lv', CAST(element_at(l, 1) AS DOUBLE), 'tr', CAST(0.0 AS DOUBLE)),
+            |  (acc, x) -> named_struct(
+            |    'lv', 0.3 * x + 0.7 * (acc.lv + acc.tr),
+            |    'tr', 0.4 * ((0.3 * x + 0.7 * (acc.lv + acc.tr)) - acc.lv) + 0.6 * acc.tr),
+            |  acc -> acc.lv + acc.tr) * 10000) / 10000""".stripMargin))
+        .select(col("event_id"), col("user_id"), col("holt_forecast"))
+        .orderBy("event_id")
+    }),
+
     // E14 — CUSUM control chart (added r3): per-user running sum of the
     // deviation from a reference value, the classic SPC drift detector
     // (pairs with win_zscore_anomaly's point outliers — CUSUM catches
@@ -522,6 +547,34 @@ object Wins {
         |SELECT event_id, user_id,
         |       floor(list_reduce(l, (acc, x) -> 0.25 * x + 0.75 * acc) * 10000) / 10000 AS ewma
         |FROM l ORDER BY event_id""".stripMargin,
+    // Same two-state fold as the Spark side, with the (lv, tr) pair held
+    // in a 2-element DOUBLE[] — NOT a struct: DuckDB 1.0's list_reduce
+    // evaluates a struct-literal lambda's fields with in-place accumulator
+    // updates (a later field referencing acc.lv sees the NEW lv; probed
+    // directly, {'a': acc.a+1, 'b': acc.a} folds to b==a). List literals
+    // evaluate all elements against the old accumulator, matching Spark's
+    // named_struct semantics exactly. list_reduce seeds from the first
+    // element, so the list is pre-lifted to [x, 0] pairs — the seed
+    // becomes (x₀, 0) exactly like the Spark init.
+    "win_holt" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (
+        |  SELECT event_id, user_id,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e
+        |),
+        |st AS (
+        |  SELECT event_id, user_id,
+        |         list_reduce(list_transform(l, x -> [x, CAST(0.0 AS DOUBLE)]),
+        |           (acc, x) -> [0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+        |                        0.4 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+        |                        + 0.6 * acc[2]]) AS s
+        |  FROM l
+        |)
+        |SELECT event_id, user_id,
+        |       floor((s[1] + s[2]) * 10000) / 10000 AS holt_forecast
+        |FROM st ORDER BY event_id""".stripMargin,
     "win_busy_hour" ->
       """WITH e AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
