@@ -489,6 +489,59 @@ object Aggs {
         .select(col("event_type"), col("user_id").as("mode_user"), col("cnt"))
         .orderBy("event_type")
     }),
+
+    // C29 — Shannon entropy of each user's event-type mix (added r4): the
+    // behavioral-diversity readout (0 = single-typed, ln 5 ≈ 1.609 = all
+    // five types equally). Computed as H = ln n − (Σ c·ln c)/n from exact
+    // integer counts, so the only float work is ≤5 ln terms summed per
+    // group; round-4 absorbs accumulation-order drift (the avg-log
+    // precedent from llm_perplexity). Two map-side-partial groupBys, no
+    // per-row float state.
+    "agg_entropy" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).as("n"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        .select(col("user_id"),
+          round(log(col("n").cast("double")) - col("clc") / col("n"), 4).as("entropy"))
+        .orderBy("user_id")
+    }),
+
+    // C30 — RFM segmentation (added r4): recency / frequency / monetary
+    // per customer with quintile scores — the standard CRM segmentation
+    // readout. Monetary is an exact µ-unit DECIMAL(38,0) sum (no float
+    // near-tie can flip a quintile boundary), recency an exact µs max;
+    // each quintile orders with a user_id tie-break so tile edges are
+    // total-order facts. Each score is a distributed two-pass global rank
+    // (ops.Rank — range partition + broadcast prefix offsets), never a
+    // partition-less ntile window: the entity rollup is billions of rows
+    // at full scale even though the fact table shrinks 1000× into it.
+    "agg_rfm" -> ((s, d) => {
+      import graft.ops.Rank
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val base = Tables.events(s, d)
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(col("yq").cast(dec)).as("mq"))
+      val scored = Seq(
+        (Seq(col("last_us").desc, col("user_id").asc), "r_score"),
+        (Seq(col("frequency").desc, col("user_id").asc), "f_score"),
+        (Seq(col("mq").desc, col("user_id").asc), "m_score"))
+        .foldLeft(base) { case (df, (ord, name)) =>
+          Rank.withGlobalRank(df, ord, "__g", "__n")
+            .withColumn(name, Rank.ntileExpr(5, "__g", "__n"))
+            .drop("__g", "__n")
+        }
+      scored
+        .select(col("user_id"), col("frequency"),
+          (col("mq").cast("double") / 1e6).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"))
+        .orderBy("user_id")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -784,5 +837,30 @@ object Aggs {
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rn FROM c
         |)
         |SELECT event_type, user_id AS mode_user, cnt FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT user_id, sum(c) AS n,
+        |         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT user_id, round(ln(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE), 4) AS entropy
+        |FROM g ORDER BY user_id""".stripMargin,
+    "agg_rfm" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS yq
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, max(us) AS last_us, count(*) AS frequency,
+        |         sum(CAST(yq AS HUGEINT)) AS mq
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT user_id, frequency, CAST(mq AS DOUBLE) / 1000000 AS monetary,
+        |       CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id ASC) AS INTEGER) AS r_score,
+        |       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INTEGER) AS f_score,
+        |       CAST(ntile(5) OVER (ORDER BY mq DESC, user_id ASC) AS INTEGER) AS m_score
+        |FROM b ORDER BY user_id""".stripMargin,
   )
 }

@@ -1366,6 +1366,86 @@ object Llm {
           max(when(col("rn") === 1, col("n_chars"))).as("kept_chars"))
         .orderBy("cluster_id")
     }),
+
+    // K12c — quality-weighted rejection sampling (added r4): keep each
+    // document with probability proportional to a quality signal (here
+    // token count, capped at 1.0 by 80 tokens) — the importance-weighted
+    // downsampling between llm_sample_hash's flat rates and
+    // llm_sample_stratified's exact counts. The acceptance draw is the
+    // md5-uniform idiom (first 8 hex digits → u ∈ [0, 2^32)), so the
+    // sample is reproducible at any scale and insensitive to row order;
+    // the threshold compare is exact integer × double, one IEEE multiply.
+    // Zero shuffles: tokenize, score, filter — all map-side.
+    "llm_sample_rejection" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("wc", size(filter(split(col("text"), " "), t => length(t) > 0)))
+        .withColumn("p_accept", least(lit(1.0), col("wc").cast("double") / 80.0))
+        .withColumn("u", conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("|rej"))), 1, 8),
+          16, 10).cast("long"))
+        .where(col("u").cast("double") < col("p_accept") * 4294967296.0)
+        .select(col("doc_id"), col("wc"), round(col("p_accept"), 4).as("p_accept"))
+        .orderBy("doc_id")
+    }),
+
+    // K13c — Zipf slope of the corpus term-frequency distribution (added
+    // r4): OLS fit of ln(freq) on ln(rank) — the standard sanity check
+    // that a corpus is natural-language-shaped (slope ≈ −1) rather than
+    // template spam (flat head) or near-random (steep tail). Rank is a
+    // distributed two-pass global rank (ops.Rank — a web-scale vocabulary
+    // is far too wide for a partition-less window; tie → term asc); the
+    // regression sums run over that same table. Determinism: both engines
+    // compute ln over exact integer counts/ranks (≤1 ulp apart), sums
+    // over a ~vocabulary-count of terms drift ~1e-12 relative; round-4
+    // absorbs both (the avg-log precedent). The only full-corpus work is
+    // the token groupBy; everything after is vocabulary-sized.
+    "llm_zipf_slope" -> ((s, d) => {
+      val counts = tokensAll(s, d)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val ranked = graft.ops.Rank.withGlobalRank(counts,
+          Seq(col("cnt").desc, col("token").asc), "r", "__n")
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      ranked
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("n_terms"),
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+    }),
+
+    // K13d — PMI collocations (added r4): pointwise mutual information
+    // over adjacent token pairs, min count 5 — the classic collocation
+    // extractor (Church & Hanks), and the corpus-health twin of
+    // llm_bigram_nll (high-PMI pairs surviving dedup = real phrases;
+    // a flat PMI table = shuffled spam). PMI = ln(c2·N / (c1a·c1b)) is a
+    // single ln over exact integer products (HUGEINT-safe in the oracle,
+    // DECIMAL here), so no float accumulation exists at all. Shapes:
+    // bigram + unigram groupBys, two vocabulary-sized equi-joins.
+    "llm_pmi_bigrams" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val toks = tokensAll(s, d)
+      val bg = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .where(size(col("toks")) >= 2)
+        .withColumn("z", arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1)))
+        .select(explode(col("z")).as("b"))
+        .select(col("b.0").as("w1"), col("b.1").as("w2"))
+      val nTotal = bg.agg(count(lit(1)).as("n_bigrams"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .where(col("c2") >= 5)
+      val c1 = toks.groupBy("token").agg(count(lit(1)).as("c1"))
+      c2.join(c1.select(col("token").as("w1"), col("c1").as("c1a")), "w1")
+        .join(c1.select(col("token").as("w2"), col("c1").as("c1b")), "w2")
+        .crossJoin(broadcast(nTotal))
+        .select(col("w1"), col("w2"), col("c2"),
+          round(log((col("c2").cast(dec) * col("n_bigrams").cast(dec)).cast("double") /
+            (col("c1a").cast(dec) * col("c1b").cast(dec)).cast("double")), 4).as("pmi"))
+        .orderBy("w1", "w2")
+    }),
   )
 
   private val tokCte =
@@ -2534,5 +2614,55 @@ object Llm {
         |           + coalesce(sum(CASE WHEN token = 'vector' THEN s END), 0.0), 4) AS bm25,
         |       count(*) AS n_terms
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_sample_rejection" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS wc
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, wc, least(1.0, CAST(wc AS DOUBLE) / 80.0) AS p_accept,
+        |         CAST(concat('0x', substring(
+        |           md5(CAST(doc_id AS VARCHAR) || '|rej'), 1, 8)) AS BIGINT) AS u
+        |  FROM t
+        |)
+        |SELECT doc_id, wc, round(p_accept, 4) AS p_accept
+        |FROM s WHERE CAST(u AS DOUBLE) < p_accept * 4294967296.0
+        |ORDER BY doc_id""".stripMargin,
+    "llm_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |r AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS r FROM c
+        |),
+        |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM r)
+        |SELECT count(*) AS n_terms,
+        |       round((count(*) * sum(x*y) - sum(x) * sum(y))
+        |           / (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS zipf_slope
+        |FROM xy""".stripMargin,
+    "llm_pmi_bigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |),
+        |bg AS (
+        |  SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+        |         unnest(list_slice(toks, 2, len(toks))) AS w2
+        |  FROM t WHERE len(toks) >= 2
+        |),
+        |n AS (SELECT count(*) AS nb FROM bg),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tok AS (SELECT unnest(toks) AS token FROM t),
+        |c1 AS (SELECT token, count(*) AS c1 FROM tok GROUP BY 1)
+        |SELECT c2.w1, c2.w2, c2.c2,
+        |       round(ln(CAST(CAST(c2.c2 AS HUGEINT) * nb AS DOUBLE)
+        |              / CAST(CAST(a.c1 AS HUGEINT) * b.c1 AS DOUBLE)), 4) AS pmi
+        |FROM c2
+        |CROSS JOIN n
+        |JOIN c1 a ON c2.w1 = a.token
+        |JOIN c1 b ON c2.w2 = b.token
+        |ORDER BY w1, w2""".stripMargin,
   )
 }

@@ -493,6 +493,24 @@ object Rel {
       graft.store.AttributeStore.compact(hist)
         .orderBy("entity_id", "ts")
     }),
+
+    // A7 — SCD-2 dimension build (added r4): the attribute history rolled
+    // into versioned validity intervals [valid_from, valid_to) — the
+    // warehouse-facing shape of the attribute store (point-in-time joins
+    // become plain BETWEEN predicates, no window function at read time).
+    // Same single entity-keyed shuffle as A6; lead/row_number reuse the
+    // compaction's sort. Determinism: (entity_id, ts) is unique by the
+    // fixture's pre-aggregation, so run boundaries and version numbers
+    // are total-order facts on both engines.
+    "store_scd2" -> ((s, d) => {
+      val hist = Tables.events(s, d)
+        .groupBy(col("user_id").as("entity_id"), col("ts"))
+        .agg(min("event_type").as("status"))
+      graft.store.AttributeStore.scd2(hist)
+        .select(col("entity_id"), col("status"), col("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))
+        .orderBy("entity_id", "version")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -722,5 +740,22 @@ object Rel {
         |SELECT entity_id, ts, status FROM l
         |WHERE prev IS NULL OR status <> prev
         |ORDER BY entity_id, ts""".stripMargin,
+    "store_scd2" ->
+      """WITH h AS (
+        |  SELECT user_id AS entity_id, CAST(ts AS TIMESTAMP) AS ts, min(event_type) AS status
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT *, lag(status) OVER (PARTITION BY entity_id ORDER BY ts) AS prev FROM h
+        |), chg AS (
+        |  SELECT entity_id, ts, status FROM l WHERE prev IS NULL OR status <> prev
+        |), v AS (
+        |  SELECT entity_id, status, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY entity_id ORDER BY ts) AS valid_to,
+        |         row_number() OVER (PARTITION BY entity_id ORDER BY ts) AS version
+        |  FROM chg
+        |)
+        |SELECT entity_id, status, valid_from, valid_to, version,
+        |       valid_to IS NULL AS is_current
+        |FROM v ORDER BY entity_id, version""".stripMargin,
   )
 }

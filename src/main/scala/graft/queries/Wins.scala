@@ -64,39 +64,18 @@ object Wins {
 
     // E5 — analytic functions over a global ordering, WITHOUT the global
     // single-partition window (which funnels every row through one task at
-    // scale). Two-pass distributed rank instead: range-partition on the
-    // order key, row_number within each range, then lift to a global rank
-    // by adding each partition's broadcast prefix offset. The order key is
-    // unique (c_custkey tie-break), so rank == row_number and ntile /
-    // percent_rank / cume_dist reduce to exact integer arithmetic on
-    // (rank, n). The only partition-less window left runs over the
-    // partition-COUNT-sized table (≤ #partitions rows) — the offsets.
+    // scale). Two-pass distributed rank instead (ops.Rank.withGlobalRank):
+    // range-partition on the order key, row_number within each range, then
+    // lift to a global rank by adding each partition's broadcast prefix
+    // offset. The order key is unique (c_custkey tie-break), so rank ==
+    // row_number and ntile / percent_rank / cume_dist reduce to exact
+    // integer arithmetic on (rank, n). The only partition-less window left
+    // runs over the partition-COUNT-sized offsets table (≤ #partitions rows).
     "win_analytic" -> ((s, d) => {
-      val parts = Tables.customer(s, d).select("c_custkey", "c_acctbal")
-        .repartitionByRange(16, col("c_acctbal"), col("c_custkey"))
-        .withColumn("pid", spark_partition_id())
-      val counts = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      // prefix offset AND grand total as two frames over the same tiny
-      // table — one broadcast join carries both, no extra cross join
-      val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val offsets = counts
-        .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
-        .withColumn("n_rows", sum("cnt").over(wAll))
-      val wLocal = Window.partitionBy("pid").orderBy(col("c_acctbal"), col("c_custkey"))
-      parts
-        .withColumn("lr", row_number().over(wLocal))
-        .join(broadcast(offsets.select(col("pid"), col("off"), col("n_rows"))), "pid")
-        .withColumn("g", col("off") + col("lr"))
-        // ntile(4): the first (n mod 4) buckets carry ceil(n/4) rows —
-        // the ELSE's div-by-zero branch is unreachable when n < 4 (the
-        // WHEN then covers every rank)
-        .withColumn("nt", expr(
-          """CAST(CASE WHEN g <= (n_rows % 4) * (n_rows div 4 + 1)
-            |  THEN (g - 1) div (n_rows div 4 + 1) + 1
-            |  ELSE (n_rows % 4) + (g - (n_rows % 4) * (n_rows div 4 + 1) - 1) div (n_rows div 4) + 1
-            |END AS INT)""".stripMargin))
+      val base = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+      graft.ops.Rank.withGlobalRank(base,
+          Seq(col("c_acctbal"), col("c_custkey")), "g", "n_rows")
+        .withColumn("nt", graft.ops.Rank.ntileExpr(4, "g", "n_rows"))
         .withColumn("pr", round((col("g") - 1).cast("double") / (col("n_rows") - 1), 4))
         .withColumn("cd", round(col("g").cast("double") / col("n_rows"), 4))
         .select("c_custkey", "nt", "pr", "cd")
@@ -370,6 +349,65 @@ object Wins {
           (col("tq").cast("double") / 1e6).as("traffic"), col("n_samples"))
         .orderBy("user_id", "day")
     }),
+
+    // E16 — drawdown vs running peak (added r4): per-entity distance below
+    // the highest value seen so far — the standard "how far has this KPI
+    // fallen from its best" readout (capacity regression, revenue dip).
+    // Determinism: running max over floor-1e-6 µ-unit longs is exact
+    // integer arithmetic under a totally-ordered frame; the two outputs
+    // are single final IEEE divides of exact ints (header contract's
+    // exempt class). One user-keyed shuffle + in-partition sort.
+    "win_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("pq", max(col("yq")).over(w))
+        .select(col("event_id"), col("user_id"),
+          (col("pq").cast("double") / 1e6).as("peak"),
+          ((col("pq") - col("yq")).cast("double") / 1e6).as("drawdown"))
+        .orderBy("event_id")
+    }),
+
+    // E17 — exact rolling median (added r4): trailing-25-sample median per
+    // entity — the robust-baseline alternative to win_moving_avg (a single
+    // spike moves the mean but not the median). Spark's exact `percentile`
+    // and DuckDB's `median` both compute quantile_cont(0.5): sort the
+    // frame, interpolate at 0.5*(n-1) — probed identical (even-count
+    // frames average the two middles). Inputs are exact µ-unit longs, so
+    // the interpolated midpoint (a+b)/2 is exact in double; one final
+    // divide by 1e6. O(k log k) per row at k=25 — bounded, in-partition.
+    "win_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-24, 0)
+      Tables.events(s, d)
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("mq", expr("percentile(yq, 0.5)").over(w))
+        .select(col("event_id"), col("user_id"),
+          (col("mq") / 1e6).as("roll_median"))
+        .orderBy("event_id")
+    }),
+
+    // E18 — ratio-to-report + cumulative share (added r4): each sample's
+    // share of its entity's total, and the running Pareto share (the
+    // "which prefix of events carries 80% of the volume" readout).
+    // Determinism: numerators and denominators are exact µ-unit longs
+    // (partition totals ~1e12 ≪ 2^53, exact in double), shares are single
+    // IEEE divides. The whole-partition total reuses the same shuffle as
+    // the running sum — one user-keyed exchange, two frames.
+    "win_ratio_total" -> ((s, d) => {
+      val wAll = Window.partitionBy("user_id")
+      val wRun = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("tot", sum(col("yq")).over(wAll))
+        .withColumn("run", sum(col("yq")).over(wRun))
+        .select(col("event_id"), col("user_id"),
+          (col("yq").cast("double") / col("tot")).as("share"),
+          (col("run").cast("double") / col("tot")).as("cum_share"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -595,5 +633,49 @@ object Wins {
         |SELECT user_id, day, hr AS busy_hour,
         |       CAST(tq AS DOUBLE) / 1000000 AS traffic, n_samples
         |FROM r WHERE rn = 1 ORDER BY user_id, day""".stripMargin,
+    "win_drawdown" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS yq
+        |  FROM events
+        |),
+        |p AS (
+        |  SELECT event_id, user_id, yq,
+        |         max(yq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS pq
+        |  FROM e
+        |)
+        |SELECT event_id, user_id,
+        |       CAST(pq AS DOUBLE) / 1000000 AS peak,
+        |       CAST(pq - yq AS DOUBLE) / 1000000 AS drawdown
+        |FROM p ORDER BY event_id""".stripMargin,
+    "win_rolling_median" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS yq
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |       median(yq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+        |         / 1000000 AS roll_median
+        |FROM e ORDER BY event_id""".stripMargin,
+    "win_ratio_total" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS yq
+        |  FROM events
+        |),
+        |s AS (
+        |  SELECT event_id, user_id, yq,
+        |         sum(yq) OVER (PARTITION BY user_id) AS tot,
+        |         sum(yq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM e
+        |)
+        |SELECT event_id, user_id,
+        |       CAST(yq AS DOUBLE) / tot AS share,
+        |       CAST(run AS DOUBLE) / tot AS cum_share
+        |FROM s ORDER BY event_id""".stripMargin,
   )
 }

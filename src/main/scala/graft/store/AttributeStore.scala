@@ -68,4 +68,21 @@ object AttributeStore {
       .where(col("__prev").isNull || col("__h") =!= col("__prev"))
       .drop("__h", "__prev")
   }
+
+  /** SCD-2 build: compacted change-rows become versioned validity
+    * intervals `[valid_from, valid_to)` (NULL `valid_to` = open/current)
+    * with a per-entity version counter — the attribute_history
+    * materialized as a slowly-changing dimension a warehouse can join
+    * point-in-time without window functions. Runs on `compact`'s output
+    * with the same entity-keyed partitioning and ts sort, so Catalyst
+    * plans one exchange for the whole build. */
+  def scd2(history: DataFrame): DataFrame = {
+    val w = Window.partitionBy("entity_id").orderBy("ts")
+    compact(history)
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("ts")
+  }
 }

@@ -52,6 +52,24 @@ class OpsSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
   }
 
+  test("distributed global rank equals the single-partition window, incl. ntile") {
+    import org.apache.spark.sql.expressions.Window
+    // non-uniform values + a size that doesn't divide the tile count, so
+    // the ceil/floor tile-boundary arithmetic is actually exercised
+    val df = spark.range(10007)
+      .select(col("id"), ((col("id") * 37) % 1009).as("v"))
+    val expected = df
+      .withColumn("g", row_number().over(Window.orderBy(col("v"), col("id"))))
+      .withColumn("nt", ntile(5).over(Window.orderBy(col("v"), col("id"))))
+      .select("id", "g", "nt")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getInt(2))).toMap
+    val got = graft.ops.Rank.withGlobalRank(df, Seq(col("v"), col("id")), "g", "n", partitions = 7)
+      .withColumn("nt", graft.ops.Rank.ntileExpr(5, "g", "n"))
+      .select("id", "g", "nt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got == expected)
+  }
+
   test("salted aggregation equals direct aggregation") {
     // heavily skewed: 90% of rows share one key
     val df = spark.range(100000)

@@ -185,6 +185,43 @@ class StoreSpec extends SparkSpec {
     assert(compacted.where(col("ts") === lit("2024-01-09 00:00:00").cast("timestamp")).count() == 0)
   }
 
+  test("scd2: intervals tile the timeline, one open current version per entity") {
+    val hist = Seq(
+      (1L, "2024-01-01 00:00:00", "planned"),
+      (1L, "2024-01-05 00:00:00", "active"),
+      (1L, "2024-01-09 00:00:00", "active"),   // duplicate run -> no new version
+      (1L, "2024-01-12 00:00:00", "inactive"),
+      (2L, "2024-01-02 00:00:00", "active"))
+      .toDF("entity_id", "ts", "status")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+    val v = AttributeStore.scd2(hist)
+      .select("entity_id", "status", "valid_from", "valid_to", "version", "is_current")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Int, Boolean)]
+      .collect().sortBy(r => (r._1, r._5))
+
+    assert(v.map(r => (r._1, r._2, r._5)).toSeq ==
+      Seq((1L, "planned", 1), (1L, "active", 2), (1L, "inactive", 3), (2L, "active", 1)))
+    // versions tile: each valid_to equals the next version's valid_from
+    v.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), "valid_to must chain to next valid_from")
+        case _ =>
+      }
+      assert(rows.last._4.isEmpty && rows.last._6, "last version open and current")
+      assert(rows.count(_._6) == 1, "exactly one current version")
+    }
+    // point-in-time via BETWEEN agrees with at()
+    val atTs = "2024-01-06 00:00:00"
+    val viaScd2 = AttributeStore.scd2(hist)
+      .where(col("valid_from") <= lit(atTs).cast("timestamp") &&
+        (col("valid_to").isNull || col("valid_to") > lit(atTs).cast("timestamp")))
+      .select("entity_id", "status").as[(Long, String)].collect().toMap
+    val viaAt = AttributeStore.at(hist, atTs)
+      .select("entity_id", "status").as[(Long, String)].collect().toMap
+    assert(viaScd2 == viaAt)
+  }
+
   test("attribute asof join equals per-row at() lookup") {
     val hist = Seq(
       (10L, "2024-01-01 00:00:00", "v1"),
