@@ -490,6 +490,51 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // C31 — Benford first-digit screening (added r4): observed vs expected
+    // leading-digit frequency per event type — the classic forensic /
+    // data-quality test (hand-keyed, capped, or synthetic-uniform values
+    // bend away from log10(1+1/d)). The digit comes from the decimal
+    // string of the exact µ-unit long (integer-to-string is deterministic
+    // on both engines — never from formatting a double); observed
+    // frequency is floor-1e-4 quantized (n_d/n lands on .00005 midpoints
+    // when n divides the grid — the win_interpolate lesson), expected is
+    // a round-4 log10 of small rationals. Two map-side-partial groupBys.
+    "agg_benford" -> ((s, d) => {
+      val digits = Tables.events(s, d)
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .where(col("yq") > 0)
+        .withColumn("digit", substring(col("yq").cast("string"), 1, 1).cast("int"))
+        .groupBy("event_type", "digit")
+        .agg(count(lit(1)).as("n"))
+      val totals = digits.groupBy("event_type").agg(sum(col("n")).as("tot"))
+      digits.join(totals, "event_type")
+        .select(col("event_type"), col("digit"), col("n"),
+          (floor(col("n").cast("double") / col("tot") * 1e4) / 1e4).as("obs_freq"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("exp_freq"))
+        .orderBy("event_type", "digit")
+    }),
+
+    // C32 — event-type transition matrix (added r4): first-order Markov
+    // counts over each user's event sequence — the behavioral-model input
+    // (and the sequence-level anomaly baseline: a transition that never
+    // occurred before is worth a trigger). Successor via lead over the
+    // totally-ordered (ts, event_id) user window — one entity shuffle, no
+    // self-join; probabilities are single IEEE divides of exact counts.
+    "agg_transition_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      trans.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("tot")).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // C29 — Shannon entropy of each user's event-type mix (added r4): the
     // behavioral-diversity readout (0 = single-typed, ln 5 ≈ 1.609 = all
     // five types equally). Computed as H = ln n − (Σ c·ln c)/n from exact
@@ -837,6 +882,37 @@ object Aggs {
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rn FROM c
         |)
         |SELECT event_type, user_id AS mode_user, cnt FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "agg_benford" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(substring(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM events WHERE CAST(floor(value * 1000000) AS BIGINT) > 0
+        |), c AS (
+        |  SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+        |)
+        |SELECT c.event_type, c.digit, c.n,
+        |       floor(CAST(c.n AS DOUBLE) / t.tot * 10000) / 10000 AS obs_freq,
+        |       round(log10(1.0 + 1.0 / c.digit), 4) AS exp_freq
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |ORDER BY c.event_type, c.digit""".stripMargin,
+    "agg_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+        |), tr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+        |)
+        |SELECT c.from_type, c.to_type, c.n, CAST(c.n AS DOUBLE) / t.tot AS p
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
     "agg_entropy" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2

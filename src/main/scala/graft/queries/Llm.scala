@@ -885,6 +885,24 @@ object Llm {
         .orderBy("vec_id")
     }),
 
+    // K3c' — embedding-corpus health profile (added r4): per-label L2-norm
+    // distribution — the first thing to look at before trusting cosine
+    // math on a new embedding dump (a label whose norms collapse toward 0
+    // or spread wildly signals a broken encoder run; normalized corpora
+    // should read ≈1.0 flat). Norms come from the codegen'd vec_dot
+    // (sequential fold, bit-identical across engines); avg is the round-4
+    // avg-of-doubles precedent, min/max are exact. One label-keyed
+    // map-side-partial groupBy — no shuffle of the vectors themselves.
+    "llm_embed_stats" -> ((s, d) => {
+      vecs(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("norm")), 4).as("avg_norm"),
+          round(min(col("norm")), 4).as("min_norm"),
+          round(max(col("norm")), 4).as("max_norm"))
+        .orderBy("label")
+    }),
+
     // K3d — product quantization codes (Jégou et al., PQ): the 64-dim
     // vector splits into 8 subspaces of 8 dims; each subspace gets 16
     // centroids (one k-means update step over deterministic md5 seed
@@ -1187,6 +1205,25 @@ object Llm {
     // dominates nprobe=1 (superset of candidates — KnnSpec pins it), and
     // the plan stays an equi-join on the cell key.
     "llm_ivf_probe" -> ((s, d) => ivfSearch(s, d, nprobe = 2)),
+
+    // K8d — ANN recall eval (added r4): recall@1 of the IVF probe against
+    // the exact nearest neighbor — the index-health number every ANN
+    // deployment watches before trusting approximate results (pairs with
+    // llm_index_stats' occupancy view: stats say the index is balanced,
+    // recall says it is CORRECT enough). Exact side reuses ops.Knn's
+    // broadcast blocked scan (no candidate-pair rows materialize); IVF
+    // side is the llm_ivf_probe pipeline at nprobe=2. hit=0 where the
+    // probed cells missed the true neighbor or the home cell was a
+    // singleton (nn_ivf null — CASE/otherwise agree across engines).
+    "llm_recall_at_k" -> ((s, d) => {
+      val exact = graft.ops.Knn.topKCosine(Tables.embeddings(s, d), 1).toDF()
+        .select(col("q_id").as("vec_id"), col("c_id").as("nn_exact"))
+      val ivf = ivfSearch(s, d, nprobe = 2)
+        .select(col("vec_id"), col("nn_id").as("nn_ivf"))
+      exact.join(ivf, "vec_id")
+        .withColumn("hit", when(col("nn_ivf") === col("nn_exact"), 1).otherwise(0))
+        .orderBy("vec_id")
+    }),
 
     // K9 — deterministic hash-based sampling (reproducible corpus
     // sampling: at 100 TB, rand() re-draws per re-run and per retry, a
@@ -1533,12 +1570,14 @@ object Llm {
     """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
       |  s -> CAST(struct_extract(s, 1) AS DOUBLE) * CAST(struct_extract(s, 2) AS DOUBLE)), 'sum')""".stripMargin
 
-  /** The [[ivfSearch]] oracle, parameterized by nprobe. Mirrors the Spark
-    * side exactly: sorted-order per-dim sums (list(x ORDER BY x) folded
-    * sequentially), floor-quantized centroids, one index cell per vector,
-    * `nprobe` probe cells per query. */
-  private def ivfSql(nprobe: Int): String =
-    s"""WITH $vecCte,
+  /** The [[ivfSearch]] oracle CTE chain (through `cells` and `nn`),
+    * parameterized by nprobe. Mirrors the Spark side exactly: sorted-order
+    * per-dim sums (list(x ORDER BY x) folded sequentially), floor-quantized
+    * centroids, one index cell per vector, `nprobe` probe cells per query.
+    * Shared by `llm_ivf_probe` and `llm_recall_at_k` (which appends its
+    * exact-NN CTEs). */
+  private def ivfCtes(nprobe: Int): String =
+    s"""$vecCte,
       |seeded AS (
       |  SELECT vec_id, embedding, norm,
       |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
@@ -1586,7 +1625,10 @@ object Llm {
       |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
       |    FROM sims
       |  ) WHERE rn = 1
-      |)
+      |)""".stripMargin
+
+  private def ivfSql(nprobe: Int): String =
+    s"""WITH ${ivfCtes(nprobe)}
       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
       |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
       |ORDER BY c.vec_id""".stripMargin
@@ -2204,6 +2246,13 @@ object Llm {
         |                        ELSE floor(CAST(x AS DOUBLE) * 127.0 / amax)
         |                   END AS INTEGER) AS VARCHAR)), ',') AS q_int8
         |FROM a ORDER BY vec_id""".stripMargin,
+    "llm_embed_stats" ->
+      s"""WITH $vecCte
+        |SELECT label, count(*) AS n_vecs,
+        |       round(avg(norm), 4) AS avg_norm,
+        |       round(min(norm), 4) AS min_norm,
+        |       round(max(norm), 4) AS max_norm
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
     "llm_pq_adc" ->
       s"""WITH $pqAdcCtes,
         |nn AS (
@@ -2576,6 +2625,23 @@ object Llm {
         |ORDER BY stage""".stripMargin,
     "llm_ivf_centroids" -> ivfSql(1),
     "llm_ivf_probe" -> ivfSql(2),
+    "llm_recall_at_k" ->
+      s"""WITH ${ivfCtes(2)},
+        |ex AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         $dotSql / (a.norm * b.norm) AS sim
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |),
+        |ex1 AS (
+        |  SELECT a_id AS vec_id, b_id AS nn_exact FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+        |    FROM ex
+        |  ) WHERE rn = 1
+        |)
+        |SELECT e.vec_id, e.nn_exact, nn.nn_id AS nn_ivf,
+        |       CASE WHEN nn.nn_id = e.nn_exact THEN 1 ELSE 0 END AS hit
+        |FROM ex1 e LEFT JOIN nn ON e.vec_id = nn.a_id
+        |ORDER BY e.vec_id""".stripMargin,
     "llm_tfidf_terms" ->
       s"""WITH $tokAllCte,
         |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),

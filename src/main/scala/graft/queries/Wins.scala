@@ -388,6 +388,29 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E19 — activity streaks (added r4): per user the longest run of
+    // consecutive active days plus totals — the classic gaps-and-islands
+    // engagement readout. Island id = day-number − row_number (exact
+    // integer arithmetic on distinct days, so island boundaries are facts,
+    // not float compares). Two shuffles: the distinct-day groupBy and the
+    // user-keyed window over the day-level rollup (≤ span-days rows per
+    // user — the window input is already aggregated).
+    "win_streak" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("dn")
+      val days = Tables.events(s, d)
+        .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("dn"))
+        .distinct()
+      days
+        .withColumn("grp", col("dn") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // E18 — ratio-to-report + cumulative share (added r4): each sample's
     // share of its entity's total, and the running Pareto share (the
     // "which prefix of events carries 80% of the volume" readout).
@@ -660,6 +683,22 @@ object Wins {
         |                        ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
         |         / 1000000 AS roll_median
         |FROM e ORDER BY event_id""".stripMargin,
+    "win_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dn
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, dn,
+        |         dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+        |  FROM days
+        |), runs AS (
+        |  SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |       CAST(sum(len) AS BIGINT) AS n_active_days,
+        |       count(*) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "win_ratio_total" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
