@@ -1404,6 +1404,52 @@ object Llm {
         .orderBy("cluster_id")
     }),
 
+    // K13e — n-gram novelty curve (added r4): per document, the share of
+    // its distinct 3-gram shingles never seen in any EARLIER document
+    // (doc_id order = ingest order) — the curriculum/diversity signal a
+    // crawl pipeline tracks per batch: novelty collapsing toward 0 means
+    // the frontier is re-crawling what it already has. first_seen is an
+    // exact min over the shingle equi-class (one shingle-keyed groupBy —
+    // the same sparse discipline as the ngram dedup key, never doc-pairs);
+    // the ratio is a single IEEE divide of exact counts.
+    "llm_ngram_novelty" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3))))).as("sh"))
+      val firstSeen = sh.groupBy("sh").agg(min(col("doc_id")).as("first_seen"))
+      sh.join(firstSeen, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_seen") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // K13f — per-document token entropy (added r4): Shannon entropy of
+    // each doc's own token distribution — the lexical-diversity signal
+    // that separates natural prose (high entropy at its length) from
+    // keyword-stuffed or looped spam (low). Same exact-count formulation
+    // as agg_entropy: H = ln n − (Σ c·ln c)/n, ≤vocab ln terms per doc,
+    // round-4 absorbs order drift. Complements llm_repetition (which
+    // scores adjacency; this scores the global distribution).
+    "llm_token_entropy" -> ((s, d) => {
+      tokensAll(s, d)
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round(log(col("n").cast("double")) - col("clc") / col("n"), 4).as("token_entropy"))
+        .orderBy("doc_id")
+    }),
+
     // K12c — quality-weighted rejection sampling (added r4): keep each
     // document with probability proportional to a quality signal (here
     // token count, capped at 1.0 by 80 tokens) — the importance-weighted
@@ -2680,6 +2726,37 @@ object Llm {
         |           + coalesce(sum(CASE WHEN token = 'vector' THEN s END), 0.0), 4) AS bm25,
         |       count(*) AS n_terms
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM (
+        |    SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 3
+        |  )
+        |),
+        |fs AS (SELECT sh, min(doc_id) AS first_seen FROM sh GROUP BY sh)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN fs.first_seen = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN fs.first_seen = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS novelty
+        |FROM sh s JOIN fs ON s.sh = fs.sh
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "llm_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |),
+        |c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |g AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT doc_id, n AS n_tokens,
+        |       round(ln(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE), 4) AS token_entropy
+        |FROM g ORDER BY doc_id""".stripMargin,
     "llm_sample_rejection" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -388,6 +388,34 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E20 — top movers (added r4): the 20 biggest day-over-day traffic
+    // swings across all entities — the "what changed since yesterday"
+    // triage view an operations screen opens with. Daily totals are exact
+    // µ-unit DECIMAL(38,0) sums; the delta is exact integer subtraction
+    // over the entity-keyed lag, so the global ranking never compares
+    // floats. The final global sort is a TakeOrdered(20) — no full sort,
+    // no single-partition window, at any scale.
+    "win_top_movers" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6).cast("long").as("vq"))
+        .groupBy("user_id", "day")
+        .agg(sum(col("vq").cast(dec)).as("tq"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      daily
+        .withColumn("prev_tq", lag(col("tq"), 1).over(w))
+        .where(col("prev_tq").isNotNull)
+        .withColumn("dq", col("tq") - col("prev_tq"))
+        .withColumn("adq", abs(col("dq")))
+        .orderBy(col("adq").desc, col("user_id"), col("day"))
+        .limit(20)
+        .select(col("user_id"), col("day"),
+          (col("tq").cast("double") / 1e6).as("traffic"),
+          (col("prev_tq").cast("double") / 1e6).as("prev_traffic"),
+          (col("dq").cast("double") / 1e6).as("delta"))
+    }),
+
     // E19 — activity streaks (added r4): per user the longest run of
     // consecutive active days plus totals — the classic gaps-and-islands
     // engagement readout. Island id = day-number − row_number (exact
@@ -683,6 +711,23 @@ object Wins {
         |                        ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
         |         / 1000000 AS roll_median
         |FROM e ORDER BY event_id""".stripMargin,
+    "win_top_movers" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         sum(CAST(CAST(floor(value * 1000000) AS BIGINT) AS HUGEINT)) AS tq
+        |  FROM events GROUP BY 1, 2
+        |), lagged AS (
+        |  SELECT user_id, day, tq,
+        |         lag(tq) OVER (PARTITION BY user_id ORDER BY day) AS prev_tq
+        |  FROM daily
+        |)
+        |SELECT user_id, day,
+        |       CAST(tq AS DOUBLE) / 1000000 AS traffic,
+        |       CAST(prev_tq AS DOUBLE) / 1000000 AS prev_traffic,
+        |       CAST(tq - prev_tq AS DOUBLE) / 1000000 AS delta
+        |FROM lagged WHERE prev_tq IS NOT NULL
+        |ORDER BY abs(tq - prev_tq) DESC, user_id, day
+        |LIMIT 20""".stripMargin,
     "win_streak" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,
