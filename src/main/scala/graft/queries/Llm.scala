@@ -69,6 +69,29 @@ object Llm {
       .select(col("vec_id"), col("embedding"), col("label"), l2norm(col("embedding")).as("norm"))
   }
 
+  /** The llm_lang_id doc-level scored table (n-gram-profile language
+    * guess + correct flag per document), shared with `llm_lang_confusion`
+    * so the classifier under eval cannot drift from the one deployed. */
+  private def langIdScored(s: SparkSession, d: String): DataFrame = {
+    val tok = tokensDistinct(s, d)
+    val dfreq = tok.groupBy(col("lang").as("p_lang"), col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val wP = Window.partitionBy("p_lang").orderBy(col("df").desc, col("token"))
+    val profile = dfreq.withColumn("r", row_number().over(wP)).where(col("r") <= 20)
+      .select(col("p_lang"), col("token").as("p_token"))
+    val overlap = tok.join(broadcast(profile), col("token") === col("p_token"))
+      .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("n_overlap"))
+    val wB = Window.partitionBy("doc_id").orderBy(col("n_overlap").desc, col("p_lang"))
+    val best = overlap.withColumn("br", row_number().over(wB)).where(col("br") === 1)
+      .select(col("doc_id").as("b_doc"), col("p_lang").as("pred_lang"), col("n_overlap"))
+    Tables.documents(s, d)
+      .join(best, col("doc_id") === col("b_doc"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (col("lang") === coalesce(col("pred_lang"), lit("und"))).cast("int").as("correct"))
+  }
+
   /** Sign bits of the first 8 dimensions — the coarse LSH cell shared by
     * `llm_ann_bucket` and the above-gate block of the pairwise keys. */
   private def signBucket(e: Column): Column =
@@ -621,25 +644,23 @@ object Llm {
     // to the profile with the largest distinct-token overlap (tie-break
     // lang asc), 'und' when no profile token matches. The profile is tiny
     // (langs x 20 rows) — broadcast at any scale.
-    "llm_lang_id" -> ((s, d) => {
-      val tok = tokensDistinct(s, d)
-      val dfreq = tok.groupBy(col("lang").as("p_lang"), col("token"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val wP = Window.partitionBy("p_lang").orderBy(col("df").desc, col("token"))
-      val profile = dfreq.withColumn("r", row_number().over(wP)).where(col("r") <= 20)
-        .select(col("p_lang"), col("token").as("p_token"))
-      val overlap = tok.join(broadcast(profile), col("token") === col("p_token"))
-        .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("n_overlap"))
-      val wB = Window.partitionBy("doc_id").orderBy(col("n_overlap").desc, col("p_lang"))
-      val best = overlap.withColumn("br", row_number().over(wB)).where(col("br") === 1)
-        .select(col("doc_id").as("b_doc"), col("p_lang").as("pred_lang"), col("n_overlap"))
-      Tables.documents(s, d)
-        .join(best, col("doc_id") === col("b_doc"), "left")
-        .select(col("doc_id"), col("lang"),
-          coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          (col("lang") === coalesce(col("pred_lang"), lit("und"))).cast("int").as("correct"))
-        .orderBy("doc_id")
+    "llm_lang_id" -> ((s, d) => langIdScored(s, d).orderBy("doc_id")),
+
+    // K4c' — language-ID confusion matrix (added r4): the per-(true,
+    // predicted) counts + within-truth share over the llm_lang_id
+    // pipeline — the eval view that turns a per-doc correct flag into
+    // "WHICH languages the classifier confuses" (the actionable number
+    // when deciding profile size per language). Share is a single IEEE
+    // divide of exact counts; the rollup input is the doc-level scored
+    // table, so nothing here exceeds |langs|² rows after the groupBy.
+    "llm_lang_confusion" -> ((s, d) => {
+      val scored = langIdScored(s, d)
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val totals = scored.groupBy("lang").agg(sum(col("n")).as("tot"))
+      scored.join(totals, "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          (col("n").cast("double") / col("tot")).as("share"))
+        .orderBy("lang", "pred_lang")
     }),
 
     // K5c — per-document quality scoring: token count, mean token length,
@@ -1538,6 +1559,32 @@ object Llm {
       |  FROM documents
       |)""".stripMargin
 
+  /** The [[langIdScored]] oracle CTE chain (through `best`), shared by
+    * `llm_lang_id` and `llm_lang_confusion`. */
+  private lazy val langIdCtes =
+    s"""$tokCte,
+      |dfreq AS (
+      |  SELECT lang AS p_lang, token, count(DISTINCT doc_id) AS df
+      |  FROM tok GROUP BY 1, 2
+      |),
+      |profile AS (
+      |  SELECT p_lang, token AS p_token FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p_lang ORDER BY df DESC, token) AS r
+      |    FROM dfreq
+      |  ) WHERE r <= 20
+      |),
+      |overlap AS (
+      |  SELECT t.doc_id, p.p_lang, count(*) AS n_overlap
+      |  FROM tok t JOIN profile p ON t.token = p.p_token
+      |  GROUP BY 1, 2
+      |),
+      |best AS (
+      |  SELECT doc_id AS b_doc, p_lang AS pred_lang, n_overlap FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n_overlap DESC, p_lang) AS br
+      |    FROM overlap
+      |  ) WHERE br = 1
+      |)""".stripMargin
+
   /** Shared CTE chain for the clustering oracles: LSH band candidates →
     * exact-Jaccard pairs at 0.9 → WITH RECURSIVE connected components
     * (`comp(id, cluster_id)`, cluster_id = min reachable node — the same
@@ -2114,33 +2161,23 @@ object Llm {
         |       count(DISTINCT token) AS n_distinct, round(avg(len(token)), 4) AS avg_tok_len
         |FROM tok GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "llm_lang_id" ->
-      s"""WITH $tokCte,
-        |dfreq AS (
-        |  SELECT lang AS p_lang, token, count(DISTINCT doc_id) AS df
-        |  FROM tok GROUP BY 1, 2
-        |),
-        |profile AS (
-        |  SELECT p_lang, token AS p_token FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY p_lang ORDER BY df DESC, token) AS r
-        |    FROM dfreq
-        |  ) WHERE r <= 20
-        |),
-        |overlap AS (
-        |  SELECT t.doc_id, p.p_lang, count(*) AS n_overlap
-        |  FROM tok t JOIN profile p ON t.token = p.p_token
-        |  GROUP BY 1, 2
-        |),
-        |best AS (
-        |  SELECT doc_id AS b_doc, p_lang AS pred_lang, n_overlap FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n_overlap DESC, p_lang) AS br
-        |    FROM overlap
-        |  ) WHERE br = 1
-        |)
+      s"""WITH $langIdCtes
         |SELECT d.doc_id, d.lang, coalesce(b.pred_lang, 'und') AS pred_lang,
         |       coalesce(b.n_overlap, 0) AS n_overlap,
         |       CAST(d.lang = coalesce(b.pred_lang, 'und') AS INTEGER) AS correct
         |FROM documents d LEFT JOIN best b ON d.doc_id = b.b_doc
         |ORDER BY d.doc_id""".stripMargin,
+    "llm_lang_confusion" ->
+      s"""WITH $langIdCtes,
+        |scored AS (
+        |  SELECT d.lang, coalesce(b.pred_lang, 'und') AS pred_lang
+        |  FROM documents d LEFT JOIN best b ON d.doc_id = b.b_doc
+        |),
+        |c AS (SELECT lang, pred_lang, count(*) AS n FROM scored GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.lang, c.pred_lang, c.n, CAST(c.n AS DOUBLE) / t.tot AS share
+        |FROM c JOIN t ON c.lang = t.lang
+        |ORDER BY c.lang, c.pred_lang""".stripMargin,
     "llm_quality_score" ->
       s"""WITH $tokAllCte,
         |q AS (
