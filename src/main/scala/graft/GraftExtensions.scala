@@ -46,5 +46,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "mask_card(a) - total popcount of an array<bigint> bitmask.",
         ""),
       (children: Seq[Expression]) => MaskOps.cardExpr(children)))
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // own runtime join filtering but does not register them publicly;
+    // surfacing them here gives the library a broadcastable membership
+    // prefilter (llm_bloom_decontaminate) without a per-row UDF — the
+    // aggregate is mergeable (map-side partials), the probe codegens.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        null,
+        "bloom_agg",
+        "bloom_agg(xxhash64(x), estimatedNumItems) - build a bloom filter over hashed values.",
+        ""),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        null,
+        "bloom_might_contain",
+        "bloom_might_contain(bf, xxhash64(x)) - membership probe; false = definitely absent.",
+        ""),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
   }
 }

@@ -69,6 +69,22 @@ object Llm {
       .select(col("vec_id"), col("embedding"), col("label"), l2norm(col("embedding")).as("norm"))
   }
 
+  /** The decontamination shingle stream (doc_id, is_eval, 5-gram g) —
+    * shared by `llm_decontaminate` and `llm_bloom_decontaminate` so the
+    * split rule and shingling cannot drift between the exact and the
+    * bloom-prefiltered formulations. */
+  private def contamShingles(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) >= 5)
+      .withColumn("is_eval",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") < 3277L)
+          .cast("int"))
+      .select(col("doc_id"), col("is_eval"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 5),
+          i => concat_ws(" ", (0 to 4).map(k => element_at(col("toks"), i + k + 1)): _*)))).as("g"))
+  }
+
   /** The llm_lang_id doc-level scored table (n-gram-profile language
     * guess + correct flag per document), shared with `llm_lang_confusion`
     * so the classifier under eval cannot drift from the one deployed. */
@@ -1285,15 +1301,7 @@ object Llm {
     // membership join broadcasts; the corpus side streams through it —
     // linear in corpus size, the standard decontamination shape at 100 TB.
     "llm_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
-        .where(size(col("toks")) >= 5)
-        .withColumn("is_eval",
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") < 3277L)
-            .cast("int"))
-      val sh = docs.select(col("doc_id"), col("is_eval"),
-        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 5),
-          i => concat_ws(" ", (0 to 4).map(k => element_at(col("toks"), i + k + 1)): _*)))).as("g"))
+      val sh = contamShingles(s, d)
       val evalSh = sh.where(col("is_eval") === 1).select("g").distinct()
         .withColumn("hit", lit(1L))
       sh.where(col("is_eval") === 0)
@@ -1302,6 +1310,42 @@ object Llm {
         .agg(count(lit(1)).as("n_shingles"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
         .withColumn("contam_frac", round(col("n_hits").cast("double") / col("n_shingles"), 4))
         .withColumn("flagged", (col("n_hits") > 0).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // K15' — bloom-prefiltered decontamination (added r4): the SAME
+    // result as llm_decontaminate through the plan a 100 TB run wants.
+    // The eval shingle set aggregates into one broadcastable bloom filter
+    // (Spark's own mergeable BloomFilterAggregate, surfaced as bloom_agg
+    // via GraftExtensions — map-side partials, no UDF anywhere); the full
+    // train shingle stream probes it map-side (bloom_might_contain
+    // codegens to a sketch lookup), and ONLY the surviving sliver pays
+    // the exact-verify equi-join — false positives die there, so the
+    // bloom's fpp tunes shuffle volume, never correctness. Per-doc
+    // shingle totals come from a pre-filter rollup, so the output is
+    // row-identical to the exact key (one oracle serves both).
+    "llm_bloom_decontaminate" -> ((s, d) => {
+      val sh = contamShingles(s, d)
+      val train = sh.where(col("is_eval") === 0)
+      val evalSh = sh.where(col("is_eval") === 1).select("g").distinct()
+      // might_contain requires a CONSTANT filter (or scalar subquery), so
+      // the one-row aggregate result — the sketch itself, tens of KB — is
+      // fetched and re-planted as a literal: exactly what a scalar
+      // subquery would broadcast, and the only driver-side byte here
+      val bf = evalSh.agg(
+        call_function("bloom_agg", xxhash64(col("g")), lit(65536L)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hits = train
+        .where(call_function("bloom_might_contain", lit(bf), xxhash64(col("g"))))
+        .join(evalSh.withColumn("hit", lit(1L)), Seq("g"))
+        .groupBy("doc_id").agg(sum(col("hit")).as("n_hits"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_shingles"), 4)
+            .as("contam_frac"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("flagged"))
         .orderBy("doc_id")
     }),
 
@@ -1558,6 +1602,32 @@ object Llm {
       |    string_split(text, ' '), t -> len(t) > 0))) AS token
       |  FROM documents
       |)""".stripMargin
+
+  /** The [[contamShingles]]-based decontamination oracle, shared verbatim
+    * by `llm_decontaminate` and `llm_bloom_decontaminate` (the bloom is a
+    * prefilter only — exact verify makes the outputs row-identical). */
+  private val decontamSql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      |           FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |              < 3277 THEN 1 ELSE 0 END AS is_eval,
+      |         list_distinct(list_transform(range(1, len(toks) - 3),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+      |                || ' ' || toks[i+4])) AS gs
+      |  FROM t WHERE len(toks) >= 5
+      |),
+      |sh AS (SELECT doc_id, is_eval, unnest(gs) AS g FROM d),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE is_eval = 1)
+      |SELECT sh.doc_id, count(*) AS n_shingles,
+      |       CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |       round(CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*), 4) AS contam_frac,
+      |       CAST(max(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS flagged
+      |FROM sh LEFT JOIN ev ON sh.g = ev.g
+      |WHERE sh.is_eval = 0
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 
   /** The [[langIdScored]] oracle CTE chain (through `best`), shared by
     * `llm_lang_id` and `llm_lang_confusion`. */
@@ -2549,28 +2619,10 @@ object Llm {
         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h
         |)
         |SELECT lang, rn, doc_id, h FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
-    "llm_decontaminate" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-        |           FROM documents),
-        |d AS (
-        |  SELECT doc_id,
-        |         CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-        |              < 3277 THEN 1 ELSE 0 END AS is_eval,
-        |         list_distinct(list_transform(range(1, len(toks) - 3),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
-        |                || ' ' || toks[i+4])) AS gs
-        |  FROM t WHERE len(toks) >= 5
-        |),
-        |sh AS (SELECT doc_id, is_eval, unnest(gs) AS g FROM d),
-        |ev AS (SELECT DISTINCT g FROM sh WHERE is_eval = 1)
-        |SELECT sh.doc_id, count(*) AS n_shingles,
-        |       CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-        |       round(CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |         / count(*), 4) AS contam_frac,
-        |       CAST(max(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS flagged
-        |FROM sh LEFT JOIN ev ON sh.g = ev.g
-        |WHERE sh.is_eval = 0
-        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "llm_decontaminate" -> decontamSql,
+    // bloom prefilter + exact verify returns row-identical results to the
+    // exact formulation, so the same oracle serves both keys
+    "llm_bloom_decontaminate" -> decontamSql,
     "llm_pack_batches" ->
       """WITH t AS (
         |  SELECT source, doc_id,

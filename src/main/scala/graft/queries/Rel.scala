@@ -494,6 +494,29 @@ object Rel {
         .orderBy("entity_id", "ts")
     }),
 
+    // A7' — point-in-time read of the SCD-2 dimension (added r4): every
+    // fact row picks the dimension version in force at its timestamp —
+    // the read path store_scd2's intervals exist for. The warehouse
+    // formulation is a BETWEEN(valid_from, valid_to) interval join; that
+    // non-equi join is a range/BNL plan at scale, so the implementation
+    // routes through AttributeStore.asofJoin (union + one entity-keyed
+    // window — single shuffle, no pair join) over the version rows, which
+    // is semantically identical for half-open intervals. The oracle runs
+    // the literal BETWEEN join, pinning that equivalence cross-engine.
+    "join_scd2_pit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hist = ev
+        .groupBy(col("user_id").as("entity_id"), col("ts"))
+        .agg(min("event_type").as("status"))
+      val dim = graft.store.AttributeStore.scd2(hist)
+        .select(col("entity_id"), col("valid_from").as("ts"),
+          col("status"), col("version"))
+      val facts = ev.select("event_id", "user_id", "ts")
+      graft.store.AttributeStore.asofJoin(dim, facts, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("status"), col("version"))
+        .orderBy("event_id")
+    }),
+
     // A7 — SCD-2 dimension build (added r4): the attribute history rolled
     // into versioned validity intervals [valid_from, valid_to) — the
     // warehouse-facing shape of the attribute store (point-in-time joins
@@ -757,5 +780,24 @@ object Rel {
         |SELECT entity_id, status, valid_from, valid_to, version,
         |       valid_to IS NULL AS is_current
         |FROM v ORDER BY entity_id, version""".stripMargin,
+    "join_scd2_pit" ->
+      """WITH h AS (
+        |  SELECT user_id AS entity_id, CAST(ts AS TIMESTAMP) AS ts, min(event_type) AS status
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT *, lag(status) OVER (PARTITION BY entity_id ORDER BY ts) AS prev FROM h
+        |), chg AS (
+        |  SELECT entity_id, ts, status FROM l WHERE prev IS NULL OR status <> prev
+        |), v AS (
+        |  SELECT entity_id, status, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY entity_id ORDER BY ts) AS valid_to,
+        |         row_number() OVER (PARTITION BY entity_id ORDER BY ts) AS version
+        |  FROM chg
+        |)
+        |SELECT e.event_id, e.user_id, v.status, v.version
+        |FROM events e JOIN v ON e.user_id = v.entity_id
+        |  AND CAST(e.ts AS TIMESTAMP) >= v.valid_from
+        |  AND (v.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < v.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -38,6 +38,25 @@ class ExtensionsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("bloom_agg / bloom_might_contain: no false negatives, fp rate bounded") {
+    import spark.implicits._
+    val members = (0L until 2000L).map(i => s"m$i")
+    val bf = members.toDF("g")
+      .selectExpr("bloom_agg(xxhash64(g), 2000L) AS bf")
+      .head().getAs[Array[Byte]](0)
+    val probe = (members.map(("in", _)) ++ (0L until 2000L).map(i => ("out", s"x$i")))
+      .toDF("side", "g")
+    val res = probe
+      .withColumn("hit", org.apache.spark.sql.functions.call_function(
+        "bloom_might_contain", org.apache.spark.sql.functions.lit(bf),
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("g"))))
+      .groupBy("side").agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("hit").cast("int")).as("hits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res("in") == 2000L, "a bloom filter must never report a member absent")
+    assert(res("out") < 200L, s"fp count ${res("out")} exceeds 10% at default fpp=3%")
+  }
+
   test("wrong-arity vec_dot call fails with a clean arity message") {
     val e = intercept[Throwable] {
       spark.sql("SELECT vec_dot(array(1.0F))").collect()
