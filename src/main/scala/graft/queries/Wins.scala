@@ -388,6 +388,50 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E21 — MAD anomaly score (added r4): each sample scored against the
+    // trailing-20 leave-one-out MEDIAN and median-absolute-deviation of
+    // its entity — the robust twin of win_zscore_anomaly (one prior spike
+    // inflates a mean/stddev baseline and masks the next anomaly; the
+    // median baseline shrugs it off). 1.4826·MAD is the standard
+    // consistency constant (σ-equivalent under normality). Exact µ-unit
+    // longs through both medians (even-count midpoints are (a+b)/2 —
+    // exact in double), one multiply + one divide of the same values on
+    // both engines, floor-1e-4 quantized; the flag thresholds the
+    // QUANTIZED score (the zscore precedent). Frame work is O(k log k)
+    // at k=20 — bounded, in-partition.
+    "win_mad_anomaly" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      Tables.events(s, d)
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("l", collect_list(col("yq")).over(w))
+        .withColumn("n", size(col("l")))
+        .withColumn("srt", array_sort(col("l")))
+        // 2.0D / 1.4826D: plain decimal-looking literals make Spark run
+        // the whole chain in DECIMAL arithmetic, whose bounded division
+        // scale ROUNDS the score before the floor lattice (measured: 45
+        // boundary rows flipped at sf0.01) — the D suffix pins every
+        // operation to the same IEEE doubles DuckDB uses
+        .withColumn("med", expr(
+          """CASE WHEN n >= 12 THEN
+            |  (element_at(srt, CAST((n+1) div 2 AS INT))
+            |   + element_at(srt, CAST(n div 2 + 1 AS INT))) / 2.0D
+            |END""".stripMargin))
+        .withColumn("dev", expr("array_sort(transform(l, x -> abs(x - med)))"))
+        // the n >= 12 guard also keeps element_at off index 0 (ANSI error)
+        // when the leave-one-out frame is empty at partition starts
+        .withColumn("mad", expr(
+          """CASE WHEN n >= 12 THEN
+            |  (element_at(dev, CAST((n+1) div 2 AS INT))
+            |   + element_at(dev, CAST(n div 2 + 1 AS INT))) / 2.0D
+            |END""".stripMargin))
+        .withColumn("score", expr(
+          "CASE WHEN mad > 0 THEN floor((yq - med) / (1.4826D * mad) * 1e4) / 1e4 END"))
+        .select(col("event_id"), col("user_id"), col("score"),
+          expr("CAST(score IS NOT NULL AND abs(score) > 3.5 AS INT)").as("is_anomaly"))
+        .orderBy("event_id")
+    }),
+
     // E20 — top movers (added r4): the 20 biggest day-over-day traffic
     // swings across all entities — the "what changed since yesterday"
     // triage view an operations screen opens with. Daily totals are exact
@@ -711,6 +755,35 @@ object Wins {
         |                        ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
         |         / 1000000 AS roll_median
         |FROM e ORDER BY event_id""".stripMargin,
+    "win_mad_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS yq
+        |  FROM events
+        |), l AS (
+        |  SELECT event_id, user_id, yq,
+        |         list(yq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS l
+        |  FROM e
+        |), m AS (
+        |  SELECT *, len(l) AS n, list_sort(l) AS srt FROM l
+        |), md AS (
+        |  SELECT *, CASE WHEN n >= 12 THEN
+        |      (srt[(n+1) // 2] + srt[n // 2 + 1]) / 2.0 END AS med
+        |  FROM m
+        |), dv AS (
+        |  SELECT *, list_sort(list_transform(l, x -> abs(x - med))) AS dev FROM md
+        |), sc AS (
+        |  SELECT *, CASE WHEN n >= 12 THEN
+        |      (dev[(n+1) // 2] + dev[n // 2 + 1]) / 2.0 END AS mad FROM dv
+        |)
+        |SELECT event_id, user_id,
+        |       CASE WHEN mad > 0 THEN floor((yq - med) / (1.4826 * mad) * 10000) / 10000 END AS score,
+        |       CAST(CASE WHEN mad > 0 THEN floor((yq - med) / (1.4826 * mad) * 10000) / 10000 END
+        |              IS NOT NULL
+        |            AND abs(CASE WHEN mad > 0 THEN floor((yq - med) / (1.4826 * mad) * 10000) / 10000 END)
+        |              > 3.5 AS INTEGER) AS is_anomaly
+        |FROM sc ORDER BY event_id""".stripMargin,
     "win_top_movers" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
