@@ -41,6 +41,37 @@ object Rank {
       .drop("__pid", "__off", "__lr")
   }
 
+  /** Adds `cumCol` — the global running sum of integral `valueCol` under
+    * `order` — plus `rankCol` and `nCol`, again without a single-partition
+    * window: local running sums within each range partition are lifted by
+    * broadcast per-partition value-prefix totals, the same two-pass shape
+    * as [[withGlobalRank]]. This is the distributed prefix-sum primitive
+    * behind coverage/Pareto curves over data-sized ranked tables. */
+  def withGlobalCumSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                       cumCol: String, rankCol: String, nCol: String,
+                       partitions: Int = 16): DataFrame = {
+    val parts = df.repartitionByRange(partitions, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val stats = parts.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"), sum(col(valueCol)).as("__vsum"))
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = stats
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .withColumn("__voff", coalesce(sum("__vsum").over(wOff), lit(0L)))
+      .withColumn(nCol, sum("__cnt").over(wAll))
+    val wLocal = Window.partitionBy("__pid").orderBy(order: _*)
+    parts
+      .withColumn("__lr", row_number().over(wLocal))
+      .withColumn("__lsum", sum(col(valueCol)).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets.select(col("__pid"), col("__off"), col("__voff"), col(nCol))), "__pid")
+      .withColumn(rankCol, col("__off") + col("__lr"))
+      .withColumn(cumCol, col("__voff") + col("__lsum"))
+      .drop("__pid", "__off", "__voff", "__lr", "__lsum")
+  }
+
   /** Exact ntile arithmetic on a global rank: the first (n mod t) tiles
     * carry ceil(n/t) rows, the rest floor(n/t) — SQL-standard NTILE from
     * integer (rank, n) alone, stated as an expr so it stays codegen'd.

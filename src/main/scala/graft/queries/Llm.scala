@@ -69,6 +69,31 @@ object Llm {
       .select(col("vec_id"), col("embedding"), col("label"), l2norm(col("embedding")).as("norm"))
   }
 
+  /** Distinct 3-gram shingle pair intersections (a_id, b_id, n_inter,
+    * n_a, n_b) via the sparse shingle equi-join — candidate pairs come
+    * from shared shingles, never from doc-pairs². Shared by
+    * `llm_dedup_ngram` (Jaccard) and `llm_dedup_containment`
+    * (asymmetric containment) so the two similarity readouts are over
+    * the identical shingle universe. */
+  private def shingleInter(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))).as("sh"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("sh") === col("b_sh") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+      .join(n.select(col("doc_id").as("a_id"), col("nsh").as("n_a")), "a_id")
+      .join(n.select(col("doc_id").as("b_id"), col("nsh").as("n_b")), "b_id")
+  }
+
   /** The decontamination shingle stream (doc_id, is_eval, 5-gram g) —
     * shared by `llm_decontaminate` and `llm_bloom_decontaminate` so the
     * split rule and shingling cannot drift between the exact and the
@@ -430,25 +455,31 @@ object Llm {
     // candidate generation cost follows true similarity, not n². This is
     // the scalable exact path when token-level blocking is too coarse.
     "llm_dedup_ngram" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
-        .where(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(
-          transform(sequence(lit(0), size(col("toks")) - 3),
-            i => concat_ws(" ",
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2),
-              element_at(col("toks"), i + 3))))).as("sh"))
-      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val a = sh.select(col("doc_id").as("a_id"), col("sh"))
-      val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      a.join(b, col("sh") === col("b_sh") && col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
-        .join(n.select(col("doc_id").as("a_id"), col("nsh").as("n_a")), "a_id")
-        .join(n.select(col("doc_id").as("b_id"), col("nsh").as("n_b")), "b_id")
+      shingleInter(s, d)
         .withColumn("jacc", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
         .where(col("jacc") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // K2b' — containment dedup (added r4): |A∩B|/|A| and |A∩B|/|B| over
+    // the same 3-gram shingle sets — the ASYMMETRIC signal Jaccard
+    // structurally misses: a short doc fully quoted inside a much longer
+    // one has tiny Jaccard (union is large) but containment ≈ 1 on the
+    // short side, and it is exactly the "page embeds the whole article"
+    // duplication a crawl produces. Same sparse shingle equi-join as the
+    // ngram key (shared shingleInter — candidates come from shared
+    // shingles, never doc-pairs²); containments are single IEEE divides
+    // of exact counts; keep pairs where either side is ≥ 0.8-contained.
+    "llm_dedup_containment" -> ((s, d) => {
+      shingleInter(s, d)
+        .withColumn("cont_a", col("n_inter").cast("double") / col("n_a"))
+        .withColumn("cont_b", col("n_inter").cast("double") / col("n_b"))
+        .where(col("cont_a") >= 0.8 || col("cont_b") >= 0.8)
+        .withColumn("jacc", round(col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")), 4))
+        .select(col("a_id"), col("b_id"), col("n_inter"),
+          col("cont_a"), col("cont_b"), col("jacc"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -1469,6 +1500,26 @@ object Llm {
         .orderBy("cluster_id")
     }),
 
+    // K13g — vocabulary coverage curve (added r4): tokens ranked by
+    // corpus frequency with the running share of all token occurrences
+    // the top-r cover — the table a tokenizer/vocab design reads off
+    // ("which r covers 95%?" decides vocab size; a curve saturating in
+    // tens of tokens = template corpus). Both the rank AND the running
+    // sum are the distributed two-pass primitives (ops.Rank — a web-scale
+    // vocabulary is too wide for any partition-less window); coverage is
+    // a single IEEE divide of exact longs.
+    "llm_vocab_coverage" -> ((s, d) => {
+      val counts = tokensAll(s, d)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      graft.ops.Rank.withGlobalCumSum(counts,
+          Seq(col("cnt").desc, col("token").asc), "cnt", "cum_cnt", "rank", "__n")
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
+          (col("cum_cnt").cast("double") / col("total")).as("coverage"))
+        .orderBy("rank")
+    }),
+
     // K13e — n-gram novelty curve (added r4): per document, the share of
     // its distinct 3-gram shingles never seen in any EARLIER document
     // (doc_id order = ingest order) — the curriculum/diversity signal a
@@ -2044,6 +2095,30 @@ object Llm {
         |       round(CAST(n_inter AS DOUBLE) / (na.nsh + nb.nsh - n_inter), 4) AS jacc
         |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |WHERE CAST(n_inter AS DOUBLE) / (na.nsh + nb.nsh - n_inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "llm_dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM (
+        |    SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 3
+        |  )
+        |),
+        |n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, n_inter,
+        |       CAST(n_inter AS DOUBLE) / na.nsh AS cont_a,
+        |       CAST(n_inter AS DOUBLE) / nb.nsh AS cont_b,
+        |       round(CAST(n_inter AS DOUBLE) / (na.nsh + nb.nsh - n_inter), 4) AS jacc
+        |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |WHERE CAST(n_inter AS DOUBLE) / na.nsh >= 0.8
+        |   OR CAST(n_inter AS DOUBLE) / nb.nsh >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
     // Positional 5-gram shingles (generate_subscripts zips with unnest),
     // same diagonal gaps-and-islands as the Spark plan.
@@ -2815,6 +2890,22 @@ object Llm {
         |           + coalesce(sum(CASE WHEN token = 'vector' THEN s END), 0.0), 4) AS bm25,
         |       count(*) AS n_terms
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |r AS (
+        |  SELECT token, cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+        |         sum(cnt) OVER (ORDER BY cnt DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(cnt) OVER () AS total
+        |  FROM c
+        |)
+        |SELECT rank, token, cnt, CAST(cum AS BIGINT) AS cum_cnt,
+        |       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+        |FROM r ORDER BY rank""".stripMargin,
     "llm_ngram_novelty" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM (

@@ -70,6 +70,23 @@ class OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("distributed global cumsum equals the single-partition running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(10007)
+      .select(col("id"), ((col("id") * 37) % 1009).as("v"), ((col("id") * 13) % 97).as("x"))
+    val w = Window.orderBy(col("v"), col("id"))
+    val expected = df
+      .withColumn("g", row_number().over(w))
+      .withColumn("cum", sum(col("x")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "g", "cum")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getLong(2))).toMap
+    val got = graft.ops.Rank.withGlobalCumSum(df, Seq(col("v"), col("id")), "x",
+        "cum", "g", "n", partitions = 7)
+      .select("id", "g", "cum")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("salted aggregation equals direct aggregation") {
     // heavily skewed: 90% of rows share one key
     val df = spark.range(100000)
