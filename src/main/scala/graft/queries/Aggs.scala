@@ -535,6 +535,36 @@ object Aggs {
         .orderBy("from_type", "to_type")
     }),
 
+    // C33 — recency-decayed engagement score (added r4): per user
+    // Σ traffic_day · 0.5^(age div 7) against the corpus's newest day —
+    // the half-life-weighted score ranking/retention systems keep instead
+    // of a plain sum (yesterday's activity outweighs last month's).
+    // Determinism by construction: daily totals are exact µ-unit DECIMAL
+    // sums; ages quantize to whole half-life steps so 0.5^k is an EXACT
+    // power-of-two double (never an approximated exp); each term is one
+    // IEEE multiply; and the terms fold SEQUENTIALLY in day order
+    // (sort_array + aggregate ≡ DuckDB's ordered-list sum), so the
+    // accumulated double is bit-identical across engines before the
+    // final floor quantization. Fold lists are span-days-sized.
+    "agg_decay_score" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6).cast("long").as("vq"))
+        .groupBy("user_id", "day").agg(sum(col("vq").cast(dec)).as("tq"))
+      val mx = daily.agg(max(col("day")).as("max_day"))
+      daily.crossJoin(broadcast(mx))
+        .withColumn("k", expr("datediff(max_day, day) div 7"))
+        .withColumn("term", col("tq").cast("double") * pow(lit(0.5), col("k")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          expr("aggregate(sort_array(collect_list(named_struct('d', day, 't', term))), " +
+            "0.0D, (acc, x) -> acc + x.t)").as("acc"))
+        .select(col("user_id"), col("n_days"),
+          expr("floor(acc / 1e6 * 1e4) / 1e4").as("decay_score"))
+        .orderBy("user_id")
+    }),
+
     // C29 — Shannon entropy of each user's event-type mix (added r4): the
     // behavioral-diversity readout (0 = single-typed, ln 5 ≈ 1.609 = all
     // five types equally). Computed as H = ln n − (Σ c·ln c)/n from exact
@@ -882,6 +912,21 @@ object Aggs {
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rn FROM c
         |)
         |SELECT event_type, user_id AS mode_user, cnt FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "agg_decay_score" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         sum(CAST(CAST(floor(value * 1000000) AS BIGINT) AS HUGEINT)) AS tq
+        |  FROM events GROUP BY 1, 2
+        |), mx AS (SELECT max(day) AS max_day FROM daily),
+        |t AS (
+        |  SELECT user_id, day,
+        |         CAST(tq AS DOUBLE) * pow(0.5, datediff('day', day, max_day) // 7) AS term
+        |  FROM daily CROSS JOIN mx
+        |)
+        |SELECT user_id, count(*) AS n_days,
+        |       floor(list_aggregate(list(term ORDER BY day), 'sum') / 1000000 * 10000) / 10000
+        |         AS decay_score
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_benford" ->
       """WITH d AS (
         |  SELECT event_type,
