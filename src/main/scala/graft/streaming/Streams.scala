@@ -201,6 +201,30 @@ object Streams {
     // count and maximum inter-event gap in seconds — the reference's
     // stability-delay / gap-detection analogue. Events are sorted by ts
     // inside each group invocation so the fold is deterministic.
+    // I8 — streaming counter→delta (added r4): the counter-rate transform
+    // as an ONLINE operator — each arriving sample emits its delta vs the
+    // entity's previous sample, carried in keyed state across
+    // micro-batches (the batch twin is win_lag_delta's lag window; the
+    // bounded one-batch replay makes them equal, and StreamingSpec
+    // exercises the cross-batch carry). Deltas are exact µ-unit longs in
+    // state; the single divide happens at the sink edge.
+    "stream_counter_rate" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), floor(col("value") * 1e6).cast("long").as("yq"))
+        .as[(Long, Long, Long, Long)]
+      val deltas = typed
+        .groupByKey(_._3)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          RateState.update)
+      val out = drain(s, deltas.toDF("event_id", "user_id", "dq"),
+        "graft_stream_counter_rate", OutputMode.Append())
+      out.select(col("event_id"), col("user_id"),
+          (col("dq").cast("double") / 1e6).as("delta"))
+        .orderBy("event_id")
+    }),
+
     "stream_stateful" -> ((s, d) => {
       import s.implicits._
       val typed = eventsStream(s, d)
@@ -226,6 +250,13 @@ object Streams {
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
            |       count(*) AS cnt, round(sum(value), 4) AS sum_value
            |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+      "stream_counter_rate" ->
+        s"""SELECT event_id, user_id,
+           |       CAST(yq - lag(yq) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |            AS DOUBLE) / 1000000 AS delta
+           |FROM (SELECT event_id, user_id, ts,
+           |             CAST(floor(value * 1000000) AS BIGINT) AS yq FROM $ev events)
+           |ORDER BY event_id""".stripMargin,
       "stream_stream_join" ->
         s"""SELECT c.user_id, count(*) AS n_pairs
            |FROM (SELECT user_id, ts FROM $ev WHERE event_type = 'click') c
@@ -325,6 +356,29 @@ class GapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long
 }
 
 /** State fold for `stream_stateful`: (count so far, last ts, max gap). */
+/** Keyed state for `stream_counter_rate`: the entity's previous sample
+  * (ts_us, value_q). Each batch's rows fold in (ts, event_id) order —
+  * the same total order the batch twin's lag window uses — emitting
+  * (event_id, user_id, delta_q?) with None for the entity's first-ever
+  * sample. */
+object RateState {
+  def update(userId: Long, rows: Iterator[(Long, Long, Long, Long)],
+             state: GroupState[(Long, Long)]): Iterator[(Long, Long, Option[Long])] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      var prev = state.getOption
+      val out = sorted.map { case (eventId, us, _, yq) =>
+        val d = prev.map { case (_, py) => yq - py }
+        prev = Some((us, yq))
+        (eventId, userId, d)
+      }
+      state.update(prev.get)
+      out.iterator
+    }
+  }
+}
+
 object GapState {
   def update(userId: Long, rows: Iterator[(Long, Long)],
              state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {

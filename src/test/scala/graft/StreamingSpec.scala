@@ -41,6 +41,33 @@ class StreamingSpec extends SparkSpec {
     assert(out("2024-01-01 10:00:00.0") == 1L, out.toString)
   }
 
+  test("counter-rate state carries the previous sample across micro-batches") {
+    implicit val sq = spark.sqlContext
+    // (event_id, ts_us, user_id, value_q) — RateState's input shape
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val deltas = in.toDS()
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+        graft.streaming.RateState.update)
+    val ckpt = tmpDir("ckpt_rate")
+    val q = deltas.toDF("event_id", "user_id", "dq")
+      .writeStream.format("memory").queryName("rate_test")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+    // batch 1: user 1 samples 100, 150 (out of ts order within the batch)
+    in.addData((2L, 2000L, 1L, 150L), (1L, 1000L, 1L, 100L))
+    q.processAllAvailable()
+    // batch 2: user 1 sample 120 -> delta vs the STATE's 150, not batch-local
+    in.addData((3L, 3000L, 1L, 120L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("rate_test").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(1L).isEmpty, "first-ever sample has no delta")
+    assert(out(2L).contains(50L), "in-batch fold must follow (ts, event_id) order")
+    assert(out(3L).contains(-30L), "cross-batch delta must use carried state")
+  }
+
   test("dropDuplicatesWithinWatermark deduplicates across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
