@@ -552,6 +552,9 @@ object Aggs {
         .select(col("user_id"), to_date(col("ts")).as("day"),
           floor(col("value") * 1e6).cast("long").as("vq"))
         .groupBy("user_id", "day").agg(sum(col("vq").cast(dec)).as("tq"))
+      // crossJoin with a broadcast ONE-ROW aggregate (the global newest
+      // day) — the scalar-broadcast idiom; the resulting BNL has a 1-row
+      // build side and is allowlisted as such in PlanScan
       val mx = daily.agg(max(col("day")).as("max_day"))
       daily.crossJoin(broadcast(mx))
         .withColumn("k", expr("datediff(max_day, day) div 7"))

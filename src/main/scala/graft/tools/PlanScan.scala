@@ -34,10 +34,16 @@ object PlanScan {
         def n(p: String) = p.r.findAllIn(plan).size
         val cartesian = n("CartesianProduct")
         val bnl = n("BroadcastNestedLoopJoin")
+        // BNL is intentional only for the bounded pairwise similarity ops
+        // (llm_ prefix) and the keys whose BNL build side is a broadcast
+        // ONE-ROW aggregate (the scalar-reference idiom — Catalyst folds a
+        // constant-key equi-join back to a cross join, so this shape
+        // cannot be expressed as a hash join)
+        val scalarBnlOk = Set("agg_decay_score")
         val marks = Seq(
           if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
-          // BNL is intentional only for the bounded pairwise similarity ops
-          if (bnl > 0 && !name.startsWith("llm_")) s"BNL=$bnl" else "",
+          if (bnl > 0 && !name.startsWith("llm_") && !scalarBnlOk.contains(name))
+            s"BNL=$bnl" else "",
           if (!plan.contains("PushedFilters") && plan.contains("Filter")) "NO_PUSHDOWN" else ""
         ).filter(_.nonEmpty)
         if (marks.nonEmpty) flags += 1
