@@ -53,17 +53,27 @@ object Knn {
     * label: int). Self-matches and zero-norm vectors are excluded. Ties
     * break by smaller c_id. Physical route chosen by measured corpus size
     * (see object doc); both routes return identical edges. */
-  def topKCosine(vectors: DataFrame, k: Int): Dataset[Edge] = {
+  def topKCosine(vectors: DataFrame, k: Int): Dataset[Edge] =
+    topKCosine(vectors, vectors, k)
+
+  /** Two-set form: exact top-k neighbors of each QUERY vector against
+    * `corpus` — the sampled-evaluation shape (recall eval at scale always
+    * samples its query set; ground truth stays exact per query, and the
+    * scan cost becomes |queries|·|corpus| instead of |corpus|²). The
+    * physical route is chosen by the CORPUS size; a query row whose
+    * vec_id also appears in the corpus never matches itself. */
+  def topKCosine(queries: DataFrame, corpus: DataFrame, k: Int): Dataset[Edge] = {
     require(k > 0)
-    if (vectors.count() <= BroadcastCorpusRows) topKCosineBlocked(vectors, k)
-    else topKCosineAgg(vectors, k)
+    if (corpus.count() <= BroadcastCorpusRows) topKCosineBlocked(queries, corpus, k)
+    else topKCosineAgg(queries, corpus, k)
   }
 
   /** Broadcast blocked-scan route — corpus must fit a broadcast. */
-  private[graft] def topKCosineBlocked(vectors: DataFrame, k: Int): Dataset[Edge] = {
-    val s = vectors.sparkSession
+  private[graft] def topKCosineBlocked(queries: DataFrame, corpus: DataFrame,
+                                       k: Int): Dataset[Edge] = {
+    val s = queries.sparkSession
     import s.implicits._
-    val rows = vectors.select("vec_id", "embedding", "label").collect()
+    val rows = corpus.select("vec_id", "embedding", "label").collect()
     val n = rows.length
     val ids = new Array[Long](n)
     val mats = new Array[Array[Float]](n)
@@ -84,7 +94,7 @@ object Knn {
     }
     val bc = s.sparkContext.broadcast((ids, mats, labs, norms))
 
-    vectors.select("vec_id", "embedding", "label")
+    queries.select("vec_id", "embedding", "label")
       .as[(Long, Array[Float], Int)]
       .mapPartitions { iter =>
         val (cIds, cMats, cLabs, cNorms) = bc.value
@@ -132,15 +142,16 @@ object Knn {
 
   /** TopKNeighbors aggregator route — pair join with map-side top-k
     * reduction, no driver-side corpus materialization. */
-  private[graft] def topKCosineAgg(vectors: DataFrame, k: Int): Dataset[Edge] = {
-    val s = vectors.sparkSession
+  private[graft] def topKCosineAgg(queries: DataFrame, corpus: DataFrame,
+                                   k: Int): Dataset[Edge] = {
+    val s = queries.sparkSession
     import s.implicits._
     graft.functions.VecDot.register(s)
-    val v = vectors.select(col("vec_id"), col("embedding"), col("label"),
+    def normed(df: DataFrame) = df.select(col("vec_id"), col("embedding"), col("label"),
       sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("norm"))
-    val a = v.select(col("vec_id").as("q_id"), col("embedding").as("a_e"),
+    val a = normed(queries).select(col("vec_id").as("q_id"), col("embedding").as("a_e"),
       col("norm").as("a_n"), col("label").as("true_label"))
-    val b = v.select(col("vec_id").as("c_id"), col("embedding").as("b_e"),
+    val b = normed(corpus).select(col("vec_id").as("c_id"), col("embedding").as("b_e"),
       col("norm").as("b_n"), col("label").as("c_label"))
     a.join(b, col("q_id") =!= col("c_id") && col("a_n") > 0 && col("b_n") > 0)
       .select(col("q_id"), col("true_label"),

@@ -1278,13 +1278,21 @@ object Llm {
     // the exact nearest neighbor — the index-health number every ANN
     // deployment watches before trusting approximate results (pairs with
     // llm_index_stats' occupancy view: stats say the index is balanced,
-    // recall says it is CORRECT enough). Exact side reuses ops.Knn's
-    // broadcast blocked scan (no candidate-pair rows materialize); IVF
-    // side is the llm_ivf_probe pipeline at nprobe=2. hit=0 where the
-    // probed cells missed the true neighbor or the home cell was a
-    // singleton (nn_ivf null — CASE/otherwise agree across engines).
+    // recall says it is CORRECT enough). The query set is a deterministic
+    // md5 25% SAMPLE — recall eval at scale is always sampled, because
+    // ground truth is an exact scan: the 10× probe showed the all-vectors
+    // form growing with |corpus|² while the sampled form pays
+    // |sample|·|corpus| (each query's truth stays exact — sampling
+    // changes coverage, never a verdict). Exact side is ops.Knn's
+    // two-set broadcast blocked scan; IVF side is the llm_ivf_probe
+    // pipeline at nprobe=2. hit=0 where the probed cells missed the true
+    // neighbor or the home cell was a singleton (nn_ivf null).
     "llm_recall_at_k" -> ((s, d) => {
-      val exact = graft.ops.Knn.topKCosine(Tables.embeddings(s, d), 1).toDF()
+      val all = Tables.embeddings(s, d)
+      val queries = all.where(conv(substring(
+        md5(concat(col("vec_id").cast("string"), lit("|q"))), 1, 4),
+        16, 10).cast("long") < 16384L)
+      val exact = graft.ops.Knn.topKCosine(queries, all, 1).toDF()
         .select(col("q_id").as("vec_id"), col("c_id").as("nn_exact"))
       val ivf = ivfSearch(s, d, nprobe = 2)
         .select(col("vec_id"), col("nn_id").as("nn_ivf"))
@@ -2837,10 +2845,15 @@ object Llm {
     "llm_ivf_probe" -> ivfSql(2),
     "llm_recall_at_k" ->
       s"""WITH ${ivfCtes(2)},
+        |q AS (
+        |  SELECT * FROM v
+        |  WHERE CAST(concat('0x', substring(
+        |          md5(CAST(vec_id AS VARCHAR) || '|q'), 1, 4)) AS BIGINT) < 16384
+        |),
         |ex AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |         $dotSql / (a.norm * b.norm) AS sim
-        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |  FROM q a JOIN v b ON a.vec_id <> b.vec_id
         |),
         |ex1 AS (
         |  SELECT a_id AS vec_id, b_id AS nn_exact FROM (

@@ -37,12 +37,28 @@ class KnnSpec extends SparkSpec {
   }
 
   test("aggregator route equals the blocked scan edge-for-edge (size-gate fallback)") {
-    val blocked = Knn.topKCosineBlocked(Tables.embeddings(spark, sf0001), 5)
+    val blocked = Knn.topKCosineBlocked(Tables.embeddings(spark, sf0001), Tables.embeddings(spark, sf0001), 5)
       .collect().map(e => (e.q_id, e.true_label, e.c_id, e.c_label, e.sim)).toSet
-    val agg = Knn.topKCosineAgg(Tables.embeddings(spark, sf0001), 5)
+    val agg = Knn.topKCosineAgg(Tables.embeddings(spark, sf0001), Tables.embeddings(spark, sf0001), 5)
       .collect().map(e => (e.q_id, e.true_label, e.c_id, e.c_label, e.sim)).toSet
     assert(agg == blocked,
       s"only-agg=${(agg -- blocked).take(3)} only-blocked=${(blocked -- agg).take(3)}")
+  }
+
+  test("two-set form: sampled queries against the full corpus, both routes agree") {
+    val all = Tables.embeddings(spark, sf0001)
+    val queries = all.where(col("vec_id") % 4 === 0)
+    val blocked = Knn.topKCosineBlocked(queries, all, 3)
+      .collect().map(e => (e.q_id, e.c_id, e.sim)).toSet
+    val agg = Knn.topKCosineAgg(queries, all, 3)
+      .collect().map(e => (e.q_id, e.c_id, e.sim)).toSet
+    assert(blocked == agg)
+    assert(blocked.map(_._1) == queries.collect().map(_.getLong(0)).toSet,
+      "every sampled query (and only those) must be scored")
+    // two-set edges against the sampled slice of the self-join form
+    val self = Knn.topKCosine(all, 3).collect()
+      .filter(_.q_id % 4 == 0).map(e => (e.q_id, e.c_id, e.sim)).toSet
+    assert(blocked == self, "sampling queries must not change their ground truth")
   }
 
   test("zero-norm vectors emit no edges and are never candidates, on both routes") {
@@ -53,8 +69,8 @@ class KnnSpec extends SparkSpec {
       (3L, Array(0.5f, 0.5f), 1),
       (4L, Array(-1f, 0.2f), 0)
     ).toDF("vec_id", "embedding", "label")
-    for (edges <- Seq(Knn.topKCosineBlocked(vs, 2).collect(),
-                      Knn.topKCosineAgg(vs, 2).collect())) {
+    for (edges <- Seq(Knn.topKCosineBlocked(vs, vs, 2).collect(),
+                      Knn.topKCosineAgg(vs, vs, 2).collect())) {
       assert(edges.forall(e => e.q_id != 2L && e.c_id != 2L), edges.mkString(","))
       assert(edges.map(_.q_id).distinct.sorted.toSeq == Seq(1L, 3L, 4L))
       assert(edges.forall(e => !e.sim.isNaN))
@@ -77,7 +93,7 @@ class KnnSpec extends SparkSpec {
         case _ => ()
       }
     }
-    val exact = Knn.topKCosineBlocked(Tables.embeddings(spark, sf0001), 1)
+    val exact = Knn.topKCosineBlocked(Tables.embeddings(spark, sf0001), Tables.embeddings(spark, sf0001), 1)
       .collect().map(e => e.q_id -> e.c_id).toMap
     def recall(m: Map[Long, Option[(Long, Double)]]) =
       exact.count { case (q, nn) => m.get(q).flatten.exists(_._1 == nn) }.toDouble / exact.size
