@@ -64,6 +64,43 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.ops.SimHash.bandedPairs(graft.ops.SimHash.signatures(one)).isEmpty)
   }
 
+  test("global rank / cumsum / ntile on empty and single-row frames") {
+    import graft.ops.Rank
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(Rank.withGlobalRank(empty, Seq(col("v"), col("id")), "g", "n").isEmpty)
+    assert(Rank.withGlobalCumSum(empty, Seq(col("v"), col("id")), "v", "c", "g", "n").isEmpty)
+    val one = Seq((7L, 42L)).toDF("id", "v")
+    val r = Rank.withGlobalRank(one, Seq(col("v"), col("id")), "g", "n")
+      .withColumn("nt", Rank.ntileExpr(5, "g", "n"))
+      .select("g", "n", "nt").head()
+    // n=1 < tiles exercises the WHEN-covers-all branch: rank 1 -> tile 1
+    assert((r.getLong(0), r.getLong(1), r.getInt(2)) == ((1L, 1L, 1)))
+    val c = Rank.withGlobalCumSum(one, Seq(col("v"), col("id")), "v", "c", "g", "n")
+      .select("c").head().getLong(0)
+    assert(c == 42L)
+  }
+
+  test("scd2 of a single-change entity is one open current version") {
+    val hist = Seq((9L, "2024-03-01 00:00:00", "up"))
+      .toDF("entity_id", "ts", "status")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val v = graft.store.AttributeStore.scd2(hist).collect()
+    assert(v.length == 1)
+    val r = v.head
+    assert(r.getAs[Int]("version") == 1 && r.getAs[Boolean]("is_current")
+      && r.isNullAt(r.fieldIndex("valid_to")))
+  }
+
+  test("two-set kNN with an empty query set is empty; disjoint ids never self-exclude") {
+    val corpus = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val noQueries = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Knn.topKCosine(noQueries, corpus, 3).isEmpty)
+    // a query whose id is NOT in the corpus must match every corpus row
+    val q = Seq((99L, Array(1f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    assert(Knn.topKCosine(q, corpus, 3).collect().map(_.c_id).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("harvest tick on an empty or missing landing dir is a clean no-op") {
     val loop = new graft.pipeline.HarvestLoop(
       spark, tmpDir("el_landing") + "/never_created", tmpDir("el_work"),
