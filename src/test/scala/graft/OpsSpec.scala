@@ -52,6 +52,18 @@ class OpsSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
   }
 
+  test("Checkpoints.free releases a localCheckpoint's blocks deterministically") {
+    val df = spark.range(1000).toDF("id").localCheckpoint(true)
+    val rddId = df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.get
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "localCheckpoint(true) must persist the materialized RDD")
+    graft.ops.Checkpoints.free(df)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "free must drop the RDD from the persistence registry without waiting for GC")
+  }
+
   test("distributed global rank equals the single-partition window, incl. ntile") {
     import org.apache.spark.sql.expressions.Window
     // non-uniform values + a size that doesn't divide the tile count, so
