@@ -969,7 +969,7 @@ object Aggs {
         |         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
         |  FROM c GROUP BY 1
         |)
-        |SELECT user_id, round(ln(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE), 4) AS entropy
+        |SELECT user_id, round(ln(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE), 4) + 0 AS entropy
         |FROM g ORDER BY user_id""".stripMargin,
     "agg_rfm" ->
       """WITH e AS (

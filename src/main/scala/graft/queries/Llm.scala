@@ -2948,7 +2948,7 @@ object Llm {
         |  FROM c GROUP BY 1
         |)
         |SELECT doc_id, n AS n_tokens,
-        |       round(ln(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE), 4) AS token_entropy
+        |       round(ln(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE), 4) + 0 AS token_entropy
         |FROM g ORDER BY doc_id""".stripMargin,
     "llm_sample_rejection" ->
       """WITH t AS (
@@ -2976,7 +2976,7 @@ object Llm {
         |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM r)
         |SELECT count(*) AS n_terms,
         |       round((count(*) * sum(x*y) - sum(x) * sum(y))
-        |           / (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS zipf_slope
+        |           / (count(*) * sum(x*x) - sum(x) * sum(x)), 4) + 0 AS zipf_slope
         |FROM xy""".stripMargin,
     "llm_pmi_bigrams" ->
       """WITH t AS (
@@ -2994,7 +2994,7 @@ object Llm {
         |c1 AS (SELECT token, count(*) AS c1 FROM tok GROUP BY 1)
         |SELECT c2.w1, c2.w2, c2.c2,
         |       round(ln(CAST(CAST(c2.c2 AS HUGEINT) * nb AS DOUBLE)
-        |              / CAST(CAST(a.c1 AS HUGEINT) * b.c1 AS DOUBLE)), 4) AS pmi
+        |              / CAST(CAST(a.c1 AS HUGEINT) * b.c1 AS DOUBLE)), 4) + 0 AS pmi
         |FROM c2
         |CROSS JOIN n
         |JOIN c1 a ON c2.w1 = a.token

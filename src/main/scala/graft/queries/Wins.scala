@@ -584,7 +584,7 @@ object Wins {
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "win_lag_delta" ->
       """SELECT event_id, user_id,
-        |       round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+        |       round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) + 0 AS delta
         |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
         |ORDER BY event_id""".stripMargin,
     "win_moving_avg" ->
@@ -664,7 +664,7 @@ object Wins {
         |z AS (
         |  SELECT event_id, user_id,
         |         CASE WHEN n_prior >= 5 AND sd > 0
-        |              THEN round((value - mu) / sd, 4) END AS z
+        |              THEN round((value - mu) / sd, 4) + 0 END AS z
         |  FROM w
         |)
         |SELECT event_id, user_id, z, coalesce(abs(z) > 2.0, false) AS is_anomaly
