@@ -535,6 +535,41 @@ object Aggs {
         .orderBy("from_type", "to_type")
     }),
 
+    // C34 — declarative expectation checks (added r4): a fixed rule suite
+    // over the ingest tables — non-null, range, key-uniqueness,
+    // referential integrity, calendar completeness — each emitting
+    // (rule, violation measure, pass). The rule-driven twin of
+    // agg_dq_profile's open-ended profiling: profiles describe, checks
+    // GATE (a failed row is what blocks a load). Exact integer measures
+    // only; the row-level rules fuse into ONE conditional-sum pass over
+    // events (not one scan per rule), uniqueness is a key groupBy,
+    // integrity an anti-join count, completeness a distinct-day rollup
+    // against the exact span arithmetic.
+    "agg_dq_checks" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val rowRules = ev.agg(
+        sum(col("value").isNull.cast("long")).as("m_null"),
+        sum((col("value") < 0.0 || col("value") > 1000.0).cast("long")).as("m_range"))
+      val dupKeys = ev.groupBy("event_id").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).agg(count(lit(1)).as("m")).select(col("m"))
+      val orphans = Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("m")).select(col("m"))
+      val gapDays = ev.select(to_date(col("ts")).as("day"))
+        .agg((datediff(max(col("day")), min(col("day"))) + 1
+          - countDistinct(col("day"))).cast("long").as("m"))
+      def row(id: Int, rule: String, m: DataFrame) =
+        m.select(lit(id).as("rule_id"), lit(rule).as("rule"),
+          col(m.columns.head).cast("long").as("violations"))
+      row(1, "events.value non-null", rowRules.select(col("m_null")))
+        .unionByName(row(2, "events.value in [0,1000]", rowRules.select(col("m_range"))))
+        .unionByName(row(3, "event_id unique", dupKeys))
+        .unionByName(row(4, "orders.o_custkey in customer", orphans))
+        .unionByName(row(5, "no empty calendar days", gapDays))
+        .withColumn("pass", (col("violations") === 0L).cast("int"))
+        .orderBy("rule_id")
+    }),
+
     // C33 — recency-decayed engagement score (added r4): per user
     // Σ traffic_day · 0.5^(age div 7) against the corpus's newest day —
     // the half-life-weighted score ranking/retention systems keep instead
@@ -915,6 +950,36 @@ object Aggs {
         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rn FROM c
         |)
         |SELECT event_type, user_id AS mode_user, cnt FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "agg_dq_checks" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |rr AS (
+        |  SELECT CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_null,
+        |         CAST(sum(CASE WHEN value < 0.0 OR value > 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS m_range
+        |  FROM e
+        |),
+        |dup AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m FROM (
+        |    SELECT event_id FROM e GROUP BY event_id HAVING count(*) > 1
+        |  )
+        |),
+        |orph AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |),
+        |gap AS (
+        |  SELECT CAST(datediff('day', min(day), max(day)) + 1 - count(DISTINCT day) AS BIGINT) AS m
+        |  FROM (SELECT CAST(ts AS DATE) AS day FROM e)
+        |),
+        |rows_ AS (
+        |  SELECT 1 AS rule_id, 'events.value non-null' AS rule, m_null AS violations FROM rr
+        |  UNION ALL SELECT 2, 'events.value in [0,1000]', m_range FROM rr
+        |  UNION ALL SELECT 3, 'event_id unique', m FROM dup
+        |  UNION ALL SELECT 4, 'orders.o_custkey in customer', m FROM orph
+        |  UNION ALL SELECT 5, 'no empty calendar days', m FROM gap
+        |)
+        |SELECT rule_id, rule, violations,
+        |       CAST(violations = 0 AS INTEGER) AS pass
+        |FROM rows_ ORDER BY rule_id""".stripMargin,
     "agg_decay_score" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
