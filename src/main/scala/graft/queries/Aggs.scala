@@ -547,9 +547,17 @@ object Aggs {
     // against the exact span arithmetic.
     "agg_dq_checks" -> ((s, d) => {
       val ev = Tables.events(s, d)
+      // both row-level measures leave ONE aggregate via stack — a shared
+      // sub-plan referenced twice would be column-pruned by Catalyst into
+      // two separate scans (observed; PlanShapeSpec pins the fusion)
       val rowRules = ev.agg(
-        sum(col("value").isNull.cast("long")).as("m_null"),
-        sum((col("value") < 0.0 || col("value") > 1000.0).cast("long")).as("m_range"))
+          sum(col("value").isNull.cast("long")).as("m_null"),
+          sum((col("value") < 0.0 || col("value") > 1000.0).cast("long")).as("m_range"))
+        .select(expr(
+          """stack(2,
+            |  1, 'events.value non-null', m_null,
+            |  2, 'events.value in [0,1000]', m_range
+            |) AS (rule_id, rule, violations)""".stripMargin))
       val dupKeys = ev.groupBy("event_id").agg(count(lit(1)).as("c"))
         .where(col("c") > 1).agg(count(lit(1)).as("m")).select(col("m"))
       val orphans = Tables.orders(s, d).join(Tables.customer(s, d),
@@ -561,8 +569,7 @@ object Aggs {
       def row(id: Int, rule: String, m: DataFrame) =
         m.select(lit(id).as("rule_id"), lit(rule).as("rule"),
           col(m.columns.head).cast("long").as("violations"))
-      row(1, "events.value non-null", rowRules.select(col("m_null")))
-        .unionByName(row(2, "events.value in [0,1000]", rowRules.select(col("m_range"))))
+      rowRules
         .unionByName(row(3, "event_id unique", dupKeys))
         .unionByName(row(4, "orders.o_custkey in customer", orphans))
         .unionByName(row(5, "no empty calendar days", gapDays))

@@ -179,4 +179,37 @@ class PlanShapeSpec extends SparkSpec {
       s"asof tolerance must not plan a join:\n$p")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
+
+  test("join_scd2_pit is the single-shuffle asof shape — no interval/BNL join") {
+    val p = planOf("join_scd2_pit")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"PIT read must not plan the BETWEEN interval join:\n$p")
+  }
+
+  test("agg_rfm plans range partitioning (ops.Rank), never a partition-less data window") {
+    val p = planOf("agg_rfm")
+    assert(p.contains("rangepartitioning"), s"expected Rank's range exchange:\n$p")
+    // the only partition-less windows allowed are over the tiny per-partition
+    // offset tables, which sit above an aggregate on __pid
+    assert(p.contains("__pid"), p)
+  }
+
+  test("llm_bloom_decontaminate probes a literal bloom filter map-side") {
+    val p = planOf("llm_bloom_decontaminate")
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+    // the probe must appear as a Filter over the scan side, not after a join
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe should sit below the verify join in the plan string:\n$p")
+  }
+
+  test("agg_dq_checks fuses the row-level rules into one pass over events") {
+    val p = planOf("agg_dq_checks")
+    // one aggregate computes both the null and range measures (the stack
+    // keeps Catalyst from pruning the shared sub-plan into two scans):
+    // both conditional sums appear in a single HashAggregate line
+    assert("HashAggregate[^\\n]*isnull\\(value[^\\n]*sum".r.findFirstIn(p).isDefined,
+      s"row rules must share one aggregate:\n$p")
+  }
 }
