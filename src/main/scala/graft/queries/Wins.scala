@@ -304,6 +304,42 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E13b — additive Holt-Winters (added r4): the seasonal rung above
+    // win_holt — (level, trend, 4 seasonal offsets) state folded strictly
+    // sequentially over the trailing 16 samples (α=0.3, β=0.2, γ=0.3,
+    // season m=4), one-step forecast lv + tr + s[next]. This is the
+    // telecom-PM forecast shape (traffic has hard daily/weekly seasons a
+    // trend-only smoother aliases into lag). State is an ARRAY<DOUBLE> of
+    // 7 slots [lv, tr, s0..s3, i] — same bit-identical-sequential-fold
+    // contract as ewma/holt, now with an indexed-slot update (the
+    // consumed-count i picks the season slot; IF per slot keeps the
+    // array build codegen-friendly). Seed (x₀, 0, 0⃗, 1): the standard
+    // simple seeding, matching the oracle's transform-first-element
+    // list_reduce seed exactly. All constants D-suffixed (the DECIMAL
+    // literal trap); floor-1e-4 quantized output.
+    "win_holt_winters" -> ((s, d) => {
+      val P = "(CAST(element_at(acc, 7) AS INT) % 4)"
+      val SI = s"element_at(acc, $P + 3)"
+      val LV = s"(0.3D * (x - $SI) + 0.7D * (element_at(acc, 1) + element_at(acc, 2)))"
+      val TR = s"(0.2D * ($LV - element_at(acc, 1)) + 0.8D * element_at(acc, 2))"
+      val SN = s"(0.3D * (x - $LV) + 0.7D * $SI)"
+      val step = s"array($LV, $TR, " +
+        (0 until 4).map(j => s"IF($P = $j, $SN, element_at(acc, ${j + 3}))").mkString(", ") +
+        ", element_at(acc, 7) + 1.0D)"
+      val fin = s"element_at(acc, 1) + element_at(acc, 2) + element_at(acc, $P + 3)"
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, 0)
+      Tables.events(s, d)
+        .withColumn("l", collect_list(col("value")).over(w))
+        .withColumn("hw_forecast", expr(
+          s"""floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
+             |  array(CAST(element_at(l, 1) AS DOUBLE), 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 1.0D),
+             |  (acc, x) -> $step,
+             |  acc -> $fin) * 1e4) / 1e4""".stripMargin))
+        .select(col("event_id"), col("user_id"), col("hw_forecast"))
+        .orderBy("event_id")
+    }),
+
     // E14 — CUSUM control chart (added r3): per-user running sum of the
     // deviation from a reference value, the classic SPC drift detector
     // (pairs with win_zscore_anomaly's point outliers — CUSUM catches
@@ -505,7 +541,41 @@ object Wins {
     }),
   )
 
+  /** The win_holt_winters oracle's fold pieces (DuckDB 1-based list
+    * indexing; state layout [lv, tr, s0..s3, i] mirrors the Spark array). */
+  private val hwP = "(CAST(acc[7] AS INT) % 4)"
+  private val hwSI = s"acc[$hwP + 3]"
+  private val hwLV = s"(0.3 * (x[1] - $hwSI) + 0.7 * (acc[1] + acc[2]))"
+  private val hwTR = s"(0.2 * ($hwLV - acc[1]) + 0.8 * acc[2])"
+  private val hwSN = s"(0.3 * (x[1] - $hwLV) + 0.7 * $hwSI)"
+
   val oracles: Map[String, String] = Map(
+    "win_holt_winters" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (
+        |  SELECT event_id, user_id,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e
+        |),
+        |st AS (
+        |  SELECT event_id, user_id,
+        |         list_reduce(list_transform(l,
+        |             x -> [x, CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 1.0]),
+        |           (acc, x) -> [
+        |             $hwLV,
+        |             $hwTR,
+        |             CASE WHEN $hwP = 0 THEN $hwSN ELSE acc[3] END,
+        |             CASE WHEN $hwP = 1 THEN $hwSN ELSE acc[4] END,
+        |             CASE WHEN $hwP = 2 THEN $hwSN ELSE acc[5] END,
+        |             CASE WHEN $hwP = 3 THEN $hwSN ELSE acc[6] END,
+        |             acc[7] + 1.0
+        |           ]) AS s
+        |  FROM l
+        |)
+        |SELECT event_id, user_id,
+        |       floor((s[1] + s[2] + s[CAST(s[7] AS INT) % 4 + 3]) * 10000) / 10000 AS hw_forecast
+        |FROM st ORDER BY event_id""".stripMargin,
     "win_cusum" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |       sum(CAST(floor(value * 1000000) AS BIGINT) - 500000000)
