@@ -82,6 +82,29 @@ class OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("ntileExpr matches SQL-standard NTILE across sizes and tile counts") {
+    import graft.ops.Rank
+    // reference: first (n mod t) tiles take ceil(n/t) rows, rest floor(n/t)
+    def refTile(g: Long, n: Long, t: Int): Int = {
+      val big = n % t; val hi = n / t + 1
+      if (g <= big * hi) ((g - 1) / hi + 1).toInt
+      else (big + (g - big * hi - 1) / (n / t) + 1).toInt
+    }
+    for (n <- Seq(1L, 2L, 3L, 4L, 5L, 7L, 19L, 100L, 101L)) {
+      val df = spark.range(n).select(col("id"))
+      val ranked = Rank.withGlobalRank(df, Seq(col("id")), "g", "n", partitions = 3)
+      val withTiles = Seq(1, 2, 3, 5, 7).foldLeft(ranked) { (acc, t) =>
+        acc.withColumn(s"t$t", Rank.ntileExpr(t, "g", "n"))
+      }
+      withTiles.collect().foreach { r =>
+        val g = r.getAs[Long]("g")
+        Seq(1, 2, 3, 5, 7).foreach { t =>
+          assert(r.getAs[Int](s"t$t") == refTile(g, n, t), s"n=$n g=$g t=$t")
+        }
+      }
+    }
+  }
+
   test("distributed global cumsum equals the single-partition running sum") {
     import org.apache.spark.sql.expressions.Window
     val df = spark.range(10007)
