@@ -225,6 +225,34 @@ object Streams {
         .orderBy("event_id")
     }),
 
+    // I9 — online Holt smoothing (added r4): the (level, trend) recursion
+    // as a STREAMING operator — per entity the state updates on every
+    // arriving sample and emits the one-step forecast, which is how a
+    // smoother actually deploys (the batch win_holt re-folds a trailing
+    // frame per row; online state pays O(1) per sample and never
+    // re-reads history). Same α=0.3/β=0.4 recursion, seeded (x₀, 0);
+    // batch rows fold in (ts, event_id) order, so the one-batch replay
+    // equals an UNBOUNDED sequential fold per entity — which is exactly
+    // the oracle (win_holt's list_reduce without the frame bound). The
+    // emitted doubles are bit-identical to the oracle's fold (identical
+    // IEEE op order); the floor quantization happens at the sink edge.
+    "stream_holt" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val smoothed = typed
+        .groupByKey(_._3)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          HoltState.update)
+      val out = drain(s, smoothed.toDF("event_id", "user_id", "f"),
+        "graft_stream_holt", OutputMode.Append())
+      out.select(col("event_id"), col("user_id"),
+          expr("floor(f * 1e4) / 1e4").as("holt_forecast"))
+        .orderBy("event_id")
+    }),
+
     "stream_stateful" -> ((s, d) => {
       import s.implicits._
       val typed = eventsStream(s, d)
@@ -250,6 +278,24 @@ object Streams {
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
            |       count(*) AS cnt, round(sum(value), 4) AS sum_value
            |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+      "stream_holt" ->
+        s"""WITH l AS (
+           |  SELECT event_id, user_id,
+           |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                           ROWS UNBOUNDED PRECEDING) AS l
+           |  FROM $ev events
+           |),
+           |st AS (
+           |  SELECT event_id, user_id,
+           |         list_reduce(list_transform(l, x -> [x, CAST(0.0 AS DOUBLE)]),
+           |           (acc, x) -> [0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+           |                        0.4 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+           |                        + 0.6 * acc[2]]) AS s
+           |  FROM l
+           |)
+           |SELECT event_id, user_id,
+           |       floor((s[1] + s[2]) * 10000) / 10000 AS holt_forecast
+           |FROM st ORDER BY event_id""".stripMargin,
       "stream_counter_rate" ->
         s"""SELECT event_id, user_id,
            |       CAST(yq - lag(yq) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -356,6 +402,34 @@ class GapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long
 }
 
 /** State fold for `stream_stateful`: (count so far, last ts, max gap). */
+/** Keyed state for `stream_holt`: the entity's (level, trend). Batch rows
+  * fold in (ts, event_id) order with EXACTLY the oracle's operation order
+  * — lv' = 0.3·x + 0.7·(lv + tr); tr' = 0.4·(lv' − lv) + 0.6·tr — so the
+  * emitted forecast doubles are bit-identical to the batch fold's. */
+object HoltState {
+  def update(userId: Long, rows: Iterator[(Long, Long, Long, Double)],
+             state: GroupState[(Double, Double)]): Iterator[(Long, Long, Double)] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      var st = state.getOption
+      val out = sorted.map { case (eventId, _, _, x) =>
+        val (lv, tr) = st match {
+          case None => (x, 0.0)
+          case Some((plv, ptr)) =>
+            val nlv = 0.3 * x + 0.7 * (plv + ptr)
+            val ntr = 0.4 * (nlv - plv) + 0.6 * ptr
+            (nlv, ntr)
+        }
+        st = Some((lv, tr))
+        (eventId, userId, lv + tr)
+      }
+      state.update(st.get)
+      out.iterator
+    }
+  }
+}
+
 /** Keyed state for `stream_counter_rate`: the entity's previous sample
   * (ts_us, value_q). Each batch's rows fold in (ts, event_id) order —
   * the same total order the batch twin's lag window uses — emitting

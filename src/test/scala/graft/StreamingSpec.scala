@@ -68,6 +68,34 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L).contains(-30L), "cross-batch delta must use carried state")
   }
 
+  test("online Holt state carries (level, trend) across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val smoothed = in.toDS()
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+        graft.streaming.HoltState.update)
+    val ckpt = tmpDir("ckpt_holt")
+    val q = smoothed.toDF("event_id", "user_id", "f")
+      .writeStream.format("memory").queryName("holt_test")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+    in.addData((1L, 1000L, 1L, 10.0), (2L, 2000L, 1L, 20.0))
+    q.processAllAvailable()
+    in.addData((3L, 3000L, 1L, 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("holt_test").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // same arithmetic as the operator, by hand:
+    val lv2 = 0.3 * 20.0 + 0.7 * 10.0; val tr2 = 0.4 * (lv2 - 10.0)
+    val lv3 = 0.3 * 30.0 + 0.7 * (lv2 + tr2)
+    val tr3 = 0.4 * (lv3 - lv2) + 0.6 * tr2
+    assert(out(1L) == 10.0, "seed forecast is x0")
+    assert(out(2L) == lv2 + tr2)
+    assert(out(3L) == lv3 + tr3, "batch-2 forecast must fold from carried state")
+  }
+
   test("dropDuplicatesWithinWatermark deduplicates across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
