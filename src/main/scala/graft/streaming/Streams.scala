@@ -253,6 +253,32 @@ object Streams {
         .orderBy("event_id")
     }),
 
+    // I10 — online z-score anomaly scoring (added r4): Welford's
+    // incremental (n, mean, M2) — THE numerically-stable streaming
+    // variance algorithm — as keyed state; each arriving sample is scored
+    // against the statistics of its entity's PRIOR samples only, then
+    // folded in. The batch win_zscore_anomaly re-reads a trailing frame
+    // per row; this pays O(1) state per sample with an expanding (all
+    // history) baseline. The oracle replays the identical Welford update
+    // order over each row's exclusive prefix, so the scores are
+    // bit-identical before the sink-edge floor quantization.
+    "stream_zscore" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val scored = typed
+        .groupByKey(_._3)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          WelfordState.update)
+      val out = drain(s, scored.toDF("event_id", "user_id", "z"),
+        "graft_stream_zscore", OutputMode.Append())
+      out.select(col("event_id"), col("user_id"),
+          expr("floor(z * 1e4) / 1e4").as("z"))
+        .orderBy("event_id")
+    }),
+
     "stream_stateful" -> ((s, d) => {
       import s.implicits._
       val typed = eventsStream(s, d)
@@ -278,6 +304,32 @@ object Streams {
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
            |       count(*) AS cnt, round(sum(value), 4) AS sum_value
            |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+      "stream_zscore" ->
+        s"""WITH l AS (
+           |  SELECT event_id, user_id, value,
+           |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+           |  FROM $ev events
+           |),
+           |st AS (
+           |  SELECT event_id, user_id, value, len(l) AS n,
+           |         CASE WHEN len(l) >= 1 THEN
+           |           list_reduce(list_transform(l, x -> [CAST(1.0 AS DOUBLE), x, 0.0]),
+           |             (acc, x) -> [acc[1] + 1.0,
+           |                          acc[2] + (x[2] - acc[2]) / (acc[1] + 1.0),
+           |                          acc[3] + (x[2] - acc[2])
+           |                            * (x[2] - (acc[2] + (x[2] - acc[2]) / (acc[1] + 1.0)))])
+           |         END AS s
+           |  FROM l
+           |),
+           |z AS (
+           |  SELECT event_id, user_id,
+           |         CASE WHEN n >= 5 AND sqrt(s[3] / (s[1] - 1.0)) > 0
+           |              THEN (value - s[2]) / sqrt(s[3] / (s[1] - 1.0)) END AS z
+           |  FROM st
+           |)
+           |SELECT event_id, user_id, floor(z * 10000) / 10000 AS z
+           |FROM z ORDER BY event_id""".stripMargin,
       "stream_holt" ->
         s"""WITH l AS (
            |  SELECT event_id, user_id,
@@ -402,6 +454,36 @@ class GapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long
 }
 
 /** State fold for `stream_stateful`: (count so far, last ts, max gap). */
+/** Keyed state for `stream_zscore`: Welford's (n, mean, M2), n held as a
+  * DOUBLE so every operation matches the oracle's list_reduce fold
+  * bit-for-bit (d / (n + 1.0) exactly as written there). A sample is
+  * scored against the PRIOR state (≥5 priors, sd > 0), then folded in. */
+object WelfordState {
+  def update(userId: Long, rows: Iterator[(Long, Long, Long, Double)],
+             state: GroupState[(Double, Double, Double)]): Iterator[(Long, Long, Option[Double])] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      var (n, mean, m2) = state.getOption.getOrElse((0.0, 0.0, 0.0))
+      val out = sorted.map { case (eventId, _, _, x) =>
+        val z =
+          if (n >= 5.0) {
+            val sd = math.sqrt(m2 / (n - 1.0))
+            if (sd > 0.0) Some((x - mean) / sd) else None
+          } else None
+        val d = x - mean
+        val nmean = mean + d / (n + 1.0)
+        m2 = m2 + d * (x - nmean)
+        mean = nmean
+        n = n + 1.0
+        (eventId, userId, z)
+      }
+      state.update((n, mean, m2))
+      out.iterator
+    }
+  }
+}
+
 /** Keyed state for `stream_holt`: the entity's (level, trend). Batch rows
   * fold in (ts, event_id) order with EXACTLY the oracle's operation order
   * — lv' = 0.3·x + 0.7·(lv + tr); tr' = 0.4·(lv' − lv) + 0.6·tr — so the
