@@ -75,8 +75,9 @@ object Llm {
     * `llm_dedup_ngram` (Jaccard) and `llm_dedup_containment`
     * (asymmetric containment) so the two similarity readouts are over
     * the identical shingle universe. */
-  private def shingleInter(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+  private def shingleInter(s: SparkSession, d: String,
+                           maxDf: Option[Long] = None): DataFrame = {
+    val shAll = Tables.documents(s, d)
       .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
@@ -85,6 +86,16 @@ object Llm {
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2),
             element_at(col("toks"), i + 3))))).as("sh"))
+    // stop-shingle removal: a shingle in more than maxDf docs generates
+    // ~df²/2 candidate pairs while discriminating nothing — dropping it
+    // bounds per-shingle pair fan-out, the standard near-dup scale knob
+    val sh = maxDf match {
+      case Some(t) =>
+        val ok = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .where(col("df") <= t).select("sh")
+        shAll.join(ok, Seq("sh"), "left_semi")
+      case None => shAll
+    }
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = sh.select(col("doc_id").as("a_id"), col("sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
@@ -459,6 +470,27 @@ object Llm {
         .withColumn("jacc", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
         .where(col("jacc") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // K2b'' — stop-shingle (DF-capped) containment (added r4): the same
+    // containment readout computed over the DISCRIMINATIVE shingle space
+    // — shingles present in more than 25 documents are dropped before
+    // pairing. This is the standard near-dup scale defense: a ubiquitous
+    // shingle (boilerplate, template headers) generates ~df²/2 candidate
+    // pairs while discriminating nothing, and the stress probe measured
+    // exactly that blow-up (206 s / 229 k pairs at the dup-dense 10×
+    // corpus for the uncapped key). The cap bounds per-shingle fan-out to
+    // maxDf²/2 — the pair volume becomes tunable instead of
+    // corpus-shaped. Per-doc totals are recomputed over the capped
+    // universe, so containment stays a true fraction of the compared
+    // sets; fully deterministic (the cap is an exact df groupBy).
+    "llm_dedup_stopgram" -> ((s, d) => {
+      shingleInter(s, d, maxDf = Some(25L))
+        .withColumn("cont_a", col("n_inter").cast("double") / col("n_a"))
+        .withColumn("cont_b", col("n_inter").cast("double") / col("n_b"))
+        .where(col("cont_a") >= 0.8 || col("cont_b") >= 0.8)
+        .select(col("a_id"), col("b_id"), col("n_inter"), col("cont_a"), col("cont_b"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -2103,6 +2135,31 @@ object Llm {
         |       round(CAST(n_inter AS DOUBLE) / (na.nsh + nb.nsh - n_inter), 4) AS jacc
         |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |WHERE CAST(n_inter AS DOUBLE) / (na.nsh + nb.nsh - n_inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "llm_dedup_stopgram" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM (
+        |    SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 3
+        |  )
+        |),
+        |ok AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 25),
+        |sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN ok USING (sh)),
+        |n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, n_inter,
+        |       CAST(n_inter AS DOUBLE) / na.nsh AS cont_a,
+        |       CAST(n_inter AS DOUBLE) / nb.nsh AS cont_b
+        |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |WHERE CAST(n_inter AS DOUBLE) / na.nsh >= 0.8
+        |   OR CAST(n_inter AS DOUBLE) / nb.nsh >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
     "llm_dedup_containment" ->
       """WITH sh AS (
