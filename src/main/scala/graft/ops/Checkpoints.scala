@@ -30,8 +30,29 @@ import org.apache.spark.sql.DataFrame
   * an error, not a slowdown.
   */
 object Checkpoints {
-  def free(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
+  /** Frees the checkpoint behind `df`, which must have EXACTLY ONE
+    * `LogicalRDD` leaf. A plan that joins/unions several checkpoints is
+    * rejected loudly: silently freeing an arbitrary one (the old
+    * `collectFirst` behavior) would leak the rest and — because
+    * localCheckpoint truncates lineage — turn any premature free into a
+    * hard read failure later, not a recompute. Call [[freeAll]] when
+    * releasing every checkpoint under a composite plan is what you mean. */
+  def free(df: DataFrame): Unit = {
+    val leaves = checkpointLeaves(df)
+    require(leaves.length == 1,
+      s"Checkpoints.free expects exactly one LogicalRDD leaf, found ${leaves.length}; " +
+        "use freeAll(df) to release every checkpoint under a composite plan")
+    leaves.head.unpersist(blocking = false)
+  }
+
+  /** Frees EVERY checkpointed RDD under `df`'s plan — the explicit form
+    * for composite plans (joins/unions of checkpoints). Safe only once
+    * nothing will read any of them again. */
+  def freeAll(df: DataFrame): Unit =
+    checkpointLeaves(df).foreach(_.unpersist(blocking = false))
+
+  private def checkpointLeaves(df: DataFrame) =
+    df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }
 }

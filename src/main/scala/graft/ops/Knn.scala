@@ -61,19 +61,40 @@ object Knn {
     * samples its query set; ground truth stays exact per query, and the
     * scan cost becomes |queries|·|corpus| instead of |corpus|²). The
     * physical route is chosen by the CORPUS size; a query row whose
-    * vec_id also appears in the corpus never matches itself. */
-  def topKCosine(queries: DataFrame, corpus: DataFrame, k: Int): Dataset[Edge] = {
+    * vec_id also appears in the corpus never matches itself.
+    *
+    * Routing costs ONE corpus materialization, not two (the r4 double
+    * count+collect): `limit(gate+1).collect()` either returns ≤ gate rows
+    * — which are then, by construction, the ENTIRE corpus, handed straight
+    * to the blocked path — or proves the corpus exceeds the gate after an
+    * early-terminating partial scan and routes to the aggregator.
+    * `corpusRowsHint` (e.g. from a store's row-count metadata) skips even
+    * that probe when it already places the corpus above the gate. */
+  def topKCosine(queries: DataFrame, corpus: DataFrame, k: Int,
+                 corpusRowsHint: Option[Long] = None): Dataset[Edge] = {
     require(k > 0)
-    if (corpus.count() <= BroadcastCorpusRows) topKCosineBlocked(queries, corpus, k)
-    else topKCosineAgg(queries, corpus, k)
+    if (corpusRowsHint.exists(_ > BroadcastCorpusRows)) topKCosineAgg(queries, corpus, k)
+    else {
+      val probe = corpus.select("vec_id", "embedding", "label")
+        .limit(BroadcastCorpusRows.toInt + 1).collect()
+      if (probe.length <= BroadcastCorpusRows) topKCosineBlocked(queries, probe, k)
+      else topKCosineAgg(queries, corpus, k)
+    }
   }
 
-  /** Broadcast blocked-scan route — corpus must fit a broadcast. */
+  /** DataFrame convenience for the blocked route (specs compare it against
+    * the aggregator route directly). */
   private[graft] def topKCosineBlocked(queries: DataFrame, corpus: DataFrame,
+                                       k: Int): Dataset[Edge] =
+    topKCosineBlocked(queries, corpus.select("vec_id", "embedding", "label").collect(), k)
+
+  /** Broadcast blocked-scan route over pre-collected (vec_id, embedding,
+    * label) corpus rows — the single materialization from the router. */
+  private[graft] def topKCosineBlocked(queries: DataFrame,
+                                       rows: Array[org.apache.spark.sql.Row],
                                        k: Int): Dataset[Edge] = {
     val s = queries.sparkSession
     import s.implicits._
-    val rows = corpus.select("vec_id", "embedding", "label").collect()
     val n = rows.length
     val ids = new Array[Long](n)
     val mats = new Array[Array[Float]](n)

@@ -19,12 +19,36 @@ object Rank {
 
   /** Adds `rankCol` (1-based global rank under `order`) and `nCol` (total
     * row count) to `df`. `order` must be a total order — append a unique
-    * tie-break column, or equal rows get arbitrary but distinct ranks. */
+    * tie-break column, or equal rows get arbitrary but distinct ranks.
+    *
+    * The data shuffles EXACTLY ONCE (the range exchange). The local rank
+    * is NOT a `Window.partitionBy(pid)` — that formulation forces Catalyst
+    * to insert a second full-data hash exchange on pid (range partitioning
+    * does not satisfy the window's required distribution, even though pid
+    * IS the partition index). Instead the partition-local position comes
+    * from `monotonically_increasing_id()` evaluated above
+    * `sortWithinPartitions`: Spark defines mid = (partitionIndex << 33) +
+    * rowOffsetInPartition assigned in iterator order, so after the
+    * within-partition sort, `mid & (2^33-1)` is the 0-based local rank and
+    * `mid >> 33` the partition id — pure arithmetic, codegen'd, no
+    * exchange, no second sort. (Catalyst never reorders the
+    * nondeterministic mid projection across the sort.) Capacity bound:
+    * 2^33 ≈ 8.6 G rows per range partition; size `partitions` so no
+    * partition approaches that.
+    *
+    * INVARIANT (pinned by PlanShapeSpec "withGlobalRank shuffles the data
+    * exactly once"): the per-partition counts side must read the SAME
+    * physical range exchange as the data side (Catalyst exchange reuse —
+    * `ReusedExchange` in the final plan). Boundaries are sampled per
+    * physical exchange, so two independent exchanges could disagree and
+    * silently mis-offset ranks. The spec fails loudly if planning ever
+    * stops reusing; eager materialization is NOT a substitute — a
+    * data-sized checkpoint per call is the r3 storage-leak shape. */
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String,
                      nCol: String, partitions: Int = 16): DataFrame = {
-    val parts = df.repartitionByRange(partitions, order: _*)
-      .withColumn("__pid", spark_partition_id())
-    val counts = parts.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val ranged = df.repartitionByRange(partitions, order: _*)
+    val counts = ranged.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
     // prefix offset AND grand total as two frames over the same tiny
     // table — one broadcast join carries both, no extra cross join
     val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -33,12 +57,14 @@ object Rank {
     val offsets = counts
       .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
       .withColumn(nCol, sum("__cnt").over(wAll))
-    val wLocal = Window.partitionBy("__pid").orderBy(order: _*)
-    parts
-      .withColumn("__lr", row_number().over(wLocal))
+    ranged
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__lr", (col("__mid") - shiftleft(shiftright(col("__mid"), 33), 33)) + 1L)
       .join(broadcast(offsets.select(col("__pid"), col("__off"), col(nCol))), "__pid")
       .withColumn(rankCol, col("__off") + col("__lr"))
-      .drop("__pid", "__off", "__lr")
+      .drop("__pid", "__off", "__lr", "__mid")
   }
 
   /** Adds `cumCol` — the global running sum of integral `valueCol` under
@@ -46,7 +72,13 @@ object Rank {
     * window: local running sums within each range partition are lifted by
     * broadcast per-partition value-prefix totals, the same two-pass shape
     * as [[withGlobalRank]]. This is the distributed prefix-sum primitive
-    * behind coverage/Pareto curves over data-sized ranked tables. */
+    * behind coverage/Pareto curves over data-sized ranked tables.
+    *
+    * Same ReusedExchange invariant as [[withGlobalRank]] (pinned in
+    * PlanShapeSpec). Unlike plain rank, the running sum genuinely needs a
+    * `Window.partitionBy(__pid)` (a prefix SUM cannot be recovered from
+    * monotonically_increasing_id arithmetic), so this one pays the second
+    * hash exchange — use [[withGlobalRank]] when only positions matter. */
   def withGlobalCumSum(df: DataFrame, order: Seq[Column], valueCol: String,
                        cumCol: String, rankCol: String, nCol: String,
                        partitions: Int = 16): DataFrame = {

@@ -577,6 +577,26 @@ object Aggs {
         .orderBy("rule_id")
     }),
 
+    // C32b — rule-TABLE-driven DQ checks (added r5): the declarative twin
+    // of `agg_dq_checks`. Expectations arrive as ROWS (rule_id, column,
+    // kind, lo, hi) — config-as-data, the shape a production check surface
+    // exposes so operators edit rules without redeploying plans — and
+    // ops.DqRules compiles them into ONE conditional-sum aggregate: single
+    // scan, one tiny exchange, stack() back to a row per rule. The rules
+    // here intentionally include the fixed twin's two row-level rules, and
+    // DqSpec proves the two routes emit identical rows for them.
+    "agg_dq_rules" -> ((s, d) => {
+      import s.implicits._
+      val rules = Seq(
+        (1, "events.value non-null", "value", "not_null", 0.0, 0.0),
+        (2, "events.value in [0,1000]", "value", "range", 0.0, 1000.0),
+        (3, "events.user_id non-null", "user_id", "not_null", 0.0, 0.0),
+        (4, "events.value under 900", "value", "max", 0.0, 900.0),
+        (5, "events.user_id positive", "user_id", "positive", 0.0, 0.0),
+      ).toDF("rule_id", "rule", "column", "kind", "lo", "hi")
+      graft.ops.DqRules.check(Tables.events(s, d), rules)
+    }),
+
     // C33 — recency-decayed engagement score (added r4): per user
     // Σ traffic_day · 0.5^(age div 7) against the corpus's newest day —
     // the half-life-weighted score ranking/retention systems keep instead
@@ -983,6 +1003,26 @@ object Aggs {
         |  UNION ALL SELECT 3, 'event_id unique', m FROM dup
         |  UNION ALL SELECT 4, 'orders.o_custkey in customer', m FROM orph
         |  UNION ALL SELECT 5, 'no empty calendar days', m FROM gap
+        |)
+        |SELECT rule_id, rule, violations,
+        |       CAST(violations = 0 AS INTEGER) AS pass
+        |FROM rows_ ORDER BY rule_id""".stripMargin,
+    "agg_dq_rules" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS m1,
+        |    CAST(coalesce(sum(CASE WHEN value < 0.0 OR value > 1000.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m2,
+        |    CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS m3,
+        |    CAST(coalesce(sum(CASE WHEN value > 900.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m4,
+        |    CAST(coalesce(sum(CASE WHEN user_id <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m5
+        |  FROM events
+        |),
+        |rows_ AS (
+        |  SELECT 1 AS rule_id, 'events.value non-null' AS rule, m1 AS violations FROM m
+        |  UNION ALL SELECT 2, 'events.value in [0,1000]', m2 FROM m
+        |  UNION ALL SELECT 3, 'events.user_id non-null', m3 FROM m
+        |  UNION ALL SELECT 4, 'events.value under 900', m4 FROM m
+        |  UNION ALL SELECT 5, 'events.user_id positive', m5 FROM m
         |)
         |SELECT rule_id, rule, violations,
         |       CAST(violations = 0 AS INTEGER) AS pass

@@ -1321,14 +1321,25 @@ object Llm {
     // neighbor or the home cell was a singleton (nn_ivf null).
     "llm_recall_at_k" -> ((s, d) => {
       val all = Tables.embeddings(s, d)
+      // norm > 0 is asserted EXPLICITLY on the query sample (and mirrored
+      // in the oracle's q/ex CTEs) so the key's Spark≡DuckDB equivalence
+      // is by construction, not fixture luck: Knn.topKCosine silently
+      // drops zero-norm queries while a brute-force SQL scan would score
+      // them with inf/NaN sims (r4 ADVICE).
+      val norm2 = aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
       val queries = all.where(conv(substring(
         md5(concat(col("vec_id").cast("string"), lit("|q"))), 1, 4),
         16, 10).cast("long") < 16384L)
+        .where(norm2 > 0.0d)
       val exact = graft.ops.Knn.topKCosine(queries, all, 1).toDF()
         .select(col("q_id").as("vec_id"), col("c_id").as("nn_exact"))
       val ivf = ivfSearch(s, d, nprobe = 2)
         .select(col("vec_id"), col("nn_id").as("nn_ivf"))
-      exact.join(ivf, "vec_id")
+      // LEFT join, matching the oracle: a query whose IVF home cell is a
+      // singleton has no approximate neighbor — that is a recall MISS
+      // (hit=0), not a row to drop.
+      exact.join(ivf, Seq("vec_id"), "left")
         .withColumn("hit", when(col("nn_ivf") === col("nn_exact"), 1).otherwise(0))
         .orderBy("vec_id")
     }),
@@ -2906,11 +2917,12 @@ object Llm {
         |  SELECT * FROM v
         |  WHERE CAST(concat('0x', substring(
         |          md5(CAST(vec_id AS VARCHAR) || '|q'), 1, 4)) AS BIGINT) < 16384
+        |    AND norm > 0
         |),
         |ex AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |         $dotSql / (a.norm * b.norm) AS sim
-        |  FROM q a JOIN v b ON a.vec_id <> b.vec_id
+        |  FROM q a JOIN v b ON a.vec_id <> b.vec_id AND b.norm > 0
         |),
         |ex1 AS (
         |  SELECT a_id AS vec_id, b_id AS nn_exact FROM (

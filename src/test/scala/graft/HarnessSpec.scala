@@ -26,6 +26,19 @@ class HarnessSpec extends SparkSpec {
       s"implemented but missing from SURVEY §2: ${implemented -- declared}")
   }
 
+  test("PlanScan's skip set covers every streaming key and nothing batch-auditable") {
+    val streaming = graft.streaming.Streams.queries.keySet
+    // every streaming key must be skipped (a "plan scan" of a drained
+    // stream audits the meaningless post-drain local read — r4 VERDICT)
+    assert((streaming -- graft.tools.PlanScan.skipKeys).isEmpty,
+      s"streaming keys PlanScan would drain: ${streaming -- graft.tools.PlanScan.skipKeys}")
+    // the only non-streaming skips are the documented side-effect keys
+    val sideEffect = graft.tools.PlanScan.skipKeys -- streaming
+    assert(sideEffect == Set("scan_csv_typed", "scan_jsonl", "scan_xml_typed",
+      "sink_partitioned", "join_bucketed", "scan_binary"),
+      s"unexpected non-streaming PlanScan skips: $sideEffect")
+  }
+
   test("every query runs and returns a non-empty, deterministic result") {
     val skipEmpty = Set("join_anti", "set_except", "llm_dedup_near") // legitimately empty at sf0.001
     SparkEntry.queries.foreach { case (name, fn) =>

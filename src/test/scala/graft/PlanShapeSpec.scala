@@ -186,6 +186,41 @@ class PlanShapeSpec extends SparkSpec {
       s"PIT read must not plan the BETWEEN interval join:\n$p")
   }
 
+  test("withGlobalRank shuffles the data exactly once and reuses it for counts") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.Rank.withGlobalRank(
+      Tables.customer(spark, sf0001).select("c_custkey", "c_acctbal"),
+      Seq(col("c_acctbal"), col("c_custkey")), "g", "n")
+    df.collect() // AQE final plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the INVARIANT rank correctness rests on: range boundaries are sampled
+    // per physical exchange, so the counts side must read the SAME exchange
+    // as the data side — one rangepartitioning, reused, or offsets could
+    // silently disagree with the data's partition ids
+    // ReusedExchange's toString repeats the referenced node's text, so
+    // count actual tree nodes ("+- Exchange"), not substring occurrences
+    assert("\\+- Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one range exchange:\n$p")
+    assert(p.contains("ReusedExchange"), s"counts side did not reuse the range exchange:\n$p")
+    // the mid-arithmetic local rank must not regress to a data-sized
+    // window (that shape forces a second full-data hash exchange on pid)
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"expected only the tiny offsets window, data-side window crept back:\n$p")
+  }
+
+  test("withGlobalCumSum counts side reuses the single range exchange") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.Rank.withGlobalCumSum(
+      Tables.customer(spark, sf0001).select("c_custkey", "c_acctbal")
+        .withColumn("v", lit(1L)),
+      Seq(col("c_acctbal"), col("c_custkey")), "v", "cum", "g", "n")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("\\+- Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one range exchange:\n$p")
+    assert(p.contains("ReusedExchange"), s"stats side did not reuse the range exchange:\n$p")
+  }
+
   test("agg_rfm plans range partitioning (ops.Rank), never a partition-less data window") {
     val p = planOf("agg_rfm")
     assert(p.contains("rangepartitioning"), s"expected Rank's range exchange:\n$p")
