@@ -317,25 +317,17 @@ object Wins {
     // simple seeding, matching the oracle's transform-first-element
     // list_reduce seed exactly. All constants D-suffixed (the DECIMAL
     // literal trap); floor-1e-4 quantized output.
+    // The key delegates to ops.HoltWinters.forecastExpr pinned at the
+    // oracle's parameterization (m=4, α=.3 β=.2 γ=.3, simple seeding); the
+    // generator is the production surface — m and first-season seeding are
+    // arguments there, proven at m∈{4,7} in WinsOpsSpec (r5).
     "win_holt_winters" -> ((s, d) => {
-      val P = "(CAST(element_at(acc, 7) AS INT) % 4)"
-      val SI = s"element_at(acc, $P + 3)"
-      val LV = s"(0.3D * (x - $SI) + 0.7D * (element_at(acc, 1) + element_at(acc, 2)))"
-      val TR = s"(0.2D * ($LV - element_at(acc, 1)) + 0.8D * element_at(acc, 2))"
-      val SN = s"(0.3D * (x - $LV) + 0.7D * $SI)"
-      val step = s"array($LV, $TR, " +
-        (0 until 4).map(j => s"IF($P = $j, $SN, element_at(acc, ${j + 3}))").mkString(", ") +
-        ", element_at(acc, 7) + 1.0D)"
-      val fin = s"element_at(acc, 1) + element_at(acc, 2) + element_at(acc, $P + 3)"
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
       Tables.events(s, d)
         .withColumn("l", collect_list(col("value")).over(w))
-        .withColumn("hw_forecast", expr(
-          s"""floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
-             |  array(CAST(element_at(l, 1) AS DOUBLE), 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 1.0D),
-             |  (acc, x) -> $step,
-             |  acc -> $fin) * 1e4) / 1e4""".stripMargin))
+        .withColumn("hw_forecast",
+          expr(graft.ops.HoltWinters.forecastExpr("l", m = 4)))
         .select(col("event_id"), col("user_id"), col("hw_forecast"))
         .orderBy("event_id")
     }),
