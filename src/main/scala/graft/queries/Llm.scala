@@ -76,7 +76,8 @@ object Llm {
     * (asymmetric containment) so the two similarity readouts are over
     * the identical shingle universe. */
   private def shingleInter(s: SparkSession, d: String,
-                           maxDf: Option[Long] = None): DataFrame = {
+                           maxDf: Option[Long] = None,
+                           percentileDf: Option[Double] = None): DataFrame = {
     val shAll = Tables.documents(s, d)
       .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
       .where(size(col("toks")) >= 3)
@@ -86,15 +87,30 @@ object Llm {
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2),
             element_at(col("toks"), i + 3))))).as("sh"))
+    shinglePairStats(shAll, maxDf, percentileDf)
+  }
+
+  /** Pair-intersection stats over any (doc_id, sh) stream, with the
+    * stop-shingle cap applied first: fixed `maxDf` or corpus-adaptive
+    * `percentileDf` (ops.StopShingles — drop at most the top (1−p)
+    * fraction of shingles by df, whole df-groups only). Both capped
+    * routes recompute per-doc totals over the SURVIVING shingle universe
+    * so containment stays a true fraction of the compared sets. */
+  private[graft] def shinglePairStats(shAll: DataFrame,
+                                      maxDf: Option[Long] = None,
+                                      percentileDf: Option[Double] = None): DataFrame = {
+    require(maxDf.isEmpty || percentileDf.isEmpty,
+      "fixed and percentile caps are mutually exclusive")
     // stop-shingle removal: a shingle in more than maxDf docs generates
     // ~df²/2 candidate pairs while discriminating nothing — dropping it
     // bounds per-shingle pair fan-out, the standard near-dup scale knob
-    val sh = maxDf match {
-      case Some(t) =>
-        val ok = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-          .where(col("df") <= t).select("sh")
-        shAll.join(ok, Seq("sh"), "left_semi")
-      case None => shAll
+    val sh = (maxDf, percentileDf) match {
+      case (Some(t), _) =>
+        graft.ops.StopShingles.applyCap(shAll, graft.ops.StopShingles.dfs(shAll), t)
+      case (_, Some(p)) =>
+        val d = graft.ops.StopShingles.dfs(shAll)
+        graft.ops.StopShingles.applyCap(shAll, d, graft.ops.StopShingles.percentileCap(d, p))
+      case _ => shAll
     }
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = sh.select(col("doc_id").as("a_id"), col("sh"))
