@@ -81,6 +81,21 @@ object Streams {
     s.table(name)
   }
 
+  /** Runs `f` with the RocksDB state store provider (required by the
+    * arbitrary-state-v2 `transformWithState` operator), restoring the
+    * previous provider after — the same conf discipline as drain's
+    * partition cap. */
+  private def withRocksDb[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Near-real-time harvest into a trend store: each micro-batch upserts
     * last-writer-wins on (entity_id, ts) via `TrendStore.upsert` — the
     * reference's harvester loop (parse → resolve → COPY/upsert) as a
@@ -216,10 +231,12 @@ object Streams {
         .as[(Long, Long, Long, Long)]
       val deltas = typed
         .groupByKey(_._3)
-        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          RateState.update)
-      val out = drain(s, deltas.toDF("event_id", "user_id", "dq"),
-        "graft_stream_counter_rate", OutputMode.Append())
+        .transformWithState(new RateProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = withRocksDb(s) {
+        drain(s, deltas.toDF("event_id", "user_id", "dq"),
+          "graft_stream_counter_rate", OutputMode.Append())
+      }
       out.select(col("event_id"), col("user_id"),
           (col("dq").cast("double") / 1e6).as("delta"))
         .orderBy("event_id")
@@ -244,10 +261,12 @@ object Streams {
         .as[(Long, Long, Long, Double)]
       val smoothed = typed
         .groupByKey(_._3)
-        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          HoltState.update)
-      val out = drain(s, smoothed.toDF("event_id", "user_id", "f"),
-        "graft_stream_holt", OutputMode.Append())
+        .transformWithState(new HoltProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = withRocksDb(s) {
+        drain(s, smoothed.toDF("event_id", "user_id", "f"),
+          "graft_stream_holt", OutputMode.Append())
+      }
       out.select(col("event_id"), col("user_id"),
           expr("floor(f * 1e4) / 1e4").as("holt_forecast"))
         .orderBy("event_id")
@@ -270,10 +289,12 @@ object Streams {
         .as[(Long, Long, Long, Double)]
       val scored = typed
         .groupByKey(_._3)
-        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          WelfordState.update)
-      val out = drain(s, scored.toDF("event_id", "user_id", "z"),
-        "graft_stream_zscore", OutputMode.Append())
+        .transformWithState(new WelfordProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = withRocksDb(s) {
+        drain(s, scored.toDF("event_id", "user_id", "z"),
+          "graft_stream_zscore", OutputMode.Append())
+      }
       out.select(col("event_id"), col("user_id"),
           expr("floor(z * 1e4) / 1e4").as("z"))
         .orderBy("event_id")
@@ -286,10 +307,12 @@ object Streams {
         .as[(Long, Long)]
       val agg: Dataset[(Long, Long, Long)] = typed
         .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          GapState.update)
-      val out = drain(s, agg.toDF("user_id", "n_events", "max_gap_sec"),
-        "graft_stream_stateful", OutputMode.Append())
+        .transformWithState(new GapProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = withRocksDb(s) {
+        drain(s, agg.toDF("user_id", "n_events", "max_gap_sec"),
+          "graft_stream_stateful", OutputMode.Append())
+      }
       out.orderBy("user_id")
     }),
   )
@@ -439,46 +462,52 @@ class GapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long
     val sorted = rows.map(_._2).toSeq.sorted
     if (sorted.isEmpty) Iterator.empty
     else {
-      val (n0, last0, gap0) =
-        if (state.exists()) state.get() else (0L, Long.MinValue, 0L)
-      var n = n0; var last = last0; var gap = gap0
-      sorted.foreach { t =>
-        if (last != Long.MinValue && t - last > gap) gap = t - last
-        last = t
-        n += 1
-      }
-      state.update((n, last, gap))
-      Iterator.single((key, n, gap))
+      val (st, out) = GapState.fold(key,
+        if (state.exists()) state.get() else (0L, Long.MinValue, 0L), sorted)
+      state.update(st)
+      Iterator.single(out)
     }
   }
 }
 
-/** State fold for `stream_stateful`: (count so far, last ts, max gap). */
 /** Keyed state for `stream_zscore`: Welford's (n, mean, M2), n held as a
   * DOUBLE so every operation matches the oracle's list_reduce fold
   * bit-for-bit (d / (n + 1.0) exactly as written there). A sample is
-  * scored against the PRIOR state (≥5 priors, sd > 0), then folded in. */
+  * scored against the PRIOR state (≥5 priors, sd > 0), then folded in.
+  *
+  * The PURE fold (`fold`) is shared by the legacy `flatMapGroupsWithState`
+  * route (`update`) and the Spark 4.x arbitrary-state-v2 route
+  * (`WelfordProcessor`) — one algorithm, two state APIs, equivalence by
+  * construction (and re-proven over MemoryStream batches in
+  * StreamingSpec). Same sharing pattern for Holt/Rate/Gap below. */
 object WelfordState {
+  def fold(userId: Long, st0: (Double, Double, Double),
+           sorted: Seq[(Long, Long, Long, Double)])
+      : ((Double, Double, Double), Seq[(Long, Long, Option[Double])]) = {
+    var (n, mean, m2) = st0
+    val out = sorted.map { case (eventId, _, _, x) =>
+      val z =
+        if (n >= 5.0) {
+          val sd = math.sqrt(m2 / (n - 1.0))
+          if (sd > 0.0) Some((x - mean) / sd) else None
+        } else None
+      val d = x - mean
+      val nmean = mean + d / (n + 1.0)
+      m2 = m2 + d * (x - nmean)
+      mean = nmean
+      n = n + 1.0
+      (eventId, userId, z)
+    }
+    ((n, mean, m2), out)
+  }
+
   def update(userId: Long, rows: Iterator[(Long, Long, Long, Double)],
              state: GroupState[(Double, Double, Double)]): Iterator[(Long, Long, Option[Double])] = {
     val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
     if (sorted.isEmpty) Iterator.empty
     else {
-      var (n, mean, m2) = state.getOption.getOrElse((0.0, 0.0, 0.0))
-      val out = sorted.map { case (eventId, _, _, x) =>
-        val z =
-          if (n >= 5.0) {
-            val sd = math.sqrt(m2 / (n - 1.0))
-            if (sd > 0.0) Some((x - mean) / sd) else None
-          } else None
-        val d = x - mean
-        val nmean = mean + d / (n + 1.0)
-        m2 = m2 + d * (x - nmean)
-        mean = nmean
-        n = n + 1.0
-        (eventId, userId, z)
-      }
-      state.update((n, mean, m2))
+      val (st, out) = fold(userId, state.getOption.getOrElse((0.0, 0.0, 0.0)), sorted)
+      state.update(st)
       out.iterator
     }
   }
@@ -489,23 +518,30 @@ object WelfordState {
   * — lv' = 0.3·x + 0.7·(lv + tr); tr' = 0.4·(lv' − lv) + 0.6·tr — so the
   * emitted forecast doubles are bit-identical to the batch fold's. */
 object HoltState {
+  def fold(userId: Long, st0: Option[(Double, Double)],
+           sorted: Seq[(Long, Long, Long, Double)])
+      : (Option[(Double, Double)], Seq[(Long, Long, Double)]) = {
+    var st = st0
+    val out = sorted.map { case (eventId, _, _, x) =>
+      val (lv, tr) = st match {
+        case None => (x, 0.0)
+        case Some((plv, ptr)) =>
+          val nlv = 0.3 * x + 0.7 * (plv + ptr)
+          val ntr = 0.4 * (nlv - plv) + 0.6 * ptr
+          (nlv, ntr)
+      }
+      st = Some((lv, tr))
+      (eventId, userId, lv + tr)
+    }
+    (st, out)
+  }
+
   def update(userId: Long, rows: Iterator[(Long, Long, Long, Double)],
              state: GroupState[(Double, Double)]): Iterator[(Long, Long, Double)] = {
     val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
     if (sorted.isEmpty) Iterator.empty
     else {
-      var st = state.getOption
-      val out = sorted.map { case (eventId, _, _, x) =>
-        val (lv, tr) = st match {
-          case None => (x, 0.0)
-          case Some((plv, ptr)) =>
-            val nlv = 0.3 * x + 0.7 * (plv + ptr)
-            val ntr = 0.4 * (nlv - plv) + 0.6 * ptr
-            (nlv, ntr)
-        }
-        st = Some((lv, tr))
-        (eventId, userId, lv + tr)
-      }
+      val (st, out) = fold(userId, state.getOption, sorted)
       state.update(st.get)
       out.iterator
     }
@@ -518,17 +554,24 @@ object HoltState {
   * (event_id, user_id, delta_q?) with None for the entity's first-ever
   * sample. */
 object RateState {
+  def fold(userId: Long, prev0: Option[(Long, Long)],
+           sorted: Seq[(Long, Long, Long, Long)])
+      : (Option[(Long, Long)], Seq[(Long, Long, Option[Long])]) = {
+    var prev = prev0
+    val out = sorted.map { case (eventId, us, _, yq) =>
+      val d = prev.map { case (_, py) => yq - py }
+      prev = Some((us, yq))
+      (eventId, userId, d)
+    }
+    (prev, out)
+  }
+
   def update(userId: Long, rows: Iterator[(Long, Long, Long, Long)],
              state: GroupState[(Long, Long)]): Iterator[(Long, Long, Option[Long])] = {
     val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
     if (sorted.isEmpty) Iterator.empty
     else {
-      var prev = state.getOption
-      val out = sorted.map { case (eventId, us, _, yq) =>
-        val d = prev.map { case (_, py) => yq - py }
-        prev = Some((us, yq))
-        (eventId, userId, d)
-      }
+      val (prev, out) = fold(userId, state.getOption, sorted)
       state.update(prev.get)
       out.iterator
     }
@@ -536,21 +579,102 @@ object RateState {
 }
 
 object GapState {
+  def fold(userId: Long, st0: (Long, Long, Long), sorted: Seq[Long])
+      : ((Long, Long, Long), (Long, Long, Long)) = {
+    val (n0, last0, gap0) = st0
+    var n = n0; var last = last0; var gap = gap0
+    sorted.foreach { t =>
+      if (last != Long.MinValue && t - last > gap) gap = t - last
+      last = t
+      n += 1
+    }
+    ((n, last, gap), (userId, n, gap))
+  }
+
   def update(userId: Long, rows: Iterator[(Long, Long)],
              state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
     val sorted = rows.map(_._2).toSeq.sorted
     if (sorted.isEmpty) Iterator.empty
     else {
-      val (n0, last0, gap0) =
-        state.getOption.getOrElse((0L, Long.MinValue, 0L))
-      var n = n0; var last = last0; var gap = gap0
-      sorted.foreach { t =>
-        if (last != Long.MinValue && t - last > gap) gap = t - last
-        last = t
-        n += 1
-      }
-      state.update((n, last, gap))
-      Iterator.single((userId, n, gap))
+      val (st, out) = fold(userId,
+        state.getOption.getOrElse((0L, Long.MinValue, 0L)), sorted)
+      state.update(st)
+      Iterator.single(out)
+    }
+  }
+}
+
+/** Base for the v2 (`transformWithState`) processors: one typed ValueState
+  * slot + the shared pure fold. Spark 4.x's arbitrary-state-v2 API is the
+  * forward-compatible stateful surface (per-state TTL, timers, RocksDB);
+  * these processors are the REGISTERED routes for the keyed-state keys
+  * since r5, with the flatMapGroupsWithState forms kept as equivalence
+  * twins. */
+class RateProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, Long), (Long, Long, Option[Long])] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    state = getHandle.getValueState[(Long, Long)]("rate", enc, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Option[Long])] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (prev, out) = RateState.fold(key,
+        if (state.exists()) Some(state.get()) else None, sorted)
+      state.update(prev.get)
+      out.iterator
+    }
+  }
+}
+
+class HoltProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Double, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    state = getHandle.getValueState[(Double, Double)]("holt", enc, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Double)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (st, out) = HoltState.fold(key,
+        if (state.exists()) Some(state.get()) else None, sorted)
+      state.update(st.get)
+      out.iterator
+    }
+  }
+}
+
+class WelfordProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, Double), (Long, Long, Option[Double])] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Double, Double, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Double, Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaDouble)
+    state = getHandle.getValueState[(Double, Double, Double)]("welford", enc, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Double)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Option[Double])] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (st, out) = WelfordState.fold(key,
+        if (state.exists()) state.get() else (0.0, 0.0, 0.0), sorted)
+      state.update(st)
+      out.iterator
     }
   }
 }

@@ -224,6 +224,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("v2 processors (registered routes) ≡ flatMapGroupsWithState twins across batches") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TimeMode}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the same two-batch feed drives both routes; outputs must be
+      // row-identical (the fold core is shared — this pins the two state
+      // APIs' batching/replay behavior, not just the arithmetic)
+      val batches = Seq(
+        Seq((1L, 1000L, 1L, 10.0), (2L, 2000L, 1L, 20.0), (5L, 500L, 2L, 7.5)),
+        Seq((3L, 3000L, 1L, 30.0), (6L, 600L, 2L, 7.0), (7L, 700L, 2L, 9.0)),
+        Seq((4L, 4000L, 1L, 25.0), (8L, 800L, 2L, 8.0), (9L, 900L, 2L, 6.0)))
+
+      def run(name: String, mk: MemoryStream[(Long, Long, Long, Double)] =>
+          org.apache.spark.sql.Dataset[_]): Seq[String] = {
+        val in = MemoryStream[(Long, Long, Long, Double)]
+        val q = mk(in).toDF().writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", tmpDir(s"ckpt_$name")).start()
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+        spark.table(name).collect().map(_.toString).sorted.toSeq
+      }
+
+      val holtV1 = run("eq_holt_v1", _.toDS().groupByKey(_._3)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          graft.streaming.HoltState.update))
+      val holtV2 = run("eq_holt_v2", _.toDS().groupByKey(_._3)
+        .transformWithState(new graft.streaming.HoltProcessor(),
+          TimeMode.None(), OutputMode.Append()))
+      assert(holtV1 == holtV2, s"holt routes diverged:\n$holtV1\n$holtV2")
+
+      val welV1 = run("eq_wel_v1", _.toDS().groupByKey(_._3)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          graft.streaming.WelfordState.update))
+      val welV2 = run("eq_wel_v2", _.toDS().groupByKey(_._3)
+        .transformWithState(new graft.streaming.WelfordProcessor(),
+          TimeMode.None(), OutputMode.Append()))
+      assert(welV1 == welV2, s"welford routes diverged:\n$welV1\n$welV2")
+
+      def runRate(name: String, mk: MemoryStream[(Long, Long, Long, Long)] =>
+          org.apache.spark.sql.Dataset[_]): Seq[String] = {
+        val in = MemoryStream[(Long, Long, Long, Long)]
+        val q = mk(in).toDF().writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", tmpDir(s"ckpt_$name")).start()
+        Seq(Seq((2L, 2000L, 1L, 150L), (1L, 1000L, 1L, 100L)),
+          Seq((3L, 3000L, 1L, 120L), (4L, 100L, 2L, 55L)))
+          .foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+        spark.table(name).collect().map(_.toString).sorted.toSeq
+      }
+      val rateV1 = runRate("eq_rate_v1", _.toDS().groupByKey(_._3)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          graft.streaming.RateState.update))
+      val rateV2 = runRate("eq_rate_v2", _.toDS().groupByKey(_._3)
+        .transformWithState(new graft.streaming.RateProcessor(),
+          TimeMode.None(), OutputMode.Append()))
+      assert(rateV1 == rateV2, s"rate routes diverged:\n$rateV1\n$rateV2")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream join matches in-batch and evicts state past the watermark") {
     implicit val sq = spark.sqlContext
     val clicksIn = MemoryStream[(Long, Timestamp)]
