@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *  - `min`       — count non-null rows under lo
   *  - `max`       — count non-null rows over hi
   *  - `positive`  — count non-null rows ≤ 0
-  * Null semantics: range/min/max/positive count only NON-NULL violations —
-  * null-ness is its own `not_null` rule, so one bad row can violate both,
-  * and the counts stay independently meaningful.
+  *  - `matches`   — count non-null rows NOT fully matching regex `arg`
+  *  - `in_set`    — count non-null rows outside the |-separated `arg` set
+  * Null semantics: every kind but `not_null` counts only NON-NULL
+  * violations — null-ness is its own `not_null` rule, so one bad row can
+  * violate both, and the counts stay independently meaningful.
   *
   * Table-level checks (uniqueness, referential integrity, calendar gaps)
   * need their own aggregation shape and stay in the fixed-plan twin
@@ -35,16 +37,19 @@ import org.apache.spark.sql.functions._
 object DqRules {
 
   case class Rule(ruleId: Int, rule: String, column: String, kind: String,
-                  lo: Double, hi: Double)
+                  lo: Double, hi: Double, arg: String = "")
 
   /** Compiles `rules` rows into the single-aggregate check plan over
     * `data`. Output: (rule_id, rule, violations, pass) ordered by rule_id,
     * one row per rule — same contract as `agg_dq_checks`. */
   def check(data: DataFrame, rules: DataFrame): DataFrame = {
-    val rs = rules.select("rule_id", "rule", "column", "kind", "lo", "hi")
+    val hasArg = rules.columns.contains("arg")
+    val cols = Seq("rule_id", "rule", "column", "kind", "lo", "hi") ++
+      (if (hasArg) Seq("arg") else Nil)
+    val rs = rules.select(cols.head, cols.tail: _*)
       .collect()
       .map(r => Rule(r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
-        r.getDouble(4), r.getDouble(5)))
+        r.getDouble(4), r.getDouble(5), if (hasArg) r.getString(6) else ""))
       .sortBy(_.ruleId)
     require(rs.nonEmpty, "empty rules table")
     require(rs.map(_.ruleId).distinct.length == rs.length,
@@ -58,6 +63,8 @@ object DqRules {
         case "min"      => (c < r.lo).cast("long")
         case "max"      => (c > r.hi).cast("long")
         case "positive" => (c <= 0.0).cast("long")
+        case "matches"  => (!c.rlike("^(?:" + r.arg + ")$")).cast("long")
+        case "in_set"   => (!c.isin(r.arg.split('|').toSeq: _*)).cast("long")
         case other => throw new IllegalArgumentException(
           s"unknown DQ rule kind '$other' (rule_id=${r.ruleId})")
       }

@@ -510,6 +510,25 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // K2b''' — ADAPTIVE stop-shingle containment (added r5): the same
+    // containment readout with the cap derived from the corpus itself
+    // (ops.StopShingles.percentileCap): drop at most the top (1−p)
+    // fraction of shingles by df, whole df-groups only — exact, tie-safe,
+    // and computable from the df HISTOGRAM (distinct df values, tiny at
+    // any corpus size). p=0.9 here so the walk actively drops groups at
+    // fixture vocabulary (the production default is 0.999+ — the budget
+    // scales with vocabulary); the oracle replays the identical
+    // walk in SQL (desc cumulative over the histogram), so the threshold
+    // arithmetic itself is cross-engine-proven, not just the readout.
+    "llm_dedup_stopgram_auto" -> ((s, d) => {
+      shingleInter(s, d, percentileDf = Some(0.9))
+        .withColumn("cont_a", col("n_inter").cast("double") / col("n_a"))
+        .withColumn("cont_b", col("n_inter").cast("double") / col("n_b"))
+        .where(col("cont_a") >= 0.8 || col("cont_b") >= 0.8)
+        .select(col("a_id"), col("b_id"), col("n_inter"), col("cont_a"), col("cont_b"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // K2b' — containment dedup (added r4): |A∩B|/|A| and |A∩B|/|B| over
     // the same 3-gram shingle sets — the ASYMMETRIC signal Jaccard
     // structurally misses: a short doc fully quoted inside a much longer
@@ -2175,6 +2194,51 @@ object Llm {
         |),
         |ok AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 25),
         |sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN ok USING (sh)),
+        |n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, n_inter,
+        |       CAST(n_inter AS DOUBLE) / na.nsh AS cont_a,
+        |       CAST(n_inter AS DOUBLE) / nb.nsh AS cont_b
+        |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |WHERE CAST(n_inter AS DOUBLE) / na.nsh >= 0.8
+        |   OR CAST(n_inter AS DOUBLE) / nb.nsh >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Adaptive cap: the oracle replays ops.StopShingles.percentileCap's
+    // walk in SQL — desc cumulative over the df histogram; the dropped
+    // groups are exactly the maximal desc-prefix whose cumulative shingle
+    // count fits floor((1-p)*V) (cum is monotone, so the WHERE selects a
+    // prefix); cap = min(dropped df) - 1, or BIGINT max if none fit.
+    // floor() before the BIGINT cast because DuckDB's cast ROUNDS while
+    // Scala's .toLong truncates.
+    "llm_dedup_stopgram_auto" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM (
+        |    SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 3
+        |  )
+        |),
+        |dfs AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS v FROM dfs),
+        |hist AS (SELECT df, count(*) AS n FROM dfs GROUP BY df),
+        |walk AS (SELECT df, sum(n) OVER (ORDER BY df DESC ROWS UNBOUNDED PRECEDING) AS cum
+        |         FROM hist),
+        |cap AS (
+        |  SELECT coalesce(
+        |           min(CASE WHEN cum <= CAST(floor((1.0 - 0.9) * v) AS BIGINT)
+        |                    THEN df END) - 1,
+        |           9223372036854775807) AS cap
+        |  FROM walk CROSS JOIN tot
+        |),
+        |sh AS (SELECT s.doc_id, s.sh
+        |       FROM sh0 s JOIN dfs USING (sh) CROSS JOIN cap
+        |       WHERE dfs.df <= cap.cap),
         |n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter

@@ -332,6 +332,24 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E13c — first-season-SEEDED Holt-Winters (added r5): the production
+    // seeding the zero-seed key documents as its trade — level seeds from
+    // the first full season's mean, seasonal slot j from xⱼ − mean, and
+    // the fold starts AFTER the season (windows shorter than one season
+    // fall back to the simple seed inside the same generated expression).
+    // Same generator (ops.HoltWinters), same m=4 cadence; proves the
+    // seeded route cross-engine, not just against the scalatest reference.
+    "win_holt_winters_seeded" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, 0)
+      Tables.events(s, d)
+        .withColumn("l", collect_list(col("value")).over(w))
+        .withColumn("hw_forecast",
+          expr(graft.ops.HoltWinters.forecastExpr("l", m = 4, seedFirstSeason = true)))
+        .select(col("event_id"), col("user_id"), col("hw_forecast"))
+        .orderBy("event_id")
+    }),
+
     // E14 — CUSUM control chart (added r3): per-user running sum of the
     // deviation from a reference value, the classic SPC drift detector
     // (pairs with win_zscore_anomaly's point outliers — CUSUM catches
@@ -564,6 +582,58 @@ object Wins {
         |             acc[7] + 1.0
         |           ]) AS s
         |  FROM l
+        |)
+        |SELECT event_id, user_id,
+        |       floor((s[1] + s[2] + s[CAST(s[7] AS INT) % 4 + 3]) * 10000) / 10000 AS hw_forecast
+        |FROM st ORDER BY event_id""".stripMargin,
+    // Seeded variant: list_reduce has no seed parameter, so the seed array
+    // [mean, 0, s0..s3, 4] is PREPENDED via list_concat and the remaining
+    // samples (l[5:]) are wrapped as 7-arrays whose tail slots are unused;
+    // the lambda then sees exactly the Spark fold's (acc, x) sequence.
+    // list_aggregate(l[1:4],'sum') folds left like Spark's aggregate seed
+    // 0.0 + x1 + x2 + x3 + x4 (0.0+x1 == x1 exactly), /4.0 matches /4.0D.
+    "win_holt_winters_seeded" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (
+        |  SELECT event_id, user_id,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e
+        |),
+        |lm AS (
+        |  SELECT event_id, user_id, l,
+        |         list_aggregate(l[1:4], 'sum') / 4.0 AS m4
+        |  FROM l
+        |),
+        |st AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN len(l) >= 4 THEN
+        |           list_reduce(list_concat(
+        |               [[m4, CAST(0.0 AS DOUBLE), l[1] - m4, l[2] - m4, l[3] - m4, l[4] - m4, 4.0]],
+        |               list_transform(l[5:], x -> [x, CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0])),
+        |             (acc, x) -> [
+        |               $hwLV,
+        |               $hwTR,
+        |               CASE WHEN $hwP = 0 THEN $hwSN ELSE acc[3] END,
+        |               CASE WHEN $hwP = 1 THEN $hwSN ELSE acc[4] END,
+        |               CASE WHEN $hwP = 2 THEN $hwSN ELSE acc[5] END,
+        |               CASE WHEN $hwP = 3 THEN $hwSN ELSE acc[6] END,
+        |               acc[7] + 1.0
+        |             ])
+        |         ELSE
+        |           list_reduce(list_transform(l,
+        |               x -> [x, CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 1.0]),
+        |             (acc, x) -> [
+        |               $hwLV,
+        |               $hwTR,
+        |               CASE WHEN $hwP = 0 THEN $hwSN ELSE acc[3] END,
+        |               CASE WHEN $hwP = 1 THEN $hwSN ELSE acc[4] END,
+        |               CASE WHEN $hwP = 2 THEN $hwSN ELSE acc[5] END,
+        |               CASE WHEN $hwP = 3 THEN $hwSN ELSE acc[6] END,
+        |               acc[7] + 1.0
+        |             ])
+        |         END AS s
+        |  FROM lm
         |)
         |SELECT event_id, user_id,
         |       floor((s[1] + s[2] + s[CAST(s[7] AS INT) % 4 + 3]) * 10000) / 10000 AS hw_forecast

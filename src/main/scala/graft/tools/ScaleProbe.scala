@@ -31,7 +31,7 @@ import graft.SparkEntry
 object ScaleProbe {
   private val Copies = 10
 
-  private def build(spark: SparkSession, src: String, OutDir: String,
+  private[tools] def build(spark: SparkSession, src: String, OutDir: String,
                     clean: Boolean): Unit = {
     if (graft.Fs.existsNonEmptyData(spark, s"$OutDir/documents.parquet")) return
     println(s"[scale] building ${Copies}x copy of $src at $OutDir (clean=$clean)")

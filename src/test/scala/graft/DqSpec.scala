@@ -41,6 +41,21 @@ class DqSpec extends SparkSpec {
     assert(got(5) == (1L, 0)) // k=0 is not positive; null k NOT counted
   }
 
+  test("matches and in_set kinds count pattern/domain violations, nulls excluded") {
+    val df = Seq[(String, String)](
+      ("AB-12", "red"), ("XY-99", "blue"), ("bad", "mauve"), (null, null)
+    ).toDF("code", "color")
+    val rules = Seq(
+      (1, "code format", "code", "matches", 0.0, 0.0, "[A-Z]{2}-[0-9]{2}"),
+      (2, "color domain", "color", "in_set", 0.0, 0.0, "red|green|blue"),
+    ).toDF("rule_id", "rule", "column", "kind", "lo", "hi", "arg")
+    val got = graft.ops.DqRules.check(df, rules)
+      .select("rule_id", "violations").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(1) == 1L) // "bad"; null NOT counted
+    assert(got(2) == 1L) // "mauve"; null NOT counted
+  }
+
   test("all-pass rules report zero violations and pass=1") {
     val df = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
     val rules = Seq((1, "v non-null", "v", "not_null", 0.0, 0.0))
