@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Scalars.queries ++
       graft.queries.SideEffects.queries ++
       graft.queries.Llm.queries ++
+      graft.queries.Graph.queries ++
       graft.streaming.Streams.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Scalars.oracles ++
       graft.queries.SideEffects.oracles ++
       graft.queries.Llm.oracles ++
+      graft.queries.Graph.oracles ++
       graft.streaming.Streams.oracles
 }

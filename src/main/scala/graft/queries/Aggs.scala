@@ -682,6 +682,29 @@ object Aggs {
           col("r_score"), col("f_score"), col("m_score"))
         .orderBy("user_id")
     }),
+
+    // D33 — pairwise Pearson correlation matrix (added r5): all 6 column
+    // pairs of lineitem's numeric measures in ONE scan — six `corr`
+    // aggregates computed side by side (each a constant-size moment
+    // state merged map-side), then `stack` pivots the single result row
+    // into tidy (col_a, col_b, r) rows. The one-scan shape is the point
+    // at 100 TB: a naive per-pair loop reads the fact table 6× (and a
+    // k-column matrix k(k-1)/2×) for work whose combined state is ~100
+    // bytes. round(6): both engines accumulate co-moments in different
+    // orders (~1e-12 relative drift on 60 k rows).
+    "agg_corr_matrix" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 6).as(s"${a}__$b") }
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${pairs.size}, " +
+          pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }.mkString(", ") +
+          ") AS (col_a, col_b, r)")
+        .orderBy("col_a", "col_b")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -1098,5 +1121,23 @@ object Aggs {
         |       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INTEGER) AS f_score,
         |       CAST(ntile(5) OVER (ORDER BY mq DESC, user_id ASC) AS INTEGER) AS m_score
         |FROM b ORDER BY user_id""".stripMargin,
+    "agg_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT corr(l_quantity, l_extendedprice) AS c_qe,
+        |         corr(l_quantity, l_discount)      AS c_qd,
+        |         corr(l_quantity, l_tax)           AS c_qt,
+        |         corr(l_extendedprice, l_discount) AS c_ed,
+        |         corr(l_extendedprice, l_tax)      AS c_et,
+        |         corr(l_discount, l_tax)           AS c_dt
+        |  FROM lineitem
+        |)
+        |SELECT col_a, col_b, r FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(c_qe, 6) AS r FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', round(c_qd, 6) FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', round(c_qt, 6) FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c_ed, 6) FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c_et, 6) FROM c
+        |  UNION ALL SELECT 'l_discount', 'l_tax', round(c_dt, 6) FROM c
+        |) ORDER BY col_a, col_b""".stripMargin,
   )
 }

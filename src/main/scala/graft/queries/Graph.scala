@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph / relationship operators (SURVEY.md §2 section L): iterative
+  * PageRank and triangle counting over relationship tables derived from
+  * the warehouse — the entity-importance and community-density signals a
+  * directory-of-entities system (Minerva's entity/relation model) feeds
+  * into downstream scoring.
+  *
+  * Both keys are deliberately join+aggregate shaped (no RDD graph
+  * library): at 100 TB a rank table partitioned by node id and an edge
+  * list pre-partitioned on src IS the scalable representation — each
+  * PageRank iteration is one shuffle-on-node-id join + one map-side
+  * combined aggregation, and triangle counting with degree orientation
+  * bounds the wedge explosion at Σ out-deg² ≈ m^1.5 instead of Σ deg².
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct supplier↔part edges from lineitem, symmetrized (both
+    * directions), node ids prefixed `s`/`p` into one id space. Every node
+    * has out-degree ≥ 1 by construction, so PageRank needs no dangling-
+    * mass correction. */
+  private def supplierPartEdges(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    e0.select(concat(lit("s"), col("sk")).as("src"), concat(lit("p"), col("pk")).as("dst"))
+      .unionByName(
+        e0.select(concat(lit("p"), col("pk")).as("src"), concat(lit("s"), col("sk")).as("dst")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // L1 — damped PageRank (d=0.85, 5 fixed iterations) over the
+    // symmetrized supplier–part graph. The edge list is localCheckpoint'd
+    // ONCE and reused by all iterations (the classic cache-the-edges
+    // shape: without it the unrolled 5-iteration plan re-scans and
+    // re-distincts lineitem ~15×). Each iteration is rank⋈edges on src
+    // (shuffle on node id) → groupBy dst with map-side partial sum —
+    // linear in |E| per iteration at any scale. N (node count) is a
+    // driver-side scalar (metadata, like the partition day lists).
+    // Symmetrized graph ⇒ no dangling nodes ⇒ no global dangling-mass
+    // term ⇒ the oracle is 5 unrolled join+groupBy CTEs, exactly this
+    // plan. round(8): both engines sum the same contribution multiset in
+    // different orders (~1e-15 relative drift after 5 rounds).
+    "graph_pagerank" -> ((s, d) => {
+      val edges = supplierPartEdges(s, d).localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n = deg.count()
+      var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+      for (_ <- 1 to 5) {
+        ranks = edges.join(ranks, edges("src") === ranks("node"))
+          .join(deg, "src")
+          .select(col("dst"), (col("rank") / col("deg")).as("c"))
+          .groupBy("dst").agg(sum("c").as("m"))
+          .select(col("dst").as("node"),
+            (lit(0.15 / n) + lit(0.85) * col("m")).as("rank"))
+      }
+      ranks.select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy("node")
+    }),
+
+    // L2 — per-node triangle counts over the co-purchase graph (parts
+    // sharing an order; orders capped at ≤ 8 distinct parts — the basket
+    // cap every co-occurrence pipeline applies, since one 10 k-item order
+    // would emit C(10k,2) pairs). Degree orientation: each undirected
+    // edge points from the (deg, node)-smaller endpoint to the larger, so
+    // every triangle is generated exactly once at its orientation-minimum
+    // vertex and the wedge join is bounded by Σ out-deg² — the
+    // arboricity-style bound that keeps the self-join sub-quadratic on
+    // skewed degree distributions (the reason production triangle counts
+    // survive power-law graphs). Wedges close via an equi-join back to
+    // the canonical (u<v) edge set; counts are orientation-invariant, so
+    // the oracle can count the naive a<b<c way.
+    "graph_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
+      val small = li.join(ok8.select("ok"), "ok")
+      val edges = small.select(col("ok"), col("pk").as("u"))
+        .join(small.select(col("ok").as("ok2"), col("pk").as("v")),
+          col("ok") === col("ok2") && col("u") < col("v"))
+        .select("u", "v").distinct()
+        .localCheckpoint()
+      val deg = edges.select(col("u").as("x")).unionByName(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+      val oriented = edges
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("u")).otherwise(col("v")).as("a"),
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("v")).otherwise(col("u")).as("b"))
+      val wedges = oriented.select(col("a"), col("b").as("n1"))
+        .join(oriented.select(col("a").as("a2"), col("b").as("n2")),
+          col("a") === col("a2") && col("n1") < col("n2"))
+        .select(col("a"),
+          least(col("n1"), col("n2")).as("u"), greatest(col("n1"), col("n2")).as("v"))
+      val tris = wedges.join(edges, Seq("u", "v"))
+      tris.select(col("a").as("part"))
+        .unionByName(tris.select(col("u").as("part")))
+        .unionByName(tris.select(col("v").as("part")))
+        .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("part")
+    }))
+
+  val oracles: Map[String, String] = {
+    // shared CTE prefix for pagerank: symmetrized edges + degrees + N
+    val prBase =
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT concat('s', sk) AS src, concat('p', pk) AS dst FROM e0
+        |  UNION ALL SELECT concat('p', pk), concat('s', sk) FROM e0
+        |),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg)""".stripMargin
+    val prIter = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         0.15 / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg) AS rank
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "graph_pagerank" ->
+        s"""$prBase,
+           |$prIter
+           |SELECT node, round(rank, 8) AS rank FROM r5 ORDER BY node""".stripMargin,
+      "graph_triangles" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |),
+          |t AS (
+          |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+          |),
+          |nodes AS (
+          |  SELECT a AS part FROM t
+          |  UNION ALL SELECT b FROM t
+          |  UNION ALL SELECT c FROM t
+          |)
+          |SELECT part, count(*) AS n_triangles FROM nodes GROUP BY part ORDER BY part""".stripMargin)
+  }
+}

@@ -467,6 +467,34 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // K4c — LSH tuning curve against observed pair mass (added r5): the
+    // capacity-planning readout a banded index is re-tuned FROM — per
+    // 0.05 similarity bucket, how many exact-Jaccard pairs the corpus
+    // holds and what fraction a (b=2 bands × r=4 rows) banding captures:
+    // p = 1−(1−s⁴)², expected misses = n·(1−p). At 100 TB re-banding is
+    // a full corpus re-shuffle, so (b,r) is chosen from this table, not
+    // by re-running dedup and diffing survivors. Pair mass comes from
+    // the same sparse shingle equi-join as llm_dedup_ngram
+    // (collision-bound, never doc-pairs²). Cross-engine determinism: the
+    // S-curve is pure *,− arithmetic on bucket/20 — bit-identical IEEE
+    // doubles in both engines — deliberately avoiding pow(), whose libm
+    // rounding differs by 1 ulp across runtimes.
+    "llm_lsh_curve" -> ((s, d) => {
+      val j = col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))
+      val bucketed = shingleInter(s, d)
+        .select(least(floor(j * 20).cast("int"), lit(19)).as("bucket"))
+      val sLo = col("bucket").cast("double") / lit(20.0)
+      val s4 = sLo * sLo * sLo * sLo
+      val miss1 = lit(1.0) - s4            // per-band miss probability
+      val p = lit(1.0) - miss1 * miss1     // capture with b=2 bands
+      bucketed.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("sim_lo", sLo)
+        .withColumn("p_capture", round(p, 6))
+        .withColumn("exp_missed", round(col("n_pairs") * (lit(1.0) - p), 3))
+        .select("bucket", "sim_lo", "n_pairs", "p_capture", "exp_missed")
+        .orderBy("bucket")
+    }),
+
     "llm_dedup_minhash" -> ((s, d) => {
       val bands = Dedup.bandKeys(tokensDistinct(s, d))
       val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
@@ -2182,6 +2210,35 @@ object Llm {
         |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |WHERE CAST(n_inter AS DOUBLE) / (na.nsh + nb.nsh - n_inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "llm_lsh_curve" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM (
+        |    SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 3
+        |  )
+        |),
+        |n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |j AS (
+        |  SELECT least(CAST(floor((CAST(n_inter AS DOUBLE)
+        |           / (na.nsh + nb.nsh - n_inter)) * 20) AS INTEGER), 19) AS bucket
+        |  FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |),
+        |g AS (SELECT bucket, count(*) AS n_pairs FROM j GROUP BY bucket),
+        |c AS (
+        |  SELECT bucket, n_pairs, s, 1 - (1 - s*s*s*s) * (1 - s*s*s*s) AS p
+        |  FROM (SELECT bucket, n_pairs, CAST(bucket AS DOUBLE) / 20 AS s FROM g)
+        |)
+        |SELECT bucket, s AS sim_lo, n_pairs, round(p, 6) AS p_capture,
+        |       round(n_pairs * (1 - p), 3) AS exp_missed
+        |FROM c ORDER BY bucket""".stripMargin,
     "llm_dedup_stopgram" ->
       """WITH sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM (

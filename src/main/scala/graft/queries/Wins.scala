@@ -549,6 +549,40 @@ object Wins {
           (col("run").cast("double") / col("tot")).as("cum_share"))
         .orderBy("event_id")
     }),
+
+    // E20 — classical additive seasonal decomposition (added r5): daily
+    // totals split into trend + weekly-seasonal + residual. Trend is the
+    // centered m=7 moving average (null where the window is short — the
+    // textbook edge handling); the seasonal index per weekday is the mean
+    // detrended value, zero-centered so the three components sum back to
+    // the observation; residual is what's left. This is the batch
+    // decomposition behind every "is Monday always like this?" capacity
+    // view. Scale shape: the groupBy collapses event-grain data to one
+    // row per day BEFORE any window runs, so the partition-less windows
+    // see a calendar-sized table (days, then 7 weekday rows) — the same
+    // rollup-first discipline as win_busy_hour; the event-grain scan is
+    // one map-side-combined aggregation. round(4): daily sums are
+    // float accumulations whose order differs across engines.
+    "win_seasonal_decompose" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum("value").as("v"))
+      val wMa = Window.orderBy("day").rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("trend", when(count(lit(1)).over(wMa) === 7, avg("v").over(wMa)))
+        .withColumn("dow", dayofweek(col("day")) - 1)
+      val sIdx = t.where(col("trend").isNotNull)
+        .groupBy("dow").agg(avg(col("v") - col("trend")).as("s_raw"))
+      val sAdj = sIdx
+        .crossJoin(broadcast(sIdx.agg(avg("s_raw").as("s_mean"))))
+        .select(col("dow"), (col("s_raw") - col("s_mean")).as("seas"))
+      t.join(broadcast(sAdj), Seq("dow"), "left")
+        .select(col("day"), round(col("v"), 4).as("value"),
+          round(col("trend"), 4).as("trend"),
+          round(col("seas"), 4).as("seasonal"),
+          round(col("v") - col("trend") - col("seas"), 4).as("residual"))
+        .orderBy("day")
+    }),
   )
 
   /** The win_holt_winters oracle's fold pieces (DuckDB 1-based list
@@ -966,5 +1000,26 @@ object Wins {
         |       CAST(yq AS DOUBLE) / tot AS share,
         |       CAST(run AS DOUBLE) / tot AS cum_share
         |FROM s ORDER BY event_id""".stripMargin,
+    "win_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, sum(value) AS v FROM events GROUP BY 1
+        |),
+        |t AS (
+        |  SELECT day, v,
+        |         CASE WHEN count(*) OVER w = 7 THEN avg(v) OVER w END AS trend,
+        |         date_part('dow', day) AS dow
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |),
+        |sidx AS (
+        |  SELECT dow, avg(v - trend) AS s_raw FROM t WHERE trend IS NOT NULL GROUP BY dow
+        |),
+        |sadj AS (
+        |  SELECT dow, s_raw - (SELECT avg(s_raw) FROM sidx) AS seas FROM sidx
+        |)
+        |SELECT t.day, round(t.v, 4) AS value, round(t.trend, 4) AS trend,
+        |       round(sadj.seas, 4) AS seasonal,
+        |       round(t.v - t.trend - sadj.seas, 4) AS residual
+        |FROM t LEFT JOIN sadj USING (dow) ORDER BY day""".stripMargin,
   )
 }

@@ -315,6 +315,27 @@ object Streams {
       }
       out.orderBy("user_id")
     }),
+
+    // I11 — streaming top-k (added r5): per tumbling hour, the 3 busiest
+    // event types. The STREAMING stage is the watermarked incremental
+    // count — state is one counter per (window, type), exactly what the
+    // state store holds at any scale; the rank is applied to the drained
+    // (already window-grain) aggregate, because a global rank inside a
+    // micro-batch pipeline would re-rank every window on every trigger —
+    // the separation every streaming leaderboard uses (aggregate hot,
+    // rank on read). Ties break on event_type for determinism.
+    "stream_topk" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val drained = drain(s, agg, "graft_stream_topk", OutputMode.Complete())
+        .select(col("window.start").as("bucket"), col("event_type"), col("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy(col("cnt").desc, col("event_type"))
+      drained.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .orderBy("bucket", "rk")
+    }),
   )
 
   /** Oracle SQL for the streaming keys: the batch-equivalent queries over
@@ -327,6 +348,19 @@ object Streams {
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
            |       count(*) AS cnt, round(sum(value), 4) AS sum_value
            |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+      "stream_topk" ->
+        s"""WITH c AS (
+           |  SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt
+           |  FROM $ev events GROUP BY 1, 2
+           |),
+           |r AS (
+           |  SELECT bucket, event_type, cnt,
+           |         CAST(row_number() OVER (PARTITION BY bucket
+           |                ORDER BY cnt DESC, event_type) AS INTEGER) AS rk
+           |  FROM c
+           |)
+           |SELECT bucket, event_type, cnt, rk FROM r WHERE rk <= 3
+           |ORDER BY bucket, rk""".stripMargin,
       "stream_zscore" ->
         s"""WITH l AS (
            |  SELECT event_id, user_id, value,

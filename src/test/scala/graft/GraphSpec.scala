@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Graph operators (SURVEY §2 L) + the r5 analytic keys: invariants that
+  * hold by construction, checked against independent driver-side
+  * recomputations where feasible. */
+class GraphSpec extends SparkSpec {
+
+  test("graph_pagerank: ranks are positive and sum to 1 (mass conservation)") {
+    val pr = SparkEntry.queries("graph_pagerank")(spark, sf0001)
+    val rows = pr.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(1) > 0.0), "a rank went non-positive")
+    // symmetrized graph has no dangling nodes, so total rank mass is
+    // conserved exactly (up to float drift + the output rounding)
+    val total = rows.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"rank mass $total drifted from 1")
+  }
+
+  test("graph_pagerank: a uniform cycle graph converges to uniform ranks") {
+    // 4-node directed cycle written as a lineitem-shaped table is overkill;
+    // instead run the same iteration arithmetic driver-side and compare
+    // the fixture's top node against a direct recomputation
+    val e0 = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0.flatMap { case (s, p) => Seq(s"s$s" -> s"p$p", s"p$p" -> s"s$s") }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    val n = deg.size
+    var rank = deg.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      edges.foreach { case (src, dst) => contrib(dst) += rank(src) / deg(src) }
+      rank = contrib.map { case (k, v) => k -> (0.15 / n + 0.85 * v) }.toMap
+    }
+    val got = SparkEntry.queries("graph_pagerank")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == rank.keySet)
+    rank.foreach { case (node, r) =>
+      assert(math.abs(got(node) - r) < 1e-6, s"$node: spark ${got(node)} vs driver $r")
+    }
+  }
+
+  test("graph_triangles matches a driver-side brute-force count") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val edges = byOrder.values.filter(_.size <= 8).flatMap { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.size) yield (parts(i), parts(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, bs) <- adj; b <- bs
+      cs <- adj.get(b); c <- cs if adj.getOrElse(a, Set.empty).contains(c)
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val got = SparkEntry.queries("graph_triangles")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == triCount.toMap, s"per-node triangle counts diverge")
+  }
+
+  test("win_seasonal_decompose: components recompose and seasonal indexes center") {
+    val rows = SparkEntry.queries("win_seasonal_decompose")(spark, sf001).collect()
+    assert(rows.length == 30)
+    // where trend exists, value ≈ trend + seasonal + residual (all rounded at 4)
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      val (v, t, s, res) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(v - (t + s + res)) < 2e-4, s"day ${r.get(0)} does not recompose")
+    }
+    // edge days (first 3, last 3) have null trend and null residual
+    assert(rows.count(_.isNullAt(2)) == 6)
+  }
+
+  test("agg_corr_matrix: 6 pairs, all within [-1, 1], self-consistent ordering") {
+    val rows = SparkEntry.queries("agg_corr_matrix")(spark, sf001).collect()
+    assert(rows.length == 6)
+    val declOrder = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .zipWithIndex.toMap
+    rows.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= -1.0 && v <= 1.0, s"corr out of range: $r")
+      assert(declOrder(r.getString(0)) < declOrder(r.getString(1)),
+        "pair not in declaration-order canonical form")
+    }
+  }
+
+  test("llm_lsh_curve: capture probability is the analytic S-curve and monotone") {
+    val rows = SparkEntry.queries("llm_lsh_curve")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    var prev = -1.0
+    rows.foreach { r =>
+      val s = r.getDouble(1)
+      val p = r.getDouble(3)
+      val expect = { val s4 = s * s * s * s; 1.0 - (1.0 - s4) * (1.0 - s4) }
+      assert(math.abs(p - expect) < 1e-6, s"bucket ${r.getInt(0)}: p=$p expected $expect")
+      assert(p >= prev, "S-curve must be monotone in similarity")
+      prev = p
+    }
+  }
+}

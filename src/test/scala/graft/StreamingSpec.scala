@@ -336,6 +336,33 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream_topk keeps at most 3 types per window, rank-consistent with batch counts") {
+    val rows = graft.streaming.Streams.queries("stream_topk")(spark, sf0001).collect()
+    val perBucket = rows.groupBy(_.get(0))
+    assert(perBucket.nonEmpty)
+    perBucket.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val ranked = rs.sortBy(_.getInt(3))
+      assert(ranked.map(_.getInt(3)).toSeq == (1 to rs.length), "ranks not dense from 1")
+      // counts non-increasing with rank; ties broken by event_type ascending
+      ranked.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(2) > b.getLong(2)
+            || (a.getLong(2) == b.getLong(2) && a.getString(1) < b.getString(1)))
+        case _ =>
+      }
+    }
+    // the rank-1 row per bucket is the true argmax of the batch counts
+    val batchTop = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().groupBy(_.get(0))
+      .map { case (b, rs) => b -> rs.map(r => (-r.getLong(2), r.getString(1))).min._2 }
+    perBucket.foreach { case (b, rs) =>
+      assert(rs.find(_.getInt(3) == 1).get.getString(1) == batchTop(b))
+    }
+  }
+
   test("session windows match the batch islands formulation") {
     val stream = graft.streaming.Streams.queries("stream_session")(spark, sf0001)
       .agg(count(lit(1)), sum("n_events")).collect().head
