@@ -40,7 +40,13 @@ object ScaleFull {
 
     def timeAll(dir: String): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val reps = if (name.startsWith("stream_")) 3 else 1
+        // batch keys: 2 reps, keep the WARM one (min) — the r4 run's
+        // single cold rep charged first-touch page-cache misses of the
+        // just-written 10× parquet to sub-second keys and reported e.g.
+        // set_intersect at 17.5× where the warm factor is ~7× (r5 probe);
+        // streaming keys keep median-of-3 (micro-batch machinery noise
+        // is symmetric, not monotone-warming)
+        val reps = if (name.startsWith("stream_")) 3 else 2
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           // foreach, NOT count: count() lets Catalyst prune unused
@@ -54,7 +60,7 @@ object ScaleFull {
             println(s"[scalefull] $name FAILED at $dir: ${e.getMessage}") }
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        val t = times(times.size / 2)
+        val t = if (name.startsWith("stream_")) times(times.size / 2) else times.head
         println(f"[scalefull] ${new java.io.File(dir).getName}%-18s $name%-28s $t%.2f s")
         name -> t
       }.toMap
@@ -70,7 +76,7 @@ object ScaleFull {
     }.mkString(",\n")
     val json =
       s"""{
-         |  "_method": "clean 10x derived corpus vs sf0.1, same session, Bench reps (1 batch / median-3 streaming)",
+         |  "_method": "clean 10x derived corpus vs sf0.1, same session; batch keys warm (min-of-2), streaming median-of-3",
          |  "_data_growth": 10.0,
          |  "_keys": ${keys.size},
          |  "_total_sf01_sec": ${f(base.values.sum)},
