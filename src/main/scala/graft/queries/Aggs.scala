@@ -705,6 +705,30 @@ object Aggs {
           ") AS (col_a, col_b, r)")
         .orderBy("col_a", "col_b")
     }),
+
+    // D34 — differentially-private count release (added r5): per-group
+    // counts with Laplace(1/ε) noise at ε=1, the mechanism behind every
+    // privacy-bounded aggregate release. The noise is DERIVED
+    // DETERMINISTICALLY from the group key (md5 → uniform in (0,1) →
+    // inverse-CDF Laplace): a re-run or a retried partition releases the
+    // SAME noisy value — at 100 TB, nondeterministic noise regenerated
+    // per task retry silently burns privacy budget (each retry is a
+    // fresh release) and breaks replay testing; keyed noise is the
+    // idempotent form (rotate an epoch salt into the hash to re-release).
+    // The true count is included here ONLY for oracle checking — a
+    // production release ships the noisy column alone. ln() differs by
+    // ≤1 ulp across libm implementations; round(4) absorbs it.
+    "agg_dp_counts" -> ((s, d) => {
+      val h = conv(substring(md5(col("event_type")), 1, 8), 16, 10).cast("double")
+      val u = (h + lit(0.5)) / lit(4294967296.0)
+      val v = u - lit(0.5)
+      val noise = -signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
+      Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .withColumn("noisy_n", round(col("n") + noise, 4))
+        .select("event_type", "n", "noisy_n")
+        .orderBy("event_type")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -1139,5 +1163,16 @@ object Aggs {
         |  UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c_et, 6) FROM c
         |  UNION ALL SELECT 'l_discount', 'l_tax', round(c_dt, 6) FROM c
         |) ORDER BY col_a, col_b""".stripMargin,
+    "agg_dp_counts" ->
+      """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |x AS (
+        |  SELECT event_type, n,
+        |         (CAST(concat('0x', substring(md5(event_type), 1, 8)) AS BIGINT) + 0.5)
+        |           / 4294967296.0 - 0.5 AS v
+        |  FROM g
+        |)
+        |SELECT event_type, n,
+        |       round(n + (-sign(v) * ln(1.0 - 2.0 * abs(v))), 4) AS noisy_n
+        |FROM x ORDER BY event_type""".stripMargin,
   )
 }

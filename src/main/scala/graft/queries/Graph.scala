@@ -105,6 +105,40 @@ object Graph {
         .unionByName(tris.select(col("v").as("part")))
         .groupBy("part").agg(count(lit(1)).as("n_triangles"))
         .orderBy("part")
+    }),
+
+    // L3 — common-neighbor link prediction (added r5): the 100 strongest
+    // NOT-YET-ADJACENT part pairs by shared co-purchase neighbors — the
+    // classic "customers who bought these also bought" candidate
+    // generator. Wedge centers are capped at degree ≤ 64 before the
+    // self-join: a hub center contributes deg² wedges while carrying
+    // almost no signal per pair (every production link predictor prunes
+    // or downweights hubs — Adamic-Adar's 1/log(deg) is the soft version;
+    // the cap is the hard one, and it bounds wedge volume at
+    // Σ min(deg,64)² instead of Σ deg² under power-law skew). Candidate
+    // pairs anti-join the edge set (predict NEW links only); exact
+    // integer counts, total-order tie-break, so the top-100 is
+    // deterministic.
+    "graph_common_neighbors" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
+      val small = li.join(ok8.select("ok"), "ok")
+      val edges = small.select(col("ok"), col("pk").as("u"))
+        .join(small.select(col("ok").as("ok2"), col("pk").as("v")),
+          col("ok") === col("ok2") && col("u") < col("v"))
+        .select("u", "v").distinct()
+        .localCheckpoint()
+      val sym = edges.select(col("u").as("w"), col("v").as("x"))
+        .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
+      val deg = sym.groupBy("w").agg(count(lit(1)).as("dg"))
+      val centers = sym.join(deg.where(col("dg") <= 64).select("w"), "w")
+      val wedges = centers.select(col("w"), col("x").as("u"))
+        .join(centers.select(col("w").as("w2"), col("x").as("v")),
+          col("w") === col("w2") && col("u") < col("v"))
+      wedges.groupBy("u", "v").agg(count(lit(1)).as("common"))
+        .join(edges, Seq("u", "v"), "left_anti")
+        .orderBy(col("common").desc, col("u"), col("v")).limit(100)
     }))
 
   val oracles: Map[String, String] = {
@@ -149,6 +183,25 @@ object Graph {
           |  UNION ALL SELECT b FROM t
           |  UNION ALL SELECT c FROM t
           |)
-          |SELECT part, count(*) AS n_triangles FROM nodes GROUP BY part ORDER BY part""".stripMargin)
+          |SELECT part, count(*) AS n_triangles FROM nodes GROUP BY part ORDER BY part""".stripMargin,
+      "graph_common_neighbors" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |),
+          |sym AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT w, count(*) AS dg FROM sym GROUP BY w),
+          |c AS (SELECT s.w, s.x FROM sym s JOIN deg d ON s.w = d.w AND d.dg <= 64),
+          |wedge AS (
+          |  SELECT a.w, a.x AS u, b.x AS v FROM c a JOIN c b ON a.w = b.w AND a.x < b.x
+          |),
+          |cn AS (SELECT u, v, count(*) AS common FROM wedge GROUP BY u, v)
+          |SELECT cn.u, cn.v, cn.common
+          |FROM cn LEFT JOIN e ON cn.u = e.u AND cn.v = e.v
+          |WHERE e.u IS NULL
+          |ORDER BY common DESC, cn.u, cn.v LIMIT 100""".stripMargin)
   }
 }

@@ -944,6 +944,27 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K5d' — BPE first-merge statistics (added r5): frequency-weighted
+    // adjacent character-pair counts over the word-frequency table — the
+    // argmax of this table IS the first merge a BPE tokenizer trainer
+    // performs, and the full ranked table is the merge frontier. The
+    // scale shape matters: counting runs over the DISTINCT-WORD table
+    // weighted by frequency (vocabulary-sized, sublinear in corpus),
+    // never over raw text (corpus-sized) — the standard trick that makes
+    // tokenizer training on a 100 TB corpus an aggregation problem
+    // (corpus → word counts once; every merge iteration then touches
+    // only the vocabulary). Top-50 by exact integer weight,
+    // total-order tie-break on the pair string.
+    "llm_bpe_pairs" -> ((s, d) => {
+      val wf = tokensAll(s, d).groupBy("token").agg(count(lit(1)).as("freq"))
+        .where(length(col("token")) >= 2)
+      wf.select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("token")) - 1),
+          i => col("token").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(50)
+    }),
+
     // K5e — document fingerprint: rolling 3-token shingles, md5 each, keep
     // the lexicographic minimum (winnowing-style min-sampling; two docs
     // sharing content share fingerprints). Docs shorter than 3 tokens get a
@@ -2634,6 +2655,19 @@ object Llm {
         |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
         |       CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        |  FROM documents
+        |),
+        |wf AS (SELECT token, count(*) AS freq FROM w GROUP BY token HAVING len(token) >= 2),
+        |p AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(token)),
+        |    i -> substring(token, i, 2))) AS pair
+        |  FROM wf
+        |)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "llm_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

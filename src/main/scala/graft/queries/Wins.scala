@@ -583,6 +583,37 @@ object Wins {
           round(col("v") - col("trend") - col("seas"), 4).as("residual"))
         .orderBy("day")
     }),
+
+    // E21 — last-touch attribution (added r5): each purchase credits the
+    // most recent prior click/view by the same user within a 24 h
+    // lookback — the marketing-attribution shape (and Minerva's
+    // notification-to-cause pattern). One pass: an IGNORE-NULLS
+    // carry-forward window streams the latest touch alongside every
+    // event (three aligned carries — id/type/ts — null together, so no
+    // struct is needed), purchases filter AFTER the carry, and the
+    // lookback caps the credited window. No join: the window is
+    // per-user, sorted once, linear at any scale. Gap seconds are exact
+    // integer µs differences divided by 1e6 — bit-identical IEEE in
+    // both engines. Touches outside the lookback null out rather than
+    // dropping the purchase (unattributed conversions are a number
+    // every funnel report needs).
+    "win_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("click", "view")
+      val withTouch = Tables.events(s, d)
+        .withColumn("t_id", last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("t_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("t_us", last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      val gapUs = unix_micros(col("ts")) - col("t_us")
+      val within = col("t_us").isNotNull && gapUs <= 86400000000L
+      withTouch.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(within, col("t_id")).as("touch_id"),
+          when(within, col("t_type")).as("touch_type"),
+          when(within, gapUs.cast("double") / lit(1e6)).as("gap_sec"))
+        .orderBy("event_id")
+    }),
   )
 
   /** The win_holt_winters oracle's fold pieces (DuckDB 1-based list
@@ -1021,5 +1052,25 @@ object Wins {
         |       round(sadj.seas, 4) AS seasonal,
         |       round(t.v - t.trend - sadj.seas, 4) AS residual
         |FROM t LEFT JOIN sadj USING (dow) ORDER BY day""".stripMargin,
+    "win_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |c AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         last_value(CASE WHEN event_type IN ('click','view') THEN event_id END
+        |                    IGNORE NULLS) OVER wp AS t_id,
+        |         last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+        |                    IGNORE NULLS) OVER wp AS t_type,
+        |         last_value(CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END
+        |                    IGNORE NULLS) OVER wp AS t_us
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id,
+        |       CASE WHEN t_us IS NOT NULL AND epoch_us(ts) - t_us <= 86400000000 THEN t_id END AS touch_id,
+        |       CASE WHEN t_us IS NOT NULL AND epoch_us(ts) - t_us <= 86400000000 THEN t_type END AS touch_type,
+        |       CASE WHEN t_us IS NOT NULL AND epoch_us(ts) - t_us <= 86400000000
+        |            THEN CAST(epoch_us(ts) - t_us AS DOUBLE) / 1000000.0 END AS gap_sec
+        |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
   )
 }

@@ -61,6 +61,33 @@ class GraphSpec extends SparkSpec {
     assert(got == triCount.toMap, s"per-node triangle counts diverge")
   }
 
+  test("graph_common_neighbors matches driver brute force and excludes existing edges") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val edges = byOrder.values.filter(_.size <= 8).flatMap { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.size) yield (parts(i), parts(j))
+    }.toSet
+    val neighbors = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    neighbors.foreach { case (w, ns) =>
+      if (ns.size <= 64) {
+        val sorted = ns.toSeq.sorted
+        for (i <- sorted.indices; j <- i + 1 until sorted.size)
+          counts((sorted(i), sorted(j))) += 1
+      }
+    }
+    val nonEdge = counts.filter { case (p, _) => !edges.contains(p) }
+    val expectTop = nonEdge.toSeq
+      .sortBy { case ((u, v), c) => (-c, u, v) }.take(100)
+      .map { case ((u, v), c) => (u, v, c) }
+    val got = SparkEntry.queries("graph_common_neighbors")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expectTop)
+  }
+
   test("win_seasonal_decompose: components recompose and seasonal indexes center") {
     val rows = SparkEntry.queries("win_seasonal_decompose")(spark, sf001).collect()
     assert(rows.length == 30)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 business/pipeline keys: last-touch attribution, deterministic
+  * DP count release, and BPE merge-pair statistics — each checked against
+  * an independent driver-side recomputation. */
+class MiscOpsSpec extends SparkSpec {
+
+  test("win_attribution matches a driver-side last-touch recomputation") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._1)).toSeq
+      var lastTouch: Option[(Long, Long, String)] = None // (id, us, type)
+      ordered.flatMap { case (id, _, us, tpe) =>
+        val out = if (tpe == "purchase") {
+          lastTouch match {
+            case Some((tId, tUs, tType)) if us - tUs <= 86400000000L =>
+              Some((id, Some(tId), Some(tType), Some((us - tUs).toDouble / 1e6)))
+            case _ => Some((id, None, None, None))
+          }
+        } else None
+        if (tpe == "click" || tpe == "view") lastTouch = Some((id, us, tpe))
+        out
+      }
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("win_attribution")(spark, sf0001)
+      .collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getString(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      }.toSeq
+    assert(got == expect)
+    // at least one attributed and (ideally) one unattributed conversion
+    assert(got.exists(_._2.isDefined), "no attributed purchase in fixture")
+  }
+
+  test("agg_dp_counts: noise matches the driver-side inverse-CDF Laplace exactly") {
+    val got = SparkEntry.queries("agg_dp_counts")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 5)
+    got.foreach { case (tpe, n, noisy) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tpe.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.substring(0, 8), 16).toDouble
+      val v = (h + 0.5) / 4294967296.0 - 0.5
+      val noise = -math.signum(v) * math.log(1.0 - 2.0 * math.abs(v))
+      val expect = BigDecimal(n + noise)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(noisy - expect) < 1e-9, s"$tpe: $noisy vs $expect")
+    }
+    // determinism: a second run releases the identical values
+    val again = SparkEntry.queries("agg_dp_counts")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("llm_bpe_pairs matches a driver-side weighted bigram count") {
+    val words = Tables.documents(spark, sf0001)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val wf = words.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._1.length >= 2)
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    wf.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach(i => pairCounts(w.substring(i, i + 2)) += f)
+    }
+    val expect = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    val got = SparkEntry.queries("llm_bpe_pairs")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+}
