@@ -561,8 +561,13 @@ object Wins {
     // row per day BEFORE any window runs, so the partition-less windows
     // see a calendar-sized table (days, then 7 weekday rows) — the same
     // rollup-first discipline as win_busy_hour; the event-grain scan is
-    // one map-side-combined aggregation. round(4): daily sums are
-    // float accumulations whose order differs across engines.
+    // one map-side-combined aggregation, and the day-grain result is
+    // localCheckpoint'd (calendar-sized, trivially cached) because three
+    // consumers read it (seasonal index, index centering, final join) —
+    // without the checkpoint the unrolled plan re-scans the event table
+    // once per consumer, which at 100 TB is 2 wasted full-corpus reads.
+    // round(4): daily sums are float accumulations whose order differs
+    // across engines.
     "win_seasonal_decompose" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
@@ -571,6 +576,7 @@ object Wins {
       val t = daily
         .withColumn("trend", when(count(lit(1)).over(wMa) === 7, avg("v").over(wMa)))
         .withColumn("dow", dayofweek(col("day")) - 1)
+        .localCheckpoint()
       val sIdx = t.where(col("trend").isNotNull)
         .groupBy("dow").agg(avg(col("v") - col("trend")).as("s_raw"))
       val sAdj = sIdx

@@ -46,12 +46,19 @@ object PlanScan {
         // ONE-ROW aggregate (the scalar-reference idiom — Catalyst folds a
         // constant-key equi-join back to a cross join, so this shape
         // cannot be expressed as a hash join)
-        val scalarBnlOk = Set("agg_decay_score")
+        val scalarBnlOk = Set("agg_decay_score", "win_seasonal_decompose")
         val marks = Seq(
           if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
           if (bnl > 0 && !name.startsWith("llm_") && !scalarBnlOk.contains(name))
             s"BNL=$bnl" else "",
-          if (!plan.contains("PushedFilters") && plan.contains("Filter")) "NO_PUSHDOWN" else ""
+          // Pushdown is only checkable where a file scan exists: parquet
+          // FileScans always print a PushedFilters list (even when empty),
+          // so a plan with Filters but no PushedFilters string is a
+          // checkpointed-RDD plan whose filters are post-aggregation
+          // (degree caps, trend non-null) with no scan to push into —
+          // not a pushdown failure.
+          if (plan.contains("FileScan") && !plan.contains("PushedFilters") &&
+            plan.contains("Filter")) "NO_PUSHDOWN" else ""
         ).filter(_.nonEmpty)
         if (marks.nonEmpty) flags += 1
         println(f"[plan] $name%-22s exchanges=${n("Exchange")}%-2d bhj=${n("BroadcastHashJoin")}%-2d " +
