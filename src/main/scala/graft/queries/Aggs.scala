@@ -729,6 +729,26 @@ object Aggs {
         .select("event_type", "n", "noisy_n")
         .orderBy("event_type")
     }),
+
+    // D35 — Apdex satisfaction score (added r5): the standard SLA rollup
+    // (Apdex spec: satisfied ≤ T, tolerating ≤ 4T, score =
+    // (satisfied + tolerating/2) / n) per event type, T = 1.0 on the
+    // value column as latency-seconds. One conditional-sum scan — the
+    // same single-pass shape as agg_dq_checks; counts leave executors as
+    // three longs per group. The score is computed as ONE IEEE divide of
+    // exact integers (2·sat + tol) / (2·n) — never sat/n + tol/2/n,
+    // whose two-rounding result can differ in the last ulp.
+    "agg_apdex" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("value") <= 1.0).as("satisfied"),
+          count_if(col("value") > 1.0 && col("value") <= 4.0).as("tolerating"))
+        .withColumn("apdex",
+          (lit(2) * col("satisfied") + col("tolerating")).cast("double") /
+            (lit(2) * col("n")).cast("double"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -1174,5 +1194,14 @@ object Aggs {
         |SELECT event_type, n,
         |       round(n + (-sign(v) * ln(1.0 - 2.0 * abs(v))), 4) AS noisy_n
         |FROM x ORDER BY event_type""".stripMargin,
+    "agg_apdex" ->
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(count(*) FILTER (WHERE value <= 1.0) AS BIGINT) AS satisfied,
+        |       CAST(count(*) FILTER (WHERE value > 1.0 AND value <= 4.0) AS BIGINT) AS tolerating,
+        |       CAST(2 * count(*) FILTER (WHERE value <= 1.0)
+        |            + count(*) FILTER (WHERE value > 1.0 AND value <= 4.0) AS DOUBLE)
+        |         / CAST(2 * count(*) AS DOUBLE) AS apdex
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -139,6 +139,72 @@ object Graph {
       wedges.groupBy("u", "v").agg(count(lit(1)).as("common"))
         .join(edges, Seq("u", "v"), "left_anti")
         .orderBy(col("common").desc, col("u"), col("v")).limit(100)
+    }),
+
+    // L4 — Adamic–Adar link prediction (added r5): the soft-downweight
+    // twin of `graph_common_neighbors` — each shared neighbor w
+    // contributes 1/ln(deg(w)) instead of 1, so promiscuous hubs count
+    // for little and rare co-purchases count for a lot (Adamic & Adar
+    // 2003, the standard production link-prediction score). Determinism
+    // at hash-match strictness: the per-center weight is quantized ONCE
+    // to integer nano-units ⌊1e9/ln(deg)⌋ and summed as exact longs —
+    // a float Σ 1/ln(deg) would depend on partition reduce order, and
+    // cross-engine ln() drift (≤1 ulp) is absorbed by the floor except
+    // on exact integer boundaries (probability ~1e-9 per distinct
+    // degree). Same deg ≤ 64 wedge cap (hard) on top of AA's soft one;
+    // every wedge center has deg ≥ 2 so ln(deg) > 0.
+    "graph_adamic_adar" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
+      val small = li.join(ok8.select("ok"), "ok")
+      val edges = small.select(col("ok"), col("pk").as("u"))
+        .join(small.select(col("ok").as("ok2"), col("pk").as("v")),
+          col("ok") === col("ok2") && col("u") < col("v"))
+        .select("u", "v").distinct()
+        .localCheckpoint()
+      val sym = edges.select(col("u").as("w"), col("v").as("x"))
+        .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
+      val deg = sym.groupBy("w").agg(count(lit(1)).as("dg"))
+      val centers = sym.join(deg.where(col("dg") <= 64), "w")
+        .withColumn("aa_units", floor(lit(1e9) / log(col("dg").cast("double"))).cast("long"))
+      val wedges = centers.select(col("w"), col("x").as("u"), col("aa_units"))
+        .join(centers.select(col("w").as("w2"), col("x").as("v")),
+          col("w") === col("w2") && col("u") < col("v"))
+      wedges.groupBy("u", "v").agg(sum("aa_units").as("aa_score_units"))
+        .join(edges, Seq("u", "v"), "left_anti")
+        .orderBy(col("aa_score_units").desc, col("u"), col("v")).limit(100)
+    }),
+
+    // L5 — connected components (added r5): component label (= minimum
+    // member part id) for every part in the warehouse, over the SUPPORTED
+    // co-purchase graph — an edge requires ≥ 2 distinct shared orders, so
+    // one coincidental basket doesn't merge two product families (support
+    // thresholding is also what keeps the random-basket giant component
+    // from swallowing the graph; the support-1 graph at any real scale is
+    // one blob, and a component label over a blob is signal-free). Labels
+    // via `Dedup.clustersPointerJump` — the SAME O(log diameter)
+    // pointer-doubling primitive the dedup-cluster family runs, reused
+    // across domains (checkpoint-per-round + immediate reclamation, gated
+    // broadcast under 5M nodes). Parts outside every supported edge are
+    // their own singleton component via the left-join coalesce.
+    "graph_cc" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
+      val small = li.join(ok8.select("ok"), "ok")
+      val supported = small.select(col("ok"), col("pk").as("u"))
+        .join(small.select(col("ok").as("ok2"), col("pk").as("v")),
+          col("ok") === col("ok2") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+      val labels = Dedup.clustersPointerJump(
+        supported.select(col("u").as("a_id"), col("v").as("b_id")))
+      Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct()
+        .join(labels.withColumnRenamed("id", "part"), Seq("part"), "left")
+        .select(col("part"),
+          coalesce(col("cluster_id"), col("part")).as("component"))
+        .orderBy("part")
     }))
 
   val oracles: Map[String, String] = {
@@ -202,6 +268,50 @@ object Graph {
           |SELECT cn.u, cn.v, cn.common
           |FROM cn LEFT JOIN e ON cn.u = e.u AND cn.v = e.v
           |WHERE e.u IS NULL
-          |ORDER BY common DESC, cn.u, cn.v LIMIT 100""".stripMargin)
+          |ORDER BY common DESC, cn.u, cn.v LIMIT 100""".stripMargin,
+      "graph_adamic_adar" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |),
+          |sym AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT w, count(*) AS dg FROM sym GROUP BY w),
+          |c AS (
+          |  SELECT s.w, s.x, CAST(floor(1e9 / ln(CAST(d.dg AS DOUBLE))) AS BIGINT) AS aa_units
+          |  FROM sym s JOIN deg d ON s.w = d.w AND d.dg <= 64
+          |),
+          |wedge AS (
+          |  SELECT a.w, a.x AS u, b.x AS v, a.aa_units
+          |  FROM c a JOIN c b ON a.w = b.w AND a.x < b.x
+          |),
+          |aa AS (SELECT u, v, CAST(sum(aa_units) AS BIGINT) AS aa_score_units
+          |       FROM wedge GROUP BY u, v)
+          |SELECT aa.u, aa.v, aa.aa_score_units
+          |FROM aa LEFT JOIN e ON aa.u = e.u AND aa.v = e.v
+          |WHERE e.u IS NULL
+          |ORDER BY aa_score_units DESC, aa.u, aa.v LIMIT 100""".stripMargin,
+      "graph_cc" ->
+        """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |sup AS (
+          |  SELECT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |),
+          |edges AS (SELECT u, v FROM sup UNION SELECT v, u FROM sup),
+          |reach AS (
+          |  SELECT u AS id, u AS r FROM edges
+          |  UNION
+          |  SELECT rc.id, e.v FROM reach rc JOIN edges e ON e.u = rc.r
+          |),
+          |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+          |parts AS (SELECT DISTINCT l_partkey AS part FROM lineitem)
+          |SELECT p.part, coalesce(c.component, p.part) AS component
+          |FROM parts p LEFT JOIN comp c ON c.id = p.part
+          |ORDER BY p.part""".stripMargin)
   }
 }

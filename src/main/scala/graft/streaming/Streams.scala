@@ -336,6 +336,32 @@ object Streams {
       drained.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
         .orderBy("bucket", "rk")
     }),
+
+    // I12 — streaming last-touch attribution (added r5): the ONLINE form
+    // of `win_attribution` — per user, keyed state holds only the latest
+    // qualifying touch (click/view id, µs, type), and each purchase is
+    // credited against it within the 24 h lookback AT ARRIVAL TIME. The
+    // batch key re-sorts history per run; this one answers continuously
+    // with O(1) state per user — exactly what an attribution service
+    // holds at 100 TB/day event volume. Same fold arithmetic as the
+    // batch twin (exact integer µs gap, one IEEE divide), so the drained
+    // replay hash-matches the batch oracle.
+    "stream_attribution" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val attributed = typed
+        .groupByKey(_._3)
+        .transformWithState(new AttributionProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = withRocksDb(s) {
+        drain(s, attributed.toDF("event_id", "user_id", "touch_id", "touch_type", "gap_sec"),
+          "graft_stream_attribution", OutputMode.Append())
+      }
+      out.orderBy("event_id")
+    }),
   )
 
   /** Oracle SQL for the streaming keys: the batch-equivalent queries over
@@ -469,6 +495,10 @@ object Streams {
            |  FROM $ev events
            |)
            |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      // The streaming replay converges to the batch computation exactly
+      // (same fold arithmetic, same ordering), so it shares the batch
+      // twin's oracle verbatim.
+      "stream_attribution" -> graft.queries.Wins.oracles("win_attribution"),
     )
   }
 }
@@ -709,6 +739,66 @@ class WelfordProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
         if (state.exists()) state.get() else (0.0, 0.0, 0.0), sorted)
       state.update(st)
       out.iterator
+    }
+  }
+}
+
+/** Keyed state for `stream_attribution`: the latest qualifying touch
+  * (event_id, µs, type) per user — last-touch attribution needs nothing
+  * else, which is why its online form is O(1) state per key. A purchase is
+  * credited against the CURRENT state (within the 24 h lookback) before
+  * any same-batch touch reordering could overtake it — rows are folded in
+  * (ts, event_id) order, matching the batch window's frame exactly.
+  *
+  * The pure fold is the single source of truth for the arithmetic (exact
+  * integer µs gap, one IEEE divide to seconds), shared by the processor
+  * and the spec's driver-side replay. */
+object AttributionState {
+  private final val LookbackUs = 86400000000L
+
+  /** rows: (event_id, ts_us, event_type) sorted by (ts_us, event_id).
+    * Returns (new state, one output row per purchase). */
+  def fold(st0: Option[(Long, Long, String)], sorted: Seq[(Long, Long, String)])
+      : (Option[(Long, Long, String)],
+         Seq[(Long, Option[Long], Option[String], Option[Double])]) = {
+    var touch = st0
+    val out = Seq.newBuilder[(Long, Option[Long], Option[String], Option[Double])]
+    sorted.foreach { case (id, us, tpe) =>
+      if (tpe == "purchase") {
+        touch match {
+          case Some((tId, tUs, tType)) if us - tUs <= LookbackUs =>
+            out += ((id, Some(tId), Some(tType), Some((us - tUs).toDouble / 1e6)))
+          case _ =>
+            out += ((id, None, None, None))
+        }
+      }
+      if (tpe == "click" || tpe == "view") touch = Some((id, us, tpe))
+    }
+    (touch, out.result())
+  }
+}
+
+class AttributionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, String), (Long, Long, Option[Long], Option[String], Option[Double])] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Long, String)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Long, Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
+    state = getHandle.getValueState[(Long, Long, String)]("touch", enc, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Option[Long], Option[String], Option[Double])] = {
+    // rows: (event_id, ts_us, user_id, event_type) for one user
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1)).map(r => (r._1, r._2, r._4))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (st, out) = AttributionState.fold(
+        if (state.exists()) Some(state.get()) else None, sorted)
+      st.foreach(state.update)
+      out.iterator.map(o => (o._1, key, o._2, o._3, o._4))
     }
   }
 }

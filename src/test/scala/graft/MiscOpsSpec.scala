@@ -74,4 +74,24 @@ class MiscOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == expect)
   }
+
+  test("agg_apdex matches a driver-side recomputation, one-divide exact") {
+    val events = Tables.events(spark, sf001)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expect = events.groupBy(_._1).view.mapValues { vs =>
+      val n = vs.length.toLong
+      val sat = vs.count(_._2 <= 1.0).toLong
+      val tol = vs.count(v => v._2 > 1.0 && v._2 <= 4.0).toLong
+      // the key's contract: ONE IEEE divide of exact integers
+      (n, sat, tol, (2L * sat + tol).toDouble / (2L * n).toDouble)
+    }.toMap
+    val got = SparkEntry.queries("agg_apdex")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expect)
+    got.values.foreach { case (_, _, _, score) =>
+      assert(score >= 0.0 && score <= 1.0, "apdex out of [0,1]")
+    }
+  }
 }

@@ -363,6 +363,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_attribution equals the batch win_attribution on sf0.001") {
+    val stream = graft.streaming.Streams.queries("stream_attribution")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("win_attribution")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch, "online last-touch attribution diverged from the batch window")
+  }
+
+  test("attribution touch state carries across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.streaming.TimeMode
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch 1: a click; batch 2: a purchase 1h later (attributed to the
+      // carried touch) + a purchase 25h later by another user whose only
+      // touch is out of lookback (unattributed, not dropped)
+      val in = MemoryStream[(Long, Long, Long, String)]
+      val q = in.toDS().groupByKey(_._3)
+        .transformWithState(new graft.streaming.AttributionProcessor(),
+          TimeMode.None(), OutputMode.Append())
+        .toDF("event_id", "user_id", "touch_id", "touch_type", "gap_sec")
+        .writeStream.format("memory").queryName("attr_carry")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmpDir("ckpt_attr_carry")).start()
+      in.addData((1L, 0L, 1L, "click"), (10L, 0L, 2L, "view"))
+      q.processAllAvailable()
+      in.addData((2L, 3600000000L, 1L, "purchase"),
+        (11L, 90000000000L, 2L, "purchase"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("attr_carry").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).sortBy(_._1).toSeq
+      assert(rows == Seq(
+        (2L, Some(1L), Some(3600.0)),
+        (11L, None, None)), s"got $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session windows match the batch islands formulation") {
     val stream = graft.streaming.Streams.queries("stream_session")(spark, sf0001)
       .agg(count(lit(1)), sum("n_events")).collect().head
