@@ -620,6 +620,37 @@ object Wins {
           when(within, gapUs.cast("double") / lit(1e6)).as("gap_sec"))
         .orderBy("event_id")
     }),
+
+    // E27 — RSI(14) (added r5): the relative-strength index in its
+    // simple-average form — per entity, the last 14 deltas split into
+    // gains and losses, RSI = 100·ΣG/(ΣG+ΣL). The algebraic identity
+    // 100 − 100/(1+RS) = 100·ΣG/(ΣG+ΣL) removes a division and, more
+    // importantly for hash-match determinism, reduces the readout to ONE
+    // multiply + ONE divide of exact integers: deltas are µ-unit longs,
+    // gain/loss sums are integer window sums (order-free), so no float
+    // accumulates across the frame. Null until a full 14-delta frame
+    // exists, null when the frame is flat (ΣG+ΣL = 0, the 0/0 case both
+    // engines would disagree on). The gain/loss split is CASE-based, not
+    // greatest(delta, 0) — greatest() disagrees between engines on NULL
+    // inputs. One entity shuffle + in-partition sort, like every E key.
+    "win_rsi" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-13, 0)
+      Tables.events(s, d)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("dq", col("vq") - lag(col("vq"), 1).over(w))
+        .withColumn("gain", sum(
+          when(col("dq") > 0, col("dq")).otherwise(when(col("dq").isNotNull, 0L))).over(wf))
+        .withColumn("loss", sum(
+          when(col("dq") < 0, -col("dq")).otherwise(when(col("dq").isNotNull, 0L))).over(wf))
+        .withColumn("nd", count(col("dq")).over(wf))
+        .select(col("event_id"),
+          when(col("nd") === 14 && col("gain") + col("loss") > 0,
+            lit(100.0) * col("gain").cast("double") /
+              (col("gain") + col("loss")).cast("double")).as("rsi"))
+        .orderBy("event_id")
+    }),
   )
 
   /** The win_holt_winters oracle's fold pieces (DuckDB 1-based list
@@ -1078,5 +1109,28 @@ object Wins {
         |       CASE WHEN t_us IS NOT NULL AND epoch_us(ts) - t_us <= 86400000000
         |            THEN CAST(epoch_us(ts) - t_us AS DOUBLE) / 1000000.0 END AS gap_sec
         |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "win_rsi" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS vq FROM events),
+        |d AS (
+        |  SELECT event_id, user_id, ts,
+        |         vq - lag(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dq
+        |  FROM e
+        |),
+        |f AS (
+        |  SELECT event_id,
+        |         CAST(sum(CASE WHEN dq > 0 THEN dq WHEN dq IS NOT NULL THEN 0 END)
+        |              OVER w AS BIGINT) AS gain,
+        |         CAST(sum(CASE WHEN dq < 0 THEN -dq WHEN dq IS NOT NULL THEN 0 END)
+        |              OVER w AS BIGINT) AS loss,
+        |         count(dq) OVER w AS nd
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id,
+        |       CASE WHEN nd = 14 AND gain + loss > 0
+        |            THEN 100.0 * CAST(gain AS DOUBLE) / CAST(gain + loss AS DOUBLE) END AS rsi
+        |FROM f ORDER BY event_id""".stripMargin,
   )
 }
