@@ -34,17 +34,27 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame =
     read(s, d, "lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 cannot read as a
-    * timestamp. We read it as a long (nanos since epoch) and truncate to
-    * microseconds with integral division — the same truncation DuckDB applies
-    * on CAST(ts_ns AS TIMESTAMP), so both engines agree to the microsecond.
-    * (Plain `/ 1000` would go through double and lose precision at 1.7e18.)
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 cannot read as a
+    * timestamp — we read it as a long and truncate to microseconds with
+    * integral division, the same truncation DuckDB applies on CAST(ts_ns AS
+    * TIMESTAMP); plain `/ 1000` would go through double and lose precision
+    * at 1.7e18), and plain TIMESTAMP(MICROS) (read natively by both
+    * engines). We branch on the footer schema so every downstream query
+    * sees one canonical µs `ts` either way. TIMESTAMP_NTZ is normalized to
+    * TIMESTAMP (session-local) because the JVM runs UTC and DuckDB's
+    * TIMESTAMP is zone-less — epoch_us agrees bit-for-bit.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = read(s, d, "events", Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
-    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     read(s, d, "documents", Seq("doc_id", "text", "lang", "source", "n_chars"))

@@ -47,9 +47,20 @@ object Streams {
     val link = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
-    s.readStream.schema(eventsRawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Same two-generation ts handling as Tables.events: branch on the
+    // footer schema (one cheap metadata read) — nanos-as-long or native µs.
+    val tsIsLong =
+      s.read.parquet(s"$d/events.parquet").schema("ts").dataType == LongType
+    if (tsIsLong)
+      s.readStream.schema(eventsRawSchema)
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      s.readStream
+        .schema(StructType(eventsRawSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f)))
+        .parquet(dir.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return the
