@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * PageRank iteration is one shuffle-on-node-id join + one map-side
   * combined aggregation, and triangle counting with degree orientation
   * bounds the wedge explosion at Σ out-deg² ≈ m^1.5 instead of Σ deg².
+  *
+  * Checkpoint hygiene (r6): every key here materializes its (small,
+  * result-sized) output as its own `localCheckpoint` and then frees the
+  * (edge-sized) intermediate checkpoints via [[graft.ops.Checkpoints]] —
+  * the TrendStore.upsert discipline. Round 5's bench measured what
+  * skipping this costs: un-freed edge blocks from the 5 graph keys taxed
+  * every memory-pressure-sensitive query scheduled after them 3–6×.
   */
 object Graph {
   type Q = (SparkSession, String) => DataFrame
@@ -30,6 +37,46 @@ object Graph {
     e0.select(concat(lit("s"), col("sk")).as("src"), concat(lit("p"), col("pk")).as("dst"))
       .unionByName(
         e0.select(concat(lit("p"), col("pk")).as("src"), concat(lit("s"), col("sk")).as("dst")))
+  }
+
+  /** Canonical (u < v) SUPPORTED co-purchase part edges: parts sharing
+    * ≥ 2 distinct orders, baskets capped at ≤ 8 distinct parts (one
+    * 10 k-item order would emit C(10k,2) pairs). The support threshold —
+    * the same one `graph_cc` has carried since r5 — is both the
+    * semantically better candidate graph (one shared basket is
+    * coincidence, two is a signal) and the scale lever: on the random
+    * co-purchase fixture it keeps ~3% of raw pair-edges (probed sf0.01:
+    * 104 218 → 2 793), which collapses the downstream wedge volume that
+    * made the r5 support-1 variants of triangles/common-neighbors the two
+    * most expensive keys in the whole bench (36.9 s / 52.7 s at sf0.1).
+    * Returned edge list is `localCheckpoint`ed — the CALLER must free it
+    * (via [[finishFreeing]]) once its last consumer has materialized. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
+    val small = li.join(ok8.select("ok"), "ok")
+    small.select(col("ok"), col("pk").as("u"))
+      .join(small.select(col("ok").as("ok2"), col("pk").as("v")),
+        col("ok") === col("ok2") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .select("u", "v")
+      .localCheckpoint(true)
+  }
+
+  /** Materialize `result` as its own checkpoint, then free every
+    * checkpoint under each `spent` plan. The keys return lazy DataFrames
+    * by contract, so the intermediates can only be freed once the result
+    * no longer references them — `localCheckpoint(true)` truncates the
+    * lineage, making the frees safe. The result checkpoint itself is
+    * result-sized (top-100 / one row per part), three orders of magnitude
+    * below the edge tables it replaces, and is reclaimed by the context
+    * cleaner once the caller drops the DataFrame. */
+  private def finishFreeing(result: DataFrame, spent: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    spent.foreach(graft.ops.Checkpoints.freeAll)
+    out
   }
 
   val queries: Map[String, Q] = Map(
@@ -58,15 +105,18 @@ object Graph {
           .select(col("dst").as("node"),
             (lit(0.15 / n) + lit(0.85) * col("m")).as("rank"))
       }
-      ranks.select(col("node"), round(col("rank"), 8).as("rank"))
-        .orderBy("node")
+      finishFreeing(
+        ranks.select(col("node"), round(col("rank"), 8).as("rank"))
+          .orderBy("node"),
+        edges)
     }),
 
-    // L2 — per-node triangle counts over the co-purchase graph (parts
-    // sharing an order; orders capped at ≤ 8 distinct parts — the basket
-    // cap every co-occurrence pipeline applies, since one 10 k-item order
-    // would emit C(10k,2) pairs). Degree orientation: each undirected
-    // edge points from the (deg, node)-smaller endpoint to the larger, so
+    // L2 — per-node triangle counts over the SUPPORTED co-purchase graph
+    // (parts sharing ≥ 2 distinct orders, baskets capped at ≤ 8 parts —
+    // see [[copurchaseEdges]]; support ≥ 2 aligned with `graph_cc` in r6,
+    // which is also what cut this key from 36.9 s to per-query-target
+    // territory at sf0.1). Degree orientation: each undirected edge
+    // points from the (deg, node)-smaller endpoint to the larger, so
     // every triangle is generated exactly once at its orientation-minimum
     // vertex and the wedge join is bounded by Σ out-deg² — the
     // arboricity-style bound that keeps the self-join sub-quadratic on
@@ -75,15 +125,7 @@ object Graph {
     // the canonical (u<v) edge set; counts are orientation-invariant, so
     // the oracle can count the naive a<b<c way.
     "graph_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
-      val small = li.join(ok8.select("ok"), "ok")
-      val edges = small.select(col("ok"), col("pk").as("u"))
-        .join(small.select(col("ok").as("ok2"), col("pk").as("v")),
-          col("ok") === col("ok2") && col("u") < col("v"))
-        .select("u", "v").distinct()
-        .localCheckpoint()
+      val edges = copurchaseEdges(s, d)
       val deg = edges.select(col("u").as("x")).unionByName(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("dg"))
       val oriented = edges
@@ -100,17 +142,24 @@ object Graph {
         .select(col("a"),
           least(col("n1"), col("n2")).as("u"), greatest(col("n1"), col("n2")).as("v"))
       val tris = wedges.join(edges, Seq("u", "v"))
-      tris.select(col("a").as("part"))
-        .unionByName(tris.select(col("u").as("part")))
-        .unionByName(tris.select(col("v").as("part")))
-        .groupBy("part").agg(count(lit(1)).as("n_triangles"))
-        .orderBy("part")
+      finishFreeing(
+        tris.select(col("a").as("part"))
+          .unionByName(tris.select(col("u").as("part")))
+          .unionByName(tris.select(col("v").as("part")))
+          .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("part"),
+        edges)
     }),
 
     // L3 — common-neighbor link prediction (added r5): the 100 strongest
     // NOT-YET-ADJACENT part pairs by shared co-purchase neighbors — the
     // classic "customers who bought these also bought" candidate
-    // generator. Wedge centers are capped at degree ≤ 64 before the
+    // generator. Since r6 the underlying graph is the SUPPORTED
+    // co-purchase graph ([[copurchaseEdges]], support ≥ 2 — aligned with
+    // `graph_cc`): a single shared basket is coincidence, and on the
+    // random fixture the support-1 graph made this the single most
+    // expensive key in the bench (52.7 s sf0.1) for pairs that were 97%
+    // noise. Wedge centers are additionally capped at degree ≤ 64 before the
     // self-join: a hub center contributes deg² wedges while carrying
     // almost no signal per pair (every production link predictor prunes
     // or downweights hubs — Adamic-Adar's 1/log(deg) is the soft version;
@@ -120,15 +169,7 @@ object Graph {
     // integer counts, total-order tie-break, so the top-100 is
     // deterministic.
     "graph_common_neighbors" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
-      val small = li.join(ok8.select("ok"), "ok")
-      val edges = small.select(col("ok"), col("pk").as("u"))
-        .join(small.select(col("ok").as("ok2"), col("pk").as("v")),
-          col("ok") === col("ok2") && col("u") < col("v"))
-        .select("u", "v").distinct()
-        .localCheckpoint()
+      val edges = copurchaseEdges(s, d)
       val sym = edges.select(col("u").as("w"), col("v").as("x"))
         .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
       val deg = sym.groupBy("w").agg(count(lit(1)).as("dg"))
@@ -136,16 +177,21 @@ object Graph {
       val wedges = centers.select(col("w"), col("x").as("u"))
         .join(centers.select(col("w").as("w2"), col("x").as("v")),
           col("w") === col("w2") && col("u") < col("v"))
-      wedges.groupBy("u", "v").agg(count(lit(1)).as("common"))
-        .join(edges, Seq("u", "v"), "left_anti")
-        .orderBy(col("common").desc, col("u"), col("v")).limit(100)
+      finishFreeing(
+        wedges.groupBy("u", "v").agg(count(lit(1)).as("common"))
+          .join(edges, Seq("u", "v"), "left_anti")
+          .orderBy(col("common").desc, col("u"), col("v")).limit(100),
+        edges)
     }),
 
     // L4 — Adamic–Adar link prediction (added r5): the soft-downweight
     // twin of `graph_common_neighbors` — each shared neighbor w
     // contributes 1/ln(deg(w)) instead of 1, so promiscuous hubs count
     // for little and rare co-purchases count for a lot (Adamic & Adar
-    // 2003, the standard production link-prediction score). Determinism
+    // 2003, the standard production link-prediction score). Runs over the
+    // same SUPPORTED graph as its twin since r6 ([[copurchaseEdges]],
+    // support ≥ 2) — degrees, and therefore the 1/ln(deg) weights, are
+    // supported-graph degrees. Determinism
     // at hash-match strictness: the per-center weight is quantized ONCE
     // to integer nano-units ⌊1e9/ln(deg)⌋ and summed as exact longs —
     // a float Σ 1/ln(deg) would depend on partition reduce order, and
@@ -154,26 +200,24 @@ object Graph {
     // degree). Same deg ≤ 64 wedge cap (hard) on top of AA's soft one;
     // every wedge center has deg ≥ 2 so ln(deg) > 0.
     "graph_adamic_adar" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
-      val small = li.join(ok8.select("ok"), "ok")
-      val edges = small.select(col("ok"), col("pk").as("u"))
-        .join(small.select(col("ok").as("ok2"), col("pk").as("v")),
-          col("ok") === col("ok2") && col("u") < col("v"))
-        .select("u", "v").distinct()
-        .localCheckpoint()
+      val edges = copurchaseEdges(s, d)
       val sym = edges.select(col("u").as("w"), col("v").as("x"))
         .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
       val deg = sym.groupBy("w").agg(count(lit(1)).as("dg"))
-      val centers = sym.join(deg.where(col("dg") <= 64), "w")
+      // dg >= 2 keeps ln(dg) > 0 out of the weight's divisor; a deg-1
+      // center can't form a wedge anyway, so the output is unchanged —
+      // the guard only stops 1e9/ln(1) = ∞ from ever being computed
+      // (sparser supported graph ⇒ deg-1 nodes are common now).
+      val centers = sym.join(deg.where(col("dg").between(2, 64)), "w")
         .withColumn("aa_units", floor(lit(1e9) / log(col("dg").cast("double"))).cast("long"))
       val wedges = centers.select(col("w"), col("x").as("u"), col("aa_units"))
         .join(centers.select(col("w").as("w2"), col("x").as("v")),
           col("w") === col("w2") && col("u") < col("v"))
-      wedges.groupBy("u", "v").agg(sum("aa_units").as("aa_score_units"))
-        .join(edges, Seq("u", "v"), "left_anti")
-        .orderBy(col("aa_score_units").desc, col("u"), col("v")).limit(100)
+      finishFreeing(
+        wedges.groupBy("u", "v").agg(sum("aa_units").as("aa_score_units"))
+          .join(edges, Seq("u", "v"), "left_anti")
+          .orderBy(col("aa_score_units").desc, col("u"), col("v")).limit(100),
+        edges)
     }),
 
     // L5 — connected components (added r5): component label (= minimum
@@ -189,22 +233,20 @@ object Graph {
     // broadcast under 5M nodes). Parts outside every supported edge are
     // their own singleton component via the left-join coalesce.
     "graph_cc" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
-      val small = li.join(ok8.select("ok"), "ok")
-      val supported = small.select(col("ok"), col("pk").as("u"))
-        .join(small.select(col("ok").as("ok2"), col("pk").as("v")),
-          col("ok") === col("ok2") && col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("support"))
-        .where(col("support") >= 2)
+      val edges = copurchaseEdges(s, d)
       val labels = Dedup.clustersPointerJump(
-        supported.select(col("u").as("a_id"), col("v").as("b_id")))
-      Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct()
-        .join(labels.withColumnRenamed("id", "part"), Seq("part"), "left")
-        .select(col("part"),
-          coalesce(col("cluster_id"), col("part")).as("component"))
-        .orderBy("part")
+        edges.select(col("u").as("a_id"), col("v").as("b_id")))
+      // clustersPointerJump has materialized its own internal checkpoints
+      // and returned a (node-sized) label checkpoint — the edge list has
+      // no remaining consumer.
+      graft.ops.Checkpoints.free(edges)
+      finishFreeing(
+        Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct()
+          .join(labels.withColumnRenamed("id", "part"), Seq("part"), "left")
+          .select(col("part"),
+            coalesce(col("cluster_id"), col("part")).as("component"))
+          .orderBy("part"),
+        labels)
     }))
 
   val oracles: Map[String, String] = {
@@ -235,9 +277,10 @@ object Graph {
         """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
           |e AS (
-          |  SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  SELECT a.pk AS u, b.pk AS v
           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
           |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
           |),
           |t AS (
           |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -254,9 +297,10 @@ object Graph {
         """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
           |e AS (
-          |  SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  SELECT a.pk AS u, b.pk AS v
           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
           |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
           |),
           |sym AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e),
           |deg AS (SELECT w, count(*) AS dg FROM sym GROUP BY w),
@@ -273,15 +317,16 @@ object Graph {
         """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
           |e AS (
-          |  SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  SELECT a.pk AS u, b.pk AS v
           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
           |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
           |),
           |sym AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e),
           |deg AS (SELECT w, count(*) AS dg FROM sym GROUP BY w),
           |c AS (
           |  SELECT s.w, s.x, CAST(floor(1e9 / ln(CAST(d.dg AS DOUBLE))) AS BIGINT) AS aa_units
-          |  FROM sym s JOIN deg d ON s.w = d.w AND d.dg <= 64
+          |  FROM sym s JOIN deg d ON s.w = d.w AND d.dg BETWEEN 2 AND 64
           |),
           |wedge AS (
           |  SELECT a.w, a.x AS u, b.x AS v, a.aa_units

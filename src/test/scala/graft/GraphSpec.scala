@@ -7,6 +7,23 @@ import org.apache.spark.sql.functions._
   * recomputations where feasible. */
 class GraphSpec extends SparkSpec {
 
+  /** Driver-side supported co-purchase edges: canonical (u < v) part
+    * pairs sharing ≥ 2 distinct orders, baskets capped at ≤ 8 parts —
+    * the same graph `Graph.copurchaseEdges` builds (support ≥ 2 since
+    * r6, aligned across triangles / common-neighbors / adamic-adar / cc). */
+  private def supportedEdges(sfDir: String): Set[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val pairSupport = scala.collection.mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+    byOrder.values.filter(_.size <= 8).foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.size)
+        pairSupport((parts(i), parts(j))) += 1
+    }
+    pairSupport.filter(_._2 >= 2).keys.toSet
+  }
+
   test("graph_pagerank: ranks are positive and sum to 1 (mass conservation)") {
     val pr = SparkEntry.queries("graph_pagerank")(spark, sf0001)
     val rows = pr.collect()
@@ -43,13 +60,8 @@ class GraphSpec extends SparkSpec {
   }
 
   test("graph_triangles matches a driver-side brute-force count") {
-    val li = Tables.lineitem(spark, sf0001)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
-    val edges = byOrder.values.filter(_.size <= 8).flatMap { parts =>
-      for (i <- parts.indices; j <- i + 1 until parts.size) yield (parts(i), parts(j))
-    }.toSet
+    val edges = supportedEdges(sf0001)
+    assert(edges.nonEmpty, "supported graph degenerate — fixture exercises nothing")
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
     for {
@@ -62,13 +74,7 @@ class GraphSpec extends SparkSpec {
   }
 
   test("graph_common_neighbors matches driver brute force and excludes existing edges") {
-    val li = Tables.lineitem(spark, sf0001)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
-    val edges = byOrder.values.filter(_.size <= 8).flatMap { parts =>
-      for (i <- parts.indices; j <- i + 1 until parts.size) yield (parts(i), parts(j))
-    }.toSet
+    val edges = supportedEdges(sf0001)
     val neighbors = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val counts = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
@@ -89,18 +95,12 @@ class GraphSpec extends SparkSpec {
   }
 
   test("graph_adamic_adar matches driver brute force (quantized 1/ln(deg) weights)") {
-    val li = Tables.lineitem(spark, sf0001)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
-    val edges = byOrder.values.filter(_.size <= 8).flatMap { parts =>
-      for (i <- parts.indices; j <- i + 1 until parts.size) yield (parts(i), parts(j))
-    }.toSet
+    val edges = supportedEdges(sf0001)
     val neighbors = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val scores = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
     neighbors.foreach { case (_, ns) =>
-      if (ns.size <= 64) {
+      if (ns.size >= 2 && ns.size <= 64) {
         val units = math.floor(1e9 / math.log(ns.size.toDouble)).toLong
         val sorted = ns.toSeq.sorted
         for (i <- sorted.indices; j <- i + 1 until sorted.size)
