@@ -26,8 +26,10 @@ object Streams {
   type Q = (SparkSession, String) => DataFrame
 
   /** Explicit schema for the events stream (file sources require one).
-    * ts arrives as TIMESTAMP(NANOS) parquet — read as long, truncate to µs
-    * exactly like Tables.events. */
+    * This is the nanos-generation baseline (ts as TIMESTAMP(NANOS) parquet,
+    * read as long and truncated to µs exactly like Tables.events); when the
+    * batch footer reports a native timestamp layout instead, eventsStream
+    * swaps the ts field for the DETECTED batch dataType before reading. */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -36,7 +38,7 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private[graft] def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source requires a directory; stage the single-file
     // table behind a symlink (a real deployment points at the ingest dir).
@@ -48,19 +50,22 @@ object Streams {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
     // Same two-generation ts handling as Tables.events: branch on the
-    // footer schema (one cheap metadata read) — nanos-as-long or native µs.
-    val tsIsLong =
-      s.read.parquet(s"$d/events.parquet").schema("ts").dataType == LongType
-    if (tsIsLong)
-      s.readStream.schema(eventsRawSchema)
-        .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
-      s.readStream
-        .schema(StructType(eventsRawSchema.map(f =>
-          if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f)))
-        .parquet(dir.toString)
-        .withColumn("ts", col("ts").cast("timestamp"))
+    // footer schema (one cheap metadata read). The stream schema carries
+    // the DETECTED batch dataType — not a hardcoded NTZ — so a third
+    // layout (e.g. TIMESTAMP(MICROS, adjustedToUTC) reading as LTZ
+    // TimestampType in batch) streams under the same declared type it
+    // batches under instead of failing against an NTZ declaration; the
+    // per-type normalization then mirrors Tables.events' match exactly.
+    val tsType = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    val raw = s.readStream
+      .schema(StructType(eventsRawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = tsType) else f)))
+      .parquet(dir.toString)
+    tsType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return the

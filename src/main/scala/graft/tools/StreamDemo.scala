@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-import org.apache.spark.sql.types._
 
 /** Example: per-user gap detection on Spark 4's arbitrary-state v2 API
   * (`transformWithState` + RocksDB state store) over a replayed event
@@ -22,17 +21,11 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dir = java.nio.file.Files.createTempDirectory("stream_demo_src")
-    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-
-    val gaps = spark.readStream.schema(schema).parquet(dir.toString)
-      .select(col("user_id"), expr("ts div 1000000000").as("ts_sec"))
+    // Route through Streams' two-generation ts detection (nanos-as-long or
+    // native timestamp) instead of hardcoding one layout: eventsStream
+    // returns a canonical µs `ts`, so epoch seconds is a plain long cast.
+    val gaps = graft.streaming.Streams.eventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long").as("ts_sec"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new graft.streaming.GapProcessor(),
