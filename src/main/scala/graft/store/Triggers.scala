@@ -26,6 +26,37 @@ object Triggers {
           lit(r.kpi).as("kpi"), col(r.kpi).cast("double").as("value"))
     }.reduce(_ unionByName _)
 
+  /** Idempotent notification sink for STREAMING evaluation: last-writer-
+    * wins upsert on (entity_id, ts, rule) into the day-partitioned store —
+    * the same discipline as `TrendStore.upsert`, and the property that
+    * makes a `foreachBatch` trigger sink effectively exactly-once: a
+    * micro-batch replayed after a crash converges to identical store
+    * contents instead of appending a duplicate alarm row, and a KPI
+    * re-emitted by a later micro-batch (Update-mode refinement of a
+    * still-open window) REFRESHES the stored value under the same alarm
+    * key rather than raising a second alarm. Only the days present in the
+    * batch rewrite (dynamic partition overwrite); everything else is
+    * untouched, so the scan cost tracks batch size, not store history. */
+  def upsert(notifications: DataFrame,
+             spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val batchD = notifications
+      .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+    if (!graft.Fs.existsNonEmptyData(spark, dir)) {
+      batchD.write.mode(SaveMode.Append).partitionBy("d").parquet(dir)
+      return
+    }
+    val days = batchD.select("d").distinct().collect().map(_.getString(0)).toSeq
+    val base = spark.read.parquet(dir).where(col("d").isin(days: _*))
+      .select(batchD.columns.map(col): _*)
+    val merged = graft.ops.Upsert
+      .lastWriterWins(base, batchD, Seq("entity_id", "ts", "rule"))
+      .localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("d").parquet(dir)
+    graft.ops.Checkpoints.free(merged)
+  }
+
   /** Append notifications to the store (append-only, day-partitioned). */
   def store(notifications: DataFrame, dir: String): Unit =
     notifications

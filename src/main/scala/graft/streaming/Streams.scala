@@ -97,6 +97,29 @@ object Streams {
     s.table(name)
   }
 
+  /** [[drain]]'s sibling for real sinks: runs the streaming DataFrame to
+    * completion through a `foreachBatch` callback instead of a memory
+    * sink — the shape for keys whose sink is a store write. Same
+    * shuffle-partition cap discipline as drain (state-store instance
+    * count tracks state volume, not host cores). */
+  private def drainForeach(s: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode)(f: (DataFrame, Long) => Unit): Unit = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_ckpt_$name").toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prev.toInt, 8).toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: Dataset[Row], id: Long) => f(b.toDF(), id))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Runs `f` with the RocksDB state store provider (required by the
     * arbitrary-state-v2 `transformWithState` operator), restoring the
     * previous provider after — the same conf discipline as drain's
@@ -378,6 +401,46 @@ object Streams {
       }
       out.orderBy("event_id")
     }),
+
+    // I13 — streaming trigger→notification sink (added r6): the ONLINE
+    // form of `filter_trigger_notify` and the first key whose sink is a
+    // REAL store, not a memory-sink drain — watermarked hourly KPI
+    // aggregation per entity, threshold rules evaluated per micro-batch
+    // on the Update-mode KPI refinements, exceedances upserted
+    // last-writer-wins on (entity_id, ts, rule) into the day-partitioned
+    // notification store ([[graft.store.Triggers.upsert]], the
+    // harvestIntoTrendStore discipline). Idempotence is the whole design:
+    // a replayed micro-batch converges to the same store (no duplicate
+    // alarms), and a still-open window's refined KPI REFRESHES its alarm
+    // row's value under the same key instead of raising again. Alarms are
+    // never retracted — an alarm is an operational fact raised at
+    // evaluation time (flood control is `evaluateWithCooldown`'s job);
+    // on the bounded one-batch replay every window is final, so the
+    // drained store equals the batch twin and the oracle is
+    // filter_trigger_notify's own SQL. StreamingSpec asserts batch-twin
+    // equality AND upsert idempotence under a replayed batch.
+    "stream_trigger_notify" -> ((s, d) => {
+      val rules = Seq(
+        graft.store.Triggers.Rule("load_high", "kpi_load", "major")(_ > 200.0),
+        graft.store.Triggers.Rule("burst", "kpi_burst", "warning")(_ >= 2.0))
+      val kpis = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id").as("entity_id"), window(col("ts"), "1 hour"))
+        .agg(round(avg(col("value")), 4).as("kpi_load"),
+          count(lit(1)).cast("double").as("kpi_burst"))
+        .select(col("entity_id"), col("window.start").as("ts"),
+          col("kpi_load"), col("kpi_burst"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_notif_store").toString
+      drainForeach(s, kpis, "stream_trigger_notify", OutputMode.Update()) {
+        (batch, _) =>
+          graft.store.Triggers.upsert(
+            graft.store.Triggers.evaluate(batch, rules), s, dir)
+      }
+      s.read.parquet(dir)
+        .select("entity_id", "ts", "rule", "severity", "kpi", "value")
+        .orderBy("rule", "entity_id", "ts")
+    }),
   )
 
   /** Oracle SQL for the streaming keys: the batch-equivalent queries over
@@ -386,6 +449,22 @@ object Streams {
   val oracles: Map[String, String] = {
     val ev = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
     Map(
+      // identical to filter_trigger_notify's oracle: on the bounded
+      // one-batch replay every window is final, so the streaming store
+      // equals the batch evaluation.
+      "stream_trigger_notify" ->
+        s"""WITH k AS (
+           |  SELECT user_id AS entity_id, date_trunc('hour', ts) AS ts,
+           |         round(avg(value), 4) AS kpi_load, CAST(count(*) AS DOUBLE) AS kpi_burst
+           |  FROM $ev events GROUP BY 1, 2
+           |)
+           |SELECT entity_id, ts, 'load_high' AS rule, 'major' AS severity,
+           |       'kpi_load' AS kpi, kpi_load AS value
+           |FROM k WHERE kpi_load > 200
+           |UNION ALL
+           |SELECT entity_id, ts, 'burst', 'warning', 'kpi_burst', kpi_burst
+           |FROM k WHERE kpi_burst >= 2
+           |ORDER BY rule, entity_id, ts""".stripMargin,
       "stream_tumbling" ->
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
            |       count(*) AS cnt, round(sum(value), 4) AS sum_value
