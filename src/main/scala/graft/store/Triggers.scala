@@ -46,7 +46,14 @@ object Triggers {
       return
     }
     val days = batchD.select("d").distinct().collect().map(_.getString(0)).toSeq
-    val base = spark.read.parquet(dir).where(col("d").isin(days: _*))
+    // Partition-column inference types a '2024-01-01' directory value as
+    // DateType while batchD's derived d is StringType; pin string right at
+    // the read so the upsert's unionByName never leans on implicit
+    // date→string coercion (fragile under ANSI/coercion-setting changes,
+    // and it would flip the store's d type between branches).
+    val base = spark.read.parquet(dir)
+      .withColumn("d", col("d").cast("string"))
+      .where(col("d").isin(days: _*))
       .select(batchD.columns.map(col): _*)
     val merged = graft.ops.Upsert
       .lastWriterWins(base, batchD, Seq("entity_id", "ts", "rule"))

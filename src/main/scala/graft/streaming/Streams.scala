@@ -437,9 +437,31 @@ object Streams {
           graft.store.Triggers.upsert(
             graft.store.Triggers.evaluate(batch, rules), s, dir)
       }
-      s.read.parquet(dir)
-        .select("entity_id", "ts", "rule", "severity", "kpi", "value")
-        .orderBy("rule", "entity_id", "ts")
+      // If no rule fired on the fixture, every upsert wrote an empty batch
+      // (dir holds at most _SUCCESS markers) and a bare parquet read would
+      // throw "Unable to infer schema" — a data-dependent crash. Guard it:
+      // an alarm-free run is a legitimate empty result with the explicit
+      // notification schema, not an error.
+      if (graft.Fs.existsNonEmptyData(s, dir))
+        s.read.parquet(dir)
+          .select("entity_id", "ts", "rule", "severity", "kpi", "value")
+          .orderBy("rule", "entity_id", "ts")
+      else
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("entity_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("rule",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("severity",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("kpi",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))))
     }),
   )
 

@@ -408,6 +408,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("trigger notification store: batch-twin equality, replay idempotence, in-place refresh") {
+    // 1. Drained streaming store equals the batch twin (same rules, same
+    //    hourly KPI grain) — the property the shared oracle rests on.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("entity_id", "ts", "rule", "severity", "kpi", "value")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val streamed = graft.streaming.Streams.queries("stream_trigger_notify")(spark, sf0001)
+    val batch = graft.queries.Rel.queries("filter_trigger_notify")(spark, sf0001)
+    val streamedRows = rows(streamed)
+    assert(streamedRows.nonEmpty, "fixture must raise at least one alarm")
+    assert(streamedRows == rows(batch), "drained store must equal the batch twin")
+
+    // 2. Replay idempotence: re-applying an already-applied micro-batch
+    //    through Triggers.upsert must converge to identical store contents
+    //    (last-writer-wins on (entity_id, ts, rule)) — the crash-recovery
+    //    property that makes the foreachBatch sink effectively exactly-once.
+    val rules = Seq(
+      graft.store.Triggers.Rule("load_high", "kpi_load", "major")(_ > 200.0),
+      graft.store.Triggers.Rule("burst", "kpi_burst", "warning")(_ >= 2.0))
+    val kpis = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 250.0, 3.0),
+      (1L, ts("2024-01-02 09:00:00"), 100.0, 2.0),
+      (2L, ts("2024-01-01 08:00:00"), 300.0, 1.0))
+      .toDF("entity_id", "ts", "kpi_load", "kpi_burst")
+    val notifs = graft.store.Triggers.evaluate(kpis, rules)
+    val dir = tmpDir("notif_idem")
+    graft.store.Triggers.upsert(notifs, spark, dir)
+    def store(): Seq[String] =
+      spark.read.parquet(dir)
+        .select("entity_id", "ts", "rule", "severity", "kpi", "value", "d")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val afterFirst = store()
+    assert(afterFirst.size == 4, s"3 KPI rows trip 4 rule exceedances: $afterFirst")
+    graft.store.Triggers.upsert(notifs, spark, dir) // replayed batch
+    assert(store() == afterFirst, "replayed batch must leave the store unchanged")
+
+    // 3. Update-mode refinement: a later micro-batch re-emitting the SAME
+    //    alarm key with a refreshed KPI value updates the row in place —
+    //    no second alarm row for a still-open window.
+    val refined = graft.store.Triggers.evaluate(
+      Seq((1L, ts("2024-01-01 08:00:00"), 275.0, 3.0))
+        .toDF("entity_id", "ts", "kpi_load", "kpi_burst"), rules)
+    graft.store.Triggers.upsert(refined, spark, dir)
+    val afterRefine = store()
+    assert(afterRefine.size == 4, "refresh must not add rows")
+    assert(afterRefine.exists(_.contains("275.0")), s"value must refresh: $afterRefine")
+    assert(!afterRefine.exists(_.contains("250.0")), "stale value must be gone")
+  }
+
   test("session windows match the batch islands formulation") {
     val stream = graft.streaming.Streams.queries("stream_session")(spark, sf0001)
       .agg(count(lit(1)), sum("n_events")).collect().head
