@@ -49,9 +49,11 @@ object Graph {
     * 104 218 → 2 793), which collapses the downstream wedge volume that
     * made the r5 support-1 variants of triangles/common-neighbors the two
     * most expensive keys in the whole bench (36.9 s / 52.7 s at sf0.1).
-    * Returned edge list is `localCheckpoint`ed — the CALLER must free it
-    * (via [[finishFreeing]]) once its last consumer has materialized. */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    * [[copurchaseEdges]] returns it `localCheckpoint`ed — the CALLER must
+    * free it (via [[finishFreeing]]) once its last consumer has
+    * materialized; [[copurchaseEdgesPlan]] is the same derivation left
+    * lazy, for plan audit ([[auditPlans]]). */
+  private def copurchaseEdgesPlan(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
@@ -62,53 +64,151 @@ object Graph {
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
       .where(col("support") >= 2)
       .select("u", "v")
-      .localCheckpoint(true)
   }
 
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    copurchaseEdgesPlan(s, d).localCheckpoint(true)
+
   /** Materialize `result` as its own checkpoint, then free every
-    * checkpoint under each `spent` plan. The keys return lazy DataFrames
-    * by contract, so the intermediates can only be freed once the result
-    * no longer references them — `localCheckpoint(true)` truncates the
-    * lineage, making the frees safe. The result checkpoint itself is
-    * result-sized (top-100 / one row per part), three orders of magnitude
-    * below the edge tables it replaces, and is reclaimed by the context
-    * cleaner once the caller drops the DataFrame. */
+    * checkpoint under each `spent` plan. Unlike the rest of the registry
+    * (whose keys return LAZY DataFrames), the graph keys execute at
+    * construction time and return a checkpointed result — the price of
+    * deterministic intermediate reclamation: the edge-sized checkpoints
+    * can only be freed once nothing lazy still references them, so the
+    * result must be materialized first (`localCheckpoint(true)` truncates
+    * the lineage, making the frees safe). Plan auditing therefore cannot
+    * use the returned DataFrame — [[auditPlans]] carries the
+    * pre-checkpoint compositions for that. The result checkpoint itself
+    * is result-sized (top-100 / one row per part), three orders of
+    * magnitude below the edge tables it replaces, and is reclaimed by the
+    * context cleaner once the caller drops the DataFrame. */
   private def finishFreeing(result: DataFrame, spent: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
     spent.foreach(graft.ops.Checkpoints.freeAll)
     out
   }
 
+  /** The 5-iteration damped-PageRank composition over `edges`/`deg`.
+    * With `checkpointIters` each iteration's NODE-sized rank table becomes
+    * its own `localCheckpoint` and the superseded one is freed at once:
+    * the executed plan is one stage deep per iteration instead of five
+    * nested join/agg layers of unreused exchanges, and live blocks at any
+    * moment are two node-sized tables rather than the whole unrolled
+    * lineage. Lazy (`checkpointIters = false`) keeps the full composition
+    * for plan audit. */
+  private def pagerankBody(edges: DataFrame, deg: DataFrame, n: Long,
+      checkpointIters: Boolean): DataFrame = {
+    // The rank/degree tables are NODE-sized; the checkpointed ones carry
+    // no stats (a LogicalRDD defaults to "huge"), so without the explicit
+    // hint every iteration would shuffle the edge-sized side instead of
+    // broadcasting the node-sized one. Same 5M gate as
+    // Dedup.clustersPointerJump — past it, node tables genuinely are too
+    // big to broadcast and the shuffle join is the honest plan.
+    def maybeBc(df: DataFrame): DataFrame =
+      if (n < 5000000L) broadcast(df) else df
+    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+    for (i <- 1 to 5) {
+      val next = edges.join(maybeBc(ranks), edges("src") === ranks("node"))
+        .join(maybeBc(deg), "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+        .select(col("dst").as("node"),
+          (lit(0.15 / n) + lit(0.85) * col("m")).as("rank"))
+      if (checkpointIters) {
+        val ck = next.localCheckpoint(true)
+        // i=1's predecessor is the init projection over deg — freeing it
+        // would free deg's own checkpoint, still needed by later rounds.
+        if (i > 1) graft.ops.Checkpoints.free(ranks)
+        ranks = ck
+      } else ranks = next
+    }
+    ranks.select(col("node"), round(col("rank"), 8).as("rank")).orderBy("node")
+  }
+
+  /** Per-node triangle counts over a canonical (u<v) edge list — see the
+    * `graph_triangles` entry for the full design rationale. */
+  private def trianglesBody(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("x")).unionByName(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val oriented = edges
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+    val wedges = oriented.select(col("a"), col("b").as("n1"))
+      .join(oriented.select(col("a").as("a2"), col("b").as("n2")),
+        col("a") === col("a2") && col("n1") < col("n2"))
+      .select(col("a"),
+        least(col("n1"), col("n2")).as("u"), greatest(col("n1"), col("n2")).as("v"))
+    val tris = wedges.join(edges, Seq("u", "v"))
+    tris.select(col("a").as("part"))
+      .unionByName(tris.select(col("u").as("part")))
+      .unionByName(tris.select(col("v").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("part")
+  }
+
+  /** Common-neighbor top-100 over a canonical (u<v) edge list — see the
+    * `graph_common_neighbors` entry for the full design rationale. */
+  private def commonNeighborsBody(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("w"), col("v").as("x"))
+      .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("dg"))
+    val centers = sym.join(deg.where(col("dg") <= 64).select("w"), "w")
+    val wedges = centers.select(col("w"), col("x").as("u"))
+      .join(centers.select(col("w").as("w2"), col("x").as("v")),
+        col("w") === col("w2") && col("u") < col("v"))
+    wedges.groupBy("u", "v").agg(count(lit(1)).as("common"))
+      .join(edges, Seq("u", "v"), "left_anti")
+      .orderBy(col("common").desc, col("u"), col("v")).limit(100)
+  }
+
+  /** Adamic–Adar top-100 over a canonical (u<v) edge list — see the
+    * `graph_adamic_adar` entry for the full design rationale. */
+  private def adamicAdarBody(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("w"), col("v").as("x"))
+      .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("dg"))
+    // dg >= 2 keeps ln(dg) > 0 out of the weight's divisor; a deg-1
+    // center can't form a wedge anyway, so the output is unchanged —
+    // the guard only stops 1e9/ln(1) = ∞ from ever being computed
+    // (sparser supported graph ⇒ deg-1 nodes are common now).
+    val centers = sym.join(deg.where(col("dg").between(2, 64)), "w")
+      .withColumn("aa_units", floor(lit(1e9) / log(col("dg").cast("double"))).cast("long"))
+    val wedges = centers.select(col("w"), col("x").as("u"), col("aa_units"))
+      .join(centers.select(col("w").as("w2"), col("x").as("v")),
+        col("w") === col("w2") && col("u") < col("v"))
+    wedges.groupBy("u", "v").agg(sum("aa_units").as("aa_score_units"))
+      .join(edges, Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_score_units").desc, col("u"), col("v")).limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     // L1 — damped PageRank (d=0.85, 5 fixed iterations) over the
-    // symmetrized supplier–part graph. The edge list is localCheckpoint'd
-    // ONCE and reused by all iterations (the classic cache-the-edges
-    // shape: without it the unrolled 5-iteration plan re-scans and
-    // re-distincts lineitem ~15×). Each iteration is rank⋈edges on src
-    // (shuffle on node id) → groupBy dst with map-side partial sum —
-    // linear in |E| per iteration at any scale. N (node count) is a
-    // driver-side scalar (metadata, like the partition day lists).
-    // Symmetrized graph ⇒ no dangling nodes ⇒ no global dangling-mass
-    // term ⇒ the oracle is 5 unrolled join+groupBy CTEs, exactly this
-    // plan. round(8): both engines sum the same contribution multiset in
-    // different orders (~1e-15 relative drift after 5 rounds).
+    // symmetrized supplier–part graph. The edge list and degree table are
+    // localCheckpoint'd ONCE and reused by all iterations (the classic
+    // cache-the-edges shape: without it the unrolled 5-iteration plan
+    // re-scans and re-distincts lineitem ~15×). Each iteration is
+    // rank⋈edges on src (shuffle on node id) → groupBy dst with map-side
+    // partial sum — linear in |E| per iteration at any scale, and since
+    // r7 each iteration's node-sized rank table is checkpointed with its
+    // predecessor freed (see [[pagerankBody]]) so the final plan is flat.
+    // N (node count) is a driver-side scalar (metadata, like the
+    // partition day lists). Symmetrized graph ⇒ no dangling nodes ⇒ no
+    // global dangling-mass term ⇒ the oracle is 5 unrolled join+groupBy
+    // CTEs, exactly this plan. round(8): both engines sum the same
+    // contribution multiset in different orders (~1e-15 relative drift
+    // after 5 rounds).
     "graph_pagerank" -> ((s, d) => {
       val edges = supplierPartEdges(s, d).localCheckpoint()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
       val n = deg.count()
-      var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
-      for (_ <- 1 to 5) {
-        ranks = edges.join(ranks, edges("src") === ranks("node"))
-          .join(deg, "src")
-          .select(col("dst"), (col("rank") / col("deg")).as("c"))
-          .groupBy("dst").agg(sum("c").as("m"))
-          .select(col("dst").as("node"),
-            (lit(0.15 / n) + lit(0.85) * col("m")).as("rank"))
-      }
-      finishFreeing(
-        ranks.select(col("node"), round(col("rank"), 8).as("rank"))
-          .orderBy("node"),
-        edges)
+      val ranks = pagerankBody(edges, deg, n, checkpointIters = true)
+      finishFreeing(ranks, edges, deg, ranks)
     }),
 
     // L2 — per-node triangle counts over the SUPPORTED co-purchase graph
@@ -126,29 +226,7 @@ object Graph {
     // the oracle can count the naive a<b<c way.
     "graph_triangles" -> ((s, d) => {
       val edges = copurchaseEdges(s, d)
-      val deg = edges.select(col("u").as("x")).unionByName(edges.select(col("v").as("x")))
-        .groupBy("x").agg(count(lit(1)).as("dg"))
-      val oriented = edges
-        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
-        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
-        .select(
-          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-            col("u")).otherwise(col("v")).as("a"),
-          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-            col("v")).otherwise(col("u")).as("b"))
-      val wedges = oriented.select(col("a"), col("b").as("n1"))
-        .join(oriented.select(col("a").as("a2"), col("b").as("n2")),
-          col("a") === col("a2") && col("n1") < col("n2"))
-        .select(col("a"),
-          least(col("n1"), col("n2")).as("u"), greatest(col("n1"), col("n2")).as("v"))
-      val tris = wedges.join(edges, Seq("u", "v"))
-      finishFreeing(
-        tris.select(col("a").as("part"))
-          .unionByName(tris.select(col("u").as("part")))
-          .unionByName(tris.select(col("v").as("part")))
-          .groupBy("part").agg(count(lit(1)).as("n_triangles"))
-          .orderBy("part"),
-        edges)
+      finishFreeing(trianglesBody(edges), edges)
     }),
 
     // L3 — common-neighbor link prediction (added r5): the 100 strongest
@@ -170,18 +248,7 @@ object Graph {
     // deterministic.
     "graph_common_neighbors" -> ((s, d) => {
       val edges = copurchaseEdges(s, d)
-      val sym = edges.select(col("u").as("w"), col("v").as("x"))
-        .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
-      val deg = sym.groupBy("w").agg(count(lit(1)).as("dg"))
-      val centers = sym.join(deg.where(col("dg") <= 64).select("w"), "w")
-      val wedges = centers.select(col("w"), col("x").as("u"))
-        .join(centers.select(col("w").as("w2"), col("x").as("v")),
-          col("w") === col("w2") && col("u") < col("v"))
-      finishFreeing(
-        wedges.groupBy("u", "v").agg(count(lit(1)).as("common"))
-          .join(edges, Seq("u", "v"), "left_anti")
-          .orderBy(col("common").desc, col("u"), col("v")).limit(100),
-        edges)
+      finishFreeing(commonNeighborsBody(edges), edges)
     }),
 
     // L4 — Adamic–Adar link prediction (added r5): the soft-downweight
@@ -201,23 +268,7 @@ object Graph {
     // every wedge center has deg ≥ 2 so ln(deg) > 0.
     "graph_adamic_adar" -> ((s, d) => {
       val edges = copurchaseEdges(s, d)
-      val sym = edges.select(col("u").as("w"), col("v").as("x"))
-        .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
-      val deg = sym.groupBy("w").agg(count(lit(1)).as("dg"))
-      // dg >= 2 keeps ln(dg) > 0 out of the weight's divisor; a deg-1
-      // center can't form a wedge anyway, so the output is unchanged —
-      // the guard only stops 1e9/ln(1) = ∞ from ever being computed
-      // (sparser supported graph ⇒ deg-1 nodes are common now).
-      val centers = sym.join(deg.where(col("dg").between(2, 64)), "w")
-        .withColumn("aa_units", floor(lit(1e9) / log(col("dg").cast("double"))).cast("long"))
-      val wedges = centers.select(col("w"), col("x").as("u"), col("aa_units"))
-        .join(centers.select(col("w").as("w2"), col("x").as("v")),
-          col("w") === col("w2") && col("u") < col("v"))
-      finishFreeing(
-        wedges.groupBy("u", "v").agg(sum("aa_units").as("aa_score_units"))
-          .join(edges, Seq("u", "v"), "left_anti")
-          .orderBy(col("aa_score_units").desc, col("u"), col("v")).limit(100),
-        edges)
+      finishFreeing(adamicAdarBody(edges), edges)
     }),
 
     // L5 — connected components (added r5): component label (= minimum
@@ -248,6 +299,28 @@ object Graph {
           .orderBy("part"),
         labels)
     }))
+
+  /** Pre-checkpoint LAZY compositions of the graph keys, for plan audit
+    * (graft.tools.PlanScan): identical operator structure to [[queries]]
+    * minus the localCheckpoint materialization, so exchange counts and
+    * join strategies are inspectable WITHOUT executing the query — the
+    * [[queries]] route executes eagerly and returns a bare LogicalRDD
+    * whose plan shows nothing. Planning pagerank's audit form executes
+    * one node-count aggregate (N is a driver-side scalar by design);
+    * nothing else runs. `graph_cc` has no lazy form — its pointer-jump
+    * loop is data-dependently iterative (a round count can't be planned
+    * ahead); its per-round join shape is the one inside
+    * [[Dedup.clustersPointerJump]], exercised by GraphSpec/DedupSpec. */
+  val auditPlans: Map[String, Q] = Map(
+    "graph_pagerank" -> ((s, d) => {
+      val edges = supplierPartEdges(s, d)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      pagerankBody(edges, deg, deg.count(), checkpointIters = false)
+    }),
+    "graph_triangles" -> ((s, d) => trianglesBody(copurchaseEdgesPlan(s, d))),
+    "graph_common_neighbors" ->
+      ((s, d) => commonNeighborsBody(copurchaseEdgesPlan(s, d))),
+    "graph_adamic_adar" -> ((s, d) => adamicAdarBody(copurchaseEdgesPlan(s, d))))
 
   val oracles: Map[String, String] = {
     // shared CTE prefix for pagerank: symmetrized edges + degrees + N

@@ -16,11 +16,19 @@ object PlanScan {
     * (derived from Streams.queries so the set cannot drift as keys are
     * added — the r4 VERDICT caught four drained-by-accident strays), plus
     * side-effecting scans/sinks whose cost is the layout write, asserted
-    * in their own specs instead. */
+    * in their own specs instead, plus `graph_cc`, whose pointer-jump loop
+    * is data-dependently iterative — it executes eagerly and returns a
+    * checkpointed label table, so no lazy whole-query plan exists (the
+    * per-round join shape lives in Dedup.clustersPointerJump, covered by
+    * GraphSpec/DedupSpec). The four other graph keys ARE audited — via
+    * their pre-checkpoint compositions in [[graft.queries.Graph.auditPlans]]
+    * (their registry route also executes eagerly for checkpoint hygiene,
+    * which would make this audit a vacuous LogicalRDD scan at full
+    * execution price). */
   val skipKeys: Set[String] =
     graft.streaming.Streams.queries.keySet ++ Set(
       "scan_csv_typed", "scan_jsonl", "scan_xml_typed", "sink_partitioned",
-      "join_bucketed", "scan_binary")
+      "join_bucketed", "scan_binary", "graph_cc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -35,8 +43,11 @@ object PlanScan {
 
     val skip = PlanScan.skipKeys
     var flags = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn0) =>
       if (!skip.contains(name)) {
+        // Graph keys execute eagerly (checkpoint hygiene); audit their
+        // lazy pre-checkpoint twin instead of a vacuous LogicalRDD.
+        val fn = graft.queries.Graph.auditPlans.getOrElse(name, fn0)
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         def n(p: String) = p.r.findAllIn(plan).size
         val cartesian = n("CartesianProduct")
