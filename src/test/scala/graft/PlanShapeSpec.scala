@@ -239,6 +239,48 @@ class PlanShapeSpec extends SparkSpec {
       s"probe should sit below the verify join in the plan string:\n$p")
   }
 
+  test("partition-less windows occur only on allowlisted bounded-input keys") {
+    // A WindowExec with no partition spec moves ALL data to one task — fatal
+    // at 100 TB over data-sized input, but legitimate over inputs that are
+    // bounded by construction (per-partition summary rows, calendar-grain
+    // tables, vocabulary tables). This pins exactly which keys are allowed
+    // one, so a future key can't silently plan a global window over data —
+    // and turns the bench log's WindowExec warning spray into a guard.
+    // Rationale per allowlisted key (the window's INPUT, not the key, must
+    // be bounded):
+    //   - ops.Rank __pid offsets window (one row per physical partition —
+    //     numPartitions-sized metadata): agg_rfm, llm_vocab_coverage,
+    //     llm_zipf_slope, win_analytic (the spec above additionally pins
+    //     that this is the ONLY window in win_analytic's plan)
+    //   - Dedup.assignTokenIds vocabulary window (one row per DISTINCT
+    //     token, gated at 10M with the documented RDD zipWithIndex route
+    //     past it — Dedup.scala LargeVocab): llm_dedup_incremental,
+    //     llm_dedup_lsh_verified, llm_dedup_near
+    val allow = Set(
+      "agg_rfm", "llm_vocab_coverage", "llm_zipf_slope", "win_analytic",
+      "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val skip = graft.tools.PlanScan.skipKeys
+      val offenders = scala.collection.mutable.ListBuffer[String]()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn0) =>
+        if (!skip.contains(name)) {
+          val fn = graft.queries.Graph.auditPlans.getOrElse(name, fn0)
+          val unpartitioned = fn(spark, sf0001).queryExecution.executedPlan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          }
+          if (unpartitioned.nonEmpty && !allow.contains(name))
+            offenders += s"$name plans ${unpartitioned.size} partition-less window(s)"
+          if (unpartitioned.isEmpty && allow.contains(name))
+            offenders += s"$name is allowlisted but plans none — tighten the list"
+        }
+      }
+      assert(offenders.isEmpty,
+        s"partition-less WindowExec drift:\n  ${offenders.mkString("\n  ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("agg_dq_checks fuses the row-level rules into one pass over events") {
     val p = planOf("agg_dq_checks")
     // one aggregate computes both the null and range measures (the stack
