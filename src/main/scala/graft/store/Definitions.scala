@@ -1,0 +1,236 @@
+package graft.store
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Declarative store definitions — the reference's config-as-schema
+  * identity: a trend/attribute store is CREATED from a small YAML/JSON
+  * definition document (data source, entity type, granularity, typed
+  * counter/attribute list), not from code. This module parses those
+  * documents, materializes the matching [[TrendStore]]/[[AttributeStore]]
+  * layout, persists the definition beside the data, and re-opens a store
+  * from what is on disk — so a store's schema travels with the store, and
+  * a misdeclared data package fails loudly at the boundary instead of
+  * corrupting the relation.
+  *
+  * Everything here is driver-side metadata work (a definition document is
+  * a few KB; the persisted copy is one small file beside the day
+  * partitions): nothing scales with data volume, which is exactly why the
+  * reference can afford schema-directed ETL at warehouse scale.
+  *
+  * Parsing rides the Jackson core that Spark itself ships (plus its YAML
+  * dataformat) — no new dependency; both document flavors produce the
+  * same tree.
+  */
+object Definitions {
+
+  /** A typed counter/attribute column. `dataType` uses the reference's
+    * SQL-ish names; [[sparkType]] is the Spark mapping. */
+  final case class ColumnDef(name: String, dataType: String) {
+    def sparkType: DataType = typeMap.getOrElse(dataType.toLowerCase,
+      throw new IllegalArgumentException(
+        s"column '$name': unknown data_type '$dataType' " +
+          s"(known: ${typeMap.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  /** Reference data_type name → Spark type. `numeric` maps to double, not
+    * Decimal: trend counters are measurements, and the reference's own
+    * processing treats them as floating point (exact-decimal money-style
+    * columns would declare an explicit precision — none do). */
+  private val typeMap: Map[String, DataType] = Map(
+    "smallint" -> ShortType, "integer" -> IntegerType, "bigint" -> LongType,
+    "real" -> FloatType, "double" -> DoubleType, "double precision" -> DoubleType,
+    "numeric" -> DoubleType, "text" -> StringType, "boolean" -> BooleanType,
+    "timestamp" -> TimestampType)
+
+  /** A trend-store definition: one store per (data_source, entity_type),
+    * counters stored at `granularity` (a [[Granularity]] catalog name). */
+  final case class TrendStoreDef(
+      dataSource: String,
+      entityType: String,
+      granularity: Granularity,
+      counters: Seq[ColumnDef]) {
+
+    def name: String = s"$dataSource-$entityType-${granularity.name}"
+
+    /** The full on-disk row schema of a conformed data package. */
+    def schema: StructType = StructType(
+      StructField("entity_id", LongType) +: StructField("ts", TimestampType) +:
+        counters.map(c => StructField(c.name, c.sparkType)))
+
+    /** Cast a raw data package to the declared column set and types — the
+      * schema-directed half of ingest. Extra columns are dropped; missing
+      * ones are an error (a package that doesn't carry a declared counter
+      * is a broken feed, not a schema evolution). Pure projection: no
+      * shuffle, fully codegen'd, and the casts run where the data lives. */
+    def conform(df: DataFrame): DataFrame = {
+      val missing = ("entity_id" +: "ts" +: counters.map(_.name))
+        .filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"data package for $name missing declared columns: ${missing.mkString(", ")}")
+      df.select(
+        col("entity_id").cast(LongType) +: col("ts").cast(TimestampType) +:
+          counters.map(c => col(c.name).cast(c.sparkType)): _*)
+    }
+
+    /** Materialize the store layout under `rootDir` and persist this
+      * definition beside the data (the store becomes self-describing).
+      * Idempotent: re-creating over an existing identical definition is a
+      * no-op; a CONFLICTING definition fails — schema changes must be
+      * explicit migrations, never silent redefinitions. */
+    def create(spark: SparkSession, rootDir: String): TrendStore = {
+      existingDefinition(spark, rootDir).foreach { prior =>
+        require(parseTrendStore(prior) == this,
+          s"store at $rootDir already defined with a different schema; " +
+            "redefinition must be an explicit migration")
+      }
+      writeDefinition(spark, rootDir, renderTrendStore(this))
+      new TrendStore(spark, rootDir, counters.map(_.name))
+    }
+  }
+
+  /** An attribute-store definition: per-entity slowly-changing attributes
+    * (history rows keyed entity_id, ts). */
+  final case class AttributeStoreDef(
+      dataSource: String,
+      entityType: String,
+      attributes: Seq[ColumnDef]) {
+
+    def name: String = s"$dataSource-$entityType-attrs"
+
+    def schema: StructType = StructType(
+      StructField("entity_id", LongType) +: StructField("ts", TimestampType) +:
+        attributes.map(a => StructField(a.name, a.sparkType)))
+
+    /** Same boundary contract as [[TrendStoreDef.conform]]. */
+    def conform(df: DataFrame): DataFrame = {
+      val missing = ("entity_id" +: "ts" +: attributes.map(_.name))
+        .filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"attribute package for $name missing declared columns: ${missing.mkString(", ")}")
+      df.select(
+        col("entity_id").cast(LongType) +: col("ts").cast(TimestampType) +:
+          attributes.map(a => col(a.name).cast(a.sparkType)): _*)
+    }
+  }
+
+  // ---- parsing ----------------------------------------------------------
+
+  private val jsonMapper = new ObjectMapper()
+  private val yamlMapper = new ObjectMapper(new YAMLFactory())
+
+  /** Parse a definition document. YAML is a superset of JSON here: the
+    * YAML reader accepts both flavors, so the document format never needs
+    * declaring. */
+  private def tree(text: String): JsonNode = {
+    val t = yamlMapper.readTree(text)
+    require(t != null && t.isObject, "definition document is not a mapping")
+    t
+  }
+
+  private def reqText(n: JsonNode, field: String): String = {
+    val v = n.get(field)
+    require(v != null && v.isTextual && v.asText.nonEmpty,
+      s"definition missing required text field '$field'")
+    v.asText
+  }
+
+  private def columnList(n: JsonNode, field: String): Seq[ColumnDef] = {
+    val arr = n.get(field)
+    require(arr != null && arr.isArray && arr.size > 0,
+      s"definition needs a non-empty '$field' list")
+    val cols = arr.elements.asScala.map { e =>
+      ColumnDef(reqText(e, "name"), reqText(e, "data_type"))
+    }.toSeq
+    val dup = cols.groupBy(_.name).collect { case (c, g) if g.size > 1 => c }
+    require(dup.isEmpty, s"duplicate column names in '$field': ${dup.mkString(", ")}")
+    cols.foreach(_.sparkType) // fail fast on unknown types
+    cols
+  }
+
+  /** Parse a trend-store definition document (YAML or JSON):
+    * {{{
+    * data_source: hub
+    * entity_type: node
+    * granularity: 1h
+    * trend_columns:
+    *   - name: kpi_load
+    *     data_type: double
+    * }}} */
+  def parseTrendStore(text: String): TrendStoreDef = {
+    val t = tree(text)
+    TrendStoreDef(
+      reqText(t, "data_source"), reqText(t, "entity_type"),
+      Granularity(reqText(t, "granularity")),
+      columnList(t, "trend_columns"))
+  }
+
+  /** Parse an attribute-store definition document (YAML or JSON) with an
+    * `attributes` list in place of `trend_columns`. */
+  def parseAttributeStore(text: String): AttributeStoreDef = {
+    val t = tree(text)
+    AttributeStoreDef(
+      reqText(t, "data_source"), reqText(t, "entity_type"),
+      columnList(t, "attributes"))
+  }
+
+  // ---- rendering / persistence ------------------------------------------
+
+  /** Canonical JSON rendering (JSON is valid YAML, and machine-written
+    * definitions should be the unambiguous flavor). */
+  def renderTrendStore(d: TrendStoreDef): String = {
+    val node = jsonMapper.createObjectNode()
+    node.put("data_source", d.dataSource)
+    node.put("entity_type", d.entityType)
+    node.put("granularity", d.granularity.name)
+    val arr = node.putArray("trend_columns")
+    d.counters.foreach { c =>
+      val e = arr.addObject(); e.put("name", c.name); e.put("data_type", c.dataType)
+    }
+    jsonMapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  private val DefinitionFile = "_definition.json"
+
+  /** The persisted definition travels with the data, through the store's
+    * OWN filesystem (HDFS/S3-safe, the [[graft.Fs]] discipline). Leading
+    * underscore: data readers treat it as a hidden non-data entry. */
+  private def writeDefinition(spark: SparkSession, rootDir: String,
+      rendered: String): Unit = {
+    val (fs, p) = graft.Fs.fileSystem(spark, rootDir)
+    fs.mkdirs(p)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, DefinitionFile), true)
+    try out.write(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def existingDefinition(spark: SparkSession,
+      rootDir: String): Option[String] = {
+    val (fs, p) = graft.Fs.fileSystem(spark, rootDir)
+    val f = new org.apache.hadoop.fs.Path(p, DefinitionFile)
+    if (!fs.exists(f)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Re-open a trend store from the definition persisted at `rootDir` —
+    * the "verify" half of create/verify: the returned store reads with
+    * the DECLARED schema asserted, so layout drift (a counter column
+    * vanishing from the parquet) fails at open/read, not mid-pipeline. */
+  def openTrendStore(spark: SparkSession, rootDir: String): (TrendStoreDef, TrendStore) = {
+    val text = existingDefinition(spark, rootDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $DefinitionFile at $rootDir — not a defined trend store"))
+    val d = parseTrendStore(text)
+    (d, new TrendStore(spark, rootDir, d.counters.map(_.name)))
+  }
+}

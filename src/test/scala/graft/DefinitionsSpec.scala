@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.{Definitions, Granularity}
+
+/** Round-trip coverage for the declarative store-definition layer
+  * (store/Definitions.scala): YAML parse → create → conformed write →
+  * re-open from the persisted definition → schema + data equality, plus
+  * the boundary failures (missing column, unknown type, conflicting
+  * redefinition). */
+class DefinitionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trendYaml =
+    """data_source: hub
+      |entity_type: node
+      |granularity: 1h
+      |trend_columns:
+      |  - name: kpi_load
+      |    data_type: double
+      |  - name: n_samples
+      |    data_type: bigint
+      |  - name: region
+      |    data_type: text
+      |""".stripMargin
+
+  test("trend definition parses from YAML and from its own JSON rendering") {
+    val d = Definitions.parseTrendStore(trendYaml)
+    assert(d.name == "hub-node-1h")
+    assert(d.granularity == Granularity.Hour)
+    assert(d.counters.map(_.name) == Seq("kpi_load", "n_samples", "region"))
+    assert(d.schema == StructType(Seq(
+      StructField("entity_id", LongType), StructField("ts", TimestampType),
+      StructField("kpi_load", DoubleType), StructField("n_samples", LongType),
+      StructField("region", StringType))))
+    // canonical JSON rendering is itself a parseable definition (JSON ⊂ YAML)
+    assert(Definitions.parseTrendStore(Definitions.renderTrendStore(d)) == d)
+  }
+
+  test("create → conform → upsert → reopen round-trips schema and data") {
+    val d = Definitions.parseTrendStore(trendYaml)
+    val root = tmpDir("def_store")
+    val store = d.create(spark, root)
+    // a raw package with extra columns and off-type values: conform must
+    // drop the extras and cast to the declared types
+    val raw = Seq(
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), "12.5", 3, "eu", "junk"),
+      (8L, java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), "99.25", 4, "us", "junk"))
+      .toDF("entity_id", "ts", "kpi_load", "n_samples", "region", "extra")
+    store.upsert(d.conform(raw), d.granularity.name)
+
+    val (d2, reopened) = Definitions.openTrendStore(spark, root)
+    assert(d2 == d, "persisted definition must parse back to the original")
+    val back = reopened.read(d.granularity.name)
+    assert(back.schema("kpi_load").dataType == DoubleType)
+    assert(back.schema("n_samples").dataType == LongType)
+    val rows = back.select("entity_id", "kpi_load", "n_samples", "region")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(rows == Seq("7|12.5|3|eu", "8|99.25|4|us"), rows.toString)
+  }
+
+  test("boundary failures: missing column, unknown type, conflicting redefinition") {
+    val d = Definitions.parseTrendStore(trendYaml)
+    // missing declared counter in the package
+    val broken = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 1.0))
+      .toDF("entity_id", "ts", "kpi_load")
+    val e1 = intercept[IllegalArgumentException](d.conform(broken))
+    assert(e1.getMessage.contains("n_samples"), e1.getMessage)
+    // unknown data_type fails at parse, naming the column
+    val e2 = intercept[IllegalArgumentException](
+      Definitions.parseTrendStore(trendYaml.replace("double", "varchar2")))
+    assert(e2.getMessage.contains("kpi_load"), e2.getMessage)
+    // unknown granularity rejected by the catalog
+    intercept[IllegalArgumentException](
+      Definitions.parseTrendStore(trendYaml.replace("granularity: 1h", "granularity: 5m")))
+    // idempotent re-create is fine; a conflicting redefinition is not
+    val root = tmpDir("def_conflict")
+    d.create(spark, root)
+    d.create(spark, root) // same definition — no-op
+    val changed = d.copy(counters = d.counters.take(2))
+    val e3 = intercept[IllegalArgumentException](changed.create(spark, root))
+    assert(e3.getMessage.contains("migration"), e3.getMessage)
+  }
+
+  test("attribute definition parses, conforms, and feeds the store reads") {
+    val yaml =
+      """data_source: hub
+        |entity_type: node
+        |attributes:
+        |  - name: vendor
+        |    data_type: text
+        |  - name: capacity
+        |    data_type: integer
+        |""".stripMargin
+    val d = Definitions.parseAttributeStore(yaml)
+    assert(d.name == "hub-node-attrs")
+    val history = d.conform(Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "acme", "16", 9),
+      (1L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), "acme", "32", 9))
+      .toDF("entity_id", "ts", "vendor", "capacity", "extra"))
+    assert(history.schema("capacity").dataType == IntegerType)
+    val curr = graft.store.AttributeStore.current(history).collect()
+    assert(curr.length == 1 && curr.head.getInt(3) == 32)
+  }
+}
