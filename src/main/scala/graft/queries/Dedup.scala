@@ -294,6 +294,12 @@ object Dedup {
     * [[clusters]] does one fewer join per round and matches it on the
     * dense near-clique graphs LSH verification produces.
     */
+  /** Observability hook for scale probes (tools/ProbeCcRounds): how many
+    * pointer-jump rounds the LAST [[clustersPointerJump]] call took before
+    * convergence. Probe-only — not part of the API contract, and not
+    * meaningful under concurrent calls. */
+  @volatile private[graft] var lastPointerJumpRounds: Int = -1
+
   def clustersPointerJump(pairs: DataFrame): DataFrame = {
     // Same one-directional-checkpoint-first discipline as [[clusters]]:
     // never execute the pair plan twice just to mirror the edges.
@@ -334,6 +340,7 @@ object Dedup {
       rounds += 1
     }
     freeCheckpoint(edges)
+    lastPointerJumpRounds = rounds
     labels
   }
 

@@ -1390,6 +1390,44 @@ object Llm {
     // the plan stays an equi-join on the cell key.
     "llm_ivf_probe" -> ((s, d) => ivfSearch(s, d, nprobe = 2)),
 
+    // K8g — production-asymmetry ANN serving (added r7): a SAMPLED query
+    // stream against the full IVF index — the shape a deployed index
+    // actually runs (bounded queries over a growing corpus), vs
+    // `llm_ivf_probe`'s all-corpus-as-queries eval. Query set = the same
+    // deterministic md5 25% sample as `llm_recall_at_k`, norm > 0
+    // asserted (zero-norm queries have no cosine neighbor on either
+    // engine). The query side is restricted BEFORE the cell join, so the
+    // pair volume is Q·occupancy·nprobe: per-query cost is a function of
+    // cell occupancy (corpus/nlist), NOT corpus size — scale nlist with
+    // the corpus and serving cost per query is flat (measured across
+    // nlist policies in tools/ProbeIvfQueries). LEFT join keeps a
+    // sampled query whose probed cells hold no other member as a
+    // null-neighbor row, exactly like the probe key.
+    "llm_ivf_query" -> ((s, d) => {
+      val v = vecs(s, d)
+      val ranked = coarseRanked(v)
+      val sampled = conv(substring(
+        md5(concat(col("vec_id").cast("string"), lit("|q"))), 1, 4),
+        16, 10).cast("long") < 16384L && col("norm") > 0.0d
+      val probes = ranked.where(col("r") <= 2).where(sampled)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+          col("norm").as("a_n"), col("cell").as("p_cell"))
+      val cells = ranked.where(col("r") === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+          col("norm").as("b_n"), col("cell").as("b_cell"))
+      val sims = probes.join(cells,
+          col("p_cell") === col("b_cell") && col("a_id") =!= col("b_id"))
+        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
+      ranked.where(col("r") === 1).where(sampled)
+        .select(col("vec_id"), col("cell"))
+        .join(nn, col("vec_id") === col("a_id"), "left")
+        .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
     // K8d — ANN recall eval (added r4): recall@1 of the IVF probe against
     // the exact nearest neighbor — the index-health number every ANN
     // deployment watches before trusting approximate results (pairs with
@@ -3082,6 +3120,18 @@ object Llm {
         |ORDER BY stage""".stripMargin,
     "llm_ivf_centroids" -> ivfSql(1),
     "llm_ivf_probe" -> ivfSql(2),
+    // Sampled-query serving: nn over all queries filtered to the sample is
+    // row-identical to restricting the query side first (per-query top-1
+    // independence) — the oracle takes the simple form, the Spark plan the
+    // scalable one.
+    "llm_ivf_query" ->
+      s"""WITH ${ivfCtes(2)}
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
+        |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
+        |WHERE CAST(concat('0x', substring(
+        |        md5(CAST(c.vec_id AS VARCHAR) || '|q'), 1, 4)) AS BIGINT) < 16384
+        |  AND c.norm > 0
+        |ORDER BY c.vec_id""".stripMargin,
     "llm_recall_at_k" ->
       s"""WITH ${ivfCtes(2)},
         |q AS (

@@ -33,9 +33,12 @@ class HarnessSpec extends SparkSpec {
     assert((streaming -- graft.tools.PlanScan.skipKeys).isEmpty,
       s"streaming keys PlanScan would drain: ${streaming -- graft.tools.PlanScan.skipKeys}")
     // the only non-streaming skips are the documented side-effect keys
+    // plus graph_cc, whose data-dependently iterative pointer-jump loop
+    // has no lazy whole-query plan (the other graph keys audit via
+    // Graph.auditPlans — see PlanScan.skipKeys' doc)
     val sideEffect = graft.tools.PlanScan.skipKeys -- streaming
     assert(sideEffect == Set("scan_csv_typed", "scan_jsonl", "scan_xml_typed",
-      "sink_partitioned", "join_bucketed", "scan_binary"),
+      "sink_partitioned", "join_bucketed", "scan_binary", "graph_cc"),
       s"unexpected non-streaming PlanScan skips: $sideEffect")
   }
 
