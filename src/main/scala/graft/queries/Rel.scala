@@ -311,9 +311,17 @@ object Rel {
     // C7b — FORWARD as-of: for each order timestamp, the EARLIEST event of
     // its user at-or-after it (the "next sample" lookup gap backfill
     // needs — the mirror of attribute.at(ts)). Same one-shuffle shape as
-    // join_asof with the frame reversed: first_value over
-    // [currentRow, unboundedFollowing]. Tie at equal ts: the event is
-    // visible (>= semantics), smallest event_id wins.
+    // join_asof with the SORT reversed, not the frame: a
+    // [currentRow, unboundedFollowing] frame SHRINKS row-by-row, and
+    // Spark re-aggregates a shrinking frame from scratch per row —
+    // O(partition²) (the win_interpolate lesson, r7). Sorting descending
+    // and running the same [unboundedPreceding, currentRow] last() frame
+    // is the exact mirror (the desc sort flips every tie-break: kind asc
+    // puts same-ts events after the query row in reversed order = before
+    // it in forward order, null event_ids land NULLS LAST, and tied
+    // null-id query rows contribute nothing to the aggregate either way).
+    // Tie at equal ts: the event is visible (>= semantics), smallest
+    // event_id wins — last() in desc id order.
     "join_asof_forward" -> ((s, d) => {
       val ev = Tables.events(s, d).select(
         col("user_id").as("uid"), col("ts").as("ats"),
@@ -323,13 +331,11 @@ object Rel {
         expr("TIMESTAMP '2024-01-01' + make_interval(0, 0, 0, CAST(o_orderkey % 30 AS INT), CAST(o_custkey % 24 AS INT), 0, 0)").as("ats"),
         lit(1).as("kind"), lit(null).cast("long").as("event_id"), col("o_orderkey"))
       import org.apache.spark.sql.expressions.Window
-      // kind desc puts the query row before same-ts events, so the forward
-      // frame starting at the query row includes them
       val w = Window.partitionBy("uid")
-        .orderBy(col("ats"), col("kind").desc, col("event_id"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(col("ats").desc, col("kind"), col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev.unionByName(od)
-        .withColumn("next_event_id", first(col("event_id"), ignoreNulls = true).over(w))
+        .withColumn("next_event_id", last(col("event_id"), ignoreNulls = true).over(w))
         .where(col("kind") === 1)
         .select(col("o_orderkey"), col("next_event_id"))
         .orderBy("o_orderkey")
@@ -357,16 +363,22 @@ object Rel {
       val wb = Window.partitionBy("uid")
         .orderBy(col("ats"), col("kind"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // forward direction via the REVERSED sort + running frame (exact
+      // mirror of the old [currentRow, unboundedFollowing] first() —
+      // which Spark recomputes O(partition²) on a shrinking frame; the
+      // join_asof_forward/win_interpolate r7 fix). Two in-partition sorts
+      // over the one uid exchange, same as before (the directions already
+      // disagreed on kind/id order).
       val wf = Window.partitionBy("uid")
-        .orderBy(col("ats"), col("kind").desc, col("event_id"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(col("ats").desc, col("kind"), col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev.unionByName(od)
         .withColumn("b_id", last(col("event_id"), ignoreNulls = true).over(wb))
         .withColumn("b_ts",
           last(when(col("kind") === 0, col("ats")), ignoreNulls = true).over(wb))
-        .withColumn("f_id", first(col("event_id"), ignoreNulls = true).over(wf))
+        .withColumn("f_id", last(col("event_id"), ignoreNulls = true).over(wf))
         .withColumn("f_ts",
-          first(when(col("kind") === 0, col("ats")), ignoreNulls = true).over(wf))
+          last(when(col("kind") === 0, col("ats")), ignoreNulls = true).over(wf))
         .where(col("kind") === 1)
         .select(col("o_orderkey"),
           when(col("b_id").isNull, col("f_id"))

@@ -138,7 +138,16 @@ object Wins {
     // after the last observation falls back to nearest. Interpolation
     // reads the ROUNDED hourly means so both engines interpolate
     // bit-identical inputs. Same single user-keyed shuffle as
-    // win_resample; both frames share one Window partition sort.
+    // win_resample. The "next observation" side deliberately does NOT use
+    // a [currentRow, unboundedFollowing] frame: Spark re-aggregates a
+    // SHRINKING frame from scratch for every row (aggregates can't be
+    // un-merged), which is O(partition²) work — measured 27 s foreach at
+    // sf0.1 vs 1.7 s for the running direction (r7 ProbeInterp). Instead
+    // the grid is sorted DESCENDING and the same running
+    // [unboundedPreceding, currentRow] last() frame reads the forward
+    // neighbor — `h` is unique per user on the grid, so the reversed
+    // order is an exact mirror. Price: a second in-partition sort on the
+    // shared exchange; O(n log n) beats O(n²) at any scale.
     "win_interpolate" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val hourly = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
@@ -150,13 +159,13 @@ object Wins {
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
       val wPrev = Window.partitionBy("user_id").orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wNext = Window.partitionBy("user_id").orderBy("h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wNextRev = Window.partitionBy("user_id").orderBy(col("h").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(hourly, Seq("user_id", "h"), "left")
         .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
         .withColumn("pt", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wPrev))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
-        .withColumn("nt", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNextRev))
+        .withColumn("nt", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wNextRev))
         // floor-truncate instead of round: interpolation midpoints land
         // exactly on .00005 boundaries, where Spark's string-based round
         // (HALF_UP on the shortest decimal) and DuckDB's arithmetic round

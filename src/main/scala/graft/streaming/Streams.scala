@@ -432,6 +432,10 @@ object Streams {
           col("kpi_load"), col("kpi_burst"))
       val dir = java.nio.file.Files
         .createTempDirectory("graft_notif_store").toString
+      // harness hygiene: the demo store is per-run scratch — reclaim it at
+      // JVM exit instead of accreting one directory per bench/test run
+      graft.Fs.fileSystem(s, dir)._1
+        .deleteOnExit(new org.apache.hadoop.fs.Path(dir))
       drainForeach(s, kpis, "stream_trigger_notify", OutputMode.Update()) {
         (batch, _) =>
           graft.store.Triggers.upsert(
