@@ -32,9 +32,12 @@ import graft.ops.Ivf
 object ProbeIvfQueries {
   private val QueryN = 500
 
-  /** Top-1 within probed cells for the sampled queries; returns matched
-    * query count (forces execution). */
-  private def searchSampled(v: DataFrame, nlist: Int, nprobe: Int): Long = {
+  /** Top-1 within probed cells for the sampled queries; returns
+    * (matched query count, candidate pair count). At fixture scale the
+    * wall-clock is stage-overhead-dominated, so the CANDIDATE VOLUME —
+    * Q·occupancy·nprobe, the thing that grows — is the number that
+    * evidences each policy's asymptotics. */
+  private def searchSampled(v: DataFrame, nlist: Int, nprobe: Int): (Long, Long) = {
     val ranked = Ivf.coarseRanked(v, nlist)
     val qids = v.select(col("vec_id"))
       .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|probeq"))))
@@ -51,7 +54,9 @@ object ProbeIvfQueries {
       .withColumn("sim", call_function("vec_dot", col("a_e"), col("b_e"))
         / (col("a_n") * col("b_n")))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-    sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1).count()
+    val matched = sims.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).count()
+    (matched, sims.count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,15 +83,18 @@ object ProbeIvfQueries {
           ("fixed64", 64),
           ("sqrt", Ivf.autoNlist(n)),
           ("linear", math.max(1, (n / 50).toInt)))) {
+        var cand = 0L
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          val matched = searchSampled(v, nlist, nprobe = 2)
+          val (matched, c) = searchSampled(v, nlist, nprobe = 2)
           require(matched > 0, "no query matched — sample broken")
+          cand = c
           (System.nanoTime() - t0) / 1e9
         }.sorted
         val warm = times.head
         println(f"[ivfq] n=$n%-6d policy=$policy%-8s nlist=$nlist%-5d " +
-          f"q=$QueryN warm=$warm%.2f s per-query=${warm * 1000 / QueryN}%.2f ms")
+          f"q=$QueryN candidates=$cand%-8d cand/query=${cand.toDouble / QueryN}%-7.1f " +
+          f"warm=$warm%.2f s per-query=${warm * 1000 / QueryN}%.2f ms")
       }
       graft.ops.Checkpoints.free(v)
     }
