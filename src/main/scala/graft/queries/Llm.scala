@@ -395,6 +395,48 @@ object Llm {
         .orderBy("h")
     }),
 
+    // K1b — URL-canonicalization dedup (added r7): the FIRST dedup pass
+    // every web-scale pipeline runs — before any content hashing, collapse
+    // fetches of the same resource whose URLs differ only in
+    // scheme/host case, default port, tracking parameters, trailing
+    // slash, or fragment. The fixture has no URL column, so one is
+    // SYNTHESIZED deterministically from (doc_id, source) with all five
+    // variance modes injected (uppercase scheme+host on even ids, :443 on
+    // %4, utm_* params on %3, trailing slash on %5, #fragment on %6);
+    // the OPERATOR is the canonicalization chain, which works on any url
+    // column: strip fragment → lowercase scheme+host (path case is
+    // preserved — URLs are case-sensitive past the authority) → drop the
+    // default port → drop utm_* params → drop a pre-query trailing
+    // slash. Pure narrow string ops (regexp over each row, no UDF), one
+    // groupBy on the canonical form: at 100 TB this is a map-side-combined
+    // hash aggregate, the cheapest dedup that exists. Survivor = min
+    // doc_id per canonical URL, the dedup-family convention.
+    "llm_dedup_url" -> ((s, d) => {
+      val raw = Tables.documents(s, d).withColumn("url", concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.com"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 23).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        lit("?page="), (col("doc_id") % 4).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("&utm_source=feed&utm_campaign=c"),
+            (col("doc_id") % 11).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit(""))))
+      val canon = raw
+        .withColumn("u1", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("ahead", lower(regexp_extract(col("u1"), "^[^?#]*?://[^/?#]*", 0)))
+        .withColumn("atail", expr("substring(u1, length(ahead) + 1)"))
+        .withColumn("ahead", regexp_replace(col("ahead"), ":443$", ""))
+        .withColumn("atail", regexp_replace(col("atail"), "[?&]utm_[^&#]*", ""))
+        .withColumn("atail", regexp_replace(col("atail"), "/\\?", "?"))
+        .withColumn("canon_url", concat(col("ahead"), col("atail")))
+      canon.groupBy("canon_url")
+        .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_docs"))
+        .orderBy("canon_url")
+    }),
+
     // K2 — near-dup pairs: distinct-token Jaccard >= 0.5 with same-lang +
     // shared-token blocking (candidate pairs come from an equi-join on the
     // token, never a cross product). The MinHash key below is the same
@@ -2119,6 +2161,43 @@ object Llm {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors the Spark canonicalization chain step-for-step; DuckDB's
+    // regexp_replace needs the explicit 'g' flag where Spark replaces
+    // globally by default (the utm strip — two params in one string).
+    "llm_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    concat(
+        |      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+        |      CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+        |      '.example.com',
+        |      CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+        |      '/docs/', CAST(doc_id % 23 AS VARCHAR),
+        |      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+        |      '?page=', CAST(doc_id % 4 AS VARCHAR),
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN concat('&utm_source=feed&utm_campaign=c', CAST(doc_id % 11 AS VARCHAR))
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents
+        |),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u1 FROM raw),
+        |s2 AS (
+        |  SELECT doc_id, u1,
+        |         lower(regexp_extract(u1, '^[^?#]*?://[^/?#]*', 0)) AS ahead0
+        |  FROM s1
+        |),
+        |s3 AS (
+        |  SELECT doc_id,
+        |         regexp_replace(ahead0, ':443$', '') AS ahead,
+        |         regexp_replace(
+        |           regexp_replace(substring(u1, length(ahead0) + 1), '[?&]utm_[^&#]*', '', 'g'),
+        |           '/\?', '?') AS atail
+        |  FROM s2
+        |)
+        |SELECT concat(ahead, atail) AS canon_url,
+        |       min(doc_id) AS survivor_id, count(*) AS n_docs
+        |FROM s3 GROUP BY 1 ORDER BY canon_url""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

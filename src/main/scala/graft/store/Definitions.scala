@@ -117,6 +117,39 @@ object Definitions {
         col("entity_id").cast(LongType) +: col("ts").cast(TimestampType) +:
           attributes.map(a => col(a.name).cast(a.sparkType)): _*)
     }
+
+    /** Materialize the attribute-store layout under `rootDir` (history
+      * rows live in `rootDir/history`) and persist this definition beside
+      * it — same idempotent/conflict-rejecting contract as
+      * [[TrendStoreDef.create]]. */
+    def create(spark: SparkSession, rootDir: String): Unit = {
+      existingDefinition(spark, rootDir).foreach { prior =>
+        require(parseAttributeStore(prior) == this,
+          s"attribute store at $rootDir already defined with a different schema; " +
+            "redefinition must be an explicit migration")
+      }
+      writeDefinition(spark, rootDir, renderAttributeStore(this))
+    }
+
+    def historyDir(rootDir: String): String = s"$rootDir/history"
+
+    /** Append a conformed history package. History is append-only by
+      * design (SCD compaction is an explicit [[AttributeStore.compact]]
+      * rewrite, never an implicit merge). */
+    def append(spark: SparkSession, rootDir: String, batch: DataFrame): Unit =
+      conform(batch).write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(historyDir(rootDir))
+
+    /** Read the history with the DECLARED schema asserted — feeds
+      * [[AttributeStore.current]]/[[AttributeStore.at]] etc. */
+    def readHistory(spark: SparkSession, rootDir: String): DataFrame = {
+      val df = spark.read.parquet(historyDir(rootDir))
+      val missing = ("entity_id" +: "ts" +: attributes.map(_.name))
+        .filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"attribute store corrupt, missing: ${missing.mkString(", ")}")
+      df
+    }
   }
 
   // ---- parsing ----------------------------------------------------------
@@ -193,6 +226,27 @@ object Definitions {
       val e = arr.addObject(); e.put("name", c.name); e.put("data_type", c.dataType)
     }
     jsonMapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  /** Canonical JSON rendering of an attribute-store definition. */
+  def renderAttributeStore(d: AttributeStoreDef): String = {
+    val node = jsonMapper.createObjectNode()
+    node.put("data_source", d.dataSource)
+    node.put("entity_type", d.entityType)
+    val arr = node.putArray("attributes")
+    d.attributes.foreach { a =>
+      val e = arr.addObject(); e.put("name", a.name); e.put("data_type", a.dataType)
+    }
+    jsonMapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  /** Re-open an attribute store from the definition persisted at
+    * `rootDir` — mirror of [[openTrendStore]]. */
+  def openAttributeStore(spark: SparkSession, rootDir: String): AttributeStoreDef = {
+    val text = existingDefinition(spark, rootDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $DefinitionFile at $rootDir — not a defined attribute store"))
+    parseAttributeStore(text)
   }
 
   private val DefinitionFile = "_definition.json"

@@ -103,5 +103,22 @@ class DefinitionsSpec extends SparkSpec {
     assert(history.schema("capacity").dataType == IntegerType)
     val curr = graft.store.AttributeStore.current(history).collect()
     assert(curr.length == 1 && curr.head.getInt(3) == 32)
+
+    // create → append → reopen → read round-trip (mirror of the trend path)
+    val root = tmpDir("def_attr_store")
+    d.create(spark, root)
+    d.create(spark, root) // idempotent
+    d.append(spark, root, Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "acme", "16", 9),
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), "globex", "64", 9))
+      .toDF("entity_id", "ts", "vendor", "capacity", "extra"))
+    val d2 = graft.store.Definitions.openAttributeStore(spark, root)
+    assert(d2 == d, "persisted attribute definition must parse back")
+    val back = d2.readHistory(spark, root)
+    assert(back.schema("capacity").dataType == IntegerType)
+    assert(back.count() == 2)
+    val e = intercept[IllegalArgumentException](
+      d.copy(attributes = d.attributes.take(1)).create(spark, root))
+    assert(e.getMessage.contains("migration"), e.getMessage)
   }
 }
