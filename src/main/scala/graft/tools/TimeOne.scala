@@ -5,8 +5,13 @@ import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 
 /** Dev timer for individual query keys: `sbt "runMain graft.tools.TimeOne
-  * <key>[,<key>...] [sfDir] [reps]"`. Times `.count()` per rep after one
-  * warm-up of the session (same warm-up as Bench). */
+  * <key>[,<key>...] [sfDir] [reps]"`. Times a full `foreach`
+  * materialization per rep — NOT `count()`, which lets Catalyst prune
+  * every operator the count doesn't need (the r7 win_interpolate lesson:
+  * a 27 s O(partition²) window billed as 0.34 s for six rounds) — after
+  * one warm-up of the session (same method as Bench/ScaleFull). The row
+  * count is tallied inside the timed pass via an accumulator, so it costs
+  * nothing extra and the printed figure is the honest full-execution cost. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val keys = args.headOption.map(_.split(",").toSeq)
@@ -25,9 +30,10 @@ object TimeOne {
     keys.foreach { k =>
       val fn = SparkEntry.queries.getOrElse(k, sys.error(s"unknown key $k"))
       (1 to reps).foreach { r =>
+        val rows = spark.sparkContext.longAccumulator
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"[timeone] $k rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        fn(spark, sfDir).foreach(_ => rows.add(1L))
+        println(f"[timeone] $k rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s (${rows.value} rows)")
       }
     }
     spark.stop()
