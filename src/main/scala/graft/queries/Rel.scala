@@ -70,6 +70,32 @@ object Rel {
         .orderBy("rule", "entity_id", "ts")
     }),
 
+    // B3' — the SAME trigger machinery driven by a DECLARATIVE definition
+    // document: the rule set below is parsed from YAML at plan time
+    // (graft.store.Definitions.parseTrigger — config-as-schema, the
+    // closed-comparator condition language), never written as code. The
+    // document's declared granularity picks the KPI bucket; the compiled
+    // rules run through the identical Triggers.evaluate path as
+    // filter_trigger_notify. Plan shape is unchanged: one bucket-keyed
+    // rollup shuffle + narrow filters unioned — parsing is driver-side
+    // metadata work on a KB-sized document.
+    "filter_trigger_defs" -> ((s, d) => {
+      val defn = graft.store.Definitions.parseTrigger(
+        """name: node_alarms
+          |granularity: 1h
+          |thresholds:
+          |  - {name: load_high,  kpi: kpi_load,  op: ">",  value: 210.0, severity: major}
+          |  - {name: load_floor, kpi: kpi_load,  op: "<=", value: 55.0,  severity: minor}
+          |  - {name: burst,      kpi: kpi_burst, op: ">=", value: 3.0,   severity: warning}
+          |""".stripMargin)
+      val kpis = Tables.events(s, d)
+        .groupBy(col("user_id").as("entity_id"),
+          defn.granularity.bucket(col("ts")).as("ts"))
+        .agg(round(avg(col("value")), 4).as("kpi_load"),
+          count(lit(1)).cast("double").as("kpi_burst"))
+      defn.evaluate(kpis).orderBy("rule", "entity_id", "ts")
+    }),
+
     // C1 — equi inner join (planner picks SMJ/SHJ; at scale the shuffle is
     // keyed on the join column only).
     "join_inner_hash" -> ((s, d) => {
@@ -625,6 +651,22 @@ object Rel {
         |UNION ALL
         |SELECT entity_id, ts, 'burst', 'warning', 'kpi_burst', kpi_burst
         |FROM k WHERE kpi_burst >= 2
+        |ORDER BY rule, entity_id, ts""".stripMargin,
+    "filter_trigger_defs" ->
+      """WITH k AS (
+        |  SELECT user_id AS entity_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+        |         round(avg(value), 4) AS kpi_load, CAST(count(*) AS DOUBLE) AS kpi_burst
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT entity_id, ts, 'load_high' AS rule, 'major' AS severity,
+        |       'kpi_load' AS kpi, kpi_load AS value
+        |FROM k WHERE kpi_load > 210.0
+        |UNION ALL
+        |SELECT entity_id, ts, 'load_floor', 'minor', 'kpi_load', kpi_load
+        |FROM k WHERE kpi_load <= 55.0
+        |UNION ALL
+        |SELECT entity_id, ts, 'burst', 'warning', 'kpi_burst', kpi_burst
+        |FROM k WHERE kpi_burst >= 3
         |ORDER BY rule, entity_id, ts""".stripMargin,
     "join_skew_salted" ->
       """WITH e AS (SELECT event_type, value FROM events),

@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
@@ -152,6 +152,54 @@ object Definitions {
     }
   }
 
+  /** One threshold rule in a trigger definition. `op` comes from the
+    * closed comparator set below: a definition document is CONFIG, not
+    * code, so the condition language is deliberately total — nothing a
+    * document can say turns into arbitrary expression evaluation, and
+    * every legal document has a trivially derivable SQL twin (which is
+    * what lets a definition-driven trigger stay oracle-checkable). */
+  final case class ThresholdDef(name: String, kpi: String, op: String,
+      value: Double, severity: String) {
+    require(comparators.contains(op),
+      s"threshold '$name': unknown op '$op' " +
+        s"(known: ${comparators.keys.toSeq.sorted.mkString(" ")})")
+
+    /** Compile to the runtime rule the evaluation engine runs. */
+    def toRule: Triggers.Rule =
+      Triggers.Rule(name, kpi, severity)(c => comparators(op)(c, value))
+  }
+
+  private val comparators: Map[String, (Column, Double) => Column] = Map(
+    ">" -> (_ > _), ">=" -> (_ >= _), "<" -> (_ < _), "<=" -> (_ <= _))
+
+  /** A trigger definition: a named rule set evaluated over KPI rows at a
+    * declared granularity — the reference's trigger configs (thresholds +
+    * severities as documents, not code) in the same config-as-schema
+    * layer as the store definitions. */
+  final case class TriggerDef(name: String, granularity: Granularity,
+      thresholds: Seq[ThresholdDef]) {
+
+    /** The compiled rule set for [[Triggers.evaluate]] /
+      * [[Triggers.evaluateWithCooldown]]. */
+    def rules: Seq[Triggers.Rule] = thresholds.map(_.toRule)
+
+    /** Evaluate this definition over a KPI frame (entity_id, ts, kpi
+      * columns at this definition's granularity). Pure delegation — the
+      * definition layer adds no execution machinery of its own. */
+    def evaluate(kpis: DataFrame): DataFrame = Triggers.evaluate(kpis, rules)
+
+    /** Persist beside the notification store — same idempotent /
+      * conflict-rejecting contract as the store definitions. */
+    def create(spark: SparkSession, rootDir: String): Unit = {
+      existingDefinition(spark, rootDir).foreach { prior =>
+        require(parseTrigger(prior) == this,
+          s"trigger at $rootDir already defined with different rules; " +
+            "redefinition must be an explicit migration")
+      }
+      writeDefinition(spark, rootDir, renderTrigger(this))
+    }
+  }
+
   // ---- parsing ----------------------------------------------------------
 
   private val jsonMapper = new ObjectMapper()
@@ -212,6 +260,38 @@ object Definitions {
       columnList(t, "attributes"))
   }
 
+  private def reqNum(n: JsonNode, field: String): Double = {
+    val v = n.get(field)
+    require(v != null && v.isNumber,
+      s"definition missing required numeric field '$field'")
+    v.asDouble
+  }
+
+  /** Parse a trigger definition document (YAML or JSON):
+    * {{{
+    * name: node_alarms
+    * granularity: 1h
+    * thresholds:
+    *   - name: load_high
+    *     kpi: kpi_load
+    *     op: ">"
+    *     value: 210.0
+    *     severity: major
+    * }}} */
+  def parseTrigger(text: String): TriggerDef = {
+    val t = tree(text)
+    val arr = t.get("thresholds")
+    require(arr != null && arr.isArray && arr.size > 0,
+      "trigger definition needs a non-empty 'thresholds' list")
+    val ths = arr.elements.asScala.map { e =>
+      ThresholdDef(reqText(e, "name"), reqText(e, "kpi"), reqText(e, "op"),
+        reqNum(e, "value"), reqText(e, "severity"))
+    }.toSeq
+    val dup = ths.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate threshold names: ${dup.mkString(", ")}")
+    TriggerDef(reqText(t, "name"), Granularity(reqText(t, "granularity")), ths)
+  }
+
   // ---- rendering / persistence ------------------------------------------
 
   /** Canonical JSON rendering (JSON is valid YAML, and machine-written
@@ -238,6 +318,29 @@ object Definitions {
       val e = arr.addObject(); e.put("name", a.name); e.put("data_type", a.dataType)
     }
     jsonMapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  /** Canonical JSON rendering of a trigger definition. */
+  def renderTrigger(d: TriggerDef): String = {
+    val node = jsonMapper.createObjectNode()
+    node.put("name", d.name)
+    node.put("granularity", d.granularity.name)
+    val arr = node.putArray("thresholds")
+    d.thresholds.foreach { th =>
+      val e = arr.addObject()
+      e.put("name", th.name); e.put("kpi", th.kpi); e.put("op", th.op)
+      e.put("value", th.value); e.put("severity", th.severity)
+    }
+    jsonMapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  /** Re-open a trigger from the definition persisted at `rootDir` —
+    * mirror of [[openTrendStore]]. */
+  def openTrigger(spark: SparkSession, rootDir: String): TriggerDef = {
+    val text = existingDefinition(spark, rootDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $DefinitionFile at $rootDir — not a defined trigger"))
+    parseTrigger(text)
   }
 
   /** Re-open an attribute store from the definition persisted at

@@ -121,4 +121,51 @@ class DefinitionsSpec extends SparkSpec {
       d.copy(attributes = d.attributes.take(1)).create(spark, root))
     assert(e.getMessage.contains("migration"), e.getMessage)
   }
+
+  private val triggerYaml =
+    """name: node_alarms
+      |granularity: 1h
+      |thresholds:
+      |  - {name: load_high,  kpi: kpi_load,  op: ">",  value: 100.0, severity: major}
+      |  - {name: load_floor, kpi: kpi_load,  op: "<=", value: 10.0,  severity: minor}
+      |""".stripMargin
+
+  test("trigger definition parses, compiles to rules, and round-trips its rendering") {
+    val d = Definitions.parseTrigger(triggerYaml)
+    assert(d.name == "node_alarms" && d.granularity == Granularity.Hour)
+    assert(d.thresholds.map(_.name) == Seq("load_high", "load_floor"))
+    assert(Definitions.parseTrigger(Definitions.renderTrigger(d)) == d)
+
+    // the compiled rules fire exactly where the document says
+    val kpis = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 150.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 50.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 10.0))
+      .toDF("entity_id", "ts", "kpi_load")
+    val fired = d.evaluate(kpis).select("entity_id", "rule", "severity", "value")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(fired == Seq("1|load_high|major|150.0", "3|load_floor|minor|10.0"), fired)
+
+    // persist → reopen; conflicting redefinition rejected
+    val root = tmpDir("def_trigger")
+    d.create(spark, root)
+    d.create(spark, root) // idempotent
+    assert(Definitions.openTrigger(spark, root) == d)
+    val e = intercept[IllegalArgumentException](
+      d.copy(thresholds = d.thresholds.take(1)).create(spark, root))
+    assert(e.getMessage.contains("migration"), e.getMessage)
+  }
+
+  test("trigger definition rejects open-ended condition language") {
+    // op outside the closed comparator set — config, not code
+    val e = intercept[IllegalArgumentException](Definitions.parseTrigger(
+      triggerYaml.replace("op: \">\", ", "op: \"rlike\",")))
+    assert(e.getMessage.contains("unknown op"), e.getMessage)
+    // non-numeric threshold value
+    intercept[IllegalArgumentException](Definitions.parseTrigger(
+      triggerYaml.replace("100.0", "high")))
+    // duplicate threshold names
+    intercept[IllegalArgumentException](Definitions.parseTrigger(
+      triggerYaml.replace("load_floor", "load_high")))
+  }
 }
