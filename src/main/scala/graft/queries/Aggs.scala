@@ -414,6 +414,31 @@ object Aggs {
         .orderBy("item")
     }),
 
+    // D20' — Count-Min sketch point queries (functions.CountMin, Cormode
+    // & Muthukrishnan 2005): the depth×width counter matrix is built by
+    // one mergeable Aggregator pass (map tasks reduce to a constant-size
+    // sketch before the exchange — shuffle carries d·w longs, never data
+    // volume), then every item's estimate is read out against the exact
+    // count. Counters are order-independent SUMS, so unlike Misra–Gries
+    // the sketch is deterministic and the oracle reconstructs it in
+    // closed form: counter(r, b) = sum of true counts of items hashing
+    // to b under seed r — estimates pinned EXACTLY cross-engine. The
+    // one-row sketch rides a broadcast crossJoin; the readout is pure
+    // codegen'd column math (md5 → conv → element_at → least).
+    "agg_count_min" -> ((s, d) => {
+      import s.implicits._
+      val (depth, width) = (4, 64)
+      val items = Tables.events(s, d).select(col("user_id").cast("string").as("item"))
+      val sketch = items.as[String]
+        .select(new graft.functions.CountMin(depth, width).toColumn.name("sketch"))
+      items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(sketch))
+        .select(col("item"), col("n_exact"),
+          graft.functions.CountMin.estimateCol(col("sketch"), col("item"), depth, width)
+            .as("cm_est"))
+        .orderBy("item")
+    }),
+
     // D21 — ordered funnel stages (behavioral analytics): per user, the
     // first 'view', the first 'click' strictly after it, the first
     // 'purchase' strictly after that. Each stage is one user-keyed
@@ -1037,6 +1062,18 @@ object Aggs {
         |           FROM events GROUP BY 1),
         |     t AS (SELECT count(*) AS n FROM events)
         |SELECT item, cnt FROM c, t WHERE cnt * 129 > n ORDER BY item""".stripMargin,
+    "agg_count_min" ->
+      """WITH items AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+        |c AS (SELECT item, count(*) AS n_exact FROM items GROUP BY 1),
+        |r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+        |b AS (SELECT c.item, c.n_exact, r.r,
+        |        CAST(concat('0x', substring(md5(CAST(r.r AS VARCHAR) || ':' || c.item), 1, 8)) AS BIGINT) % 64 AS bkt
+        |      FROM c CROSS JOIN r),
+        |rc AS (SELECT r, bkt, sum(n_exact) AS counter FROM b GROUP BY 1, 2)
+        |SELECT b.item, b.n_exact, CAST(min(rc.counter) AS BIGINT) AS cm_est
+        |FROM b JOIN rc ON b.r = rc.r AND b.bkt = rc.bkt
+        |GROUP BY b.item, b.n_exact
+        |ORDER BY b.item""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY event_type, user_id
