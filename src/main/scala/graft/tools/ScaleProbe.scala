@@ -128,9 +128,13 @@ object ScaleProbe {
     keys.foreach { k =>
       val fn = SparkEntry.queries.getOrElse(k, sys.error(s"unknown key $k"))
       (1 to reps).foreach { r =>
+        // foreach, not count — count() lets Catalyst prune operators the
+        // count doesn't need (the r7 win_interpolate lesson); same method
+        // as Bench/ScaleFull/TimeOne
+        val rows = spark.sparkContext.longAccumulator
         val t0 = System.nanoTime()
-        val n = fn(spark, OutDir).count()
-        println(f"[scale] $k rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        fn(spark, OutDir).foreach(_ => rows.add(1L))
+        println(f"[scale] $k rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s (${rows.value} rows)")
       }
     }
     spark.stop()
