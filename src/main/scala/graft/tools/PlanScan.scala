@@ -57,7 +57,8 @@ object PlanScan {
         // ONE-ROW aggregate (the scalar-reference idiom — Catalyst folds a
         // constant-key equi-join back to a cross join, so this shape
         // cannot be expressed as a hash join)
-        val scalarBnlOk = Set("agg_decay_score", "win_seasonal_decompose")
+        val scalarBnlOk = Set("agg_decay_score", "win_seasonal_decompose",
+          "agg_count_min") // one-row sketch broadcast readout
         val marks = Seq(
           if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
           if (bnl > 0 && !name.startsWith("llm_") && !scalarBnlOk.contains(name))
