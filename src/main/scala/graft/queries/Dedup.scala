@@ -48,9 +48,19 @@ object Dedup {
       .toDF("doc_id", "band_i", "band_v")
   }
 
+  /** Oracle-side tok CTE: distinct non-empty whitespace tokens per doc —
+    * the SQL twin of [[tokens]] (shared by the Llm oracle strings and the
+    * streaming dedup key's oracle). */
+  private[graft] val tokCte: String =
+    """tok AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_filter(
+      |    string_split(text, ' '), t -> len(t) > 0))) AS token
+      |  FROM documents
+      |)""".stripMargin
+
   /** The matching oracle-side CTEs for [[bandKeys]] (requires a `tok` CTE
     * with doc_id, token). */
-  private[queries] val bandsCte: String =
+  private[graft] val bandsCte: String =
     """mh AS (
       |  SELECT doc_id,
       |         min(md5('0:' || token)) AS mh0, min(md5('1:' || token)) AS mh1,
@@ -400,6 +410,16 @@ object Dedup {
     * makes index-index maintenance joins exchange-free. */
   def writeBandIndex(docs: DataFrame, dir: String): Unit =
     bandKeys(tokens(docs)).write.mode("overwrite").parquet(dir)
+
+  /** Incremental index maintenance: append one ingest batch's band rows
+    * to the stored index — the per-batch write half of the
+    * [[lshVerifiedIncremental]] stored-index contract (the batch was just
+    * probed against the index; its own bands join the index so the NEXT
+    * batch sees it as corpus). Append-only: band rows are immutable facts
+    * about a doc version, and the parquet append touches nothing already
+    * written. */
+  def appendBandIndex(docs: DataFrame, dir: String): Unit =
+    bandKeys(tokens(docs)).write.mode("append").parquet(dir)
 
   /** Incremental dedup against a PRE-BUILT corpus band index (see
     * [[writeBandIndex]]): identical output to the self-computing overload

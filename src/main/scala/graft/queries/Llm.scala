@@ -1862,12 +1862,9 @@ object Llm {
     }),
   )
 
-  private val tokCte =
-    """tok AS (
-      |  SELECT doc_id, lang, unnest(list_distinct(list_filter(
-      |    string_split(text, ' '), t -> len(t) > 0))) AS token
-      |  FROM documents
-      |)""".stripMargin
+  // the shared oracle tok CTE lives beside its Spark twin in Dedup so the
+  // two can't drift; this alias keeps the interpolations below readable
+  private val tokCte = Dedup.tokCte
 
   /** The [[contamShingles]]-based decontamination oracle, shared verbatim
     * by `llm_decontaminate` and `llm_bloom_decontaminate` (the bloom is a

@@ -68,6 +68,48 @@ object Streams {
     }
   }
 
+  private val documentsRawSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stage the documents table as 4 doc-id-range chunk files with strictly
+    * increasing modification times — the file stream source's ingest
+    * order — so `maxFilesPerTrigger=1` replays the corpus as 4 ordered
+    * micro-batches (a real deployment points at the ingest directory and
+    * skips this). Cached per source dir, same discipline as
+    * [[eventsStream]]'s symlink staging. */
+  private def documentChunks(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_docs",
+      Integer.toHexString(d.hashCode))
+    val done = dir.resolve("_staged")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(dir)
+      val docs = graft.Tables.documents(s, d)
+      val hi = docs.agg(max("doc_id")).head().getLong(0) + 1
+      (0 until 4).foreach { i =>
+        val (lo, up) = (hi * i / 4, hi * (i + 1) / 4)
+        val staging = dir.resolve(s"_staging$i")
+        docs.where(col("doc_id") >= lo && col("doc_id") < up)
+          .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        // hoist the single part file up as a plain chunk FILE (the file
+        // source lists files, not parquet dirs), mtimes a second apart:
+        // unambiguous ingest order
+        val part = java.nio.file.Files.list(staging)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val chunk = dir.resolve(f"chunk$i%02d.parquet")
+        java.nio.file.Files.move(part, chunk,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        chunk.toFile.setLastModified(1700000000000L + i * 1000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    dir.toString
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return the
     * sink table. The checkpoint lives under java.io.tmpdir per query name.
     *
@@ -467,6 +509,66 @@ object Streams {
             org.apache.spark.sql.types.StructField("value",
               org.apache.spark.sql.types.DoubleType))))
     }),
+
+    // I14 — streaming incremental LSH dedup (added r7): the daily-ingest
+    // dedup loop (`Dedup.lshVerifiedIncremental`'s stored-index contract)
+    // run as an actual ingest stream. Documents arrive in doc-id-ordered
+    // chunk files (maxFilesPerTrigger=1 ⇒ one micro-batch per chunk);
+    // each micro-batch probes the STORED band index (band equi-join —
+    // per-batch cost tracks batch bands × collision rate, never
+    // corpus × corpus), exact-verifies candidates with bitmask Jaccard,
+    // appends the verified pairs to the result store, then appends the
+    // batch's docs + bands to corpus/index so the NEXT batch sees them.
+    // Pairs are emitted CANONICALLY (dup_id = greater id): every
+    // colliding pair is discovered exactly once — when its second doc is
+    // ingested — so the drained union is batch-boundary- and
+    // batch-ORDER-independent and equals the one-shot LSH+verify over
+    // the whole corpus: the oracle is llm_dedup_lsh_verified's own SQL
+    // at the 0.9 ingest-gate threshold. (Jaccard values are also
+    // chunk-independent: a doc's bitmask depends only on its own token
+    // set, so the per-batch dictionary scope never moves a jacc —
+    // the same invariant DedupSpec pins for the mask-scope gate.)
+    "stream_dedup_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.SaveMode
+      val chunks = documentChunks(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_lsh").toString
+      graft.Fs.fileSystem(s, work)._1
+        .deleteOnExit(new org.apache.hadoop.fs.Path(work))
+      val (corpusDir, idxDir, resDir) =
+        (s"$work/corpus", s"$work/index", s"$work/pairs")
+      val stream = s.readStream.schema(documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(chunks)
+      drainForeach(s, stream, "stream_dedup_lsh", OutputMode.Append()) {
+        (batch0, _) =>
+          // the batch feeds four consumers (probe bands, verify masks,
+          // corpus append, index append) — materialize it once
+          val batch = batch0.localCheckpoint(true)
+          val pairs =
+            if (graft.Fs.existsNonEmptyData(s, idxDir))
+              graft.queries.Dedup.lshVerifiedIncremental(s,
+                s.read.parquet(corpusDir), s.read.parquet(idxDir),
+                batch, threshold = 0.9)
+            else // first batch: no corpus yet, in-batch peers only
+              graft.queries.Dedup.lshVerified(s, batch, threshold = 0.9,
+                presentationSort = false)
+          pairs.select(
+              greatest(col("a_id"), col("b_id")).as("dup_id"),
+              least(col("a_id"), col("b_id")).as("orig_id"), col("jacc"))
+            .write.mode(SaveMode.Append).parquet(resDir)
+          batch.write.mode(SaveMode.Append).parquet(corpusDir)
+          graft.queries.Dedup.appendBandIndex(batch, idxDir)
+          graft.ops.Checkpoints.free(batch)
+      }
+      if (graft.Fs.existsNonEmptyData(s, resDir))
+        s.read.parquet(resDir).orderBy("dup_id", "orig_id")
+      else // a dup-free corpus is a legitimate empty result, not a crash
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("dup_id", LongType), StructField("orig_id", LongType),
+            StructField("jacc", DoubleType))))
+    }),
   )
 
   /** Oracle SQL for the streaming keys: the batch-equivalent queries over
@@ -495,6 +597,32 @@ object Streams {
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
            |       count(*) AS cnt, round(sum(value), 4) AS sum_value
            |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+      // the incremental stream discovers every colliding pair exactly once
+      // (when its second doc is ingested) and emits it canonically, so the
+      // drained union equals the ONE-SHOT LSH+verify over the whole corpus
+      // — llm_dedup_lsh_verified's own SQL at the 0.9 ingest threshold,
+      // reoriented to (dup_id = greater id, orig_id).
+      "stream_dedup_lsh" ->
+        s"""WITH ${graft.queries.Dedup.tokCte},
+           |${graft.queries.Dedup.bandsCte},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
+           |),
+           |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+           |  FROM cand c
+           |  JOIN tok ta ON ta.doc_id = c.a_id
+           |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.token = ta.token
+           |  GROUP BY 1, 2
+           |)
+           |SELECT i.b_id AS dup_id, i.a_id AS orig_id,
+           |       round(CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter), 4) AS jacc
+           |FROM inter i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
+           |WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.9
+           |ORDER BY dup_id, orig_id""".stripMargin,
       "stream_topk" ->
         s"""WITH c AS (
            |  SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt

@@ -457,6 +457,26 @@ class StreamingSpec extends SparkSpec {
     assert(!afterRefine.exists(_.contains("250.0")), "stale value must be gone")
   }
 
+  test("streaming incremental LSH dedup equals the one-shot batch LSH+verify") {
+    // The key's whole contract: every colliding pair is discovered exactly
+    // once (when its second doc is ingested) and emitted canonically, so
+    // the 4-micro-batch drain must equal Dedup.lshVerified over the full
+    // corpus at the same threshold — pair set AND jacc values (a doc's
+    // bitmask depends only on its own token set, so per-batch dictionary
+    // scope never moves a jacc).
+    val streamed = graft.streaming.Streams.queries("stream_dedup_lsh")(spark, sf0001)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val oneShot = graft.queries.Dedup
+      .lshVerified(spark, Tables.documents(spark, sf0001), threshold = 0.9)
+      .select(greatest(col("a_id"), col("b_id")).as("dup_id"),
+        least(col("a_id"), col("b_id")).as("orig_id"), col("jacc"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamed.nonEmpty, "fixture must contain near-identical pairs at 0.9")
+    assert(streamed == oneShot, "drained incremental pairs must equal the one-shot set")
+    // exactly-once: no pair may surface twice across micro-batches
+    assert(streamed.distinct.size == streamed.size, "duplicate pair emitted")
+  }
+
   test("session windows match the batch islands formulation") {
     val stream = graft.streaming.Streams.queries("stream_session")(spark, sf0001)
       .agg(count(lit(1)), sum("n_events")).collect().head
