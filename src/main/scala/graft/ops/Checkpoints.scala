@@ -51,6 +51,18 @@ object Checkpoints {
   def freeAll(df: DataFrame): Unit =
     checkpointLeaves(df).foreach(_.unpersist(blocking = false))
 
+  /** Materialize `result` as its own checkpoint, then free every
+    * checkpoint under each `spent` plan — the standard finish for an
+    * operator that staged intermediates (band/mask/edge tables) it will
+    * never read again. The one surviving block is the result itself,
+    * reclaimed by the ContextCleaner once the caller drops it; the
+    * intermediates are gone immediately. */
+  def finishFreeing(result: DataFrame, spent: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    spent.foreach(freeAll)
+    out
+  }
+
   private def checkpointLeaves(df: DataFrame) =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

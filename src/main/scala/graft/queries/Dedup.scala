@@ -367,13 +367,28 @@ object Dedup {
     * ≈50% at J≈0.74, ≈75% at J≈0.84, >99% at J≥0.95 — tuned for
     * near-identical dup detection. Precision is exact by construction.
     *
-    * The band/mask tables feed self-joins, so their plans re-execute per
-    * branch. Measured at sf0.1 this is the right trade: the 31-token
-    * vocabulary makes the token pipeline cheaper to re-run than an eager
-    * localCheckpoint (which cost 0.4–0.6 s in serialization + lost codegen
-    * fusion). On a wide-vocabulary corpus, persist/checkpoint `bands` and
-    * the `tokenMasks` output before the joins — the trade flips once
-    * minhash/mask construction dominates candidate volume.
+    * The band/mask tables feed self-joins (two reads each), so lazily
+    * they re-execute per branch. Under honest FOREACH timing this
+    * recompute costs 3× the whole query (18–23 s vs 5.6–6.9 s at sf0.1,
+    * tools/ProbeLshPersist) — the earlier "recompute beats checkpoint"
+    * call was a count()-timing artifact (Catalyst pruned the re-executed
+    * branches out of the counted plan, the r7 win_interpolate lesson). So
+    * `eager = true` (the default) checkpoints the band and mask tables
+    * and returns the verify plan LAZY over those blocks. The result
+    * itself is deliberately NOT checkpointed — it is pair-volume-sized
+    * (5 M rows at sf0.1) and consumed exactly once, so materializing it
+    * into the block manager was measured to give the whole recompute win
+    * back. The two staged blocks are DOC-sized (bands = 2 rows/doc,
+    * masks = 1 row/doc — not pair-sized, not loop-accumulated): consumers
+    * with a natural end-of-life hook free them explicitly
+    * (`Checkpoints.freeAll(pairs)` after the clustering keys copy the
+    * pairs into their own edge checkpoint); otherwise the ContextCleaner
+    * reclaims them at the next GC once the caller drops the frame — the
+    * bounded case the Checkpoints doc distinguishes from the per-round
+    * leak class. `eager = false` keeps the fully lazy composition for
+    * plan audits (PlanScan/PlanShapeSpec inspect exchange counts and
+    * window placement without executing) and for single-consumption
+    * callers too small to stage (the streaming first batch).
     */
   /** Incremental (batch-vs-corpus) LSH dedup — the daily-ingest shape: a
     * new batch of documents is checked against the existing corpus AND
@@ -475,13 +490,21 @@ object Dedup {
   }
 
   def lshVerified(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
-                  threshold: Double, presentationSort: Boolean = true): DataFrame = {
+                  threshold: Double, presentationSort: Boolean = true,
+                  eager: Boolean = true): DataFrame = {
     graft.functions.MaskOps.register(s)
     val tok = tokens(docs)
-    val bands = bandKeys(tok)
+    val bands0 = bandKeys(tok)
+    val bands = if (eager) bands0.localCheckpoint(true) else bands0
+    // A checkpointed LogicalRDD carries no stats (the pagerank lesson), so
+    // the planner would shuffle-join against the doc-sized band/mask
+    // blocks it previously auto-broadcast. Re-gate the hint on a measured
+    // count — above the gate the shuffle join is the correct plan anyway.
+    val smallCorpus = eager && docs.count() < BroadcastDocs
+    def maybeBc(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
     val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
     val r = bands.select(col("doc_id").as("b_id"), col("band_i").as("bi2"), col("band_v").as("bv2"))
-    val rawCand = l.join(r,
+    val rawCand = l.join(maybeBc(r),
         col("band_i") === col("bi2") && col("band_v") === col("bv2")
           && col("a_id") < col("b_id"))
       .select("a_id", "b_id")
@@ -494,7 +517,8 @@ object Dedup {
     // the survivors — the 5 M-row candidate exchange disappears.
     val dedupLate = threshold >= 0.7
     val candidates = if (dedupLate) rawCand else rawCand.distinct()
-    val (masks, interExpr, cardExpr) = tokenMasks(tok)
+    val (masks0, interExpr, cardExpr) = tokenMasks(tok)
+    val masks = if (eager) maybeBc(masks0.localCheckpoint(true)) else masks0
     // presentationSort=false skips the final global sort — the right call
     // when the pairs feed clustering (which re-keys them immediately)
     verifyPairs(candidates, masks, interExpr, cardExpr, threshold,

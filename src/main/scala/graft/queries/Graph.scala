@@ -82,11 +82,8 @@ object Graph {
     * is result-sized (top-100 / one row per part), three orders of
     * magnitude below the edge tables it replaces, and is reclaimed by the
     * context cleaner once the caller drops the DataFrame. */
-  private def finishFreeing(result: DataFrame, spent: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    spent.foreach(graft.ops.Checkpoints.freeAll)
-    out
-  }
+  private def finishFreeing(result: DataFrame, spent: DataFrame*): DataFrame =
+    graft.ops.Checkpoints.finishFreeing(result, spent: _*)
 
   /** The 5-iteration damped-PageRank composition over `edges`/`deg`.
     * With `checkpointIters` each iteration's NODE-sized rank table becomes

@@ -538,7 +538,12 @@ object Llm {
     }),
 
     "llm_dedup_minhash" -> ((s, d) => {
-      val bands = Dedup.bandKeys(tokensDistinct(s, d))
+      // band table checkpointed before the self-join (two reads) — the
+      // foreach-measured trade lshVerified's eager route documents; the
+      // pair-sized result stays lazy (checkpointing IT was measured to
+      // give the recompute win back), the doc-sized band block is
+      // GC-reclaimed once the consumer drops the frame
+      val bands = Dedup.bandKeys(tokensDistinct(s, d)).localCheckpoint(true)
       val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
       val r = bands.select(col("doc_id").as("b_id"), col("band_i").as("bi2"), col("band_v").as("bv2"))
       l.join(r, col("band_i") === col("bi2") && col("band_v") === col("bv2")
@@ -679,8 +684,11 @@ object Llm {
     "llm_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.lshVerified(s, Tables.documents(s, d), threshold = 0.9,
         presentationSort = false)
-      Dedup.clustersPointerJump(pairs)
-        .groupBy("cluster_id")
+      val comp = Dedup.clustersPointerJump(pairs)
+      // the pointer jump copied the pairs into its own edge checkpoint —
+      // the staged band/mask blocks under the pair plan are dead weight
+      graft.ops.Checkpoints.freeAll(pairs)
+      comp.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"), min("id").as("canonical_id"))
         .orderBy("cluster_id")
     }),
@@ -1700,6 +1708,8 @@ object Llm {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.lshVerified(s, docs, threshold = 0.9, presentationSort = false)
       val comp = Dedup.clustersPointerJump(pairs)
+      // copied into the jump's edge checkpoint; free the staged band/mask blocks
+      graft.ops.Checkpoints.freeAll(pairs)
       val assigned = docs.join(comp, docs("doc_id") === comp("id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
@@ -2156,6 +2166,29 @@ object Llm {
       |  JOIN qdt q ON q.vec_id = qa.vec_id
       |  JOIN words wb ON wb.vec_id = qb.vec_id
       |)""".stripMargin
+
+  /** Pre-checkpoint LAZY twins for plan audit (PlanScan/PlanShapeSpec) —
+    * same contract as [[Graph.auditPlans]]: identical operator structure
+    * to [[queries]] minus the eager checkpoint materialization, so
+    * exchange counts, join strategies, and window placement stay
+    * inspectable after the r7 foreach-trade change made the registry
+    * routes return checkpointed results. The clusters/survivors keys have
+    * no lazy whole-plan (pointer jumping is data-dependently iterative —
+    * the graph_cc situation); their pair-construction plan is
+    * llm_dedup_lsh_verified's own, audited here. */
+  val auditPlans: Map[String, Q] = Map(
+    "llm_dedup_lsh_verified" -> ((s, d) =>
+      Dedup.lshVerified(s, Tables.documents(s, d), threshold = 0.5,
+        presentationSort = true, eager = false)),
+    "llm_dedup_minhash" -> ((s, d) => {
+      val bands = Dedup.bandKeys(tokensDistinct(s, d))
+      val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
+      val r = bands.select(col("doc_id").as("b_id"), col("band_i").as("bi2"), col("band_v").as("bv2"))
+      l.join(r, col("band_i") === col("bi2") && col("band_v") === col("bv2")
+          && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+        .orderBy("a_id", "b_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     // Mirrors the Spark canonicalization chain step-for-step; DuckDB's

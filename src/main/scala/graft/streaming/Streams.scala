@@ -549,9 +549,10 @@ object Streams {
               graft.queries.Dedup.lshVerifiedIncremental(s,
                 s.read.parquet(corpusDir), s.read.parquet(idxDir),
                 batch, threshold = 0.9)
-            else // first batch: no corpus yet, in-batch peers only
+            else // first batch: no corpus yet, in-batch peers only (lazy:
+              // quarter-sized, consumed once by the write below)
               graft.queries.Dedup.lshVerified(s, batch, threshold = 0.9,
-                presentationSort = false)
+                presentationSort = false, eager = false)
           pairs.select(
               greatest(col("a_id"), col("b_id")).as("dup_id"),
               least(col("a_id"), col("b_id")).as("orig_id"), col("jacc"))

@@ -30,6 +30,14 @@ object PlanScan {
       "scan_csv_typed", "scan_jsonl", "scan_xml_typed", "sink_partitioned",
       "join_bucketed", "scan_binary", "graph_cc")
 
+  /** Lazy pre-checkpoint twins for keys whose registry route executes
+    * eagerly (checkpoint hygiene): graph family + the r7 eager dedup
+    * routes. Shared by this audit and PlanShapeSpec so the two can't
+    * disagree about which plan a key is judged on. */
+  def auditOverrides: Map[String, (org.apache.spark.sql.SparkSession, String)
+      => org.apache.spark.sql.DataFrame] =
+    graft.queries.Graph.auditPlans ++ graft.queries.Llm.auditPlans
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -47,7 +55,7 @@ object PlanScan {
       if (!skip.contains(name)) {
         // Graph keys execute eagerly (checkpoint hygiene); audit their
         // lazy pre-checkpoint twin instead of a vacuous LogicalRDD.
-        val fn = graft.queries.Graph.auditPlans.getOrElse(name, fn0)
+        val fn = auditOverrides.getOrElse(name, fn0)
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         def n(p: String) = p.r.findAllIn(plan).size
         val cartesian = n("CartesianProduct")

@@ -265,7 +265,7 @@ class PlanShapeSpec extends SparkSpec {
       val offenders = scala.collection.mutable.ListBuffer[String]()
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn0) =>
         if (!skip.contains(name)) {
-          val fn = graft.queries.Graph.auditPlans.getOrElse(name, fn0)
+          val fn = graft.tools.PlanScan.auditOverrides.getOrElse(name, fn0)
           val unpartitioned = fn(spark, sf0001).queryExecution.executedPlan.collect {
             case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty => w
