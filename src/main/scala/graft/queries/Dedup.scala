@@ -450,10 +450,21 @@ object Dedup {
   private[graft] def lshVerifiedIncrementalGated(
       s: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       batch: DataFrame, threshold: Double, gate: Long,
-      storedBands: Option[DataFrame] = None): DataFrame = {
+      storedBands: Option[DataFrame] = None,
+      eager: Boolean = false): DataFrame = {
     graft.functions.MaskOps.register(s)
+    val nCorpus = corpus.count()
+    // Same staging trade as [[lshVerified]]'s eager route: the batch band
+    // table feeds two join branches and the mask table two verify sides —
+    // checkpoint them (doc-sized blocks; the per-batch caller frees them
+    // once the result is consumed) and re-gate the broadcast hints the
+    // stats-less LogicalRDDs would otherwise lose. eager=false keeps the
+    // fully lazy composition (the batch registry key's auditable plan).
+    val smallCorpus = eager && nCorpus < BroadcastDocs
+    def maybeBc(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
     val corpusBands = storedBands.getOrElse(bandKeys(tokens(corpus)))
-    val batchBands = bandKeys(tokens(batch))
+    val batchBands0 = bandKeys(tokens(batch))
+    val batchBands = if (eager) batchBands0.localCheckpoint(true) else batchBands0
     val l = batchBands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
     val rc = corpusBands.select(col("doc_id").as("b_id"),
       col("band_i").as("bi2"), col("band_v").as("bv2"))
@@ -476,7 +487,7 @@ object Dedup {
     // gate the corpus-wide dictionary pass is exactly the corpus-sized
     // cost the stored band index exists to avoid: checkpoint the (small)
     // pair list once, then every downstream stage is ∝ batch + matches.
-    val scoped = corpus.count() > gate
+    val scoped = nCorpus > gate
     val candidates = if (scoped) rawCand.localCheckpoint(true) else rawCand
     val base = corpus.unionByName(batch)
     val docsForMasks = if (scoped) {
@@ -484,7 +495,8 @@ object Dedup {
         .unionByName(candidates.select(col("b_id").as("doc_id"))).distinct()
       base.join(candDocs, Seq("doc_id"), "left_semi")
     } else base
-    val (masks, interExpr, cardExpr) = tokenMasks(tokens(docsForMasks))
+    val (masks0, interExpr, cardExpr) = tokenMasks(tokens(docsForMasks))
+    val masks = if (eager) maybeBc(masks0.localCheckpoint(true)) else masks0
     verifyPairs(candidates, masks, interExpr, cardExpr, threshold,
       sorted = true, dedupAfterVerify = false)
   }

@@ -544,19 +544,28 @@ object Streams {
           // the batch feeds four consumers (probe bands, verify masks,
           // corpus append, index append) — materialize it once
           val batch = batch0.localCheckpoint(true)
+          val stored = graft.Fs.existsNonEmptyData(s, idxDir)
           val pairs =
-            if (graft.Fs.existsNonEmptyData(s, idxDir))
-              graft.queries.Dedup.lshVerifiedIncremental(s,
-                s.read.parquet(corpusDir), s.read.parquet(idxDir),
-                batch, threshold = 0.9)
+            if (stored)
+              // eager: batch bands + masks staged as checkpoints (freed
+              // below once the write has consumed them) — the foreach-
+              // measured branch-reuse trade lshVerified documents
+              graft.queries.Dedup.lshVerifiedIncrementalGated(s,
+                s.read.parquet(corpusDir), batch, threshold = 0.9,
+                gate = graft.queries.Dedup.BroadcastDocs,
+                Some(s.read.parquet(idxDir)), eager = true)
             else // first batch: no corpus yet, in-batch peers only (lazy:
               // quarter-sized, consumed once by the write below)
               graft.queries.Dedup.lshVerified(s, batch, threshold = 0.9,
                 presentationSort = false, eager = false)
-          pairs.select(
-              greatest(col("a_id"), col("b_id")).as("dup_id"),
-              least(col("a_id"), col("b_id")).as("orig_id"), col("jacc"))
-            .write.mode(SaveMode.Append).parquet(resDir)
+          val out = pairs.select(
+            greatest(col("a_id"), col("b_id")).as("dup_id"),
+            least(col("a_id"), col("b_id")).as("orig_id"), col("jacc"))
+          out.write.mode(SaveMode.Append).parquet(resDir)
+          // eager route only: frees the staged band/mask blocks. The lazy
+          // first-batch plan reads the batch checkpoint DIRECTLY — freeing
+          // through it would kill the block the corpus append still needs.
+          if (stored) graft.ops.Checkpoints.freeAll(out)
           batch.write.mode(SaveMode.Append).parquet(corpusDir)
           graft.queries.Dedup.appendBandIndex(batch, idxDir)
           graft.ops.Checkpoints.free(batch)
