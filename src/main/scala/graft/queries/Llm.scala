@@ -682,12 +682,13 @@ object Llm {
     // routines accept any pair source. DedupSpec verifies both against
     // union-find.
     "llm_dedup_clusters" -> ((s, d) => {
+      // eager=false: the pointer jump copies the pairs into its own edge
+      // checkpoint, so the pair plan executes exactly ONCE — at the 0.9
+      // dedupLate shape that single lazy execution benched 5.7 s vs 7.8 s
+      // for the staged route (the staging win is the multi-read 0.5 path)
       val pairs = Dedup.lshVerified(s, Tables.documents(s, d), threshold = 0.9,
-        presentationSort = false)
+        presentationSort = false, eager = false)
       val comp = Dedup.clustersPointerJump(pairs)
-      // the pointer jump copied the pairs into its own edge checkpoint —
-      // the staged band/mask blocks under the pair plan are dead weight
-      graft.ops.Checkpoints.freeAll(pairs)
       comp.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"), min("id").as("canonical_id"))
         .orderBy("cluster_id")
@@ -1706,10 +1707,10 @@ object Llm {
     // cluster-keyed window.
     "llm_dedup_survivors" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.lshVerified(s, docs, threshold = 0.9, presentationSort = false)
+      // eager=false for the same single-consumption reason as the clusters key
+      val pairs = Dedup.lshVerified(s, docs, threshold = 0.9,
+        presentationSort = false, eager = false)
       val comp = Dedup.clustersPointerJump(pairs)
-      // copied into the jump's edge checkpoint; free the staged band/mask blocks
-      graft.ops.Checkpoints.freeAll(pairs)
       val assigned = docs.join(comp, docs("doc_id") === comp("id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
