@@ -541,22 +541,28 @@ object Streams {
         .option("maxFilesPerTrigger", 1).parquet(chunks)
       drainForeach(s, stream, "stream_dedup_lsh", OutputMode.Append()) {
         (batch0, _) =>
+          // foreachBatch hands a frame bound to the micro-batch's CLONED
+          // session: plan against THAT session throughout, or functions
+          // registered on the outer session (MaskOps' multi-word mask
+          // route, needed once the 10× vocabulary passes 64 tokens)
+          // resolve in one registry but not the other
+          val bs = batch0.sparkSession
           // the batch feeds four consumers (probe bands, verify masks,
           // corpus append, index append) — materialize it once
           val batch = batch0.localCheckpoint(true)
-          val stored = graft.Fs.existsNonEmptyData(s, idxDir)
+          val stored = graft.Fs.existsNonEmptyData(bs, idxDir)
           val pairs =
             if (stored)
               // eager: batch bands + masks staged as checkpoints (freed
               // below once the write has consumed them) — the foreach-
               // measured branch-reuse trade lshVerified documents
-              graft.queries.Dedup.lshVerifiedIncrementalGated(s,
-                s.read.parquet(corpusDir), batch, threshold = 0.9,
+              graft.queries.Dedup.lshVerifiedIncrementalGated(bs,
+                bs.read.parquet(corpusDir), batch, threshold = 0.9,
                 gate = graft.queries.Dedup.BroadcastDocs,
-                Some(s.read.parquet(idxDir)), eager = true)
+                Some(bs.read.parquet(idxDir)), eager = true)
             else // first batch: no corpus yet, in-batch peers only (lazy:
               // quarter-sized, consumed once by the write below)
-              graft.queries.Dedup.lshVerified(s, batch, threshold = 0.9,
+              graft.queries.Dedup.lshVerified(bs, batch, threshold = 0.9,
                 presentationSort = false, eager = false)
           val out = pairs.select(
             greatest(col("a_id"), col("b_id")).as("dup_id"),
