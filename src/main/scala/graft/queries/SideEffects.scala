@@ -245,6 +245,42 @@ object SideEffects {
         .orderBy("d")
     }),
 
+    // B3'' — trigger cooldown (the daemon's alarm-flood guard) under an
+    // oracle: the first half of the month's exceedances are staged as the
+    // PRIOR notification store (day-partitioned, Triggers.store), then
+    // the second half evaluates through `Triggers.evaluateWithCooldown` —
+    // a (entity, rule) pair re-raises only strictly more than 48 h after
+    // its last stored notification. The prior side is reduced to per-pair
+    // max(ts) BEFORE its shuffle (operational cardinality, not data
+    // volume) and the store read is day-pruned by the cooldown horizon;
+    // the suppression itself is one broadcast-friendly anti-join. The
+    // oracle replays split, evaluation, and suppression in closed form
+    // from the events table.
+    "filter_trigger_cooldown" -> ((s, d) => {
+      val out = scratch("notif_cooldown")
+      val dir = new java.io.File(out)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+      val rules = Seq(
+        graft.store.Triggers.Rule("load_high", "kpi_load", "major")(_ > 200.0),
+        graft.store.Triggers.Rule("burst", "kpi_burst", "warning")(_ >= 2.0))
+      val kpis = Tables.events(s, d)
+        .groupBy(col("user_id").as("entity_id"), date_trunc("hour", col("ts")).as("ts"))
+        .agg(round(avg(col("value")), 4).as("kpi_load"),
+          count(lit(1)).cast("double").as("kpi_burst"))
+      val split = lit("2024-01-16").cast("timestamp")
+      graft.store.Triggers.store(
+        graft.store.Triggers.evaluate(kpis.where(col("ts") < split), rules), out)
+      graft.store.Triggers
+        .evaluateWithCooldown(kpis.where(col("ts") >= split), rules, s, out, "48 HOURS")
+        .orderBy("rule", "entity_id", "ts")
+    }),
+
     // A4 — partitioned trend-store sink: write events partitioned by day
     // (the reference's time-partitioned wide-table layout), read back and
     // count per partition. Partition pruning on `d` is then free.
@@ -270,6 +306,35 @@ object SideEffects {
   // anything — types, timestamp parsing, partition values — the hashes
   // diverge.
   val oracles: Map[String, String] = Map(
+    "filter_trigger_cooldown" ->
+      """WITH k AS (
+        |  SELECT user_id AS entity_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+        |         round(avg(value), 4) AS kpi_load, CAST(count(*) AS DOUBLE) AS kpi_burst
+        |  FROM events GROUP BY 1, 2
+        |),
+        |prior AS (
+        |  SELECT entity_id, rule, max(ts) AS p_ts FROM (
+        |    SELECT entity_id, ts, 'load_high' AS rule FROM k
+        |    WHERE kpi_load > 200 AND ts < TIMESTAMP '2024-01-16'
+        |    UNION ALL
+        |    SELECT entity_id, ts, 'burst' FROM k
+        |    WHERE kpi_burst >= 2 AND ts < TIMESTAMP '2024-01-16'
+        |  ) GROUP BY 1, 2
+        |),
+        |fresh AS (
+        |  SELECT entity_id, ts, 'load_high' AS rule, 'major' AS severity,
+        |         'kpi_load' AS kpi, kpi_load AS value
+        |  FROM k WHERE kpi_load > 200 AND ts >= TIMESTAMP '2024-01-16'
+        |  UNION ALL
+        |  SELECT entity_id, ts, 'burst', 'warning', 'kpi_burst', kpi_burst
+        |  FROM k WHERE kpi_burst >= 2 AND ts >= TIMESTAMP '2024-01-16'
+        |)
+        |SELECT f.entity_id, f.ts, f.rule, f.severity, f.kpi, f.value
+        |FROM fresh f LEFT JOIN prior p
+        |  ON p.entity_id = f.entity_id AND p.rule = f.rule
+        | AND f.ts <= p.p_ts + INTERVAL 48 HOUR
+        |WHERE p.entity_id IS NULL
+        |ORDER BY f.rule, f.entity_id, f.ts""".stripMargin,
     "scan_csv_typed" ->
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name,
         |       TIMESTAMP '2024-01-15 06:30:00' AS loaded_at
