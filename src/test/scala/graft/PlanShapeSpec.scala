@@ -281,6 +281,18 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("agg_count_min reduces to one sketch per map task before the exchange") {
+    val p = planOf("agg_count_min")
+    // the typed Aggregator must plan as partial + final object-hash
+    // aggregation: every map task folds its slice into ONE d×w counter
+    // matrix, so the exchange carries a constant-size sketch per task —
+    // never data rows. A single-phase plan would ship raw items.
+    val phases = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(phases >= 2, s"expected partial+final sketch aggregation:\n$p")
+    // the readout joins the one-row sketch by broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), s"sketch not broadcast:\n$p")
+  }
+
   test("agg_dq_checks fuses the row-level rules into one pass over events") {
     val p = planOf("agg_dq_checks")
     // one aggregate computes both the null and range measures (the stack
