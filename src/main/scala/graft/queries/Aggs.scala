@@ -439,6 +439,79 @@ object Aggs {
         .orderBy("item")
     }),
 
+    // D20'' — KMV (bottom-k) distinct sketch readout (functions.Kmv,
+    // Bar-Yossef et al. 2002): per event type, the ≤64 smallest distinct
+    // 60-bit md5 hashes of the user set, estimate (k−1)/(h_k/2^60) read
+    // out against the exact distinct count. Bottom-k of a set is a pure
+    // function of the set — partitioning and merge order cancel — so the
+    // sketch is DETERMINISTIC like CountMin's counters and the oracle
+    // reconstructs h_k in closed form (k-th smallest distinct hash via one
+    // window): the estimate is pinned EXACTLY cross-engine, where the HLL
+    // keys can only be tolerance-checked. 2^60 is a power of two (exact
+    // double literal), so the two IEEE divides agree bit-for-bit. The
+    // ~150-user keyspace exceeds k=64, so the estimation path (not the
+    // exact-small-set path) is genuinely exercised at every SF. Shuffle
+    // carries ≤k longs per group — never cardinality volume.
+    "agg_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      val kmvAgg = udaf(new graft.functions.Kmv(k))
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("item"))
+        .groupBy("event_type")
+        .agg(countDistinct(col("item")).as("n_exact"), kmvAgg(col("item")).as("sk"))
+        .select(col("event_type"), col("n_exact"),
+          round(
+            when(size(col("sk")) < k, size(col("sk")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (element_at(col("sk"), k).cast("double") / lit(1152921504606846976.0))),
+            4).as("kmv_est"))
+        .orderBy("event_type")
+    }),
+
+    // D18' — re-aggregable histogram quantiles: the quantile readout over
+    // `agg_histogram`'s fixed-grid form (40 width-25 buckets, edge-
+    // clamped). Fixed-grid counts merge by ADDITION across partitions and
+    // time — the property quantile sketches (t-digest/KLL) trade away —
+    // so a materialized rollup can serve p50/p90/p99 at any roll-up grain
+    // without re-reading data; the price is grid resolution (±bucket
+    // width), honest and documented. Readout: target rank via EXACT
+    // integer arithmetic (⌈q·n⌉ as (q_num·n + q_num) div q_den — no float
+    // rank), first bucket with cum ≥ target, linear interpolation inside
+    // it: lo + 25·(target − cum_prev)/cnt — exact ints into one IEEE
+    // multiply+divide+add, identical op order in the oracle. The window
+    // is partitioned by event_type over ≤40 bucket rows — summary-sized,
+    // never data-sized.
+    "agg_hist_quantile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bucket")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val hist = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("bucket",
+          least(greatest(floor(col("value") / 25), lit(0.0)), lit(39.0)).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wAll))
+      val targets = hist.select("event_type", "n").distinct()
+        .select(col("event_type"), col("n"),
+          explode(expr(
+            "array(named_struct('q', '50', 'tgt', (n + 1) div 2), " +
+              "named_struct('q', '90', 'tgt', (9 * n + 9) div 10), " +
+              "named_struct('q', '99', 'tgt', (99 * n + 99) div 100))")).as("t"))
+        .select(col("event_type"), col("n"), col("t.q").as("q"), col("t.tgt").as("tgt"))
+      targets.join(hist.select("event_type", "bucket", "cnt", "cum"), "event_type")
+        .where(col("cum") >= col("tgt"))
+        .groupBy("event_type", "q", "n", "tgt")
+        .agg(min_by(struct(col("bucket"), col("cnt"), col("cum")), col("bucket")).as("b"))
+        .select(col("event_type"), col("q"), col("n"),
+          round(
+            (col("b.bucket") * 25).cast("double") +
+              lit(25.0) * (col("tgt") - (col("b.cum") - col("b.cnt"))).cast("double") / col("b.cnt").cast("double"),
+            4).as("q_est"))
+        .orderBy("event_type", "q")
+    }),
+
     // D21 — ordered funnel stages (behavioral analytics): per user, the
     // first 'view', the first 'click' strictly after it, the first
     // 'purchase' strictly after that. Each stage is one user-keyed
@@ -1074,6 +1147,55 @@ object Aggs {
         |FROM b JOIN rc ON b.r = rc.r AND b.bkt = rc.bkt
         |GROUP BY b.item, b.n_exact
         |ORDER BY b.item""".stripMargin,
+    "agg_kmv_distinct" ->
+      """WITH i AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS item FROM events),
+        |h AS (SELECT DISTINCT event_type,
+        |        CAST(concat('0x', substring(md5(item), 1, 15)) AS BIGINT) AS hv
+        |      FROM i),
+        |r AS (SELECT event_type, hv,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |      FROM h),
+        |kk AS (SELECT event_type, hv AS h_k FROM r WHERE rn = 64),
+        |sm AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n_small
+        |       FROM h GROUP BY 1 HAVING count(*) < 64),
+        |x AS (SELECT event_type, count(*) AS n_exact FROM i GROUP BY 1)
+        |SELECT x.event_type, x.n_exact,
+        |       round(CASE WHEN kk.h_k IS NULL THEN sm.n_small
+        |                  ELSE 63.0 / (CAST(kk.h_k AS DOUBLE) / 1152921504606846976.0)
+        |             END, 4) AS kmv_est
+        |FROM x LEFT JOIN kk ON x.event_type = kk.event_type
+        |       LEFT JOIN sm ON x.event_type = sm.event_type
+        |ORDER BY x.event_type""".stripMargin,
+    "agg_hist_quantile" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         CAST(LEAST(GREATEST(floor(value / 25), 0), 39) AS BIGINT) AS bucket,
+        |         count(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |),
+        |c AS (
+        |  SELECT event_type, bucket, cnt,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h
+        |),
+        |t AS (SELECT DISTINCT event_type, n FROM c),
+        |q AS (
+        |  SELECT event_type, n, '50' AS q, (n + 1) // 2 AS tgt FROM t
+        |  UNION ALL SELECT event_type, n, '90', (9 * n + 9) // 10 FROM t
+        |  UNION ALL SELECT event_type, n, '99', (99 * n + 99) // 100 FROM t
+        |),
+        |pick AS (
+        |  SELECT q.event_type, q.q, q.n, q.tgt, min(c.bucket) AS bucket
+        |  FROM q JOIN c ON c.event_type = q.event_type AND c.cum >= q.tgt
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT p.event_type, p.q, CAST(p.n AS BIGINT) AS n,
+        |       round(CAST(p.bucket * 25 AS DOUBLE)
+        |             + 25.0 * CAST(p.tgt - (c.cum - c.cnt) AS DOUBLE) / CAST(c.cnt AS DOUBLE),
+        |             4) AS q_est
+        |FROM pick p JOIN c ON c.event_type = p.event_type AND c.bucket = p.bucket
+        |ORDER BY p.event_type, p.q""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY event_type, user_id

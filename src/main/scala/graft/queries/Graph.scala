@@ -163,6 +163,27 @@ object Graph {
       .orderBy(col("common").desc, col("u"), col("v")).limit(100)
   }
 
+  /** Neighbor-set Jaccard top-100 over a canonical (u<v) edge list — see
+    * the `graph_jaccard` entry for the full design rationale. */
+  private def jaccardBody(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("w"), col("v").as("x"))
+      .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("dg"))
+    val centers = sym.join(deg.where(col("dg") <= 64).select("w"), "w")
+    val wedges = centers.select(col("w"), col("x").as("u"))
+      .join(centers.select(col("w").as("w2"), col("x").as("v")),
+        col("w") === col("w2") && col("u") < col("v"))
+    val cn = wedges.groupBy("u", "v").agg(count(lit(1)).as("common"))
+    cn.join(deg.select(col("w").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("w").as("v"), col("dg").as("dv")), "v")
+      .join(edges, Seq("u", "v"), "left_anti")
+      .withColumn("n_union", col("du") + col("dv") - col("common"))
+      .withColumn("jaccard_units",
+        floor(lit(1e9) * col("common") / col("n_union")).cast("long"))
+      .select("u", "v", "common", "n_union", "jaccard_units")
+      .orderBy(col("jaccard_units").desc, col("u"), col("v")).limit(100)
+  }
+
   /** Adamic–Adar top-100 over a canonical (u<v) edge list — see the
     * `graph_adamic_adar` entry for the full design rationale. */
   private def adamicAdarBody(edges: DataFrame): DataFrame = {
@@ -268,6 +289,25 @@ object Graph {
       finishFreeing(adamicAdarBody(edges), edges)
     }),
 
+    // L6 — neighbor-set Jaccard similarity (added r7): the top-100
+    // NOT-YET-ADJACENT part pairs by |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    // normalized sibling of `graph_common_neighbors` (raw counts reward
+    // high-degree pairs; Jaccard rewards pairs whose neighborhoods
+    // actually coincide, the score production item-item recommenders
+    // ship). Same SUPPORTED co-purchase graph, same deg ≤ 64 hub cap on
+    // wedge CENTERS (hub-pruned intersection counts — the documented
+    // family policy; union sizes use full supported-graph degrees), same
+    // Σ min(deg,64)² wedge bound. Determinism at hash-match strictness:
+    // intersection and union are exact longs; the score is quantized as
+    // ⌊1e9·common/union⌋ — common ≤ 64 keeps 1e9·common exactly
+    // representable, and an IEEE quotient that IS an integer is exact, so
+    // the floor can't straddle cross-engine. Total-order tie-break makes
+    // the top-100 deterministic.
+    "graph_jaccard" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      finishFreeing(jaccardBody(edges), edges)
+    }),
+
     // L5 — connected components (added r5): component label (= minimum
     // member part id) for every part in the warehouse, over the SUPPORTED
     // co-purchase graph — an edge requires ≥ 2 distinct shared orders, so
@@ -317,7 +357,8 @@ object Graph {
     "graph_triangles" -> ((s, d) => trianglesBody(copurchaseEdgesPlan(s, d))),
     "graph_common_neighbors" ->
       ((s, d) => commonNeighborsBody(copurchaseEdgesPlan(s, d))),
-    "graph_adamic_adar" -> ((s, d) => adamicAdarBody(copurchaseEdgesPlan(s, d))))
+    "graph_adamic_adar" -> ((s, d) => adamicAdarBody(copurchaseEdgesPlan(s, d))),
+    "graph_jaccard" -> ((s, d) => jaccardBody(copurchaseEdgesPlan(s, d))))
 
   val oracles: Map[String, String] = {
     // shared CTE prefix for pagerank: symmetrized edges + degrees + N
@@ -408,6 +449,31 @@ object Graph {
           |FROM aa LEFT JOIN e ON aa.u = e.u AND aa.v = e.v
           |WHERE e.u IS NULL
           |ORDER BY aa_score_units DESC, aa.u, aa.v LIMIT 100""".stripMargin,
+      "graph_jaccard" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |),
+          |sym AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT w, count(*) AS dg FROM sym GROUP BY w),
+          |c AS (SELECT s.w, s.x FROM sym s JOIN deg d ON s.w = d.w AND d.dg <= 64),
+          |wedge AS (
+          |  SELECT a.w, a.x AS u, b.x AS v FROM c a JOIN c b ON a.w = b.w AND a.x < b.x
+          |),
+          |cn AS (SELECT u, v, count(*) AS common FROM wedge GROUP BY u, v),
+          |j AS (
+          |  SELECT cn.u, cn.v, cn.common, du.dg + dv.dg - cn.common AS n_union
+          |  FROM cn JOIN deg du ON cn.u = du.w JOIN deg dv ON cn.v = dv.w
+          |)
+          |SELECT j.u, j.v, j.common, j.n_union,
+          |       CAST(floor(1e9 * j.common / j.n_union) AS BIGINT) AS jaccard_units
+          |FROM j LEFT JOIN e ON j.u = e.u AND j.v = e.v
+          |WHERE e.u IS NULL
+          |ORDER BY jaccard_units DESC, j.u, j.v LIMIT 100""".stripMargin,
       "graph_cc" ->
         """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),

@@ -30,6 +30,30 @@ object Llm {
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
 
+  /** Content-defined chunk-frequency table over (doc_id, text) rows — the
+    * body of `llm_cdc_chunks`, factored out so CdcFuzzySpec can drive it
+    * with synthetic shift fixtures (see the registry entry for the full
+    * design rationale). Boundary rule: cut before position i (1-based,
+    * 2 ≤ i ≤ len−7) wherever the 60-bit md5 of the 8-char window at i is
+    * ≡ 0 (mod 32); chunks are the segments between cuts. */
+  def cdcChunkTable(docsRaw: DataFrame): DataFrame = {
+    val docs = docsRaw.select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val cuts = docs.select(col("doc_id"), explode(expr(
+      "CASE WHEN len >= 9 THEN filter(sequence(2, len - 7), " +
+        "i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint) % 32 = 0) " +
+        "ELSE array() END")).as("s"))
+    val starts = docs.select(col("doc_id"), lit(1).as("s")).unionByName(cuts)
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val chunks = starts.withColumn("nxt", lead("s", 1).over(w))
+      .join(docs, "doc_id")
+      .select(col("doc_id"),
+        expr("substring(text, s, coalesce(nxt, len + 1) - s)").as("chunk"))
+    chunks.groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"),
+        min(length(col("chunk"))).cast("long").as("chunk_len"))
+      .orderBy("chunk_hash")
+  }
+
   /** All tokens in order (with duplicates): (doc_id, lang, source, token). */
   private def tokensAll(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1035,6 +1059,27 @@ object Llm {
           greatest(size(col("toks")) - 2, lit(1)).as("n_shingles"))
         .orderBy("doc_id")
     }),
+
+    // K5f — content-defined chunking dedup readout (added r7): the
+    // shift-robust substring-dedup primitive (the FastCDC / LBFS family —
+    // Muthitacharoen et al. SOSP'01): a chunk boundary is cut before
+    // position i wherever the 60-bit md5 of the 8-char window starting at
+    // i lands ≡ 0 (mod 32) — a pure function of LOCAL content, so
+    // inserting a byte early in a document shifts every boundary WITH the
+    // content and shared trailing text still produces byte-identical
+    // chunks (fixed-size blocks would misalign; whole-doc hashes see
+    // nothing). Readout = the corpus chunk-frequency table md5(chunk) →
+    // (n_docs, n_occ, chunk_len) — what a dedup storage layer or a
+    // verbatim-overlap auditor consumes. Scale shape: the boundary scan
+    // runs INSIDE a higher-order `filter` over sequence(2, len−7) — the
+    // per-position work (O(len·k) per doc, linear in corpus bytes) stays
+    // fully inside whole-stage codegen and only the ~len/32 cut positions
+    // ever become rows; the chunk table shuffles once on its hash.
+    // Per-position md5-of-window trades a constant factor against a Gear
+    // rolling hash for an oracle-exact closed form (the DuckDB twin
+    // replays the identical window hashes).
+    "llm_cdc_chunks" -> ((s, d) =>
+      cdcChunkTable(Tables.documents(s, d).select(col("doc_id"), col("text")))),
 
     // K3b — bucketed ANN (IVF-style): coarse cell = sign bits of the first
     // 8 dimensions, nearest neighbor searched within the cell only. The
@@ -2828,6 +2873,28 @@ object Llm {
         |       ELSE md5(text) END AS fp,
         |       greatest(len(toks) - 2, 1) AS n_shingles
         |FROM t ORDER BY doc_id""".stripMargin,
+    "llm_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |cuts AS (
+        |  SELECT doc_id, unnest(list_filter(range(2, len - 6),
+        |    i -> CAST(concat('0x', substring(md5(substring(text, i, 8)), 1, 15)) AS BIGINT) % 32 = 0)) AS s
+        |  FROM d
+        |),
+        |starts AS (
+        |  SELECT doc_id, 1 AS s FROM d
+        |  UNION ALL SELECT doc_id, s FROM cuts
+        |),
+        |seg AS (
+        |  SELECT doc_id, s, lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+        |  FROM starts
+        |),
+        |chunks AS (
+        |  SELECT g.doc_id, substring(d.text, g.s, COALESCE(g.nxt, d.len + 1) - g.s) AS chunk
+        |  FROM seg g JOIN d ON g.doc_id = d.doc_id
+        |)
+        |SELECT md5(chunk) AS chunk_hash, count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_occ, CAST(min(length(chunk)) AS BIGINT) AS chunk_len
+        |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_ann_bucket" ->
       s"""WITH $vecCte,
         |bv AS (

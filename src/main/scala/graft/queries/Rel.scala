@@ -434,6 +434,40 @@ object Rel {
         .orderBy("o_orderkey")
     }),
 
+    // C15 — blocked fuzzy join (entity resolution / record linkage, added
+    // r7): all customer-name pairs within edit distance 1, WITHOUT the
+    // quadratic all-pairs scan. Blocking = FastSS deletion neighborhoods
+    // (Bocek et al. 2007, the SymSpell family): each name emits itself
+    // plus its |s| single-deletion variants; two strings at lev ≤ 1 —
+    // substitution, insert, or delete — always share at least one variant
+    // (a substitution at i shares delete_i; an insert/delete pair shares
+    // the shorter string itself), so an equi-join on the variant key
+    // yields a candidate superset, then one exact levenshtein pass keeps
+    // the true pairs. Candidate volume is Σ C(block,2) over variant
+    // blocks — collision-structured, not corpus² (the production lever
+    // for hot blocks is a block-size cap, same family as the LSH DF
+    // caps; uncapped here because the oracle is the exact brute force).
+    // The oracle IS quadratic (n² levenshteins) — fine for DuckDB at
+    // gate scale, and exactly what the blocked plan must reproduce.
+    "join_fuzzy_blocked" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("ck"), col("c_name").as("nm"))
+      val keys = c.select(col("ck"), col("nm"),
+        explode(expr(
+          "array_union(array(nm), transform(sequence(1, length(nm)), " +
+            "i -> concat(substring(nm, 1, i - 1), substring(nm, i + 1, length(nm) - i))))"))
+          .as("blk"))
+      keys.as("a")
+        .join(keys.as("b"),
+          col("a.blk") === col("b.blk") && col("a.ck") < col("b.ck"))
+        .select(col("a.ck").as("cust_a"), col("b.ck").as("cust_b"),
+          col("a.nm").as("name_a"), col("b.nm").as("name_b"))
+        .distinct()
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .where(col("lev") <= 1)
+        .orderBy("cust_a", "cust_b")
+    }),
+
     // F1 — multi-key sort with explicit null ordering (nulls injected via
     // NULLIF so the NULLS FIRST path is actually exercised).
     "sort_multi" -> ((s, d) => {
@@ -765,6 +799,15 @@ object Rel {
         |FROM w JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
         |  ON e.user_id = w.uid AND e.ts >= w.w_start AND e.ts < w.w_end
         |GROUP BY w.o_orderkey ORDER BY w.o_orderkey""".stripMargin,
+    "join_fuzzy_blocked" ->
+      """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |       a.c_name AS name_a, b.c_name AS name_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY cust_a, cust_b""".stripMargin,
     "sort_multi" ->
       """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
         |FROM customer ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey""".stripMargin,

@@ -94,6 +94,35 @@ class GraphSpec extends SparkSpec {
     assert(got == expectTop)
   }
 
+  test("graph_jaccard matches driver brute force (hub-pruned intersections, full-degree unions)") {
+    val edges = supportedEdges(sf0001)
+    val neighbors = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    neighbors.foreach { case (_, ns) =>
+      if (ns.size <= 64) {
+        val sorted = ns.toSeq.sorted
+        for (i <- sorted.indices; j <- i + 1 until sorted.size)
+          counts((sorted(i), sorted(j))) += 1
+      }
+    }
+    val expectTop = counts.filter { case (p, _) => !edges.contains(p) }.toSeq
+      .map { case ((u, v), c) =>
+        val un = neighbors(u).size + neighbors(v).size - c
+        (u, v, c, un, math.floor(1e9 * c / un).toLong)
+      }
+      .sortBy { case (u, v, _, _, ju) => (-ju, u, v) }.take(100)
+    val got = SparkEntry.queries("graph_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expectTop)
+    // jaccard must reorder at least one pair vs raw common counts on this
+    // fixture (else normalization did nothing — flag it, don't silently pass)
+    val unweighted = SparkEntry.queries("graph_common_neighbors")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(t => (t._1, t._2)) != unweighted || got.isEmpty || unweighted.isEmpty,
+      "Jaccard ordering identical to common-neighbors — normalization had no effect on fixture")
+  }
+
   test("graph_adamic_adar matches driver brute force (quantized 1/ln(deg) weights)") {
     val edges = supportedEdges(sf0001)
     val neighbors = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
