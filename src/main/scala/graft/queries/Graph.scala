@@ -184,6 +184,29 @@ object Graph {
       .orderBy(col("jaccard_units").desc, col("u"), col("v")).limit(100)
   }
 
+  /** 3-round synchronous label propagation over a canonical (u<v) edge
+    * list — see the `graph_label_prop` entry for the full design
+    * rationale. */
+  private def labelPropBody(edges: DataFrame, allParts: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 3) {
+      val counted = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("a").orderBy(col("c").desc, col("lbl").asc)
+      labels = counted.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("a").as("node"), col("lbl"))
+    }
+    allParts
+      .join(labels.withColumnRenamed("node", "part"), Seq("part"), "left")
+      .select(col("part"), coalesce(col("lbl"), col("part")).as("community"))
+      .orderBy("part")
+  }
+
   /** Adamic–Adar top-100 over a canonical (u<v) edge list — see the
     * `graph_adamic_adar` entry for the full design rationale. */
   private def adamicAdarBody(edges: DataFrame): DataFrame = {
@@ -308,6 +331,29 @@ object Graph {
       finishFreeing(jaccardBody(edges), edges)
     }),
 
+    // L7 — community detection via synchronous label propagation
+    // (Raghavan et al. 2007), 3 fixed rounds over the SUPPORTED
+    // co-purchase graph: every node starts as its own label; each round
+    // every node adopts the most frequent label among its neighbors,
+    // ties broken (count DESC, label ASC) so each round — and therefore
+    // the whole run — is fully DETERMINISTIC (classic LPA's random
+    // tie-break is the reason it usually can't be oracle-checked; the
+    // total-order pick is the standard determinization). Fixed rounds
+    // rather than convergence detection keep the plan statically
+    // unrollable — 3 rounds ≈ label information traveling 3 hops, the
+    // label-entropy knee on graphs of this diameter (7, per the cc
+    // probe) — and the oracle is 3 unrolled join+window CTEs, exactly
+    // this plan. Each round is one node-keyed shuffle join + one
+    // (node,label) groupBy + a node-partitioned window over ≤deg label
+    // rows — linear in |E| per round at any scale, the pagerank cost
+    // shape. Parts on no supported edge stay their own singleton
+    // community via the left-join coalesce (the graph_cc policy).
+    "graph_label_prop" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      val parts = Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct()
+      finishFreeing(labelPropBody(edges, parts), edges)
+    }),
+
     // L5 — connected components (added r5): component label (= minimum
     // member part id) for every part in the warehouse, over the SUPPORTED
     // co-purchase graph — an edge requires ≥ 2 distinct shared orders, so
@@ -358,7 +404,9 @@ object Graph {
     "graph_common_neighbors" ->
       ((s, d) => commonNeighborsBody(copurchaseEdgesPlan(s, d))),
     "graph_adamic_adar" -> ((s, d) => adamicAdarBody(copurchaseEdgesPlan(s, d))),
-    "graph_jaccard" -> ((s, d) => jaccardBody(copurchaseEdgesPlan(s, d))))
+    "graph_jaccard" -> ((s, d) => jaccardBody(copurchaseEdgesPlan(s, d))),
+    "graph_label_prop" -> ((s, d) => labelPropBody(copurchaseEdgesPlan(s, d),
+      Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct())))
 
   val oracles: Map[String, String] = {
     // shared CTE prefix for pagerank: symmetrized edges + degrees + N
@@ -474,6 +522,34 @@ object Graph {
           |FROM j LEFT JOIN e ON j.u = e.u AND j.v = e.v
           |WHERE e.u IS NULL
           |ORDER BY jaccard_units DESC, j.u, j.v LIMIT 100""".stripMargin,
+      "graph_label_prop" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""r$i AS (
+             |  SELECT node, lbl FROM (
+             |    SELECT s.a AS node, l.lbl, count(*) AS c,
+             |           row_number() OVER (PARTITION BY s.a
+             |                              ORDER BY count(*) DESC, l.lbl ASC) AS rn
+             |    FROM sym s JOIN r${i - 1} l ON s.b = l.node
+             |    GROUP BY s.a, l.lbl
+             |  ) t WHERE rn = 1
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+           |e AS (
+           |  SELECT a.pk AS u, b.pk AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           |  JOIN ok8 ON a.ok = ok8.ok
+           |  GROUP BY 1, 2 HAVING count(*) >= 2
+           |),
+           |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+           |r0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym),
+           |$rounds,
+           |parts AS (SELECT DISTINCT l_partkey AS part FROM lineitem)
+           |SELECT p.part, coalesce(r.lbl, p.part) AS community
+           |FROM parts p LEFT JOIN r3 r ON r.node = p.part
+           |ORDER BY p.part""".stripMargin
+      },
       "graph_cc" ->
         """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),

@@ -36,7 +36,10 @@ object Llm {
     * design rationale). Boundary rule: cut before position i (1-based,
     * 2 ≤ i ≤ len−7) wherever the 60-bit md5 of the 8-char window at i is
     * ≡ 0 (mod 32); chunks are the segments between cuts. */
-  def cdcChunkTable(docsRaw: DataFrame): DataFrame = {
+  /** Per-occurrence CDC chunks over (doc_id, text) rows: one row per
+    * (doc_id, chunk) occurrence, in no particular order. Shared core of
+    * `llm_cdc_chunks` and `llm_dedup_cdc`. */
+  def cdcChunks(docsRaw: DataFrame): DataFrame = {
     val docs = docsRaw.select(col("doc_id"), col("text"), length(col("text")).as("len"))
     val cuts = docs.select(col("doc_id"), explode(expr(
       "CASE WHEN len >= 9 THEN filter(sequence(2, len - 7), " +
@@ -44,15 +47,45 @@ object Llm {
         "ELSE array() END")).as("s"))
     val starts = docs.select(col("doc_id"), lit(1).as("s")).unionByName(cuts)
     val w = Window.partitionBy("doc_id").orderBy("s")
-    val chunks = starts.withColumn("nxt", lead("s", 1).over(w))
+    starts.withColumn("nxt", lead("s", 1).over(w))
       .join(docs, "doc_id")
       .select(col("doc_id"),
         expr("substring(text, s, coalesce(nxt, len + 1) - s)").as("chunk"))
-    chunks.groupBy(md5(col("chunk")).as("chunk_hash"))
+  }
+
+  /** CDC chunk-containment pairs over (doc_id, text) rows — the body of
+    * `llm_dedup_cdc`, factored out so CdcFuzzySpec can drive it with
+    * synthetic shift fixtures (see the registry entry for the full design
+    * rationale: min-chunk-size 16, >64-doc stop-chunk cap on pairing,
+    * exact-integer 30% containment gate). */
+  def cdcContainmentPairs(docsRaw: DataFrame): DataFrame = {
+    val dc = cdcChunks(docsRaw)
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).as("clen"))
+      .where(col("clen") >= 16).distinct()
+    val keep = dc.join(
+      dc.groupBy("h").agg(count(lit(1)).as("nd")).where(col("nd") <= 64).select("h"), "h")
+    val bytes = dc.groupBy("doc_id").agg(sum("clen").as("bytes"))
+    keep.as("a")
+      .join(keep.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.clen")).as("shared_bytes"))
+      .join(bytes.select(col("doc_id").as("a_id"), col("bytes").as("bytes_a")), "a_id")
+      .join(bytes.select(col("doc_id").as("b_id"), col("bytes").as("bytes_b")), "b_id")
+      .where(col("shared_bytes") * 10 >= least(col("bytes_a"), col("bytes_b")) * 3)
+      .select(col("a_id"), col("b_id"), col("shared_bytes"),
+        col("bytes_a"), col("bytes_b"),
+        floor(lit(1e4) * col("shared_bytes") / least(col("bytes_a"), col("bytes_b")))
+          .cast("long").as("containment_units"))
+      .orderBy("a_id", "b_id")
+  }
+
+  def cdcChunkTable(docsRaw: DataFrame): DataFrame =
+    cdcChunks(docsRaw).groupBy(md5(col("chunk")).as("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"),
         min(length(col("chunk"))).cast("long").as("chunk_len"))
       .orderBy("chunk_hash")
-  }
 
   /** All tokens in order (with duplicates): (doc_id, lang, source, token). */
   private def tokensAll(s: SparkSession, d: String): DataFrame =
@@ -1080,6 +1113,23 @@ object Llm {
     // replays the identical window hashes).
     "llm_cdc_chunks" -> ((s, d) =>
       cdcChunkTable(Tables.documents(s, d).select(col("doc_id"), col("text")))),
+
+    // K5g — CDC chunk-containment dedup verdict (added r7): the decision
+    // layer over `llm_cdc_chunks` — doc pairs whose shared content-defined
+    // chunk bytes cover ≥ 30% of the smaller doc's chunk bytes, i.e. the
+    // CDC analogue of `llm_dedup_containment` that catches SHIFTED
+    // verbatim reuse shingle-Jaccard dilutes. Blocking = the chunk-hash
+    // equi-join itself (a pair is only considered if it shares ≥ 1
+    // chunk); two honesty/scale levers, both mirrored in the oracle:
+    // chunks under 16 bytes carry no identity and are excluded (the
+    // FastCDC min-chunk-size practice — short common phrases would
+    // otherwise pair half the corpus), and chunk hashes in > 64 docs are
+    // dropped from PAIRING (boilerplate guard, the stop-shingle policy;
+    // denominators stay cap-independent). The ≥30% gate compares EXACT
+    // integers (shared·10 ≥ 3·min_bytes — no float threshold anywhere);
+    // containment_units = ⌊1e4·shared/min_bytes⌋ for the readout.
+    "llm_dedup_cdc" -> ((s, d) =>
+      cdcContainmentPairs(Tables.documents(s, d).select(col("doc_id"), col("text")))),
 
     // K3b — bucketed ANN (IVF-style): coarse cell = sign bits of the first
     // 8 dimensions, nearest neighbor searched within the cell only. The
@@ -2895,6 +2945,46 @@ object Llm {
         |SELECT md5(chunk) AS chunk_hash, count(DISTINCT doc_id) AS n_docs,
         |       count(*) AS n_occ, CAST(min(length(chunk)) AS BIGINT) AS chunk_len
         |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_dedup_cdc" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |cuts AS (
+        |  SELECT doc_id, unnest(list_filter(range(2, len - 6),
+        |    i -> CAST(concat('0x', substring(md5(substring(text, i, 8)), 1, 15)) AS BIGINT) % 32 = 0)) AS s
+        |  FROM d
+        |),
+        |starts AS (
+        |  SELECT doc_id, 1 AS s FROM d
+        |  UNION ALL SELECT doc_id, s FROM cuts
+        |),
+        |seg AS (
+        |  SELECT doc_id, s, lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+        |  FROM starts
+        |),
+        |dc AS (
+        |  SELECT DISTINCT g.doc_id,
+        |         md5(substring(d.text, g.s, COALESCE(g.nxt, d.len + 1) - g.s)) AS h,
+        |         length(substring(d.text, g.s, COALESCE(g.nxt, d.len + 1) - g.s)) AS clen
+        |  FROM seg g JOIN d ON g.doc_id = d.doc_id
+        |  WHERE length(substring(d.text, g.s, COALESCE(g.nxt, d.len + 1) - g.s)) >= 16
+        |),
+        |keep AS (
+        |  SELECT dc.* FROM dc
+        |  JOIN (SELECT h FROM dc GROUP BY h HAVING count(*) <= 64) f ON dc.h = f.h
+        |),
+        |bytes AS (SELECT doc_id, sum(clen) AS bytes FROM dc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.clen) AS shared_bytes
+        |  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.a_id, p.b_id, CAST(p.shared_bytes AS BIGINT) AS shared_bytes,
+        |       CAST(ba.bytes AS BIGINT) AS bytes_a, CAST(bb.bytes AS BIGINT) AS bytes_b,
+        |       CAST(floor(1e4 * p.shared_bytes / LEAST(ba.bytes, bb.bytes)) AS BIGINT) AS containment_units
+        |FROM pairs p
+        |JOIN bytes ba ON p.a_id = ba.doc_id
+        |JOIN bytes bb ON p.b_id = bb.doc_id
+        |WHERE p.shared_bytes * 10 >= LEAST(ba.bytes, bb.bytes) * 3
+        |ORDER BY p.a_id, p.b_id""".stripMargin,
     "llm_ann_bucket" ->
       s"""WITH $vecCte,
         |bv AS (

@@ -313,6 +313,34 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E13c — scalar Kalman filter (added r7): the random-walk-plus-noise
+    // state-space smoother (process var Q=4, observation var R=16) — the
+    // optimal-gain rung above win_ewma's FIXED gain: the Kalman gain
+    // K = P⁻/(P⁻+R) ADAPTS, large while the estimate is uncertain (fast
+    // lock-on after gaps/restarts) and settling toward the steady-state
+    // gain as evidence accumulates — the reason production KPI smoothers
+    // prefer it over a hand-tuned EWMA α. Same bit-identical-sequential-
+    // fold contract as ewma/holt/holt_winters: per row the trailing ≤16
+    // samples fold strictly in (ts, event_id) order, seed (z₀, P=R), and
+    // the gain expression is written out verbatim wherever it appears so
+    // both engines execute the identical IEEE op sequence; D-suffixed
+    // constants (the DECIMAL literal trap); floor-1e-4 quantized output.
+    "win_kalman" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, 0)
+      Tables.events(s, d)
+        .withColumn("l", collect_list(col("value")).over(w))
+        .withColumn("kalman_est", expr(
+          """floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
+            |  named_struct('x', CAST(element_at(l, 1) AS DOUBLE), 'p', CAST(16.0 AS DOUBLE)),
+            |  (acc, z) -> named_struct(
+            |    'x', acc.x + ((acc.p + 4.0D) / ((acc.p + 4.0D) + 16.0D)) * (z - acc.x),
+            |    'p', (1.0D - ((acc.p + 4.0D) / ((acc.p + 4.0D) + 16.0D))) * (acc.p + 4.0D)),
+            |  acc -> acc.x) * 10000) / 10000""".stripMargin))
+        .select(col("event_id"), col("user_id"), col("kalman_est"))
+        .orderBy("event_id")
+    }),
+
     // E13b — additive Holt-Winters (added r4): the seasonal rung above
     // win_holt — (level, trend, 4 seasonal offsets) state folded strictly
     // sequentially over the trailing 16 samples (α=0.3, β=0.2, γ=0.3,
@@ -950,6 +978,24 @@ object Wins {
         |)
         |SELECT event_id, user_id,
         |       floor((s[1] + s[2]) * 10000) / 10000 AS holt_forecast
+        |FROM st ORDER BY event_id""".stripMargin,
+    "win_kalman" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (
+        |  SELECT event_id, user_id,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e
+        |),
+        |st AS (
+        |  SELECT event_id, user_id,
+        |         list_reduce(list_transform(l, z -> [z, CAST(16.0 AS DOUBLE)]),
+        |           (acc, z) -> [acc[1] + ((acc[2] + 4.0) / ((acc[2] + 4.0) + 16.0)) * (z[1] - acc[1]),
+        |                        (1.0 - ((acc[2] + 4.0) / ((acc[2] + 4.0) + 16.0))) * (acc[2] + 4.0)]) AS s
+        |  FROM l
+        |)
+        |SELECT event_id, user_id,
+        |       floor(s[1] * 10000) / 10000 AS kalman_est
         |FROM st ORDER BY event_id""".stripMargin,
     "win_busy_hour" ->
       """WITH e AS (

@@ -53,6 +53,27 @@ class CdcFuzzySpec extends SparkSpec {
     assert(rows.getLong(0) == synthText.length.toLong)
   }
 
+  test("llm_dedup_cdc: flags the shifted near-dup that exact-hash dedup misses") {
+    val base = synthText
+    val docs = Seq(
+      (1L, base),                                  // original
+      (2L, "INSERTED-PREFIX-" + base),             // shifted near-dup
+      (3L, synthText.reverse)                      // unrelated control
+    ).toDF("doc_id", "text")
+    val pairs = graft.queries.Llm.cdcContainmentPairs(docs)
+      .select("a_id", "b_id", "containment_units").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the shifted pair must be flagged with high containment...
+    assert(pairs.contains((1L, 2L)), s"shifted near-dup not flagged; pairs=$pairs")
+    assert(pairs((1L, 2L)) >= 8000L,
+      s"shifted near-dup containment ${pairs((1L, 2L))} < 80% — boundaries did not realign")
+    // ...while exact doc-hash dedup sees three distinct documents
+    assert(docs.select(md5(col("text"))).distinct().count() == 3)
+    // and the unrelated doc pairs with nothing
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "control doc paired — containment gate too loose")
+  }
+
   test("join_fuzzy_blocked equals driver brute-force levenshtein <= 1 at sf0.001") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

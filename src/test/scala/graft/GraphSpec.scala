@@ -151,6 +151,29 @@ class GraphSpec extends SparkSpec {
       "Adamic-Adar ordering identical to common-neighbors — weighting had no effect on fixture")
   }
 
+  test("graph_label_prop matches a driver-side 3-round synchronous LPA") {
+    val edges = supportedEdges(sf0001)
+    val neighbors = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels: Map[Long, Long] = neighbors.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = neighbors.map { case (node, ns) =>
+        val counts = ns.groupBy(labels).view.mapValues(_.size)
+        // most frequent neighbor label, ties to the smallest label
+        node -> counts.toSeq.sortBy { case (lbl, c) => (-c, lbl) }.head._1
+      }
+    }
+    val allParts = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey")).distinct().collect().map(_.getLong(0))
+    val expect = allParts.map(p => p -> labels.getOrElse(p, p)).toMap
+    val got = SparkEntry.queries("graph_label_prop")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // propagation must actually merge something on this fixture
+    assert(got.values.toSet.size < got.size,
+      "every node kept its own label — LPA did nothing; fixture degenerate?")
+  }
+
   test("graph_cc matches a driver-side union-find over the supported graph") {
     val li = Tables.lineitem(spark, sf0001)
       .select(col("l_orderkey"), col("l_partkey")).distinct()

@@ -94,4 +94,42 @@ class MiscOpsSpec extends SparkSpec {
       assert(score >= 0.0 && score <= 1.0, "apdex out of [0,1]")
     }
   }
+
+  test("win_kalman matches a driver-side fold, and the gain adapts downward") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (qv, rv) = (4.0, 16.0)
+    def fold(zs: Seq[Double]): Double = {
+      var x = zs.head; var p = rv
+      zs.tail.foreach { z =>
+        val pPred = p + qv
+        val k = pPred / (pPred + rv)
+        x = x + k * (z - x)
+        p = (1.0 - k) * pPred
+      }
+      math.floor(x * 10000) / 10000
+    }
+    val expect = events.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 15), i + 1).map(_._4)
+        ordered(i)._1 -> fold(frame)
+      }
+    }
+    val got = SparkEntry.queries("win_kalman")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == expect)
+    // the adaptive gain must settle: K starts at (R+Q)/(R+Q+R) = 0.556 and
+    // decreases monotonically toward the steady state every fold step
+    var p = rv
+    var kPrev = 1.0
+    (1 to 16).foreach { _ =>
+      val pPred = p + qv
+      val k = pPred / (pPred + rv)
+      assert(k < kPrev, "Kalman gain failed to decrease")
+      kPrev = k; p = (1.0 - k) * pPred
+    }
+  }
 }
