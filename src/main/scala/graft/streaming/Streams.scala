@@ -353,6 +353,36 @@ object Streams {
         .orderBy("event_id")
     }),
 
+    // I9b — online Kalman filtering (added r7): `win_kalman`'s adaptive-
+    // gain smoother as keyed streaming state — (x̂, P) updates on every
+    // arriving sample and emits the filtered estimate, O(1) per sample
+    // with no history re-read (the batch key re-folds a trailing frame
+    // per row). The gain story is WHY this deploys online: after a gap
+    // or restart P has grown (or re-seeds), so K is large and the filter
+    // locks on fast, then settles — an EWMA with fixed α can't do that.
+    // Same Q=4/R=16 recursion and (z₀, R) seeding as the batch twin,
+    // rows fold in (ts, event_id) order, so the one-batch replay equals
+    // the oracle's UNBOUNDED sequential fold bit-for-bit; floor-1e-4 at
+    // the sink edge.
+    "stream_kalman" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val filtered = typed
+        .groupByKey(_._3)
+        .transformWithState(new KalmanProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = withRocksDb(s) {
+        drain(s, filtered.toDF("event_id", "user_id", "x"),
+          "graft_stream_kalman", OutputMode.Append())
+      }
+      out.select(col("event_id"), col("user_id"),
+          expr("floor(x * 1e4) / 1e4").as("kalman_est"))
+        .orderBy("event_id")
+    }),
+
     // I10 — online z-score anomaly scoring (added r4): Welford's
     // incremental (n, mean, M2) — THE numerically-stable streaming
     // variance algorithm — as keyed state; each arriving sample is scored
@@ -696,6 +726,23 @@ object Streams {
            |SELECT event_id, user_id,
            |       floor((s[1] + s[2]) * 10000) / 10000 AS holt_forecast
            |FROM st ORDER BY event_id""".stripMargin,
+      "stream_kalman" ->
+        s"""WITH l AS (
+           |  SELECT event_id, user_id,
+           |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                           ROWS UNBOUNDED PRECEDING) AS l
+           |  FROM $ev events
+           |),
+           |st AS (
+           |  SELECT event_id, user_id,
+           |         list_reduce(list_transform(l, z -> [z, CAST(16.0 AS DOUBLE)]),
+           |           (acc, z) -> [acc[1] + ((acc[2] + 4.0) / ((acc[2] + 4.0) + 16.0)) * (z[1] - acc[1]),
+           |                        (1.0 - ((acc[2] + 4.0) / ((acc[2] + 4.0) + 16.0))) * (acc[2] + 4.0)]) AS s
+           |  FROM l
+           |)
+           |SELECT event_id, user_id,
+           |       floor(s[1] * 10000) / 10000 AS kalman_est
+           |FROM st ORDER BY event_id""".stripMargin,
       "stream_counter_rate" ->
         s"""SELECT event_id, user_id,
            |       CAST(yq - lag(yq) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -877,6 +924,42 @@ object HoltState {
   }
 }
 
+/** Keyed state for `stream_kalman`: the entity's (x̂, P) posterior. Pure
+  * fold shared by the v2 processor and the fMGWS equivalence twin; the
+  * arithmetic is the VERBATIM op order of `win_kalman`'s aggregate
+  * lambda (Q=4, R=16, seed (z₀, R)) so the one-batch replay is
+  * bit-identical to the oracle's unbounded list_reduce fold. */
+object KalmanState {
+  def fold(userId: Long, st0: Option[(Double, Double)],
+           sorted: Seq[(Long, Long, Long, Double)])
+      : (Option[(Double, Double)], Seq[(Long, Long, Double)]) = {
+    var st = st0
+    val out = sorted.map { case (eventId, _, _, z) =>
+      val (x, p) = st match {
+        case None => (z, 16.0)
+        case Some((px, pp)) =>
+          val pPred = pp + 4.0
+          val k = pPred / (pPred + 16.0)
+          (px + k * (z - px), (1.0 - k) * pPred)
+      }
+      st = Some((x, p))
+      (eventId, userId, x)
+    }
+    (st, out)
+  }
+
+  def update(userId: Long, rows: Iterator[(Long, Long, Long, Double)],
+             state: GroupState[(Double, Double)]): Iterator[(Long, Long, Double)] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (st, out) = fold(userId, state.getOption, sorted)
+      state.update(st.get)
+      out.iterator
+    }
+  }
+}
+
 /** Keyed state for `stream_counter_rate`: the entity's previous sample
   * (ts_us, value_q). Each batch's rows fold in (ts, event_id) order —
   * the same total order the batch twin's lag window uses — emitting
@@ -978,6 +1061,29 @@ class HoltProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
     if (sorted.isEmpty) Iterator.empty
     else {
       val (st, out) = HoltState.fold(key,
+        if (state.exists()) Some(state.get()) else None, sorted)
+      state.update(st.get)
+      out.iterator
+    }
+  }
+}
+
+class KalmanProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Double, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    state = getHandle.getValueState[(Double, Double)]("kalman", enc, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Double)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (st, out) = KalmanState.fold(key,
         if (state.exists()) Some(state.get()) else None, sorted)
       state.update(st.get)
       out.iterator

@@ -258,6 +258,14 @@ class StreamingSpec extends SparkSpec {
           TimeMode.None(), OutputMode.Append()))
       assert(holtV1 == holtV2, s"holt routes diverged:\n$holtV1\n$holtV2")
 
+      val kalV1 = run("eq_kal_v1", _.toDS().groupByKey(_._3)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          graft.streaming.KalmanState.update))
+      val kalV2 = run("eq_kal_v2", _.toDS().groupByKey(_._3)
+        .transformWithState(new graft.streaming.KalmanProcessor(),
+          TimeMode.None(), OutputMode.Append()))
+      assert(kalV1 == kalV2, s"kalman routes diverged:\n$kalV1\n$kalV2")
+
       val welV1 = run("eq_wel_v1", _.toDS().groupByKey(_._3)
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
           graft.streaming.WelfordState.update))
