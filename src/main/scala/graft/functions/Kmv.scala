@@ -63,6 +63,24 @@ class Kmv(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
     ExpressionEncoder[Array[Long]]()
 }
 
+/** Second-level KMV aggregation: merges FINISHED bottom-k sketches (the
+  * partial-rollup shape — daily sketches stored in a trend rollup, merged
+  * to weekly/monthly grain WITHOUT re-reading raw data). Because bottom-k
+  * of a set is a pure function of the set, merge(bottom-k(A), bottom-k(B))
+  * = bottom-k(A ∪ B) exactly — so unlike HLL union (`agg_sketch_merge`,
+  * tolerance-checked), the merged estimate is DETERMINISTIC and the
+  * oracle recomputes it from raw in closed form. */
+class KmvMerge(k: Int) extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+  private val kmv = new Kmv(k)
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], sk: Seq[Long]): Array[Long] =
+    kmv.merge(buf, sk.toArray)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = kmv.merge(a, b)
+  override def finish(r: Array[Long]): Array[Long] = r
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 object Kmv {
 
   /** 60-bit hash: first 15 hex chars of md5(item) — non-negative in a

@@ -468,6 +468,38 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // D20''' — two-level KMV rollup merge (the deterministic twin of
+    // `agg_sketch_merge`): per-DAY bottom-k sketches of the user set
+    // merged to WEEKLY distinct estimates — the re-aggregable
+    // distinct-count path a materialized trend rollup stores (daily
+    // partials on disk; any coarser grain served by merging partials,
+    // never re-reading raw). Because bottom-k of a set is a pure function
+    // of the set, merge(bottom-k(A), bottom-k(B)) = bottom-k(A∪B)
+    // EXACTLY — so unlike the HLL union key (tolerance-checked, estimates
+    // engine-specific) the merged estimate is deterministic and the
+    // oracle recomputes it from raw in closed form: hash-checked, not
+    // tolerance-checked. Shuffles carry ≤k longs per day then per week.
+    "agg_kmv_merge" -> ((s, d) => {
+      val k = 64
+      val kmvAgg = udaf(new graft.functions.Kmv(k))
+      val mergeAgg = udaf(new graft.functions.KmvMerge(k))
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id").cast("string").as("item"))
+      ev.groupBy("day")
+        .agg(kmvAgg(col("item")).as("sk"), count(lit(1)).as("n_events"))
+        .groupBy(weekofyear(col("day")).as("week"))
+        .agg(mergeAgg(col("sk")).as("sk"),
+          sum("n_events").as("n_events"), count(lit(1)).as("n_days"))
+        .select(col("week"),
+          round(
+            when(size(col("sk")) < k, size(col("sk")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (element_at(col("sk"), k).cast("double") / lit(1152921504606846976.0))),
+            4).as("est_users"),
+          col("n_events"), col("n_days"))
+        .orderBy("week")
+    }),
+
     // D18' — re-aggregable histogram quantiles: the quantile readout over
     // `agg_histogram`'s fixed-grid form (40 width-25 buckets, edge-
     // clamped). Fixed-grid counts merge by ADDITION across partitions and
@@ -1166,6 +1198,30 @@ object Aggs {
         |FROM x LEFT JOIN kk ON x.event_type = kk.event_type
         |       LEFT JOIN sm ON x.event_type = sm.event_type
         |ORDER BY x.event_type""".stripMargin,
+    "agg_kmv_merge" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                 CAST(user_id AS VARCHAR) AS item FROM events),
+        |daily AS (SELECT day, count(*) AS n_events FROM e GROUP BY 1),
+        |i AS (SELECT DISTINCT weekofyear(day) AS week, item FROM e),
+        |h AS (SELECT DISTINCT week,
+        |        CAST(concat('0x', substring(md5(item), 1, 15)) AS BIGINT) AS hv
+        |      FROM i),
+        |r AS (SELECT week, hv,
+        |        row_number() OVER (PARTITION BY week ORDER BY hv) AS rn
+        |      FROM h),
+        |kk AS (SELECT week, hv AS h_k FROM r WHERE rn = 64),
+        |sm AS (SELECT week, CAST(count(*) AS DOUBLE) AS n_small
+        |       FROM h GROUP BY 1 HAVING count(*) < 64),
+        |w AS (SELECT weekofyear(day) AS week, CAST(sum(n_events) AS BIGINT) AS n_events,
+        |             count(*) AS n_days
+        |      FROM daily GROUP BY 1)
+        |SELECT w.week, round(CASE WHEN kk.h_k IS NULL THEN sm.n_small
+        |             ELSE 63.0 / (CAST(kk.h_k AS DOUBLE) / 1152921504606846976.0)
+        |       END, 4) AS est_users,
+        |       w.n_events, w.n_days
+        |FROM w LEFT JOIN kk ON w.week = kk.week
+        |       LEFT JOIN sm ON w.week = sm.week
+        |ORDER BY w.week""".stripMargin,
     "agg_hist_quantile" ->
       """WITH h AS (
         |  SELECT event_type,

@@ -40,15 +40,37 @@ object Streams {
 
   private[graft] def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source requires a directory; stage the single-file
-    // table behind a symlink (a real deployment points at the ingest dir).
-    val dir = java.nio.file.Paths.get(
+    // The file stream source requires a directory of FILES; stage the
+    // table behind symlinks (a real deployment points at the ingest dir).
+    // The source table is either a single parquet file (the driver's
+    // testdata layout) or a Spark-written DIRECTORY of part files (the
+    // 10× derived corpora) — link the part files themselves in the second
+    // case: the file source lists plain files and does NOT recurse into a
+    // dir-shaped symlink, which made every derived-corpus stream drain
+    // ZERO rows (caught by the r7 stream_kalman scale probe — the r7
+    // SCALE_full streaming rows carried the same vacuous ~0.17 s).
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_stream_src",
       Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
+    val staged = dir.resolve("_staged")
+    if (!Files.exists(staged)) {
+      Files.createDirectories(dir)
+      val src = Paths.get(s"$d/events.parquet")
+      if (Files.isDirectory(src)) {
+        val parts = Files.list(src)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val link = dir.resolve(f"events$i%05d.parquet")
+          if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+        }
+      } else {
+        val link = dir.resolve("events.parquet")
+        if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+      }
+      Files.createFile(staged)
+    }
     // Same two-generation ts handling as Tables.events: branch on the
     // footer schema (one cheap metadata read). The stream schema carries
     // the DETECTED batch dataType — not a hardcoded NTZ — so a third

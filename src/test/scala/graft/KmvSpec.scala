@@ -35,6 +35,19 @@ class KmvSpec extends SparkSpec {
     assert(agg.merge(half1, half2).toSeq == once)
   }
 
+  test("two-level rollup merge equals the direct whole-corpus sketch exactly") {
+    // the agg_kmv_merge contract: merge(bottom-k per day) == bottom-k(week)
+    val items = Tables.events(spark, sf001)
+      .select(to_date(col("ts")).as("day"), col("user_id").cast("string").as("item"))
+    val direct = items.agg(kmvAgg(col("item")).as("sk")).head().getSeq[Long](0)
+    val mergeAgg = udaf(new graft.functions.KmvMerge(k))
+    val merged = items.groupBy("day").agg(kmvAgg(col("item")).as("sk"))
+      .agg(mergeAgg(col("sk")).as("m"))
+      .head().getSeq[Long](0)
+    assert(merged == direct,
+      "two-level KMV rollup diverged from the direct sketch — merge is not lossless")
+  }
+
   test("below k distinct values the sketch IS the distinct hash set (estimate exact)") {
     val small = (1 to 20).map(i => s"u$i").toDF("item")
     val sk = small.agg(kmvAgg(col("item")).as("sk")).head().getSeq[Long](0)
