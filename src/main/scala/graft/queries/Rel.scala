@@ -452,19 +452,25 @@ object Rel {
     "join_fuzzy_blocked" -> ((s, d) => {
       val c = Tables.customer(s, d)
         .select(col("c_custkey").as("ck"), col("c_name").as("nm"))
-      val keys = c.select(col("ck"), col("nm"),
+      val keys = c.select(col("ck"),
         explode(expr(
           "array_union(array(nm), transform(sequence(1, length(nm)), " +
             "i -> concat(substring(nm, 1, i - 1), substring(nm, i + 1, length(nm) - i))))"))
           .as("blk"))
+      // candidate dedup on the two int ids ONLY (a pair sharing several
+      // variants would otherwise verify repeatedly); names join back
+      // after — the distinct's shuffle payload is 16 bytes/pair, not two
+      // name strings
       keys.as("a")
         .join(keys.as("b"),
           col("a.blk") === col("b.blk") && col("a.ck") < col("b.ck"))
-        .select(col("a.ck").as("cust_a"), col("b.ck").as("cust_b"),
-          col("a.nm").as("name_a"), col("b.nm").as("name_b"))
+        .select(col("a.ck").as("cust_a"), col("b.ck").as("cust_b"))
         .distinct()
+        .join(c.select(col("ck").as("cust_a"), col("nm").as("name_a")), "cust_a")
+        .join(c.select(col("ck").as("cust_b"), col("nm").as("name_b")), "cust_b")
         .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
         .where(col("lev") <= 1)
+        .select("cust_a", "cust_b", "name_a", "name_b", "lev")
         .orderBy("cust_a", "cust_b")
     }),
 
