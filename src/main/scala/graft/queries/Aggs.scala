@@ -468,6 +468,33 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // D8' — definition-driven trend rollup (added r7): the reference's
+    // time-aggregation CONFIGS as documents — the third leg of the
+    // config-as-schema layer (store defs r6 → trigger defs r7 →
+    // aggregation defs). The YAML names an entity column, a target
+    // granularity from the catalog, and measures drawn from a CLOSED
+    // function set (sum/avg/min/max/count — the reference's
+    // re-aggregation functions; config stays config, never an expression
+    // language, so nothing injectable reaches the plan and every legal
+    // document has a derivable SQL twin). `AggregationDef.compile`
+    // produces the same one-shuffle map-side-partial groupBy the
+    // hand-written `agg_time_bucket` plans — the document scales the
+    // rollup's SCHEMA, never its execution shape.
+    "agg_def_rollup" -> ((s, d) => {
+      val defn = graft.store.Definitions.parseAggregation(
+        """name: hourly_user_load
+          |entity: user_id
+          |granularity: 1h
+          |measures:
+          |  - {name: sum_value, column: value, function: sum}
+          |  - {name: avg_value, column: value, function: avg}
+          |  - {name: min_value, column: value, function: min}
+          |  - {name: max_value, column: value, function: max}
+          |  - {name: samples,   column: value, function: count}
+          |""".stripMargin)
+      defn.compile(Tables.events(s, d)).orderBy("entity_id", "ts")
+    }),
+
     // D20''' — two-level KMV rollup merge (the deterministic twin of
     // `agg_sketch_merge`): per-DAY bottom-k sketches of the user set
     // merged to WEEKLY distinct estimates — the re-aggregable
@@ -1198,6 +1225,12 @@ object Aggs {
         |FROM x LEFT JOIN kk ON x.event_type = kk.event_type
         |       LEFT JOIN sm ON x.event_type = sm.event_type
         |ORDER BY x.event_type""".stripMargin,
+    "agg_def_rollup" ->
+      """SELECT user_id AS entity_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+        |       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value,
+        |       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
+        |       count(value) AS samples
+        |FROM events GROUP BY 1, 2 ORDER BY entity_id, ts""".stripMargin,
     "agg_kmv_merge" ->
       """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |                 CAST(user_id AS VARCHAR) AS item FROM events),

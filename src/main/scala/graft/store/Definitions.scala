@@ -200,6 +200,64 @@ object Definitions {
     }
   }
 
+  /** One declared measure of an aggregation definition. `function` is a
+    * CLOSED set — the reference's re-aggregation functions (sum / avg /
+    * min / max / count): config stays config, never an expression
+    * language, so every legal document has a derivable SQL twin and
+    * nothing injectable ever reaches the plan. Aggregated doubles round
+    * to 4 decimals (the repo-wide determinism rule for float sums). */
+  final case class MeasureDef(name: String, column: String, function: String) {
+    require(MeasureDef.functions.contains(function.toLowerCase),
+      s"measure '$name': unknown function '$function' " +
+        s"(known: ${MeasureDef.functions.toSeq.sorted.mkString(" ")})")
+
+    def toColumn: Column = {
+      import org.apache.spark.sql.{functions => F}
+      val c = F.col(column)
+      function.toLowerCase match {
+        case "sum"   => F.round(F.sum(c), 4).as(name)
+        case "avg"   => F.round(F.avg(c), 4).as(name)
+        case "min"   => F.round(F.min(c), 4).as(name)
+        case "max"   => F.round(F.max(c), 4).as(name)
+        case "count" => F.count(c).as(name)
+      }
+    }
+  }
+  object MeasureDef {
+    val functions: Set[String] = Set("sum", "avg", "min", "max", "count")
+  }
+
+  /** An aggregation definition: the reference's time-aggregation configs —
+    * (entity column, target granularity, measure list) as a document, the
+    * third leg of the config-as-schema layer beside store and trigger
+    * definitions. `compile` produces the rollup a trend store ingests:
+    * one groupBy on (entity, bucket) with map-side partial aggregation —
+    * the document scales the SCHEMA of the rollup, never its execution
+    * plan. */
+  final case class AggregationDef(name: String, entity: String,
+      granularity: Granularity, measures: Seq[MeasureDef]) {
+
+    /** Compile against a source frame carrying `entity` and a ts column:
+      * the standard (entity_id, ts) trend-rollup shape. */
+    def compile(src: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      src.groupBy(col(entity).as("entity_id"),
+          granularity.bucket(col("ts")).as("ts"))
+        .agg(measures.head.toColumn, measures.tail.map(_.toColumn): _*)
+    }
+
+    /** Persist beside the target store — same idempotent /
+      * conflict-rejecting contract as the other definitions. */
+    def create(spark: SparkSession, rootDir: String): Unit = {
+      existingDefinition(spark, rootDir).foreach { prior =>
+        require(parseAggregation(prior) == this,
+          s"aggregation at $rootDir already defined differently; " +
+            "redefinition must be an explicit migration")
+      }
+      writeDefinition(spark, rootDir, renderAggregation(this))
+    }
+  }
+
   // ---- parsing ----------------------------------------------------------
 
   private val jsonMapper = new ObjectMapper()
@@ -292,6 +350,20 @@ object Definitions {
     TriggerDef(reqText(t, "name"), Granularity(reqText(t, "granularity")), ths)
   }
 
+  def parseAggregation(text: String): AggregationDef = {
+    val t = tree(text)
+    val arr = t.get("measures")
+    require(arr != null && arr.isArray && arr.size > 0,
+      "aggregation definition needs a non-empty 'measures' list")
+    val ms = arr.elements.asScala.map { e =>
+      MeasureDef(reqText(e, "name"), reqText(e, "column"), reqText(e, "function"))
+    }.toSeq
+    val dup = ms.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate measure names: ${dup.mkString(", ")}")
+    AggregationDef(reqText(t, "name"), reqText(t, "entity"),
+      Granularity(reqText(t, "granularity")), ms)
+  }
+
   // ---- rendering / persistence ------------------------------------------
 
   /** Canonical JSON rendering (JSON is valid YAML, and machine-written
@@ -330,6 +402,20 @@ object Definitions {
       val e = arr.addObject()
       e.put("name", th.name); e.put("kpi", th.kpi); e.put("op", th.op)
       e.put("value", th.value); e.put("severity", th.severity)
+    }
+    jsonMapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  /** Canonical JSON rendering of an aggregation definition. */
+  def renderAggregation(d: AggregationDef): String = {
+    val node = jsonMapper.createObjectNode()
+    node.put("name", d.name)
+    node.put("entity", d.entity)
+    node.put("granularity", d.granularity.name)
+    val arr = node.putArray("measures")
+    d.measures.foreach { m =>
+      val e = arr.addObject()
+      e.put("name", m.name); e.put("column", m.column); e.put("function", m.function)
     }
     jsonMapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }

@@ -168,4 +168,39 @@ class DefinitionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Definitions.parseTrigger(
       triggerYaml.replace("load_floor", "load_high")))
   }
+
+  private val aggYaml =
+    """name: hourly_user_load
+      |entity: user_id
+      |granularity: 1h
+      |measures:
+      |  - {name: sum_value, column: value, function: sum}
+      |  - {name: samples,   column: value, function: count}
+      |""".stripMargin
+
+  test("aggregation definition parses, round-trips its rendering, and compiles the rollup") {
+    import org.apache.spark.sql.functions._
+    val d = Definitions.parseAggregation(aggYaml)
+    assert(d.name == "hourly_user_load" && d.entity == "user_id")
+    assert(d.granularity == graft.store.Granularity.Hour)
+    assert(Definitions.parseAggregation(Definitions.renderAggregation(d)) == d)
+    // compiled rollup ≡ the hand-written plan on the fixture
+    val got = d.compile(Tables.events(spark, sf0001))
+      .orderBy("entity_id", "ts").collect().map(_.toString)
+    val expect = Tables.events(spark, sf0001)
+      .groupBy(col("user_id").as("entity_id"),
+        date_trunc("hour", col("ts")).as("ts"))
+      .agg(round(sum("value"), 4).as("sum_value"), count(col("value")).as("samples"))
+      .orderBy("entity_id", "ts").collect().map(_.toString)
+    assert(got.sameElements(expect))
+  }
+
+  test("aggregation definition rejects unknown functions and duplicate measures") {
+    intercept[IllegalArgumentException](Definitions.parseAggregation(
+      aggYaml.replace("function: sum", "function: exec")))
+    intercept[IllegalArgumentException](Definitions.parseAggregation(
+      aggYaml.replace("name: samples", "name: sum_value")))
+    intercept[IllegalArgumentException](Definitions.parseAggregation(
+      aggYaml.replace("granularity: 1h", "granularity: 5s")))
+  }
 }
