@@ -293,6 +293,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"sketch not broadcast:\n$p")
   }
 
+  test("agg_kmv_distinct and agg_kmv_merge plan partial+final sketch aggregation") {
+    // same contract as agg_count_min: the bottom-k Aggregators must plan
+    // as partial + final object-hash aggregation so every map task ships
+    // ≤k longs per group — never raw items. agg_kmv_merge runs TWO
+    // levels (daily sketch, then weekly merge), both partial+final.
+    val p1 = planOf("agg_kmv_distinct")
+    assert("ObjectHashAggregate".r.findAllIn(p1).size >= 2,
+      s"kmv_distinct: expected partial+final sketch aggregation:\n$p1")
+    val p2 = planOf("agg_kmv_merge")
+    assert("ObjectHashAggregate".r.findAllIn(p2).size >= 4,
+      s"kmv_merge: expected two partial+final sketch levels:\n$p2")
+  }
+
+  test("llm_cdc_chunks keeps the boundary scan inside the scan stage (no position explode)") {
+    // the cut-position filter must run INSIDE the higher-order filter over
+    // sequence(...) — a plan that exploded raw positions before filtering
+    // would materialize one row per corpus character
+    val p = planOf("llm_cdc_chunks")
+    assert(p.contains("filter(sequence"),
+      s"boundary scan not inside a codegen'd higher-order filter:\n$p")
+  }
+
   test("agg_dq_checks fuses the row-level rules into one pass over events") {
     val p = planOf("agg_dq_checks")
     // one aggregate computes both the null and range measures (the stack
