@@ -856,6 +856,32 @@ object Llm {
     // top-k then ranks same-cell candidates — the ANN recall trade).
     "llm_cosine_topk" -> ((s, d) => cosineTopK(s, d, PairJoinGate)),
 
+    // K4b — hard-negative mining (added r7): per query vector, the 3 most
+    // cosine-similar vectors carrying a DIFFERENT label — the contrastive-
+    // training data op (in-batch random negatives are easy; the negatives
+    // that actually move a retrieval/embedding model are the near-misses,
+    // cf. DPR / ANCE). Exact cross-label pair scan at fixture scale (the
+    // oracle's closed form); at corpus scale the production route is the
+    // IVF probe join (`llm_ivf_query`'s shape) with the label filter
+    // pushed into the cell join — candidates per query stay
+    // occupancy-bounded, never corpus². Total-order tie-break (sim DESC,
+    // id ASC) keeps the top-3 deterministic; sims round-4 at the edge.
+    "llm_hard_negatives" -> ((s, d) => {
+      val v = vecs(s, d)
+      val a = v.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+        col("norm").as("q_n"), col("label").as("q_label"))
+      val b = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+        col("norm").as("c_n"), col("label").as("c_label"))
+      val sims = a.join(b, col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+        .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+      sims.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .select(col("q_id").as("vec_id"), col("q_label"),
+          col("c_id").as("neg_id"), col("c_label").as("neg_label"),
+          col("rank"), round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id", "rank")
+    }),
+
     // K4 — k-NN majority label (k=5, self excluded): per query vector take
     // the 5 most similar, vote, tie-break lower label. Output also carries
     // the true label so accuracy is computable downstream.
@@ -2985,6 +3011,23 @@ object Llm {
         |JOIN bytes bb ON p.b_id = bb.doc_id
         |WHERE p.shared_bytes * 10 >= LEAST(ba.bytes, bb.bytes) * 3
         |ORDER BY p.a_id, p.b_id""".stripMargin,
+    "llm_hard_negatives" ->
+      s"""WITH $vecCte,
+        |sims AS (
+        |  SELECT a.vec_id AS vec_id, a.label AS q_label,
+        |         b.vec_id AS neg_id, b.label AS neg_label,
+        |         $dotSql / (a.norm * b.norm) AS sim
+        |  FROM v a JOIN v b
+        |    ON a.vec_id <> b.vec_id AND a.label <> b.label
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY sim DESC, neg_id) AS rank
+        |  FROM sims
+        |)
+        |SELECT vec_id, q_label, neg_id, neg_label, rank, round(sim, 4) AS sim
+        |FROM r WHERE rank <= 3
+        |ORDER BY vec_id, rank""".stripMargin,
     "llm_ann_bucket" ->
       s"""WITH $vecCte,
         |bv AS (

@@ -95,6 +95,23 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_hard_negatives: cross-label only, 3 per query, sims non-increasing") {
+    val rows = SparkEntry.queries("llm_hard_negatives")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, qLabel, _, negLabel, rank, _) =>
+      assert(qLabel != negLabel, "a same-label vector leaked into the negatives")
+      assert(rank >= 1 && rank <= 3)
+    }
+    rows.groupBy(_._1).foreach { case (q, ns) =>
+      assert(ns.length == 3, s"query $q returned ${ns.length} negatives")
+      val bySim = ns.sortBy(_._5).map(_._6)
+      assert(bySim.zip(bySim.tail).forall { case (a, b) => a >= b },
+        s"query $q: sims not non-increasing in rank")
+    }
+  }
+
   test("win_kalman matches a driver-side fold, and the gain adapts downward") {
     val events = Tables.events(spark, sf0001)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
