@@ -868,11 +868,18 @@ object Llm {
     // id ASC) keeps the top-3 deterministic; sims round-4 at the edge.
     "llm_hard_negatives" -> ((s, d) => {
       val v = vecs(s, d)
+      // same size gate as cosineTopK: past PairJoinGate vectors the pair
+      // join blocks on the sign cell (bounded candidates, the documented
+      // recall trade); fixture scales stay exact = the oracle's form
+      val blocked = v.count() > PairJoinGate
       val a = v.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
-        col("norm").as("q_n"), col("label").as("q_label"))
+        col("norm").as("q_n"), col("label").as("q_label"),
+        signBucket(col("embedding")).as("q_bkt"))
       val b = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
-        col("norm").as("c_n"), col("label").as("c_label"))
-      val sims = a.join(b, col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+        col("norm").as("c_n"), col("label").as("c_label"),
+        signBucket(col("embedding")).as("c_bkt"))
+      val cond0 = col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label")
+      val sims = a.join(b, if (blocked) cond0 && col("q_bkt") === col("c_bkt") else cond0)
         .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
       sims.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
