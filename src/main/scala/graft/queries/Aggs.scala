@@ -178,6 +178,44 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // D13' — Welch two-sample t statistic for every event-type pair
+    // (added r7): the A/B-test readout over the value KPI — which
+    // treatment/control splits differ beyond noise, the decision layer
+    // above `agg_stats`' descriptive moments. Determinism at hash-match
+    // strictness via the trend_slope discipline: values floor-quantized
+    // to exact µ-unit longs, Σy and Σy² accumulated as DECIMAL(38,0)
+    // (order-free where float sums are not), then mean / variance / t are
+    // a fixed IEEE expression over those exact integers — identical op
+    // order in the oracle, so the statistic is bit-identical before the
+    // floor-1e-4 edge quantization (µ-units cancel in t, so no rescale).
+    // The pair join is over the 5-row aggregate — group-count-sized,
+    // never data-sized.
+    "agg_ab_ttest" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val g = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") * 1e6).cast("long").as("yq"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("yq").cast(dec)).as("sy"),
+          sum(col("yq").cast(dec) * col("yq").cast(dec)).as("syy"))
+      def side(sfx: String) = g.select(
+        col("event_type").as(s"type_$sfx"), col("n").as(s"n_$sfx"),
+        col("sy").as(s"sy_$sfx"), col("syy").as(s"syy_$sfx"))
+      side("a").join(side("b"), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          expr("floor(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e6 * 1e4) / 1e4")
+            .as("mean_a"),
+          expr("floor(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e6 * 1e4) / 1e4")
+            .as("mean_b"),
+          expr(
+            """floor((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              |      - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              |  / sqrt(((CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0D)) / CAST(n_a AS DOUBLE)
+              |       + ((CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0D)) / CAST(n_b AS DOUBLE))
+              |  * 1e4) / 1e4""".stripMargin).as("t_stat"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // D10d — OHLC resample bars (added r3): per (user, hour) the
     // open/high/low/close + sample count — the canonical downsample for
     // any gauge-style counter (what a trend dashboard renders). Every
@@ -1225,6 +1263,23 @@ object Aggs {
         |FROM x LEFT JOIN kk ON x.event_type = kk.event_type
         |       LEFT JOIN sm ON x.event_type = sm.event_type
         |ORDER BY x.event_type""".stripMargin,
+    "agg_ab_ttest" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(floor(value * 1e6) AS HUGEINT)) AS sy,
+        |         sum(CAST(floor(value * 1e6) AS HUGEINT) * CAST(floor(value * 1e6) AS HUGEINT)) AS syy
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b, a.n AS n_a, b.n AS n_b,
+        |       floor(CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE) / 1e6 * 1e4) / 1e4 AS mean_a,
+        |       floor(CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE) / 1e6 * 1e4) / 1e4 AS mean_b,
+        |       floor((CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |            - CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |         / sqrt(((CAST(a.syy AS DOUBLE) - CAST(a.sy AS DOUBLE) * CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0)) / CAST(a.n AS DOUBLE)
+        |              + ((CAST(b.syy AS DOUBLE) - CAST(b.sy AS DOUBLE) * CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0)) / CAST(b.n AS DOUBLE))
+        |         * 1e4) / 1e4 AS t_stat
+        |FROM g a JOIN g b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "agg_def_rollup" ->
       """SELECT user_id AS entity_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
         |       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value,

@@ -95,6 +95,29 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_ab_ttest matches a driver-side Welch recomputation from exact sums") {
+    val vals = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1) * 1e6).toLong)
+    val g = vals.groupBy(_._1).view.mapValues { vs =>
+      val ys = vs.map(_._2)
+      (ys.length.toLong, ys.map(BigInt(_)).sum, ys.map(y => BigInt(y) * BigInt(y)).sum)
+    }.toMap
+    def d(b: BigInt) = b.toDouble
+    val expect = (for {
+      (ta, (na, sya, syya)) <- g; (tb, (nb, syb, syyb)) <- g if ta < tb
+    } yield {
+      val (nad, nbd) = (na.toDouble, nb.toDouble)
+      val t = (d(sya) / nad - d(syb) / nbd) /
+        math.sqrt(((d(syya) - d(sya) * d(sya) / nad) / (nad - 1.0)) / nad +
+          ((d(syyb) - d(syb) * d(syb) / nbd) / (nbd - 1.0)) / nbd)
+      (ta, tb) -> math.floor(t * 1e4) / 1e4
+    }).toMap
+    val got = SparkEntry.queries("agg_ab_ttest")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
+    assert(got == expect)
+  }
+
   test("llm_hard_negatives: cross-label only, 3 per query, sims non-increasing") {
     val rows = SparkEntry.queries("llm_hard_negatives")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
