@@ -207,6 +207,37 @@ object Graph {
       .orderBy("part")
   }
 
+  /** 8-round BFS level table from the minimum node id — see the
+    * `graph_bfs_levels` entry for the full design rationale. Each round's
+    * node-sized distance table is checkpointed with its predecessor freed
+    * (the pagerank discipline): the dist relation is referenced TWICE per
+    * round (union + expand), so a lazy 8-round unroll would double the
+    * plan per round (2^8 subtrees). */
+  private def bfsLevelsBody(edges: DataFrame, allParts: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    // canonical u < v per edge ⇒ the global minimum node always appears
+    // as some edge's u — one tiny driver scalar, like pagerank's N
+    val src = edges.agg(min(col("u"))).head().getLong(0)
+    var dist = sym.select(col("a").as("node")).where(col("node") === src)
+      .distinct().withColumn("level", lit(0L)).localCheckpoint(true)
+    for (i <- 1 to 8) {
+      val next = sym.join(dist, sym("b") === dist("node"))
+        .select(col("a").as("node"), (col("level") + 1).as("level"))
+      val merged = dist.unionByName(next)
+        .groupBy("node").agg(min("level").as("level"))
+        .localCheckpoint(true)
+      graft.ops.Checkpoints.free(dist)
+      dist = merged
+    }
+    val out = allParts
+      .join(dist.withColumnRenamed("node", "part"), Seq("part"), "left")
+      .select(col("part"), coalesce(col("level"), lit(-1L)).as("level"))
+      .orderBy("part")
+    graft.ops.Checkpoints.finishFreeing(out, sym, dist)
+  }
+
   /** Adamic–Adar top-100 over a canonical (u<v) edge list — see the
     * `graph_adamic_adar` entry for the full design rationale. */
   private def adamicAdarBody(edges: DataFrame): DataFrame = {
@@ -352,6 +383,27 @@ object Graph {
       val edges = copurchaseEdges(s, d)
       val parts = Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct()
       finishFreeing(labelPropBody(edges, parts), edges)
+    }),
+
+    // L8 — single-source shortest-path levels (added r7): BFS distance
+    // from the minimum node id over the SUPPORTED co-purchase graph, 8
+    // fixed relaxation rounds (the cc probe put the real graph's diameter
+    // at 7) — the hop-distance readout a directory system uses for
+    // "within N relations of X" queries. Each round is one node-keyed
+    // shuffle join + a min groupBy — linear in |E| per round; per-round
+    // node-sized checkpoints keep the doubly-referenced dist relation
+    // from exponentially unrolling the plan (see [[bfsLevelsBody]]).
+    // min-level merge makes the round count purely an upper bound: any
+    // node within 8 hops carries its true distance, everything else −1
+    // (unreached at this horizon), which the capped-recursion oracle
+    // mirrors exactly. Deterministic by construction (min over exact
+    // ints).
+    "graph_bfs_levels" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      val parts = Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct()
+      val out = bfsLevelsBody(edges, parts)
+      graft.ops.Checkpoints.free(edges)
+      out
     }),
 
     // L5 — connected components (added r5): component label (= minimum
@@ -550,6 +602,28 @@ object Graph {
            |FROM parts p LEFT JOIN r3 r ON r.node = p.part
            |ORDER BY p.part""".stripMargin
       },
+      "graph_bfs_levels" ->
+        """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |),
+          |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+          |src AS (SELECT min(u) AS s FROM e),
+          |walk AS (
+          |  SELECT s AS node, 0 AS lvl FROM src
+          |  UNION
+          |  SELECT e2.b, w.lvl + 1 FROM walk w JOIN sym e2 ON e2.a = w.node
+          |  WHERE w.lvl < 8
+          |),
+          |lv AS (SELECT node, CAST(min(lvl) AS BIGINT) AS level FROM walk GROUP BY 1),
+          |parts AS (SELECT DISTINCT l_partkey AS part FROM lineitem)
+          |SELECT p.part, coalesce(l.level, -1) AS level
+          |FROM parts p LEFT JOIN lv l ON l.node = p.part
+          |ORDER BY p.part""".stripMargin,
       "graph_cc" ->
         """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),

@@ -313,6 +313,42 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E13d — Theil–Sen robust trend slope (added r7): per row, the MEDIAN
+    // of all pairwise per-step slopes over the trailing ≤16 samples —
+    // the breakdown-point-0.29 robust alternative to `agg_trend_slope`'s
+    // OLS (one spike corrupts a least-squares slope; Theil–Sen shrugs
+    // off ≤29% outliers, which is why SLA trend monitors prefer it).
+    // Slopes are indexed per sample step ((y_j − y_i)/(j − i), exact
+    // integer denominators — evenly-spaced-sample form, tie-safe where
+    // raw-timestamp x's duplicate µs would put ∞ into the median), the
+    // median is an exact element pick (odd) or one IEEE mean (even) of
+    // the sorted slope array. C(16,2)=120 slopes/row — constant work per
+    // row, all inside codegen'd higher-order functions; same identical-
+    // IEEE-op-order oracle contract as the fold family; floor-1e-4 edge.
+    "win_theil_sen" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, 0)
+      Tables.events(s, d)
+        .withColumn("l", collect_list(col("value")).over(w))
+        .withColumn("slopes", expr(
+          // size<2 guard keeps sequence() ascending (sequence(1,0) would
+          // auto-step DOWN and fabricate pairs)
+          "CASE WHEN size(l) < 2 THEN array() ELSE " +
+            "array_sort(flatten(transform(sequence(1, size(l) - 1), i -> " +
+            "transform(sequence(i + 1, size(l)), j -> " +
+            "(element_at(l, j) - element_at(l, i)) / CAST(j - i AS DOUBLE)))))" +
+            " END"))
+        .withColumn("ts_slope", expr(
+          """CASE WHEN size(l) < 2 THEN CAST(NULL AS DOUBLE) ELSE
+            |  floor((CASE WHEN size(slopes) % 2 = 1
+            |              THEN element_at(slopes, CAST((size(slopes) + 1) div 2 AS INT))
+            |              ELSE (element_at(slopes, CAST(size(slopes) div 2 AS INT))
+            |                  + element_at(slopes, CAST(size(slopes) div 2 + 1 AS INT))) / 2.0D
+            |         END) * 10000) / 10000 END""".stripMargin))
+        .select(col("event_id"), col("user_id"), col("ts_slope"))
+        .orderBy("event_id")
+    }),
+
     // E13c — scalar Kalman filter (added r7): the random-walk-plus-noise
     // state-space smoother (process var Q=4, observation var R=16) — the
     // optimal-gain rung above win_ewma's FIXED gain: the Kalman gain
@@ -979,6 +1015,30 @@ object Wins {
         |SELECT event_id, user_id,
         |       floor((s[1] + s[2]) * 10000) / 10000 AS holt_forecast
         |FROM st ORDER BY event_id""".stripMargin,
+    "win_theil_sen" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (
+        |  SELECT event_id, user_id,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e
+        |),
+        |sl AS (
+        |  SELECT event_id, user_id, len(l) AS n,
+        |         CASE WHEN len(l) < 2 THEN CAST([] AS DOUBLE[]) ELSE
+        |           list_sort(flatten(list_transform(range(1, len(l)), i ->
+        |             list_transform(range(i + 1, len(l) + 1), j ->
+        |               (l[j] - l[i]) / CAST(j - i AS DOUBLE)))))
+        |         END AS slopes
+        |  FROM l
+        |)
+        |SELECT event_id, user_id,
+        |       CASE WHEN n < 2 THEN CAST(NULL AS DOUBLE) ELSE
+        |         floor((CASE WHEN len(slopes) % 2 = 1
+        |                     THEN slopes[(len(slopes) + 1) // 2]
+        |                     ELSE (slopes[len(slopes) // 2] + slopes[len(slopes) // 2 + 1]) / 2.0
+        |                END) * 10000) / 10000 END AS ts_slope
+        |FROM sl ORDER BY event_id""".stripMargin,
     "win_kalman" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |l AS (

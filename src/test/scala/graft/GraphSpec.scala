@@ -174,6 +174,27 @@ class GraphSpec extends SparkSpec {
       "every node kept its own label — LPA did nothing; fixture degenerate?")
   }
 
+  test("graph_bfs_levels matches a driver-side BFS capped at 8 hops") {
+    val edges = supportedEdges(sf0001)
+    val neighbors = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val src = edges.map(_._1).min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Set(src)
+    for (lvl <- 1L to 8L) {
+      frontier = frontier.flatMap(n => neighbors.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = lvl)
+    }
+    val allParts = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey")).distinct().collect().map(_.getLong(0))
+    val expect = allParts.map(p => p -> dist.getOrElse(p, -1L)).toMap
+    val got = SparkEntry.queries("graph_bfs_levels")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got.values.exists(_ > 0), "BFS reached nothing — fixture degenerate?")
+  }
+
   test("graph_cc matches a driver-side union-find over the supported graph") {
     val li = Tables.lineitem(spark, sf0001)
       .select(col("l_orderkey"), col("l_partkey")).distinct()

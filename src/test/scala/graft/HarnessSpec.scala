@@ -36,9 +36,14 @@ class HarnessSpec extends SparkSpec {
     // plus graph_cc, whose data-dependently iterative pointer-jump loop
     // has no lazy whole-query plan (the other graph keys audit via
     // Graph.auditPlans — see PlanScan.skipKeys' doc)
+    // graph_cc's pointer-jump loop is data-dependently iterative;
+    // graph_bfs_levels' dist relation is referenced twice per round, so
+    // its lazy 8-round unroll would double the plan per round (2^8
+    // subtrees) — both audit their per-round join shape in GraphSpec
     val sideEffect = graft.tools.PlanScan.skipKeys -- streaming
     assert(sideEffect == Set("scan_csv_typed", "scan_jsonl", "scan_xml_typed",
-      "sink_partitioned", "join_bucketed", "scan_binary", "graph_cc"),
+      "sink_partitioned", "join_bucketed", "scan_binary", "graph_cc",
+      "graph_bfs_levels"),
       s"unexpected non-streaming PlanScan skips: $sideEffect")
   }
 

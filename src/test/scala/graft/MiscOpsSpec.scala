@@ -135,6 +135,36 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("win_theil_sen matches a driver-side pairwise-median recomputation") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def medianSlope(ys: Seq[Double]): Option[Double] = {
+      if (ys.length < 2) None
+      else {
+        val slopes = (for {
+          i <- ys.indices; j <- i + 1 until ys.length
+        } yield (ys(j) - ys(i)) / (j - i).toDouble).sorted
+        val n = slopes.length
+        val m = if (n % 2 == 1) slopes(n / 2)
+                else (slopes(n / 2 - 1) + slopes(n / 2)) / 2.0
+        Some(math.floor(m * 10000) / 10000)
+      }
+    }
+    val expect = events.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 15), i + 1).map(_._4)
+        ordered(i)._1 -> medianSlope(frame)
+      }
+    }
+    val got = SparkEntry.queries("win_theil_sen")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == expect)
+  }
+
   test("win_kalman matches a driver-side fold, and the gain adapts downward") {
     val events = Tables.events(spark, sf0001)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
