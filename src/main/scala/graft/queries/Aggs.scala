@@ -178,6 +178,34 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // D8'' — granularity rollup chain (added r7): the LOSSLESS
+    // re-aggregation contract `Granularity.canRollupTo` encodes, run as a
+    // query: events roll to 15-minute partials, those to hourly, those to
+    // daily — and the chained result must equal a direct daily rollup,
+    // which is exactly what the oracle computes (the oracle is the DIRECT
+    // form; hash equality IS the losslessness proof). This is the
+    // materialized-rollup serving path at 100 TB: coarser grains are
+    // served by re-aggregating stored partials, never by re-reading raw —
+    // sound only because the measures are exact integer sums (µ-unit
+    // longs; a float sum would drift by accumulation order at every
+    // level, an avg wouldn't re-aggregate at all without its weight).
+    // Output stays in exact µ-units end to end — no float anywhere.
+    "agg_rollup_chain" -> ((s, d) => {
+      import graft.store.Granularity
+      val q15 = Tables.events(s, d)
+        .select(col("user_id"),
+          Granularity.QuarterHour.bucket(col("ts")).as("b15"),
+          floor(col("value") * 1e6).cast("long").as("vq"))
+        .groupBy("user_id", "b15")
+        .agg(sum("vq").as("vq"), count(lit(1)).as("n"))
+      val h1 = q15
+        .groupBy(col("user_id"), Granularity.Hour.bucket(col("b15")).as("bh"))
+        .agg(sum("vq").as("vq"), sum("n").as("n"))
+      h1.groupBy(col("user_id"), Granularity.Day.bucket(col("bh")).as("day"))
+        .agg(sum("vq").as("value_microunits"), sum("n").as("n_samples"))
+        .orderBy("user_id", "day")
+    }),
+
     // D13' — Welch two-sample t statistic for every event-type pair
     // (added r7): the A/B-test readout over the value KPI — which
     // treatment/control splits differ beyond noise, the decision layer
@@ -1263,6 +1291,12 @@ object Aggs {
         |FROM x LEFT JOIN kk ON x.event_type = kk.event_type
         |       LEFT JOIN sm ON x.event_type = sm.event_type
         |ORDER BY x.event_type""".stripMargin,
+    "agg_rollup_chain" ->
+      """SELECT user_id,
+        |       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS value_microunits,
+        |       count(*) AS n_samples
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
     "agg_ab_ttest" ->
       """WITH g AS (
         |  SELECT event_type, count(*) AS n,

@@ -856,6 +856,59 @@ object Llm {
     // top-k then ranks same-cell candidates — the ANN recall trade).
     "llm_cosine_topk" -> ((s, d) => cosineTopK(s, d, PairJoinGate)),
 
+    // K5h — T5-style span corruption (added r7, Raffel et al. 2020): the
+    // denoising-objective data prep — ~1/8 of token positions seed a
+    // 3-token mask span (overlaps merge), every MAXIMAL masked run
+    // collapses to one numbered sentinel in the input and reappears after
+    // its sentinel in the target. Masking is DETERMINISTIC (seeded md5 of
+    // (doc_id, position) — a retried task or re-run corrupts identically,
+    // the agg_dp_counts reproducibility argument), and the span algebra
+    // is windowed, not sequential: covered(p) = any seed in [p−2, p]
+    // (3-wide max window), runstart = covered ∧ ¬covered(p−1), sentinel
+    // id = running runstart count — so the whole op is three in-doc
+    // windows + one ordered string assembly, no per-doc iteration
+    // anywhere. One doc-keyed shuffle; output (input_text, target_text,
+    // counts) is what a seq2seq pretraining pipeline feeds the trainer.
+    "llm_span_mask" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), t => length(t) > 0)))
+        .withColumnRenamed("col", "token")
+        .withColumn("pos", col("pos") + 1)
+        .withColumn("starter", (expr(
+          "cast(conv(substring(md5(concat(doc_id, ':', pos)), 1, 15), 16, 10) as bigint) % 8"
+        ) === 0).cast("int"))
+      val wCov = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 0)
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val pieces = toks
+        .withColumn("covered", (max("starter").over(wCov) === 1).cast("int"))
+        .withColumn("runstart",
+          (col("covered") === 1 &&
+            coalesce(lag("covered", 1).over(wOrd), lit(0)) === 0).cast("int"))
+        .withColumn("sid", sum("runstart").over(wOrd))
+        .withColumn("in_piece",
+          when(col("covered") === 0, col("token"))
+            .when(col("runstart") === 1,
+              concat(lit("<extra_id_"), col("sid").cast("string"), lit(">")))
+            .otherwise(lit(null)))
+        .withColumn("tgt_piece",
+          when(col("runstart") === 1,
+            concat(lit("<extra_id_"), col("sid").cast("string"), lit("> "), col("token")))
+            .when(col("covered") === 1, col("token"))
+            .otherwise(lit(null)))
+      pieces.groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum("covered").as("n_masked"),
+          sum("runstart").as("n_spans"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, in_piece))), x -> x.in_piece)"))
+            .as("input_text"),
+          nullif(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, tgt_piece))), x -> x.tgt_piece)")),
+            lit("")).as("target_text"))
+        .orderBy("doc_id")
+    }),
+
     // K4b — hard-negative mining (added r7): per query vector, the 3 most
     // cosine-similar vectors carrying a DIFFERENT label — the contrastive-
     // training data op (in-batch random negatives are easy; the negatives
@@ -3018,6 +3071,50 @@ object Llm {
         |JOIN bytes bb ON p.b_id = bb.doc_id
         |WHERE p.shared_bytes * 10 >= LEAST(ba.bytes, bb.bytes) * 3
         |ORDER BY p.a_id, p.b_id""".stripMargin,
+    "llm_span_mask" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |),
+        |p AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM d
+        |),
+        |t AS (
+        |  SELECT doc_id, pos, toks[pos] AS token,
+        |         CASE WHEN CAST(concat('0x', substring(md5(concat(doc_id, ':', pos)), 1, 15)) AS BIGINT) % 8 = 0
+        |              THEN 1 ELSE 0 END AS starter
+        |  FROM p
+        |),
+        |c AS (
+        |  SELECT *, CASE WHEN max(starter) OVER (PARTITION BY doc_id ORDER BY pos
+        |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1
+        |                 THEN 1 ELSE 0 END AS covered
+        |  FROM t
+        |),
+        |r AS (
+        |  SELECT *, CASE WHEN covered = 1 AND coalesce(lag(covered) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+        |                 THEN 1 ELSE 0 END AS runstart
+        |  FROM c
+        |),
+        |sd AS (
+        |  SELECT *, sum(runstart) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM r
+        |),
+        |pieces AS (
+        |  SELECT doc_id, pos, covered, runstart,
+        |         CASE WHEN covered = 0 THEN token
+        |              WHEN runstart = 1 THEN concat('<extra_id_', CAST(sid AS VARCHAR), '>')
+        |              ELSE NULL END AS in_piece,
+        |         CASE WHEN runstart = 1 THEN concat('<extra_id_', CAST(sid AS VARCHAR), '> ', token)
+        |              WHEN covered = 1 THEN token
+        |              ELSE NULL END AS tgt_piece
+        |  FROM sd
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(covered) AS BIGINT) AS n_masked,
+        |       CAST(sum(runstart) AS BIGINT) AS n_spans,
+        |       string_agg(in_piece, ' ' ORDER BY pos) AS input_text,
+        |       string_agg(tgt_piece, ' ' ORDER BY pos) AS target_text
+        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_hard_negatives" ->
       s"""WITH $vecCte,
         |sims AS (

@@ -135,6 +135,37 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_span_mask: sentinel-splicing the target back into the input reconstructs the text") {
+    val rows = SparkEntry.queries("llm_span_mask")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var maskedSomething = false
+    rows.foreach { r =>
+      val (docId, nSpans) = (r.getLong(0), r.getLong(3))
+      val input = r.getString(4)
+      val target = if (r.isNullAt(5)) "" else r.getString(5)
+      val original = docs(docId).split(" ").filter(_.nonEmpty).mkString(" ")
+      if (nSpans == 0) assert(input == original && target.isEmpty)
+      else {
+        maskedSomething = true
+        // parse target into sentinel -> span-token map, then splice
+        val spans = ("<extra_id_(\\d+)>".r.findAllMatchIn(target).toSeq)
+        val parts = target.split("<extra_id_\\d+> ?").toSeq.drop(1)
+        assert(spans.map(_.group(1).toInt) == (1 to nSpans.toInt),
+          s"doc $docId: sentinel numbering not sequential in target")
+        var rebuilt = input
+        spans.map(_.group(1).toInt).zip(parts).foreach { case (n, span) =>
+          rebuilt = rebuilt.replace(s"<extra_id_$n>", span.trim)
+        }
+        assert(rebuilt == original,
+          s"doc $docId: splice failed\nrebuilt:  $rebuilt\noriginal: $original")
+      }
+    }
+    assert(maskedSomething, "no document got a span — masking rate broken on fixture")
+  }
+
   test("win_theil_sen matches a driver-side pairwise-median recomputation") {
     val events = Tables.events(spark, sf0001)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
