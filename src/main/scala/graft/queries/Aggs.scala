@@ -178,6 +178,42 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // D13'' — chi-square independence screen (added r7): is the value
+    // DISTRIBUTION independent of event type? — the categorical
+    // complement of `agg_ab_ttest`'s mean comparison (a type can keep the
+    // same mean while its shape shifts; χ² over the contingency table
+    // catches that). Cells = (event_type × 4 fixed value buckets);
+    // observed counts are exact longs, expected e = row·col/n and the
+    // χ² fold are one fixed IEEE expression over those exact integers —
+    // identical op order in the oracle (cells iterate in (type, bucket)
+    // order via the sorted pivot), floor-1e-4 edge. The contingency
+    // table is groups×4 rows — summary-sized; one scan, one tiny
+    // exchange.
+    "agg_chi_square" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          least(greatest(floor(col("value") / 125), lit(0.0)), lit(3.0))
+            .cast("long").as("bucket"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("event_type").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("bucket").agg(sum("o").as("ct"))
+      val n = cells.agg(sum("o").as("n"))
+      cells.join(rowT, "event_type").join(colT, "bucket").crossJoin(broadcast(n))
+        .withColumn("e",
+          col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
+        .withColumn("contrib",
+          (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"))
+        .groupBy("event_type")
+        .agg(sum("o").as("n_rows"),
+          // cells fold in bucket order (ordered-list sum, the
+          // agg_decay_score idiom) — a plain float sum() would depend on
+          // partial-aggregation order
+          expr("floor(aggregate(array_sort(collect_list(named_struct('b', bucket, 'c', contrib))), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c) * 1e4) / 1e4").as("chi2"))
+        .orderBy("event_type")
+    }),
+
     // D8'' — granularity rollup chain (added r7): the LOSSLESS
     // re-aggregation contract `Granularity.canRollupTo` encodes, run as a
     // query: events roll to 15-minute partials, those to hourly, those to
@@ -1291,6 +1327,30 @@ object Aggs {
         |FROM x LEFT JOIN kk ON x.event_type = kk.event_type
         |       LEFT JOIN sm ON x.event_type = sm.event_type
         |ORDER BY x.event_type""".stripMargin,
+    "agg_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         CAST(LEAST(GREATEST(floor(value / 125), 0), 3) AS BIGINT) AS bucket,
+        |         count(*) AS o
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |),
+        |rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT bucket, sum(o) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n FROM cells),
+        |k AS (
+        |  SELECT c.event_type, c.bucket, c.o,
+        |         CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+        |  FROM cells c JOIN rt r ON c.event_type = r.event_type
+        |       JOIN ct t ON c.bucket = t.bucket CROSS JOIN nn
+        |),
+        |kk AS (
+        |  SELECT event_type, bucket,
+        |         o, (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS contrib
+        |  FROM k
+        |)
+        |SELECT event_type, CAST(sum(o) AS BIGINT) AS n_rows,
+        |       floor(list_aggregate(list(contrib ORDER BY bucket), 'sum') * 1e4) / 1e4 AS chi2
+        |FROM kk GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_rollup_chain" ->
       """SELECT user_id,
         |       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
