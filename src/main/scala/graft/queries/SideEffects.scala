@@ -45,6 +45,38 @@ object SideEffects {
         .orderBy("r_regionkey")
     }),
 
+    // A2' — malformed-row CSV ingest (added r7): the DQ boundary of the
+    // harvest path — real exports carry glitched lines, and a 100 TB load
+    // must QUARANTINE them (PERMISSIVE + corrupt-record column), never
+    // abort (FAILFAST) or silently drop (DROPMALFORMED). The fixture
+    // plants two deterministic bad lines (a type glitch and an
+    // extra-column line) among the region rows; the read keeps good rows
+    // typed and lands each bad line's RAW TEXT in `_corrupt` for the
+    // quarantine sink. The oracle recomputes good rows from region and
+    // the two constant quarantine rows directly.
+    "scan_csv_malformed" -> ((s, d) => {
+      val out = scratch("csv_malformed")
+      val good = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey").collect()
+        .map(r => s"${r.get(0)},${r.getString(1)}")
+      val lines = Seq("r_regionkey,r_name") ++ good ++
+        Seq("999x,GLITCH", "7,TOOMANY,EXTRA")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out, "part0.csv"), lines.mkString("\n"))
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+        .select(col("r_regionkey"), col("r_name"), col("_corrupt"))
+        .orderBy(col("_corrupt").asc_nulls_first, col("r_regionkey"))
+    }),
+
     // A2b — 3GPP-style XML measurement ingest (the reference's primary
     // harvest format): render a small measurement file from events data,
     // re-read it with the hand-rolled distributed XML parser.
@@ -339,6 +371,13 @@ object SideEffects {
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name,
         |       TIMESTAMP '2024-01-15 06:30:00' AS loaded_at
         |FROM region ORDER BY r_regionkey""".stripMargin,
+    "scan_csv_malformed" ->
+      """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name,
+        |       CAST(NULL AS VARCHAR) AS _corrupt
+        |FROM region
+        |UNION ALL SELECT 7, 'TOOMANY', '7,TOOMANY,EXTRA'
+        |UNION ALL SELECT NULL, 'GLITCH', '999x,GLITCH'
+        |ORDER BY _corrupt NULLS FIRST, r_regionkey""".stripMargin,
     "scan_xml_typed" ->
       """SELECT concat('Network=G1,Node=', lpad(CAST(user_id AS VARCHAR), 3, '0')) AS dn,
         |       CAST(date_trunc('minute', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts,

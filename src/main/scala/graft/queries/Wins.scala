@@ -313,6 +313,37 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E13e — time-decay EWMA for IRREGULAR sampling (added r7): the gap
+    // `win_ewma`'s fixed α papers over — a per-sample constant α weights
+    // a reading after a 3-day outage exactly like one 5 s later, which is
+    // wrong for real telemetry. Here the decay follows the actual gap:
+    // e = exp(−Δt/τ) at τ = 1 h, ŷ = y·(1−e) + ŷ_prev·e — a 5 s
+    // follow-up barely moves the estimate, a 3-day-later reading
+    // effectively restarts it (e ≈ 0): the continuous-time EWMA. Same
+    // sequential-fold contract as the ewma/holt/kalman family (trailing
+    // ≤16 samples, (ts,event_id) order, seed = first sample); Δt is exact
+    // µs integers into one IEEE divide + exp — the exp() is written
+    // verbatim at both uses and mirrored in the oracle, cross-engine
+    // libm ulp drift absorbed by the floor-1e-4 edge (the adamic_adar
+    // ln() argument).
+    "win_ewma_irregular" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, 0)
+      Tables.events(s, d)
+        .withColumn("l", collect_list(
+          struct(unix_micros(col("ts")).as("us"), col("value").as("v"))).over(w))
+        .withColumn("ewma_t", expr(
+          """floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
+            |  named_struct('us', element_at(l, 1).us, 'y', CAST(element_at(l, 1).v AS DOUBLE)),
+            |  (acc, x) -> named_struct(
+            |    'us', x.us,
+            |    'y', x.v * (1.0D - exp(-(CAST(x.us - acc.us AS DOUBLE) / 3600000000.0D)))
+            |       + acc.y * exp(-(CAST(x.us - acc.us AS DOUBLE) / 3600000000.0D))),
+            |  acc -> acc.y) * 10000) / 10000""".stripMargin))
+        .select(col("event_id"), col("user_id"), col("ewma_t"))
+        .orderBy("event_id")
+    }),
+
     // E13d — Theil–Sen robust trend slope (added r7): per row, the MEDIAN
     // of all pairwise per-step slopes over the trailing ≤16 samples —
     // the breakdown-point-0.29 robust alternative to `agg_trend_slope`'s
@@ -1014,6 +1045,27 @@ object Wins {
         |)
         |SELECT event_id, user_id,
         |       floor((s[1] + s[2]) * 10000) / 10000 AS holt_forecast
+        |FROM st ORDER BY event_id""".stripMargin,
+    "win_ewma_irregular" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (
+        |  SELECT event_id, user_id,
+        |         list(struct_pack(us := epoch_us(ts), v := value))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e
+        |),
+        |st AS (
+        |  SELECT event_id, user_id,
+        |         list_reduce(list_transform(l, s -> struct_pack(us := s.us, y := CAST(s.v AS DOUBLE))),
+        |           (acc, x) -> struct_pack(
+        |             us := x.us,
+        |             y := x.y * (1.0 - exp(-(CAST(x.us - acc.us AS DOUBLE) / 3600000000.0)))
+        |                + acc.y * exp(-(CAST(x.us - acc.us AS DOUBLE) / 3600000000.0)))) AS s
+        |  FROM l
+        |)
+        |SELECT event_id, user_id,
+        |       floor(s.y * 10000) / 10000 AS ewma_t
         |FROM st ORDER BY event_id""".stripMargin,
     "win_theil_sen" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -41,9 +41,9 @@ class HarnessSpec extends SparkSpec {
     // its lazy 8-round unroll would double the plan per round (2^8
     // subtrees) — both audit their per-round join shape in GraphSpec
     val sideEffect = graft.tools.PlanScan.skipKeys -- streaming
-    assert(sideEffect == Set("scan_csv_typed", "scan_jsonl", "scan_xml_typed",
-      "sink_partitioned", "join_bucketed", "scan_binary", "graph_cc",
-      "graph_bfs_levels"),
+    assert(sideEffect == Set("scan_csv_typed", "scan_csv_malformed", "scan_jsonl",
+      "scan_xml_typed", "sink_partitioned", "join_bucketed", "scan_binary",
+      "graph_cc", "graph_bfs_levels"),
       s"unexpected non-streaming PlanScan skips: $sideEffect")
   }
 

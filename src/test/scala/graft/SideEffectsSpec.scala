@@ -18,6 +18,19 @@ class SideEffectsSpec extends SparkSpec {
     }
   }
 
+  test("scan_csv_malformed quarantines exactly the planted bad lines, keeps good rows typed") {
+    val got = SparkEntry.queries("scan_csv_malformed")(spark, sf0001).collect()
+    val (bad, good) = got.partition(r => !r.isNullAt(2))
+    assert(bad.length == 2, s"expected 2 quarantined rows, got ${bad.length}")
+    assert(bad.map(_.getString(2)).toSet == Set("999x,GLITCH", "7,TOOMANY,EXTRA"),
+      "quarantine must carry the raw bad lines verbatim")
+    val src = Tables.region(spark, sf0001).orderBy("r_regionkey").collect()
+    assert(good.length == src.length)
+    good.sortBy(_.getInt(0)).zip(src).foreach { case (g, s) =>
+      assert(g.getInt(0) == s.getInt(0) && g.getString(1) == s.getString(1))
+    }
+  }
+
   test("sink_partitioned lays out d=... directories and counts match direct groupBy") {
     val got = SparkEntry.queries("sink_partitioned")(spark, sf0001)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
