@@ -1375,11 +1375,20 @@ object Aggs {
         |FROM g a JOIN g b ON a.event_type < b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
     "agg_def_rollup" ->
-      """SELECT user_id AS entity_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
-        |       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value,
+      // sum/avg mirror MeasureDef's µ-unit quantization (exact integer
+      // partial sums — order-free across partitions and engines); the
+      // CAST to BIGINT matters: DuckDB floor() returns DOUBLE
+      """WITH q AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |  FROM events
+        |)
+        |SELECT user_id AS entity_id, date_trunc('hour', ts) AS ts,
+        |       round(sum(vq) / 1e6, 4) AS sum_value,
+        |       round(sum(vq) / count(value) / 1e6, 4) AS avg_value,
         |       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
         |       count(value) AS samples
-        |FROM events GROUP BY 1, 2 ORDER BY entity_id, ts""".stripMargin,
+        |FROM q GROUP BY 1, 2 ORDER BY entity_id, ts""".stripMargin,
     "agg_kmv_merge" ->
       """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |                 CAST(user_id AS VARCHAR) AS item FROM events),

@@ -61,6 +61,11 @@ object SideEffects {
         .map(r => s"${r.get(0)},${r.getString(1)}")
       val lines = Seq("r_regionkey,r_name") ++ good ++
         Seq("999x,GLITCH", "7,TOOMANY,EXTRA")
+      // recreate the scratch dir from empty (r7 ADVICE): the read globs
+      // the DIRECTORY, so a stray file left by an interrupted run would
+      // silently join the fixture
+      val outDir = new java.io.File(out)
+      if (outDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(outDir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(out, "part0.csv"), lines.mkString("\n"))

@@ -204,8 +204,14 @@ object Definitions {
     * CLOSED set — the reference's re-aggregation functions (sum / avg /
     * min / max / count): config stays config, never an expression
     * language, so every legal document has a derivable SQL twin and
-    * nothing injectable ever reaches the plan. Aggregated doubles round
-    * to 4 decimals (the repo-wide determinism rule for float sums). */
+    * nothing injectable ever reaches the plan. sum/avg quantize the
+    * measure to exact µ-unit longs FIRST (floor(x·1e6), the
+    * agg_rollup_chain / agg_ab_ttest discipline — r7 ADVICE closed):
+    * integer partial sums are order-free, so the rollup hashes
+    * identically across partition counts and engines instead of riding
+    * float-accumulation luck near a 1e-4 rounding edge; min/max/count
+    * are order-free already and stay on the raw column. The µ-floor is
+    * the declared measure resolution, not drift. */
   final case class MeasureDef(name: String, column: String, function: String) {
     require(MeasureDef.functions.contains(function.toLowerCase),
       s"measure '$name': unknown function '$function' " +
@@ -214,9 +220,10 @@ object Definitions {
     def toColumn: Column = {
       import org.apache.spark.sql.{functions => F}
       val c = F.col(column)
+      val q = F.floor(c * 1e6).cast("long")
       function.toLowerCase match {
-        case "sum"   => F.round(F.sum(c), 4).as(name)
-        case "avg"   => F.round(F.avg(c), 4).as(name)
+        case "sum"   => F.round(F.sum(q) / 1e6, 4).as(name)
+        case "avg"   => F.round(F.sum(q) / F.count(c) / 1e6, 4).as(name)
         case "min"   => F.round(F.min(c), 4).as(name)
         case "max"   => F.round(F.max(c), 4).as(name)
         case "count" => F.count(c).as(name)

@@ -38,6 +38,49 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** List a directory's matching files sorted by name, CLOSING the
+    * `Files.list` stream (each leaks a directory fd otherwise — r7
+    * ADVICE; the staging helpers re-list per uncached source dir, so the
+    * leak was unbounded across a long session). */
+  private def listFiles(dir: java.nio.file.Path,
+      keep: java.nio.file.Path => Boolean): Array[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(dir)
+    try st.filter(p => keep(p)).sorted()
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+    finally st.close()
+  }
+
+  /** Race-safe staging for the cached stream source dirs (r7 ADVICE):
+    * `populate` fills a process-unique temp sibling (sentinel included),
+    * which is then ATOMICALLY renamed into place — a concurrent session
+    * either wins the rename or sees the winner's complete dir; nobody
+    * ever lists a partially-linked one. A stale pre-fix dir (no
+    * `_staged` sentinel — an interrupted run, or the r6 code's
+    * dir-shaped symlink layout) is deleted before staging rather than
+    * trusted. */
+  private def stageAtomically(dir: java.nio.file.Path)(
+      populate: java.nio.file.Path => Unit): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (Files.exists(dir) && !Files.exists(dir.resolve("_staged")))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    val tmp = dir.resolveSibling(
+      s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(tmp)
+    try {
+      populate(tmp)
+      Files.createFile(tmp.resolve("_staged"))
+      try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the race: the winner's dir is complete — use it
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.AccessDeniedException
+           | _: java.nio.file.FileSystemException
+          if Files.exists(dir.resolve("_staged")) =>
+      }
+    } finally
+      if (Files.exists(tmp))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   private[graft] def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source requires a directory of FILES; stage the
@@ -53,23 +96,14 @@ object Streams {
     val dir = Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_stream_src",
       Integer.toHexString(d.hashCode))
-    val staged = dir.resolve("_staged")
-    if (!Files.exists(staged)) {
-      Files.createDirectories(dir)
+    if (!Files.exists(dir.resolve("_staged"))) stageAtomically(dir) { tmp =>
       val src = Paths.get(s"$d/events.parquet")
       if (Files.isDirectory(src)) {
-        val parts = Files.list(src)
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+        val parts = listFiles(src, _.getFileName.toString.endsWith(".parquet"))
         parts.zipWithIndex.foreach { case (p, i) =>
-          val link = dir.resolve(f"events$i%05d.parquet")
-          if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+          Files.createSymbolicLink(tmp.resolve(f"events$i%05d.parquet"), p)
         }
-      } else {
-        val link = dir.resolve("events.parquet")
-        if (!Files.exists(link)) Files.createSymbolicLink(link, src)
-      }
-      Files.createFile(staged)
+      } else Files.createSymbolicLink(tmp.resolve("events.parquet"), src)
     }
     // Same two-generation ts handling as Tables.events: branch on the
     // footer schema (one cheap metadata read). The stream schema carries
@@ -105,30 +139,39 @@ object Streams {
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_stream_docs",
       Integer.toHexString(d.hashCode))
-    val done = dir.resolve("_staged")
-    if (!java.nio.file.Files.exists(done)) {
-      java.nio.file.Files.createDirectories(dir)
-      val docs = graft.Tables.documents(s, d)
-      val hi = docs.agg(max("doc_id")).head().getLong(0) + 1
-      (0 until 4).foreach { i =>
-        val (lo, up) = (hi * i / 4, hi * (i + 1) / 4)
-        val staging = dir.resolve(s"_staging$i")
-        docs.where(col("doc_id") >= lo && col("doc_id") < up)
-          .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-        // hoist the single part file up as a plain chunk FILE (the file
-        // source lists files, not parquet dirs), mtimes a second apart:
-        // unambiguous ingest order
-        val part = java.nio.file.Files.list(staging)
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val chunk = dir.resolve(f"chunk$i%02d.parquet")
-        java.nio.file.Files.move(part, chunk,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        chunk.toFile.setLastModified(1700000000000L + i * 1000L)
-        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    if (!java.nio.file.Files.exists(dir.resolve("_staged")))
+      stageAtomically(dir) { tmp =>
+        val docs = graft.Tables.documents(s, d)
+        // split on the ACTUAL [min,max] id range (r7 ADVICE: the old
+        // `max+1` quarters assumed 0-based non-negative ids — a negative
+        // id fell outside every chunk and was silently dropped from the
+        // stream), and guard the empty corpus: zero docs stage one empty
+        // chunk file so the stream still has a (rowless) file to replay.
+        val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+        val ranges: Seq[(Long, Long)] =
+          if (mm.isNullAt(0)) Seq((0L, 0L)) // empty: one vacuous chunk
+          else {
+            val (lo0, hi) = (mm.getLong(0), mm.getLong(1) + 1)
+            val span = hi - lo0
+            (0 until 4).map(i =>
+              (lo0 + span * i / 4, lo0 + span * (i + 1) / 4))
+          }
+        ranges.zipWithIndex.foreach { case ((lo, up), i) =>
+          val staging = tmp.resolve(s"_staging$i")
+          docs.where(col("doc_id") >= lo && col("doc_id") < up)
+            .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+          // hoist the single part file up as a plain chunk FILE (the file
+          // source lists files, not parquet dirs), mtimes a second apart:
+          // unambiguous ingest order
+          val part = listFiles(staging,
+            _.getFileName.toString.endsWith(".parquet")).head
+          val chunk = tmp.resolve(f"chunk$i%02d.parquet")
+          java.nio.file.Files.move(part, chunk,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          chunk.toFile.setLastModified(1700000000000L + i * 1000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        }
       }
-      java.nio.file.Files.createFile(done)
-    }
     dir.toString
   }
 

@@ -190,7 +190,9 @@ class DefinitionsSpec extends SparkSpec {
     val expect = Tables.events(spark, sf0001)
       .groupBy(col("user_id").as("entity_id"),
         date_trunc("hour", col("ts")).as("ts"))
-      .agg(round(sum("value"), 4).as("sum_value"), count(col("value")).as("samples"))
+      // µ-unit-quantized sum, MeasureDef's determinism discipline (r8)
+      .agg(round(sum(floor(col("value") * 1e6).cast("long")) / 1e6, 4).as("sum_value"),
+        count(col("value")).as("samples"))
       .orderBy("entity_id", "ts").collect().map(_.toString)
     assert(got.sameElements(expect))
   }
