@@ -39,6 +39,21 @@ object Ivf {
       math.ceil(math.sqrt(nprobe.toDouble * n.toDouble)).toLong)).toInt
   }
 
+  /** Cells the LINEAR policy picks: `max(16, n / targetOccupancy)` — cell
+    * occupancy pinned at ~`targetOccupancy` regardless of corpus size, so
+    * per-query serving cost (`nprobe · occupancy` candidates) is a
+    * CONSTANT the operator chooses, not a function of n. This is the
+    * 100 TB serving stance ProbeIvfQueries measured: candidate volume per
+    * query grew 1.05× under this policy while the corpus grew 10×
+    * (fixed nlist grew 10.4×, the √-rule 3.3×). The price is a larger
+    * centroid scan (nlist ∝ n) — linear, embarrassingly parallel, and at
+    * nlist > ~64 k the next step is a second quantizer level over the
+    * centroids themselves. */
+  def occupancyNlist(n: Long, targetOccupancy: Int = 50): Int = {
+    require(n >= 0 && targetOccupancy >= 1)
+    math.min(65536L, math.max(16L, n / targetOccupancy)).toInt
+  }
+
   /** Seeded one-step centroids over `nlist` cells + every vector ranked
     * against every centroid by cosine. `vectors` must carry
     * (vec_id, embedding: array<float>, norm); returns

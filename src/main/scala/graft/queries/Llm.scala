@@ -1660,6 +1660,54 @@ object Llm {
         .orderBy("vec_id")
     }),
 
+    // K8g' — FLAT-POLICY ANN serving (added r8, r7 VERDICT #1): the
+    // production index sizing the demo keys can't run (their oracles pin
+    // nlist=16 for cell-layout compatibility), now oracle-checked
+    // end-to-end. Two levers make per-query cost CONSTANT in corpus size:
+    //   - bounded query stream: a FIXED 500-query budget (deterministic
+    //     md5 order + LIMIT — a deployed index answers a query stream,
+    //     its cost never scales with how much corpus sits behind it;
+    //     `llm_ivf_query`'s 25% sample grows with n, which is why that
+    //     key's scale row is superlinear by construction);
+    //   - occupancy-pinned index: nlist = max(16, n/50) (Ivf.
+    //     occupancyNlist) keeps ~50 vectors per cell at ANY corpus size,
+    //     so a query's candidate volume is nprobe·50 forever — the
+    //     ProbeIvfQueries policy that measured 1.05× cand/query under
+    //     10× corpus growth, vs 10.4× at fixed nlist.
+    // The corpus count that sizes nlist is one cheap aggregate (the
+    // measured-gate discipline); both engines derive the SAME nlist from
+    // the same data, so the oracle follows the policy, not a pinned
+    // constant. Query side is restricted BEFORE the cell join (broadcast
+    // of 500 ids); LEFT join keeps empty-probe queries as null-neighbor
+    // rows, the family convention.
+    "llm_ivf_serve" -> ((s, d) => {
+      val v = vecs(s, d)
+      val nlist = graft.ops.Ivf.occupancyNlist(v.count(), targetOccupancy = 50)
+      val ranked = graft.ops.Ivf.coarseRanked(v, nlist)
+      val qids = v.where(col("norm") > 0.0d)
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
+        .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
+      val probes = ranked.where(col("r") <= 2)
+        .join(broadcast(qids), col("vec_id") === col("q_id"))
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+          col("norm").as("a_n"), col("cell").as("p_cell"))
+      val cells = ranked.where(col("r") === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+          col("norm").as("b_n"), col("cell").as("b_cell"))
+      val sims = probes.join(cells,
+          col("p_cell") === col("b_cell") && col("a_id") =!= col("b_id"))
+        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
+      ranked.where(col("r") === 1)
+        .join(broadcast(qids), col("vec_id") === col("q_id"))
+        .select(col("vec_id"), col("cell"))
+        .join(nn, col("vec_id") === col("a_id"), "left")
+        .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
     // K8d — ANN recall eval (added r4): recall@1 of the IVF probe against
     // the exact nearest neighbor — the index-health number every ANN
     // deployment watches before trusting approximate results (pairs with
@@ -2194,12 +2242,18 @@ object Llm {
     * centroids, one index cell per vector, `nprobe` probe cells per query.
     * Shared by `llm_ivf_probe` and `llm_recall_at_k` (which appends its
     * exact-NN CTEs). */
-  private def ivfCtes(nprobe: Int): String =
-    s"""$vecCte,
+  private def ivfCtes(nprobe: Int): String = ivfCtesMod(nprobe, "16", "")
+
+  /** [[ivfCtes]] with the cell-count MODULUS as a SQL expression and an
+    * optional extra CTE between `v` and `seeded` — the hook
+    * `llm_ivf_serve` uses to size nlist from the corpus (a scalar
+    * subquery) instead of the demo literal 16. */
+  private def ivfCtesMod(nprobe: Int, modSql: String, extraCte: String): String =
+    s"""$vecCte,$extraCte
       |seeded AS (
       |  SELECT vec_id, embedding, norm,
       |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
-      |           % 16 AS seed
+      |           % $modSql AS seed
       |  FROM v
       |),
       |px AS (
@@ -3545,6 +3599,23 @@ object Llm {
         |WHERE CAST(concat('0x', substring(
         |        md5(CAST(c.vec_id AS VARCHAR) || '|q'), 1, 4)) AS BIGINT) < 16384
         |  AND c.norm > 0
+        |ORDER BY c.vec_id""".stripMargin,
+    // Flat-policy serving: the SAME CTE chain with the modulus a scalar
+    // subquery — nlist = least(65536, greatest(16, n/50)) derived from
+    // the corpus on both engines — and the fixed 500-query budget
+    // (deterministic md5 order + LIMIT) applied at the output, which is
+    // row-identical to restricting the query side first (per-query
+    // top-1 independence, the llm_ivf_query argument).
+    "llm_ivf_serve" ->
+      s"""WITH ${ivfCtesMod(2, "(SELECT nlist FROM nl)",
+             "\nnl AS (SELECT least(65536, greatest(16, count(*) // 50)) AS nlist FROM v),")},
+        |qs AS (
+        |  SELECT vec_id FROM v WHERE norm > 0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|sq') LIMIT 500
+        |)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
+        |FROM cells c JOIN qs USING (vec_id)
+        |LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
     "llm_recall_at_k" ->
       s"""WITH ${ivfCtes(2)},

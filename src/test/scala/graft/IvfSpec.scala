@@ -48,6 +48,24 @@ class IvfSpec extends SparkSpec {
     assert(ranked.where(col("r") === 1).count() == 500)
   }
 
+  test("occupancyNlist pins per-query work FLAT across a 10x corpus (r8 serve policy)") {
+    assert(Ivf.occupancyNlist(0) == 16)
+    assert(Ivf.occupancyNlist(800) == 16)     // floor
+    assert(Ivf.occupancyNlist(2000) == 40)
+    assert(Ivf.occupancyNlist(20000) == 400)
+    assert(Ivf.occupancyNlist(1L << 40) == 65536) // ceiling
+    // the llm_ivf_serve claim, measured on the synthetic corpus: with
+    // nlist = n/50 the per-query candidate volume is occupancy-bounded
+    // (~nprobe·50) and does NOT grow with the corpus
+    val small = meanCandidates(
+      Ivf.coarseRanked(corpus(2000), Ivf.occupancyNlist(2000)))
+    val big = meanCandidates(
+      Ivf.coarseRanked(corpus(20000), Ivf.occupancyNlist(20000)))
+    assert(big / small < 1.5,
+      f"flat-policy growth ${big / small}%.2fx at 10x corpus - expected ~1.0x")
+    assert(big < 120, f"per-query candidates $big%.0f - occupancy cap not holding")
+  }
+
   test("auto nlist keeps per-query work ~sqrt(n); fixed nlist grows linearly") {
     val n1 = 2000L
     val n2 = 20000L // 10× corpus
