@@ -240,6 +240,14 @@ object Llm {
     * exactness-budget knob, not a bench knob. */
   private[graft] val PairJoinGate = 50000L
 
+  /** `llm_hard_negatives`' exactness gate — earlier than [[PairJoinGate]]
+    * because its exact branch pays a full-precision 64-dim dot per
+    * candidate pair (n²·d float work, ~64× the bitmask keys' per-pair
+    * cost). Above it the key mines negatives through the occupancy-pinned
+    * IVF cell join (the `llm_ivf_serve` policy) with the label inequality
+    * pushed into the join. */
+  private[graft] val HardNegGate = 10000L
+
   /** 4×4-bit band keys over the 16-bit SimHash signature: one (doc_id,
     * lang, simhash, band_i, band_v) row per band. A pair at hamming
     * distance ≤ 3 differs in at most 3 bands, so it shares at least one
@@ -914,26 +922,52 @@ object Llm {
     // training data op (in-batch random negatives are easy; the negatives
     // that actually move a retrieval/embedding model are the near-misses,
     // cf. DPR / ANCE). Exact cross-label pair scan at fixture scale (the
-    // oracle's closed form); at corpus scale the production route is the
-    // IVF probe join (`llm_ivf_query`'s shape) with the label filter
-    // pushed into the cell join — candidates per query stay
-    // occupancy-bounded, never corpus². Total-order tie-break (sim DESC,
-    // id ASC) keeps the top-3 deterministic; sims round-4 at the edge.
+    // oracle's closed form); past PairJoinGate (r8, r7 VERDICT #2) the
+    // production route is WIRED, not just documented: candidates come
+    // from the occupancy-pinned IVF cell join (`llm_ivf_serve`'s index
+    // policy, nprobe=2) with the label inequality pushed INTO the join —
+    // per-query candidate volume is nprobe·occupancy (a constant), never
+    // corpus²/256 like the sign-cell block this replaced (whose 256
+    // fixed cells meant pairs ∝ n² — 13.2× wall at the r7 10× probe).
+    // The recall trade is the ANN family's: negatives outside the probed
+    // cells are missed, governed by the same nprobe knob as serving.
+    // Total-order tie-break (sim DESC, id ASC) keeps the top-3
+    // deterministic; sims round-4 at the edge.
     "llm_hard_negatives" -> ((s, d) => {
       val v = vecs(s, d)
-      // same size gate as cosineTopK: past PairJoinGate vectors the pair
-      // join blocks on the sign cell (bounded candidates, the documented
-      // recall trade); fixture scales stay exact = the oracle's form
-      val blocked = v.count() > PairJoinGate
-      val a = v.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
-        col("norm").as("q_n"), col("label").as("q_label"),
-        signBucket(col("embedding")).as("q_bkt"))
-      val b = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
-        col("norm").as("c_n"), col("label").as("c_label"),
-        signBucket(col("embedding")).as("c_bkt"))
-      val cond0 = col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label")
-      val sims = a.join(b, if (blocked) cond0 && col("q_bkt") === col("c_bkt") else cond0)
-        .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+      val n = v.count()
+      // own, earlier gate than PairJoinGate (r8): the exact branch here
+      // pays a full-precision d-dim dot per candidate pair (n² · d
+      // float mults — ~64× the per-pair cost of the bitmask dedup keys
+      // the 50 k gate was budgeted for), so the exactness budget binds
+      // sooner. 10 k keeps both oracle scales (sf0.01/sf0.1) on the
+      // exact closed form while a 10× corpus runs the production route.
+      val blocked = n > HardNegGate
+      val sims =
+        if (!blocked) {
+          val a = v.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+            col("norm").as("q_n"), col("label").as("q_label"))
+          val b = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+            col("norm").as("c_n"), col("label").as("c_label"))
+          a.join(b, col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+            .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+        } else {
+          val ranked = graft.ops.Ivf.coarseRanked(
+            v, graft.ops.Ivf.occupancyNlist(n, targetOccupancy = 50))
+          val probes = ranked.where(col("r") <= 2)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+              col("norm").as("q_n"), col("label").as("q_label"),
+              col("cell").as("p_cell"))
+          val cands = ranked.where(col("r") === 1)
+            .select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+              col("norm").as("c_n"), col("label").as("c_label"),
+              col("cell").as("b_cell"))
+          // a candidate lives in exactly one home cell, so a (q,c) pair
+          // arises from at most one probed cell — no post-join distinct
+          probes.join(cands, col("p_cell") === col("b_cell")
+              && col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+            .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+        }
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
       sims.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
         .select(col("q_id").as("vec_id"), col("q_label"),

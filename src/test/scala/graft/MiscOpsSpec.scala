@@ -135,6 +135,50 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_hard_negatives gated branch: IVF route keeps the contract and hits the exact top-1 mostly") {
+    import org.apache.spark.sql.functions._
+    // 12k synthetic vectors (> HardNegGate) staged as an embeddings table
+    // so the query runs its production IVF branch end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("graft_hardneg").toString
+    graft.functions.VecDot.register(spark)
+    spark.range(12000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)), j =>
+          (conv(substring(md5(concat(col("id").cast("string"), lit(":"), j.cast("string"))),
+            1, 4), 16, 10).cast("double") / 65535.0 - 0.5).cast("float")).as("embedding"),
+        pmod(col("id"), lit(4)).cast("int").as("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("llm_hard_negatives")(spark, dir).collect()
+    assert(rows.length > 30000, s"${rows.length} rows — gated branch starved")
+    rows.foreach { r =>
+      assert(r.getInt(1) != r.getInt(3), "same-label negative from the IVF route")
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 3)
+    }
+    // ANN-recall sanity on a 300-query sample: the IVF top-1 negative
+    // should match the exact cross-label top-1 for a solid majority
+    // (nprobe=2 over ~50-occupancy cells; uniform corpus is the WORST
+    // case for IVF, so the bar is deliberately modest)
+    val ivfTop = rows.filter(r => r.getInt(4) == 1 && r.getLong(0) < 300)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val v = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+    val q = v.where(col("vec_id") < 300)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+        col("norm").as("q_n"), col("label").as("q_label"))
+    val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+      col("norm").as("c_n"), col("label").as("c_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    val exactTop = q.join(c, col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+      .withColumn("sim", call_function("vec_dot", col("q_e"), col("c_e"))
+        / (col("q_n") * col("c_n")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("q_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exactTop.count { case (qid, cid) => ivfTop.get(qid).contains(cid) }
+    assert(hits >= exactTop.size / 2,
+      s"IVF top-1 recall $hits/${exactTop.size} — index policy degenerated")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("llm_span_mask: sentinel-splicing the target back into the input reconstructs the text") {
     val rows = SparkEntry.queries("llm_span_mask")(spark, sf0001).collect()
     assert(rows.nonEmpty)
