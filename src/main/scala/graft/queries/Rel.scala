@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
 object Rel {
   type Q = (SparkSession, String) => DataFrame
 
+  /** `join_fuzzy_blocked`'s hot-block cap: a FastSS deletion variant
+    * shared by more names than this is dropped from candidate generation
+    * (a stop-variant — formulaic key spaces grow such blocks linearly
+    * with the corpus; a block this common carries ~no discriminative
+    * signal while contributing C(block, 2) candidate pairs). Sized above
+    * the oracle gates' measured maxima (29 at sf0.01, 38 at sf0.1) so
+    * results stay exactly the brute force's at gate scale; the 10×
+    * corpus's 380-name blocks are where it bites. */
+  private[graft] val FuzzyBlockCap = 64L
+
   val queries: Map[String, Q] = Map(
     // A1 — parquet scan with projection + per-group count: proves the
     // pushdown/pruning path (only 2 columns reach the scan).
@@ -444,19 +454,32 @@ object Rel {
     // the shorter string itself), so an equi-join on the variant key
     // yields a candidate superset, then one exact levenshtein pass keeps
     // the true pairs. Candidate volume is Σ C(block,2) over variant
-    // blocks — collision-structured, not corpus² (the production lever
-    // for hot blocks is a block-size cap, same family as the LSH DF
-    // caps; uncapped here because the oracle is the exact brute force).
-    // The oracle IS quadratic (n² levenshteins) — fine for DuckDB at
-    // gate scale, and exactly what the blocked plan must reproduce.
+    // blocks — collision-structured, not corpus², and hot blocks are
+    // CAPPED (r8, r7 VERDICT #3): a variant shared by > 64 names is a
+    // stop-variant (TPC-H's formulaic "Customer#000..." names collide
+    // linearly in n — measured max occupancy 29 at sf0.01 / 38 at sf0.1
+    // / 380 at the 10× corpus, 1.1e8 candidate pairs uncapped), and a
+    // block that common carries ~no discriminative signal: drop it
+    // whole, the StopShingles DF-cap pattern. The cap is sized ABOVE
+    // both oracle gates' maxima (≈1.7× headroom at sf0.1), so at gate
+    // scale the capped plan is the exact brute force's equal; past it
+    // the recall trade (a pair sharing ONLY hot variants is missed) is
+    // the declared lever, like stopgram's. The occupancy count rides
+    // the same blk hash partitioning the self-join needs — one window,
+    // no extra shuffle. The oracle IS quadratic (n² levenshteins) —
+    // fine for DuckDB at gate scale, and exactly what the capped
+    // blocked plan must reproduce there.
     "join_fuzzy_blocked" -> ((s, d) => {
       val c = Tables.customer(s, d)
         .select(col("c_custkey").as("ck"), col("c_name").as("nm"))
-      val keys = c.select(col("ck"),
+      val rawKeys = c.select(col("ck"),
         explode(expr(
           "array_union(array(nm), transform(sequence(1, length(nm)), " +
             "i -> concat(substring(nm, 1, i - 1), substring(nm, i + 1, length(nm) - i))))"))
           .as("blk"))
+      val wB = org.apache.spark.sql.expressions.Window.partitionBy("blk")
+      val keys = rawKeys.withColumn("bn", count(lit(1)).over(wB))
+        .where(col("bn") <= FuzzyBlockCap).drop("bn")
       // candidate dedup on the two int ids ONLY (a pair sharing several
       // variants would otherwise verify repeatedly); names join back
       // after — the distinct's shuffle payload is 16 bytes/pair, not two
