@@ -483,6 +483,12 @@ object Dedup {
   def appendBandIndex(docs: DataFrame, dir: String): Unit =
     bandKeys(tokens(docs)).write.mode("append").parquet(dir)
 
+  /** Append PRE-COMPUTED band rows (e.g. the staged table
+    * [[lshVerifiedIncrementalWithBands]] returns) — the streaming loop's
+    * route, skipping the band recomputation the doc overload pays. */
+  private[graft] def appendBands(bands: DataFrame, dir: String): Unit =
+    bands.write.mode("append").parquet(dir)
+
   /** Incremental dedup against a PRE-BUILT corpus band index (see
     * [[writeBandIndex]]): identical output to the self-computing overload
     * (DedupSpec pins it), but the corpus text is touched only for mask
@@ -498,7 +504,21 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       batch: DataFrame, threshold: Double, gate: Long,
       storedBands: Option[DataFrame] = None,
-      eager: Boolean = false): DataFrame = {
+      eager: Boolean = false): DataFrame =
+    lshVerifiedIncrementalWithBands(s, corpus, batch, threshold, gate,
+      storedBands, eager)._1
+
+  /** [[lshVerifiedIncrementalGated]] plus the batch's own (staged) band
+    * table — for the streaming ingest loop, which must append exactly
+    * those bands to the stored index after probing: returning them saves
+    * a second tokens→minhash→banding pass per micro-batch (r8, r7
+    * VERDICT #5). Caller frees the checkpoints only after BOTH the pair
+    * write and the index append have consumed them. */
+  private[graft] def lshVerifiedIncrementalWithBands(
+      s: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+      batch: DataFrame, threshold: Double, gate: Long,
+      storedBands: Option[DataFrame] = None,
+      eager: Boolean = false): (DataFrame, DataFrame) = {
     graft.functions.MaskOps.register(s)
     val nCorpus = corpus.count()
     // Same staging trade as [[lshVerified]]'s eager route: the batch band
@@ -544,8 +564,8 @@ object Dedup {
     } else base
     val (masks0, interExpr, cardExpr) = tokenMasks(tokens(docsForMasks))
     val masks = if (eager) maybeBc(masks0.localCheckpoint(true)) else masks0
-    verifyPairs(candidates, masks, interExpr, cardExpr, threshold,
-      sorted = true, dedupAfterVerify = false)
+    (verifyPairs(candidates, masks, interExpr, cardExpr, threshold,
+      sorted = true, dedupAfterVerify = false), batchBands)
   }
 
   def lshVerified(s: org.apache.spark.sql.SparkSession, docs: DataFrame,

@@ -643,33 +643,48 @@ object Streams {
           // resolve in one registry but not the other
           val bs = batch0.sparkSession
           // the batch feeds four consumers (probe bands, verify masks,
-          // corpus append, index append) — materialize it once
-          val batch = batch0.localCheckpoint(true)
+          // corpus append, index append); it is ALREADY materialized on
+          // disk as the micro-batch's source file, so each consumer
+          // re-plans a pushdown-pruned scan of that file — measured
+          // cheaper per batch than copying it into the block store
+          // (localCheckpoint = one extra job + storage churn per batch)
+          val batch = batch0
           val stored = graft.Fs.existsNonEmptyData(bs, idxDir)
-          val pairs =
+          val (pairs, batchBands) =
             if (stored)
               // eager: batch bands + masks staged as checkpoints (freed
-              // below once the write has consumed them) — the foreach-
-              // measured branch-reuse trade lshVerified documents
-              graft.queries.Dedup.lshVerifiedIncrementalGated(bs,
+              // below once BOTH consumers — pair write and index append —
+              // have run) — the foreach-measured branch-reuse trade
+              // lshVerified documents. The returned band table is the
+              // staged one, so the index append below recomputes nothing.
+              graft.queries.Dedup.lshVerifiedIncrementalWithBands(bs,
                 bs.read.parquet(corpusDir), batch, threshold = 0.9,
                 gate = graft.queries.Dedup.BroadcastDocs,
                 Some(bs.read.parquet(idxDir)), eager = true)
             else // first batch: no corpus yet, in-batch peers only (lazy:
               // quarter-sized, consumed once by the write below)
-              graft.queries.Dedup.lshVerified(bs, batch, threshold = 0.9,
-                presentationSort = false, eager = false)
+              (graft.queries.Dedup.lshVerified(bs, batch, threshold = 0.9,
+                presentationSort = false, eager = false), null)
           val out = pairs.select(
             greatest(col("a_id"), col("b_id")).as("dup_id"),
             least(col("a_id"), col("b_id")).as("orig_id"), col("jacc"))
           out.write.mode(SaveMode.Append).parquet(resDir)
-          // eager route only: frees the staged band/mask blocks. The lazy
-          // first-batch plan reads the batch checkpoint DIRECTLY — freeing
-          // through it would kill the block the corpus append still needs.
-          if (stored) graft.ops.Checkpoints.freeAll(out)
           batch.write.mode(SaveMode.Append).parquet(corpusDir)
-          graft.queries.Dedup.appendBandIndex(batch, idxDir)
-          graft.ops.Checkpoints.free(batch)
+          // index append: the staged band table when available (one
+          // banding pass per batch, r7 VERDICT #5), the doc recompute
+          // only on the first batch whose lazy plan staged nothing
+          if (stored) {
+            graft.queries.Dedup.appendBands(batchBands, idxDir)
+            // frees the staged band/mask blocks now that the pair write
+            // AND the index append have consumed them. The lazy first-
+            // batch plan reads the batch checkpoint DIRECTLY — freeing
+            // through it would kill the block the corpus append needs.
+            graft.ops.Checkpoints.freeAll(out)
+            // when the candidate list was itself checkpointed (scoped
+            // route), the band table hides behind it in out's plan —
+            // free it directly (double-unpersist is a no-op)
+            graft.ops.Checkpoints.free(batchBands)
+          } else graft.queries.Dedup.appendBandIndex(batch, idxDir)
       }
       if (graft.Fs.existsNonEmptyData(s, resDir))
         s.read.parquet(resDir).orderBy("dup_id", "orig_id")
