@@ -188,10 +188,13 @@ object Dedup {
     if (sorted) out.orderBy("a_id", "b_id") else out
   }
 
-  /** Corpora at or under this doc count run the exact all-pairs broadcast
-    * path (the masks build side stays well inside broadcast budget); above
-    * it all-pairs work is infeasible no matter the join strategy, so the
-    * gate routes to the sub-quadratic scale sibling instead of OOMing. */
+  /** Doc-count ceiling for BROADCASTING doc-sized band/mask tables in the
+    * LSH routes (a build side under this stays well inside broadcast
+    * budget; above it the shuffle join is the correct plan). Also the
+    * mask-scope gate of the incremental route. It is a PLAN knob only —
+    * since r8 no function switches its ANSWER on it (the old
+    * jaccardBitmask degrade-to-lshVerified was removed after the 100×
+    * probe caught the silent semantics swap). */
   private[graft] val BroadcastDocs = 200000L
 
   /** EXACT same-language Jaccard ≥ `threshold` WITHOUT the all-pairs scan
@@ -219,17 +222,18 @@ object Dedup {
     * Cost added: one DF aggregation and one doc-partitioned window —
     * both linear, both map-side-combinable. */
   def jaccardBitmask(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
-                     threshold: Double): DataFrame =
-    jaccardBitmaskGated(s, docs, threshold, BroadcastDocs)
-
-  private[graft] def jaccardBitmaskGated(s: org.apache.spark.sql.SparkSession,
-                                         docs: DataFrame, threshold: Double,
-                                         gate: Long): DataFrame = {
+                     threshold: Double): DataFrame = {
     graft.functions.MaskOps.register(s)
-    // the gate now guards only the adversarial corner (dup-dense corpora
-    // where true pair volume itself is quadratic): past it, degrade to
-    // the banded route whose candidate volume is capped by the S-curve
-    if (docs.count() > gate) return lshVerified(s, docs, threshold)
+    // NO size gate (r8): until this round the function degraded to
+    // lshVerified past BroadcastDocs — a silent SEMANTICS swap (content-
+    // driven banding, lang blocking lost, recall on the S-curve) that the
+    // r8 100× probe caught red-handed: at 500 k docs the "near" key
+    // returned lshVerified's pair set (453.7 M rows, cross-lang pairs
+    // included) instead of the 229 M exact lang-blocked truth. The prefix
+    // path needs no such escape hatch — its candidate volume is
+    // collision-structured at any corpus size — and an engine must not
+    // change an operator's ANSWER because the input grew. Callers who
+    // want banded-recall dedup call lshVerified explicitly.
     val tok = tokens(docs)
     val (masks, interExpr, cardExpr) = tokenMasks(tok)
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))

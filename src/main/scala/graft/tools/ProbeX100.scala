@@ -23,7 +23,10 @@ object ProbeX100 {
     val keys = args.headOption.filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq(
       "agg_time_bucket", "agg_def_rollup", "agg_kmv_distinct", "agg_kmv_merge",
       "agg_count_min", "agg_heavy_hitters", "win_lag_delta", "win_kalman",
-      "stream_tumbling", "stream_kalman"))
+      "stream_tumbling", "stream_kalman",
+      // dedup cohort (r8, r7 VERDICT #6): the north-star 100 TB operators
+      "llm_dedup_minhash", "llm_dedup_lsh_verified", "llm_dedup_cdc",
+      "llm_dedup_near"))
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -50,6 +53,25 @@ object ProbeX100 {
           .withColumn("user_id", col("user_id") + lit(j.toLong * 100000000L)))
         .reduce(_ unionByName _)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    }
+    if (keys.exists(_.startsWith("llm_")) &&
+        !graft.Fs.existsNonEmptyData(spark, s"$out/documents.parquet")) {
+      println(s"[x100] building 10x copy of $x10 documents at $out")
+      // density-preserving second decade, ScaleProbe's `clean` recipe one
+      // level up: per copy j, a deterministic 50% of each doc's tokens
+      // gain a `~j` suffix — within-copy Jaccard (and so pair DENSITY)
+      // preserved exactly, cross-copy similarity pushed far below every
+      // key's threshold; doc_id offsets (j·1e11) clear the 10x offsets
+      // (i·1e9) by two orders of magnitude
+      val docs = spark.read.parquet(s"$x10/documents.parquet")
+      (0 until 10).map(j => docs
+          .withColumn("doc_id", col("doc_id") + lit(j.toLong * 100000000000L))
+          .withColumn("text", concat_ws(" ", transform(
+            filter(split(col("text"), " "), t => length(t) > 0),
+            t => when(pmod(xxhash64(t, lit(1000 + j)), lit(2)) === 0,
+              concat(t, lit(s"~$j"))).otherwise(t)))))
+        .reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     }
     spark.range(1000).selectExpr("sum(id)").collect()
 

@@ -160,13 +160,22 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must contain hamming<=3 pairs")
   }
 
-  test("jaccard gate routes to lshVerified above the measured doc count") {
+  test("jaccardBitmask reports a strict superset of lshVerified's same-lang pairs (no gate, no recall loss)") {
+    // r8: the old degrade-to-lshVerified gate silently swapped semantics
+    // at a row threshold (caught by the 100× probe). The exact prefix
+    // route must dominate the banded route on its own blocking: every
+    // same-lang lshVerified pair is an exact pair, and exact may hold
+    // more (banding recall < 1).
     val docs = Tables.documents(spark, sf0001)
-    val viaGate = Dedup.jaccardBitmaskGated(spark, docs, 0.5, gate = 0)
+    val langOf = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val exact = Dedup.jaccardBitmask(spark, docs, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val lsh = Dedup.lshVerified(spark, docs, 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(viaGate == lsh)
+    val lshSameLang = Dedup.lshVerified(spark, docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => langOf(a) == langOf(b) }.toSet
+    assert(lshSameLang.subsetOf(exact),
+      s"banded pairs missing from exact: ${(lshSameLang -- exact).take(5)}")
+    assert(exact.nonEmpty)
   }
 
   test("simhash pair routes agree exactly above and below the gate") {
