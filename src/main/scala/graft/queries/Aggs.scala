@@ -1008,6 +1008,99 @@ object Aggs {
             (lit(2) * col("n")).cast("double"))
         .orderBy("event_type")
     }),
+
+    // D36 — two-sample Kolmogorov–Smirnov drift screen (added r8): per
+    // event type, the KS statistic between that type's value distribution
+    // and the GLOBAL one — the distribution-drift alarm a DQ monitor runs
+    // beside agg_chi_square's independence test (KS catches shape shifts
+    // chi-square's 4 coarse cells smooth over). ECDFs are evaluated on a
+    // fixed 256-bin grid (bin = floor(value/2) clamped to [0,255]) — the
+    // binned form IS the scale form: one scan folds to (type × bin)
+    // counts with map-side partials, and everything after is
+    // summary-sized (≤ types·256 rows), flat at any corpus size. Bin
+    // count is the resolution knob (binned KS under-estimates sup-diff by
+    // at most the largest within-bin mass). Determinism at hash-match
+    // strictness: cumulative counts are exact longs; the sup of
+    // |F_t − F_all| is taken over the exact integer cross-products
+    // |cum_t·n_all − cum_all·n_t| (DECIMAL(38,0) — order-free, and the
+    // max of integers needs no float compare), with ONE IEEE divide at
+    // the end, floor-1e-6 edge.
+    "agg_ks_drift" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cells = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          least(greatest(floor(col("value") / 2), lit(0.0)), lit(255.0))
+            .cast("long").as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val grid = cells.groupBy("bin").agg(sum("c").as("c_all"))
+      val types = cells.groupBy("event_type").agg(sum("c").as("n_t"))
+      val nAll = cells.agg(sum("c").as("n_all"))
+      // dense (type × occupied-bin) matrix: both sides are tiny
+      // aggregates, so the cross join is broadcast and summary-sized
+      val dense = types.crossJoin(broadcast(grid))
+        .join(cells, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(nAll))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      dense
+        .withColumn("cum_t", sum("c").over(w))
+        .withColumn("cum_all", sum("c_all").over(w))
+        .withColumn("num",
+          abs(col("cum_t").cast(dec) * col("n_all").cast(dec)
+            - col("cum_all").cast(dec) * col("n_t").cast(dec)))
+        .groupBy("event_type")
+        .agg(max("n_t").cast("long").as("n_t"),
+          max("num").as("mnum"), max(col("n_all")).cast("long").as("na"))
+        .select(col("event_type"), col("n_t"),
+          (floor(col("mnum").cast("double")
+            / (col("n_t").cast(dec) * col("na").cast(dec)).cast("double")
+            * 1e6) / 1e6).as("ks"))
+        .orderBy("event_type")
+    }),
+
+    // D37 — Population Stability Index drift score (added r8): the
+    // industry-standard scorecard-monitoring companion to agg_ks_drift —
+    // PSI = Σ_b (p_t − p_all)·ln(p_t/p_all) over 8 coarse value bins,
+    // per event type vs the global mix. Laplace add-1 smoothing keeps
+    // empty bins finite (and is itself part of the published metric's
+    // standard practice); the coarse-bin + smoothing pair is what makes
+    // PSI robust where KS is exact — the two keys are the two standard
+    // drift lenses. Same flat scale shape as KS: one (type × bin)
+    // aggregation scan, then summary-sized arithmetic. The 8-term fold
+    // runs in bin order via the ordered-list sum (agg_chi_square idiom) —
+    // a plain float sum would depend on partial-agg order; ln's ≤1-ulp
+    // libm drift is absorbed by the floor-1e-4 edge.
+    "agg_psi_drift" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          least(greatest(floor(col("value") / 64), lit(0.0)), lit(7.0))
+            .cast("long").as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val types = cells.select("event_type").distinct()
+      val bins = s.range(0, 8).select(col("id").as("bin"))
+      val dense = types.crossJoin(broadcast(bins))
+        .join(cells, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("c"))
+      val grid = dense.groupBy("bin").agg(sum("c").as("c_all"))
+      val tot = dense.groupBy("event_type").agg(sum("c").as("n_t"))
+      val nAll = dense.agg(sum("c").as("n_all"))
+      dense.join(broadcast(grid), "bin").join(broadcast(tot), "event_type")
+        .crossJoin(broadcast(nAll))
+        .withColumn("p_t", (col("c") + lit(1)).cast("double")
+          / (col("n_t") + lit(8)).cast("double"))
+        .withColumn("p_all", (col("c_all") + lit(1)).cast("double")
+          / (col("n_all") + lit(8)).cast("double"))
+        .withColumn("term", (col("p_t") - col("p_all")) * log(col("p_t") / col("p_all")))
+        .groupBy("event_type")
+        .agg(max("n_t").cast("long").as("n_t"),
+          expr("floor(aggregate(array_sort(collect_list(named_struct('b', bin, 't', term))), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t) * 1e4) / 1e4").as("psi"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -1609,5 +1702,61 @@ object Aggs {
         |            + count(*) FILTER (WHERE value > 1.0 AND value <= 4.0) AS DOUBLE)
         |         / CAST(2 * count(*) AS DOUBLE) AS apdex
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_ks_drift" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         CAST(LEAST(GREATEST(floor(value / 2), 0), 255) AS BIGINT) AS bin,
+        |         count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |),
+        |grid AS (SELECT bin, sum(c) AS c_all FROM cells GROUP BY 1),
+        |types AS (SELECT event_type, sum(c) AS n_t FROM cells GROUP BY 1),
+        |na AS (SELECT sum(c) AS n_all FROM cells),
+        |dense AS (
+        |  SELECT t.event_type, g.bin, t.n_t, g.c_all, coalesce(c.c, 0) AS c, na.n_all
+        |  FROM types t CROSS JOIN grid g
+        |       LEFT JOIN cells c ON c.event_type = t.event_type AND c.bin = g.bin
+        |       CROSS JOIN na
+        |),
+        |cum AS (
+        |  SELECT event_type, n_t, n_all,
+        |         abs(CAST(sum(c) OVER w AS HUGEINT) * CAST(n_all AS HUGEINT)
+        |           - CAST(sum(c_all) OVER w AS HUGEINT) * CAST(n_t AS HUGEINT)) AS num
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_t,
+        |       floor(CAST(max(num) AS DOUBLE)
+        |             / CAST(max(n_t) * max(n_all) AS DOUBLE) * 1e6) / 1e6 AS ks
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_psi_drift" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         CAST(LEAST(GREATEST(floor(value / 64), 0), 7) AS BIGINT) AS bin,
+        |         count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |),
+        |dense AS (
+        |  SELECT t.event_type, b.bin, coalesce(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT event_type FROM cells) t
+        |       CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) b
+        |       LEFT JOIN cells c ON c.event_type = t.event_type AND c.bin = b.bin
+        |),
+        |grid AS (SELECT bin, sum(c) AS c_all FROM dense GROUP BY 1),
+        |tot AS (SELECT event_type, sum(c) AS n_t FROM dense GROUP BY 1),
+        |na AS (SELECT sum(c) AS n_all FROM dense),
+        |terms AS (
+        |  SELECT d.event_type, d.bin, tot.n_t,
+        |         (CAST(d.c + 1 AS DOUBLE) / CAST(tot.n_t + 8 AS DOUBLE)
+        |          - CAST(g.c_all + 1 AS DOUBLE) / CAST(na.n_all + 8 AS DOUBLE))
+        |         * ln((CAST(d.c + 1 AS DOUBLE) / CAST(tot.n_t + 8 AS DOUBLE))
+        |              / (CAST(g.c_all + 1 AS DOUBLE) / CAST(na.n_all + 8 AS DOUBLE))) AS term
+        |  FROM dense d JOIN grid g ON d.bin = g.bin
+        |       JOIN tot ON d.event_type = tot.event_type CROSS JOIN na
+        |)
+        |SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_t,
+        |       floor(list_aggregate(list(term ORDER BY bin), 'sum') * 1e4) / 1e4 AS psi
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

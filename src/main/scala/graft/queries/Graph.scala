@@ -238,6 +238,45 @@ object Graph {
     graft.ops.Checkpoints.finishFreeing(out, sym, dist)
   }
 
+  /** Capped k-core peel (k = 3, 16 rounds) — see the `graph_kcore` entry
+    * for the full design rationale. Each round drops every node whose
+    * degree in the SURVIVING subgraph is < 3 and restricts the edge list
+    * to the keepers; the edge list is checkpointed per round with its
+    * predecessor freed (the bfs/pagerank discipline — the edge relation
+    * is referenced three times per round, so a lazy unroll would triple
+    * the plan per round). The loop exits early once a round removes
+    * nothing: the remaining rounds are provable no-ops, so the early
+    * exit is RESULT-identical to the oracle's full 16 unrolled rounds
+    * whether or not the peel has truly converged by round 16. Members
+    * are the endpoints of the final edge list (at fixpoint: exactly the
+    * 3-core), reported with their within-core degree. */
+  private def kcoreBody(edges: DataFrame, allParts: DataFrame): DataFrame = {
+    var e = edges.select("u", "v").localCheckpoint(true)
+    var m = e.count()
+    var round = 0
+    var converged = false
+    while (round < 16 && !converged) {
+      val sym = e.select(col("u").as("w")).unionByName(e.select(col("v").as("w")))
+      val keep = sym.groupBy("w").agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= 3).select("w")
+      val pruned = e.join(keep.withColumnRenamed("w", "u"), Seq("u"))
+        .join(keep.withColumnRenamed("w", "v"), Seq("v"))
+        .select("u", "v").localCheckpoint(true)
+      val m2 = pruned.count()
+      if (m2 == m) { graft.ops.Checkpoints.free(pruned); converged = true }
+      else { graft.ops.Checkpoints.free(e); e = pruned; m = m2 }
+      round += 1
+    }
+    val members = e.select(col("u").as("part")).unionByName(e.select(col("v").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("dg"))
+    val out = allParts.join(members, Seq("part"), "left")
+      .select(col("part"),
+        col("dg").isNotNull.cast("int").as("in_core"),
+        coalesce(col("dg"), lit(0L)).as("core_deg"))
+      .orderBy("part")
+    graft.ops.Checkpoints.finishFreeing(out, e)
+  }
+
   /** Adamic–Adar top-100 over a canonical (u<v) edge list — see the
     * `graph_adamic_adar` entry for the full design rationale. */
   private def adamicAdarBody(edges: DataFrame): DataFrame = {
@@ -402,6 +441,28 @@ object Graph {
       val edges = copurchaseEdges(s, d)
       val parts = Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct()
       val out = bfsLevelsBody(edges, parts)
+      graft.ops.Checkpoints.free(edges)
+      out
+    }),
+
+    // L9 — k-core membership (added r8): the 3-core of the SUPPORTED
+    // co-purchase graph — the standard dense-subgraph screen (Seidman
+    // 1983; the "remove the long tail before community/embedding work"
+    // pass every production graph pipeline runs, and the complement of
+    // graph_label_prop's communities: LPA labels everything, the k-core
+    // says which labels sit on load-bearing structure). Iterative peel:
+    // each round drops nodes with surviving-degree < 3 — one node-keyed
+    // groupBy + two semi-join restrictions per round, linear in |E| at
+    // any scale, O(peel depth) rounds CAPPED at 16 (the bfs_levels
+    // horizon policy: the cap makes the oracle statically unrollable —
+    // 16 join+filter CTE rounds, exactly this plan — and the early-exit
+    // loop is result-identical to the capped unroll whether or not the
+    // peel converged). Members reported with their within-core degree;
+    // everything is exact-integer, no rounding edge anywhere.
+    "graph_kcore" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      val parts = Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct()
+      val out = kcoreBody(edges, parts)
       graft.ops.Checkpoints.free(edges)
       out
     }),
@@ -624,6 +685,42 @@ object Graph {
           |SELECT p.part, coalesce(l.level, -1) AS level
           |FROM parts p LEFT JOIN lv l ON l.node = p.part
           |ORDER BY p.part""".stripMargin,
+      "graph_kcore" -> {
+        // 16 statically-unrolled peel rounds — the exact capped-recursion
+        // mirror of kcoreBody's early-exit loop (extra rounds past the
+        // fixpoint are no-ops, so the two are result-identical)
+        val rounds = (1 to 16).map { i =>
+          s"""k$i AS MATERIALIZED (
+             |  SELECT w FROM (SELECT u AS w FROM e${i - 1}
+             |                 UNION ALL SELECT v FROM e${i - 1}) s
+             |  GROUP BY w HAVING count(*) >= 3
+             |),
+             |e$i AS MATERIALIZED (
+             |  SELECT e.u, e.v FROM e${i - 1} e
+             |  JOIN k$i a ON e.u = a.w JOIN k$i b ON e.v = b.w
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.pk AS u, b.pk AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           |  JOIN ok8 ON a.ok = ok8.ok
+           |  GROUP BY 1, 2 HAVING count(*) >= 2
+           |),
+           |$rounds,
+           |mem AS (
+           |  SELECT w AS part, count(*) AS dg
+           |  FROM (SELECT u AS w FROM e16 UNION ALL SELECT v FROM e16) s
+           |  GROUP BY w
+           |),
+           |parts AS (SELECT DISTINCT l_partkey AS part FROM lineitem)
+           |SELECT p.part,
+           |       CAST(CASE WHEN m.dg IS NULL THEN 0 ELSE 1 END AS INTEGER) AS in_core,
+           |       CAST(coalesce(m.dg, 0) AS BIGINT) AS core_deg
+           |FROM parts p LEFT JOIN mem m ON m.part = p.part
+           |ORDER BY p.part""".stripMargin
+      },
       "graph_cc" ->
         """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),

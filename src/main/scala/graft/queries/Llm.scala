@@ -1057,6 +1057,42 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K5c' — hashed-linear quality classifier scoring (added r8): the
+    // fastText/DCLM-shaped op — every modern curation pipeline's quality
+    // gate is "score every document with a linear model over hashed
+    // token features, keep above threshold" (CCNet's fasttext LID,
+    // GPT-3/DCLM quality classifiers), and the SERVING side of that is a
+    // pure map: bucket = md5(token) mod 256, score = mean of the bucket
+    // weights. Weights here are derived deterministically from md5 of
+    // the bucket id (a stand-in for trained parameters — the plumbing,
+    // batching and arithmetic are the production shape; swap the weight
+    // expression for a broadcast weight-table join when a trained model
+    // ships). ZERO-shuffle: per-doc score folds inside one codegen'd
+    // HOF over the split array — no explode, no groupBy, embarrassingly
+    // parallel at any corpus size (the final orderBy is presentation
+    // only). Determinism at hash-match strictness: weights are exact
+    // integer MICRO-UNITS summed as longs in array order (order-free and
+    // exact where a float sum is neither); score is ONE IEEE divide,
+    // floored to whole micro-units, /1e6 at the edge; keep-flag compares
+    // the exact integer sum, so the decision boundary cannot straddle.
+    "llm_quality_linear" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .where(size(col("toks")) > 0)
+        .withColumn("wsum", expr(
+          """aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc
+            |  + CAST(conv(substring(md5(concat('qw', CAST(
+            |      CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 256
+            |    AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000001 - 500000)""".stripMargin))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("n_tok"),
+          col("wsum").as("wsum_micro"),
+          (floor(col("wsum").cast("double") / size(col("toks")).cast("double"))
+            / 1e6).as("score"),
+          (col("wsum") >= 0).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Bigram-LM scoring — the Markov step past `llm_perplexity`'s unigram
     // model (the KenLM-shaped fluency signal corpus filters actually use):
     // per-doc average conditional NLL −ln c(w1,w2)/c(w1·) under the
@@ -2989,6 +3025,24 @@ object Llm {
         |         + CAST(0.3 AS DECIMAL(2,1)) * (1 - CAST(stop_ratio AS DECIMAL(18,4)))
         |         + CAST(0.2 AS DECIMAL(2,1)) * CAST(long_ratio AS DECIMAL(18,4)), 4) AS DOUBLE) AS score
         |FROM q ORDER BY doc_id""".stripMargin,
+    "llm_quality_linear" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |),
+        |w AS (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substring(md5('qw' || CAST(
+        |             CAST(concat('0x', substring(md5(token), 1, 8)) AS BIGINT) % 256
+        |           AS VARCHAR)), 1, 8)) AS BIGINT) % 1000001 - 500000 AS wt
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, count(*) AS n_tok,
+        |       CAST(sum(wt) AS BIGINT) AS wsum_micro,
+        |       floor(CAST(sum(wt) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1e6 AS score,
+        |       CAST(CASE WHEN sum(wt) >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM w GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "llm_bigram_nll" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

@@ -233,6 +233,34 @@ class GraphSpec extends SparkSpec {
       "support >= 2 threshold dropped no edges — fixture exercises nothing")
   }
 
+  test("graph_kcore matches a driver-side peel to fixpoint (k = 3)") {
+    var edges = supportedEdges(sf0001)
+    // driver-side peel to TRUE fixpoint — no round cap, so the test also
+    // proves the key's 16-round cap covers this graph (the capped key
+    // agreeing with an uncapped reference means convergence ≤ 16)
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      val deg = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      val pruned = edges.filter(e => keep(e._1) && keep(e._2))
+      if (pruned == edges) stable = true else { edges = pruned; rounds += 1 }
+    }
+    assert(rounds <= 16, s"peel needed $rounds rounds — the 16-round cap is too low")
+    val coreDeg = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val allParts = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey")).distinct().collect().map(_.getLong(0))
+    val expect = allParts.map(p =>
+      p -> (if (coreDeg.contains(p)) 1 else 0, coreDeg.getOrElse(p, 0L))).toMap
+    val got = SparkEntry.queries("graph_kcore")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got == expect)
+    // every member's within-core degree honors the k-core invariant
+    assert(coreDeg.values.forall(_ >= 3), "a 3-core member has degree < 3")
+  }
+
   test("win_seasonal_decompose: components recompose and seasonal indexes center") {
     val rows = SparkEntry.queries("win_seasonal_decompose")(spark, sf001).collect()
     assert(rows.length == 30)

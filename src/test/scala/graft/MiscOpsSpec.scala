@@ -118,6 +118,91 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("agg_ks_drift matches a driver-side exact-rational ECDF sup-diff") {
+    val rows = Tables.events(spark, sf001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) ->
+        math.min(math.max(math.floor(r.getDouble(1) / 2).toLong, 0L), 255L))
+    val grid = rows.map(_._2).distinct.sorted
+    val nAll = rows.length.toLong
+    val byType = rows.groupBy(_._1)
+    val expect = byType.map { case (t, vs) =>
+      val nT = vs.length.toLong
+      val binsT = vs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val binsAll = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      var (cumT, cumAll, best) = (0L, 0L, BigInt(0))
+      grid.foreach { b =>
+        cumT += binsT.getOrElse(b, 0L); cumAll += binsAll.getOrElse(b, 0L)
+        val num = (BigInt(cumT) * nAll - BigInt(cumAll) * nT).abs
+        if (num > best) best = num
+      }
+      t -> (nT, math.floor(best.toDouble / (BigInt(nT) * nAll).toDouble * 1e6) / 1e6)
+    }
+    val got = SparkEntry.queries("agg_ks_drift")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect)
+    // KS is a probability-scale statistic; the per-type-vs-global design
+    // means no type can deviate by more than its complement's mass
+    got.values.foreach { case (_, ks) => assert(ks >= 0.0 && ks <= 1.0) }
+  }
+
+  test("agg_psi_drift matches a driver-side smoothed-bin fold, in bin order") {
+    val rows = Tables.events(spark, sf001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) ->
+        math.min(math.max(math.floor(r.getDouble(1) / 64).toLong, 0L), 7L))
+    val nAll = rows.length.toLong
+    val binsAll = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = rows.groupBy(_._1).map { case (t, vs) =>
+      val nT = vs.length.toLong
+      val binsT = vs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      // fold strictly in bin order — the ordered-list-sum contract
+      val psi = (0L to 7L).foldLeft(0.0) { (acc, b) =>
+        val pT = (binsT.getOrElse(b, 0L) + 1).toDouble / (nT + 8).toDouble
+        val pA = (binsAll.getOrElse(b, 0L) + 1).toDouble / (nAll + 8).toDouble
+        acc + (pT - pA) * math.log(pT / pA)
+      }
+      t -> (nT, math.floor(psi * 1e4) / 1e4)
+    }
+    val got = SparkEntry.queries("agg_psi_drift")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect)
+    // PSI ≥ 0 by Gibbs' inequality (it is a symmetrized KL term sum)
+    got.values.foreach { case (_, psi) => assert(psi >= 0.0) }
+  }
+
+  test("llm_quality_linear matches a driver-side hashed-weight fold and flags exactly") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def bucket(tok: String): Long =
+      java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 256
+    def weight(b: Long): Long =
+      java.lang.Long.parseLong(md5hex("qw" + b).take(8), 16) % 1000001L - 500000L
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val wsum = toks.map(t => weight(bucket(t))).sum
+        Some(id -> (toks.length.toLong, wsum,
+          math.floor(wsum.toDouble / toks.length) / 1e6, if (wsum >= 0) 1 else 0))
+      }
+    }.toMap
+    val got = SparkEntry.queries("llm_quality_linear")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))
+      .toMap
+    assert(got == expect)
+    // the fixture must exercise both sides of the decision boundary
+    assert(got.values.exists(_._4 == 1) && got.values.exists(_._4 == 0),
+      "all docs on one side of the keep threshold — classifier fixture degenerate")
+  }
+
   test("llm_hard_negatives: cross-label only, 3 per query, sims non-increasing") {
     val rows = SparkEntry.queries("llm_hard_negatives")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
