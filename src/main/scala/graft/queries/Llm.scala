@@ -1778,6 +1778,50 @@ object Llm {
         .orderBy("vec_id")
     }),
 
+    // K8g'' — TWO-LEVEL index build under the serve policy (added r8):
+    // `llm_ivf_serve` made SERVING flat (nlist ∝ n, fixed query budget)
+    // but left the one-level flat argmax as the assignment step — n·nlist
+    // dot products, i.e. a QUADRATIC build under the linear nlist policy,
+    // the step that breaks first at real corpus sizes. This key runs the
+    // same serving contract (500-query md5 budget, nprobe = 2) over an
+    // index built by `Ivf.coarseRankedTwoLevel`: centroids clustered into
+    // √(sprobe·nlist) supercells (same seeded one-step mean recipe), each
+    // vector assigned by scanning only its 4 nearest supercells' members
+    // — build work ≈ 2·n·√(sprobe·nlist) (n^1.5 under nlist ∝ n; each
+    // further level multiplies the exponent by ~2/3 toward the log-depth
+    // tree). The pruned home cell is a DECLARED ANN approximation of the
+    // flat argmax (76 % agreement at sprobe=4 on this near-orthogonal
+    // worst-case corpus — see Ivf Scaladoc); the whole chain (both
+    // centroid levels, both argmaxes, the serve join) is deterministic
+    // and the oracle reproduces it CTE for CTE.
+    "llm_ivf_two_level" -> ((s, d) => {
+      val v = vecs(s, d)
+      val nlist = graft.ops.Ivf.occupancyNlist(v.count(), targetOccupancy = 50)
+      val ranked = graft.ops.Ivf.coarseRankedTwoLevel(v, nlist, sprobe = 4)
+      val qids = v.where(col("norm") > 0.0d)
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
+        .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
+      val probes = ranked.where(col("r") <= 2)
+        .join(broadcast(qids), col("vec_id") === col("q_id"))
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+          col("norm").as("a_n"), col("cell").as("p_cell"))
+      val cells = ranked.where(col("r") === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+          col("norm").as("b_n"), col("cell").as("b_cell"))
+      val sims = probes.join(cells,
+          col("p_cell") === col("b_cell") && col("a_id") =!= col("b_id"))
+        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
+      ranked.where(col("r") === 1)
+        .join(broadcast(qids), col("vec_id") === col("q_id"))
+        .select(col("vec_id"), col("cell"))
+        .join(nn, col("vec_id") === col("a_id"), "left")
+        .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
     // K8d — ANN recall eval (added r4): recall@1 of the IVF probe against
     // the exact nearest neighbor — the index-health number every ANN
     // deployment watches before trusting approximate results (pairs with
@@ -2368,6 +2412,132 @@ object Llm {
       |    FROM sims
       |  ) WHERE rn = 1
       |)""".stripMargin
+
+  /** `llm_ivf_two_level` oracle: mirrors `Ivf.coarseRankedTwoLevel` CTE
+    * for CTE — nlist/nsuper derived from the corpus (scalar subqueries),
+    * both centroid levels the sorted-fold floor-quantized seeded mean,
+    * centroid→supercell and vector→cell argmaxes with (sim DESC, id ASC)
+    * ties, then the `llm_ivf_serve` serving tail (500-query md5 budget,
+    * nprobe = 2) over the pruned assignment. */
+  private val ivf2Sql: String =
+    s"""WITH $vecCte,
+      |nl AS (SELECT least(65536, greatest(16, count(*) // 50)) AS nlist FROM v),
+      |ns AS (SELECT least(256, greatest(4,
+      |         CAST(ceil(sqrt(4.0 * nlist)) AS BIGINT))) AS nsuper FROM nl),
+      |seeded AS (
+      |  SELECT vec_id, embedding, norm,
+      |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |           % (SELECT nlist FROM nl) AS seed
+      |  FROM v
+      |),
+      |px AS (
+      |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
+      |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      |  FROM seeded
+      |),
+      |cm AS (
+      |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+      |  FROM px GROUP BY 1, 2
+      |),
+      |cent AS (
+      |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+      |  FROM cm GROUP BY seed
+      |),
+      |centn AS (
+      |  SELECT cell, centroid,
+      |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+      |  FROM cent
+      |),
+      |ssd AS (
+      |  SELECT cell, centroid, cnorm,
+      |         CAST(concat('0x', substring(md5(CAST(cell AS VARCHAR)), 1, 4)) AS BIGINT)
+      |           % (SELECT nsuper FROM ns) AS sseed
+      |  FROM centn
+      |),
+      |spx AS (
+      |  SELECT sseed, unnest(range(1, len(centroid) + 1)) AS i,
+      |         unnest(centroid) AS x
+      |  FROM ssd
+      |),
+      |scm AS (
+      |  SELECT sseed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+      |  FROM spx GROUP BY 1, 2
+      |),
+      |scent AS (
+      |  SELECT sseed AS scell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS scentroid
+      |  FROM scm GROUP BY sseed
+      |),
+      |scentn AS (
+      |  SELECT scell, scentroid,
+      |         sqrt(list_aggregate(list_transform(scentroid, x -> x * x), 'sum')) AS snorm
+      |  FROM scent
+      |),
+      |casg0 AS (
+      |  SELECT c.cell, s.scell,
+      |         list_aggregate(list_transform(list_zip(c.centroid, s.scentroid),
+      |           p -> struct_extract(p, 1) * struct_extract(p, 2)), 'sum')
+      |           / (c.cnorm * s.snorm) AS cs
+      |  FROM centn c CROSS JOIN scentn s
+      |),
+      |casg AS (
+      |  SELECT cell, scell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cs DESC, scell) AS r
+      |    FROM casg0
+      |  ) WHERE r = 1
+      |),
+      |l1a AS (
+      |  SELECT a.vec_id, s.scell,
+      |         list_aggregate(list_transform(list_zip(a.embedding, s.scentroid),
+      |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+      |           / (a.norm * s.snorm) AS ss
+      |  FROM seeded a CROSS JOIN scentn s
+      |),
+      |l1 AS (
+      |  SELECT vec_id, scell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ss DESC, scell) AS r1
+      |    FROM l1a
+      |  ) WHERE r1 <= 4
+      |),
+      |asg2 AS (
+      |  SELECT l1.vec_id, casg.cell,
+      |         list_aggregate(list_transform(list_zip(a.embedding, c.centroid),
+      |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+      |           / (a.norm * c.cnorm) AS csim
+      |  FROM l1 JOIN casg USING (scell)
+      |       JOIN seeded a ON a.vec_id = l1.vec_id
+      |       JOIN centn c ON c.cell = casg.cell
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+      |  FROM asg2
+      |),
+      |cells AS (
+      |  SELECT r2.vec_id, s.embedding, s.norm, r2.cell
+      |  FROM ranked r2 JOIN seeded s USING (vec_id) WHERE r2.r = 1
+      |),
+      |probes AS (
+      |  SELECT r2.vec_id, s.embedding, s.norm, r2.cell
+      |  FROM ranked r2 JOIN seeded s USING (vec_id) WHERE r2.r <= 2
+      |),
+      |sims AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |         $dotSql / (a.norm * b.norm) AS sim
+      |  FROM probes a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |),
+      |nn AS (
+      |  SELECT a_id, b_id AS nn_id, round(sim, 4) AS sim FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+      |    FROM sims
+      |  ) WHERE rn = 1
+      |),
+      |qs AS (
+      |  SELECT vec_id FROM v WHERE norm > 0
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|sq') LIMIT 500
+      |)
+      |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
+      |FROM cells c JOIN qs USING (vec_id)
+      |LEFT JOIN nn ON c.vec_id = nn.a_id
+      |ORDER BY c.vec_id""".stripMargin
 
   private def ivfSql(nprobe: Int): String =
     s"""WITH ${ivfCtes(nprobe)}
@@ -3705,6 +3875,7 @@ object Llm {
         |FROM cells c JOIN qs USING (vec_id)
         |LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
+    "llm_ivf_two_level" -> ivf2Sql,
     "llm_recall_at_k" ->
       s"""WITH ${ivfCtes(2)},
         |q AS (

@@ -66,6 +66,34 @@ class IvfSpec extends SparkSpec {
     assert(big < 120, f"per-query candidates $big%.0f - occupancy cap not holding")
   }
 
+  test("two-level quantizer: scan width pruned, occupancy balanced, home cells mostly agree") {
+    val n = 5000L
+    val nlist = Ivf.occupancyNlist(n) // 100
+    val sprobe = 4
+    val nsuper = Ivf.superNlist(nlist, sprobe)
+    assert(nsuper == 20, s"superNlist(100,4) = $nsuper")
+    assert(Ivf.superNlist(1, 1) == 4 && Ivf.superNlist(65536, 4) == 256) // clamps
+    val v = corpus(n).localCheckpoint(true)
+    val flat = Ivf.coarseRanked(v, nlist)
+    val two = Ivf.coarseRankedTwoLevel(v, nlist, sprobe)
+    // every vector got a home cell (no empty-probe dropouts on this corpus)
+    val homes2 = two.where(col("r") === 1).select("vec_id", "cell")
+    assert(homes2.count() == n)
+    // the level-2 scan is genuinely pruned: each vector ranked well under
+    // nlist centroids (~sprobe·nlist/nsuper = 20 expected)
+    val scanned = two.groupBy("vec_id").count().agg(max("count")).head().getLong(0)
+    assert(scanned < nlist / 2, s"scan width $scanned of $nlist — prune not biting")
+    // home-cell occupancy stays balanced (the serving-flatness precondition)
+    val occ = homes2.groupBy("cell").count().agg(max("count")).head().getLong(0)
+    assert(occ < 4 * (n / nlist), s"max occupancy $occ vs target ${n / nlist}")
+    // pruned assignment is a good approximation of the flat argmax: the
+    // probe measured 76% on the near-orthogonal worst case — pin a floor
+    val agree = flat.where(col("r") === 1).select(col("vec_id"), col("cell").as("c1"))
+      .join(homes2.withColumnRenamed("cell", "c2"), "vec_id")
+      .where(col("c1") === col("c2")).count()
+    assert(agree.toDouble / n > 0.5, s"two-level agreement ${agree.toDouble / n} < 0.5")
+  }
+
   test("auto nlist keeps per-query work ~sqrt(n); fixed nlist grows linearly") {
     val n1 = 2000L
     val n2 = 20000L // 10× corpus
