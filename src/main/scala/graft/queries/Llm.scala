@@ -1093,6 +1093,53 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K5c'' — feature-hashed document embedding (added r8): the hashing
+    // trick (Weinberger et al. 2009) — every token hashes to one of 16
+    // dims with a ±1 sign from a second hash bit, the doc vector is the
+    // signed count sum. The classic no-training baseline representation
+    // (and the exact shape a trained hashed-linear model consumes —
+    // `llm_quality_linear` is this embedding dotted with a weight
+    // vector). EXACT end-to-end: contributions are ±1 integers, sums are
+    // longs — no float anywhere, no rounding edge. One explode +
+    // (doc, dim)-keyed groupBy with map-side partials — the shuffle
+    // carries ≤16 partial longs per doc, linear at any corpus size.
+    // Sparse output (occupied dims only), the storage-honest form.
+    "llm_hash_embed" -> ((s, d) => {
+      tokensAll(s, d)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % 16).as("dim"),
+          when(conv(substring(md5(col("token")), 9, 1), 16, 10).cast("long") % 2 === 0,
+            lit(1L)).otherwise(lit(-1L)).as("sgn"))
+        .groupBy("doc_id", "dim").agg(sum("sgn").as("v"))
+        .orderBy("doc_id", "dim")
+    }),
+
+    // K2h — per-source duplication report (added r8): the curation
+    // dashboard number every corpus owner watches — how much of each
+    // source is duplicate mass, and how much of it appears in OTHER
+    // sources too (cross-source copying: mirrors, scrapes-of-scrapes —
+    // the signal that tells you which source to drop, not just which
+    // docs). Per source: docs, docs in a global exact-dup group (≥ 2
+    // docs share the text md5), docs whose text appears in ≥ 2 distinct
+    // sources, and the dup ratio (ONE IEEE divide of exact counts,
+    // floor-1e-4). Two hash-keyed aggregations + a broadcast-sized join
+    // back to docs — the llm_dedup_exact shape with a reporting rollup,
+    // linear at any corpus size.
+    "llm_dedup_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val groups = docs.groupBy("h")
+        .agg(count(lit(1)).as("g_docs"), countDistinct("source").as("g_srcs"))
+      docs.join(groups, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("g_docs") >= 2).cast("long")).as("dup_docs"),
+          sum((col("g_srcs") >= 2).cast("long")).as("cross_src_docs"))
+        .withColumn("dup_ratio",
+          floor(col("dup_docs").cast("double") / col("n_docs").cast("double") * 1e4) / 1e4)
+        .orderBy("source")
+    }),
+
     // Bigram-LM scoring — the Markov step past `llm_perplexity`'s unigram
     // model (the KenLM-shaped fluency signal corpus filters actually use):
     // per-doc average conditional NLL −ln c(w1,w2)/c(w1·) under the
@@ -3213,6 +3260,27 @@ object Llm {
         |       floor(CAST(sum(wt) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1e6 AS score,
         |       CAST(CASE WHEN sum(wt) >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM w GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    "llm_hash_embed" ->
+      s"""WITH $tokAllCte,
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substring(md5(token), 1, 8)) AS BIGINT) % 16 AS dim,
+        |         CASE WHEN CAST(concat('0x', substring(md5(token), 9, 1)) AS BIGINT) % 2 = 0
+        |              THEN 1 ELSE -1 END AS sgn
+        |  FROM tok
+        |)
+        |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+    "llm_dedup_stats" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |g AS (SELECT h, count(*) AS g_docs, count(DISTINCT source) AS g_srcs
+        |      FROM d GROUP BY h)
+        |SELECT d.source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN g.g_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |       CAST(sum(CASE WHEN g.g_srcs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS cross_src_docs,
+        |       floor(CAST(sum(CASE WHEN g.g_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE) * 1e4) / 1e4 AS dup_ratio
+        |FROM d JOIN g USING (h) GROUP BY d.source ORDER BY d.source""".stripMargin,
     "llm_bigram_nll" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

@@ -203,6 +203,64 @@ class MiscOpsSpec extends SparkSpec {
       "all docs on one side of the keep threshold — classifier fixture degenerate")
   }
 
+  test("llm_hash_embed matches a driver-side signed-hash recomputation, exact longs") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).map { t =>
+        val h = md5hex(t)
+        val dim = java.lang.Long.parseLong(h.take(8), 16) % 16
+        val sgn = if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L
+        (id, dim) -> sgn
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 != 0).toMap
+    // sum(sgn) can cancel to 0 — those dims are still emitted (a zero sum
+    // is an occupied dim, not an absent one), so compare on the full map
+    val expectAll = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).map { t =>
+        val h = md5hex(t)
+        ((id, java.lang.Long.parseLong(h.take(8), 16) % 16),
+          if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = SparkEntry.queries("llm_hash_embed")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expectAll)
+    // signs genuinely mix (both positive and negative sums exist)
+    assert(got.values.exists(_ > 0) && got.values.exists(_ < 0),
+      "all hash-embed sums one-signed — sign hash degenerate")
+    assert(expect.nonEmpty)
+  }
+
+  test("llm_dedup_stats matches a driver-side dup-mass rollup") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byText = docs.groupBy(_._3)
+    val gDocs = byText.view.mapValues(_.size).toMap
+    val gSrcs = byText.view.mapValues(_.map(_._2).distinct.size).toMap
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val dup = ds.count(d => gDocs(d._3) >= 2).toLong
+      val cross = ds.count(d => gSrcs(d._3) >= 2).toLong
+      src -> (ds.size.toLong, dup, cross,
+        math.floor(dup.toDouble / ds.size * 1e4) / 1e4)
+    }
+    val got = SparkEntry.queries("llm_dedup_stats")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expect)
+    // cross-source duplication implies a ≥2-doc group, so cross ≤ dup
+    // per source (the text corpus has exact-dup mass only at sf0.1 — 8
+    // docs — so the sf0.001 run checks the zero-mass path exactly)
+    got.values.foreach { case (n, dup, cross, _) =>
+      assert(cross <= dup && dup <= n)
+    }
+  }
+
   test("llm_hard_negatives: cross-label only, 3 per query, sims non-increasing") {
     val rows = SparkEntry.queries("llm_hard_negatives")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
