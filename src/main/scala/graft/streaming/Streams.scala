@@ -476,6 +476,54 @@ object Streams {
         .orderBy("event_id")
     }),
 
+    // I16 — streaming distribution-drift monitor (added r8): per tumbling
+    // hour, the PSI of that window's value distribution against a STATIC
+    // reference histogram (the training-time snapshot — the shape every
+    // production model monitor runs: the reference is frozen at deploy,
+    // the stream is binned live). The STREAMING stage is the watermarked
+    // incremental (window × 8-bin) count — state is 8 counters per
+    // window, exactly what the state store holds at any scale; the PSI
+    // fold (Laplace add-1 smoothing, terms in bin order — the
+    // agg_psi_drift arithmetic verbatim) runs on the drained
+    // window-grain counts, because the fold needs the window's TOTAL and
+    // re-folding per trigger would recompute every window on every
+    // batch (the stream_topk aggregate-hot/rank-on-read separation).
+    "stream_drift" -> ((s, d) => {
+      def bin(c: org.apache.spark.sql.Column) =
+        least(greatest(floor(c / 64), lit(0.0)), lit(7.0)).cast("long")
+      val binned = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .withColumn("bin", bin(col("value")))
+        .groupBy(window(col("ts"), "1 hour"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val drained = drain(s, binned, "graft_stream_drift", OutputMode.Complete())
+        .select(col("window.start").as("w_start"), col("bin"), col("c"))
+      val bins = s.range(0, 8).select(col("id").as("bin"))
+      val ref = bins
+        .join(graft.Tables.events(s, d).select(bin(col("value")).as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("c_ref")), Seq("bin"), "left")
+        .na.fill(0L, Seq("c_ref"))
+      val nRef = ref.agg(sum("c_ref").as("n_ref"))
+      val dense = drained.select("w_start").distinct()
+        .crossJoin(broadcast(bins))
+        .join(drained, Seq("w_start", "bin"), "left")
+        .na.fill(0L, Seq("c"))
+      val tot = dense.groupBy("w_start").agg(sum("c").as("n_w"))
+      dense.join(broadcast(ref), "bin")
+        .join(broadcast(tot), "w_start")
+        .crossJoin(broadcast(nRef))
+        .withColumn("p_w", (col("c") + lit(1)).cast("double")
+          / (col("n_w") + lit(8)).cast("double"))
+        .withColumn("p_ref", (col("c_ref") + lit(1)).cast("double")
+          / (col("n_ref") + lit(8)).cast("double"))
+        .withColumn("term", (col("p_w") - col("p_ref")) * log(col("p_w") / col("p_ref")))
+        .groupBy("w_start")
+        .agg(max("n_w").cast("long").as("n_rows"),
+          expr("floor(aggregate(array_sort(collect_list(named_struct('b', bin, 't', term))), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t) * 1e4) / 1e4").as("psi"))
+        .orderBy("w_start")
+    }),
+
     "stream_stateful" -> ((s, d) => {
       import s.implicits._
       val typed = eventsStream(s, d)
@@ -723,6 +771,41 @@ object Streams {
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
            |       count(*) AS cnt, round(sum(value), 4) AS sum_value
            |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+      // batch equivalent of the windowed-PSI monitor: hourly binned
+      // counts vs the full-corpus reference histogram, the agg_psi_drift
+      // smoothing/fold arithmetic verbatim
+      "stream_drift" ->
+        s"""WITH e AS (
+           |  SELECT date_trunc('hour', ts) AS w_start,
+           |         CAST(LEAST(GREATEST(floor(value / 64), 0), 7) AS BIGINT) AS bin
+           |  FROM $ev events
+           |),
+           |cells AS (SELECT w_start, bin, count(*) AS c FROM e GROUP BY 1, 2),
+           |dense AS (
+           |  SELECT w.w_start, b.bin, coalesce(c.c, 0) AS c
+           |  FROM (SELECT DISTINCT w_start FROM cells) w
+           |       CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) b
+           |       LEFT JOIN cells c ON c.w_start = w.w_start AND c.bin = b.bin
+           |),
+           |r0 AS (SELECT bin, count(*) AS c_ref FROM e GROUP BY 1),
+           |ref AS (
+           |  SELECT b.bin, coalesce(r.c_ref, 0) AS c_ref
+           |  FROM (SELECT unnest(range(0, 8)) AS bin) b LEFT JOIN r0 r ON r.bin = b.bin
+           |),
+           |nr AS (SELECT sum(c_ref) AS n_ref FROM ref),
+           |tot AS (SELECT w_start, sum(c) AS n_w FROM dense GROUP BY 1),
+           |terms AS (
+           |  SELECT d.w_start, d.bin, tot.n_w,
+           |         (CAST(d.c + 1 AS DOUBLE) / CAST(tot.n_w + 8 AS DOUBLE)
+           |          - CAST(r.c_ref + 1 AS DOUBLE) / CAST(nr.n_ref + 8 AS DOUBLE))
+           |         * ln((CAST(d.c + 1 AS DOUBLE) / CAST(tot.n_w + 8 AS DOUBLE))
+           |              / (CAST(r.c_ref + 1 AS DOUBLE) / CAST(nr.n_ref + 8 AS DOUBLE))) AS term
+           |  FROM dense d JOIN ref r ON d.bin = r.bin
+           |       JOIN tot ON d.w_start = tot.w_start CROSS JOIN nr
+           |)
+           |SELECT w_start, CAST(max(n_w) AS BIGINT) AS n_rows,
+           |       floor(list_aggregate(list(term ORDER BY bin), 'sum') * 1e4) / 1e4 AS psi
+           |FROM terms GROUP BY w_start ORDER BY w_start""".stripMargin,
       // the incremental stream discovers every colliding pair exactly once
       // (when its second doc is ingested) and emits it canonically, so the
       // drained union equals the ONE-SHOT LSH+verify over the whole corpus

@@ -16,11 +16,12 @@ object PlanScan {
     * (derived from Streams.queries so the set cannot drift as keys are
     * added — the r4 VERDICT caught four drained-by-accident strays), plus
     * side-effecting scans/sinks whose cost is the layout write, asserted
-    * in their own specs instead, plus `graph_cc`, whose pointer-jump loop
-    * is data-dependently iterative — it executes eagerly and returns a
-    * checkpointed label table, so no lazy whole-query plan exists (the
-    * per-round join shape lives in Dedup.clustersPointerJump, covered by
-    * GraphSpec/DedupSpec). The four other graph keys ARE audited — via
+    * in their own specs instead, plus `graph_cc` and `graph_kcore`,
+    * whose loops are data-dependently iterative (pointer-jump rounds /
+    * peel-to-fixpoint with early exit) — they execute eagerly and return
+    * checkpointed tables, so no lazy whole-query plan exists (the
+    * per-round join shapes live in Dedup.clustersPointerJump and
+    * Graph.kcoreBody, covered by GraphSpec/DedupSpec). The four other graph keys ARE audited — via
     * their pre-checkpoint compositions in [[graft.queries.Graph.auditPlans]]
     * (their registry route also executes eagerly for checkpoint hygiene,
     * which would make this audit a vacuous LogicalRDD scan at full
@@ -29,7 +30,7 @@ object PlanScan {
     graft.streaming.Streams.queries.keySet ++ Set(
       "scan_csv_typed", "scan_csv_malformed", "scan_jsonl", "scan_xml_typed",
       "sink_partitioned", "join_bucketed", "scan_binary", "graph_cc",
-      "graph_bfs_levels")
+      "graph_bfs_levels", "graph_kcore")
 
   /** Lazy pre-checkpoint twins for keys whose registry route executes
     * eagerly (checkpoint hygiene): graph family + the r7 eager dedup
