@@ -1114,6 +1114,27 @@ object Llm {
         .orderBy("doc_id", "dim")
     }),
 
+    // K12d — deterministic shuffle + training-shard assignment (added
+    // r8): the dataloader-facing op every training run needs — a
+    // REPRODUCIBLE global permutation of the corpus (md5 of the doc id,
+    // salted; rand() re-draws per retry, a hash never does) cut into
+    // fixed-size shards of 64 docs with within-shard positions. The
+    // global rank comes from `ops.Rank.withGlobalRank` — ONE range
+    // exchange, local ranks lifted by broadcast prefix offsets; the only
+    // partition-less window runs over the partitions-sized count table,
+    // never the data (the win_analytic machinery, here at corpus grain).
+    // shard/pos are pure integer arithmetic on the exact rank.
+    "llm_shard_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit("|shard"))).as("h"))
+      graft.ops.Rank.withGlobalRank(docs, Seq(col("h"), col("doc_id")), "rk", "n_total")
+        .select(col("doc_id"),
+          expr("(rk - 1) div 64").as("shard"),
+          ((col("rk") - lit(1)) % 64).as("pos"))
+        .orderBy("doc_id")
+    }),
+
     // K2h — per-source duplication report (added r8): the curation
     // dashboard number every corpus owner watches — how much of each
     // source is duplicate mass, and how much of it appears in OTHER
@@ -3271,6 +3292,14 @@ object Llm {
         |)
         |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
         |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+    "llm_shard_plan" ->
+      """WITH r AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|shard'), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, (rk - 1) // 64 AS shard, (rk - 1) % 64 AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
     "llm_dedup_stats" ->
       """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
         |g AS (SELECT h, count(*) AS g_docs, count(DISTINCT source) AS g_srcs

@@ -203,6 +203,30 @@ class MiscOpsSpec extends SparkSpec {
       "all docs on one side of the keep threshold — classifier fixture degenerate")
   }
 
+  test("llm_shard_plan: full shards of 64, dense positions, md5-order permutation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = SparkEntry.queries("llm_shard_plan")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(got.length == ids.length)
+    // the assignment IS the md5-order permutation, recomputed driver-side
+    val expect = ids.map(id => (md5hex(id + "|shard"), id)).sorted
+      .zipWithIndex.map { case ((_, id), i) => (id, i.toLong / 64, i.toLong % 64) }.toSet
+    assert(got.toSet == expect)
+    // every shard except the last is exactly full, positions dense from 0
+    val byShard = got.groupBy(_._2)
+    val last = byShard.keys.max
+    byShard.foreach { case (sh, rows) =>
+      val expectSize = if (sh == last) ids.length - 64 * last else 64L
+      assert(rows.length.toLong == expectSize, s"shard $sh has ${rows.length} docs")
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length.toLong),
+        s"shard $sh positions not dense")
+    }
+  }
+
   test("llm_hash_embed matches a driver-side signed-hash recomputation, exact longs") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
