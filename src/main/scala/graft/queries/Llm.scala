@@ -120,6 +120,37 @@ object Llm {
       .agg(sum(when(col("sgn") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("simhash"))
 
   /** Embeddings with a precomputed L2 norm (computed once, not per pair). */
+  /** The `llm_ivf_two_level` serving body (500-query md5 budget, nprobe=2
+    * over the two-level index) — shared with `llm_recall_two_level`,
+    * which prices the pruned build's recall against the exact top-1. */
+  private def twoLevelServe(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val nlist = graft.ops.Ivf.occupancyNlist(v.count(), targetOccupancy = 50)
+    val ranked = graft.ops.Ivf.coarseRankedTwoLevel(v, nlist, sprobe = 4)
+    val qids = v.where(col("norm") > 0.0d)
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
+      .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
+    val probes = ranked.where(col("r") <= 2)
+      .join(broadcast(qids), col("vec_id") === col("q_id"))
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+        col("norm").as("a_n"), col("cell").as("p_cell"))
+    val cells = ranked.where(col("r") === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+        col("norm").as("b_n"), col("cell").as("b_cell"))
+    val sims = probes.join(cells,
+        col("p_cell") === col("b_cell") && col("a_id") =!= col("b_id"))
+      .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
+    ranked.where(col("r") === 1)
+      .join(broadcast(qids), col("vec_id") === col("q_id"))
+      .select(col("vec_id"), col("cell"))
+      .join(nn, col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
+      .orderBy("vec_id")
+  }
+
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecDot.register(s)
     Tables.embeddings(s, d)
@@ -1862,31 +1893,28 @@ object Llm {
     // worst-case corpus — see Ivf Scaladoc); the whole chain (both
     // centroid levels, both argmaxes, the serve join) is deterministic
     // and the oracle reproduces it CTE for CTE.
-    "llm_ivf_two_level" -> ((s, d) => {
+    "llm_ivf_two_level" -> ((s, d) => twoLevelServe(s, d)),
+
+    // K8d' — recall eval for the TWO-LEVEL index (added r8): the "how
+    // approximate is the pruned build" readout that must ship beside
+    // `llm_ivf_two_level` — the pruned assignment trades exactness for
+    // the n^1.5 build, and this key prices that trade against the exact
+    // top-1 over the SAME 500-query budget (the llm_recall_at_k
+    // sampled-ground-truth pattern: each query's truth is exact, the
+    // budget bounds the |Q|·n scan). nn_ivf null (empty probe / home
+    // cell singleton) is a recall MISS, not a dropped row.
+    "llm_recall_two_level" -> ((s, d) => {
       val v = vecs(s, d)
-      val nlist = graft.ops.Ivf.occupancyNlist(v.count(), targetOccupancy = 50)
-      val ranked = graft.ops.Ivf.coarseRankedTwoLevel(v, nlist, sprobe = 4)
       val qids = v.where(col("norm") > 0.0d)
         .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
         .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
-      val probes = ranked.where(col("r") <= 2)
-        .join(broadcast(qids), col("vec_id") === col("q_id"))
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
-          col("norm").as("a_n"), col("cell").as("p_cell"))
-      val cells = ranked.where(col("r") === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
-          col("norm").as("b_n"), col("cell").as("b_cell"))
-      val sims = probes.join(cells,
-          col("p_cell") === col("b_cell") && col("a_id") =!= col("b_id"))
-        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
-      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-      val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
-      ranked.where(col("r") === 1)
-        .join(broadcast(qids), col("vec_id") === col("q_id"))
-        .select(col("vec_id"), col("cell"))
-        .join(nn, col("vec_id") === col("a_id"), "left")
-        .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
+      val queries = v.join(broadcast(qids), col("vec_id") === col("q_id"))
+        .select("vec_id", "embedding", "label", "norm")
+      val exact = graft.ops.Knn.topKCosine(queries, v, 1).toDF()
+        .select(col("q_id").as("vec_id"), col("c_id").as("nn_exact"))
+      val ivf = twoLevelServe(s, d).select(col("vec_id"), col("nn_id").as("nn_ivf"))
+      exact.join(ivf, Seq("vec_id"), "left")
+        .withColumn("hit", when(col("nn_ivf") === col("nn_exact"), 1).otherwise(0))
         .orderBy("vec_id")
     }),
 
@@ -2487,8 +2515,8 @@ object Llm {
     * centroid→supercell and vector→cell argmaxes with (sim DESC, id ASC)
     * ties, then the `llm_ivf_serve` serving tail (500-query md5 budget,
     * nprobe = 2) over the pruned assignment. */
-  private val ivf2Sql: String =
-    s"""WITH $vecCte,
+  private val ivf2Ctes: String =
+    s"""$vecCte,
       |nl AS (SELECT least(65536, greatest(16, count(*) // 50)) AS nlist FROM v),
       |ns AS (SELECT least(256, greatest(4,
       |         CAST(ceil(sqrt(4.0 * nlist)) AS BIGINT))) AS nsuper FROM nl),
@@ -2601,11 +2629,36 @@ object Llm {
       |qs AS (
       |  SELECT vec_id FROM v WHERE norm > 0
       |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|sq') LIMIT 500
-      |)
+      |)""".stripMargin
+
+  private val ivf2Sql: String =
+    s"""WITH $ivf2Ctes
       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
       |FROM cells c JOIN qs USING (vec_id)
       |LEFT JOIN nn ON c.vec_id = nn.a_id
       |ORDER BY c.vec_id""".stripMargin
+
+  /** `llm_recall_two_level` oracle: the two-level chain + exact top-1
+    * ground truth over the same 500-query budget (the llm_recall_at_k
+    * `ex` CTE shape — candidate side norm > 0, matching Knn.topKCosine). */
+  private val recall2Sql: String =
+    s"""WITH $ivf2Ctes,
+      |q AS (SELECT v.* FROM v JOIN qs USING (vec_id)),
+      |ex AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |         $dotSql / (a.norm * b.norm) AS sim
+      |  FROM q a JOIN v b ON a.vec_id <> b.vec_id AND b.norm > 0
+      |),
+      |ex1 AS (
+      |  SELECT a_id AS vec_id, b_id AS nn_exact FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+      |    FROM ex
+      |  ) WHERE rn = 1
+      |)
+      |SELECT e.vec_id, e.nn_exact, nn.nn_id AS nn_ivf,
+      |       CASE WHEN nn.nn_id = e.nn_exact THEN 1 ELSE 0 END AS hit
+      |FROM ex1 e LEFT JOIN nn ON e.vec_id = nn.a_id
+      |ORDER BY e.vec_id""".stripMargin
 
   private def ivfSql(nprobe: Int): String =
     s"""WITH ${ivfCtes(nprobe)}
@@ -3973,6 +4026,7 @@ object Llm {
         |LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
     "llm_ivf_two_level" -> ivf2Sql,
+    "llm_recall_two_level" -> recall2Sql,
     "llm_recall_at_k" ->
       s"""WITH ${ivfCtes(2)},
         |q AS (
