@@ -1488,6 +1488,65 @@ object Llm {
         .orderBy("label")
     }),
 
+    // K8h — top principal component of the embedding corpus via power
+    // iteration (added r8): the embedding-health/whitening primitive — a
+    // drifting or collapsing embedding space shows up first in its
+    // dominant direction (anisotropy is the standard representation-
+    // collapse diagnostic), and PC1 is the direction ANN whitening /
+    // mean-centering pipelines remove. Two stages, both scale-flat:
+    // (1) the 64×64 covariance numerator accumulated EXACTLY — per-dim
+    // values quantized to 1e-6 longs, Σxᵢ and Σxᵢxⱼ as DECIMAL(38,0)
+    // (order-free where float sums are not; n·4096 product rows fold
+    // map-side into 4096 groups — linear in n, summary-sized after),
+    // numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ cast to double ONCE per cell;
+    // (2) 8 FIXED power iterations over the 4096-cell matrix — w = A·v
+    // with the fold in j order, norm in i order (ordered-list sums, the
+    // chi_square idiom), one IEEE divide per component — metadata-sized
+    // frames, the oracle runs the identical 8 unrolled CTE rounds.
+    // Deterministic with NO convergence assumption (same rounds, same op
+    // order ⇒ same doubles); floor-1e-6 only at the output edge. The
+    // eigenvector sign is whatever the shared arithmetic converges to —
+    // identical in both engines, so no canonicalization is needed.
+    "llm_embed_pca_power" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          floor(col("x").cast("double") * 1e6).cast("long").as("xq"))
+        .localCheckpoint(true)
+      val nVec = e.select("vec_id").distinct().count()
+      val spp = e.select(col("vec_id"), col("i"), col("xq"))
+        .join(e.select(col("vec_id"), col("i").as("j"), col("xq").as("yq")), "vec_id")
+        .groupBy("i", "j")
+        .agg(sum(col("xq").cast(dec) * col("yq").cast(dec)).as("spp"))
+      val si = e.groupBy("i").agg(sum(col("xq").cast(dec)).as("s"))
+      val a = spp
+        .join(broadcast(si.select(col("i"), col("s").as("s_i"))), "i")
+        .join(broadcast(si.select(col("i").as("j"), col("s").as("s_j"))), "j")
+        .select(col("i"), col("j"),
+          (lit(nVec).cast(dec) * col("spp") - col("s_i") * col("s_j"))
+            .cast("double").as("a"))
+        .localCheckpoint(true)
+      graft.ops.Checkpoints.free(e)
+      val d64 = a.select(max("i")).head().getInt(0) + 1
+      var v = a.sparkSession.range(0, d64)
+        .select(col("id").cast("int").as("j"), lit(0.125d).as("v"))
+      for (_ <- 1 to 8) {
+        val w = a.join(broadcast(v), "j")
+          .groupBy("i")
+          .agg(expr("aggregate(array_sort(collect_list(named_struct('j', j, 'p', a * v))), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)").as("w"))
+        val nm = w.agg(
+          sqrt(expr("aggregate(array_sort(collect_list(named_struct('i', i, 'q', w * w))), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.q)")).as("nm"))
+        v = w.crossJoin(broadcast(nm))
+          .select(col("i").as("j"), (col("w") / col("nm")).as("v"))
+      }
+      val out = v.select(col("j").as("i"), (floor(col("v") * 1e6) / 1e6).as("pc1"))
+        .orderBy("i")
+      graft.ops.Checkpoints.finishFreeing(out, a)
+    }),
+
     // K3d — product quantization codes (Jégou et al., PQ): the 64-dim
     // vector splits into 8 subspaces of 8 dims; each subspace gets 16
     // centroids (one k-means update step over deterministic md5 seed
@@ -2660,6 +2719,46 @@ object Llm {
       |FROM ex1 e LEFT JOIN nn ON e.vec_id = nn.a_id
       |ORDER BY e.vec_id""".stripMargin
 
+  /** `llm_embed_pca_power` oracle: exact-integer covariance numerator +
+    * 8 statically-unrolled power-iteration rounds. Every CTE is
+    * MATERIALIZED — each round references its predecessor ~3× and DuckDB
+    * inlines CTEs by default, so the lazy unroll would recompute the
+    * n·4096 product join 3⁸ times (the graph_kcore lesson). */
+  private val pcaPowerSql: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT am.i, list_aggregate(list(am.a * v.v ORDER BY am.j), 'sum') AS w
+         |  FROM am JOIN v${k - 1} v ON am.j = v.j GROUP BY am.i
+         |),
+         |n$k AS MATERIALIZED (
+         |  SELECT sqrt(list_aggregate(list(w * w ORDER BY i), 'sum')) AS nm FROM w$k
+         |),
+         |v$k AS MATERIALIZED (
+         |  SELECT i AS j, w / (SELECT nm FROM n$k) AS v FROM w$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+      |         unnest(list_transform(embedding,
+      |           y -> CAST(floor(CAST(y AS DOUBLE) * 1e6) AS BIGINT))) AS xq
+      |  FROM embeddings
+      |),
+      |nv AS (SELECT count(*) AS n FROM embeddings),
+      |spp AS MATERIALIZED (
+      |  SELECT a.i, b.i AS j, sum(CAST(a.xq AS HUGEINT) * b.xq) AS spp
+      |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2
+      |),
+      |si AS MATERIALIZED (SELECT i, sum(CAST(xq AS HUGEINT)) AS s FROM e GROUP BY i),
+      |am AS MATERIALIZED (
+      |  SELECT p.i, p.j,
+      |         CAST(CAST(nv.n AS HUGEINT) * p.spp - sa.s * sb.s AS DOUBLE) AS a
+      |  FROM spp p JOIN si sa ON p.i = sa.i JOIN si sb ON p.j = sb.i CROSS JOIN nv
+      |),
+      |v0 AS (SELECT unnest(range(0, 64)) AS j, CAST(0.125 AS DOUBLE) AS v),
+      |$rounds
+      |SELECT j AS i, floor(v * 1e6) / 1e6 AS pc1 FROM v8 ORDER BY i""".stripMargin
+  }
+
   private def ivfSql(nprobe: Int): String =
     s"""WITH ${ivfCtes(nprobe)}
       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
@@ -3682,6 +3781,7 @@ object Llm {
         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.l2sq
         |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
+    "llm_embed_pca_power" -> pcaPowerSql,
     "llm_semdedup" ->
       s"""WITH $vecCte,
         |seeded AS (

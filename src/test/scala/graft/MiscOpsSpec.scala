@@ -203,6 +203,34 @@ class MiscOpsSpec extends SparkSpec {
       "all docs on one side of the keep threshold — classifier fixture degenerate")
   }
 
+  test("llm_embed_pca_power matches a driver-side exact-covariance power iteration") {
+    val rows = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = rows.length
+    val d = rows.head._2.length
+    val xq = rows.map(_._2.map(x => math.floor(x.toDouble * 1e6).toLong))
+    val si = Array.tabulate(d)(i => xq.map(v => BigInt(v(i))).sum)
+    val a = Array.tabulate(d, d) { (i, j) =>
+      val spp = xq.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+      (BigInt(n) * spp - si(i) * si(j)).toDouble
+    }
+    var v = Array.fill(d)(0.125d)
+    for (_ <- 1 to 8) {
+      // folds strictly in j order / i order — the key's ordered-sum contract
+      val w = Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((acc, j) => acc + a(i)(j) * v(j)))
+      val nm = math.sqrt((0 until d).foldLeft(0.0)((acc, i) => acc + w(i) * w(i)))
+      v = w.map(_ / nm)
+    }
+    val expect = v.zipWithIndex.map { case (x, i) => i -> math.floor(x * 1e6) / 1e6 }.toMap
+    val got = SparkEntry.queries("llm_embed_pca_power")(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+    // the iterate is (approximately) unit norm — the normalization bites
+    val norm = math.sqrt(got.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"pc1 norm $norm")
+  }
+
   test("llm_shard_plan: full shards of 64, dense positions, md5-order permutation") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
