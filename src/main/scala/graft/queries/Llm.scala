@@ -1518,33 +1518,46 @@ object Llm {
       val spp = e.select(col("vec_id"), col("i"), col("xq"))
         .join(e.select(col("vec_id"), col("i").as("j"), col("xq").as("yq")), "vec_id")
         .groupBy("i", "j")
-        .agg(sum(col("xq").cast(dec) * col("yq").cast(dec)).as("spp"))
+        // the product is exact in LONG (|xq| ≤ ~3.2e5 ⇒ |xq·yq| ≤ ~1e11,
+        // far under 2^63) — only the ACCUMULATION needs DECIMAL headroom,
+        // so the codegen'd long multiply replaces two per-row decimal casts
+        .agg(sum((col("xq") * col("yq")).cast(dec)).as("spp"))
       val si = e.groupBy("i").agg(sum(col("xq").cast(dec)).as("s"))
-      val a = spp
+      // The matrix is DIMENSION-sized (d² = 4096 cells — metadata, fixed
+      // by the embedding width, independent of n), so the 8 iterations
+      // run on the driver like pagerank's N scalar: an in-plan version
+      // paid ~16 tiny exchange stages of pure scheduling overhead (~18 s
+      // for 64 output rows). The fold orders below are the oracle
+      // contract: j ascending inside each A·v component, i ascending in
+      // the norm — identical IEEE op order to the unrolled CTE rounds.
+      val cells = spp
         .join(broadcast(si.select(col("i"), col("s").as("s_i"))), "i")
         .join(broadcast(si.select(col("i").as("j"), col("s").as("s_j"))), "j")
         .select(col("i"), col("j"),
           (lit(nVec).cast(dec) * col("spp") - col("s_i") * col("s_j"))
             .cast("double").as("a"))
-        .localCheckpoint(true)
+        .collect()
       graft.ops.Checkpoints.free(e)
-      val d64 = a.select(max("i")).head().getInt(0) + 1
-      var v = a.sparkSession.range(0, d64)
-        .select(col("id").cast("int").as("j"), lit(0.125d).as("v"))
+      val d64 = cells.iterator.map(_.getInt(0)).max + 1
+      val mat = Array.ofDim[Double](d64, d64)
+      cells.foreach(r => mat(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      var v = Array.fill(d64)(0.125d)
       for (_ <- 1 to 8) {
-        val w = a.join(broadcast(v), "j")
-          .groupBy("i")
-          .agg(expr("aggregate(array_sort(collect_list(named_struct('j', j, 'p', a * v))), " +
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)").as("w"))
-        val nm = w.agg(
-          sqrt(expr("aggregate(array_sort(collect_list(named_struct('i', i, 'q', w * w))), " +
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.q)")).as("nm"))
-        v = w.crossJoin(broadcast(nm))
-          .select(col("i").as("j"), (col("w") / col("nm")).as("v"))
+        val w = Array.tabulate(d64) { i =>
+          var acc = 0.0d
+          var j = 0
+          while (j < d64) { acc += mat(i)(j) * v(j); j += 1 }
+          acc
+        }
+        var nsq = 0.0d
+        var i = 0
+        while (i < d64) { nsq += w(i) * w(i); i += 1 }
+        val nm = math.sqrt(nsq)
+        v = w.map(_ / nm)
       }
-      val out = v.select(col("j").as("i"), (floor(col("v") * 1e6) / 1e6).as("pc1"))
-        .orderBy("i")
-      graft.ops.Checkpoints.finishFreeing(out, a)
+      import s.implicits._
+      v.zipWithIndex.map { case (x, i) => (i, math.floor(x * 1e6) / 1e6) }
+        .toSeq.toDF("i", "pc1").orderBy("i")
     }),
 
     // K3d — product quantization codes (Jégou et al., PQ): the 64-dim
