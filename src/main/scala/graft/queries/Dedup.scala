@@ -241,8 +241,19 @@ object Dedup {
     val prefix = tok.join(dfreq, "token")
       .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("token"))))
       .withColumn("ntok", count(lit(1)).over(wDoc))
-      // n − ⌈t·n⌉ + 1 ≡ ⌊(1−t)·n⌋ + 1
-      .where(col("rn") <= floor(lit(1.0 - threshold) * col("ntok")) + 1)
+      // n − ⌈t·n⌉ + 1, with the ceil taken on t·n − 1e-9: the naive
+      // ⌊(1−t)·n⌋ + 1 form under-counts by one whenever (1−t)·n is an
+      // exact integer but 1−t is not exactly representable (t = 0.9,
+      // n = 10: IEEE 1.0−0.9 = 0.09999…98 ⇒ ⌊0.99…98⌋+1 = 1, lemma
+      // needs 2 — a SILENT candidate miss; r8 review catch). The 1e-9
+      // shift can only cross an integer boundary when t·n sits within
+      // 1e-9 of it — i.e. exactly when the intended value IS that
+      // integer (double noise is ~1e-15·n) — so the bound is never
+      // under the lemma's and at worst one token generous (still a
+      // superset; verify keeps exactness). t = 0.5 (the shipped key)
+      // produces bit-identical prefixes under both forms.
+      .where(col("rn") <=
+        col("ntok") - ceil(lit(threshold) * col("ntok") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("lang"), col("token"), col("rn"), col("ntok"))
       // the self-join references this subtree twice; stage it once
       // (explode → dfreq join → window is the expensive prefix build)

@@ -120,13 +120,21 @@ object Llm {
       .agg(sum(when(col("sgn") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("simhash"))
 
   /** Embeddings with a precomputed L2 norm (computed once, not per pair). */
-  /** The `llm_ivf_two_level` serving body (500-query md5 budget, nprobe=2
-    * over the two-level index) — shared with `llm_recall_two_level`,
-    * which prices the pruned build's recall against the exact top-1. */
-  private def twoLevelServe(s: SparkSession, d: String): DataFrame = {
-    val v = vecs(s, d)
-    val nlist = graft.ops.Ivf.occupancyNlist(v.count(), targetOccupancy = 50)
-    val ranked = graft.ops.Ivf.coarseRankedTwoLevel(v, nlist, sprobe = 4)
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"), l2norm(col("embedding")).as("norm"))
+  }
+
+  /** The flat-policy ANN serving tail shared by `llm_ivf_serve`,
+    * `llm_ivf_two_level` (via [[twoLevelServe]]) and the recall eval:
+    * a FIXED 500-query budget (deterministic md5 order + LIMIT), probes
+    * from the top-2 ranked cells restricted to the budget BEFORE the
+    * cell join, per-query top-1 with (sim DESC, id ASC) ties, LEFT join
+    * keeping empty-probe queries as null-neighbor rows. Any change to
+    * the serving contract lives HERE — the one-level and two-level keys
+    * (and their oracle tails) may never desynchronize. */
+  private def serveTail(v: DataFrame, ranked: DataFrame): DataFrame = {
     val qids = v.where(col("norm") > 0.0d)
       .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
       .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
@@ -151,10 +159,12 @@ object Llm {
       .orderBy("vec_id")
   }
 
-  private def vecs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecDot.register(s)
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), col("label"), l2norm(col("embedding")).as("norm"))
+  /** The `llm_ivf_two_level` serving body — [[serveTail]] over the
+    * two-level index; shared with `llm_recall_two_level`. */
+  private def twoLevelServe(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val nlist = graft.ops.Ivf.occupancyNlist(v.count(), targetOccupancy = 50)
+    serveTail(v, graft.ops.Ivf.coarseRankedTwoLevel(v, nlist, sprobe = 4))
   }
 
   /** Distinct 3-gram shingle pair intersections (a_id, b_id, n_inter,
@@ -953,7 +963,9 @@ object Llm {
     // training data op (in-batch random negatives are easy; the negatives
     // that actually move a retrieval/embedding model are the near-misses,
     // cf. DPR / ANCE). Exact cross-label pair scan at fixture scale (the
-    // oracle's closed form); past PairJoinGate (r8, r7 VERDICT #2) the
+    // oracle's closed form); past HardNegGate — 10 000, deliberately 5×
+    // UNDER the bitmask keys' PairJoinGate because the exact branch pays
+    // a full 64-dim dot per pair (r8, r7 VERDICT #2) — the
     // production route is WIRED, not just documented: candidates come
     // from the occupancy-pinned IVF cell join (`llm_ivf_serve`'s index
     // policy, nprobe=2) with the label inequality pushed INTO the join —
@@ -1514,7 +1526,11 @@ object Llm {
         .select(col("vec_id"), col("i"),
           floor(col("x").cast("double") * 1e6).cast("long").as("xq"))
         .localCheckpoint(true)
-      val nVec = e.select("vec_id").distinct().count()
+      // table-grain count, NOT distinct() over the exploded checkpoint —
+      // matches the oracle's count(*) FROM embeddings exactly (a row with
+      // an empty embedding array would vanish from the explode but still
+      // count here, as it must) and skips an n·64-row distinct shuffle
+      val nVec = Tables.embeddings(s, d).count()
       val spp = e.select(col("vec_id"), col("i"), col("xq"))
         .join(e.select(col("vec_id"), col("i").as("j"), col("xq").as("yq")), "vec_id")
         .groupBy("i", "j")
@@ -1924,29 +1940,7 @@ object Llm {
     "llm_ivf_serve" -> ((s, d) => {
       val v = vecs(s, d)
       val nlist = graft.ops.Ivf.occupancyNlist(v.count(), targetOccupancy = 50)
-      val ranked = graft.ops.Ivf.coarseRanked(v, nlist)
-      val qids = v.where(col("norm") > 0.0d)
-        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
-        .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
-      val probes = ranked.where(col("r") <= 2)
-        .join(broadcast(qids), col("vec_id") === col("q_id"))
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
-          col("norm").as("a_n"), col("cell").as("p_cell"))
-      val cells = ranked.where(col("r") === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
-          col("norm").as("b_n"), col("cell").as("b_cell"))
-      val sims = probes.join(cells,
-          col("p_cell") === col("b_cell") && col("a_id") =!= col("b_id"))
-        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
-      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-      val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
-      ranked.where(col("r") === 1)
-        .join(broadcast(qids), col("vec_id") === col("q_id"))
-        .select(col("vec_id"), col("cell"))
-        .join(nn, col("vec_id") === col("a_id"), "left")
-        .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
-        .orderBy("vec_id")
+      serveTail(v, graft.ops.Ivf.coarseRanked(v, nlist))
     }),
 
     // K8g'' — TWO-LEVEL index build under the serve policy (added r8):

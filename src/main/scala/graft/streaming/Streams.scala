@@ -63,6 +63,20 @@ object Streams {
     import java.nio.file.{Files, StandardCopyOption}
     if (Files.exists(dir) && !Files.exists(dir.resolve("_staged")))
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    // reclaim orphaned temp siblings from hard-killed sessions (SIGKILL
+    // between createDirectories and the finally): each carries a full
+    // staged copy under a fresh UUID, so without this sweep crashed runs
+    // accumulate unbounded corpus copies in tmpdir (r8 review catch).
+    // Only siblings idle > 15 min are swept — a LIVE concurrent stager's
+    // tmp is at most minutes old (staging is symlink/copy work), so the
+    // age gate keeps this from yanking a racer's dir mid-populate.
+    if (Files.exists(dir.getParent)) {
+      val staleBefore = System.currentTimeMillis() - 15L * 60 * 1000
+      listFiles(dir.getParent, p =>
+          p.getFileName.toString.startsWith(s"${dir.getFileName}.tmp-") &&
+            Files.getLastModifiedTime(p).toMillis < staleBefore)
+        .foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+    }
     val tmp = dir.resolveSibling(
       s"${dir.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.createDirectories(tmp)
@@ -491,7 +505,13 @@ object Streams {
     "stream_drift" -> ((s, d) => {
       def bin(c: org.apache.spark.sql.Column) =
         least(greatest(floor(c / 64), lit(0.0)), lit(7.0)).cast("long")
+      // value IS NOT NULL on BOTH the stream and the reference — the agg
+      // drift siblings' convention: Spark's least/greatest skip nulls, so
+      // an unfiltered null would silently land in bin 0 (and DuckDB's
+      // LEAST null semantics changed across versions — don't depend on
+      // either engine's null-bin choice)
       val binned = eventsStream(s, d)
+        .where(col("value").isNotNull)
         .withWatermark("ts", "10 minutes")
         .withColumn("bin", bin(col("value")))
         .groupBy(window(col("ts"), "1 hour"), col("bin"))
@@ -500,7 +520,8 @@ object Streams {
         .select(col("window.start").as("w_start"), col("bin"), col("c"))
       val bins = s.range(0, 8).select(col("id").as("bin"))
       val ref = bins
-        .join(graft.Tables.events(s, d).select(bin(col("value")).as("bin"))
+        .join(graft.Tables.events(s, d).where(col("value").isNotNull)
+          .select(bin(col("value")).as("bin"))
           .groupBy("bin").agg(count(lit(1)).as("c_ref")), Seq("bin"), "left")
         .na.fill(0L, Seq("c_ref"))
       val nRef = ref.agg(sum("c_ref").as("n_ref"))
@@ -778,7 +799,7 @@ object Streams {
         s"""WITH e AS (
            |  SELECT date_trunc('hour', ts) AS w_start,
            |         CAST(LEAST(GREATEST(floor(value / 64), 0), 7) AS BIGINT) AS bin
-           |  FROM $ev events
+           |  FROM $ev events WHERE value IS NOT NULL
            |),
            |cells AS (SELECT w_start, bin, count(*) AS c FROM e GROUP BY 1, 2),
            |dense AS (

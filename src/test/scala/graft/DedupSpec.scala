@@ -42,6 +42,36 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "test corpus must produce similar pairs")
   }
 
+  test("jaccardBitmask equals brute force at t = 0.9 (non-representable threshold, r8 prefix fix)") {
+    // t = 0.9 is the regression case for the prefix bound: IEEE
+    // 1.0 − 0.9 = 0.0999…98, so the old ⌊(1−t)·n⌋+1 form computed a
+    // 1-token prefix for 10-token docs where the lemma requires 2 —
+    // silently dropping containment pairs whose rarest token is the
+    // unshared one. Build exactly that shape: 10-token docs sharing 9
+    // tokens (J = 9/10 ≥ 0.9), distinct rare tenth tokens.
+    // containment pairs: a = 9 shared + 1 rare unshared (n = 10),
+    // b = the 9 shared (n = 9) ⇒ J = 9/10 = 0.9 exactly; a's rarest
+    // token is the UNSHARED one, so a 1-token prefix can never collide
+    val shared = (0 until 9).map(i => f"s$i%02d")
+    val docs = (0 until 8).flatMap { fam =>
+      val famShared = shared.map(t => s"f$fam$t")
+      Seq(
+        (fam * 2L, (famShared :+ s"rare$fam").mkString(" "), "en"),
+        (fam * 2L + 1, famShared.mkString(" "), "en"))
+    }.toDF("doc_id", "text", "lang")
+    val got = Dedup.jaccardBitmask(spark, docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.collect().map(r => (r.getLong(0),
+      r.getString(1).split(" ").filter(_.nonEmpty).toSet))
+    val expected = (for {
+      (ai, as_) <- sets; (bi, bs) <- sets
+      if ai < bi && jaccard(as_, bs) >= 0.9
+    } yield (ai, bi)).toSet
+    assert(expected.size == 8, "fixture must produce one ≥0.9 pair per family")
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("RDD zipWithIndex id assignment equals the window route (large-vocab path)") {
     val toks = (0 until 500).map(i => f"w$i%04d")
     val distinctTok = new scala.util.Random(3).shuffle(toks).toDF("token")
