@@ -755,6 +755,68 @@ object Wins {
               (col("gain") + col("loss")).cast("double")).as("rsi"))
         .orderBy("event_id")
     }),
+
+    // E28 — sample autocorrelation function at lags {1, 2, 24} per event
+    // type (added r8): the SEASONALITY DETECTOR that justifies the rest of
+    // the forecasting family's structure — an elevated lag-24 reading on an
+    // hourly series is the daily cycle `win_holt_winters` models with its
+    // season length, and a flat ACF says a trend-only smoother (holt/
+    // kalman) suffices. Series = the DENSE hourly grid per type (the
+    // win_resample sequence/generate_series recipe; missing hours are REAL
+    // zero-traffic hours — leaving them out would misalign lag 24 away
+    // from "same hour yesterday"), values exact 1e-4-unit integer hourly
+    // sums. ACF via expanded moments so everything before the final divide
+    // is ORDER-FREE exact integer arithmetic (the agg_trend_slope
+    // discipline): with S1=Σx, S2=Σx², and per lag ℓ the head/tail/cross
+    // sums A=Σ_{t≤n−ℓ}x, B=Σ_{t>ℓ}x, Sℓ=Σx_t·x_{t+ℓ} (all DECIMAL(38,0)/
+    // HUGEINT), r_ℓ = (n²Sℓ − n·S1·A − n·S1·B + (n−ℓ)·S1²)/(n²S2 − n·S1²)
+    // — ONE IEEE divide of two exact integers, floor-1e-6. Flat series
+    // (zero variance) and ℓ ≥ n yield NULL on both engines. One counting
+    // scan + one type-keyed window over the ≤ types·hours summary grid —
+    // everything past the first groupBy is summary-sized at any corpus.
+    "win_acf" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          floor(col("value") * 1e4).cast("long").as("vq"))
+      val hourly = ev.groupBy("event_type", "h").agg(sum(col("vq")).as("xq"))
+      val bounds = ev.groupBy("event_type")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = bounds.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), coalesce(col("xq"), lit(0L)).as("xq"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val led = dense
+        .withColumn("x1", lead(col("xq"), 1).over(w))
+        .withColumn("x2", lead(col("xq"), 2).over(w))
+        .withColumn("x24", lead(col("xq"), 24).over(w))
+      val xd = col("xq").cast(dec)
+      def lagAggs(c: String) = Seq(
+        sum(xd * col(c).cast(dec)).as(s"sl_$c"),
+        sum(when(col(c).isNotNull, xd)).as(s"a_$c"),
+        sum(col(c).cast(dec)).as(s"b_$c"))
+      val aggs = Seq(sum(xd).as("s1"), sum(xd * xd).as("s2")) ++
+        lagAggs("x1") ++ lagAggs("x2") ++ lagAggs("x24")
+      val st = led.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      val nD = col("n").cast(dec)
+      def acf(c: String, lag: Int) = {
+        val num = nD * nD * col(s"sl_$c") - nD * col("s1") * col(s"a_$c") -
+          nD * col("s1") * col(s"b_$c") +
+          (nD - lit(lag).cast(dec)) * col("s1") * col("s1")
+        val den = nD * nD * col("s2") - nD * col("s1") * col("s1")
+        when(den =!= lit(0).cast(dec) && col(s"sl_$c").isNotNull,
+          floor(num.cast("double") / den.cast("double") * 1e6) / 1e6)
+      }
+      st.select(col("event_type"), col("n").as("n_hours"),
+          acf("x1", 1).as("acf1"), acf("x2", 2).as("acf2"),
+          acf("x24", 24).as("acf24"))
+        .select(col("event_type"), col("n_hours"),
+          expr("stack(3, CAST(1 AS BIGINT), acf1, CAST(2 AS BIGINT), acf2, " +
+            "CAST(24 AS BIGINT), acf24) AS (lag, acf)"))
+        .orderBy("event_type", "lag")
+    }),
   )
 
   /** The win_holt_winters oracle's fold pieces (DuckDB 1-based list
@@ -766,6 +828,45 @@ object Wins {
   private val hwSN = s"(0.3 * (x[1] - $hwLV) + 0.7 * $hwSI)"
 
   val oracles: Map[String, String] = Map(
+    "win_acf" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         CAST(floor(value * 10000) AS BIGINT) AS vq
+        |  FROM events
+        |),
+        |hourly AS (SELECT event_type, h, sum(vq) AS xq FROM e GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.h, CAST(coalesce(hr.xq, 0) AS HUGEINT) AS xq
+        |  FROM grid g LEFT JOIN hourly hr ON g.event_type = hr.event_type AND g.h = hr.h
+        |),
+        |led AS (
+        |  SELECT event_type, xq,
+        |         lead(xq, 1) OVER w AS x1,
+        |         lead(xq, 2) OVER w AS x2,
+        |         lead(xq, 24) OVER w AS x24
+        |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        |),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(xq) AS s1, sum(xq * xq) AS s2,
+        |         sum(xq * x1) AS sl1, sum(CASE WHEN x1 IS NOT NULL THEN xq END) AS a1, sum(x1) AS b1,
+        |         sum(xq * x2) AS sl2, sum(CASE WHEN x2 IS NOT NULL THEN xq END) AS a2, sum(x2) AS b2,
+        |         sum(xq * x24) AS sl24, sum(CASE WHEN x24 IS NOT NULL THEN xq END) AS a24, sum(x24) AS b24
+        |  FROM led GROUP BY 1
+        |),
+        |u AS (
+        |  SELECT event_type, n, 1 AS lag, sl1 AS sl, a1 AS a, b1 AS b, s1, s2 FROM st
+        |  UNION ALL
+        |  SELECT event_type, n, 2, sl2, a2, b2, s1, s2 FROM st
+        |  UNION ALL
+        |  SELECT event_type, n, 24, sl24, a24, b24, s1, s2 FROM st
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_hours, CAST(lag AS BIGINT) AS lag,
+        |       CASE WHEN n * n * s2 - n * s1 * s1 <> 0 AND sl IS NOT NULL
+        |            THEN floor(CAST(n * n * sl - n * s1 * a - n * s1 * b + (n - lag) * s1 * s1 AS DOUBLE)
+        |                 / CAST(n * n * s2 - n * s1 * s1 AS DOUBLE) * 1e6) / 1e6 END AS acf
+        |FROM u ORDER BY event_type, lag""".stripMargin,
     "win_holt_winters" ->
       s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |l AS (

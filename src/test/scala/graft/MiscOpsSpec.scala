@@ -472,4 +472,41 @@ class MiscOpsSpec extends SparkSpec {
       kPrev = k; p = (1.0 - k) * pPred
     }
   }
+
+  test("win_acf matches a driver-side dense-grid ACF recomputation") {
+    val raw = Tables.events(spark, sf0001)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    val expect = raw.groupBy(_._1).toSeq.flatMap { case (tpe, rs) =>
+      val hourly = rs.groupBy(_._2).map { case (h, g) =>
+        h -> g.map(x => math.floor(x._3 * 1e4).toLong).sum }
+      val (h0, h1) = (hourly.keys.min, hourly.keys.max)
+      val xs = (h0 to h1 by 3600000L).map(h => hourly.getOrElse(h, 0L)).toArray
+      val n = xs.length
+      val s1 = xs.iterator.map(BigInt(_)).sum
+      val s2 = xs.iterator.map(x => BigInt(x) * BigInt(x)).sum
+      val den = BigInt(n) * BigInt(n) * s2 - BigInt(n) * s1 * s1
+      Seq(1, 2, 24).map { l =>
+        val acf =
+          if (l >= n || den == 0) None
+          else {
+            val sl = (0 until n - l).iterator.map(i => BigInt(xs(i)) * BigInt(xs(i + l))).sum
+            val a = (0 until n - l).iterator.map(i => BigInt(xs(i))).sum
+            val b = (l until n).iterator.map(i => BigInt(xs(i))).sum
+            val num = BigInt(n) * BigInt(n) * sl - BigInt(n) * s1 * a -
+              BigInt(n) * s1 * b + BigInt(n - l) * s1 * s1
+            Some(math.floor(num.toDouble / den.toDouble * 1e6) / 1e6)
+          }
+        (tpe, n.toLong, l.toLong, acf)
+      }
+    }.sortBy(t => (t._1, t._3))
+    val got = SparkEntry.queries("win_acf")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == expect)
+    // structure: 5 types × 3 lags, every defined ACF within [-1, 1]
+    assert(got.length == 15)
+    got.flatMap(_._4).foreach(a => assert(a >= -1.0000011 && a <= 1.0000011, a))
+    assert(got.flatMap(_._4).nonEmpty, "no defined ACF value in fixture")
+  }
 }

@@ -251,13 +251,17 @@ class PlanShapeSpec extends SparkSpec {
     //   - ops.Rank __pid offsets window (one row per physical partition —
     //     numPartitions-sized metadata): agg_rfm, llm_vocab_coverage,
     //     llm_zipf_slope, win_analytic (the spec above additionally pins
-    //     that this is the ONLY window in win_analytic's plan)
+    //     that this is the ONLY window in win_analytic's plan),
+    //     llm_shard_plan (Rank at corpus grain — the data itself takes
+    //     the RANGE exchange + per-partition local window; only the
+    //     offsets table is partition-less)
     //   - Dedup.assignTokenIds vocabulary window (one row per DISTINCT
     //     token, gated at 10M with the documented RDD zipWithIndex route
     //     past it — Dedup.scala LargeVocab): llm_dedup_incremental,
     //     llm_dedup_lsh_verified, llm_dedup_near
     val allow = Set(
       "agg_rfm", "llm_vocab_coverage", "llm_zipf_slope", "win_analytic",
+      "llm_shard_plan",
       "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
