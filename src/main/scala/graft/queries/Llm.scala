@@ -1157,6 +1157,56 @@ object Llm {
         .orderBy("doc_id", "dim")
     }),
 
+    // K12e — DSIR importance weights (added r8): Data Selection via
+    // Importance Resampling (Xie et al. 2023) — the published
+    // data-selection method behind domain-targeted pretraining mixes.
+    // Each doc is scored by how much more likely its tokens are under a
+    // TARGET domain's hashed-unigram LM than under the raw corpus's:
+    // w(doc) = Σ_tokens ln(p_tgt(bucket(t)) / p_raw(bucket(t))), with
+    // 16 hashed buckets (llm_hash_embed's md5 feature space) and add-1
+    // smoothing; target here = the 'en' slice (the stand-in seam for a
+    // curated seed corpus, like llm_quality_linear's weight seam).
+    // Scale shape: ONE token-counting scan reduces to a 16-row
+    // bucket table (map-side partials; buckets densified 0..15 so empty
+    // buckets smooth identically in both engines), the 16 log-ratios
+    // collapse to a single broadcast array row, and SCORING is
+    // zero-shuffle — a codegen'd sequential fold over each doc's token
+    // list against the broadcast array (document order, both engines),
+    // so the per-doc pass is embarrassingly parallel at any corpus size.
+    // Determinism: the smoothed ratio is ONE ln of one IEEE divide of
+    // exact integer products ((ct+1)·(Nr+16)) / ((cr+1)·(Nt+16)) —
+    // identical op order both engines, cross-engine libm ulp drift
+    // absorbed by the floor-1e-4 edge (the adamic_adar ln() argument).
+    "llm_dsir_weights" -> ((s, d) => {
+      val bucketOf: Column => Column = t =>
+        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 16)
+      val bc = tokensAll(s, d)
+        .groupBy(bucketOf(col("token")).as("bucket"))
+        .agg(count(lit(1)).as("cr"),
+          count(when(col("lang") === "en", 1)).as("ct"))
+      val dense = s.range(16).select(col("id").as("bucket"))
+        .join(bc, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("cr"), lit(0L)).as("cr"),
+          coalesce(col("ct"), lit(0L)).as("ct"))
+      val tot = dense.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+      val la = dense.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          log(((col("ct") + 1L) * (col("nr") + 16L)).cast("double") /
+            ((col("cr") + 1L) * (col("nt") + 16L)).cast("double")).as("w"))
+        .agg(array_sort(collect_list(struct(col("bucket"), col("w")))).as("bw"))
+        .select(transform(col("bw"), e => e.getField("w")).as("la"))
+      Tables.documents(s, d)
+        .crossJoin(broadcast(la))
+        .select(col("doc_id"), col("lang"),
+          size(filter(split(col("text"), " "), t => length(t) > 0)).as("n_tok"),
+          expr("""floor(aggregate(
+            |  filter(split(text, ' '), t -> length(t) > 0), CAST(0.0 AS DOUBLE),
+            |  (acc, t) -> acc + element_at(la,
+            |    CAST(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 16 + 1 AS INT))
+            |) * 10000) / 10000""".stripMargin).as("dsir_w"))
+        .orderBy("doc_id")
+    }),
+
     // K12d — deterministic shuffle + training-shard assignment (added
     // r8): the dataloader-facing op every training run needs — a
     // REPRODUCIBLE global permutation of the corpus (md5 of the doc id,
@@ -3451,6 +3501,35 @@ object Llm {
         |)
         |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
         |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+    "llm_dsir_weights" ->
+      s"""WITH $tokAllCte,
+        |bc0 AS (
+        |  SELECT CAST(concat('0x', substring(md5(token), 1, 8)) AS BIGINT) % 16 AS bucket,
+        |         count(*) AS cr,
+        |         count(*) FILTER (WHERE lang = 'en') AS ct
+        |  FROM tok GROUP BY 1
+        |),
+        |bd AS (
+        |  SELECT r.b AS bucket,
+        |         CAST(coalesce(bc0.cr, 0) AS BIGINT) AS cr,
+        |         CAST(coalesce(bc0.ct, 0) AS BIGINT) AS ct
+        |  FROM (SELECT unnest(range(16)) AS b) r LEFT JOIN bc0 ON bc0.bucket = r.b
+        |),
+        |tt AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM bd),
+        |lrw AS (
+        |  SELECT bucket,
+        |         ln(CAST((ct + 1) * (nr + 16) AS DOUBLE)
+        |            / CAST((cr + 1) * (nt + 16) AS DOUBLE)) AS w
+        |  FROM bd CROSS JOIN tt
+        |),
+        |laa AS (SELECT list(w ORDER BY bucket) AS la FROM lrw)
+        |SELECT d.doc_id, d.lang,
+        |       len(list_filter(string_split(d.text, ' '), t -> len(t) > 0)) AS n_tok,
+        |       floor(coalesce(list_aggregate(list_transform(
+        |         list_filter(string_split(d.text, ' '), t -> len(t) > 0),
+        |         t -> la[CAST(CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 16 + 1 AS INT)]
+        |       ), 'sum'), 0.0) * 10000) / 10000 AS dsir_w
+        |FROM documents d CROSS JOIN laa ORDER BY d.doc_id""".stripMargin,
     "llm_shard_plan" ->
       """WITH r AS (
         |  SELECT doc_id, row_number() OVER (

@@ -473,6 +473,41 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_dsir_weights matches a driver-side recompute and ranks the target domain higher") {
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 8), 16) % 16).toInt
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val cr = Array.fill(16)(0L); val ct = Array.fill(16)(0L)
+    docs.foreach { case (_, lang, text) =>
+      text.split(" ").filter(_.nonEmpty).foreach { t =>
+        val b = bucket(t); cr(b) += 1; if (lang == "en") ct(b) += 1
+      }
+    }
+    val (nr, nt) = (cr.sum, ct.sum)
+    val lr = Array.tabulate(16)(b =>
+      math.log(((ct(b) + 1) * (nr + 16)).toDouble / ((cr(b) + 1) * (nt + 16)).toDouble))
+    val expect = docs.map { case (id, lang, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      var acc = 0.0
+      toks.foreach(t => acc += lr(bucket(t)))
+      (id, lang, toks.length, math.floor(acc * 1e4) / 1e4)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("llm_dsir_weights")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    // the point of DSIR: target-domain docs must rank above the rest
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    val (en, rest) = got.partition(_._2 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(avg(en.map(_._4)) > avg(rest.map(_._4)),
+      "target-domain docs did not average a higher importance weight")
+  }
+
   test("win_acf matches a driver-side dense-grid ACF recomputation") {
     val raw = Tables.events(spark, sf0001)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"))
