@@ -57,28 +57,37 @@ object Ivf {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     call_function("vec_dot", a, b)
 
-  /** The deterministic one-step seeded centroid table over `nlist` cells:
-    * seed = md5(id) mod nlist, centroid = per-dim mean of the seed group
-    * folded in SORTED order (order-free across partition counts and
-    * engines), floor-1e-6 quantized. `rows` must carry (`idCol`,
-    * `vecCol`: array<float|double>); returns (cell, centroid, cnorm). */
-  private def centroidTable(rows: DataFrame, nlist: Int,
-      idCol: String, vecCol: String): DataFrame = {
+  /** Deterministic centroid table from an explicit assignment: `rows`
+    * must carry (`cell`, `vecCol`: array<float|double>); centroid =
+    * per-dim mean of each cell folded in SORTED order (order-free across
+    * partition counts and engines), floor-1e-6 quantized. Returns
+    * (cell, centroid, cnorm). Shared by the seeded one-step tables and
+    * [[lloyd]]'s per-round recompute. */
+  def centroidsOf(rows: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VecDot.register(rows.sparkSession)
     rows
-      .withColumn("seed",
-        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long"),
-          lit(nlist.toLong)))
-      .select(col("seed"), posexplode(col(vecCol)).as(Seq("i", "x")))
-      .groupBy("seed", "i")
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("cell", "i")
       .agg(sort_array(collect_list(col("x").cast("double"))).as("xs"))
-      .select(col("seed"), col("i"),
+      .select(col("cell"), col("i"),
         (aggregate(col("xs"), lit(0.0), (acc, e) => acc + e) / size(col("xs"))).as("m"))
-      .groupBy("seed")
+      .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-      .select(col("seed").as("cell"),
+      .select(col("cell"),
         transform(col("im"), e => floor(e.getField("m") * 1e6) / 1e6).as("centroid"))
       .withColumn("cnorm", sqrt(dot(col("centroid"), col("centroid"))))
   }
+
+  /** The deterministic one-step seeded centroid table over `nlist` cells:
+    * seed = md5(id) mod nlist, centroid table via [[centroidsOf]]. `rows`
+    * must carry (`idCol`, `vecCol`); returns (cell, centroid, cnorm). */
+  private def centroidTable(rows: DataFrame, nlist: Int,
+      idCol: String, vecCol: String): DataFrame =
+    centroidsOf(
+      rows.withColumn("cell",
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long"),
+          lit(nlist.toLong))),
+      vecCol)
 
   /** Seeded one-step centroids over `nlist` cells + every vector ranked
     * against every centroid by cosine. `vectors` must carry
@@ -169,6 +178,51 @@ object Ivf {
     ranked.join(vectors.select("vec_id", "embedding", "norm"), "vec_id")
       .select(col("vec_id"), col("embedding"), col("norm"),
         col("cell"), col("csim"), col("r"))
+  }
+
+  /** Lloyd's k-means over `k` cells for `rounds` FIXED assignment
+    * iterations — the multi-round refinement above [[coarseRanked]]'s
+    * one-step table, and the clustering primitive under semantic-dedup /
+    * data-mixing pipelines (SemDeDup clusters before pruning; IVF quality
+    * improves with trained cells). FIXED rounds, no convergence test: the
+    * result is a pure function of the input (same rounds, same op order ⇒
+    * same doubles on any engine), so the whole chain is oracle-expressible
+    * as unrolled CTE rounds. Per round: centroids from the current
+    * assignment via [[centroidsOf]] (sorted-fold floor-quantized means —
+    * k·dim rows, broadcast), then every vector re-assigned to its
+    * max-cosine centroid (ties to the lowest cell id). Cost per round is
+    * n·k dot products + one per-vector rank window — linear in n at fixed
+    * k. Each round's corpus-sized assignment becomes its own
+    * `localCheckpoint` with the predecessor freed at once (the pagerank
+    * iteration discipline: the executed plan stays one stage deep per
+    * round, live blocks stay at two corpus-sized tables). A cell that
+    * loses all members simply drops out of the next centroid table — the
+    * standard Lloyd behavior, identical on both engines. Seed assignment:
+    * md5(id) mod k (the [[coarseRanked]] recipe). Returns the final
+    * assignment (vec_id, embedding, norm, cell), EXECUTED (checkpointed),
+    * like the graph keys. */
+  def lloyd(vectors: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    graft.functions.VecDot.register(vectors.sparkSession)
+    var asg = vectors
+      .withColumn("cell",
+        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long"),
+          lit(k.toLong)))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cent = centroidsOf(asg)
+      val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+      val next = asg.drop("cell").crossJoin(broadcast(cent))
+        .withColumn("csim",
+          dot(col("embedding"), col("centroid")) / (col("norm") * col("cnorm")))
+        .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+        .localCheckpoint(true)
+      graft.ops.Checkpoints.free(asg)
+      asg = next
+    }
+    asg
   }
 
   /** Auto-sized variant: counts the corpus once (the same measured-gate

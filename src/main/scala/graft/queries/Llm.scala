@@ -1626,6 +1626,32 @@ object Llm {
         .toSeq.toDF("i", "pc1").orderBy("i")
     }),
 
+    // K8i — Lloyd's k-means over the embedding corpus (added r8): the
+    // multi-round refinement the one-step seeded tables (`llm_ivf_centroids`
+    // and friends) deliberately stop short of, and the clustering
+    // primitive under semantic-dedup / data-mixing pipelines (SemDeDup
+    // clusters before pruning; IVF recall improves with trained cells).
+    // k=8 cells, 3 FIXED assignment rounds — no convergence test, so the
+    // result is a pure function of the input and the oracle runs the
+    // identical unrolled CTE rounds (the bfs_levels/kcore horizon policy).
+    // Per round: centroids = sorted-fold floor-quantized per-dim means of
+    // the current assignment (`Ivf.centroidsOf` — the proven determinism
+    // recipe), assignment = max-cosine over the broadcast k-row centroid
+    // table (ties to the lowest cell). Cost n·k dots + one per-vector rank
+    // window per round — linear in n at fixed k; each round's assignment
+    // is its own localCheckpoint with the predecessor freed (the pagerank
+    // iteration discipline). Output = final assignment's centroids as
+    // (cell, n_members, dim, component) rows — k·64 summary rows.
+    "llm_kmeans_lloyd" -> ((s, d) => {
+      val v = vecs(s, d).select("vec_id", "embedding", "norm")
+      val asg = graft.ops.Ivf.lloyd(v, k = 8, rounds = 3)
+      val cent = graft.ops.Ivf.centroidsOf(asg)
+      val occ = asg.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      cent.join(occ, "cell")
+        .select(col("cell"), col("n_members"), posexplode(col("centroid")).as(Seq("i", "c")))
+        .orderBy("cell", "i")
+    }),
+
     // K3d — product quantization codes (Jégou et al., PQ): the 64-dim
     // vector splits into 8 subspaces of 8 dims; each subspace gets 16
     // centroids (one k-means update step over deterministic md5 seed
@@ -2822,6 +2848,77 @@ object Llm {
       |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
       |ORDER BY c.vec_id""".stripMargin
 
+  /** `llm_kmeans_lloyd` oracle: `rounds` unrolled Lloyd iterations over
+    * `k` md5-seeded cells — each round mirrors `Ivf.centroidsOf` (sorted-
+    * fold floor-quantized per-dim means) + the max-cosine re-assignment
+    * (ties to the lowest cell) CTE for CTE. Assignment tables a0..aR are
+    * MATERIALIZED (each is referenced twice by the next round — DuckDB's
+    * default lazy inlining would blow up 2^R, the graph_kcore lesson);
+    * the final select re-derives centroids + occupancy from aR. */
+  private def kmeansLloydSql(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"a${r - 1}"
+      s"""px$r AS (
+        |  SELECT cell, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM $prev
+        |),
+        |cm$r AS (
+        |  SELECT cell, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+        |  FROM px$r GROUP BY 1, 2
+        |),
+        |ct$r AS (
+        |  SELECT cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+        |  FROM cm$r GROUP BY cell
+        |),
+        |cn$r AS (
+        |  SELECT cell, centroid,
+        |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+        |  FROM ct$r
+        |),
+        |as$r AS (
+        |  SELECT a.vec_id, a.embedding, a.norm, c.cell,
+        |         list_aggregate(list_transform(list_zip(a.embedding, c.centroid),
+        |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+        |           / (a.norm * c.cnorm) AS csim
+        |  FROM $prev a CROSS JOIN cn$r c
+        |),
+        |a$r AS MATERIALIZED (
+        |  SELECT vec_id, embedding, norm, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |    FROM as$r
+        |  ) WHERE rn = 1
+        |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $vecCte,
+      |a0 AS MATERIALIZED (
+      |  SELECT vec_id, embedding, norm,
+      |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |           % $k AS cell
+      |  FROM v
+      |),
+      |$roundCtes,
+      |pxF AS (
+      |  SELECT cell, unnest(range(1, len(embedding) + 1)) AS i,
+      |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      |  FROM a$rounds
+      |),
+      |cmF AS (
+      |  SELECT cell, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+      |  FROM pxF GROUP BY 1, 2
+      |),
+      |ctF AS (
+      |  SELECT cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+      |  FROM cmF GROUP BY cell
+      |),
+      |occ AS (SELECT cell, count(*) AS n_members FROM a$rounds GROUP BY cell)
+      |SELECT t.cell, o.n_members,
+      |       unnest(range(0, len(t.centroid))) AS i,
+      |       unnest(t.centroid) AS c
+      |FROM ctF t JOIN occ o USING (cell)
+      |ORDER BY t.cell, i""".stripMargin
+  }
+
   /** The [[adcPairs]] oracle prefix shared by `llm_pq_adc` and
     * `llm_pq_rerank`: coarse cells (the ivfSql recipe), PQ codebook,
     * per-query ADC tables (`qdt`), per-vector code words (`words`), and
@@ -3868,6 +3965,7 @@ object Llm {
         |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
     "llm_embed_pca_power" -> pcaPowerSql,
+    "llm_kmeans_lloyd" -> kmeansLloydSql(8, 3),
     "llm_semdedup" ->
       s"""WITH $vecCte,
         |seeded AS (

@@ -112,4 +112,62 @@ class IvfSpec extends SparkSpec {
     assert(autoBig < fixedBig / 2,
       f"auto $autoBig%.0f candidates/query vs fixed $fixedBig%.0f — sizing rule not biting")
   }
+
+  test("Ivf.lloyd matches a driver-side recompute and never worsens the k-means objective") {
+    val v = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def md5mod(id: Long, k: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 4), 16) % k).toInt
+    }
+    val k = 8
+    def centroids(asg: Map[Long, Int]): Map[Int, Array[Double]] =
+      v.groupBy(x => asg(x._1)).map { case (c, vs) =>
+        c -> Array.tabulate(vs.head._2.length) { i =>
+          // the sorted-fold mean recipe: per-dim values summed in
+          // ascending order, floor-1e-6 quantized
+          val xs = vs.map(_._2(i).toDouble).sorted
+          var acc = 0.0; xs.foreach(acc += _)
+          math.floor(acc / xs.length * 1e6) / 1e6
+        }
+      }
+    def dot(a: Array[Float], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }; acc
+    }
+    def norm(a: Array[Float]): Double =
+      math.sqrt { var acc = 0.0; a.foreach(x => acc += x.toDouble * x.toDouble); acc }
+    def assign(cent: Map[Int, Array[Double]]): Map[Long, Int] =
+      v.map { case (id, e) =>
+        val n = norm(e)
+        id -> cent.toSeq.map { case (c, ct) =>
+          val cn = math.sqrt { var a = 0.0; ct.foreach(x => a += x * x); a }
+          (dot(e, ct) / (n * cn), c)
+        }.minBy { case (s, c) => (-s, c) }._2
+      }.toMap
+    var asg = v.map(x => x._1 -> md5mod(x._1, k)).toMap
+    val seedObj = {
+      val c = centroids(asg)
+      v.map { case (id, e) => dot(e, c(asg(id))) / (norm(e) * math.sqrt {
+        var a = 0.0; c(asg(id)).foreach(x => a += x * x); a }) }.sum
+    }
+    (1 to 3).foreach(_ => asg = assign(centroids(asg)))
+    val cent = centroids(asg)
+    val occ = asg.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val expect = cent.toSeq.flatMap { case (c, ct) =>
+      ct.zipWithIndex.map { case (x, i) => (c.toLong, occ(c), i, x) }
+    }.sortBy(t => (t._1, t._3))
+    val got = SparkEntry.queries("llm_kmeans_lloyd")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    assert(occ.values.sum == v.length.toLong)
+    // refinement must not worsen the mean assigned-cosine objective
+    val finalObj = v.map { case (id, e) =>
+      dot(e, cent(asg(id))) / (norm(e) * math.sqrt {
+        var a = 0.0; cent(asg(id)).foreach(x => a += x * x); a }) }.sum
+    assert(finalObj >= seedObj - 1e-9,
+      f"Lloyd worsened the objective: $seedObj%.4f -> $finalObj%.4f")
+  }
 }
