@@ -1390,6 +1390,55 @@ object Llm {
         .orderBy(col("n").desc, col("pair")).limit(50)
     }),
 
+    // K5d'' — BPE merge TRAINING, 4 rounds (added r8): the actual
+    // tokenizer-training loop above `llm_bpe_pairs`' single frontier —
+    // each round picks the most frequent adjacent symbol pair over the
+    // frequency-weighted vocabulary (ties: count DESC, pair ASC) and
+    // rewrites every word's symbol sequence with the greedy left-to-right
+    // merge (the textbook BPE trainer; Sennrich et al. 2016). The scale
+    // shape is the whole point: the corpus is touched ONCE (word counts —
+    // one shuffle with map-side partials); every merge round then runs
+    // over the VOCABULARY table only (distinct words — sublinear in
+    // corpus), as one pair-explode aggregation + one codegen'd
+    // fold-rewrite, each round's vocab its own localCheckpoint with the
+    // predecessor freed (the pagerank iteration discipline). The per-round
+    // argmax is ONE metadata row collected to the driver (the pagerank-N
+    // discipline) and folded back in as literals; the oracle computes the
+    // same argmax in SQL per unrolled MATERIALIZED round. EXACT key: all
+    // strings and integer counts, nothing floats.
+    "llm_bpe_train" -> ((s, d) => {
+      var vocab = tokensAll(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
+        .where(length(col("token")) >= 2)
+        .select(col("cnt"), expr(
+          "transform(sequence(1, length(token)), i -> substring(token, i, 1))").as("syms"))
+        .localCheckpoint(true)
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (r <- 1 to 4) {
+        val pairs = vocab
+          .where(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("cnt").as("pcnt"))
+        val top = pairs.orderBy(col("pcnt").desc, col("a"), col("b")).limit(1).collect()
+        require(top.nonEmpty, "BPE merge frontier empty before round 4 — corpus too small")
+        val (a, b, pcnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, pcnt))
+        val next = vocab.select(col("cnt"),
+          aggregate(col("syms"), typedLit(Seq.empty[String]), (acc, x) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint(true)
+        graft.ops.Checkpoints.free(vocab)
+        vocab = next
+      }
+      graft.ops.Checkpoints.free(vocab)
+      import s.implicits._
+      merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count").orderBy("round")
+    }),
+
     // K5e — document fingerprint: rolling 3-token shingles, md5 each, keep
     // the lexicographic minimum (winnowing-style min-sampling; two docs
     // sharing content share fingerprints). Docs shorter than 3 tokens get a
@@ -2848,6 +2897,50 @@ object Llm {
       |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
       |ORDER BY c.vec_id""".stripMargin
 
+  /** `llm_bpe_train` oracle: `rounds` unrolled BPE merge rounds — per
+    * round the frequency-weighted adjacent-pair argmax (count DESC, pair
+    * ASC ties) over the previous vocabulary, then the greedy
+    * left-to-right merge rewrite via a `list_reduce` over singleton
+    * lists (seeding with the first symbol ≡ Spark's empty-seed fold:
+    * the first step of the empty fold just appends). b/v tables
+    * MATERIALIZED — each is referenced twice. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS (
+        |  SELECT (pr).a AS a, (pr).b AS b, sum(cnt) AS pcnt FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |      j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr
+        |    FROM $prev WHERE len(syms) >= 2
+        |  ) GROUP BY 1, 2
+        |),
+        |b$r AS MATERIALIZED (SELECT a, b, pcnt FROM p$r ORDER BY pcnt DESC, a, b LIMIT 1),
+        |v$r AS MATERIALIZED (
+        |  SELECT w.cnt,
+        |         list_reduce(list_transform(w.syms, s -> [s]),
+        |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.a AND x[1] = b.b
+        |                            THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.a || b.b])
+        |                            ELSE list_concat(acc, [x[1]]) END) AS syms
+        |  FROM $prev w CROSS JOIN b$r b
+        |)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b, CAST(pcnt AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\n      |UNION ALL\n      |")
+    s"""WITH w AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+      |  FROM documents
+      |),
+      |v0 AS MATERIALIZED (
+      |  SELECT count(*) AS cnt,
+      |         list_transform(range(1, len(token) + 1), i -> substring(token, i, 1)) AS syms
+      |  FROM w GROUP BY token HAVING len(token) >= 2
+      |),
+      |$roundCtes
+      |$finalSel
+      |ORDER BY round""".stripMargin
+  }
+
   /** `llm_kmeans_lloyd` oracle: `rounds` unrolled Lloyd iterations over
     * `k` md5-seeded cells — each round mirrors `Ivf.centroidsOf` (sorted-
     * fold floor-quantized per-dim means) + the max-cosine re-assignment
@@ -3966,6 +4059,7 @@ object Llm {
         |ORDER BY c.vec_id""".stripMargin,
     "llm_embed_pca_power" -> pcaPowerSql,
     "llm_kmeans_lloyd" -> kmeansLloydSql(8, 3),
+    "llm_bpe_train" -> bpeTrainSql(4),
     "llm_semdedup" ->
       s"""WITH $vecCte,
         |seeded AS (

@@ -473,6 +473,49 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_bpe_train matches a driver-side reference trainer") {
+    val wordCounts = Tables.documents(spark, sf0001).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    var vocab: Seq[(List[String], Long)] =
+      wordCounts.toSeq.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val expect = (1 to 4).map { r =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).withFilter(_.size == 2).foreach(p => pc((p(0), p(1))) += c)
+      }
+      val ((a, b), n) = pc.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+      vocab = vocab.map { case (syms, c) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) {
+            out.remove(out.size - 1); out += (a + b)
+          } else out += x
+        }
+        (out.toList, c)
+      }
+      (r.toLong, a, b, n)
+    }
+    val got = SparkEntry.queries("llm_bpe_train")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // 4 distinct merges, all with genuinely positive weighted counts
+    assert(got.map(x => (x._2, x._3)).distinct.size == 4)
+    assert(got.forall(_._4 > 0))
+  }
+
+  test("the BPE merge rewrite is greedy left-to-right (overlapping pair)") {
+    // merging ('a','a') over [a,a,a] must give [aa, a] — the merged symbol
+    // does not immediately re-merge with the following raw symbol
+    val out = spark.sql(
+      """SELECT aggregate(array('a', 'a', 'a'), CAST(array() AS ARRAY<STRING>),
+        |  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = 'a' AND x = 'a'
+        |                   THEN concat(slice(acc, 1, size(acc) - 1), array('aa'))
+        |                   ELSE concat(acc, array(x)) END) AS m""".stripMargin)
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("aa", "a"))
+  }
+
   test("llm_dsir_weights matches a driver-side recompute and ranks the target domain higher") {
     def bucket(t: String): Int = {
       val md = java.security.MessageDigest.getInstance("MD5")
