@@ -1407,36 +1407,58 @@ object Llm {
     // same argmax in SQL per unrolled MATERIALIZED round. EXACT key: all
     // strings and integer counts, nothing floats.
     "llm_bpe_train" -> ((s, d) => {
-      var vocab = tokensAll(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
-        .where(length(col("token")) >= 2)
-        .select(col("cnt"), expr(
-          "transform(sequence(1, length(token)), i -> substring(token, i, 1))").as("syms"))
-        .localCheckpoint(true)
-      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-      for (r <- 1 to 4) {
-        val pairs = vocab
-          .where(size(col("syms")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("cnt").as("pcnt"))
-        val top = pairs.orderBy(col("pcnt").desc, col("a"), col("b")).limit(1).collect()
-        require(top.nonEmpty, "BPE merge frontier empty before round 4 — corpus too small")
-        val (a, b, pcnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r.toLong, a, b, pcnt))
-        val next = vocab.select(col("cnt"),
-          aggregate(col("syms"), typedLit(Seq.empty[String]), (acc, x) =>
-            when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x)))).as("syms"))
-          .localCheckpoint(true)
-        graft.ops.Checkpoints.free(vocab)
-        vocab = next
-      }
-      graft.ops.Checkpoints.free(vocab)
       import s.implicits._
-      merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count").orderBy("round")
+      bpeMerges(s, d).toDF("round", "sym_a", "sym_b", "pair_count").orderBy("round")
+    }),
+
+    // K5d''' — BPE ENCODING with the trained merges (added r8): the
+    // consumer side of `llm_bpe_train` — every document re-tokenized
+    // under the 4 learned merges (chars → merge 1 → … → merge 4, each a
+    // greedy left-to-right rewrite, applied in RANK ORDER exactly as a
+    // BPE encoder does), reporting per doc the raw symbol count, the
+    // post-merge token count, and the compression ratio (ONE IEEE divide
+    // of exact integers, floor-1e-4). The merges arrive as driver
+    // literals (4 metadata rows from the training loop), and the fold
+    // rewrite runs ONCE PER DISTINCT WORD — the same vocabulary trick as
+    // training (a first cut folded per word occurrence: 12 s at sf0.1 vs
+    // 1.4 s for this shape; at 100 TB encode cost must track vocabulary,
+    // not corpus) — then per-doc totals come from one (doc, token)
+    // aggregation joined against the encoded vocabulary (planner
+    // broadcasts the vocab side), with a left join re-admitting wordless
+    // docs at zero. The oracle re-derives the merges in its own unrolled
+    // CTEs and applies the identical nested list_reduce rewrites.
+    "llm_bpe_encode" -> ((s, d) => {
+      val merges = bpeMerges(s, d)
+      merges.foreach { case (_, a, b, _) =>
+        require(!(a + b).exists(c => c == '\'' || c == '\\'),
+          "BPE merge symbol needs SQL escaping — unsupported") }
+      def rw(inner: String, r: Int, a: String, b: String): String =
+        s"aggregate($inner, CAST(array() AS ARRAY<STRING>), (ac$r, x$r) -> " +
+          s"CASE WHEN size(ac$r) > 0 AND element_at(ac$r, -1) = '$a' AND x$r = '$b' " +
+          s"THEN concat(slice(ac$r, 1, size(ac$r) - 1), array('${a + b}')) " +
+          s"ELSE concat(ac$r, array(x$r)) END)"
+      val chars = "transform(sequence(1, length(token)), i -> substring(token, i, 1))"
+      val rewritten = merges.foldLeft(chars) { case (inner, (r, a, b, _)) =>
+        rw(inner, r.toInt, a, b) }
+      val occ = tokensAll(s, d).groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("k"))
+      val wordEnc = occ.select("token").distinct()
+        .select(col("token"), length(col("token")).cast("long").as("wlen"),
+          expr(s"CAST(size($rewritten) AS BIGINT)").as("wbpe"))
+      val perDoc = occ.join(wordEnc, "token")
+        .groupBy("doc_id")
+        .agg(sum(col("k") * col("wlen")).as("n_syms"),
+          sum(col("k") * col("wbpe")).as("n_bpe"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_syms"), lit(0L)).as("n_syms"),
+          coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+        .select(col("doc_id"), col("n_syms"), col("n_bpe"),
+          when(col("n_bpe") > 0,
+            floor(col("n_syms").cast("double") / col("n_bpe").cast("double") * 1e4) / 1e4)
+            .as("compression"))
+        .orderBy("doc_id")
     }),
 
     // K5e — document fingerprint: rolling 3-token shingles, md5 each, keep
@@ -2897,6 +2919,44 @@ object Llm {
       |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
       |ORDER BY c.vec_id""".stripMargin
 
+  /** The 4-round BPE merge-training loop shared by `llm_bpe_train` and
+    * `llm_bpe_encode`: corpus → word counts ONCE, then per round a
+    * pair-explode aggregation over the vocabulary, a 1-row argmax to the
+    * driver (count DESC, pair ASC ties — the pagerank-N discipline), and
+    * a greedy left-to-right fold rewrite of every word's symbols with
+    * per-round checkpoint-and-free. Returns (round, a, b, pair_count). */
+  private def bpeMerges(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+    var vocab = tokensAll(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(length(col("token")) >= 2)
+      .select(col("cnt"), expr(
+        "transform(sequence(1, length(token)), i -> substring(token, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to 4) {
+      val pairs = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("pcnt"))
+      val top = pairs.orderBy(col("pcnt").desc, col("a"), col("b")).limit(1).collect()
+      require(top.nonEmpty, "BPE merge frontier empty before round 4 — corpus too small")
+      val (a, b, pcnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r.toLong, a, b, pcnt))
+      val next = vocab.select(col("cnt"),
+        aggregate(col("syms"), typedLit(Seq.empty[String]), (acc, x) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))).as("syms"))
+        .localCheckpoint(true)
+      graft.ops.Checkpoints.free(vocab)
+      vocab = next
+    }
+    graft.ops.Checkpoints.free(vocab)
+    merges.toSeq
+  }
+
   /** `llm_bpe_train` oracle: `rounds` unrolled BPE merge rounds — per
     * round the frequency-weighted adjacent-pair argmax (count DESC, pair
     * ASC ties) over the previous vocabulary, then the greedy
@@ -2904,7 +2964,11 @@ object Llm {
     * lists (seeding with the first symbol ≡ Spark's empty-seed fold:
     * the first step of the empty fold just appends). b/v tables
     * MATERIALIZED — each is referenced twice. */
-  private def bpeTrainSql(rounds: Int): String = {
+  /** The WITH-body of the unrolled BPE trainer (word counts, v0, rounds
+    * 1..R yielding b1..bR argmax tables and v1..vR rewritten vocabs) —
+    * shared by `llm_bpe_train`'s final UNION and `llm_bpe_encode`'s
+    * per-doc re-tokenization. */
+  private def bpeTrainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"v${r - 1}"
       s"""p$r AS (
@@ -2924,10 +2988,7 @@ object Llm {
         |  FROM $prev w CROSS JOIN b$r b
         |)""".stripMargin
     }.mkString(",\n")
-    val finalSel = (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b, CAST(pcnt AS BIGINT) AS pair_count FROM b$r")
-      .mkString("\n      |UNION ALL\n      |")
-    s"""WITH w AS (
+    s"""w AS (
       |  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
       |  FROM documents
       |),
@@ -2936,9 +2997,46 @@ object Llm {
       |         list_transform(range(1, len(token) + 1), i -> substring(token, i, 1)) AS syms
       |  FROM w GROUP BY token HAVING len(token) >= 2
       |),
-      |$roundCtes
+      |$roundCtes""".stripMargin
+  }
+
+  private def bpeTrainSql(rounds: Int): String = {
+    val finalSel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b, CAST(pcnt AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\n      |UNION ALL\n      |")
+    s"""WITH ${bpeTrainCtes(rounds)}
       |$finalSel
       |ORDER BY round""".stripMargin
+  }
+
+  /** `llm_bpe_encode` oracle: the trainer's CTEs re-derive the 4 merges,
+    * then every doc's words are re-tokenized with the identical nested
+    * greedy `list_reduce` rewrites (merge rank order, innermost first). */
+  private val bpeEncodeSql: String = {
+    def rw(inner: String, r: Int): String =
+      s"list_reduce(list_transform($inner, s$r -> [s$r]), " +
+        s"(ac$r, x$r) -> CASE WHEN len(ac$r) > 0 AND ac$r[-1] = m$r.a AND x$r[1] = m$r.b " +
+        s"THEN list_concat(list_slice(ac$r, 1, len(ac$r) - 1), [m$r.a || m$r.b]) " +
+        s"ELSE list_concat(ac$r, [x$r[1]]) END)"
+    val chars = "list_transform(range(1, len(w) + 1), i -> substring(w, i, 1))"
+    val rewritten = (1 to 4).foldLeft(chars)((inner, r) => rw(inner, r))
+    s"""WITH ${bpeTrainCtes(4)},
+      |docs AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS words
+      |  FROM documents
+      |),
+      |enc AS (
+      |  SELECT d.doc_id,
+      |         list_aggregate(list_transform(d.words, w -> len(w)), 'sum') AS ns,
+      |         list_aggregate(list_transform(d.words, w -> len($rewritten)), 'sum') AS nb
+      |  FROM docs d
+      |  CROSS JOIN b1 m1 CROSS JOIN b2 m2 CROSS JOIN b3 m3 CROSS JOIN b4 m4
+      |)
+      |SELECT doc_id, CAST(coalesce(ns, 0) AS BIGINT) AS n_syms,
+      |       CAST(coalesce(nb, 0) AS BIGINT) AS n_bpe,
+      |       CASE WHEN coalesce(nb, 0) > 0
+      |            THEN floor(CAST(ns AS DOUBLE) / CAST(nb AS DOUBLE) * 1e4) / 1e4 END AS compression
+      |FROM enc ORDER BY doc_id""".stripMargin
   }
 
   /** `llm_kmeans_lloyd` oracle: `rounds` unrolled Lloyd iterations over
@@ -4060,6 +4158,7 @@ object Llm {
     "llm_embed_pca_power" -> pcaPowerSql,
     "llm_kmeans_lloyd" -> kmeansLloydSql(8, 3),
     "llm_bpe_train" -> bpeTrainSql(4),
+    "llm_bpe_encode" -> bpeEncodeSql,
     "llm_semdedup" ->
       s"""WITH $vecCte,
         |seeded AS (

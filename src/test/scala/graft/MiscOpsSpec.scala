@@ -504,6 +504,52 @@ class MiscOpsSpec extends SparkSpec {
     assert(got.forall(_._4 > 0))
   }
 
+  test("llm_bpe_encode matches a driver-side re-tokenization under the learned merges") {
+    // re-derive the 4 merges with the same reference trainer
+    val wordCounts = Tables.documents(spark, sf0001).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    def rewrite(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b) {
+          out.remove(out.size - 1); out += (a + b)
+        } else out += x
+      }
+      out.toList
+    }
+    var vocab: Seq[(List[String], Long)] =
+      wordCounts.toSeq.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val merges = (1 to 4).map { _ =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).withFilter(_.size == 2).foreach(p => pc((p(0), p(1))) += c)
+      }
+      val ((a, b), _) = pc.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+      vocab = vocab.map { case (syms, c) => (rewrite(syms, a, b), c) }
+      (a, b)
+    }
+    val expect = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val words = r.getString(1).split(" ").filter(_.nonEmpty)
+        val nSyms = words.map(_.length.toLong).sum
+        val nBpe = words.map { w =>
+          merges.foldLeft(w.map(_.toString).toList) {
+            case (syms, (a, b)) => rewrite(syms, a, b) }.length.toLong
+        }.sum
+        (r.getLong(0), nSyms, nBpe,
+          if (nBpe > 0) Some(math.floor(nSyms.toDouble / nBpe * 1e4) / 1e4) else None)
+      }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("llm_bpe_encode")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == expect)
+    // merges only ever shrink a token sequence, and the fixture must
+    // genuinely compress somewhere
+    got.foreach { case (_, ns, nb, _) => assert(nb <= ns && nb >= 0) }
+    assert(got.exists { case (_, ns, nb, _) => nb < ns }, "no doc compressed")
+  }
+
   test("the BPE merge rewrite is greedy left-to-right (overlapping pair)") {
     // merging ('a','a') over [a,a,a] must give [aa, a] — the merged symbol
     // does not immediately re-merge with the following raw symbol
