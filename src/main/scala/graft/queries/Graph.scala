@@ -122,6 +122,44 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 8).as("rank")).orderBy("node")
   }
 
+  /** The 5-iteration PERSONALIZED PageRank composition over `edges`/`deg`
+    * with the restart mass pinned on `seeds` (`nSeeds` rows): rank_i(v) =
+    * 0.15·1(v∈S)/|S| + 0.85·Σ_{u→v} rank_{i-1}(u)/deg(u), init = the
+    * restart vector. Unlike [[pagerankBody]]'s dense global vector, the
+    * rank relation stays SPARSE — only reached nodes carry rows, so
+    * iteration i touches the distance-i neighborhood of the seed set,
+    * never the whole graph (the reason PPR serves per-entity "related
+    * items" queries at 100 TB: work tracks the seed neighborhood). The
+    * restart re-enters through a full-outer join against the seed table
+    * (a seed keeps its restart mass even before any walk mass returns).
+    * Same per-iteration checkpoint-and-free and node-table broadcast
+    * gate as [[pagerankBody]]. */
+  private def pprBody(edges: DataFrame, deg: DataFrame, seeds: DataFrame,
+      nSeeds: Long, n: Long, checkpointIters: Boolean): DataFrame = {
+    def maybeBc(df: DataFrame): DataFrame =
+      if (n < 5000000L) broadcast(df) else df
+    val restart = lit(0.15 / nSeeds.toDouble)
+    var ranks = seeds.select(col("node"), lit(1.0 / nSeeds).as("rank"))
+    for (i <- 1 to 5) {
+      val m = edges.join(maybeBc(ranks), edges("src") === ranks("node"))
+        .join(maybeBc(deg), "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+        .select(col("dst").as("node"), col("m"))
+      val next = m.join(maybeBc(seeds.select(col("node"), lit(1).as("is_seed"))),
+          Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(lit(0.85) * col("m"), lit(0.0)) +
+            when(col("is_seed").isNotNull, restart).otherwise(lit(0.0))).as("rank"))
+      if (checkpointIters) {
+        val ck = next.localCheckpoint(true)
+        if (i > 1) graft.ops.Checkpoints.free(ranks)
+        ranks = ck
+      } else ranks = next
+    }
+    ranks.select(col("node"), round(col("rank"), 8).as("rank")).orderBy("node")
+  }
+
   /** Per-node triangle counts over a canonical (u<v) edge list — see the
     * `graph_triangles` entry for the full design rationale. */
   private def trianglesBody(edges: DataFrame): DataFrame = {
@@ -322,6 +360,28 @@ object Graph {
       finishFreeing(ranks, edges, deg, ranks)
     }),
 
+    // L1' — personalized PageRank (added r8): the seeded-restart variant
+    // behind per-entity "related items" / trust-propagation serving —
+    // restart mass pinned on a 5-node md5-sampled seed set (deterministic
+    // budget, the serveTail discipline) instead of spread uniformly. The
+    // rank relation stays SPARSE (seed neighborhood only, see
+    // [[pprBody]]); total mass is conserved at 1 by construction (no
+    // dangling nodes on the symmetrized graph), which GraphSpec pins
+    // along with the per-seed restart floor. round(8) absorbs the float
+    // contribution-sum order drift, the graph_pagerank precedent.
+    "graph_ppr" -> ((s, d) => {
+      val edges = supplierPartEdges(s, d).localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val n = deg.count()
+      val seeds = deg.select(col("src").as("node"))
+        .withColumn("h", md5(concat(col("node"), lit("|ppr"))))
+        .orderBy("h", "node").limit(5).select("node")
+        .localCheckpoint(true)
+      val ranks = pprBody(edges, deg, seeds, 5L, n, checkpointIters = true)
+      finishFreeing(ranks, edges, deg, seeds, ranks)
+    }),
+
     // L2 — per-node triangle counts over the SUPPORTED co-purchase graph
     // (parts sharing ≥ 2 distinct orders, baskets capped at ≤ 8 parts —
     // see [[copurchaseEdges]]; support ≥ 2 aligned with `graph_cc` in r6,
@@ -513,6 +573,14 @@ object Graph {
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       pagerankBody(edges, deg, deg.count(), checkpointIters = false)
     }),
+    "graph_ppr" -> ((s, d) => {
+      val edges = supplierPartEdges(s, d)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val seeds = deg.select(col("src").as("node"))
+        .withColumn("h", md5(concat(col("node"), lit("|ppr"))))
+        .orderBy("h", "node").limit(5).select("node")
+      pprBody(edges, deg, seeds, 5L, deg.count(), checkpointIters = false)
+    }),
     "graph_triangles" -> ((s, d) => trianglesBody(copurchaseEdgesPlan(s, d))),
     "graph_common_neighbors" ->
       ((s, d) => commonNeighborsBody(copurchaseEdgesPlan(s, d))),
@@ -540,11 +608,31 @@ object Graph {
          |  GROUP BY e.dst
          |)""".stripMargin
     }.mkString(",\n")
+    val pprIter = (1 to 5).map { i =>
+      s"""p$i AS (
+         |  SELECT coalesce(m.node, s.node) AS node,
+         |         coalesce(0.85 * m.m, 0.0)
+         |           + CASE WHEN s.node IS NOT NULL THEN CAST(0.15 AS DOUBLE) / 5
+         |                  ELSE 0.0 END AS rank
+         |  FROM (SELECT e.dst AS node, sum(r.rank / d.deg) AS m
+         |        FROM edges e JOIN p${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |        GROUP BY e.dst) m
+         |  FULL JOIN seeds s ON m.node = s.node
+         |)""".stripMargin
+    }.mkString(",\n")
     Map(
       "graph_pagerank" ->
         s"""$prBase,
            |$prIter
            |SELECT node, round(rank, 8) AS rank FROM r5 ORDER BY node""".stripMargin,
+      "graph_ppr" ->
+        s"""$prBase,
+           |seeds AS MATERIALIZED (
+           |  SELECT src AS node FROM deg ORDER BY md5(src || '|ppr'), src LIMIT 5
+           |),
+           |p0 AS (SELECT node, 1.0 / 5 AS rank FROM seeds),
+           |$pprIter
+           |SELECT node, round(rank, 8) AS rank FROM p5 ORDER BY node""".stripMargin,
       "graph_triangles" ->
         """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),

@@ -59,6 +59,39 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("graph_ppr matches a driver-side seeded recompute; mass conserved; seeds keep the restart floor") {
+    val e0 = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0.flatMap { case (s, p) => Seq(s"s$s" -> s"p$p", s"p$p" -> s"s$s") }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = deg.keys.toSeq.sortBy(n => (md5hex(n + "|ppr"), n)).take(5).toSet
+    var rank: Map[String, Double] = seeds.map(_ -> 1.0 / 5).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      edges.foreach { case (src, dst) =>
+        rank.get(src).foreach(r => contrib(dst) += r / deg(src)) }
+      rank = (contrib.keySet ++ seeds).map { n =>
+        n -> (contrib.getOrElse(n, 0.0) * 0.85 +
+          (if (seeds(n)) 0.15 / 5.0 else 0.0))
+      }.toMap
+    }
+    val got = SparkEntry.queries("graph_ppr")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == rank.keySet)
+    rank.foreach { case (node, r) =>
+      assert(math.abs(got(node) - r) < 1e-6, s"$node: spark ${got(node)} vs driver $r") }
+    // restart vector sums to 1 and no dangling nodes ⇒ mass conserved
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, s"PPR mass ${got.values.sum}")
+    // every seed keeps at least its own restart mass
+    seeds.foreach(sd => assert(got(sd) >= 0.15 / 5.0 - 1e-9, s"seed $sd below restart floor"))
+    // sparsity: the walk reaches a strict subset of the graph or at most all of it
+    assert(got.size <= deg.size)
+    assert(got.size > 5, "walk never left the seed set")
+  }
+
   test("graph_triangles matches a driver-side brute-force count") {
     val edges = supportedEdges(sf0001)
     assert(edges.nonEmpty, "supported graph degenerate — fixture exercises nothing")
