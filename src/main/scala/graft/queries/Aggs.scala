@@ -570,6 +570,56 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // D7c — KMV SET-OPERATION estimates (added r8; Beyer et al. SIGMOD
+    // 2007 §5): audience-overlap between segments ("users doing both X
+    // and Y") from bottom-k sketches alone — the question a rollup store
+    // answers WITHOUT re-reading raw data, and the operation plain
+    // distinct counts cannot compose (|A∩B| ≠ f(|A|, |B|)). Per type
+    // pair: L = bottom-k(A ∪ B) (= merge of the two sketches — exact, a
+    // pure function of the sets), ρ = |{h ∈ L : h ∈ both sketches}|/k,
+    // union estimate Û = (k−1)/(h_k/2^60) (the agg_kmv_distinct readout),
+    // intersection estimate ρ·Û. KEY EQUIVALENCE the oracle leans on:
+    // for h ∈ L, h ∈ sketch(A) ⟺ h ∈ A — h's rank within A is ≤ its
+    // rank within A∪B ≤ k — so closed-form SQL set membership
+    // reconstructs the sketch intersection exactly. Deterministic
+    // end-to-end (sketches are pure functions of the sets; estimates are
+    // fixed IEEE over exactly-agreed integers). Pairs with an exhausted
+    // union (|L| < k) read off exact counts — the sketch IS the union
+    // there. The pair frame is #types² rows of ≤k longs — metadata; the
+    // only data-sized work is the one sketch aggregation.
+    "agg_kmv_intersect" -> ((s, d) => {
+      val k = 64
+      val kmvAgg = udaf(new graft.functions.Kmv(k))
+      val items = Tables.events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("item"))
+      val sk = items.groupBy("event_type").agg(kmvAgg(col("item")).as("sk"))
+      val ut = items.distinct()
+      val exact = ut.as("x").join(ut.as("y"),
+          col("x.item") === col("y.item") && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
+        .withColumn("lu", expr(s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $k)"))
+        .withColumn("c", expr(
+          "size(filter(lu, h -> array_contains(ska, h) AND array_contains(skb, h)))"))
+        .withColumn("kmv_union",
+          when(size(col("lu")) < k, size(col("lu")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("lu"), k).cast("double") / lit(1152921504606846976.0))))
+        .withColumn("kmv_inter",
+          when(size(col("lu")) < k, col("c").cast("double"))
+            .otherwise(col("c").cast("double") / lit(k.toDouble) * col("kmv_union")))
+        .join(exact, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"),
+          col("c").cast("long").as("n_common_bottomk"),
+          round(col("kmv_union"), 4).as("kmv_union"),
+          round(col("kmv_inter"), 4).as("kmv_inter"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // D8' — definition-driven trend rollup (added r7): the reference's
     // time-aggregation CONFIGS as documents — the third leg of the
     // config-as-schema layer (store defs r6 → trigger defs r7 →
@@ -1420,6 +1470,44 @@ object Aggs {
         |FROM x LEFT JOIN kk ON x.event_type = kk.event_type
         |       LEFT JOIN sm ON x.event_type = sm.event_type
         |ORDER BY x.event_type""".stripMargin,
+    "agg_kmv_intersect" ->
+      """WITH i AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS item FROM events),
+        |h AS (SELECT DISTINCT event_type,
+        |        CAST(concat('0x', substring(md5(item), 1, 15)) AS BIGINT) AS hv
+        |      FROM i),
+        |ty AS (SELECT DISTINCT event_type FROM i),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |       FROM ty a JOIN ty b ON a.event_type < b.event_type),
+        |uh AS (SELECT DISTINCT pr.ta, pr.tb, h.hv
+        |       FROM pr JOIN h ON h.event_type = pr.ta OR h.event_type = pr.tb),
+        |r AS (SELECT ta, tb, hv, row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+        |      FROM uh),
+        |l AS (SELECT ta, tb, hv, rn FROM r WHERE rn <= 64),
+        |sz AS (SELECT ta, tb, count(*) AS lsz,
+        |         max(CASE WHEN rn = 64 THEN hv END) AS hk
+        |       FROM l GROUP BY 1, 2),
+        |cc AS (SELECT l.ta, l.tb, count(*) AS c
+        |       FROM l
+        |       JOIN h ha ON ha.event_type = l.ta AND ha.hv = l.hv
+        |       JOIN h hb ON hb.event_type = l.tb AND hb.hv = l.hv
+        |       GROUP BY 1, 2),
+        |xa AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_inter_exact
+        |       FROM i a JOIN i b ON a.item = b.item AND a.event_type < b.event_type
+        |       GROUP BY 1, 2),
+        |est AS (
+        |  SELECT sz.ta, sz.tb, sz.lsz, coalesce(cc.c, 0) AS c,
+        |         CASE WHEN sz.lsz < 64 THEN CAST(sz.lsz AS DOUBLE)
+        |              ELSE 63.0 / (CAST(sz.hk AS DOUBLE) / 1152921504606846976.0) END AS u
+        |  FROM sz LEFT JOIN cc ON sz.ta = cc.ta AND sz.tb = cc.tb
+        |)
+        |SELECT est.ta AS type_a, est.tb AS type_b,
+        |       CAST(coalesce(xa.n_inter_exact, 0) AS BIGINT) AS n_inter_exact,
+        |       CAST(est.c AS BIGINT) AS n_common_bottomk,
+        |       round(est.u, 4) AS kmv_union,
+        |       round(CASE WHEN est.lsz < 64 THEN CAST(est.c AS DOUBLE)
+        |                  ELSE CAST(est.c AS DOUBLE) / 64.0 * est.u END, 4) AS kmv_inter
+        |FROM est LEFT JOIN xa ON est.ta = xa.ta AND est.tb = xa.tb
+        |ORDER BY type_a, type_b""".stripMargin,
     "agg_chi_square" ->
       """WITH cells AS (
         |  SELECT event_type,

@@ -96,4 +96,35 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(got == want)
   }
+
+  test("agg_kmv_intersect: sketch membership equals set membership on the union bottom-k; estimates track exact") {
+    val rows = SparkEntry.queries("agg_kmv_intersect")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 10, "5 event types should yield 10 unordered pairs")
+    // driver-side ground truth per pair
+    val byType = Tables.events(spark, sf001)
+      .select(col("event_type"), col("user_id").cast("string").as("item")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (ta, tb, nExact, c, u, inter) =>
+      val (sa, sb) = (byType(ta), byType(tb))
+      assert(nExact == (sa & sb).size.toLong, s"$ta/$tb exact intersection")
+      // KMV union bottom-64 and sketch-membership count, recomputed from sets
+      val hs = (sa | sb).toSeq.map(graft.functions.Kmv.hash60).distinct.sorted
+      val l = hs.take(64)
+      val ha = sa.map(graft.functions.Kmv.hash60)
+      val hb = sb.map(graft.functions.Kmv.hash60)
+      assert(c == l.count(h => ha(h) && hb(h)).toLong, s"$ta/$tb bottom-k common")
+      // estimates: positive, and within the ~1/sqrt(k-2) KMV error regime
+      // (generous 3-sigma style bound; exact when the union exhausts)
+      val uExact = (sa | sb).size.toDouble
+      assert(u > 0 && math.abs(u - uExact) / uExact < 0.5,
+        s"$ta/$tb union est $u vs exact $uExact")
+      assert(inter >= 0)
+      if (nExact >= 30)
+        assert(math.abs(inter - nExact) / nExact < 0.6,
+          s"$ta/$tb inter est $inter vs exact $nExact")
+    }
+  }
 }
