@@ -1641,60 +1641,39 @@ object Llm {
     // eigenvector sign is whatever the shared arithmetic converges to —
     // identical in both engines, so no canonicalization is needed.
     "llm_embed_pca_power" -> ((s, d) => {
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"),
-          floor(col("x").cast("double") * 1e6).cast("long").as("xq"))
-        .localCheckpoint(true)
-      // table-grain count, NOT distinct() over the exploded checkpoint —
-      // matches the oracle's count(*) FROM embeddings exactly (a row with
-      // an empty embedding array would vanish from the explode but still
-      // count here, as it must) and skips an n·64-row distinct shuffle
-      val nVec = Tables.embeddings(s, d).count()
-      val spp = e.select(col("vec_id"), col("i"), col("xq"))
-        .join(e.select(col("vec_id"), col("i").as("j"), col("xq").as("yq")), "vec_id")
-        .groupBy("i", "j")
-        // the product is exact in LONG (|xq| ≤ ~3.2e5 ⇒ |xq·yq| ≤ ~1e11,
-        // far under 2^63) — only the ACCUMULATION needs DECIMAL headroom,
-        // so the codegen'd long multiply replaces two per-row decimal casts
-        .agg(sum((col("xq") * col("yq")).cast(dec)).as("spp"))
-      val si = e.groupBy("i").agg(sum(col("xq").cast(dec)).as("s"))
-      // The matrix is DIMENSION-sized (d² = 4096 cells — metadata, fixed
-      // by the embedding width, independent of n), so the 8 iterations
-      // run on the driver like pagerank's N scalar: an in-plan version
-      // paid ~16 tiny exchange stages of pure scheduling overhead (~18 s
-      // for 64 output rows). The fold orders below are the oracle
-      // contract: j ascending inside each A·v component, i ascending in
-      // the norm — identical IEEE op order to the unrolled CTE rounds.
-      val cells = spp
-        .join(broadcast(si.select(col("i"), col("s").as("s_i"))), "i")
-        .join(broadcast(si.select(col("i").as("j"), col("s").as("s_j"))), "j")
-        .select(col("i"), col("j"),
-          (lit(nVec).cast(dec) * col("spp") - col("s_i") * col("s_j"))
-            .cast("double").as("a"))
-        .collect()
-      graft.ops.Checkpoints.free(e)
-      val d64 = cells.iterator.map(_.getInt(0)).max + 1
-      val mat = Array.ofDim[Double](d64, d64)
-      cells.foreach(r => mat(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      var v = Array.fill(d64)(0.125d)
-      for (_ <- 1 to 8) {
-        val w = Array.tabulate(d64) { i =>
-          var acc = 0.0d
-          var j = 0
-          while (j < d64) { acc += mat(i)(j) * v(j); j += 1 }
-          acc
-        }
-        var nsq = 0.0d
-        var i = 0
-        while (i < d64) { nsq += w(i) * w(i); i += 1 }
-        val nm = math.sqrt(nsq)
-        v = w.map(_ / nm)
-      }
       import s.implicits._
-      v.zipWithIndex.map { case (x, i) => (i, math.floor(x * 1e6) / 1e6) }
+      pcaPc1(s, d).zipWithIndex.map { case (x, i) => (i, x) }
         .toSeq.toDF("i", "pc1").orderBy("i")
+    }),
+
+    // K8h' — whitening projection against PC1 (added r8): the CONSUMER of
+    // `llm_embed_pca_power` — per vector, its coefficient along the
+    // dominant direction (proj = x·v) and the norm of the whitened
+    // residual |x − proj·v| (what an anisotropy-removal / all-but-the-top
+    // pipeline keeps; Mu & Viswanath 2018's post-processing step). The
+    // projection vector is the QUANTIZED pc1 (floor-1e-6 — the pca key's
+    // own output contract), so both engines consume bit-identical
+    // components; proj is the codegen'd sequential vec_dot, the residual
+    // a zip_with square fold in index order — identical op sequence to
+    // the oracle, floor-1e-4 at the edges. ZERO-SHUFFLE scoring: the
+    // 64-component vector rides as one broadcast row; the only heavy
+    // stage is pca's covariance scan, shared.
+    "llm_embed_whiten" -> ((s, d) => {
+      graft.functions.VecDot.register(s)
+      val v = pcaPc1(s, d)
+      import s.implicits._
+      val pcDf = broadcast(Seq(Tuple1(v.toSeq)).toDF("pc"))
+      Tables.embeddings(s, d)
+        .crossJoin(pcDf)
+        .withColumn("proj", call_function("vec_dot", col("embedding"), col("pc")))
+        .select(col("vec_id"), col("label"),
+          (floor(col("proj") * 1e4) / 1e4).as("pc1_proj"),
+          (floor(sqrt(expr(
+            """aggregate(zip_with(embedding, pc,
+              |  (x, vv) -> (CAST(x AS DOUBLE) - proj * vv) * (CAST(x AS DOUBLE) - proj * vv)),
+              |  CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)""".stripMargin)) * 1e4) / 1e4)
+            .as("resid_norm"))
+        .orderBy("vec_id")
     }),
 
     // K8i — Lloyd's k-means over the embedding corpus (added r8): the
@@ -2878,7 +2857,7 @@ object Llm {
     * MATERIALIZED — each round references its predecessor ~3× and DuckDB
     * inlines CTEs by default, so the lazy unroll would recompute the
     * n·4096 product join 3⁸ times (the graph_kcore lesson). */
-  private val pcaPowerSql: String = {
+  private val pcaPowerCtes: String = {
     val rounds = (1 to 8).map { k =>
       s"""w$k AS MATERIALIZED (
          |  SELECT am.i, list_aggregate(list(am.a * v.v ORDER BY am.j), 'sum') AS w
@@ -2891,7 +2870,7 @@ object Llm {
          |  SELECT i AS j, w / (SELECT nm FROM n$k) AS v FROM w$k
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
       |  SELECT vec_id, unnest(range(0, len(embedding))) AS i,
       |         unnest(list_transform(embedding,
       |           y -> CAST(floor(CAST(y AS DOUBLE) * 1e6) AS BIGINT))) AS xq
@@ -2909,15 +2888,97 @@ object Llm {
       |  FROM spp p JOIN si sa ON p.i = sa.i JOIN si sb ON p.j = sb.i CROSS JOIN nv
       |),
       |v0 AS (SELECT unnest(range(0, 64)) AS j, CAST(0.125 AS DOUBLE) AS v),
-      |$rounds
-      |SELECT j AS i, floor(v * 1e6) / 1e6 AS pc1 FROM v8 ORDER BY i""".stripMargin
+      |$rounds""".stripMargin
   }
+
+  private val pcaPowerSql: String =
+    s"""WITH $pcaPowerCtes
+      |SELECT j AS i, floor(v * 1e6) / 1e6 AS pc1 FROM v8 ORDER BY i""".stripMargin
+
+  /** `llm_embed_whiten` oracle: the pca CTEs re-derive pc1, quantized to
+    * the shared floor-1e-6 contract and assembled into one list; proj is
+    * the sequential zip fold (vec_dot's twin), the residual the identical
+    * squared zip fold at the already-computed proj. */
+  private val embedWhitenSql: String =
+    s"""WITH $pcaPowerCtes,
+      |pcv AS MATERIALIZED (SELECT list(floor(v * 1e6) / 1e6 ORDER BY j) AS pc FROM v8),
+      |pj AS (
+      |  SELECT em.vec_id, em.label, em.embedding, p.pc,
+      |         list_aggregate(list_transform(list_zip(em.embedding, p.pc),
+      |           s -> CAST(struct_extract(s, 1) AS DOUBLE) * struct_extract(s, 2)), 'sum') AS proj
+      |  FROM embeddings em CROSS JOIN pcv p
+      |)
+      |SELECT vec_id, label,
+      |       floor(proj * 1e4) / 1e4 AS pc1_proj,
+      |       floor(sqrt(list_aggregate(list_transform(list_zip(embedding, pc),
+      |         s -> (CAST(struct_extract(s, 1) AS DOUBLE) - proj * struct_extract(s, 2))
+      |            * (CAST(struct_extract(s, 1) AS DOUBLE) - proj * struct_extract(s, 2))), 'sum'))
+      |         * 1e4) / 1e4 AS resid_norm
+      |FROM pj ORDER BY vec_id""".stripMargin
 
   private def ivfSql(nprobe: Int): String =
     s"""WITH ${ivfCtes(nprobe)}
       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
       |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
       |ORDER BY c.vec_id""".stripMargin
+
+  /** The `llm_embed_pca_power` computation through the power iteration,
+    * shared with `llm_embed_whiten`: exact DECIMAL covariance numerator
+    * (1e-6-quantized longs; the n·4096 product rows fold map-side to 4096
+    * cells), then 8 FIXED power iterations on the driver — the matrix is
+    * DIMENSION-sized (d² = 4096 cells, metadata independent of n; an
+    * in-plan version paid ~16 tiny exchange stages of scheduling
+    * overhead, ~18 s for 64 output rows). Fold orders are the oracle
+    * contract: j ascending inside each A·v component, i ascending in the
+    * norm. Returns the FLOOR-1e-6-QUANTIZED pc1 components (the output
+    * contract both keys and both oracles share). */
+  private def pcaPc1(s: SparkSession, d: String): Array[Double] = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("xq"))
+      .localCheckpoint(true)
+    // table-grain count, NOT distinct() over the exploded checkpoint —
+    // matches the oracle's count(*) FROM embeddings exactly (a row with
+    // an empty embedding array would vanish from the explode but still
+    // count here, as it must) and skips an n·64-row distinct shuffle
+    val nVec = Tables.embeddings(s, d).count()
+    val spp = e.select(col("vec_id"), col("i"), col("xq"))
+      .join(e.select(col("vec_id"), col("i").as("j"), col("xq").as("yq")), "vec_id")
+      .groupBy("i", "j")
+      // the product is exact in LONG (|xq| ≤ ~3.2e5 ⇒ |xq·yq| ≤ ~1e11,
+      // far under 2^63) — only the ACCUMULATION needs DECIMAL headroom,
+      // so the codegen'd long multiply replaces two per-row decimal casts
+      .agg(sum((col("xq") * col("yq")).cast(dec)).as("spp"))
+    val si = e.groupBy("i").agg(sum(col("xq").cast(dec)).as("s"))
+    val cells = spp
+      .join(broadcast(si.select(col("i"), col("s").as("s_i"))), "i")
+      .join(broadcast(si.select(col("i").as("j"), col("s").as("s_j"))), "j")
+      .select(col("i"), col("j"),
+        (lit(nVec).cast(dec) * col("spp") - col("s_i") * col("s_j"))
+          .cast("double").as("a"))
+      .collect()
+    graft.ops.Checkpoints.free(e)
+    val d64 = cells.iterator.map(_.getInt(0)).max + 1
+    val mat = Array.ofDim[Double](d64, d64)
+    cells.foreach(r => mat(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var v = Array.fill(d64)(0.125d)
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(d64) { i =>
+        var acc = 0.0d
+        var j = 0
+        while (j < d64) { acc += mat(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var nsq = 0.0d
+      var i = 0
+      while (i < d64) { nsq += w(i) * w(i); i += 1 }
+      val nm = math.sqrt(nsq)
+      v = w.map(_ / nm)
+    }
+    v.map(x => math.floor(x * 1e6) / 1e6)
+  }
 
   /** The 4-round BPE merge-training loop shared by `llm_bpe_train` and
     * `llm_bpe_encode`: corpus → word counts ONCE, then per round a
@@ -4156,6 +4217,7 @@ object Llm {
         |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
     "llm_embed_pca_power" -> pcaPowerSql,
+    "llm_embed_whiten" -> embedWhitenSql,
     "llm_kmeans_lloyd" -> kmeansLloydSql(8, 3),
     "llm_bpe_train" -> bpeTrainSql(4),
     "llm_bpe_encode" -> bpeEncodeSql,

@@ -473,6 +473,37 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_embed_whiten matches a driver-side projection against the pca key's own pc1") {
+    val v = SparkEntry.queries("llm_embed_pca_power")(spark, sf0001)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val expect = emb.map { case (id, label, e) =>
+      var proj = 0.0
+      var i = 0
+      while (i < e.length) { proj += e(i).toDouble * v(i); i += 1 }
+      var rs = 0.0
+      i = 0
+      while (i < e.length) {
+        val dlt = e(i).toDouble - proj * v(i); rs += dlt * dlt; i += 1
+      }
+      (id, label, math.floor(proj * 1e4) / 1e4, math.floor(math.sqrt(rs) * 1e4) / 1e4)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("llm_embed_whiten")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    // Pythagoras (v is unit up to the 1e-6 quantization): proj² + resid² ≈ |x|²
+    val norms = emb.map { case (id, _, e) =>
+      id -> e.map(x => x.toDouble * x.toDouble).sum }.toMap
+    got.foreach { case (id, _, p, r) =>
+      val lhs = p * p + r * r
+      assert(math.abs(lhs - norms(id)) / math.max(norms(id), 1e-9) < 1e-2,
+        s"vec $id: proj^2+resid^2 $lhs vs |x|^2 ${norms(id)}")
+      assert(r * r <= norms(id) * (1.0 + 1e-6), s"vec $id residual exceeds the norm")
+    }
+  }
+
   test("llm_bpe_train matches a driver-side reference trainer") {
     val wordCounts = Tables.documents(spark, sf0001).select(col("text")).collect()
       .flatMap(_.getString(0).split(" ").filter(_.nonEmpty)).filter(_.length >= 2)
