@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core: scans, projection/filter, joins, sorts/limits, set ops
@@ -104,6 +105,49 @@ object Rel {
         .agg(round(avg(col("value")), 4).as("kpi_load"),
           count(lit(1)).cast("double").as("kpi_burst"))
       defn.evaluate(kpis).orderBy("rule", "entity_id", "ts")
+    }),
+
+    // B3'' — trigger severity ESCALATION (added r8): the alarm-management
+    // rung above filter_trigger_notify's stateless exceedances and
+    // filter_trigger_cooldown's flood guard — a condition that PERSISTS
+    // across consecutive granularity periods escalates (warning → major
+    // at 3 consecutive exceeding hours → critical at 6), which is how a
+    // NOC distinguishes a blip from an outage. Consecutiveness is
+    // gaps-and-islands over the exceeding hours only: a run breaks when
+    // the previous exceeding hour is not exactly one granularity step
+    // back (exact integer µs compare); streak = position within the run.
+    // One entity-keyed shuffle + in-partition sort over EXCEEDANCES only
+    // (operational cardinality, not data volume — the cooldown key's
+    // argument); severity is a pure integer CASE on the streak. The KPI
+    // is an exact-integer mean (values floor-quantized to 1e-4-unit longs
+    // BEFORE averaging — order-free integer sum, ONE IEEE divide, floor —
+    // the agg_def_rollup discipline): a round(avg(double)) form hash-split
+    // on a .00005 midpoint at the sf0.1 probe, exactly the documented
+    // round() trap.
+    "filter_trigger_escalate" -> ((s, d) => {
+      val kpis = Tables.events(s, d)
+        .select(col("event_type").as("entity_id"), date_trunc("hour", col("ts")).as("ts"),
+          floor(col("value") * 1e4).cast("long").as("vq"))
+        .groupBy("entity_id", "ts")
+        .agg((floor(sum(col("vq")).cast("double") / count(lit(1))) / 1e4).as("kpi_load"))
+      val ex = kpis.where(col("kpi_load") > 50.0)
+      val w = Window.partitionBy("entity_id").orderBy("ts")
+      val runs = ex
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") =!= 3600000000L, 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("brk")).over(
+          Window.partitionBy("entity_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs
+        .withColumn("streak", row_number().over(
+          Window.partitionBy("entity_id", "run_id").orderBy("ts")))
+        .select(col("entity_id"), col("ts"), col("kpi_load"), col("streak").cast("long").as("streak"),
+          when(col("streak") >= 6, "critical")
+            .when(col("streak") >= 3, "major")
+            .otherwise("warning").as("severity"))
+        .orderBy("entity_id", "ts")
     }),
 
     // C1 — equi inner join (planner picks SMJ/SHJ; at scale the shuffle is
@@ -731,6 +775,35 @@ object Rel {
         |SELECT entity_id, ts, 'burst', 'warning', 'kpi_burst', kpi_burst
         |FROM k WHERE kpi_burst >= 3
         |ORDER BY rule, entity_id, ts""".stripMargin,
+    "filter_trigger_escalate" ->
+      """WITH k AS (
+        |  SELECT event_type AS entity_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+        |         floor(CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE)
+        |               / count(*)) / 10000 AS kpi_load
+        |  FROM events GROUP BY 1, 2
+        |),
+        |ex AS (SELECT * FROM k WHERE kpi_load > 50.0),
+        |l AS (
+        |  SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY entity_id ORDER BY ts) AS prev_us
+        |  FROM ex
+        |),
+        |r AS (
+        |  SELECT *, sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us <> 3600000000
+        |                     THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY entity_id ORDER BY ts
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM l
+        |),
+        |st AS (
+        |  SELECT entity_id, ts, kpi_load,
+        |         row_number() OVER (PARTITION BY entity_id, run_id ORDER BY ts) AS streak
+        |  FROM r
+        |)
+        |SELECT entity_id, ts, kpi_load, CAST(streak AS BIGINT) AS streak,
+        |       CASE WHEN streak >= 6 THEN 'critical'
+        |            WHEN streak >= 3 THEN 'major'
+        |            ELSE 'warning' END AS severity
+        |FROM st ORDER BY entity_id, ts""".stripMargin,
     "join_skew_salted" ->
       """WITH e AS (SELECT event_type, value FROM events),
         |dim AS (SELECT event_type, round(avg(value), 4) AS type_avg FROM e GROUP BY 1)

@@ -473,6 +473,35 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("filter_trigger_escalate matches a driver-side streak recompute and fires all severities") {
+    val hourly = Tables.events(spark, sf001)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(x => (x._1, x._2)).toSeq.map { case ((tpe, h), rs) =>
+        val sq = rs.map(x => math.floor(x._3 * 1e4).toLong).sum
+        (tpe, h, math.floor(sq.toDouble / rs.length) / 1e4)
+      }.toArray
+    val expect = hourly.filter(_._3 > 50.0).groupBy(_._1).toSeq.flatMap { case (tpe, rs) =>
+      val ordered = rs.sortBy(_._2)
+      var streak = 0
+      var prev = Long.MinValue
+      ordered.map { case (_, h, kpi) =>
+        streak = if (h - prev == 3600000L) streak + 1 else 1
+        prev = h
+        val sev = if (streak >= 6) "critical" else if (streak >= 3) "major" else "warning"
+        (tpe, h, kpi, streak.toLong, sev)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("filter_trigger_escalate")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got == expect)
+    // the fixture must genuinely exercise the escalation ladder
+    val sevs = got.map(_._5).toSet
+    assert(sevs == Set("warning", "major", "critical"),
+      s"expected all three severities at sf0.01, got $sevs")
+  }
+
   test("llm_embed_whiten matches a driver-side projection against the pca key's own pc1") {
     val v = SparkEntry.queries("llm_embed_pca_power")(spark, sf0001)
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
