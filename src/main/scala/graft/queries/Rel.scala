@@ -25,6 +25,34 @@ object Rel {
     * corpus's 380-name blocks are where it bites. */
   private[graft] val FuzzyBlockCap = 64L
 
+  /** The `filter_trigger_escalate` streak/severity ladder over hourly KPI
+    * rows (entity_id, ts, kpi_load) — shared with `stream_escalate`, which
+    * applies it to the DRAINED window-grain aggregate (the aggregate-hot /
+    * fold-on-read separation): exceedances (> 50.0), gaps-and-islands runs
+    * (break unless the previous exceeding hour is exactly 1 h back, exact
+    * integer µs compare), streak position, warning/major/critical at
+    * 1/3/6. Windows run over exceedances only — operational cardinality. */
+  private[graft] def escalateTail(kpis: DataFrame): DataFrame = {
+    val ex = kpis.where(col("kpi_load") > 50.0)
+    val w = Window.partitionBy("entity_id").orderBy("ts")
+    ex
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") =!= 3600000000L, 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("brk")).over(
+        Window.partitionBy("entity_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("streak", row_number().over(
+        Window.partitionBy("entity_id", "run_id").orderBy("ts")))
+      .select(col("entity_id"), col("ts"), col("kpi_load"),
+        col("streak").cast("long").as("streak"),
+        when(col("streak") >= 6, "critical")
+          .when(col("streak") >= 3, "major")
+          .otherwise("warning").as("severity"))
+      .orderBy("entity_id", "ts")
+  }
+
   val queries: Map[String, Q] = Map(
     // A1 — parquet scan with projection + per-group count: proves the
     // pushdown/pruning path (only 2 columns reach the scan).
@@ -130,24 +158,7 @@ object Rel {
           floor(col("value") * 1e4).cast("long").as("vq"))
         .groupBy("entity_id", "ts")
         .agg((floor(sum(col("vq")).cast("double") / count(lit(1))) / 1e4).as("kpi_load"))
-      val ex = kpis.where(col("kpi_load") > 50.0)
-      val w = Window.partitionBy("entity_id").orderBy("ts")
-      val runs = ex
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-        .withColumn("brk",
-          when(col("prev_us").isNull ||
-            unix_micros(col("ts")) - col("prev_us") =!= 3600000000L, 1L).otherwise(0L))
-        .withColumn("run_id", sum(col("brk")).over(
-          Window.partitionBy("entity_id").orderBy("ts")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      runs
-        .withColumn("streak", row_number().over(
-          Window.partitionBy("entity_id", "run_id").orderBy("ts")))
-        .select(col("entity_id"), col("ts"), col("kpi_load"), col("streak").cast("long").as("streak"),
-          when(col("streak") >= 6, "critical")
-            .when(col("streak") >= 3, "major")
-            .otherwise("warning").as("severity"))
-        .orderBy("entity_id", "ts")
+      escalateTail(kpis)
     }),
 
     // C1 — equi inner join (planner picks SMJ/SHJ; at scale the shuffle is

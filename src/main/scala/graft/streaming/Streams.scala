@@ -582,6 +582,29 @@ object Streams {
         .orderBy("bucket", "rk")
     }),
 
+    // I11' — streaming trigger ESCALATION feed (added r8): the online form
+    // of `filter_trigger_escalate`, split on the aggregate-hot /
+    // fold-on-read line (the stream_topk separation): the STREAMING stage
+    // is the watermarked per-(entity, hour) exact-integer KPI aggregation
+    // — state is two longs per open window, bounded by the watermark at
+    // any event volume — and the escalation ladder (gaps-and-islands
+    // streaks → severity) runs on the drained window-grain rows via the
+    // SHARED `Rel.escalateTail`, so the streaming feed and the batch twin
+    // cannot desynchronize (one tail, one oracle). A NOC deployment runs
+    // the same shape: alarms aggregate continuously, the escalation view
+    // folds the alarm STREAM, not the raw events.
+    "stream_escalate" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("event_type").as("entity_id"), window(col("ts"), "1 hour"))
+        .agg(sum(floor(col("value") * 1e4).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+      val drained = drain(s, agg, "graft_stream_escalate", OutputMode.Complete())
+        .select(col("entity_id"), col("window.start").as("ts"),
+          (floor(col("sq").cast("double") / col("n")) / 1e4).as("kpi_load"))
+      graft.queries.Rel.escalateTail(drained)
+    }),
+
     // I12 — streaming last-touch attribution (added r5): the ONLINE form
     // of `win_attribution` — per user, keyed state holds only the latest
     // qualifying touch (click/view id, µs, type), and each purchase is
@@ -995,6 +1018,11 @@ object Streams {
       // (same fold arithmetic, same ordering), so it shares the batch
       // twin's oracle verbatim.
       "stream_attribution" -> graft.queries.Wins.oracles("win_attribution"),
+      // The drained window-grain KPI equals the batch hourly rollup
+      // exactly (exact-integer sums; window(1h) start ≡ date_trunc hour),
+      // and the escalation tail is the SHARED Rel.escalateTail — so the
+      // streaming key runs the batch twin's oracle verbatim.
+      "stream_escalate" -> graft.queries.Rel.oracles("filter_trigger_escalate"),
     )
   }
 }

@@ -380,6 +380,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch, "online last-touch attribution diverged from the batch window")
   }
 
+  test("stream_escalate equals the batch filter_trigger_escalate on sf0.001") {
+    val stream = graft.streaming.Streams.queries("stream_escalate")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("filter_trigger_escalate")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch, "online escalation feed diverged from the batch ladder")
+  }
+
   test("attribution touch state carries across micro-batches") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.streaming.TimeMode
