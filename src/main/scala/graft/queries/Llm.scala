@@ -1421,7 +1421,7 @@ object Llm {
     // literals (4 metadata rows from the training loop), and the fold
     // rewrite runs ONCE PER DISTINCT WORD — the same vocabulary trick as
     // training (a first cut folded per word occurrence: 12 s at sf0.1 vs
-    // 1.4 s for this shape; at 100 TB encode cost must track vocabulary,
+    // 1.9 s for this shape; at 100 TB encode cost must track vocabulary,
     // not corpus) — then per-doc totals come from one (doc, token)
     // aggregation joined against the encoded vocabulary (planner
     // broadcasts the vocab side), with a left join re-admitting wordless
