@@ -63,6 +63,32 @@ class CountMin(depth: Int, width: Int)
     ExpressionEncoder[Array[Long]]()
 }
 
+/** Second-level Count-Min aggregation: merges FINISHED sketches by
+  * elementwise addition (the partial-rollup shape — daily sketches stored
+  * in a trend rollup, merged to weekly/monthly grain without re-reading
+  * raw data). Counter addition is associative + commutative, so
+  * merge(cm(A), cm(B)) = cm(A ⊎ B) EXACTLY — the merged readout is
+  * DETERMINISTIC and the oracle recomputes the coarser grain's counters
+  * directly from raw in closed form (the KmvMerge twin for frequencies
+  * instead of distincts). */
+class CountMinMerge(depth: Int, width: Int)
+    extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+  override def zero: Array[Long] = new Array[Long](depth * width)
+  override def reduce(buf: Array[Long], sk: Seq[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += sk(i); i += 1 }
+    buf
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+  override def finish(r: Array[Long]): Array[Long] = r
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 object CountMin {
 
   /** Row-`r` bucket of `item`: first 8 hex chars of md5("r:item") mod

@@ -541,6 +541,38 @@ object Aggs {
         .orderBy("item")
     }),
 
+    // D19'' — two-level Count-Min rollup merge (added r8): the
+    // DETERMINISTIC frequency twin of `agg_kmv_merge`'s distinct rollup,
+    // completing the mergeable-sketch triple (HLL tolerance-checked, KMV
+    // exact-distinct, CM exact-frequency): per-day CM sketches of the
+    // user stream merged to weekly grain by ELEMENTWISE COUNTER ADDITION
+    // (`functions.CountMinMerge`) — the re-aggregable frequency path a
+    // materialized rollup stores (daily partials on disk, coarser grains
+    // served by merging partials, raw never re-read). Counter addition is
+    // associative + commutative, so merge(cm(A), cm(B)) = cm(A ⊎ B)
+    // EXACTLY, and the oracle recomputes the weekly counters directly
+    // from raw in closed form — estimates pinned exactly cross-engine.
+    // Readout: per (week, item) the sketch estimate vs the exact weekly
+    // count. Shuffles carry d·w longs per day then per week — constant.
+    "agg_cm_merge" -> ((s, d) => {
+      val (depth, width) = (4, 64)
+      val cmAgg = udaf(new graft.functions.CountMin(depth, width))
+      val cmMerge = udaf(new graft.functions.CountMinMerge(depth, width))
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id").cast("string").as("item"))
+      val weekly = ev.groupBy("day")
+        .agg(cmAgg(col("item")).as("sk"))
+        .groupBy(weekofyear(col("day")).as("week"))
+        .agg(cmMerge(col("sk")).as("wsk"))
+      ev.groupBy(weekofyear(col("day")).as("week"), col("item"))
+        .agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(weekly), "week")
+        .select(col("week"), col("item"), col("n_exact"),
+          graft.functions.CountMin.estimateCol(col("wsk"), col("item"), depth, width)
+            .as("cm_est"))
+        .orderBy("week", "item")
+    }),
+
     // D20'' — KMV (bottom-k) distinct sketch readout (functions.Kmv,
     // Bar-Yossef et al. 2002): per event type, the ≤64 smallest distinct
     // 60-bit md5 hashes of the user set, estimate (k−1)/(h_k/2^60) read
@@ -1570,6 +1602,19 @@ object Aggs {
         |       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
         |       count(value) AS samples
         |FROM q GROUP BY 1, 2 ORDER BY entity_id, ts""".stripMargin,
+    "agg_cm_merge" ->
+      """WITH e AS (SELECT weekofyear(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS week,
+        |                 CAST(user_id AS VARCHAR) AS item FROM events),
+        |c AS (SELECT week, item, count(*) AS n_exact FROM e GROUP BY 1, 2),
+        |r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+        |b AS (SELECT c.week, c.item, c.n_exact, r.r,
+        |        CAST(concat('0x', substring(md5(CAST(r.r AS VARCHAR) || ':' || c.item), 1, 8)) AS BIGINT) % 64 AS bkt
+        |      FROM c CROSS JOIN r),
+        |rc AS (SELECT week, r, bkt, sum(n_exact) AS counter FROM b GROUP BY 1, 2, 3)
+        |SELECT b.week, b.item, b.n_exact, CAST(min(rc.counter) AS BIGINT) AS cm_est
+        |FROM b JOIN rc ON b.week = rc.week AND b.r = rc.r AND b.bkt = rc.bkt
+        |GROUP BY b.week, b.item, b.n_exact
+        |ORDER BY b.week, b.item""".stripMargin,
     "agg_kmv_merge" ->
       """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |                 CAST(user_id AS VARCHAR) AS item FROM events),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.CountMin
+import graft.functions.{CountMin, CountMinMerge}
 
 /** Count-Min sketch (`functions.CountMin`, `agg_count_min`): the oracle
   * pins the estimates exactly (the sketch is deterministic), so this spec
@@ -64,5 +64,30 @@ class CountMinSpec extends SparkSpec {
           s"row $r item '$item': JVM bucket ${CountMin.bucket(r, item, width)} != SQL $b")
       }
     }
+  }
+
+  test("merging daily sketches equals sketching the raw week (agg_cm_merge mergeability)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (depth, width) = (4, 64)
+    val cmAgg = udaf(new CountMin(depth, width))
+    val cmMerge = udaf(new CountMinMerge(depth, width))
+    val ev = Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("day"), col("user_id").cast("string").as("item"))
+    val merged = ev.groupBy("day").agg(cmAgg(col("item")).as("sk"))
+      .groupBy(weekofyear(col("day")).as("week")).agg(cmMerge(col("sk")).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+    val direct = ev.groupBy(weekofyear(col("day")).as("week"))
+      .agg(cmAgg(col("item")).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (w, sk) =>
+      assert(sk.sameElements(direct(w)), s"week $w: merged sketch != direct sketch") }
+    // weekly estimates stay one-sided against the exact weekly counts
+    val est = SparkEntry.queries("agg_cm_merge")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(est.nonEmpty)
+    est.foreach { case (w, item, exact, e) =>
+      assert(e >= exact, s"week $w item $item: CM under-counted ($e < $exact)") }
   }
 }
