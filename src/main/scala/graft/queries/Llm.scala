@@ -1019,6 +1019,51 @@ object Llm {
         .orderBy("vec_id", "rank")
     }),
 
+    // K2g' — anchor–positive mining (added r8): the other half of the
+    // contrastive-training data `llm_hard_negatives` mines — per anchor
+    // the TOP-1 most similar SAME-label vector (the paper-standard
+    // positive for triplet/InfoNCE training; the margin readout joins
+    // this to the negatives key downstream). Identical architecture to
+    // the negatives twin with the label predicate flipped: below the
+    // shared HardNegGate an exact label-blocked pair join (both oracle
+    // scales), above it the occupancy-pinned IVF cell join with
+    // `q_label === c_label` pushed into the join — candidate volume
+    // bounded by cell occupancy, the flat-serving policy. Total-order
+    // tie-break (sim DESC, id ASC); sims round-4.
+    "llm_positive_pairs" -> ((s, d) => {
+      val v = vecs(s, d)
+      val n = v.count()
+      val blocked = n > HardNegGate
+      val sims =
+        if (!blocked) {
+          val a = v.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+            col("norm").as("q_n"), col("label").as("q_label"))
+          val b = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+            col("norm").as("c_n"), col("label").as("c_label"))
+          a.join(b, col("q_id") =!= col("c_id") && col("q_label") === col("c_label"))
+            .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+        } else {
+          val ranked = graft.ops.Ivf.coarseRanked(
+            v, graft.ops.Ivf.occupancyNlist(n, targetOccupancy = 50))
+          val probes = ranked.where(col("r") <= 2)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+              col("norm").as("q_n"), col("label").as("q_label"),
+              col("cell").as("p_cell"))
+          val cands = ranked.where(col("r") === 1)
+            .select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+              col("norm").as("c_n"), col("label").as("c_label"),
+              col("cell").as("b_cell"))
+          probes.join(cands, col("p_cell") === col("b_cell")
+              && col("q_id") =!= col("c_id") && col("q_label") === col("c_label"))
+            .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+        }
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+      sims.withColumn("rank", row_number().over(w)).where(col("rank") === 1)
+        .select(col("q_id").as("vec_id"), col("q_label"),
+          col("c_id").as("pos_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id")
+    }),
+
     // K4 — k-NN majority label (k=5, self excluded): per query vector take
     // the 5 most similar, vote, tie-break lower label. Output also carries
     // the true label so accuracy is computable downstream.
@@ -4111,6 +4156,22 @@ object Llm {
         |       string_agg(in_piece, ' ' ORDER BY pos) AS input_text,
         |       string_agg(tgt_piece, ' ' ORDER BY pos) AS target_text
         |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_positive_pairs" ->
+      s"""WITH $vecCte,
+        |sims AS (
+        |  SELECT a.vec_id AS vec_id, a.label AS q_label,
+        |         b.vec_id AS pos_id,
+        |         $dotSql / (a.norm * b.norm) AS sim
+        |  FROM v a JOIN v b
+        |    ON a.vec_id <> b.vec_id AND a.label = b.label
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY sim DESC, pos_id) AS rank
+        |  FROM sims
+        |)
+        |SELECT vec_id, q_label, pos_id, round(sim, 4) AS sim
+        |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin,
     "llm_hard_negatives" ->
       s"""WITH $vecCte,
         |sims AS (

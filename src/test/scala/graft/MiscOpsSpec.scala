@@ -502,6 +502,32 @@ class MiscOpsSpec extends SparkSpec {
       s"expected all three severities at sf0.01, got $sevs")
   }
 
+  test("llm_positive_pairs matches a driver-side exact same-label top-1") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }; acc
+    }
+    val norms = emb.map { case (id, _, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    val expect = emb.flatMap { case (id, label, e) =>
+      val cands = emb.filter(x => x._1 != id && x._2 == label)
+        .map { case (cid, _, ce) => (dot(e, ce) / (norms(id) * norms(cid)), cid) }
+      if (cands.isEmpty) None
+      else {
+        val (sim, cid) = cands.minBy { case (s, c) => (-s, c) }
+        Some((id, label, cid,
+          BigDecimal(sim).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("llm_positive_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    // every anchor has a positive on this fixture (each label has >= 2 members)
+    assert(got.length == emb.length)
+  }
+
   test("llm_embed_whiten matches a driver-side projection against the pca key's own pc1") {
     val v = SparkEntry.queries("llm_embed_pca_power")(spark, sf0001)
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
