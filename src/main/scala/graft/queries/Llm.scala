@@ -289,6 +289,58 @@ object Llm {
     * pushed into the join. */
   private[graft] val HardNegGate = 10000L
 
+  /** Shared candidate-pair plan for the contrastive-mining trio
+    * (`llm_hard_negatives` / `llm_positive_pairs` / `llm_triplet_margin`):
+    * per anchor, label-predicated similarity candidates with the
+    * [[HardNegGate]] exactness split. At or under the gate, the exact
+    * all-pairs join with the label predicate (=== for positives, =!= for
+    * negatives) — the gate binds earlier than [[PairJoinGate]] because
+    * this branch pays a full-precision d-dim dot per candidate pair
+    * (n²·d float mults, ~64× the bitmask keys' per-pair cost); 10 k
+    * keeps both oracle scales (sf0.01/sf0.1) exact. Above it, the
+    * occupancy-pinned IVF cell join (the `llm_ivf_serve` policy: nlist
+    * scaled so cells hold ~50 vectors, 2-cell probe) with the label
+    * predicate PUSHED INTO the join — candidate volume is bounded by
+    * cell occupancy, flat per anchor as the corpus grows. A candidate
+    * lives in exactly one home cell, so a (q,c) pair arises from at most
+    * one probed cell — no post-join distinct. Returns q_id, q_label,
+    * c_id, c_label, sim (unrounded). */
+  private def labelPairSims(s: SparkSession, d: String,
+      sameLabel: Option[Boolean]): DataFrame = {
+    val v = vecs(s, d)
+    val n = v.count()
+    // None = no label predicate (both sides of the contrastive split in
+    // one pair scan — `llm_triplet_margin`'s route: same total pair
+    // volume as either twin's complement, but ONE join instead of two)
+    def labelPred = sameLabel match {
+      case Some(true)  => col("q_label") === col("c_label")
+      case Some(false) => col("q_label") =!= col("c_label")
+      case None        => lit(true)
+    }
+    if (n <= HardNegGate) {
+      val a = v.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+        col("norm").as("q_n"), col("label").as("q_label"))
+      val b = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+        col("norm").as("c_n"), col("label").as("c_label"))
+      a.join(b, col("q_id") =!= col("c_id") && labelPred)
+        .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+    } else {
+      val ranked = graft.ops.Ivf.coarseRanked(
+        v, graft.ops.Ivf.occupancyNlist(n, targetOccupancy = 50))
+      val probes = ranked.where(col("r") <= 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+          col("norm").as("q_n"), col("label").as("q_label"),
+          col("cell").as("p_cell"))
+      val cands = ranked.where(col("r") === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+          col("norm").as("c_n"), col("label").as("c_label"),
+          col("cell").as("b_cell"))
+      probes.join(cands, col("p_cell") === col("b_cell")
+          && col("q_id") =!= col("c_id") && labelPred)
+        .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+    }
+  }
+
   /** 4×4-bit band keys over the 16-bit SimHash signature: one (doc_id,
     * lang, simhash, band_i, band_v) row per band. A pair at hamming
     * distance ≤ 3 differs in at most 3 bands, so it shares at least one
@@ -977,42 +1029,9 @@ object Llm {
     // Total-order tie-break (sim DESC, id ASC) keeps the top-3
     // deterministic; sims round-4 at the edge.
     "llm_hard_negatives" -> ((s, d) => {
-      val v = vecs(s, d)
-      val n = v.count()
-      // own, earlier gate than PairJoinGate (r8): the exact branch here
-      // pays a full-precision d-dim dot per candidate pair (n² · d
-      // float mults — ~64× the per-pair cost of the bitmask dedup keys
-      // the 50 k gate was budgeted for), so the exactness budget binds
-      // sooner. 10 k keeps both oracle scales (sf0.01/sf0.1) on the
-      // exact closed form while a 10× corpus runs the production route.
-      val blocked = n > HardNegGate
-      val sims =
-        if (!blocked) {
-          val a = v.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
-            col("norm").as("q_n"), col("label").as("q_label"))
-          val b = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
-            col("norm").as("c_n"), col("label").as("c_label"))
-          a.join(b, col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
-            .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
-        } else {
-          val ranked = graft.ops.Ivf.coarseRanked(
-            v, graft.ops.Ivf.occupancyNlist(n, targetOccupancy = 50))
-          val probes = ranked.where(col("r") <= 2)
-            .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
-              col("norm").as("q_n"), col("label").as("q_label"),
-              col("cell").as("p_cell"))
-          val cands = ranked.where(col("r") === 1)
-            .select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
-              col("norm").as("c_n"), col("label").as("c_label"),
-              col("cell").as("b_cell"))
-          // a candidate lives in exactly one home cell, so a (q,c) pair
-          // arises from at most one probed cell — no post-join distinct
-          probes.join(cands, col("p_cell") === col("b_cell")
-              && col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
-            .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
-        }
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-      sims.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      labelPairSims(s, d, sameLabel = Some(false))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
         .select(col("q_id").as("vec_id"), col("q_label"),
           col("c_id").as("neg_id"), col("c_label").as("neg_label"),
           col("rank"), round(col("sim"), 4).as("sim"))
@@ -1031,36 +1050,52 @@ object Llm {
     // bounded by cell occupancy, the flat-serving policy. Total-order
     // tie-break (sim DESC, id ASC); sims round-4.
     "llm_positive_pairs" -> ((s, d) => {
-      val v = vecs(s, d)
-      val n = v.count()
-      val blocked = n > HardNegGate
-      val sims =
-        if (!blocked) {
-          val a = v.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
-            col("norm").as("q_n"), col("label").as("q_label"))
-          val b = v.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
-            col("norm").as("c_n"), col("label").as("c_label"))
-          a.join(b, col("q_id") =!= col("c_id") && col("q_label") === col("c_label"))
-            .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
-        } else {
-          val ranked = graft.ops.Ivf.coarseRanked(
-            v, graft.ops.Ivf.occupancyNlist(n, targetOccupancy = 50))
-          val probes = ranked.where(col("r") <= 2)
-            .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
-              col("norm").as("q_n"), col("label").as("q_label"),
-              col("cell").as("p_cell"))
-          val cands = ranked.where(col("r") === 1)
-            .select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
-              col("norm").as("c_n"), col("label").as("c_label"),
-              col("cell").as("b_cell"))
-          probes.join(cands, col("p_cell") === col("b_cell")
-              && col("q_id") =!= col("c_id") && col("q_label") === col("c_label"))
-            .withColumn("sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
-        }
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-      sims.withColumn("rank", row_number().over(w)).where(col("rank") === 1)
+      labelPairSims(s, d, sameLabel = Some(true))
+        .withColumn("rank", row_number().over(w)).where(col("rank") === 1)
         .select(col("q_id").as("vec_id"), col("q_label"),
           col("c_id").as("pos_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // K2g'' — triplet margin readout (added r8): the readout the
+    // positives key's doc promises — join each anchor's top-1 positive
+    // (same label, `llm_positive_pairs`' rank-1) with its top-1 hard
+    // negative (`llm_hard_negatives`' rank-1) and report the triplet
+    // margin sim(a,p) − sim(a,n), plus the violation flag against the
+    // standard margin m = 0.2 (violations are the triplets that
+    // contribute loss — the fraction violating is the dataset-level
+    // "hardness" a curriculum scheduler reads). Both sides come from the
+    // one shared `labelPairSims` plan (same gate, same tie-break), so
+    // the key is two window top-1s + an anchor-keyed equi-join — no new
+    // pair volume beyond the twins'. Margin is the IEEE difference of
+    // the unrounded sims (identical on both engines), round-4 at the
+    // edge like the sims themselves.
+    "llm_triplet_margin" -> ((s, d) => {
+      // ONE pair scan for both sides of the contrastive split (sameLabel
+      // = None), ranked within (anchor, same-label?) — vs calling the
+      // twins' plans separately this halves the join count at identical
+      // total pair volume (same + cross label pairs partition all pairs).
+      // The 2-rows-per-anchor top frame then folds to one row per anchor
+      // with max(when(...)) — inner-join semantics via the null filter
+      // (an anchor missing either side drops, matching the oracle).
+      val w = Window.partitionBy("q_id", "same")
+        .orderBy(col("sim").desc, col("c_id"))
+      labelPairSims(s, d, sameLabel = None)
+        .withColumn("same", col("q_label") === col("c_label"))
+        .withColumn("rank", row_number().over(w)).where(col("rank") === 1)
+        .groupBy(col("q_id").as("vec_id"), col("q_label"))
+        .agg(
+          max(when(col("same"), col("c_id"))).as("pos_id"),
+          max(when(col("same"), col("sim"))).as("pos_raw"),
+          max(when(!col("same"), col("c_id"))).as("neg_id"),
+          max(when(!col("same"), col("sim"))).as("neg_raw"))
+        .where(col("pos_id").isNotNull && col("neg_id").isNotNull)
+        .select(col("vec_id"), col("q_label"),
+          col("pos_id"), round(col("pos_raw"), 4).as("pos_sim"),
+          col("neg_id"), round(col("neg_raw"), 4).as("neg_sim"),
+          round(col("pos_raw") - col("neg_raw"), 4).as("margin"),
+          (col("pos_raw") - col("neg_raw") < 0.2).as("violation"))
         .orderBy("vec_id")
     }),
 
@@ -4172,6 +4207,43 @@ object Llm {
         |)
         |SELECT vec_id, q_label, pos_id, round(sim, 4) AS sim
         |FROM r WHERE rank = 1 ORDER BY vec_id""".stripMargin,
+    "llm_triplet_margin" ->
+      s"""WITH $vecCte,
+        |psims AS (
+        |  SELECT a.vec_id AS vec_id, a.label AS q_label,
+        |         b.vec_id AS pos_id,
+        |         $dotSql / (a.norm * b.norm) AS sim
+        |  FROM v a JOIN v b
+        |    ON a.vec_id <> b.vec_id AND a.label = b.label
+        |),
+        |pos AS (
+        |  SELECT vec_id, q_label, pos_id, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY sim DESC, pos_id) AS rank
+        |    FROM psims
+        |  ) WHERE rank = 1
+        |),
+        |nsims AS (
+        |  SELECT a.vec_id AS vec_id,
+        |         b.vec_id AS neg_id,
+        |         $dotSql / (a.norm * b.norm) AS sim
+        |  FROM v a JOIN v b
+        |    ON a.vec_id <> b.vec_id AND a.label <> b.label
+        |),
+        |neg AS (
+        |  SELECT vec_id, neg_id, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY sim DESC, neg_id) AS rank
+        |    FROM nsims
+        |  ) WHERE rank = 1
+        |)
+        |SELECT p.vec_id, p.q_label,
+        |       p.pos_id, round(p.sim, 4) AS pos_sim,
+        |       n.neg_id, round(n.sim, 4) AS neg_sim,
+        |       round(p.sim - n.sim, 4) + 0 AS margin,
+        |       p.sim - n.sim < 0.2 AS violation
+        |FROM pos p JOIN neg n ON p.vec_id = n.vec_id
+        |ORDER BY p.vec_id""".stripMargin,
     "llm_hard_negatives" ->
       s"""WITH $vecCte,
         |sims AS (

@@ -528,6 +528,43 @@ class MiscOpsSpec extends SparkSpec {
     assert(got.length == emb.length)
   }
 
+  test("llm_triplet_margin matches a driver-side recompute and agrees with the twins' rank-1 rows") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }; acc
+    }
+    val norms = emb.map { case (id, _, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    def top1(id: Long, label: Int, e: Array[Float], same: Boolean) = {
+      val cands = emb.filter(x => x._1 != id && (if (same) x._2 == label else x._2 != label))
+        .map { case (cid, _, ce) => (dot(e, ce) / (norms(id) * norms(cid)), cid) }
+      if (cands.isEmpty) None else Some(cands.minBy { case (s, c) => (-s, c) })
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = emb.flatMap { case (id, label, e) =>
+      for { (ps, pid) <- top1(id, label, e, same = true)
+            (ns, nid) <- top1(id, label, e, same = false) }
+        yield (id, label, pid, r4(ps), nid, r4(ns), r4(ps - ns), ps - ns < 0.2)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("llm_triplet_margin")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7))).toSeq
+    assert(got == expect)
+    // consistency with the twins: the rank-1 rows of each must reappear
+    val posRows = SparkEntry.queries("llm_positive_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val negRows = SparkEntry.queries("llm_hard_negatives")(spark, sf0001)
+      .collect().filter(_.getInt(4) == 1)
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(5))).toSet
+    got.foreach { case (id, _, pid, ps, nid, ns, _, _) =>
+      assert(posRows.contains((id, pid, ps)), s"anchor $id positive mismatch")
+      assert(negRows.contains((id, nid, ns)), s"anchor $id negative mismatch")
+    }
+  }
+
   test("llm_embed_whiten matches a driver-side projection against the pca key's own pc1") {
     val v = SparkEntry.queries("llm_embed_pca_power")(spark, sf0001)
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
