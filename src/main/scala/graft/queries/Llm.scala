@@ -457,37 +457,105 @@ object Llm {
     * table over their 4-byte PQ code words (never their floats). Returns
     * (cells, adc): the coarse assignment (vec_id, cell) and the scored
     * pairs (a_id, cell, b_id, adc). */
+  /** Per-query nested ADC table from [[pqParts]]' dists: 8 subspaces ×
+    * 16 cid-indexed L2 distances, as (vec_id, dtab). */
+  private def dtabOf(dists: DataFrame): DataFrame = dists
+    .groupBy("vec_id", "sub")
+    .agg(array_sort(collect_list(struct(col("cid"), col("dist")))).as("cd"))
+    .select(col("vec_id"), col("sub"),
+      transform(col("cd"), e => e.getField("dist")).as("ds"))
+    .groupBy("vec_id")
+    .agg(array_sort(collect_list(struct(col("sub"), col("ds")))).as("sd"))
+    .select(col("vec_id"),
+      transform(col("sd"), e => e.getField("ds")).as("dtab"))
+
+  /** Per-db-vector PQ code word from [[pqParts]]' codes: the 8 subspace
+    * codes in subspace order, as (vec_id, codes). */
+  private def wordsOf(codes: DataFrame): DataFrame = codes
+    .groupBy("vec_id")
+    .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+    .select(col("vec_id"),
+      transform(col("sc"), e => e.getField("cid")).as("codes"))
+
+  /** The fold of a query's ADC table over a candidate's code word. */
+  private def adcFold: Column = aggregate(
+    zip_with(col("dtab"), col("codes"),
+      (arr, c) => element_at(arr, c.cast("int") + 1)),
+    lit(0.0), (acc, e) => acc + e)
+
   private def adcPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ranked = coarseRanked(vecs(s, d))
     val cells = ranked.where(col("r") === 1).select(col("vec_id"), col("cell"))
     val (dists, _, codes) = pqParts(Tables.embeddings(s, d))
-    // per-query nested dtable: 8 subspaces × 16 cid-indexed distances
-    val dtab = dists
-      .groupBy("vec_id", "sub")
-      .agg(array_sort(collect_list(struct(col("cid"), col("dist")))).as("cd"))
-      .select(col("vec_id"), col("sub"),
-        transform(col("cd"), e => e.getField("dist")).as("ds"))
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("ds")))).as("sd"))
-      .select(col("vec_id"),
-        transform(col("sd"), e => e.getField("ds")).as("dtab"))
-    // per-db-vector code word: 8 subspace codes in subspace order
-    val words = codes
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
-      .select(col("vec_id"),
-        transform(col("sc"), e => e.getField("cid")).as("codes"))
+    val dtab = dtabOf(dists)
+    val words = wordsOf(codes)
     val q = cells.join(dtab, "vec_id")
       .select(col("vec_id").as("a_id"), col("cell"), col("dtab"))
     val b = cells.join(words, "vec_id")
       .select(col("vec_id").as("b_id"), col("cell").as("b_cell"), col("codes"))
     val adc = q.join(b, col("cell") === col("b_cell") && col("a_id") =!= col("b_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("dtab"), col("codes"),
-          (arr, c) => element_at(arr, c.cast("int") + 1)),
-        lit(0.0), (acc, e) => acc + e))
+      .withColumn("adc", adcFold)
       .select("a_id", "cell", "b_id", "adc")
     (cells, adc)
+  }
+
+  /** `llm_pq_serve` body — the complete production ANN serving stack
+    * (FAISS's IVFADC + refine, under the flat policy): occupancy-pinned
+    * coarse index (`Ivf.occupancyNlist`, cells ≈ 50 vectors at any
+    * corpus size), the `serveTail` query contract (fixed 500-query md5
+    * budget, nprobe = 2), ADC over 4-byte PQ code words inside the
+    * probed cells, exact-L2 re-rank of the ADC top-10. Per-query cost is
+    * a CONSTANT: nprobe·occupancy code-word folds + ≤10 full-vector
+    * reads; the only corpus-sized work is the linear index build (codes
+    * for every db vector). Query ADC tables are built for the BUDGET
+    * only — at 100 TB the dtable computation is query-sized, never
+    * corpus-sized. */
+  private def pqServe(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val nlist = graft.ops.Ivf.occupancyNlist(v.count(), targetOccupancy = 50)
+    val ranked = graft.ops.Ivf.coarseRanked(v, nlist)
+    val qids = v.where(col("norm") > 0.0d)
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
+      .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
+    val (dists, _, codes) = pqParts(Tables.embeddings(s, d))
+    val dtab = dtabOf(dists.join(broadcast(qids), col("vec_id") === col("q_id"))
+      .drop("q_id"))
+    val words = wordsOf(codes)
+    val probes = ranked.where(col("r") <= 2)
+      .join(broadcast(qids), col("vec_id") === col("q_id"))
+      .select(col("vec_id"), col("cell").as("p_cell"))
+      .join(dtab, "vec_id")
+      .select(col("vec_id").as("a_id"), col("p_cell"), col("dtab"))
+    val cands = ranked.where(col("r") === 1)
+      .select(col("vec_id"), col("cell").as("b_cell"))
+      .join(words, "vec_id")
+      .select(col("vec_id").as("b_id"), col("b_cell"), col("codes"))
+    val adc = probes.join(cands,
+        col("p_cell") === col("b_cell") && col("a_id") =!= col("b_id"))
+      .withColumn("adc", adcFold)
+      .select("a_id", "b_id", "adc")
+    val wS = Window.partitionBy("a_id").orderBy(col("adc").asc, col("b_id"))
+    val shortlist = adc.withColumn("rn", row_number().over(wS))
+      .where(col("rn") <= 10).select("a_id", "b_id")
+    val emb = Tables.embeddings(s, d)
+    val exact = shortlist
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_e")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_e")), "b_id")
+      .withColumn("d2", aggregate(
+        zip_with(col("a_e"), col("b_e"),
+          (x, y) => (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, e) => acc + e))
+    val wR = Window.partitionBy("a_id").orderBy(col("d2").asc, col("b_id"))
+    val nn = exact.withColumn("rn", row_number().over(wR)).where(col("rn") === 1)
+      .select(col("a_id"), col("b_id").as("nn_id"),
+        (floor(col("d2") * 1e4) / 1e4).as("l2sq"))
+    ranked.where(col("r") === 1)
+      .join(broadcast(qids), col("vec_id") === col("q_id"))
+      .select(col("vec_id"), col("cell"))
+      .join(nn, col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("cell"), col("nn_id"), col("l2sq"))
+      .orderBy("vec_id")
   }
 
   private[graft] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
@@ -1851,6 +1919,15 @@ object Llm {
         .select(col("vec_id"), col("cell"), col("nn_id"), col("l2sq"))
         .orderBy("vec_id")
     }),
+
+    // K3f' — the PRODUCTION twin of the llm_pq_adc/llm_pq_rerank demo
+    // pair (added r8): the same ADC-shortlist + exact-re-rank stage
+    // contract, run under the flat serving policy instead of the pinned
+    // demo index — occupancy-pinned nlist, the serveTail 500-query md5
+    // budget, nprobe = 2, query dtables built for the budget only. This
+    // is the complete FAISS-style IVFADC+refine serving path as one
+    // oracle-checked key; see [[pqServe]] for the cost shape.
+    "llm_pq_serve" -> ((s, d) => pqServe(s, d)),
 
     // K3h — SemDeDup (Abbas et al. 2023): semantic dedup over embedding
     // clusters — within its coarse IVF cell, a vector is DROPPED when a
@@ -3256,12 +3333,21 @@ object Llm {
     * per-query ADC tables (`qdt`), per-vector code words (`words`), and
     * the within-cell ADC-scored pairs (`adcs`). Consumers append their
     * own final CTEs after this block. */
-  private val pqAdcCtes =
-    s"""$vecCte,
+  private val pqAdcCtes = pqAdcCtesMod("16", "", "cells")
+
+  /** [[pqAdcCtes]] parameterized the way [[ivfCtesMod]] is: the coarse
+    * cell-count modulus as a SQL expression, an optional extra CTE after
+    * `v`, and the `adcs` QUERY side as a relation expression (`cells`
+    * for the demo pair's all-vectors nprobe=1 scan; `llm_pq_serve`
+    * substitutes the budget-restricted nprobe=2 probe set over `crk`,
+    * the exposed ranked coarse assignment). */
+  private def pqAdcCtesMod(modSql: String, extraCte: String,
+      qaSql: String): String =
+    s"""$vecCte,$extraCte
       |seeded AS (
       |  SELECT vec_id, embedding, norm,
       |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
-      |           % 16 AS seed
+      |           % $modSql AS seed
       |  FROM v
       |),
       |px AS (
@@ -3289,12 +3375,12 @@ object Llm {
       |           / (s.norm * c.cnorm) AS csim
       |  FROM seeded s CROSS JOIN centn c
       |),
-      |cells AS (
-      |  SELECT vec_id, cell FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
-      |    FROM casg
-      |  ) WHERE r = 1
+      |crk AS (
+      |  SELECT vec_id, cell,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+      |  FROM casg
       |),
+      |cells AS (SELECT vec_id, cell FROM crk WHERE r = 1),
       |psub AS (
       |  SELECT vec_id, s.sub,
       |         list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS subvec
@@ -3344,7 +3430,7 @@ object Llm {
       |         list_aggregate(list_transform(list_zip(q.dtab, wb.codes),
       |           p -> struct_extract(p, 1)[CAST(struct_extract(p, 2) AS INTEGER) + 1]),
       |           'sum') AS adc
-      |  FROM cells qa JOIN cells qb ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id
+      |  FROM $qaSql qa JOIN cells qb ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id
       |  JOIN qdt q ON q.vec_id = qa.vec_id
       |  JOIN words wb ON wb.vec_id = qb.vec_id
       |)""".stripMargin
@@ -4348,6 +4434,43 @@ object Llm {
         |)
         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.l2sq
         |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
+        |ORDER BY c.vec_id""".stripMargin,
+    "llm_pq_serve" ->
+      s"""WITH ${pqAdcCtesMod("(SELECT nlist FROM nl)",
+             """
+               |nl AS (SELECT least(65536, greatest(16, count(*) // 50)) AS nlist FROM v),
+               |qs AS (
+               |  SELECT vec_id FROM v WHERE norm > 0
+               |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|sq') LIMIT 500
+               |),""".stripMargin,
+             "(SELECT c.vec_id, c.cell FROM crk c JOIN qs USING (vec_id) WHERE c.r <= 2)")},
+        |shortlist AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY adc ASC, b_id) AS rn
+        |    FROM adcs
+        |  ) WHERE rn <= 10
+        |),
+        |ex AS (
+        |  SELECT sl.a_id, sl.b_id,
+        |         list_aggregate(list_transform(list_zip(ea.embedding, eb.embedding),
+        |           p -> (CAST(struct_extract(p, 1) AS DOUBLE)
+        |                   - CAST(struct_extract(p, 2) AS DOUBLE))
+        |              * (CAST(struct_extract(p, 1) AS DOUBLE)
+        |                   - CAST(struct_extract(p, 2) AS DOUBLE))),
+        |           'sum') AS d2
+        |  FROM shortlist sl
+        |  JOIN embeddings ea ON ea.vec_id = sl.a_id
+        |  JOIN embeddings eb ON eb.vec_id = sl.b_id
+        |),
+        |nn AS (
+        |  SELECT a_id, b_id AS nn_id, floor(d2 * 10000) / 10000 AS l2sq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY d2 ASC, b_id) AS rn
+        |    FROM ex
+        |  ) WHERE rn = 1
+        |)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.l2sq
+        |FROM cells c JOIN qs USING (vec_id)
+        |LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
     "llm_embed_pca_power" -> pcaPowerSql,
     "llm_embed_whiten" -> embedWhitenSql,

@@ -120,6 +120,70 @@ class PqSpec extends SparkSpec {
     assert(p90 <= 1.25, s"p90 distance ratio $p90")
   }
 
+  test("llm_pq_serve matches a driver-side recompute of the whole IVFADC+refine chain") {
+    val vecs = vecsById()
+    val nlist = graft.ops.Ivf.occupancyNlist(vecs.size.toLong, 50)
+    def md5hex(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // coarse centroids: per-dim SORTED-fold mean, floor 1e-6 — the exact
+    // engine/oracle recipe, so equality assertions hold bit-for-bit
+    def sortedMean(xs: Seq[Double]): Double =
+      math.floor(xs.sorted.foldLeft(0.0)(_ + _) / xs.size * 1e6) / 1e6
+    def coarseSeed(id: Long): Int =
+      (java.lang.Long.parseLong(md5hex(id.toString).substring(0, 4), 16) % nlist).toInt
+    val cent = vecs.keys.groupBy(coarseSeed).map { case (c, ids) =>
+      c -> (0 until 64).map(i => sortedMean(ids.map(vecs(_)(i)).toSeq)).toArray
+    }
+    val cnorm = cent.map { case (c, v) => c -> math.sqrt(dotd(v, v)) }
+    val vnorm = vecs.map { case (id, v) => id -> math.sqrt(dotd(v, v)) }
+    def probeCells(id: Long): Seq[Int] = cent.keys.toSeq
+      .map(c => (dotd(vecs(id), cent(c)) / (vnorm(id) * cnorm(c)), c))
+      .sortBy { case (sim, c) => (-sim, c) }.map(_._2).take(2)
+    val home = vecs.keys.map(id => id -> probeCells(id).head).toMap
+    val members = vecs.keys.groupBy(home)
+    // PQ codebook + codes, sorted-fold like the engine's sort_array
+    val pcent = (for ((id, v) <- vecs.toSeq; sub <- 0 until 8)
+      yield ((sub, seedOf(id, sub)), v.slice(sub * 8, sub * 8 + 8)))
+      .groupBy(_._1).map { case (k, svs) =>
+        k -> (0 until 8).map(i => sortedMean(svs.map(_._2(i)))).toArray
+      }
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until 8).map { sub =>
+        (0 until 16).map(cid => (l2(v.slice(sub * 8, sub * 8 + 8), pcent((sub, cid))), cid))
+          .minBy { case (dist, cid) => (dist, cid) }._2
+      }.toArray
+    }
+    def adcDist(q: Long, b: Long): Double = (0 until 8).map { sub =>
+      l2(vecs(q).slice(sub * 8, sub * 8 + 8), pcent((sub, codes(b)(sub))))
+    }.sum
+    val qids = vecs.keys.filter(vnorm(_) > 0).toSeq
+      .sortBy(id => md5hex(id.toString + "|sq")).take(500)
+    val expect = qids.map { q =>
+      val cands = probeCells(q).flatMap(c => members.getOrElse(c, Nil)).filter(_ != q)
+      if (cands.isEmpty) (q, home(q).toLong, None, None)
+      else {
+        val shortlist = cands.sortBy(b => (adcDist(q, b), b)).take(10)
+        val (d2, nn) = shortlist.map(b => (l2(vecs(q), vecs(b)), b))
+          .minBy { case (dd, b) => (dd, b) }
+        (q, home(q).toLong, Some(nn), Some(math.floor(d2 * 1e4) / 1e4))
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("llm_pq_serve")(spark, sf0001).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toSeq
+    assert(got == expect)
+    // the serving contract: every reported neighbor lives in a probed cell
+    got.foreach { case (q, _, nn, _) =>
+      nn.foreach(b => assert(probeCells(q).contains(home(b)),
+        s"q=$q neighbor $b outside the probed cells"))
+    }
+  }
+
   test("exact re-rank picks the shortlist's true-L2 argmin and dominates raw ADC") {
     val vecs = vecsById()
     val cent = codebook(vecs)
