@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregations (SURVEY.md §2 section D): grouped aggs, distinct counts,
@@ -277,6 +278,104 @@ object Aggs {
               |  / sqrt(((CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0D)) / CAST(n_a AS DOUBLE)
               |       + ((CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0D)) / CAST(n_b AS DOUBLE))
               |  * 1e4) / 1e4""".stripMargin).as("t_stat"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // D9c — one-way ANOVA F (added r8): does the event-type factor
+    // explain the KPI at all — the k-group generalization the A/B pair
+    // (`agg_ab_ttest`, pairwise) needs before pairwise testing is even
+    // warranted. Same exactness discipline as the t-test: values
+    // quantized to 1e-6-unit longs, per-group (n, Σy, Σy²) in exact
+    // DECIMAL(38,0), so every engine-side sum is order-free integer
+    // arithmetic. The one float reduction — T = Σ_g sy_g²/n_g — is a
+    // SEQUENTIAL fold over the groups in event_type order
+    // (sort_array+aggregate here, list(... ORDER BY ...)+list_aggregate
+    // in DuckDB: the centroid-sum recipe), so it is bit-identical
+    // cross-engine; SS_between = T − SY²/N, SS_within = SYY − T, both
+    // floor-quantized at 1e-4 in value² units, F from the same doubles.
+    // Scale shape: one map-side-partial groupBy to k rows, then a k-row
+    // fold — the readout never touches data again.
+    "agg_anova_f" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val g = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") * 1e6).cast("long").as("yq"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("yq").cast(dec)).as("sy"),
+          sum(col("yq").cast(dec) * col("yq").cast(dec)).as("syy"))
+      g.agg(
+          count(lit(1)).as("k"),
+          sum(col("n")).as("nn"),
+          sum(col("sy")).as("syt"),
+          sum(col("syy")).as("syyt"),
+          sort_array(collect_list(struct(col("event_type"), col("sy"), col("n"))))
+            .as("gs"))
+        .select(col("k"), col("nn"),
+          aggregate(col("gs"), lit(0.0), (acc, e) =>
+            acc + e.getField("sy").cast("double") * e.getField("sy").cast("double")
+              / e.getField("n").cast("double")).as("t"),
+          col("syt").cast("double").as("syd"),
+          col("syyt").cast("double").as("syyd"))
+        .select(col("k"), col("nn").as("n"),
+          (floor((col("t") - col("syd") * col("syd") / col("nn").cast("double"))
+            / 1e12 * 1e4) / 1e4).as("ss_between"),
+          (floor((col("syyd") - col("t")) / 1e12 * 1e4) / 1e4).as("ss_within"),
+          (floor((col("t") - col("syd") * col("syd") / col("nn").cast("double"))
+              / (col("k").cast("double") - lit(1.0d))
+            / ((col("syyd") - col("t"))
+              / (col("nn").cast("double") - col("k").cast("double")))
+            * 1e4) / 1e4).as("f_stat"))
+    }),
+
+    // D9d — Mann–Whitney U (added r8): the rank-based (distribution-free)
+    // twin of `agg_ab_ttest` for every type pair — the test an
+    // experimenter reaches for when the KPI is skewed/heavy-tailed and
+    // the t-test's mean comparison misleads. EXACT cross-engine without
+    // any float rank arithmetic via the 2R trick: over the per-pair
+    // value histogram (distinct quantized values with counts — the only
+    // data-sized aggregation), the tie-averaged rank sum satisfies
+    // 2·R_a = Σ_v ca·(2·cprev + ct + 1), an INTEGER (avg rank is
+    // half-integer ⇒ doubled it's whole), accumulated in DECIMAL(38,0)
+    // (HUGEINT in DuckDB). U, the tie term Σ(t³−t), and the normal
+    // z-statistic with tie-corrected variance then read out through
+    // identical IEEE ops; z floor-quantized 1e-4. Scale shape: histogram
+    // groupBy (map-side partial), k²/2 broadcast pair fan-out of the
+    // histogram, per-pair running-sum window — no row-level rank over
+    // raw events ever materializes.
+    "agg_mann_whitney" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") * 1e6).cast("long").as("yq"))
+      val types = ev.select("event_type").distinct()
+      val pairs = types.select(col("event_type").as("type_a"))
+        .join(types.select(col("event_type").as("type_b")),
+          col("type_a") < col("type_b"))
+      val h = ev.groupBy("event_type", "yq").agg(count(lit(1)).as("c"))
+      val hv = h.join(broadcast(pairs),
+          col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+        .groupBy("type_a", "type_b", "yq")
+        .agg(sum(col("c")).as("ct"),
+          sum(when(col("event_type") === col("type_a"), col("c")).otherwise(0L)).as("ca"))
+      val w = Window.partitionBy("type_a", "type_b").orderBy("yq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ag = hv.withColumn("cprev", coalesce(sum(col("ct")).over(w), lit(0L)))
+        .groupBy("type_a", "type_b")
+        .agg(sum(col("ca")).as("n_a"), sum(col("ct") - col("ca")).as("n_b"),
+          sum((col("ca") * (lit(2L) * col("cprev") + col("ct") + lit(1L))).cast(dec))
+            .as("r2a"),
+          sum((col("ct") * col("ct") * col("ct") - col("ct")).cast(dec)).as("tie3"),
+          sum(col("ct")).as("nn"))
+      def d2(c: String) = col(c).cast("double")
+      val uA = (col("r2a").cast("double") -
+        d2("n_a") * (d2("n_a") + lit(1.0d))) / lit(2.0d)
+      ag.select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          uA.as("u_a"),
+          (d2("n_a") * d2("n_b") - uA).as("u_b"),
+          (floor((uA - d2("n_a") * d2("n_b") / lit(2.0d))
+            / sqrt(d2("n_a") * d2("n_b") / lit(12.0d)
+              * ((d2("nn") + lit(1.0d))
+                - col("tie3").cast("double") / (d2("nn") * (d2("nn") - lit(1.0d)))))
+            * 1e4) / 1e4).as("z_stat"))
         .orderBy("type_a", "type_b")
     }),
 
@@ -1587,6 +1686,68 @@ object Aggs {
         |         * 1e4) / 1e4 AS t_stat
         |FROM g a JOIN g b ON a.event_type < b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "agg_anova_f" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(floor(value * 1e6) AS HUGEINT)) AS sy,
+        |         sum(CAST(floor(value * 1e6) AS HUGEINT) * CAST(floor(value * 1e6) AS HUGEINT)) AS syy
+        |  FROM events GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT count(*) AS k, sum(n) AS nn, sum(sy) AS syt, sum(syy) AS syyt,
+        |         list_aggregate(list(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |           / CAST(n AS DOUBLE) ORDER BY event_type), 'sum') AS t
+        |  FROM g
+        |)
+        |SELECT k, CAST(nn AS BIGINT) AS n,
+        |       floor((t - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE) / CAST(nn AS DOUBLE))
+        |         / 1e12 * 1e4) / 1e4 AS ss_between,
+        |       floor((CAST(syyt AS DOUBLE) - t) / 1e12 * 1e4) / 1e4 AS ss_within,
+        |       floor((t - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE) / CAST(nn AS DOUBLE))
+        |           / (CAST(k AS DOUBLE) - 1.0)
+        |         / ((CAST(syyt AS DOUBLE) - t) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+        |         * 1e4) / 1e4 AS f_stat
+        |FROM tot""".stripMargin,
+    "agg_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 1e6) AS BIGINT) AS yq FROM events
+        |),
+        |h AS (SELECT event_type, yq, count(*) AS c FROM ev GROUP BY 1, 2),
+        |t AS (SELECT DISTINCT event_type FROM ev),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |      FROM t a JOIN t b ON a.event_type < b.event_type),
+        |hv AS (
+        |  SELECT p.type_a, p.type_b, h.yq, sum(h.c) AS ct,
+        |         sum(CASE WHEN h.event_type = p.type_a THEN h.c ELSE 0 END) AS ca
+        |  FROM h JOIN p ON h.event_type = p.type_a OR h.event_type = p.type_b
+        |  GROUP BY 1, 2, 3
+        |),
+        |rk AS (
+        |  SELECT *, coalesce(sum(ct) OVER (PARTITION BY type_a, type_b ORDER BY yq
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+        |  FROM hv
+        |),
+        |ag AS (
+        |  SELECT type_a, type_b, sum(ca) AS n_a, sum(ct - ca) AS n_b,
+        |         sum(CAST(ca * (2 * cprev + ct + 1) AS HUGEINT)) AS r2a,
+        |         sum(CAST(ct * ct * ct - ct AS HUGEINT)) AS tie3,
+        |         sum(ct) AS nn
+        |  FROM rk GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0))
+        |         / 2.0 AS u_a,
+        |       CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |         - (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0))
+        |           / 2.0 AS u_b,
+        |       floor(((CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0))
+        |             / 2.0
+        |           - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |         / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |           * ((CAST(nn AS DOUBLE) + 1.0)
+        |             - CAST(tie3 AS DOUBLE) / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))
+        |         * 1e4) / 1e4 AS z_stat
+        |FROM ag ORDER BY type_a, type_b""".stripMargin,
     "agg_def_rollup" ->
       // sum/avg mirror MeasureDef's µ-unit quantization (exact integer
       // partial sums — order-free across partitions and engines); the

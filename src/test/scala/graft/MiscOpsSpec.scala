@@ -118,6 +118,64 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("agg_anova_f matches a driver-side one-way ANOVA from exact sums") {
+    val vals = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1) * 1e6).toLong)
+    val g = vals.groupBy(_._1).view.mapValues { vs =>
+      val ys = vs.map(_._2)
+      (ys.length.toLong, ys.map(BigInt(_)).sum, ys.map(y => BigInt(y) * BigInt(y)).sum)
+    }.toMap
+    val k = g.size
+    val nn = vals.length.toDouble
+    val (syt, syyt) = (g.values.map(_._2).sum.toDouble, g.values.map(_._3).sum.toDouble)
+    // the engine folds sy²/n in event_type order — mirror it exactly
+    val t = g.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, (n, sy, _))) =>
+      acc + sy.toDouble * sy.toDouble / n.toDouble
+    }
+    val ssb = math.floor((t - syt * syt / nn) / 1e12 * 1e4) / 1e4
+    val ssw = math.floor((syyt - t) / 1e12 * 1e4) / 1e4
+    val f = math.floor((t - syt * syt / nn) / (k - 1.0)
+      / ((syyt - t) / (nn - k.toDouble)) * 1e4) / 1e4
+    val row = SparkEntry.queries("agg_anova_f")(spark, sf0001).collect()
+    assert(row.length == 1)
+    assert((row(0).getLong(0), row(0).getLong(1), row(0).getDouble(2),
+      row(0).getDouble(3), row(0).getDouble(4)) ==
+      (k.toLong, vals.length.toLong, ssb, ssw, f))
+    assert(f > 0.0, "F must be positive on this fixture")
+  }
+
+  test("agg_mann_whitney matches a textbook rank recomputation (independent of the 2R trick)") {
+    val vals = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1) * 1e6).toLong)
+    val byType = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expect = (for {
+      ta <- byType.keys; tb <- byType.keys if ta < tb
+    } yield {
+      val (as, bs) = (byType(ta), byType(tb))
+      val comb = (as ++ bs).sorted
+      // textbook tie-averaged ranks: rank of value v = mean of the 1-based
+      // positions v occupies in the sorted combined sample
+      val rankOf = comb.zipWithIndex.groupBy(_._1).view
+        .mapValues(ps => ps.map(_._2 + 1.0).sum / ps.length).toMap
+      val ra = as.map(rankOf).sum
+      val (na, nb) = (as.length.toDouble, bs.length.toDouble)
+      val uA = ra - na * (na + 1.0) / 2.0
+      val nn = na + nb
+      val tie3 = comb.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * t * t - t }).sum.toDouble
+      val z = math.floor((uA - na * nb / 2.0)
+        / math.sqrt(na * nb / 12.0 * ((nn + 1.0) - tie3 / (nn * (nn - 1.0))))
+        * 1e4) / 1e4
+      (ta, tb) -> (as.length.toLong, bs.length.toLong, uA, na * nb - uA, z)
+    }).toMap
+    val got = SparkEntry.queries("agg_mann_whitney")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got == expect)
+  }
+
   test("agg_ks_drift matches a driver-side exact-rational ECDF sup-diff") {
     val rows = Tables.events(spark, sf001)
       .select(col("event_type"), col("value")).collect()
