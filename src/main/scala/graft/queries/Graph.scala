@@ -335,6 +335,68 @@ object Graph {
       .orderBy(col("aa_score_units").desc, col("u"), col("v")).limit(100)
   }
 
+  /** `graph_assortativity` body: degree assortativity (Newman 2002) —
+    * the Pearson correlation of endpoint degrees over the symmetrized
+    * edge list. Entirely exact-integer moments (degrees are ints; Σd,
+    * Σd², Σd_u·d_v in DECIMAL(38,0)/HUGEINT, order-free) with ONE fixed
+    * IEEE readout r = (M·Sxy − Sx²)/(M·Sxx − Sx²), floor-1e-4 — on the
+    * symmetrized list Sx = Sy and Sxx = Syy, so the general Pearson form
+    * collapses to this. Two node-keyed joins to attach degrees + one
+    * global aggregate: linear in |E|. */
+  private def assortativityBody(edges: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
+    sym
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+      .agg(count(lit(1)).as("m2"),
+        sum(col("da").cast(dec)).as("sx"),
+        sum(col("da").cast(dec) * col("da").cast(dec)).as("sxx"),
+        sum(col("da").cast(dec) * col("db").cast(dec)).as("sxy"))
+      .select((col("m2") / 2).cast("long").as("m_edges"),
+        (floor((col("m2").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("m2").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          * 1e4) / 1e4).as("assortativity"))
+  }
+
+  /** `graph_modularity` body: Newman–Girvan modularity of the
+    * `graph_label_prop` communities — per community c the contribution
+    * q_c = e_c/m − (d_c/2m)², from exact integers (e_c intra-community
+    * canonical edges, d_c total member degree, m the in-plan one-row
+    * edge count broadcast — never a driver scalar) through one fixed
+    * IEEE expression, floor-1e-6. Σ q_c is the partition's modularity Q;
+    * per-community rows keep the readout oracle-checkable at row grain
+    * and show WHICH communities carry the structure. */
+  private def modularityBody(edges: DataFrame, allParts: DataFrame): DataFrame = {
+    val com = labelPropBody(edges, allParts)
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a").as("part")).agg(count(lit(1)).as("dg"))
+    val m = edges.agg(count(lit(1)).cast("double").as("m"))
+    val ec = edges
+      .join(com.select(col("part").as("u"), col("community").as("cu")), "u")
+      .join(com.select(col("part").as("v"), col("community").as("cv")), "v")
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_intra"))
+    com.join(deg, Seq("part"), "left")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("dg"), lit(0L))).as("d_tot"))
+      .join(ec, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_tot"),
+        (floor((coalesce(col("e_intra"), lit(0L)).cast("double") / col("m")
+            - (col("d_tot").cast("double") / (lit(2.0d) * col("m")))
+              * (col("d_tot").cast("double") / (lit(2.0d) * col("m"))))
+          * 1e6) / 1e6).as("q_part"))
+      .orderBy("community")
+  }
+
   val queries: Map[String, Q] = Map(
     // L1 — damped PageRank (d=0.85, 5 fixed iterations) over the
     // symmetrized supplier–part graph. The edge list and degree table are
@@ -484,6 +546,30 @@ object Graph {
       finishFreeing(labelPropBody(edges, parts), edges)
     }),
 
+    // L10 — degree assortativity (added r8): one number answering "do
+    // hubs connect to hubs?" — the structural health readout for any
+    // relationship graph (positive: social/co-purchase core-periphery;
+    // negative: hub-and-spoke). Exact-integer moments over the
+    // symmetrized supported graph, one IEEE readout, floor-1e-4; linear
+    // in |E| (two degree joins + one global aggregate).
+    "graph_assortativity" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      finishFreeing(assortativityBody(edges), edges)
+    }),
+
+    // L11 — modularity of the label-propagation partition (added r8):
+    // the quality score that makes `graph_label_prop` actionable — did
+    // propagation find real structure (Q markedly > 0) or noise? Per
+    // community: member count, intra-edges, total degree, and the exact
+    // Newman–Girvan contribution e/m − (d/2m)² (floor-1e-6, from exact
+    // ints + the in-plan broadcast edge count). The oracle re-runs the
+    // same 3 unrolled propagation rounds and the same integer readout.
+    "graph_modularity" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      val parts = Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct()
+      finishFreeing(modularityBody(edges, parts), edges)
+    }),
+
     // L8 — single-source shortest-path levels (added r7): BFS distance
     // from the minimum node id over the SUPPORTED co-purchase graph, 8
     // fixed relaxation rounds (the cc probe put the real graph's diameter
@@ -587,6 +673,9 @@ object Graph {
     "graph_adamic_adar" -> ((s, d) => adamicAdarBody(copurchaseEdgesPlan(s, d))),
     "graph_jaccard" -> ((s, d) => jaccardBody(copurchaseEdgesPlan(s, d))),
     "graph_label_prop" -> ((s, d) => labelPropBody(copurchaseEdgesPlan(s, d),
+      Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct())),
+    "graph_assortativity" -> ((s, d) => assortativityBody(copurchaseEdgesPlan(s, d))),
+    "graph_modularity" -> ((s, d) => modularityBody(copurchaseEdgesPlan(s, d),
       Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct())))
 
   val oracles: Map[String, String] = {
@@ -750,6 +839,85 @@ object Graph {
            |SELECT p.part, coalesce(r.lbl, p.part) AS community
            |FROM parts p LEFT JOIN r3 r ON r.node = p.part
            |ORDER BY p.part""".stripMargin
+      },
+      "graph_assortativity" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |),
+          |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT a AS node, count(*) AS dg FROM sym GROUP BY a),
+          |dd AS (
+          |  SELECT da.dg AS da, db.dg AS db
+          |  FROM sym s JOIN deg da ON s.a = da.node JOIN deg db ON s.b = db.node
+          |),
+          |ag AS (
+          |  SELECT count(*) AS m2,
+          |         sum(CAST(da AS HUGEINT)) AS sx,
+          |         sum(CAST(da AS HUGEINT) * CAST(da AS HUGEINT)) AS sxx,
+          |         sum(CAST(da AS HUGEINT) * CAST(db AS HUGEINT)) AS sxy
+          |  FROM dd
+          |)
+          |SELECT CAST(m2 // 2 AS BIGINT) AS m_edges,
+          |       floor((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |         / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |         * 1e4) / 1e4 AS assortativity
+          |FROM ag""".stripMargin,
+      "graph_modularity" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""r$i AS (
+             |  SELECT node, lbl FROM (
+             |    SELECT s.a AS node, l.lbl, count(*) AS c,
+             |           row_number() OVER (PARTITION BY s.a
+             |                              ORDER BY count(*) DESC, l.lbl ASC) AS rn
+             |    FROM sym s JOIN r${i - 1} l ON s.b = l.node
+             |    GROUP BY s.a, l.lbl
+             |  ) t WHERE rn = 1
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+           |e AS (
+           |  SELECT a.pk AS u, b.pk AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           |  JOIN ok8 ON a.ok = ok8.ok
+           |  GROUP BY 1, 2 HAVING count(*) >= 2
+           |),
+           |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+           |r0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym),
+           |$rounds,
+           |parts AS (SELECT DISTINCT l_partkey AS part FROM lineitem),
+           |com AS (
+           |  SELECT p.part, coalesce(r.lbl, p.part) AS community
+           |  FROM parts p LEFT JOIN r3 r ON r.node = p.part
+           |),
+           |deg AS (SELECT a AS part, count(*) AS dg FROM sym GROUP BY a),
+           |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+           |ec AS (
+           |  SELECT cu.community, count(*) AS e_intra
+           |  FROM e JOIN com cu ON e.u = cu.part JOIN com cv ON e.v = cv.part
+           |  WHERE cu.community = cv.community
+           |  GROUP BY cu.community
+           |),
+           |dc AS (
+           |  SELECT c.community, count(*) AS n_nodes, sum(coalesce(d.dg, 0)) AS d_tot
+           |  FROM com c LEFT JOIN deg d ON c.part = d.part
+           |  GROUP BY c.community
+           |)
+           |SELECT dc.community, dc.n_nodes, coalesce(ec.e_intra, 0) AS e_intra,
+           |       CAST(dc.d_tot AS BIGINT) AS d_tot,
+           |       floor((CAST(coalesce(ec.e_intra, 0) AS DOUBLE) / (SELECT m FROM mm)
+           |           - (CAST(dc.d_tot AS DOUBLE) / (2.0 * (SELECT m FROM mm)))
+           |             * (CAST(dc.d_tot AS DOUBLE) / (2.0 * (SELECT m FROM mm))))
+           |         * 1e6) / 1e6 AS q_part
+           |FROM dc LEFT JOIN ec ON dc.community = ec.community
+           |ORDER BY dc.community""".stripMargin
       },
       "graph_bfs_levels" ->
         """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

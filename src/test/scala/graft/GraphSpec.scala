@@ -207,6 +207,49 @@ class GraphSpec extends SparkSpec {
       "every node kept its own label — LPA did nothing; fixture degenerate?")
   }
 
+  test("graph_assortativity matches a driver-side exact-moment Pearson over endpoint degrees") {
+    val edges = supportedEdges(sf0001)
+    val sym = edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (m2, sx, sxx, sxy) = sym.foldLeft((0L, BigInt(0), BigInt(0), BigInt(0))) {
+      case ((c, x, xx, xy), (a, b)) =>
+        (c + 1, x + deg(a), xx + BigInt(deg(a)) * deg(a), xy + BigInt(deg(a)) * deg(b))
+    }
+    val r = math.floor((m2.toDouble * sxy.toDouble - sx.toDouble * sx.toDouble)
+      / (m2.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) * 1e4) / 1e4
+    val rows = SparkEntry.queries("graph_assortativity")(spark, sf0001).collect()
+    assert(rows.length == 1)
+    assert((rows(0).getLong(0), rows(0).getDouble(1)) == (m2 / 2, r))
+    assert(r >= -1.0001 && r <= 1.0001, s"assortativity $r out of [-1, 1]")
+  }
+
+  test("graph_modularity matches a driver recompute from the label_prop partition; Q in range") {
+    val edges = supportedEdges(sf0001)
+    val sym = edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val com = SparkEntry.queries("graph_label_prop")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = edges.size.toDouble
+    val eIntra = edges.toSeq.filter(e => com(e._1) == com(e._2))
+      .groupBy(e => com(e._1)).view.mapValues(_.size.toLong).toMap
+    val byCom = com.keys.groupBy(com)
+    val expect = byCom.map { case (c, members) =>
+      val dTot = members.toSeq.map(p => deg.getOrElse(p, 0L)).sum
+      val e = eIntra.getOrElse(c, 0L)
+      val q = math.floor((e.toDouble / m
+        - (dTot.toDouble / (2.0 * m)) * (dTot.toDouble / (2.0 * m))) * 1e6) / 1e6
+      c -> (members.size.toLong, e, dTot, q)
+    }
+    val got = SparkEntry.queries("graph_modularity")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expect)
+    // Q = Σ q_c must land in the modularity range, and the LPA partition
+    // must beat the trivial all-in-one partition (Q = 0) on this fixture
+    val q = got.values.map(_._4).sum
+    assert(q > 0.0 && q <= 1.0, s"modularity Q=$q out of (0, 1]")
+  }
+
   test("graph_bfs_levels matches a driver-side BFS capped at 8 hops") {
     val edges = supportedEdges(sf0001)
     val neighbors = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
