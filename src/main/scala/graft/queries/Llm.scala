@@ -1929,6 +1929,66 @@ object Llm {
     // oracle-checked key; see [[pqServe]] for the cost shape.
     "llm_pq_serve" -> ((s, d) => pqServe(s, d)),
 
+    // K3i — MMR diversified re-ranking (Carbonell & Goldstein 1998;
+    // added r8): the retrieval post-processor every RAG serving stack
+    // runs between ANN top-k and the prompt — greedy selection of k=5
+    // from the top-20 relevance candidates maximizing
+    // λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) at λ=0.5, so near-duplicate
+    // passages don't crowd out coverage. 5 md5-sampled queries (the
+    // serving-budget discipline); 4 greedy rounds after the rank-1 seed,
+    // each one anti-join (drop selected) + selected-set join + max-sim
+    // groupBy + per-query argmax window over the CHECKPOINTED 20-row/
+    // query candidate table — per-round work is candidate-sized
+    // (|Q|·20·k rows), never corpus-sized; the only corpus-sized step is
+    // the one top-20 relevance scan. Per-round checkpoint-and-free (the
+    // lloyd idiom). Determinism: unrounded IEEE rel/sim (identical
+    // folds), fixed 0.5D coefficients, (score DESC, id ASC) ties,
+    // floor-1e-4 only at the output edge; oracle = the same rounds as
+    // unrolled MATERIALIZED CTEs.
+    "llm_mmr_rerank" -> ((s, d) => {
+      val v = vecs(s, d)
+      val q = v.where(col("norm") > 0.0d)
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|mmr"))))
+        .orderBy("h").limit(5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+          col("norm").as("q_n"))
+      val wR = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
+      val cands = q.join(v.select(col("vec_id").as("c_id"),
+            col("embedding").as("c_e"), col("norm").as("c_n")),
+          col("q_id") =!= col("c_id"))
+        .withColumn("rel", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+        .withColumn("rn", row_number().over(wR)).where(col("rn") <= 20)
+        .select(col("q_id"), col("c_id"), col("c_e"), col("c_n"), col("rel"))
+        .localCheckpoint(true)
+      val wS = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+      var selected = cands.withColumn("score", col("rel"))
+        .withColumn("rn", row_number().over(wS)).where(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), col("c_e"), col("c_n"),
+          lit(1).as("rank"), col("score"))
+        .localCheckpoint(true)
+      for (i <- 2 to 5) {
+        val rem = cands.join(selected.select("q_id", "c_id"),
+          Seq("q_id", "c_id"), "left_anti")
+        val ms = rem.join(selected.select(col("q_id"),
+              col("c_e").as("s_e"), col("c_n").as("s_n")), "q_id")
+          .withColumn("ss", dot(col("c_e"), col("s_e")) / (col("c_n") * col("s_n")))
+          .groupBy("q_id", "c_id").agg(max(col("ss")).as("maxsim"))
+        val pick = rem.join(ms, Seq("q_id", "c_id"))
+          .withColumn("score", lit(0.5d) * col("rel") - lit(0.5d) * col("maxsim"))
+          .withColumn("rn", row_number().over(wS)).where(col("rn") === 1)
+          .select(col("q_id"), col("c_id"), col("c_e"), col("c_n"),
+            lit(i).as("rank"), col("score"))
+        val next = selected.unionByName(pick).localCheckpoint(true)
+        graft.ops.Checkpoints.free(selected)
+        selected = next
+      }
+      graft.ops.Checkpoints.finishFreeing(
+        selected.select(col("q_id"), col("rank"), col("c_id"),
+            (floor(col("score") * 1e4) / 1e4).as("score"))
+          .orderBy("q_id", "rank"),
+        cands, selected)
+    }),
+
     // K3h — SemDeDup (Abbas et al. 2023): semantic dedup over embedding
     // clusters — within its coarse IVF cell, a vector is DROPPED when a
     // lower-id cell-mate sits above the cosine threshold (the paper's
@@ -4472,6 +4532,63 @@ object Llm {
         |FROM cells c JOIN qs USING (vec_id)
         |LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
+    "llm_mmr_rerank" -> {
+      def dt(x: String, y: String) =
+        s"""list_aggregate(list_transform(list_zip($x, $y),
+           |  s -> CAST(struct_extract(s, 1) AS DOUBLE)
+           |     * CAST(struct_extract(s, 2) AS DOUBLE)), 'sum')""".stripMargin
+      val rounds = (2 to 5).map { i =>
+        s"""m$i AS (
+           |  SELECT c.q_id, c.c_id,
+           |         max(${dt("c.c_e", "s.c_e")} / (c.c_n * s.c_n)) AS maxsim
+           |  FROM cands c JOIN sel${i - 1} s ON c.q_id = s.q_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+           |                    WHERE x.q_id = c.q_id AND x.c_id = c.c_id)
+           |  GROUP BY c.q_id, c.c_id
+           |),
+           |s$i AS MATERIALIZED (
+           |  SELECT q_id, c_id, c_e, c_n, $i AS rank, score FROM (
+           |    SELECT t.*, row_number() OVER (PARTITION BY q_id
+           |                                   ORDER BY score DESC, c_id) AS rn
+           |    FROM (
+           |      SELECT c.q_id, c.c_id, c.c_e, c.c_n,
+           |             0.5 * c.rel - 0.5 * m.maxsim AS score
+           |      FROM cands c JOIN m$i m ON c.q_id = m.q_id AND c.c_id = m.c_id
+           |    ) t
+           |  ) WHERE rn = 1
+           |),
+           |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $vecCte,
+        |qs AS (
+        |  SELECT vec_id, embedding, norm FROM v WHERE norm > 0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|mmr') LIMIT 5
+        |),
+        |sims AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.embedding AS c_e,
+        |         c.norm AS c_n,
+        |         ${dt("q.embedding", "c.embedding")} / (q.norm * c.norm) AS rel
+        |  FROM qs q JOIN v c ON q.vec_id <> c.vec_id
+        |),
+        |cands AS MATERIALIZED (
+        |  SELECT q_id, c_id, c_e, c_n, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY rel DESC, c_id) AS rn
+        |    FROM sims
+        |  ) WHERE rn <= 20
+        |),
+        |s1 AS MATERIALIZED (
+        |  SELECT q_id, c_id, c_e, c_n, 1 AS rank, rel AS score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY rel DESC, c_id) AS rn
+        |    FROM cands
+        |  ) WHERE rn = 1
+        |),
+        |sel1 AS (SELECT * FROM s1),
+        |$rounds
+        |SELECT q_id, rank, c_id, floor(score * 1e4) / 1e4 AS score
+        |FROM sel5 ORDER BY q_id, rank""".stripMargin
+    },
     "llm_embed_pca_power" -> pcaPowerSql,
     "llm_embed_whiten" -> embedWhitenSql,
     "llm_kmeans_lloyd" -> kmeansLloydSql(8, 3),

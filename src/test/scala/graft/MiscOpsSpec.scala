@@ -623,6 +623,54 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_mmr_rerank matches a driver-side greedy MMR; diversity beats the plain top-5 tail") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }; acc
+    }
+    val norms = emb.map { case (id, e) => id -> math.sqrt(dot(e, e)) }
+    def sim(a: Long, b: Long): Double = dot(emb(a), emb(b)) / (norms(a) * norms(b))
+    def md5hex(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val qids = emb.keys.filter(norms(_) > 0).toSeq
+      .sortBy(id => md5hex(id.toString + "|mmr")).take(5)
+    val expect = qids.flatMap { q =>
+      val cands = emb.keys.filter(_ != q).toSeq
+        .map(c => (c, sim(q, c))).sortBy { case (c, r) => (-r, c) }.take(20)
+      val rel = cands.toMap
+      // seed = argmax rel, ties to the lower id
+      var sel = List(cands.minBy { case (c, r) => (-r, c) }._1)
+      (2 to 5).foreach { _ =>
+        val pick = cands.filterNot(c => sel.contains(c._1)).map { case (c, r) =>
+          val ms = sel.map(s => sim(c, s)).max
+          (c, 0.5 * r - 0.5 * ms)
+        }.minBy { case (c, sc) => (-sc, c) }._1
+        sel = sel :+ pick
+      }
+      sel.zipWithIndex.map { case (c, i) =>
+        val score = if (i == 0) rel(c)
+          else 0.5 * rel(c) - 0.5 * sel.take(i).map(s => sim(c, s)).max
+        (q, i + 1, c, math.floor(score * 1e4) / 1e4)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("llm_mmr_rerank")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    // diversity property: the MMR set's max internal similarity must not
+    // exceed the plain top-5's on any query (that is the whole point)
+    qids.foreach { q =>
+      val top5 = emb.keys.filter(_ != q).toSeq
+        .map(c => (c, sim(q, c))).sortBy { case (c, r) => (-r, c) }.take(5).map(_._1)
+      val mmr5 = got.filter(_._1 == q).map(_._3)
+      def maxInternal(xs: Seq[Long]) =
+        (for (i <- xs.indices; j <- i + 1 until xs.size) yield sim(xs(i), xs(j))).max
+      assert(maxInternal(mmr5) <= maxInternal(top5) + 1e-12,
+        s"q=$q: MMR did not reduce internal similarity")
+    }
+  }
+
   test("llm_embed_whiten matches a driver-side projection against the pca key's own pc1") {
     val v = SparkEntry.queries("llm_embed_pca_power")(spark, sf0001)
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
