@@ -605,6 +605,38 @@ object Streams {
       graft.queries.Rel.escalateTail(drained)
     }),
 
+    // I11'' — streaming CUSUM drift feed (added r8): the online form of
+    // the CUSUM control chart (`win_cusum` watches per-event drift in
+    // batch; a NOC watches the HOURLY feed) on the aggregate-hot /
+    // fold-on-read line: the STREAMING stage is the watermarked
+    // per-(entity, hour) exact-integer deviation sum Σ(y − ref) at
+    // ref = 50 (the fixture's KPI scale — state is ONE long per open
+    // window, bounded by the watermark at any event volume), and the
+    // running CUSUM + alarm (|cusum| > 500) fold over the drained
+    // window-grain rows — a running sum over ~hours-sized output, never
+    // events. Deviations accumulate in exact µ-unit longs under a total
+    // (entity, hour) order, so the fold is order-free integer arithmetic
+    // with single final IEEE divides — hash-exact against the batch SQL.
+    "stream_cusum" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("event_type").as("entity_id"), window(col("ts"), "1 hour"))
+        .agg(sum(floor(col("value") * 1e6).cast("long") - lit(50000000L)).as("devq"))
+      val drained = drain(s, agg, "graft_stream_cusum", OutputMode.Complete())
+        .select(col("entity_id"), col("window.start").as("ts"), col("devq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("entity_id").orderBy("ts")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      drained
+        .withColumn("cusq", sum(col("devq")).over(w))
+        .select(col("entity_id"), col("ts"),
+          (col("devq").cast("double") / 1e6).as("hourly_dev"),
+          (col("cusq").cast("double") / 1e6).as("cusum"),
+          (abs(col("cusq")) > lit(500000000L)).as("alarm"))
+        .orderBy("entity_id", "ts")
+    }),
+
     // I12 — streaming last-touch attribution (added r5): the ONLINE form
     // of `win_attribution` — per user, keyed state holds only the latest
     // qualifying touch (click/view id, µs, type), and each purchase is
@@ -1023,6 +1055,24 @@ object Streams {
       // and the escalation tail is the SHARED Rel.escalateTail — so the
       // streaming key runs the batch twin's oracle verbatim.
       "stream_escalate" -> graft.queries.Rel.oracles("filter_trigger_escalate"),
+      "stream_cusum" ->
+        """WITH h AS (
+          |  SELECT event_type AS entity_id,
+          |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+          |         sum(CAST(floor(value * 1e6) AS BIGINT) - 50000000) AS devq
+          |  FROM events GROUP BY 1, 2
+          |),
+          |c AS (
+          |  SELECT entity_id, ts, devq,
+          |         sum(devq) OVER (PARTITION BY entity_id ORDER BY ts
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusq
+          |  FROM h
+          |)
+          |SELECT entity_id, ts,
+          |       CAST(devq AS DOUBLE) / 1e6 AS hourly_dev,
+          |       CAST(cusq AS DOUBLE) / 1e6 AS cusum,
+          |       abs(cusq) > 500000000 AS alarm
+          |FROM c ORDER BY entity_id, ts""".stripMargin,
     )
   }
 }

@@ -389,6 +389,30 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch, "online escalation feed diverged from the batch ladder")
   }
 
+  test("stream_cusum equals a batch recompute and exercises both alarm states") {
+    val stream = graft.streaming.Streams.queries("stream_cusum")(spark, sf0001)
+      .collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("entity_id").orderBy("ts")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type").as("entity_id"),
+        date_trunc("hour", col("ts")).as("ts"))
+      .agg(sum(floor(col("value") * 1e6).cast("long") - lit(50000000L)).as("devq"))
+      .withColumn("cusq", sum(col("devq")).over(w))
+      .select(col("entity_id"), col("ts"),
+        (col("devq").cast("double") / 1e6).as("hourly_dev"),
+        (col("cusq").cast("double") / 1e6).as("cusum"),
+        (abs(col("cusq")) > lit(500000000L)).as("alarm"))
+      .orderBy("entity_id", "ts").collect()
+    assert(stream.nonEmpty)
+    assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "online CUSUM feed diverged from the batch fold")
+    assert(stream.map(_.getBoolean(4)).toSet == Set(true, false),
+      "fixture must exercise both alarm states")
+  }
+
   test("attribution touch state carries across micro-batches") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.streaming.TimeMode
