@@ -379,6 +379,61 @@ object Aggs {
         .orderBy("type_a", "type_b")
     }),
 
+    // D9e — Poisson-bootstrap confidence interval (added r8): the CI
+    // method that actually runs at 100 TB (the classic resample-n-rows
+    // bootstrap needs a global shuffle per replicate; the Poisson
+    // approximation — each row enters replicate b with weight
+    // w ~ Poisson(1) — is one map-side pass computing ALL B replicates'
+    // partial sums at once, the standard massive-A/B-test construction).
+    // Fully deterministic and float-free until the readout: the weight
+    // is an inverse-CDF lookup of the first 8 md5 hex digits of
+    // (event_id|b) against PRECOMPUTED INTEGER thresholds
+    // ⌊CDF_Poisson(1)(k)·2³²⌋ (no float CDF at runtime, no rand()); per
+    // (type, replicate) Σw and Σw·y accumulate in DECIMAL(38,0)/HUGEINT;
+    // each replicate mean is one IEEE divide of exact ints; the CI
+    // bounds are ORDER STATISTICS (2nd smallest / 2nd largest of B=32
+    // replicate means ≈ a 94% interval) — selected from a (mean, b)
+    // sorted list, so no float summation anywhere. B multiplies map
+    // work ×32 but the shuffle carries types×32 rows.
+    "agg_bootstrap_ci" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+        4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L)
+      val wCol = thresholds.zipWithIndex.foldRight(lit(8): org.apache.spark.sql.Column) {
+        case ((t, i), acc) => when(col("u") < lit(t), lit(i)).otherwise(acc)
+      }
+      val rep = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1e6).cast("long").as("yq"))
+        // one md5 yields 32 hex chars = FOUR independent 32-bit draws:
+        // replicate b reads window (b mod 4) of md5(event_id|⌊b/4⌋) —
+        // 8 hashes per row instead of 32, same determinism contract
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("u", expr(
+          """CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '|',
+            |  CAST(b div 4 AS STRING))), pmod(b, 4) * 8 + 1, 8), 16, 10) AS BIGINT)"""
+            .stripMargin))
+        .withColumn("w", wCol.cast("long"))
+        .groupBy("event_type", "b")
+        .agg(sum(col("w").cast(dec)).as("nw"),
+          sum((col("w") * col("yq")).cast(dec)).as("sw"))
+        .withColumn("mean_b",
+          col("sw").cast("double") / col("nw").cast("double") / 1e6)
+      val exact = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") * 1e6).cast("long").as("yq"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("yq").cast(dec)).as("sy"))
+      rep.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("mean_b"), col("b")))).as("ms"))
+        .join(exact, "event_type")
+        .select(col("event_type"), col("n"),
+          (floor(col("sy").cast("double") / col("n").cast("double") / 1e6 * 1e4) / 1e4)
+            .as("mean"),
+          (floor(element_at(col("ms"), 2).getField("mean_b") * 1e4) / 1e4).as("boot_lo"),
+          (floor(element_at(col("ms"), 31).getField("mean_b") * 1e4) / 1e4).as("boot_hi"))
+        .orderBy("event_type")
+    }),
+
     // D10d — OHLC resample bars (added r3): per (user, hour) the
     // open/high/low/close + sample count — the canonical downsample for
     // any gauge-style counter (what a trend dashboard renders). Every
@@ -1748,6 +1803,54 @@ object Aggs {
         |             - CAST(tie3 AS DOUBLE) / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))
         |         * 1e4) / 1e4 AS z_stat
         |FROM ag ORDER BY type_a, type_b""".stripMargin,
+    "agg_bootstrap_ci" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, CAST(floor(value * 1e6) AS BIGINT) AS yq
+        |  FROM events
+        |),
+        |reps AS (SELECT unnest(range(0, 32)) AS b),
+        |u AS (
+        |  SELECT event_type, b, yq,
+        |         CAST(concat('0x', substring(md5(
+        |           CAST(event_id AS VARCHAR) || '|' || CAST(b // 4 AS VARCHAR)),
+        |           (b % 4) * 8 + 1, 8))
+        |         AS BIGINT) AS u
+        |  FROM ev CROSS JOIN reps
+        |),
+        |wt AS (
+        |  SELECT event_type, b, yq,
+        |         CASE WHEN u < 1580030168 THEN 0
+        |              WHEN u < 3160060337 THEN 1
+        |              WHEN u < 3950075421 THEN 2
+        |              WHEN u < 4213413783 THEN 3
+        |              WHEN u < 4279248373 THEN 4
+        |              WHEN u < 4292415291 THEN 5
+        |              WHEN u < 4294609777 THEN 6
+        |              WHEN u < 4294923276 THEN 7
+        |              ELSE 8 END AS w
+        |  FROM u
+        |),
+        |rep AS (
+        |  SELECT event_type, b, sum(CAST(w AS HUGEINT)) AS nw,
+        |         sum(CAST(w * yq AS HUGEINT)) AS sw
+        |  FROM wt GROUP BY 1, 2
+        |),
+        |mb AS (
+        |  SELECT event_type, b,
+        |         CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) / 1e6 AS mean_b
+        |  FROM rep
+        |),
+        |ms AS (SELECT event_type, list(mean_b ORDER BY mean_b, b) AS ms FROM mb GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(floor(value * 1e6) AS HUGEINT)) AS sy
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, e.n,
+        |       floor(CAST(e.sy AS DOUBLE) / CAST(e.n AS DOUBLE) / 1e6 * 1e4) / 1e4 AS mean,
+        |       floor(m.ms[2] * 1e4) / 1e4 AS boot_lo,
+        |       floor(m.ms[31] * 1e4) / 1e4 AS boot_hi
+        |FROM ex e JOIN ms m USING (event_type) ORDER BY event_type""".stripMargin,
     "agg_def_rollup" ->
       // sum/avg mirror MeasureDef's µ-unit quantization (exact integer
       // partial sums — order-free across partitions and engines); the

@@ -176,6 +176,44 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("agg_bootstrap_ci matches a driver-side Poisson-bootstrap recompute and brackets the mean") {
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), math.floor(r.getDouble(2) * 1e6).toLong))
+    val ts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    def weight(eventId: Long, b: Int): Long = {
+      // window (b mod 4) of md5(event_id|⌊b/4⌋) — the 4-draws-per-hash packing
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$eventId|${b / 4}")
+      val u = java.lang.Long.parseLong(hex.substring((b % 4) * 8, (b % 4) * 8 + 8), 16)
+      val i = ts.indexWhere(u < _)
+      if (i < 0) 8L else i.toLong
+    }
+    val expect = rows.groupBy(_._1).map { case (t, vs) =>
+      val means = (0 until 32).map { b =>
+        var (nw, sw) = (BigInt(0), BigInt(0))
+        vs.foreach { case (_, id, yq) =>
+          val w = weight(id, b); nw += w; sw += BigInt(w) * yq
+        }
+        (sw.toDouble / nw.toDouble / 1e6, b)
+      }.sorted
+      val sy = vs.map(v => BigInt(v._3)).sum
+      t -> (vs.length.toLong,
+        math.floor(sy.toDouble / vs.length.toDouble / 1e6 * 1e4) / 1e4,
+        math.floor(means(1)._1 * 1e4) / 1e4,
+        math.floor(means(30)._1 * 1e4) / 1e4)
+    }
+    val got = SparkEntry.queries("agg_bootstrap_ci")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == expect)
+    // the interval must bracket the point mean and be nondegenerate
+    got.values.foreach { case (_, mean, lo, hi) =>
+      assert(lo < hi, "degenerate interval")
+      assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] does not bracket mean $mean")
+    }
+  }
+
   test("agg_ks_drift matches a driver-side exact-rational ECDF sup-diff") {
     val rows = Tables.events(spark, sf001)
       .select(col("event_type"), col("value")).collect()
