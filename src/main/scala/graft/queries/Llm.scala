@@ -1188,6 +1188,58 @@ object Llm {
         .orderBy("vec_id")
     }),
 
+    // K5c — RAKE keyword extraction (Rose et al. 2010; added r8): the
+    // classic unsupervised keyphrase extractor — candidate phrases are
+    // maximal stopword-free token runs, each scored by Σ deg(w)/freq(w)
+    // over its words (deg = co-occurrence degree: Σ phrase length over
+    // the word's occurrences) — the "what is this document about" field
+    // a document index stores beside tf-idf terms. The stop list is
+    // CORPUS-ADAPTIVE (top-10 tokens by frequency, ties alphabetical —
+    // the StopShingles philosophy: no hand-carried language asset), so
+    // the key is deterministic from the corpus alone. Phrase splitting
+    // is gaps-and-islands (running stopword count per doc); word scores
+    // are single IEEE divides of exact ints; each phrase score folds its
+    // words' scores in POSITION order (sorted-struct fold ↔ list(…ORDER
+    // BY pos) — the centroid recipe); top-3 per doc, floor-1e-4. Scale
+    // shape: two token-grain aggregations + a doc-keyed window — linear;
+    // the stop list is a broadcast 10-row frame.
+    "llm_rake_keywords" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(filter(split(col("text"), " "),
+          t => length(t) > 0)).as(Seq("pos", "token")))
+      val stops = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(10)
+        .select(col("token").as("stop"))
+      val wP = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ph = tok.join(broadcast(stops), col("token") === col("stop"), "left")
+        .withColumn("is_stop", col("stop").isNotNull.cast("int"))
+        .withColumn("phrase_id", sum(col("is_stop")).over(wP))
+        .where(col("is_stop") === 0)
+        .select(col("doc_id"), col("phrase_id"), col("pos"), col("token"))
+      val plen = ph.groupBy("doc_id", "phrase_id").agg(count(lit(1)).as("plen"))
+      val phl = ph.join(plen, Seq("doc_id", "phrase_id"))
+      val wscore = phl.groupBy("token")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .select(col("token"),
+          (col("deg").cast("double") / col("freq").cast("double")).as("wscore"))
+      val scored = phl.join(wscore, "token")
+        .groupBy("doc_id", "phrase_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("token"),
+          col("wscore")))).as("ws"))
+        .select(col("doc_id"), col("phrase_id"),
+          concat_ws(" ", transform(col("ws"), e => e.getField("token"))).as("phrase"),
+          size(col("ws")).as("n_words"),
+          aggregate(col("ws"), lit(0.0),
+            (acc, e) => acc + e.getField("wscore")).as("score_raw"))
+      val wT = Window.partitionBy("doc_id")
+        .orderBy(col("score_raw").desc, col("phrase").asc, col("phrase_id").asc)
+      scored.withColumn("rank", row_number().over(wT)).where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("phrase"), col("n_words"),
+          (floor(col("score_raw") * 1e4) / 1e4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // K5 — per-(lang, source) text statistics via the explode path.
     "llm_text_stats" -> ((s, d) => {
       tokensAll(s, d)
@@ -4962,6 +5014,49 @@ object Llm {
         |       CASE WHEN nn.nn_id = e.nn_exact THEN 1 ELSE 0 END AS hit
         |FROM ex1 e LEFT JOIN nn ON e.vec_id = nn.a_id
         |ORDER BY e.vec_id""".stripMargin,
+    "llm_rake_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |),
+        |stops AS (
+        |  SELECT token AS stop FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+        |  ORDER BY cnt DESC, token LIMIT 10
+        |),
+        |ph AS (
+        |  SELECT doc_id, phrase_id, pos, token FROM (
+        |    SELECT t.doc_id, t.pos, t.token,
+        |           CASE WHEN s.stop IS NULL THEN 0 ELSE 1 END AS is_stop,
+        |           sum(CASE WHEN s.stop IS NULL THEN 0 ELSE 1 END)
+        |             OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+        |    FROM tok t LEFT JOIN stops s ON t.token = s.stop
+        |  ) WHERE is_stop = 0
+        |),
+        |plen AS (SELECT doc_id, phrase_id, count(*) AS plen FROM ph GROUP BY 1, 2),
+        |phl AS (SELECT p.*, l.plen FROM ph p JOIN plen l USING (doc_id, phrase_id)),
+        |sc AS (
+        |  SELECT token, CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS wscore
+        |  FROM phl GROUP BY 1
+        |),
+        |pscore AS (
+        |  SELECT p.doc_id, p.phrase_id,
+        |         string_agg(p.token, ' ' ORDER BY p.pos) AS phrase,
+        |         count(*) AS n_words,
+        |         list_aggregate(list(sc.wscore ORDER BY p.pos), 'sum') AS score_raw
+        |  FROM phl p JOIN sc USING (token)
+        |  GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score_raw DESC, phrase, phrase_id) AS rank
+        |  FROM pscore
+        |)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, phrase,
+        |       CAST(n_words AS INTEGER) AS n_words,
+        |       floor(score_raw * 1e4) / 1e4 AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "llm_tfidf_terms" ->
       s"""WITH $tokAllCte,
         |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),

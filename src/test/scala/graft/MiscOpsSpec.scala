@@ -709,6 +709,42 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_rake_keywords matches a driver-side RAKE recompute") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val stops = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).toSet
+    // phrases: maximal stop-free runs, tagged by (doc, phrase_id = #stops before)
+    val phrases = docs.flatMap { case (id, toks) =>
+      var stopCount = 0L
+      toks.zipWithIndex.flatMap { case (t, pos) =>
+        if (stops(t)) { stopCount += 1; None }
+        else Some((id, stopCount, pos, t))
+      }
+    }
+    val plen = phrases.groupBy(p => (p._1, p._2)).view.mapValues(_.length.toLong).toMap
+    val freq = phrases.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val deg = phrases.groupBy(_._4).view
+      .mapValues(_.map(p => plen((p._1, p._2))).sum).toMap
+    def wscore(t: String) = deg(t).toDouble / freq(t).toDouble
+    val expect = phrases.groupBy(p => (p._1, p._2)).toSeq.map { case ((id, pid), ps) =>
+      val ordered = ps.sortBy(_._3)
+      val score = ordered.foldLeft(0.0)((acc, p) => acc + wscore(p._4))
+      (id, pid, ordered.map(_._4).mkString(" "), ordered.length, score)
+    }.groupBy(_._1).toSeq.flatMap { case (id, ph) =>
+      ph.sortBy { case (_, pid, phrase, _, sc) => (-sc, phrase, pid) }.take(3)
+        .zipWithIndex.map { case ((_, _, phrase, n, sc), i) =>
+          (id, i + 1, phrase, n, math.floor(sc * 1e4) / 1e4)
+        }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("llm_rake_keywords")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getDouble(4))).toSeq
+    assert(got == expect)
+    // multi-word phrases must exist — RAKE degenerates to tf otherwise
+    assert(got.exists(_._4 > 1), "no multi-word keyphrase extracted")
+  }
+
   test("llm_embed_whiten matches a driver-side projection against the pca key's own pc1") {
     val v = SparkEntry.queries("llm_embed_pca_power")(spark, sf0001)
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
