@@ -23,6 +23,42 @@ object SideEffects {
   }
 
   val queries: Map[String, Q] = Map(
+    // A2' — FIXED-WIDTH text ingest (added r8): the classic
+    // telecom/mainframe PM-file interchange format — no delimiters, each
+    // field a byte-position window, blank-padded, with empty-padded
+    // optional fields reading as NULL. Minerva's harvest plugins face
+    // exactly this shape from network-element exports; the Spark form is
+    // spark.read.text + positional substring/trim/cast projections (all
+    // codegen'd — a fixed-width reader needs no custom datasource, just
+    // a declared layout). Fixture staged from region with the
+    // delete-scratch-first discipline (r7 ADVICE on csv_malformed); the
+    // oracle recomputes the round-trip as a function of region directly.
+    "scan_fixed_width" -> ((s, d) => {
+      val out = scratch("fixed_width")
+      val outDir = new java.io.File(out)
+      if (outDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      val lines = Tables.region(s, d)
+        .select(col("r_regionkey"), col("r_name")).orderBy("r_regionkey")
+        .collect().map { r =>
+          val (key, name) = (r.get(0).toString.toLong, r.getString(1))
+          // layout: key cols 1-4 right-aligned, name 5-20 left-padded,
+          // code 21-26 zero-padded, note 27-32 (blank = NULL)
+          f"$key%4d" + name.padTo(16, ' ').take(16) +
+            f"${key * 100 + name.length}%06d" +
+            (if (key % 2 == 0) " " * 6 else "URGENT")
+        }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out, "part0.dat"), lines.mkString("\n"))
+      s.read.text(out)
+        .select(
+          trim(substring(col("value"), 1, 4)).cast("int").as("r_regionkey"),
+          rtrim(substring(col("value"), 5, 16)).as("r_name"),
+          substring(col("value"), 21, 6).cast("int").as("code"),
+          expr("nullif(trim(substring(value, 27, 6)), '')").as("note"))
+        .orderBy("r_regionkey")
+    }),
+
     // A2 — typed CSV ingest round-trip (Minerva "generic CSV" harvest
     // plugin shape): write a tiny CSV derived from region, re-read it with
     // an explicit schema + timestamp parse. No schema inference — declared
@@ -375,6 +411,11 @@ object SideEffects {
     "scan_csv_typed" ->
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name,
         |       TIMESTAMP '2024-01-15 06:30:00' AS loaded_at
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "scan_fixed_width" ->
+      """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name,
+        |       CAST(r_regionkey * 100 + length(r_name) AS INTEGER) AS code,
+        |       CASE WHEN r_regionkey % 2 = 0 THEN NULL ELSE 'URGENT' END AS note
         |FROM region ORDER BY r_regionkey""".stripMargin,
     "scan_csv_malformed" ->
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name,

@@ -313,6 +313,54 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E13c' — forecast BACKTEST evaluation (added r8): the readout that
+    // makes the forecasting family (holt / holt_winters / kalman)
+    // operationally trustworthy — per entity, score the one-step-ahead
+    // Holt forecast against the realized value over the entity's own
+    // history (walk-forward backtest: forecast for row t folds ONLY rows
+    // < t, the trailing [−16, −1] frame — no leakage) and report MAE /
+    // bias / MAPE. You never deploy a forecaster without this table; the
+    // reference's trend pipeline is exactly where it would hang.
+    // Determinism: the Holt fold is the win_holt bit-identical
+    // sequential fold; each row's error is ONE IEEE subtract, then
+    // µ-quantized (⌊·1e6⌋) into exact DECIMAL sums — no float
+    // accumulation across rows — and the per-entity readouts are single
+    // IEEE divides of exact ints. First row per entity (empty history)
+    // is excluded on both engines (empty frame ⇒ size 0 / NULL list).
+    "win_forecast_eval" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-16, -1)
+      Tables.events(s, d)
+        .withColumn("l", collect_list(col("value")).over(w))
+        .where(size(col("l")) >= 1)
+        .withColumn("fcast", expr(
+          """aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
+            |  named_struct('lv', CAST(element_at(l, 1) AS DOUBLE), 'tr', CAST(0.0 AS DOUBLE)),
+            |  (acc, x) -> named_struct(
+            |    'lv', 0.3 * x + 0.7 * (acc.lv + acc.tr),
+            |    'tr', 0.4 * ((0.3 * x + 0.7 * (acc.lv + acc.tr)) - acc.lv) + 0.6 * acc.tr),
+            |  acc -> acc.lv + acc.tr)""".stripMargin))
+        .withColumn("err", col("value") - col("fcast"))
+        // MAPE is undefined at zero actuals (sf0.1 has value = 0 rows):
+        // the textbook practice — score it over positive actuals only,
+        // with its own denominator
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(floor(col("err") * 1e6).cast(dec)).as("seq"),
+          sum(floor(abs(col("err")) * 1e6).cast(dec)).as("saq"),
+          sum(when(col("value") > 0.0d,
+            floor(abs(col("err")) / col("value") * 1e6)).otherwise(0L).cast(dec))
+            .as("spq"),
+          sum(when(col("value") > 0.0d, 1L).otherwise(0L)).as("n_mape"))
+        .select(col("user_id"), col("n_eval"),
+          (col("saq").cast("double") / col("n_eval").cast("double") / 1e6).as("mae"),
+          (col("seq").cast("double") / col("n_eval").cast("double") / 1e6).as("bias"),
+          when(col("n_mape") > 0L,
+            col("spq").cast("double") / col("n_mape").cast("double") / 1e6).as("mape"))
+        .orderBy("user_id")
+    }),
+
     // E13e — time-decay EWMA for IRREGULAR sampling (added r7): the gap
     // `win_ewma`'s fixed α papers over — a per-sample constant α weights
     // a reading after a 3-day outage exactly like one 5 s later, which is
@@ -1147,6 +1195,40 @@ object Wins {
         |SELECT event_id, user_id,
         |       floor((s[1] + s[2]) * 10000) / 10000 AS holt_forecast
         |FROM st ORDER BY event_id""".stripMargin,
+    "win_forecast_eval" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, value,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING) AS l
+        |  FROM e
+        |),
+        |f AS (
+        |  SELECT user_id, value,
+        |         list_reduce(list_transform(l, x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+        |           (acc, x) -> [0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+        |                        0.4 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+        |                        + 0.6 * acc[2]]) AS s
+        |  FROM l WHERE len(l) >= 1
+        |),
+        |er AS (
+        |  SELECT user_id, value - (s[1] + s[2]) AS err, value FROM f
+        |),
+        |ag AS (
+        |  SELECT user_id, count(*) AS n_eval,
+        |         sum(CAST(floor(err * 1e6) AS HUGEINT)) AS seq,
+        |         sum(CAST(floor(abs(err) * 1e6) AS HUGEINT)) AS saq,
+        |         sum(CASE WHEN value > 0 THEN CAST(floor(abs(err) / value * 1e6) AS HUGEINT)
+        |                  ELSE 0 END) AS spq,
+        |         sum(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS n_mape
+        |  FROM er GROUP BY 1
+        |)
+        |SELECT user_id, n_eval,
+        |       CAST(saq AS DOUBLE) / CAST(n_eval AS DOUBLE) / 1e6 AS mae,
+        |       CAST(seq AS DOUBLE) / CAST(n_eval AS DOUBLE) / 1e6 AS bias,
+        |       CASE WHEN n_mape > 0
+        |            THEN CAST(spq AS DOUBLE) / CAST(n_mape AS DOUBLE) / 1e6 END AS mape
+        |FROM ag ORDER BY user_id""".stripMargin,
     "win_ewma_irregular" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |l AS (

@@ -531,6 +531,49 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("win_forecast_eval matches a driver-side walk-forward backtest") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def holt(zs: Seq[Double]): Double = {
+      var lv = zs.head; var tr = 0.0
+      zs.tail.foreach { x =>
+        val nlv = 0.3 * x + 0.7 * (lv + tr)
+        tr = 0.4 * (nlv - lv) + 0.6 * tr
+        lv = nlv
+      }
+      lv + tr
+    }
+    val expect = events.groupBy(_._2).map { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      val errs = ordered.indices.flatMap { i =>
+        val hist = ordered.slice(math.max(0, i - 16), i).map(_._4)
+        if (hist.isEmpty) None
+        else Some(ordered(i)._4 - holt(hist))
+      }
+      val vals = ordered.indices.flatMap { i =>
+        if (i == 0) None else Some(ordered(i)._4)
+      }
+      val n = errs.length.toLong
+      val seq = errs.map(e => BigInt(math.floor(e * 1e6).toLong)).sum
+      val saq = errs.map(e => BigInt(math.floor(math.abs(e) * 1e6).toLong)).sum
+      val pos = errs.zip(vals).filter(_._2 > 0.0)
+      val spq = pos
+        .map { case (e, v) => BigInt(math.floor(math.abs(e) / v * 1e6).toLong) }.sum
+      uid -> (n, saq.toDouble / n.toDouble / 1e6, seq.toDouble / n.toDouble / 1e6,
+        spq.toDouble / pos.length.toDouble / 1e6)
+    }
+    val got = SparkEntry.queries("win_forecast_eval")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == expect)
+    // MAE must be >= |bias| for every entity (triangle inequality)
+    got.values.foreach { case (_, mae, bias, _) =>
+      assert(mae >= math.abs(bias) - 1e-12, s"mae $mae < |bias| $bias")
+    }
+  }
+
   test("win_kalman matches a driver-side fold, and the gain adapts downward") {
     val events = Tables.events(spark, sf0001)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),

@@ -31,6 +31,23 @@ class SideEffectsSpec extends SparkSpec {
     }
   }
 
+  test("scan_fixed_width parses positional windows, blank note reads as NULL, layout is 32 chars") {
+    val got = SparkEntry.queries("scan_fixed_width")(spark, sf0001).collect()
+    val src = Tables.region(spark, sf0001).orderBy("r_regionkey").collect()
+    assert(got.length == src.length)
+    got.zip(src).foreach { case (g, s) =>
+      assert(g.getInt(0) == s.getInt(0))
+      assert(g.getString(1) == s.getString(1), "name must come back rtrimmed, unmangled")
+      assert(g.getInt(2) == s.getInt(0) * 100 + s.getString(1).length)
+      if (s.getInt(0) % 2 == 0) assert(g.isNullAt(3), "blank-padded note must be NULL")
+      else assert(g.getString(3) == "URGENT")
+    }
+    // the staged file really is fixed-width: every line exactly 32 bytes
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/root/repo/target/scratch/fixed_width/part0.dat"))
+    lines.forEach(l => assert(l.length == 32, s"line '$l' is ${l.length} chars, not 32"))
+  }
+
   test("sink_partitioned lays out d=... directories and counts match direct groupBy") {
     val got = SparkEntry.queries("sink_partitioned")(spark, sf0001)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
