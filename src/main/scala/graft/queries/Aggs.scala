@@ -865,6 +865,48 @@ object Aggs {
         .orderBy("week")
     }),
 
+    // D18'' — two-level HISTOGRAM rollup merge (added r8): the quantile
+    // leg of the mergeable-summary family, now complete across all four
+    // question types a materialized rollup store serves without
+    // re-reading raw data — distinct (KMV, exact merge), frequency (CM,
+    // exact merge), cardinality-at-tolerance (HLL), and now QUANTILES:
+    // per-day fixed-grid histograms (40 width-25 buckets, the
+    // agg_histogram grid) merged to weekly grain by ELEMENTWISE COUNT
+    // ADDITION — addition is associative/commutative so
+    // merge(hist(A), hist(B)) = hist(A ⊎ B) EXACTLY, and the p90 served
+    // from the MERGED sketch is bit-equal to one computed on raw weekly
+    // data (the oracle computes exactly that directly). Readout is
+    // agg_hist_quantile's exact-integer rank + in-bucket interpolation.
+    // Shuffles carry ≤40 longs per (day, type) then per (week, type).
+    "agg_hist_merge" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("week", "event_type").orderBy("bucket")
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("week", "event_type")
+      val daily = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("bucket",
+          least(greatest(floor(col("value") / 25), lit(0.0)), lit(39.0)).cast("long"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val weekly = daily
+        .groupBy(weekofyear(col("day")).as("week"), col("event_type"), col("bucket"))
+        .agg(sum("cnt").as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wAll))
+        .withColumn("tgt", expr("(9 * n + 9) div 10"))
+      weekly.where(col("cum") >= col("tgt"))
+        .groupBy("week", "event_type", "n", "tgt")
+        .agg(min_by(struct(col("bucket"), col("cnt"), col("cum")), col("bucket")).as("b"))
+        .select(col("week"), col("event_type"), col("n"),
+          round(
+            (col("b.bucket") * 25).cast("double") +
+              lit(25.0) * (col("tgt") - (col("b.cum") - col("b.cnt"))).cast("double")
+                / col("b.cnt").cast("double"),
+            4).as("p90_est"))
+        .orderBy("week", "event_type")
+    }),
+
     // D18' — re-aggregable histogram quantiles: the quantile readout over
     // `agg_histogram`'s fixed-grid form (40 width-25 buckets, edge-
     // clamped). Fixed-grid counts merge by ADDITION across partitions and
@@ -1903,6 +1945,33 @@ object Aggs {
         |FROM w LEFT JOIN kk ON w.week = kk.week
         |       LEFT JOIN sm ON w.week = sm.week
         |ORDER BY w.week""".stripMargin,
+    "agg_hist_merge" ->
+      """WITH h AS (
+        |  SELECT weekofyear(CAST(ts AS TIMESTAMP)) AS week, event_type,
+        |         CAST(LEAST(GREATEST(floor(value / 25), 0), 39) AS BIGINT) AS bucket,
+        |         count(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+        |),
+        |c AS (
+        |  SELECT week, event_type, bucket, cnt,
+        |         sum(cnt) OVER (PARTITION BY week, event_type ORDER BY bucket) AS cum,
+        |         sum(cnt) OVER (PARTITION BY week, event_type) AS n
+        |  FROM h
+        |),
+        |t AS (SELECT DISTINCT week, event_type, n, (9 * n + 9) // 10 AS tgt FROM c),
+        |pick AS (
+        |  SELECT t.week, t.event_type, t.n, t.tgt, min(c.bucket) AS bucket
+        |  FROM t JOIN c ON c.week = t.week AND c.event_type = t.event_type
+        |              AND c.cum >= t.tgt
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT p.week, p.event_type, CAST(p.n AS BIGINT) AS n,
+        |       round(CAST(p.bucket * 25 AS DOUBLE)
+        |             + 25.0 * CAST(p.tgt - (c.cum - c.cnt) AS DOUBLE) / CAST(c.cnt AS DOUBLE),
+        |             4) AS p90_est
+        |FROM pick p JOIN c ON c.week = p.week AND c.event_type = p.event_type
+        |                  AND c.bucket = p.bucket
+        |ORDER BY p.week, p.event_type""".stripMargin,
     "agg_hist_quantile" ->
       """WITH h AS (
         |  SELECT event_type,

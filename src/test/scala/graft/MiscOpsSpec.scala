@@ -118,6 +118,28 @@ class MiscOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("agg_hist_merge: merged weekly p90 brackets the exact weekly p90 within one bucket") {
+    val rows = Tables.events(spark, sf0001)
+      .select(weekofyear(col("ts")).as("w"), col("event_type"), col("value"))
+      .where(col("value").isNotNull)
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getDouble(2)))
+    val got = SparkEntry.queries("agg_hist_merge")(spark, sf0001)
+      .collect().map(r => ((r.getInt(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val byKey = rows.groupBy(_._1)
+    assert(got.keySet == byKey.keySet)
+    byKey.foreach { case (k, vs) =>
+      val (n, p90) = got(k)
+      assert(n == vs.length.toLong)
+      // exact p90 (the ceil-rank order statistic the readout targets)
+      val sorted = vs.map(_._2).sorted
+      val exact = sorted(((9 * n + 9) / 10 - 1).toInt)
+      // grid resolution contract: the interpolated estimate lives in the
+      // exact value's bucket, so it is within one bucket width of truth
+      assert(math.abs(p90 - exact) <= 25.0 + 1e-9,
+        s"$k: merged-histogram p90 $p90 vs exact $exact beyond one bucket width")
+    }
+  }
+
   test("agg_anova_f matches a driver-side one-way ANOVA from exact sums") {
     val vals = Tables.events(spark, sf0001)
       .select(col("event_type"), col("value")).collect()
