@@ -558,6 +558,71 @@ object Llm {
       .orderBy("vec_id")
   }
 
+  /** `llm_nn_descent` body — graph-based ANN construction (NN-descent,
+    * Dong et al. WWW 2011; the build behind HNSW-family indexes), the
+    * THIRD ANN family beside the exact scans and the IVF/PQ quantizers:
+    * maintain a k=4 neighbor graph and iteratively improve it on the
+    * principle that a neighbor's neighbor is likely a neighbor. Init
+    * seeds each node with 2 lowest-id HOME-CELL mates (warm start from
+    * the occupancy-pinned coarse quantizer — already-good candidates,
+    * everything cell-partitioned) plus the 2 lowest-id members of the
+    * NEXT cell (the cross-cell links descent needs to escape its cell;
+    * a pure cell init could never reach across). Each of 2 rounds scores
+    * cand = N ∪ N∘N exactly and keeps the top-4 — ≤ k + k² = 20
+    * candidate sims per node per round, LINEAR total at any corpus size
+    * (no global window, no pair blowup; per-round checkpoint-and-free).
+    * Per node the best sim is monotonically non-decreasing (previous
+    * top-4 ⊆ candidates) — the property the spec pins alongside a
+    * driver recompute. */
+  private def nnDescent(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).where(col("norm") > 0.0d)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val nlist = graft.ops.Ivf.occupancyNlist(v.count(), targetOccupancy = 50)
+    val members = graft.ops.Ivf.coarseRanked(v, nlist)
+      .where(col("r") === 1).select(col("vec_id"), col("cell"))
+      .localCheckpoint(true)
+    val wCell = Window.partitionBy("cell").orderBy("vec_id")
+    val small3 = members.withColumn("rk", row_number().over(wCell))
+      .where(col("rk") <= 3)
+    val wNode = Window.partitionBy("node").orderBy("nb")
+    val own = members.select(col("vec_id").as("node"), col("cell"))
+      .join(small3.select(col("cell"), col("vec_id").as("nb")), "cell")
+      .where(col("nb") =!= col("node"))
+      .withColumn("rk", row_number().over(wNode)).where(col("rk") <= 2)
+      .select("node", "nb")
+    val nxt = members.select(col("vec_id").as("node"), col("cell"))
+      .join(small3.where(col("rk") <= 2)
+        .select(pmod(col("cell") - 1 + lit(nlist.toLong), lit(nlist.toLong)).as("cell"),
+          col("vec_id").as("nb")), "cell")
+      .select("node", "nb")
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .join(v.select(col("vec_id").as("node"), col("embedding").as("a_e"),
+        col("norm").as("a_n")), "node")
+      .join(v.select(col("vec_id").as("nb"), col("embedding").as("b_e"),
+        col("norm").as("b_n")), "nb")
+      .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+    val wTop = Window.partitionBy("node").orderBy(col("sim").desc, col("nb"))
+    var nb = own.unionByName(nxt).distinct().localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      val hop2 = nb.join(nb.select(col("node").as("mid"), col("nb").as("nb2")),
+          col("nb") === col("mid"))
+        .select(col("node"), col("nb2").as("nb"))
+      val cand = nb.unionByName(hop2).where(col("nb") =!= col("node")).distinct()
+      val next = scored(cand)
+        .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 4)
+        .select("node", "nb").localCheckpoint(true)
+      graft.ops.Checkpoints.free(nb)
+      nb = next
+    }
+    graft.ops.Checkpoints.finishFreeing(
+      scored(nb)
+        .withColumn("rank", row_number().over(wTop))
+        .select(col("node").as("vec_id"), col("rank"), col("nb").as("nb_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id", "rank"),
+      members, nb)
+  }
+
   private[graft] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val v = vecs(s, d)
     val ranked = coarseRanked(v)
@@ -1980,6 +2045,14 @@ object Llm {
     // is the complete FAISS-style IVFADC+refine serving path as one
     // oracle-checked key; see [[pqServe]] for the cost shape.
     "llm_pq_serve" -> ((s, d) => pqServe(s, d)),
+
+    // K3j — NN-descent neighbor-graph construction (Dong et al. 2011;
+    // added r8): the THIRD ANN family beside the exact scans and the
+    // IVF/PQ quantizers — the graph build behind HNSW-family indexes.
+    // See [[nnDescent]]: coarse-cell warm start + next-cell cross links,
+    // 2 rounds of "score N ∪ N∘N exactly, keep top-4" — ≤ k+k² = 20
+    // candidate sims per node per round, linear at any corpus size.
+    "llm_nn_descent" -> ((s, d) => nnDescent(s, d)),
 
     // K3i — MMR diversified re-ranking (Carbonell & Goldstein 1998;
     // added r8): the retrieval post-processor every RAG serving stack
@@ -4584,6 +4657,112 @@ object Llm {
         |FROM cells c JOIN qs USING (vec_id)
         |LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
+    "llm_nn_descent" -> {
+      def dt(x: String, y: String) =
+        s"""list_aggregate(list_transform(list_zip($x, $y),
+           |  s -> CAST(struct_extract(s, 1) AS DOUBLE)
+           |     * CAST(struct_extract(s, 2) AS DOUBLE)), 'sum')""".stripMargin
+      val rounds = (1 to 2).map { i =>
+        s"""cand$i AS (
+           |  SELECT DISTINCT node, nb FROM (
+           |    SELECT node, nb FROM nb${i - 1}
+           |    UNION ALL
+           |    SELECT a.node, b.nb FROM nb${i - 1} a JOIN nb${i - 1} b ON a.nb = b.node
+           |  ) WHERE nb <> node
+           |),
+           |sc$i AS (
+           |  SELECT c.node, c.nb,
+           |         ${dt("va.embedding", "vb.embedding")} / (va.norm * vb.norm) AS sim
+           |  FROM cand$i c JOIN vp va ON va.vec_id = c.node
+           |  JOIN vp vb ON vb.vec_id = c.nb
+           |),
+           |nb$i AS MATERIALIZED (
+           |  SELECT node, nb FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY node
+           |                                 ORDER BY sim DESC, nb) AS rk
+           |    FROM sc$i
+           |  ) WHERE rk <= 4
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $vecCte,
+        |vp AS (SELECT vec_id, embedding, norm FROM v WHERE norm > 0),
+        |nl AS (SELECT least(65536, greatest(16, count(*) // 50)) AS nlist FROM vp),
+        |seeded AS (
+        |  SELECT vec_id, embedding, norm,
+        |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |           % (SELECT nlist FROM nl) AS seed
+        |  FROM vp
+        |),
+        |px AS (
+        |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM seeded
+        |),
+        |cm AS (
+        |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+        |  FROM px GROUP BY 1, 2
+        |),
+        |cent AS (
+        |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+        |  FROM cm GROUP BY seed
+        |),
+        |centn AS (
+        |  SELECT cell, centroid,
+        |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+        |  FROM cent
+        |),
+        |asg AS (
+        |  SELECT s.vec_id, c.cell,
+        |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
+        |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+        |           / (s.norm * c.cnorm) AS csim
+        |  FROM seeded s CROSS JOIN centn c
+        |),
+        |cells AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+        |    FROM asg
+        |  ) WHERE r = 1
+        |),
+        |s3 AS (
+        |  SELECT cell, vec_id,
+        |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+        |  FROM cells
+        |),
+        |own AS (
+        |  SELECT node, nb FROM (
+        |    SELECT c.vec_id AS node, s.vec_id AS nb,
+        |           row_number() OVER (PARTITION BY c.vec_id ORDER BY s.vec_id) AS rk
+        |    FROM cells c JOIN s3 s
+        |      ON s.cell = c.cell AND s.rk <= 3 AND s.vec_id <> c.vec_id
+        |  ) WHERE rk <= 2
+        |),
+        |nxt AS (
+        |  SELECT c.vec_id AS node, s.vec_id AS nb
+        |  FROM cells c JOIN s3 s
+        |    ON s.rk <= 2
+        |   AND (s.cell - 1 + (SELECT nlist FROM nl)) % (SELECT nlist FROM nl) = c.cell
+        |),
+        |nb0 AS MATERIALIZED (
+        |  SELECT DISTINCT node, nb FROM (
+        |    SELECT node, nb FROM own UNION ALL SELECT node, nb FROM nxt
+        |  )
+        |),
+        |$rounds,
+        |scf AS (
+        |  SELECT n.node, n.nb,
+        |         ${dt("va.embedding", "vb.embedding")} / (va.norm * vb.norm) AS sim
+        |  FROM nb2 n JOIN vp va ON va.vec_id = n.node
+        |  JOIN vp vb ON vb.vec_id = n.nb
+        |)
+        |SELECT node AS vec_id, CAST(rk AS INTEGER) AS rank, nb AS nb_id,
+        |       round(sim, 4) + 0 AS sim
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nb) AS rk
+        |  FROM scf
+        |)
+        |ORDER BY vec_id, rank""".stripMargin
+    },
     "llm_mmr_rerank" -> {
       def dt(x: String, y: String) =
         s"""list_aggregate(list_transform(list_zip($x, $y),

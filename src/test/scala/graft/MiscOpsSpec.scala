@@ -726,6 +726,73 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_nn_descent matches a driver recompute; best sim per node never decreases across rounds") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val norms = emb.map { case (id, e) => id -> math.sqrt(dotd(e, e)) }
+    def sim(a: Long, b: Long): Double = dotd(emb(a), emb(b)) / (norms(a) * norms(b))
+    // coarse cells: the engine/oracle seeded one-step recipe (sorted-fold
+    // floor-1e-6 centroids, cosine argmax with (csim desc, cell) ties)
+    val nlist = graft.ops.Ivf.occupancyNlist(emb.size.toLong, 50)
+    def md5hex(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    def seedOf(id: Long) =
+      (java.lang.Long.parseLong(md5hex(id.toString).substring(0, 4), 16) % nlist).toInt
+    val cent = emb.keys.groupBy(seedOf).map { case (c, ids) =>
+      c -> (0 until 64).map { i =>
+        val xs = ids.map(emb(_)(i)).toSeq.sorted
+        math.floor(xs.foldLeft(0.0)(_ + _) / xs.size * 1e6) / 1e6
+      }.toArray
+    }
+    val cnorm = cent.map { case (c, v) => c -> math.sqrt(dotd(v, v)) }
+    val cellOf = emb.keys.map { id =>
+      id -> cent.keys.toSeq
+        .map(c => (dotd(emb(id), cent(c)) / (norms(id) * cnorm(c)), c))
+        .minBy { case (cs, c) => (-cs, c) }._2
+    }.toMap
+    val byCell = emb.keys.groupBy(cellOf).view.mapValues(_.toSeq.sorted).toMap
+    // init: 2 lowest-id cellmates + 2 lowest-id members of the next cell
+    var nbrs: Map[Long, Set[Long]] = emb.keys.map { id =>
+      val c = cellOf(id)
+      val ownN = byCell(c).filter(_ != id).take(2)
+      val nxtN = byCell.getOrElse((c + 1) % nlist, Seq.empty).take(2)
+      id -> ((ownN ++ nxtN).toSet - id)
+    }.toMap
+    def bestSims(m: Map[Long, Set[Long]]) = m.map { case (id, ns) =>
+      id -> (if (ns.isEmpty) -2.0 else ns.map(sim(id, _)).max)
+    }
+    val stages = scala.collection.mutable.ListBuffer(bestSims(nbrs))
+    (1 to 2).foreach { _ =>
+      nbrs = nbrs.map { case (id, ns) =>
+        val cand = (ns ++ ns.flatMap(nbrs.getOrElse(_, Set.empty))) - id
+        id -> cand.toSeq.sortBy(c => (-sim(id, c), c)).take(4).toSet
+      }
+      stages += bestSims(nbrs)
+    }
+    val expect = nbrs.toSeq.flatMap { case (id, ns) =>
+      ns.toSeq.sortBy(c => (-sim(id, c), c)).zipWithIndex.map { case (c, i) =>
+        (id, i + 1, c, BigDecimal(sim(id, c))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("llm_nn_descent")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    // the descent invariant: previous top-k is always in the candidate
+    // set, so per-node best sim is monotonically non-decreasing — and it
+    // must strictly improve somewhere or the rounds are vacuous
+    stages.toList.sliding(2).foreach {
+      case List(a, b) =>
+        a.keys.foreach(id => assert(b(id) >= a(id) - 1e-12, s"node $id regressed"))
+        assert(a.keys.map(id => b(id) - a(id)).max > 1e-9, "a round improved nothing")
+      case _ =>
+    }
+  }
+
   test("llm_mmr_rerank matches a driver-side greedy MMR; diversity beats the plain top-5 tail") {
     val emb = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"))
