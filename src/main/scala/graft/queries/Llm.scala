@@ -577,6 +577,29 @@ object Llm {
   private def nnDescent(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).where(col("norm") > 0.0d)
       .select(col("vec_id"), col("embedding"), col("norm"))
+    val (nb, members) = nnDescentGraph(s, v)
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .join(v.select(col("vec_id").as("node"), col("embedding").as("a_e"),
+        col("norm").as("a_n")), "node")
+      .join(v.select(col("vec_id").as("nb"), col("embedding").as("b_e"),
+        col("norm").as("b_n")), "nb")
+      .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+    val wTop = Window.partitionBy("node").orderBy(col("sim").desc, col("nb"))
+    graft.ops.Checkpoints.finishFreeing(
+      scored(nb)
+        .withColumn("rank", row_number().over(wTop))
+        .select(col("node").as("vec_id"), col("rank"), col("nb").as("nb_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id", "rank"),
+      members, nb)
+  }
+
+  /** The NN-descent build shared by `llm_nn_descent` (graph readout) and
+    * `llm_graph_search` (greedy serving): returns the CHECKPOINTED final
+    * (node, nb) k=4 neighbor table plus the checkpointed cell table —
+    * the caller owns freeing both. */
+  private def nnDescentGraph(s: SparkSession,
+      v: DataFrame): (DataFrame, DataFrame) = {
     val nlist = graft.ops.Ivf.occupancyNlist(v.count(), targetOccupancy = 50)
     val members = graft.ops.Ivf.coarseRanked(v, nlist)
       .where(col("r") === 1).select(col("vec_id"), col("cell"))
@@ -614,13 +637,67 @@ object Llm {
       graft.ops.Checkpoints.free(nb)
       nb = next
     }
+    (nb, members)
+  }
+
+  /** `llm_graph_search` body — greedy best-first serving over the
+    * NN-descent graph (the single-layer HNSW query path): from one
+    * md5-chosen global entry point, every query walks to its current
+    * node's best-scoring neighbor while that strictly improves, up to 6
+    * hops. Per-hop work per query is k=4 neighbor sims — CONSTANT at
+    * any corpus size; the output's `reached` column (did the walk
+    * terminate AT the query, which is in the index) is the greedy
+    * ROUTABILITY rate — the navigability number graph-ANN papers
+    * measure, and the operational readout that says whether the graph
+    * needs more rounds/degree. Strict `>` movement means plateaus stop
+    * the walk (no cycles, deterministic); per-hop checkpoint-and-free. */
+  private def graphSearch(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).where(col("norm") > 0.0d)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val (nb, members) = nnDescentGraph(s, v)
+    val qids = v
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
+      .orderBy("h").limit(500)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+        col("norm").as("q_n"))
+    val entry = v
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|entry"))))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("cur"))
+    var st = qids.crossJoin(broadcast(entry))
+      .join(v.select(col("vec_id").as("cur"), col("embedding").as("c_e"),
+        col("norm").as("c_n")), "cur")
+      .withColumn("cur_sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+      .select(col("q_id"), col("q_e"), col("q_n"), col("cur"), col("cur_sim"),
+        lit(0).as("hops"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 6) {
+      val best = st.select(col("q_id").as("b_q"), col("q_e").as("b_e"),
+          col("q_n").as("b_n"), col("cur"))
+        .join(nb.withColumnRenamed("node", "cur"), "cur")
+        .join(v.select(col("vec_id").as("nb"), col("embedding").as("n_e"),
+          col("norm").as("n_n")), "nb")
+        .withColumn("nsim", dot(col("b_e"), col("n_e")) / (col("b_n") * col("n_n")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("b_q").orderBy(col("nsim").desc, col("nb"))))
+        .where(col("rk") === 1)
+        .select(col("b_q").as("q_id"), col("nb").as("best"), col("nsim").as("best_sim"))
+      val moved = col("best_sim") > col("cur_sim")
+      val next = st.join(best, Seq("q_id"), "left")
+        .select(col("q_id"), col("q_e"), col("q_n"),
+          when(moved, col("best")).otherwise(col("cur")).as("cur"),
+          when(moved, col("best_sim")).otherwise(col("cur_sim")).as("cur_sim"),
+          (col("hops") + when(moved, 1).otherwise(0)).as("hops"))
+        .localCheckpoint(true)
+      graft.ops.Checkpoints.free(st)
+      st = next
+    }
     graft.ops.Checkpoints.finishFreeing(
-      scored(nb)
-        .withColumn("rank", row_number().over(wTop))
-        .select(col("node").as("vec_id"), col("rank"), col("nb").as("nb_id"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("vec_id", "rank"),
-      members, nb)
+      st.select(col("q_id").as("vec_id"), col("cur").as("nn_id"),
+          round(col("cur_sim"), 4).as("sim"), col("hops"),
+          (col("cur") === col("q_id")).as("reached"))
+        .orderBy("vec_id"),
+      members, nb, st)
   }
 
   private[graft] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
@@ -2054,6 +2131,12 @@ object Llm {
     // candidate sims per node per round, linear at any corpus size.
     "llm_nn_descent" -> ((s, d) => nnDescent(s, d)),
 
+    // K3j' — greedy best-first serving over the NN-descent graph (added
+    // r8): the single-layer HNSW query path — see [[graphSearch]]. The
+    // `reached` column is the greedy ROUTABILITY rate, the navigability
+    // number graph-ANN papers measure.
+    "llm_graph_search" -> ((s, d) => graphSearch(s, d)),
+
     // K3i — MMR diversified re-ranking (Carbonell & Goldstein 1998;
     // added r8): the retrieval post-processor every RAG serving stack
     // runs between ANN top-k and the prompt — greedy selection of k=5
@@ -3042,6 +3125,109 @@ object Llm {
       |    FROM sims
       |  ) WHERE rn = 1
       |)""".stripMargin
+
+  /** The position-aligned dot-product fold both engines agree on
+    * bit-for-bit, as oracle SQL over two list expressions. */
+  private def dtSql(x: String, y: String): String =
+    s"""list_aggregate(list_transform(list_zip($x, $y),
+       |  s -> CAST(struct_extract(s, 1) AS DOUBLE)
+       |     * CAST(struct_extract(s, 2) AS DOUBLE)), 'sum')""".stripMargin
+
+  /** The [[nnDescentGraph]] oracle CTE chain (through `vp`, the
+    * occupancy coarse cells, the cell-seeded init and the two unrolled
+    * descent rounds ending at `nb2`) — shared by `llm_nn_descent`
+    * (neighbor-table readout) and `llm_graph_search` (greedy serving
+    * over the same graph), so the two keys can never desynchronize on
+    * the build. */
+  private val nnDescentCtes: String = {
+    val rounds = (1 to 2).map { i =>
+      s"""cand$i AS (
+         |  SELECT DISTINCT node, nb FROM (
+         |    SELECT node, nb FROM nb${i - 1}
+         |    UNION ALL
+         |    SELECT a.node, b.nb FROM nb${i - 1} a JOIN nb${i - 1} b ON a.nb = b.node
+         |  ) WHERE nb <> node
+         |),
+         |sc$i AS (
+         |  SELECT c.node, c.nb,
+         |         ${dtSql("va.embedding", "vb.embedding")} / (va.norm * vb.norm) AS sim
+         |  FROM cand$i c JOIN vp va ON va.vec_id = c.node
+         |  JOIN vp vb ON vb.vec_id = c.nb
+         |),
+         |nb$i AS MATERIALIZED (
+         |  SELECT node, nb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY node
+         |                                 ORDER BY sim DESC, nb) AS rk
+         |    FROM sc$i
+         |  ) WHERE rk <= 4
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$vecCte,
+      |vp AS (SELECT vec_id, embedding, norm FROM v WHERE norm > 0),
+      |nl AS (SELECT least(65536, greatest(16, count(*) // 50)) AS nlist FROM vp),
+      |seeded AS (
+      |  SELECT vec_id, embedding, norm,
+      |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |           % (SELECT nlist FROM nl) AS seed
+      |  FROM vp
+      |),
+      |px AS (
+      |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
+      |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      |  FROM seeded
+      |),
+      |cm AS (
+      |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+      |  FROM px GROUP BY 1, 2
+      |),
+      |cent AS (
+      |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+      |  FROM cm GROUP BY seed
+      |),
+      |centn AS (
+      |  SELECT cell, centroid,
+      |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+      |  FROM cent
+      |),
+      |asg AS (
+      |  SELECT s.vec_id, c.cell,
+      |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
+      |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+      |           / (s.norm * c.cnorm) AS csim
+      |  FROM seeded s CROSS JOIN centn c
+      |),
+      |cells AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+      |    FROM asg
+      |  ) WHERE r = 1
+      |),
+      |s3 AS (
+      |  SELECT cell, vec_id,
+      |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+      |  FROM cells
+      |),
+      |own AS (
+      |  SELECT node, nb FROM (
+      |    SELECT c.vec_id AS node, s.vec_id AS nb,
+      |           row_number() OVER (PARTITION BY c.vec_id ORDER BY s.vec_id) AS rk
+      |    FROM cells c JOIN s3 s
+      |      ON s.cell = c.cell AND s.rk <= 3 AND s.vec_id <> c.vec_id
+      |  ) WHERE rk <= 2
+      |),
+      |nxt AS (
+      |  SELECT c.vec_id AS node, s.vec_id AS nb
+      |  FROM cells c JOIN s3 s
+      |    ON s.rk <= 2
+      |   AND (s.cell - 1 + (SELECT nlist FROM nl)) % (SELECT nlist FROM nl) = c.cell
+      |),
+      |nb0 AS MATERIALIZED (
+      |  SELECT DISTINCT node, nb FROM (
+      |    SELECT node, nb FROM own UNION ALL SELECT node, nb FROM nxt
+      |  )
+      |),
+      |$rounds""".stripMargin
+  }
 
   /** `llm_ivf_two_level` oracle: mirrors `Ivf.coarseRankedTwoLevel` CTE
     * for CTE — nlist/nsuper derived from the corpus (scalar subqueries),
@@ -4657,101 +4843,11 @@ object Llm {
         |FROM cells c JOIN qs USING (vec_id)
         |LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
-    "llm_nn_descent" -> {
-      def dt(x: String, y: String) =
-        s"""list_aggregate(list_transform(list_zip($x, $y),
-           |  s -> CAST(struct_extract(s, 1) AS DOUBLE)
-           |     * CAST(struct_extract(s, 2) AS DOUBLE)), 'sum')""".stripMargin
-      val rounds = (1 to 2).map { i =>
-        s"""cand$i AS (
-           |  SELECT DISTINCT node, nb FROM (
-           |    SELECT node, nb FROM nb${i - 1}
-           |    UNION ALL
-           |    SELECT a.node, b.nb FROM nb${i - 1} a JOIN nb${i - 1} b ON a.nb = b.node
-           |  ) WHERE nb <> node
-           |),
-           |sc$i AS (
-           |  SELECT c.node, c.nb,
-           |         ${dt("va.embedding", "vb.embedding")} / (va.norm * vb.norm) AS sim
-           |  FROM cand$i c JOIN vp va ON va.vec_id = c.node
-           |  JOIN vp vb ON vb.vec_id = c.nb
-           |),
-           |nb$i AS MATERIALIZED (
-           |  SELECT node, nb FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY node
-           |                                 ORDER BY sim DESC, nb) AS rk
-           |    FROM sc$i
-           |  ) WHERE rk <= 4
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $vecCte,
-        |vp AS (SELECT vec_id, embedding, norm FROM v WHERE norm > 0),
-        |nl AS (SELECT least(65536, greatest(16, count(*) // 50)) AS nlist FROM vp),
-        |seeded AS (
-        |  SELECT vec_id, embedding, norm,
-        |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
-        |           % (SELECT nlist FROM nl) AS seed
-        |  FROM vp
-        |),
-        |px AS (
-        |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
-        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
-        |  FROM seeded
-        |),
-        |cm AS (
-        |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
-        |  FROM px GROUP BY 1, 2
-        |),
-        |cent AS (
-        |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
-        |  FROM cm GROUP BY seed
-        |),
-        |centn AS (
-        |  SELECT cell, centroid,
-        |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
-        |  FROM cent
-        |),
-        |asg AS (
-        |  SELECT s.vec_id, c.cell,
-        |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
-        |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
-        |           / (s.norm * c.cnorm) AS csim
-        |  FROM seeded s CROSS JOIN centn c
-        |),
-        |cells AS MATERIALIZED (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
-        |    FROM asg
-        |  ) WHERE r = 1
-        |),
-        |s3 AS (
-        |  SELECT cell, vec_id,
-        |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
-        |  FROM cells
-        |),
-        |own AS (
-        |  SELECT node, nb FROM (
-        |    SELECT c.vec_id AS node, s.vec_id AS nb,
-        |           row_number() OVER (PARTITION BY c.vec_id ORDER BY s.vec_id) AS rk
-        |    FROM cells c JOIN s3 s
-        |      ON s.cell = c.cell AND s.rk <= 3 AND s.vec_id <> c.vec_id
-        |  ) WHERE rk <= 2
-        |),
-        |nxt AS (
-        |  SELECT c.vec_id AS node, s.vec_id AS nb
-        |  FROM cells c JOIN s3 s
-        |    ON s.rk <= 2
-        |   AND (s.cell - 1 + (SELECT nlist FROM nl)) % (SELECT nlist FROM nl) = c.cell
-        |),
-        |nb0 AS MATERIALIZED (
-        |  SELECT DISTINCT node, nb FROM (
-        |    SELECT node, nb FROM own UNION ALL SELECT node, nb FROM nxt
-        |  )
-        |),
-        |$rounds,
+    "llm_nn_descent" ->
+      s"""WITH $nnDescentCtes,
         |scf AS (
         |  SELECT n.node, n.nb,
-        |         ${dt("va.embedding", "vb.embedding")} / (va.norm * vb.norm) AS sim
+        |         ${dtSql("va.embedding", "vb.embedding")} / (va.norm * vb.norm) AS sim
         |  FROM nb2 n JOIN vp va ON va.vec_id = n.node
         |  JOIN vp vb ON vb.vec_id = n.nb
         |)
@@ -4761,7 +4857,52 @@ object Llm {
         |  SELECT *, row_number() OVER (PARTITION BY node ORDER BY sim DESC, nb) AS rk
         |  FROM scf
         |)
-        |ORDER BY vec_id, rank""".stripMargin
+        |ORDER BY vec_id, rank""".stripMargin,
+    "llm_graph_search" -> {
+      val hops = (1 to 6).map { i =>
+        s"""b$i AS (
+           |  SELECT q_id, nb AS best, nsim AS best_sim FROM (
+           |    SELECT t.*, row_number() OVER (PARTITION BY q_id
+           |                                   ORDER BY nsim DESC, nb) AS rk
+           |    FROM (
+           |      SELECT s.q_id, g.nb,
+           |             ${dtSql("vq.embedding", "vb.embedding")} / (vq.norm * vb.norm) AS nsim
+           |      FROM h${i - 1} s JOIN nb2 g ON g.node = s.cur
+           |      JOIN vp vq ON vq.vec_id = s.q_id
+           |      JOIN vp vb ON vb.vec_id = g.nb
+           |    ) t
+           |  ) WHERE rk = 1
+           |),
+           |h$i AS MATERIALIZED (
+           |  SELECT s.q_id,
+           |         CASE WHEN b.best_sim > s.cur_sim THEN b.best ELSE s.cur END AS cur,
+           |         CASE WHEN b.best_sim > s.cur_sim THEN b.best_sim
+           |              ELSE s.cur_sim END AS cur_sim,
+           |         s.hops + (CASE WHEN b.best_sim > s.cur_sim THEN 1 ELSE 0 END) AS hops
+           |  FROM h${i - 1} s LEFT JOIN b$i b ON b.q_id = s.q_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $nnDescentCtes,
+        |qsb AS (
+        |  SELECT vec_id AS q_id FROM vp
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|sq') LIMIT 500
+        |),
+        |ent AS (
+        |  SELECT vec_id AS cur FROM vp
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|entry'), vec_id LIMIT 1
+        |),
+        |h0 AS (
+        |  SELECT q.q_id, e.cur,
+        |         ${dtSql("vq.embedding", "vc.embedding")} / (vq.norm * vc.norm) AS cur_sim,
+        |         0 AS hops
+        |  FROM qsb q CROSS JOIN ent e
+        |  JOIN vp vq ON vq.vec_id = q.q_id
+        |  JOIN vp vc ON vc.vec_id = e.cur
+        |),
+        |$hops
+        |SELECT q_id AS vec_id, cur AS nn_id, round(cur_sim, 4) + 0 AS sim,
+        |       CAST(hops AS INTEGER) AS hops, cur = q_id AS reached
+        |FROM h6 ORDER BY vec_id""".stripMargin
     },
     "llm_mmr_rerank" -> {
       def dt(x: String, y: String) =

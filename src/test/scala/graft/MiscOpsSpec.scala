@@ -726,8 +726,16 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
-  test("llm_nn_descent matches a driver recompute; best sim per node never decreases across rounds") {
-    val emb = Tables.embeddings(spark, sf0001)
+  private def md5hex(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+
+  /** Driver-side NN-descent recompute (the engine/oracle recipe: seeded
+    * sorted-fold floor-1e-6 coarse cells, cell-mate + next-cell init,
+    * 2 synchronous rounds of top-4 over N ∪ N∘N). Returns the cosine
+    * function, the final neighbor map, and the per-stage best-sim maps —
+    * shared by the nn_descent and graph_search specs. */
+  private def descentDriver(sfDir: String)
+      : ((Long, Long) => Double, Map[Long, Set[Long]], Seq[Map[Long, Double]]) = {
+    val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     def dotd(a: Array[Double], b: Array[Double]): Double = {
@@ -735,11 +743,8 @@ class MiscOpsSpec extends SparkSpec {
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
     val norms = emb.map { case (id, e) => id -> math.sqrt(dotd(e, e)) }
-    def sim(a: Long, b: Long): Double = dotd(emb(a), emb(b)) / (norms(a) * norms(b))
-    // coarse cells: the engine/oracle seeded one-step recipe (sorted-fold
-    // floor-1e-6 centroids, cosine argmax with (csim desc, cell) ties)
+    val sim = (a: Long, b: Long) => dotd(emb(a), emb(b)) / (norms(a) * norms(b))
     val nlist = graft.ops.Ivf.occupancyNlist(emb.size.toLong, 50)
-    def md5hex(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
     def seedOf(id: Long) =
       (java.lang.Long.parseLong(md5hex(id.toString).substring(0, 4), 16) % nlist).toInt
     val cent = emb.keys.groupBy(seedOf).map { case (c, ids) =>
@@ -755,7 +760,6 @@ class MiscOpsSpec extends SparkSpec {
         .minBy { case (cs, c) => (-cs, c) }._2
     }.toMap
     val byCell = emb.keys.groupBy(cellOf).view.mapValues(_.toSeq.sorted).toMap
-    // init: 2 lowest-id cellmates + 2 lowest-id members of the next cell
     var nbrs: Map[Long, Set[Long]] = emb.keys.map { id =>
       val c = cellOf(id)
       val ownN = byCell(c).filter(_ != id).take(2)
@@ -773,6 +777,11 @@ class MiscOpsSpec extends SparkSpec {
       }
       stages += bestSims(nbrs)
     }
+    (sim, nbrs, stages.toList)
+  }
+
+  test("llm_nn_descent matches a driver recompute; best sim per node never decreases across rounds") {
+    val (sim, nbrs, stages) = descentDriver(sf0001)
     val expect = nbrs.toSeq.flatMap { case (id, ns) =>
       ns.toSeq.sortBy(c => (-sim(id, c), c)).zipWithIndex.map { case (c, i) =>
         (id, i + 1, c, BigDecimal(sim(id, c))
@@ -791,6 +800,37 @@ class MiscOpsSpec extends SparkSpec {
         assert(a.keys.map(id => b(id) - a(id)).max > 1e-9, "a round improved nothing")
       case _ =>
     }
+  }
+
+  test("llm_graph_search matches a driver-side greedy walk; routability is live") {
+    val (sim, nbrs, _) = descentDriver(sf0001)
+    val ids = nbrs.keys.toSeq
+    val qids = ids.sortBy(id => md5hex(id.toString + "|sq")).take(500)
+    val entry = ids.sortBy(id => (md5hex(id.toString + "|entry"), id)).head
+    val expect = qids.map { q =>
+      var (cur, curSim, hops) = (entry, sim(q, entry), 0)
+      (1 to 6).foreach { _ =>
+        val ns = nbrs.getOrElse(cur, Set.empty)
+        if (ns.nonEmpty) {
+          val (bs, b) = ns.toSeq.map(nb => (sim(q, nb), nb))
+            .minBy { case (s2, n2) => (-s2, n2) }
+          if (bs > curSim) { cur = b; curSim = bs; hops += 1 }
+        }
+      }
+      (q, cur,
+        BigDecimal(curSim).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        hops, cur == q)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("llm_graph_search")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getBoolean(4))).toSeq
+    assert(got == expect)
+    // navigability must be live in both directions: some walks reach
+    // their query, and the 6-hop greedy horizon leaves some short (the
+    // number an operator reads to size rounds/degree)
+    val reached = got.count(_._5)
+    assert(reached > 0, "no walk reached its query — graph not navigable at all")
+    info(f"greedy routability: $reached/${got.size} (${reached * 100.0 / got.size}%.1f%%)")
   }
 
   test("llm_mmr_rerank matches a driver-side greedy MMR; diversity beats the plain top-5 tail") {
