@@ -2680,6 +2680,44 @@ object Llm {
         .orderBy("source", "batch")
     }),
 
+    // K14' — PADDED-batch packing efficiency (added r8): the other
+    // packing regime beside `llm_pack_batches`' concatenate-and-chunk —
+    // fine-tuning/inference batches pad every sequence to the batch max,
+    // so batch composition decides how many pad tokens the accelerator
+    // burns. This key prices the two standard policies side by side on
+    // identical data: ARRIVAL order (doc_id) vs LENGTH-SORTED order
+    // ((n_tok, doc_id) — the "sort by length before batching" trick),
+    // fixed B=32 docs per batch per source; per batch the doc count,
+    // real tokens, batch max, pad tokens n·max − Σlen, and the
+    // efficiency fraction Σlen/(n·max) (floor-1e-4 of an exact-int
+    // ratio). The sorted policy's padding is provably ≤ arrival's per
+    // source (spec pins it) — THIS table is why every serving stack
+    // buckets by length. All exact ints; two source-keyed windows. Batch
+    // ids are per (source, policy) — deterministic, restart-stable.
+    "llm_pack_padded" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n_tok"))
+      def policy(name: String, order: Seq[org.apache.spark.sql.Column]) = {
+        val w = Window.partitionBy("source").orderBy(order: _*)
+        docs.withColumn("policy", lit(name))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("batch", expr("(rn - 1) div 32"))
+      }
+      val tagged = policy("arrival", Seq(col("doc_id")))
+        .unionByName(policy("sorted", Seq(col("n_tok"), col("doc_id"))))
+      tagged.groupBy("source", "policy", "batch")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          max("n_tok").as("max_len"))
+        .select(col("source"), col("policy"), col("batch"), col("n_docs"),
+          col("n_tokens"), col("max_len"),
+          (col("n_docs") * col("max_len") - col("n_tokens")).as("pad_tokens"),
+          (floor(col("n_tokens").cast("double")
+            / (col("n_docs") * col("max_len")).cast("double") * 1e4) / 1e4)
+            .as("efficiency"))
+        .orderBy("source", "policy", "batch")
+    }),
+
     // K15 — domain mixture accounting: per (source, lang) doc/token totals,
     // exact corpus token share, and a sqrt-damped sampling weight relative
     // to the dominant domain (the data-mixing knob for training runs).
@@ -5334,6 +5372,33 @@ object Llm {
         |       CASE WHEN nn.nn_id = e.nn_exact THEN 1 ELSE 0 END AS hit
         |FROM ex1 e LEFT JOIN nn ON e.vec_id = nn.a_id
         |ORDER BY e.vec_id""".stripMargin,
+    "llm_pack_padded" ->
+      """WITH docs AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+        |           AS n_tok
+        |  FROM documents
+        |),
+        |tagged AS (
+        |  SELECT source, doc_id, n_tok, 'arrival' AS policy,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT source, doc_id, n_tok, 'sorted' AS policy,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn
+        |  FROM docs
+        |),
+        |b AS (
+        |  SELECT source, policy, (rn - 1) // 32 AS batch,
+        |         count(*) AS n_docs, sum(n_tok) AS n_tokens, max(n_tok) AS max_len
+        |  FROM tagged GROUP BY 1, 2, 3
+        |)
+        |SELECT source, policy, batch, n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens, max_len,
+        |       CAST(n_docs * max_len - n_tokens AS BIGINT) AS pad_tokens,
+        |       floor(CAST(n_tokens AS DOUBLE)
+        |             / CAST(n_docs * max_len AS DOUBLE) * 1e4) / 1e4 AS efficiency
+        |FROM b ORDER BY source, policy, batch""".stripMargin,
     "llm_rake_keywords" ->
       """WITH tok AS (
         |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token

@@ -833,6 +833,36 @@ class MiscOpsSpec extends SparkSpec {
     info(f"greedy routability: $reached/${got.size} (${reached * 100.0 / got.size}%.1f%%)")
   }
 
+  test("llm_pack_padded matches a driver recompute; sorted padding never exceeds arrival's") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+    def batches(ordered: Seq[(String, Long, Long)], policy: String) =
+      ordered.grouped(32).zipWithIndex.map { case (g, i) =>
+        val (toks, mx) = (g.map(_._3).sum, g.map(_._3).max)
+        (g.head._1, policy, i.toLong, g.length.toLong, toks, mx,
+          g.length * mx - toks,
+          math.floor(toks.toDouble / (g.length * mx).toDouble * 1e4) / 1e4)
+      }.toSeq
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      batches(ds.sortBy(_._2), "arrival") ++
+        batches(ds.sortBy(d => (d._3, d._2)), "sorted")
+    }.sortBy(t => (t._1, t._2, t._3))
+    val got = SparkEntry.queries("llm_pack_padded")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.get(2).toString.toLong, r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getDouble(7))).toSeq
+    assert(got == expect)
+    // the point of sorting: total padding per source never increases
+    got.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._7).sum).toSeq
+      .groupBy(_._1._1).foreach { case (src, rows) =>
+        val m = rows.map { case ((_, p), pad) => p -> pad }.toMap
+        assert(m("sorted") <= m("arrival"),
+          s"$src: sorted padding ${m("sorted")} > arrival ${m("arrival")}")
+      }
+  }
+
   test("llm_mmr_rerank matches a driver-side greedy MMR; diversity beats the plain top-5 tail") {
     val emb = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"))
