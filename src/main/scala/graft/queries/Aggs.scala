@@ -1379,6 +1379,174 @@ object Aggs {
             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t) * 1e4) / 1e4").as("psi"))
         .orderBy("event_type")
     }),
+
+    // D32 — market-basket association rules (added r9): the classic
+    // co-occurrence mining readout (support / confidence / lift) over
+    // order baskets at BRAND grain. Scale shape: the pair generator is a
+    // self-join on the ORDER key — per-order fan-out is bounded by basket
+    // size² (≤C(12,2) here, never corpus²), and the rule aggregation
+    // shuffles on a key space bounded by brand² (≤625), so the plan is
+    // linear in orders at any corpus size. All counts exact ints; the
+    // three ratio readouts are single IEEE expressions of exact ints,
+    // floor-quantized (r2 #2 rule).
+    "agg_assoc_rules" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val nOrders = baskets.agg(countDistinct(col("ok")).as("n_orders"))
+      val itemCnt = baskets.groupBy("brand").agg(count(lit(1)).as("n_item"))
+      val pairs = baskets.select(col("ok"), col("brand").as("brand_a"))
+        .join(baskets.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
+        .where(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+      // each unordered pair yields two directed rules a→b and b→a
+      val rules = pairs.select(col("brand_a").as("antecedent"),
+          col("brand_b").as("consequent"), col("n_ab"))
+        .unionAll(pairs.select(col("brand_b").as("antecedent"),
+          col("brand_a").as("consequent"), col("n_ab")))
+        .where(col("n_ab") >= 2)
+      val ia = itemCnt.select(col("brand").as("antecedent"), col("n_item").as("n_ant"))
+      val ic = itemCnt.select(col("brand").as("consequent"), col("n_item").as("n_con"))
+      rules.join(broadcast(ia), "antecedent").join(broadcast(ic), "consequent")
+        .crossJoin(broadcast(nOrders))
+        .select(col("antecedent"), col("consequent"), col("n_ab"),
+          col("n_ant"), col("n_con"), col("n_orders"),
+          (floor(col("n_ab").cast("double") / col("n_orders").cast("double") * 1e4) / 1e4)
+            .as("support"),
+          (floor(col("n_ab").cast("double") / col("n_ant").cast("double") * 1e4) / 1e4)
+            .as("confidence"),
+          (floor(col("n_ab").cast("double") * col("n_orders").cast("double")
+            / (col("n_ant").cast("double") * col("n_con").cast("double")) * 1e4) / 1e4)
+            .as("lift"))
+        .orderBy("antecedent", "consequent")
+    }),
+
+    // D33 — Cramér's V association strength (added r9): the effect-size
+    // companion to agg_chi_square — how strongly is market segment
+    // associated with order priority, per region. Contingency cells are
+    // exact int counts from ONE fact-keyed join (orders⋈customer shuffles
+    // on the customer key; nation/region are broadcast dims); the χ²
+    // fold runs in (seg, prio) cell order via the ordered-list sum
+    // (agg_chi_square idiom), and V = sqrt(χ² / (n·min(r−1, c−1))) is
+    // IEEE sqrt of exact-derived doubles — deterministic both engines.
+    "agg_cramers_v" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("seg"), col("r_name").as("region"))
+      val cells = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority").as("prio"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("region", "seg", "prio").agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy("region", "seg").agg(sum("o").as("rt"))
+      val ct = cells.groupBy("region", "prio").agg(sum("o").as("ct"))
+      val nn = cells.groupBy("region")
+        .agg(sum("o").as("n"), countDistinct(col("seg")).as("r"),
+          countDistinct(col("prio")).as("c"))
+      cells.join(rt, Seq("region", "seg")).join(ct, Seq("region", "prio"))
+        .join(broadcast(nn), "region")
+        .withColumn("e",
+          col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
+        .withColumn("contrib",
+          (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"))
+        .groupBy("region", "n", "r", "c")
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('s', seg, 'p', prio, 'c', contrib))), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c)").as("chi2raw"))
+        .select(col("region"), col("n"),
+          (floor(col("chi2raw") * 1e4) / 1e4).as("chi2"),
+          (floor(sqrt(col("chi2raw") / (col("n").cast("double")
+            * (least(col("r"), col("c")) - lit(1L)).cast("double"))) * 1e4) / 1e4)
+            .as("cramers_v"))
+        .orderBy("region")
+    }),
+
+    // D34 — Herfindahl–Hirschman concentration index (added r9): supplier
+    // revenue concentration per nation — the market-structure readout a
+    // trend store serves next to shares. Revenue is quantized to exact
+    // cent longs AT THE SCAN (floor(price·(1−disc)·100), identical IEEE
+    // op order in the oracle) so every sum is exact-integer and
+    // partial-agg-order-free; shares and the Σshare² fold are the only
+    // floats, folded in supplier-key order (agg_chi_square idiom). Two
+    // shuffles: lineitem→supplier revenue (map-side partial), then the
+    // nation rollup over supplier-grain rows.
+    "agg_hhi" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+            .cast("long").as("cents"))
+        .groupBy("l_suppkey").agg(sum("cents").as("r"))
+      val byNation = rev
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("s_suppkey"), col("r"))
+      val tot = byNation.groupBy("nation")
+        .agg(sum("r").as("tot"), count(lit(1)).as("n_suppliers"))
+      byNation.join(broadcast(tot), "nation")
+        .withColumn("share", col("r").cast("double") / col("tot").cast("double"))
+        .withColumn("contrib", col("share") * col("share"))
+        .groupBy("nation", "n_suppliers", "tot")
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('k', s_suppkey, 'c', contrib))), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c)").as("hhi_raw"))
+        .select(col("nation"), col("n_suppliers"), col("tot").as("rev_cents"),
+          (floor(col("hhi_raw") * 1e4) / 1e4).as("hhi"))
+        .orderBy("nation")
+    }),
+
+    // D35 — Kaplan–Meier survival estimate (added r9): time-to-conversion
+    // analysis with RIGHT CENSORING — the estimator marketing/reliability
+    // teams run that naive "avg days to convert" gets wrong (dropping
+    // censored users biases toward fast converters). Event = first
+    // high-value purchase (value ≥ 200 — both states live at every
+    // fixture scale: sf0.001 has 4 deaths / 11 censored); users who never
+    // convert are censored at the observation horizon. Shape: ONE
+    // user-keyed aggregation (linear, map-side partial), then everything
+    // runs at DURATION grain — ≤ observation-window-days rows at any
+    // corpus size — so the global window and the triangular self-join
+    // under the survival product are summary-sized, never data-sized.
+    // S(t) = Π(nᵢ−dᵢ)/nᵢ is folded sequentially in duration order on
+    // both engines (Spark aggregate HOF vs DuckDB list_reduce with the
+    // same 1.0 seed) — bit-identical IEEE op order, floor-quantized.
+    "agg_survival_km" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      val mx = ev.agg(max("day").as("maxd"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("f"),
+          min(when(col("event_type") === "purchase" && col("value") >= 200, col("day")))
+            .as("p"))
+        .crossJoin(broadcast(mx))
+        .select(
+          when(col("p").isNotNull, datediff(col("p"), col("f")))
+            .otherwise(datediff(col("maxd"), col("f"))).cast("long").as("dur"),
+          when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("death"))
+      val durs = users.groupBy("dur")
+        .agg(count(lit(1)).as("all_cnt"), sum("death").as("d"))
+      val nTot = users.agg(count(lit(1)).as("n_total"))
+      // duration-grain table: ≤ window-days rows — the global window is
+      // summary-sized by construction (PlanShapeSpec allowlisted)
+      val w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+      val risk = durs.crossJoin(broadcast(nTot))
+        .withColumn("n_risk", col("n_total") - coalesce(sum(col("all_cnt")).over(w), lit(0L)))
+        .where(col("d") > 0)
+        .select(col("dur"), col("n_risk"), col("d"))
+      val upto = risk.select(col("dur").as("u"), col("n_risk").as("nr"), col("d").as("dd"))
+      risk.join(upto, col("u") <= col("dur"))
+        .groupBy("dur", "n_risk", "d")
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('u', u, " +
+          "'f', CAST(nr - dd AS DOUBLE) / CAST(nr AS DOUBLE)))), " +
+          "CAST(1.0 AS DOUBLE), (acc, x) -> acc * x.f)").as("s_raw"))
+        .select(col("dur").as("t"), col("n_risk"), col("d").as("d_events"),
+          (floor(col("s_raw") * 1e4) / 1e4).as("survival"))
+        .orderBy("t")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -2224,5 +2392,124 @@ object Aggs {
         |SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_t,
         |       floor(list_aggregate(list(term ORDER BY bin), 'sum') * 1e4) / 1e4 AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_assoc_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |),
+        |nn AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),
+        |item AS (SELECT brand, count(*) AS n_item FROM baskets GROUP BY 1),
+        |pr AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+        |  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2
+        |),
+        |rules AS (
+        |  SELECT brand_a AS antecedent, brand_b AS consequent, n_ab FROM pr
+        |  UNION ALL
+        |  SELECT brand_b, brand_a, n_ab FROM pr
+        |)
+        |SELECT r.antecedent, r.consequent, r.n_ab,
+        |       ia.n_item AS n_ant, ic.n_item AS n_con, nn.n_orders,
+        |       floor(CAST(r.n_ab AS DOUBLE) / CAST(nn.n_orders AS DOUBLE) * 1e4) / 1e4 AS support,
+        |       floor(CAST(r.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) * 1e4) / 1e4 AS confidence,
+        |       floor(CAST(r.n_ab AS DOUBLE) * CAST(nn.n_orders AS DOUBLE)
+        |             / (CAST(ia.n_item AS DOUBLE) * CAST(ic.n_item AS DOUBLE)) * 1e4) / 1e4 AS lift
+        |FROM rules r JOIN item ia ON r.antecedent = ia.brand
+        |     JOIN item ic ON r.consequent = ic.brand CROSS JOIN nn
+        |WHERE r.n_ab >= 2
+        |ORDER BY r.antecedent, r.consequent""".stripMargin,
+    "agg_cramers_v" ->
+      """WITH cust AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS seg, r.r_name AS region
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |       JOIN region r ON n.n_regionkey = r.r_regionkey
+        |),
+        |cells AS (
+        |  SELECT cu.region, cu.seg, o.o_orderpriority AS prio, count(*) AS o
+        |  FROM orders o JOIN cust cu ON o.o_custkey = cu.c_custkey
+        |  GROUP BY 1, 2, 3
+        |),
+        |rt AS (SELECT region, seg, sum(o) AS rt FROM cells GROUP BY 1, 2),
+        |ct AS (SELECT region, prio, sum(o) AS ct FROM cells GROUP BY 1, 2),
+        |nn AS (SELECT region, sum(o) AS n, count(DISTINCT seg) AS r,
+        |              count(DISTINCT prio) AS c FROM cells GROUP BY 1),
+        |k AS (
+        |  SELECT cl.region, cl.seg, cl.prio, nn.n, nn.r, nn.c, cl.o,
+        |         CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+        |  FROM cells cl JOIN rt ON cl.region = rt.region AND cl.seg = rt.seg
+        |       JOIN ct ON cl.region = ct.region AND cl.prio = ct.prio
+        |       JOIN nn ON cl.region = nn.region
+        |),
+        |kk AS (
+        |  SELECT region, seg, prio, n, r, c,
+        |         (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS contrib
+        |  FROM k
+        |),
+        |agg AS (
+        |  SELECT region, CAST(n AS BIGINT) AS n, r, c,
+        |         list_aggregate(list(contrib ORDER BY seg, prio), 'sum') AS chi2raw
+        |  FROM kk GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT region, n, floor(chi2raw * 1e4) / 1e4 AS chi2,
+        |       floor(sqrt(chi2raw / (CAST(n AS DOUBLE)
+        |             * CAST(LEAST(r, c) - 1 AS DOUBLE))) * 1e4) / 1e4 AS cramers_v
+        |FROM agg ORDER BY region""".stripMargin,
+    "agg_hhi" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1
+        |),
+        |bn AS (
+        |  SELECT n.n_name AS nation, s.s_suppkey, rev.r
+        |  FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |       JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |),
+        |tot AS (SELECT nation, CAST(sum(r) AS BIGINT) AS tot, count(*) AS n_suppliers
+        |        FROM bn GROUP BY 1),
+        |sh AS (
+        |  SELECT bn.nation, tot.n_suppliers, tot.tot, bn.s_suppkey,
+        |         (CAST(bn.r AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+        |         * (CAST(bn.r AS DOUBLE) / CAST(tot.tot AS DOUBLE)) AS contrib
+        |  FROM bn JOIN tot ON bn.nation = tot.nation
+        |)
+        |SELECT nation, n_suppliers, tot AS rev_cents,
+        |       floor(list_aggregate(list(contrib ORDER BY s_suppkey), 'sum') * 1e4) / 1e4 AS hhi
+        |FROM sh GROUP BY nation, n_suppliers, tot ORDER BY nation""".stripMargin,
+    "agg_survival_km" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type, value
+        |  FROM events
+        |),
+        |mx AS (SELECT max(day) AS maxd FROM ev),
+        |users AS (
+        |  SELECT CASE WHEN p IS NOT NULL THEN date_diff('day', f, p)
+        |              ELSE date_diff('day', f, (SELECT maxd FROM mx)) END AS dur,
+        |         CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS death
+        |  FROM (SELECT user_id, min(day) AS f,
+        |               min(CASE WHEN event_type = 'purchase' AND value >= 200
+        |                        THEN day END) AS p
+        |        FROM ev GROUP BY 1)
+        |),
+        |durs AS (SELECT dur, count(*) AS all_cnt, CAST(sum(death) AS BIGINT) AS d
+        |         FROM users GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_total FROM users),
+        |risk AS (
+        |  SELECT dur, d,
+        |         (SELECT n_total FROM nt)
+        |         - CAST(coalesce(sum(all_cnt) OVER (ORDER BY dur
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM durs
+        |),
+        |dd AS (SELECT dur, n_risk, d FROM risk WHERE d > 0)
+        |SELECT a.dur AS t, a.n_risk, a.d AS d_events,
+        |       floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |             list(CAST(b.n_risk - b.d AS DOUBLE) / CAST(b.n_risk AS DOUBLE)
+        |                  ORDER BY b.dur)),
+        |             (acc, x) -> acc * x) * 1e4) / 1e4 AS survival
+        |FROM dd a JOIN dd b ON b.dur <= a.dur
+        |GROUP BY a.dur, a.n_risk, a.d
+        |ORDER BY t""".stripMargin,
   )
 }

@@ -1138,4 +1138,133 @@ class MiscOpsSpec extends SparkSpec {
     got.flatMap(_._4).foreach(a => assert(a >= -1.0000011 && a <= 1.0000011, a))
     assert(got.flatMap(_._4).nonEmpty, "no defined ACF value in fixture")
   }
+
+  test("agg_assoc_rules matches a driver-side basket recompute; lift is symmetric") {
+    val baskets = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).distinct
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val itemCnt = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val pairCnt = byOrder.values.toSeq.flatMap { bs =>
+      for (a <- bs; b <- bs if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = pairCnt.toSeq.flatMap { case ((a, b), nab) =>
+      Seq((a, b, nab), (b, a, nab))
+    }.filter(_._3 >= 2).map { case (ant, con, nab) =>
+      (ant, con) -> (nab, itemCnt(ant), itemCnt(con), nOrders,
+        fl(nab.toDouble / nOrders.toDouble), fl(nab.toDouble / itemCnt(ant).toDouble),
+        fl(nab.toDouble * nOrders.toDouble / (itemCnt(ant).toDouble * itemCnt(con).toDouble)))
+    }.toMap
+    val got = SparkEntry.queries("agg_assoc_rules")(spark, sf0001)
+      .collect().map { r =>
+        (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getDouble(6), r.getDouble(7), r.getDouble(8))
+      }.toMap
+    assert(got == expect)
+    // lift is direction-free: a→b and b→a agree
+    got.foreach { case ((a, b), row) =>
+      assert(got((b, a))._7 == row._7, s"lift asymmetric for ($a, $b)")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("agg_cramers_v matches a driver contingency recompute; V in [0, 1]") {
+    val rows = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf0001), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("c_mktsegment"), col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expect = rows.groupBy(_._1).map { case (region, rs) =>
+      val cells = rs.groupBy(x => (x._2, x._3)).view.mapValues(_.length.toLong).toMap
+      val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val n = rs.length.toLong
+      val chi2 = cells.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, ((sg, pr), o)) =>
+        val e = rt(sg).toDouble * ct(pr).toDouble / n.toDouble
+        acc + (o.toDouble - e) * (o.toDouble - e) / e
+      }
+      val k = math.min(rt.size, ct.size).toLong - 1L
+      region -> (n, math.floor(chi2 * 1e4) / 1e4,
+        math.floor(math.sqrt(chi2 / (n.toDouble * k.toDouble)) * 1e4) / 1e4)
+    }
+    val got = SparkEntry.queries("agg_cramers_v")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got == expect)
+    got.values.foreach { case (_, _, v) => assert(v >= 0.0 && v <= 1.0, v) }
+  }
+
+  test("agg_hhi matches a driver recompute; HHI bounded by [1/n, 1]") {
+    val rev = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val supNation = Tables.supplier(spark, sf0001)
+      .join(Tables.nation(spark, sf0001), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = rev.toSeq.map { case (sk, r) => (supNation(sk), sk, r) }
+      .groupBy(_._1).map { case (nation, ss) =>
+        val tot = ss.map(_._3).sum
+        val hhi = ss.sortBy(_._2).foldLeft(0.0) { case (acc, (_, _, r)) =>
+          val sh = r.toDouble / tot.toDouble; acc + sh * sh
+        }
+        nation -> (ss.length.toLong, tot, math.floor(hhi * 1e4) / 1e4)
+      }
+    val got = SparkEntry.queries("agg_hhi")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == expect)
+    got.values.foreach { case (n, _, hhi) =>
+      assert(hhi <= 1.0 && hhi >= math.floor(1e4 / n.toDouble) / 1e4, (n, hhi))
+    }
+  }
+
+  test("agg_survival_km matches a driver Kaplan-Meier recompute; survival non-increasing") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getString(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    val maxd = evs.map(_._2).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val users = evs.groupBy(_._1).values.map { es =>
+      val f = es.map(_._2).min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+      val conv = es.filter(e => e._3 == "purchase" && !e._4.isNaN && e._4 >= 200).map(_._2)
+      if (conv.nonEmpty) {
+        val p = conv.min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+        (p.toEpochDay - f.toEpochDay, 1L)
+      } else (maxd.toEpochDay - f.toEpochDay, 0L)
+    }.toSeq
+    val nTotal = users.length.toLong
+    val durs = users.groupBy(_._1).toSeq.sortBy(_._1).map { case (dur, us) =>
+      (dur, us.length.toLong, us.map(_._2).sum)
+    }
+    var before = 0L
+    val risk = durs.map { case (dur, allCnt, d) =>
+      val r = (dur, nTotal - before, d); before += allCnt; r
+    }.filter(_._3 > 0)
+    val expect = risk.map { case (t, _, _) =>
+      val s = risk.filter(_._1 <= t).foldLeft(1.0) { case (acc, (_, nr, dd)) =>
+        acc * ((nr - dd).toDouble / nr.toDouble)
+      }
+      val (_, nr0, d0) = risk.find(_._1 == t).get
+      (t, nr0, d0, math.floor(s * 1e4) / 1e4)
+    }
+    val got = SparkEntry.queries("agg_survival_km")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    // survival is non-increasing in t, and both states are live in the fixture
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(b._4 <= a._4, s"survival increased: $a -> $b")
+      case _ =>
+    }
+    assert(got.map(_._3).sum < nTotal, "no censored user in fixture")
+    assert(got.map(_._3).sum > 0, "no conversion event in fixture")
+  }
 }

@@ -259,10 +259,13 @@ class PlanShapeSpec extends SparkSpec {
     //     token, gated at 10M with the documented RDD zipWithIndex route
     //     past it — Dedup.scala LargeVocab): llm_dedup_incremental,
     //     llm_dedup_lsh_verified, llm_dedup_near
+    //   - agg_survival_km duration-grain risk window (one row per distinct
+    //     duration — bounded by observation-window days, never corpus size)
     val allow = Set(
       "agg_rfm", "llm_vocab_coverage", "llm_zipf_slope", "win_analytic",
       "llm_shard_plan",
-      "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near")
+      "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near",
+      "agg_survival_km")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val skip = graft.tools.PlanScan.skipKeys
