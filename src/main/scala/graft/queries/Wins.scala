@@ -865,6 +865,123 @@ object Wins {
             "CAST(24 AS BIGINT), acf24) AS (lag, acf)"))
         .orderBy("event_type", "lag")
     }),
+
+    // E32 — rolling OLS regression (added r9): per-user trailing-16-point
+    // slope / intercept / R² — the local-trend readout dashboards draw as
+    // a "trend arrow" per entity, strictly stronger than win_moving_avg's
+    // level and cheaper than win_theil_sen's robust variant. Exactness
+    // route: the regressor x is the FRAME POSITION (0..15, oldest first),
+    // expressed as 16 lag() taps over one window pass — so Σx/Σx² are
+    // compile-time constants (120 / 1240), Σxy = Σₚ p·lag(y, 15−p) and Σy
+    // are exact µ-unit longs, Σy² accumulates in DECIMAL(38,0)/HUGEINT,
+    // and x never grows with history length (no row_number·value overflow
+    // at any series length). Emitted only on full frames; one shuffle on
+    // the user key; all divisions guarded, readouts floor-1e-4.
+    "win_rolling_regression" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val base = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+      // y at frame position p (0 = oldest of the 16) is lag(vq, 15-p)
+      val taps = (0 to 15).map(p => lag(col("vq"), 15 - p).over(w).as(s"y$p"))
+      val withTaps = base.select((col("event_id") +: col("user_id") +: taps): _*)
+      val sy = (0 to 15).map(p => col(s"y$p")).reduce(_ + _)
+      val sxy = (1 to 15).map(p => lit(p.toLong) * col(s"y$p")).reduce(_ + _)
+      val sy2 = (0 to 15).map(p => (col(s"y$p") * col(s"y$p")).cast(dec)).reduce(_ + _)
+      // n=16, Σx=120, Σx²=1240 ⇒ nΣx²−(Σx)² = 5440
+      val num = lit(16.0) * sxy.cast("double") - lit(120.0) * sy.cast("double")
+      val denY = lit(16.0) * sy2.cast("double") -
+        sy.cast("double") * sy.cast("double")
+      withTaps
+        .where(col("y0").isNotNull)
+        .select(col("event_id"),
+          (floor(num / lit(5440.0) * 1e4) / 1e4).as("slope"),
+          (floor((lit(1240.0) * sy.cast("double") - lit(120.0) * sxy.cast("double"))
+            / lit(5440.0) * 1e4) / 1e4).as("intercept"),
+          when(denY > 0,
+            floor(num * num / (lit(5440.0) * denY) * 1e4) / 1e4).as("r2"))
+        .orderBy("event_id")
+    }),
+
+    // E33 — Bollinger bands (added r9): trailing-8-point mean ± 2σ per
+    // user with a breakout flag — the volatility-envelope companion to
+    // win_rsi on the same (user, ts) series. Rolling Σy (long) and Σy²
+    // (DECIMAL/HUGEINT) over one [-7,0] frame; σ from the exact-integer
+    // population-variance identity (nΣy²−(Σy)²)/n²; bands and flag read
+    // out through identical IEEE expressions both engines, floor-1e-4.
+    // Full frames only; one shuffle on the user key.
+    "win_bollinger" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-7, 0)
+      val base = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("n", count(col("vq")).over(wf))
+        .withColumn("s1", sum(col("vq")).over(wf))
+        .withColumn("s2", sum((col("vq") * col("vq")).cast(dec)).over(wf))
+      val mean = col("s1").cast("double") / lit(8.0)
+      val sigma = sqrt((lit(8.0) * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double")) / lit(64.0))
+      val upper = mean + lit(2.0) * sigma
+      val lower = mean - lit(2.0) * sigma
+      base.where(col("n") === 8)
+        .select(col("event_id"),
+          (floor(mean / 1e6 * 1e4) / 1e4).as("mid"),
+          (floor(upper / 1e6 * 1e4) / 1e4).as("upper"),
+          (floor(lower / 1e6 * 1e4) / 1e4).as("lower"),
+          when(col("vq").cast("double") > upper, lit(1L))
+            .when(col("vq").cast("double") < lower, lit(-1L))
+            .otherwise(lit(0L)).as("breakout"))
+        .orderBy("event_id")
+    }),
+
+    // E34 — offline changepoint detection (added r9): per-user single
+    // best mean-shift split by SSE reduction (binary segmentation's first
+    // step — the OFFLINE complement to win_cusum's online alarm: "did the
+    // level shift, and when?"). Every split candidate is priced from
+    // prefix/total sums in one window pass — SSE(seg) = Σy²−(Σy)²/n from
+    // exact µ-unit longs (Σy² in DECIMAL/HUGEINT) — so the plan is one
+    // user-keyed sort, no per-split rescan. The winning split per user is
+    // row_number()=1 ordered by (sse_split, event_id) — a float ORDER on
+    // identically-computed doubles plus an integer tiebreak, hash-safe on
+    // both engines. Gain readout guarded for constant series, floor-1e-4.
+    "win_changepoint" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wp = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy("user_id")
+      val base = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("nl", count(col("vq")).over(wp))
+        .withColumn("s1l", sum(col("vq")).over(wp))
+        .withColumn("s2l", sum((col("vq") * col("vq")).cast(dec)).over(wp))
+        .withColumn("n", count(col("vq")).over(wAll))
+        .withColumn("s1", sum(col("vq")).over(wAll))
+        .withColumn("s2", sum((col("vq") * col("vq")).cast(dec)).over(wAll))
+        .where(col("nl") < col("n") && col("n") >= 2)
+      def sse(n: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
+              s2: org.apache.spark.sql.Column) =
+        s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")
+      val scored = base
+        .withColumn("sse_full", sse(col("n"), col("s1"), col("s2")))
+        .withColumn("sse_split",
+          sse(col("nl"), col("s1l"), col("s2l")) +
+            sse(col("n") - col("nl"), col("s1") - col("s1l"),
+              col("s2") - col("s2l")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("sse_split"), col("event_id"))))
+      scored.where(col("rn") === 1)
+        .select(col("user_id"), col("n"), col("event_id").as("split_event_id"),
+          col("nl").as("n_left"),
+          (floor(col("sse_full") / 1e12 * 1e4) / 1e4).as("sse_full"),
+          (floor(col("sse_split") / 1e12 * 1e4) / 1e4).as("sse_split"),
+          when(col("sse_full") > 0,
+            floor((col("sse_full") - col("sse_split")) / col("sse_full") * 1e4) / 1e4)
+            .as("gain"))
+        .orderBy("user_id")
+    }),
   )
 
   /** The win_holt_winters oracle's fold pieces (DuckDB 1-based list
@@ -1482,5 +1599,108 @@ object Wins {
         |       CASE WHEN nd = 14 AND gain + loss > 0
         |            THEN 100.0 * CAST(gain AS DOUBLE) / CAST(gain + loss AS DOUBLE) END AS rsi
         |FROM f ORDER BY event_id""".stripMargin,
+    "win_rolling_regression" -> {
+      val lags = (0 to 15).map(p => s"lag(vq, ${15 - p}) OVER w AS y$p").mkString(",\n        |         ")
+      val sy = (0 to 15).map(p => s"y$p").mkString(" + ")
+      val sxy = (1 to 15).map(p => s"$p * y$p").mkString(" + ")
+      val sy2 = (0 to 15).map(p => s"CAST(y$p AS HUGEINT) * y$p").mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |           FROM events WHERE value IS NOT NULL),
+        |t AS (
+        |  SELECT event_id,
+        |         $lags
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |sums AS (
+        |  SELECT event_id,
+        |         CAST($sy AS BIGINT) AS sy,
+        |         CAST($sxy AS BIGINT) AS sxy,
+        |         ($sy2) AS sy2
+        |  FROM t WHERE y0 IS NOT NULL
+        |),
+        |f AS (
+        |  SELECT event_id,
+        |         16.0 * CAST(sxy AS DOUBLE) - 120.0 * CAST(sy AS DOUBLE) AS num,
+        |         16.0 * CAST(sy2 AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM sums
+        |)
+        |SELECT event_id,
+        |       floor(num / 5440.0 * 1e4) / 1e4 AS slope,
+        |       floor((1240.0 * syd - 120.0 * sxyd) / 5440.0 * 1e4) / 1e4 AS intercept,
+        |       CASE WHEN den_y > 0
+        |            THEN floor(num * num / (5440.0 * den_y) * 1e4) / 1e4 END AS r2
+        |FROM f ORDER BY event_id""".stripMargin
+    },
+    "win_bollinger" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |           FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT event_id, vq,
+        |         count(vq) OVER w AS n,
+        |         CAST(sum(vq) OVER w AS BIGINT) AS s1,
+        |         sum(CAST(vq AS HUGEINT) * vq) OVER w AS s2
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        |),
+        |g AS (
+        |  SELECT event_id, vq,
+        |         CAST(s1 AS DOUBLE) / 8.0 AS mean,
+        |         sqrt((8.0 * CAST(s2 AS DOUBLE)
+        |               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / 64.0) AS sigma
+        |  FROM f WHERE n = 8
+        |)
+        |SELECT event_id,
+        |       floor(mean / 1e6 * 1e4) / 1e4 AS mid,
+        |       floor((mean + 2.0 * sigma) / 1e6 * 1e4) / 1e4 AS upper,
+        |       floor((mean - 2.0 * sigma) / 1e6 * 1e4) / 1e4 AS lower,
+        |       CASE WHEN CAST(vq AS DOUBLE) > mean + 2.0 * sigma THEN 1
+        |            WHEN CAST(vq AS DOUBLE) < mean - 2.0 * sigma THEN -1
+        |            ELSE 0 END AS breakout
+        |FROM g ORDER BY event_id""".stripMargin,
+    "win_changepoint" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |           FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT event_id, user_id,
+        |         count(vq) OVER wp AS nl,
+        |         CAST(sum(vq) OVER wp AS BIGINT) AS s1l,
+        |         sum(CAST(vq AS HUGEINT) * vq) OVER wp AS s2l,
+        |         count(vq) OVER wa AS n,
+        |         CAST(sum(vq) OVER wa AS BIGINT) AS s1,
+        |         sum(CAST(vq AS HUGEINT) * vq) OVER wa AS s2
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wa AS (PARTITION BY user_id)
+        |),
+        |scored AS (
+        |  SELECT event_id, user_id, n, nl,
+        |         CAST(s2 AS DOUBLE)
+        |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS sse_full,
+        |         (CAST(s2l AS DOUBLE)
+        |           - CAST(s1l AS DOUBLE) * CAST(s1l AS DOUBLE) / CAST(nl AS DOUBLE))
+        |         + (CAST(s2 - s2l AS DOUBLE)
+        |           - CAST(s1 - s1l AS DOUBLE) * CAST(s1 - s1l AS DOUBLE)
+        |             / CAST(n - nl AS DOUBLE)) AS sse_split
+        |  FROM p WHERE nl < n AND n >= 2
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY sse_split, event_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT user_id, n, event_id AS split_event_id, nl AS n_left,
+        |       floor(sse_full / 1e12 * 1e4) / 1e4 AS sse_full,
+        |       floor(sse_split / 1e12 * 1e4) / 1e4 AS sse_split,
+        |       CASE WHEN sse_full > 0
+        |            THEN floor((sse_full - sse_split) / sse_full * 1e4) / 1e4 END AS gain
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 }

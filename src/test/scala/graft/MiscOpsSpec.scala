@@ -1267,4 +1267,91 @@ class MiscOpsSpec extends SparkSpec {
     assert(got.map(_._3).sum < nTotal, "no censored user in fixture")
     assert(got.map(_._3).sum > 0, "no conversion event in fixture")
   }
+
+  // shared fixture for the three r9 rolling-window keys: per-user series
+  // ordered by (ts, event_id), values µ-quantized
+  private def userSeries(): Map[Long, Seq[(Long, Long)]] =
+    Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("vq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3)).map(e => (e._3, e._4)).toSeq).toMap
+
+  test("win_rolling_regression matches a driver OLS recompute on every full frame") {
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = userSeries().values.flatMap { series =>
+      series.indices.drop(15).map { i =>
+        val ys = (0 to 15).map(p => series(i - 15 + p)._2)
+        val sy = ys.sum
+        val sxy = (0 to 15).map(p => p.toLong * ys(p)).sum
+        val sy2 = ys.map(y => BigInt(y) * BigInt(y)).sum
+        val num = 16.0 * sxy.toDouble - 120.0 * sy.toDouble
+        val denY = 16.0 * sy2.toDouble - sy.toDouble * sy.toDouble
+        (series(i)._1, (fl(num / 5440.0),
+          fl((1240.0 * sy.toDouble - 120.0 * sxy.toDouble) / 5440.0),
+          if (denY > 0) Some(fl(num * num / (5440.0 * denY))) else None))
+      }
+    }.toMap
+    val got = SparkEntry.queries("win_rolling_regression")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == expect)
+    got.values.flatMap(_._3).foreach(r2 => assert(r2 >= -1e-4 && r2 <= 1.0000001, r2))
+    assert(got.nonEmpty)
+  }
+
+  test("win_bollinger matches a driver recompute; bands ordered, all flags live") {
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = userSeries().values.flatMap { series =>
+      series.indices.drop(7).map { i =>
+        val ys = (0 to 7).map(p => series(i - 7 + p)._2)
+        val s1 = ys.sum
+        val s2 = ys.map(y => BigInt(y) * BigInt(y)).sum
+        val mean = s1.toDouble / 8.0
+        val sigma = math.sqrt((8.0 * s2.toDouble - s1.toDouble * s1.toDouble) / 64.0)
+        val vq = series(i)._2
+        val flag = if (vq.toDouble > mean + 2.0 * sigma) 1L
+          else if (vq.toDouble < mean - 2.0 * sigma) -1L else 0L
+        (series(i)._1,
+          (fl(mean / 1e6), fl((mean + 2.0 * sigma) / 1e6), fl((mean - 2.0 * sigma) / 1e6), flag))
+      }
+    }.toMap
+    val got = SparkEntry.queries("win_bollinger")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got == expect)
+    got.values.foreach { case (mid, up, lo, _) =>
+      assert(lo <= mid && mid <= up, (lo, mid, up))
+    }
+  }
+
+  test("win_changepoint matches a driver brute-force best split; gain non-negative") {
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = userSeries().toSeq.collect { case (uid, series) if series.length >= 2 =>
+      val ys = series.map(_._2)
+      def sse(vs: Seq[Long]): Double = {
+        val s1 = vs.sum; val s2 = vs.map(y => BigInt(y) * BigInt(y)).sum
+        s2.toDouble - s1.toDouble * s1.toDouble / vs.length.toDouble
+      }
+      val full = sse(ys)
+      val candidates = (1 until ys.length).map { k =>
+        (sse(ys.take(k)) + sse(ys.drop(k)), series(k - 1)._1, k.toLong)
+      }
+      val best = candidates.minBy(c => (c._1, c._2))
+      uid -> (ys.length.toLong, best._2, best._3, fl(full / 1e12), fl(best._1 / 1e12),
+        if (full > 0) Some(fl((full - best._1) / full)) else None)
+    }.toMap
+    val got = SparkEntry.queries("win_changepoint")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    assert(got == expect)
+    got.values.foreach { case (_, _, _, full, split, gain) =>
+      assert(split <= full + 1e-4, (split, full))
+      gain.foreach(g => assert(g >= 0.0 && g <= 1.0, g))
+    }
+    assert(got.nonEmpty)
+  }
 }
