@@ -222,6 +222,43 @@ object Graph {
       .orderBy(col("jaccard_units").desc, col("u"), col("v")).limit(100)
   }
 
+  /** Per-node local clustering coefficient over a canonical (u<v) edge
+    * list — see the `graph_clustering_coeff` entry for the full design
+    * rationale. */
+  private def clusteringCoeffBody(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("x")).unionByName(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val tri = trianglesBody(edges)
+      .select(col("part").as("x"), col("n_triangles"))
+    deg.where(col("dg") >= 2)
+      .join(tri, Seq("x"), "left")
+      .select(col("x").as("part"), col("dg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (floor(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")
+          / (col("dg").cast("double") * (col("dg") - lit(1L)).cast("double")) * 1e4) / 1e4)
+          .as("coeff"))
+      .orderBy("part")
+  }
+
+  /** Degree histogram + CCDF over a canonical (u<v) edge list — see the
+    * `graph_degree_dist` entry for the full design rationale. */
+  private def degreeDistBody(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("x")).unionByName(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val hist = deg.groupBy("dg").agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum("n_nodes").as("n_total"))
+    // degree-histogram grain (≤ #distinct degree values) — the global
+    // window is summary-sized, never node-sized (PlanShapeSpec allowlist)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dg").desc).rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("n_ge", sum(col("n_nodes")).over(w))
+      .select(col("dg"), col("n_nodes"), col("n_ge"), col("n_total"),
+        (floor(col("n_ge").cast("double") / col("n_total").cast("double") * 1e4) / 1e4)
+          .as("ccdf"))
+      .orderBy("dg")
+  }
+
   /** 3-round synchronous label propagation over a canonical (u<v) edge
     * list — see the `graph_label_prop` entry for the full design
     * rationale. */
@@ -462,6 +499,32 @@ object Graph {
       finishFreeing(trianglesBody(edges), edges)
     }),
 
+    // L2' — per-node local clustering coefficient (added r9): triangle
+    // count normalized by the node's wedge capacity C(deg, 2) — the
+    // community-density readout per entity ("how clique-like is this
+    // part's co-purchase neighborhood"), the per-node form of the global
+    // transitivity number. Reuses [[trianglesBody]]'s orientation-bounded
+    // triangle counts verbatim (one chain, two keys — the nnDescentCtes
+    // discipline); nodes with deg ≥ 2 but no triangles appear with
+    // coeff 0 via a left join. One extra degree-keyed join over
+    // summary-sized tables beyond the triangle chain itself.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      finishFreeing(clusteringCoeffBody(edges), edges)
+    }),
+
+    // L2'' — degree distribution + CCDF (added r9): the structural-health
+    // histogram every graph pipeline checks first (is this co-purchase
+    // graph power-law? did an upstream bug flatten it?). Node degrees are
+    // one groupBy; everything after runs at DEGREE-HISTOGRAM grain
+    // (≤ #distinct degree values — summary-sized at any corpus), so the
+    // reverse-cumulative CCDF window is a bounded-input global window
+    // (allowlisted), and the total is a broadcast one-row aggregate.
+    "graph_degree_dist" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      finishFreeing(degreeDistBody(edges), edges)
+    }),
+
     // L3 — common-neighbor link prediction (added r5): the 100 strongest
     // NOT-YET-ADJACENT part pairs by shared co-purchase neighbors — the
     // classic "customers who bought these also bought" candidate
@@ -668,6 +731,9 @@ object Graph {
       pprBody(edges, deg, seeds, 5L, deg.count(), checkpointIters = false)
     }),
     "graph_triangles" -> ((s, d) => trianglesBody(copurchaseEdgesPlan(s, d))),
+    "graph_clustering_coeff" ->
+      ((s, d) => clusteringCoeffBody(copurchaseEdgesPlan(s, d))),
+    "graph_degree_dist" -> ((s, d) => degreeDistBody(copurchaseEdgesPlan(s, d))),
     "graph_common_neighbors" ->
       ((s, d) => commonNeighborsBody(copurchaseEdgesPlan(s, d))),
     "graph_adamic_adar" -> ((s, d) => adamicAdarBody(copurchaseEdgesPlan(s, d))),
@@ -742,6 +808,54 @@ object Graph {
           |  UNION ALL SELECT c FROM t
           |)
           |SELECT part, count(*) AS n_triangles FROM nodes GROUP BY part ORDER BY part""".stripMargin,
+      "graph_clustering_coeff" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |),
+          |sym AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT w, count(*) AS dg FROM sym GROUP BY w),
+          |t AS (
+          |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+          |),
+          |nodes AS (
+          |  SELECT a AS part FROM t
+          |  UNION ALL SELECT b FROM t
+          |  UNION ALL SELECT c FROM t
+          |),
+          |tc AS (SELECT part, count(*) AS n_triangles FROM nodes GROUP BY part)
+          |SELECT d.w AS part, d.dg, coalesce(tc.n_triangles, 0) AS n_triangles,
+          |       floor(2.0 * CAST(coalesce(tc.n_triangles, 0) AS DOUBLE)
+          |             / (CAST(d.dg AS DOUBLE) * CAST(d.dg - 1 AS DOUBLE)) * 1e4) / 1e4 AS coeff
+          |FROM deg d LEFT JOIN tc ON d.w = tc.part
+          |WHERE d.dg >= 2 ORDER BY part""".stripMargin,
+      "graph_degree_dist" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |),
+          |sym AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT w, count(*) AS dg FROM sym GROUP BY w),
+          |hist AS (SELECT dg, count(*) AS n_nodes FROM deg GROUP BY dg),
+          |tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM hist)
+          |SELECT h.dg, h.n_nodes,
+          |       CAST(sum(h.n_nodes) OVER (ORDER BY h.dg DESC
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge,
+          |       tot.n_total,
+          |       floor(CAST(sum(h.n_nodes) OVER (ORDER BY h.dg DESC
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |             / CAST(tot.n_total AS DOUBLE) * 1e4) / 1e4 AS ccdf
+          |FROM hist h CROSS JOIN tot ORDER BY h.dg""".stripMargin,
       "graph_common_neighbors" ->
         """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),

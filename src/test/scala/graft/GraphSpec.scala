@@ -362,6 +362,52 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("graph_clustering_coeff matches a driver recompute from triangles and degrees") {
+    val edges = supportedEdges(sf0001)
+    val sym = edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, bs) <- adj; b <- bs
+      cs <- adj.get(b); c <- cs if adj.getOrElse(a, Set.empty).contains(c)
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val expect = deg.filter(_._2 >= 2).map { case (x, dg) =>
+      val tri = triCount(x)
+      x -> (dg, tri,
+        math.floor(2.0 * tri.toDouble / (dg.toDouble * (dg - 1L).toDouble) * 1e4) / 1e4)
+    }
+    val got = SparkEntry.queries("graph_clustering_coeff")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expect)
+    got.values.foreach { case (_, _, c) => assert(c >= 0.0 && c <= 1.0, c) }
+    assert(got.values.exists(_._3 == 0.0) || got.values.forall(_._2 > 0),
+      "expected some deg>=2 node without triangles (left-join path) on this fixture")
+  }
+
+  test("graph_degree_dist: histogram sums to node count, CCDF monotone from 1.0") {
+    val edges = supportedEdges(sf0001)
+    val sym = edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val hist = deg.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = deg.size.toLong
+    val got = SparkEntry.queries("graph_degree_dist")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got.map(r => r._1 -> r._2).toMap == hist)
+    assert(got.forall(_._4 == nTotal))
+    assert(got.map(_._2).sum == nTotal)
+    // ascending by degree: n_ge decreasing; smallest degree has n_ge = n_total
+    assert(got.head._3 == nTotal)
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 < a._3 && b._1 > a._1)
+      case _ =>
+    }
+    got.foreach { case (dg, n, nGe, _, ccdf) =>
+      assert(ccdf == math.floor(nGe.toDouble / nTotal.toDouble * 1e4) / 1e4, (dg, n))
+    }
+  }
+
   test("llm_lsh_curve: capture probability is the analytic S-curve and monotone") {
     val rows = SparkEntry.queries("llm_lsh_curve")(spark, sf001).collect()
     assert(rows.nonEmpty)

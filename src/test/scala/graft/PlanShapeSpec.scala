@@ -261,11 +261,13 @@ class PlanShapeSpec extends SparkSpec {
     //     llm_dedup_lsh_verified, llm_dedup_near
     //   - agg_survival_km duration-grain risk window (one row per distinct
     //     duration — bounded by observation-window days, never corpus size)
+    //   - graph_degree_dist CCDF window (one row per distinct degree value
+    //     in the degree histogram — summary-sized, never node-sized)
     val allow = Set(
       "agg_rfm", "llm_vocab_coverage", "llm_zipf_slope", "win_analytic",
       "llm_shard_plan",
       "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near",
-      "agg_survival_km")
+      "agg_survival_km", "graph_degree_dist")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val skip = graft.tools.PlanScan.skipKeys
