@@ -1596,6 +1596,43 @@ object Llm {
         .orderBy("source")
     }),
 
+    // K1g — per-source dataset card (added r9): the one-stop manifest a
+    // training-data pipeline publishes per ingested source — volume
+    // (docs / tokens / chars), composition (distinct langs, majority lang
+    // + its share), and shape (mean tokens per doc, short-doc fraction
+    // under 20 tokens). Individual metrics exist as their own keys
+    // (dedup_stats, text_stats, domain_mix); the card is the composition
+    // a data-governance surface actually serves. Two source-keyed
+    // aggregations (doc grain → source×lang grain → source grain), all
+    // map-side partial, all exact ints until the floored ratio readouts —
+    // linear at any corpus size.
+    "llm_source_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("toks"))
+      val byLang = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("toks").as("tok"), sum("n_chars").as("ch"),
+          sum((col("toks") < 20).cast("long")).as("short"))
+      val wTop = Window.partitionBy("source").orderBy(col("n").desc, col("lang"))
+      val top = byLang.withColumn("rn", row_number().over(wTop))
+        .where(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("n").as("top_n"))
+      val card = byLang.groupBy("source")
+        .agg(sum("n").as("n_docs"), sum("tok").as("n_tokens"),
+          sum("ch").as("n_chars"), count(lit(1)).as("n_langs"),
+          sum("short").as("n_short"))
+      card.join(top, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_langs"), col("top_lang"),
+          (floor(col("top_n").cast("double") / col("n_docs").cast("double") * 1e4) / 1e4)
+            .as("top_lang_share"),
+          (floor(col("n_tokens").cast("double") / col("n_docs").cast("double") * 1e4) / 1e4)
+            .as("avg_tokens"),
+          (floor(col("n_short").cast("double") / col("n_docs").cast("double") * 1e4) / 1e4)
+            .as("short_frac"))
+        .orderBy("source")
+    }),
+
     // Bigram-LM scoring — the Markov step past `llm_perplexity`'s unigram
     // model (the KenLM-shaped fluency signal corpus filters actually use):
     // per-doc average conditional NLL −ln c(w1,w2)/c(w1·) under the
@@ -2136,6 +2173,64 @@ object Llm {
     // `reached` column is the greedy ROUTABILITY rate, the navigability
     // number graph-ANN papers measure.
     "llm_graph_search" -> ((s, d) => graphSearch(s, d)),
+
+    // K3j'' — NN-descent graph RECALL eval (added r9): per md5-budget
+    // query, |graph neighbors ∩ exact top-4| / 4 — the graph-quality
+    // number NN-descent papers track (how much of the true k-NN graph
+    // did 2 descent rounds recover), completing the recall-eval trio
+    // across all three ANN families (IVF: llm_recall_at_k, two-level:
+    // llm_recall_two_level, graph: this). Ground truth stays exact but
+    // BUDGET-SIZED: ops.Knn.topKCosine scans |budget|·|corpus|, never
+    // corpus² — the sampled-recall shape that survives 100 TB. The graph
+    // build is [[nnDescentGraph]] verbatim; the oracle shares
+    // nnDescentCtes, so eval and build can never desynchronize.
+    "llm_recall_graph" -> ((s, d) => {
+      val v = vecs(s, d).where(col("norm") > 0.0d)
+      val (nb, members) = nnDescentGraph(s,
+        v.select(col("vec_id"), col("embedding"), col("norm")))
+      val qids = v
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|gq"))))
+        .orderBy("h").limit(500)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val exact = graft.ops.Knn.topKCosine(qids,
+          v.select(col("vec_id"), col("embedding"), col("label")), 4).toDF()
+        .select(col("q_id"), col("c_id"))
+      val hits = exact
+        .join(nb.select(col("node").as("q_id"), col("nb").as("c_id")), Seq("q_id", "c_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      val out = qids.select(col("vec_id"))
+        .join(hits.withColumnRenamed("q_id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (floor(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(4.0) * 1e4) / 1e4)
+            .as("recall"))
+        .orderBy("vec_id")
+      graft.ops.Checkpoints.finishFreeing(out, members, nb)
+    }),
+
+    // K3h' — clustering quality eval (added r9): per-cluster label
+    // purity of the `llm_kmeans_lloyd` partition — the readout that makes
+    // unsupervised clustering actionable for data curation (a cluster
+    // whose majority label carries 90% of members is a usable stratum; a
+    // 30% one is noise). Shares ops.Ivf.lloyd verbatim with the kmeans
+    // key (one chain, two keys), and the oracle shares the unrolled
+    // Lloyd CTE chain. Post-assignment work is (cell × label) grain —
+    // summary-sized at any corpus.
+    "llm_cluster_eval" -> ((s, d) => {
+      val v = vecs(s, d).select("vec_id", "embedding", "norm")
+      val asg = graft.ops.Ivf.lloyd(v, k = 8, rounds = 3)
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val cl = asg.select("vec_id", "cell").join(lab, "vec_id")
+        .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("cell").orderBy(col("c").desc, col("label"))
+      val tot = cl.groupBy("cell").agg(sum("c").as("n_members"))
+      cl.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(tot, "cell")
+        .select(col("cell"), col("n_members"), col("label").as("majority_label"),
+          col("c").as("n_majority"),
+          (floor(col("c").cast("double") / col("n_members").cast("double") * 1e4) / 1e4)
+            .as("purity"))
+        .orderBy("cell")
+    }),
 
     // K3i — MMR diversified re-ranking (Carbonell & Goldstein 1998;
     // added r8): the retrieval post-processor every RAG serving stack
@@ -3666,14 +3761,12 @@ object Llm {
       |FROM enc ORDER BY doc_id""".stripMargin
   }
 
-  /** `llm_kmeans_lloyd` oracle: `rounds` unrolled Lloyd iterations over
-    * `k` md5-seeded cells — each round mirrors `Ivf.centroidsOf` (sorted-
-    * fold floor-quantized per-dim means) + the max-cosine re-assignment
-    * (ties to the lowest cell) CTE for CTE. Assignment tables a0..aR are
-    * MATERIALIZED (each is referenced twice by the next round — DuckDB's
-    * default lazy inlining would blow up 2^R, the graph_kcore lesson);
-    * the final select re-derives centroids + occupancy from aR. */
-  private def kmeansLloydSql(k: Int, rounds: Int): String = {
+  /** The unrolled Lloyd chain through the final assignment CTE
+    * `a<rounds>` — shared by `llm_kmeans_lloyd` (centroid/occupancy
+    * readout) and `llm_cluster_eval` (label-purity readout over the same
+    * partition), so the two keys can never desynchronize on the
+    * clustering itself (the nnDescentCtes discipline). */
+  private def kmeansChainSql(k: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"a${r - 1}"
       s"""px$r AS (
@@ -3708,14 +3801,25 @@ object Llm {
         |  ) WHERE rn = 1
         |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $vecCte,
+    s"""$vecCte,
       |a0 AS MATERIALIZED (
       |  SELECT vec_id, embedding, norm,
       |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
       |           % $k AS cell
       |  FROM v
       |),
-      |$roundCtes,
+      |$roundCtes""".stripMargin
+  }
+
+  /** `llm_kmeans_lloyd` oracle: `rounds` unrolled Lloyd iterations over
+    * `k` md5-seeded cells — each round mirrors `Ivf.centroidsOf` (sorted-
+    * fold floor-quantized per-dim means) + the max-cosine re-assignment
+    * (ties to the lowest cell) CTE for CTE. Assignment tables a0..aR are
+    * MATERIALIZED (each is referenced twice by the next round — DuckDB's
+    * default lazy inlining would blow up 2^R, the graph_kcore lesson);
+    * the final select re-derives centroids + occupancy from aR. */
+  private def kmeansLloydSql(k: Int, rounds: Int): String =
+    s"""WITH ${kmeansChainSql(k, rounds)},
       |pxF AS (
       |  SELECT cell, unnest(range(1, len(embedding) + 1)) AS i,
       |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
@@ -3735,7 +3839,24 @@ object Llm {
       |       unnest(t.centroid) AS c
       |FROM ctF t JOIN occ o USING (cell)
       |ORDER BY t.cell, i""".stripMargin
-  }
+
+  /** `llm_cluster_eval` oracle: the shared Lloyd chain + per-cluster
+    * label-majority purity over the final assignment. */
+  private def clusterEvalSql(k: Int, rounds: Int): String =
+    s"""WITH ${kmeansChainSql(k, rounds)},
+      |cl AS (
+      |  SELECT a.cell, e.label, count(*) AS c
+      |  FROM a$rounds a JOIN embeddings e ON a.vec_id = e.vec_id
+      |  GROUP BY 1, 2
+      |),
+      |tot AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n_members FROM cl GROUP BY 1),
+      |p AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+      |  FROM cl
+      |)
+      |SELECT t.cell, t.n_members, p.label AS majority_label, p.c AS n_majority,
+      |       floor(CAST(p.c AS DOUBLE) / CAST(t.n_members AS DOUBLE) * 1e4) / 1e4 AS purity
+      |FROM p JOIN tot t USING (cell) WHERE p.rn = 1 ORDER BY t.cell""".stripMargin
 
   /** The [[adcPairs]] oracle prefix shared by `llm_pq_adc` and
     * `llm_pq_rerank`: coarse cells (the ivfSql recipe), PQ codebook,
@@ -4472,6 +4593,40 @@ object Llm {
         |       floor(CAST(sum(CASE WHEN g.g_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE) * 1e4) / 1e4 AS dup_ratio
         |FROM d JOIN g USING (h) GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "llm_source_card" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS toks
+        |  FROM documents
+        |),
+        |bl AS (
+        |  SELECT source, lang, count(*) AS n, CAST(sum(toks) AS BIGINT) AS tok,
+        |         CAST(sum(n_chars) AS BIGINT) AS ch,
+        |         CAST(sum(CASE WHEN toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS short
+        |  FROM docs GROUP BY 1, 2
+        |),
+        |top AS (
+        |  SELECT source, lang AS top_lang, n AS top_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |                                 ORDER BY n DESC, lang) AS rn
+        |    FROM bl
+        |  ) WHERE rn = 1
+        |),
+        |card AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |         CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |         CAST(sum(ch) AS BIGINT) AS n_chars,
+        |         count(*) AS n_langs, CAST(sum(short) AS BIGINT) AS n_short
+        |  FROM bl GROUP BY 1
+        |)
+        |SELECT c.source, c.n_docs, c.n_tokens, c.n_chars, c.n_langs, t.top_lang,
+        |       floor(CAST(t.top_n AS DOUBLE) / CAST(c.n_docs AS DOUBLE) * 1e4) / 1e4
+        |         AS top_lang_share,
+        |       floor(CAST(c.n_tokens AS DOUBLE) / CAST(c.n_docs AS DOUBLE) * 1e4) / 1e4
+        |         AS avg_tokens,
+        |       floor(CAST(c.n_short AS DOUBLE) / CAST(c.n_docs AS DOUBLE) * 1e4) / 1e4
+        |         AS short_frac
+        |FROM card c JOIN top t USING (source) ORDER BY c.source""".stripMargin,
     "llm_bigram_nll" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
@@ -5002,6 +5157,32 @@ object Llm {
     "llm_embed_pca_power" -> pcaPowerSql,
     "llm_embed_whiten" -> embedWhitenSql,
     "llm_kmeans_lloyd" -> kmeansLloydSql(8, 3),
+    "llm_cluster_eval" -> clusterEvalSql(8, 3),
+    "llm_recall_graph" ->
+      s"""WITH $nnDescentCtes,
+        |qg AS (
+        |  SELECT vec_id FROM vp
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|gq') LIMIT 500
+        |),
+        |ex AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY ${dtSql("qv.embedding", "c.embedding")}
+        |                      / (qv.norm * c.norm) DESC, c.vec_id) AS rk
+        |    FROM qg q JOIN vp qv ON qv.vec_id = q.vec_id
+        |    JOIN vp c ON c.vec_id <> q.vec_id
+        |  ) WHERE rk <= 4
+        |),
+        |hits AS (
+        |  SELECT e.q_id, count(*) AS n_hits
+        |  FROM ex e JOIN nb2 n ON n.node = e.q_id AND n.nb = e.c_id
+        |  GROUP BY 1
+        |)
+        |SELECT q.vec_id, coalesce(h.n_hits, 0) AS n_hits,
+        |       floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 4.0 * 1e4) / 1e4 AS recall
+        |FROM qg q LEFT JOIN hits h ON q.vec_id = h.q_id
+        |ORDER BY q.vec_id""".stripMargin,
     "llm_bpe_train" -> bpeTrainSql(4),
     "llm_bpe_encode" -> bpeEncodeSql,
     "llm_semdedup" ->

@@ -1268,6 +1268,81 @@ class MiscOpsSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "no conversion event in fixture")
   }
 
+  test("llm_recall_graph matches driver-side |graph ∩ exact top-4| / 4 per query") {
+    val (sim, nbrs, _) = descentDriver(sf0001)
+    val ids = nbrs.keys.toSeq.sorted
+    // at sf0.001 every (norm>0) vector is inside the 500-query md5 budget
+    val expect = ids.map { id =>
+      val top4 = ids.filter(_ != id).sortBy(c => (-sim(id, c), c)).take(4).toSet
+      val hits = (nbrs(id) intersect top4).size.toLong
+      id -> (hits, math.floor(hits.toDouble / 4.0 * 1e4) / 1e4)
+    }.toMap
+    val got = SparkEntry.queries("llm_recall_graph")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect)
+    // liveness only: on the near-orthogonal random fixture 2 descent
+    // rounds recover little of the true graph (~3% at sf0.001) — that
+    // honest low number is exactly what this eval key exists to surface
+    assert(got.values.exists(_._1 > 0), "no query recovered any true neighbor")
+    assert(got.values.exists(_._1 < 4), "recall saturated — eval exercises nothing")
+  }
+
+  test("llm_cluster_eval: purity arithmetic from the shared Lloyd partition; occupancy matches llm_kmeans_lloyd") {
+    val asg = graft.ops.Ivf.lloyd(
+      Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm")),
+      k = 8, rounds = 3)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val labels = Tables.embeddings(spark, sf0001).select("vec_id", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expect = asg.toSeq.groupBy(_._2).map { case (cell, ms) =>
+      val counts = ms.map(m => labels(m._1)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toSeq
+      val (majLabel, majN) = counts.minBy { case (l, c) => (-c, l) }
+      cell -> (ms.size.toLong, majLabel, majN,
+        math.floor(majN.toDouble / ms.size.toDouble * 1e4) / 1e4)
+    }
+    val got = SparkEntry.queries("llm_cluster_eval")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == labels.size.toLong, "not every vector assigned")
+    val occ = SparkEntry.queries("llm_kmeans_lloyd")(spark, sf0001)
+      .select("cell", "n_members").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap == occ,
+      "cluster_eval and kmeans_lloyd disagree on the partition occupancy")
+  }
+
+  test("llm_source_card matches a driver recompute over the raw documents") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "lang", "n_chars", "text")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4).split(" ").count(_.nonEmpty).toLong))
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = docs.groupBy(_._1).map { case (source, ds) =>
+      val nDocs = ds.length.toLong
+      val nTokens = ds.map(_._4).sum
+      val nChars = ds.map(_._3).sum
+      val langCounts = ds.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      val (topLang, topN) = langCounts.minBy { case (l, c) => (-c, l) }
+      val nShort = ds.count(_._4 < 20).toLong
+      source -> (nDocs, nTokens, nChars, langCounts.size.toLong, topLang,
+        fl(topN.toDouble / nDocs.toDouble), fl(nTokens.toDouble / nDocs.toDouble),
+        fl(nShort.toDouble / nDocs.toDouble))
+    }
+    val got = SparkEntry.queries("llm_source_card")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toMap
+    assert(got == expect)
+    got.values.foreach { case (_, _, _, _, _, share, _, shortFrac) =>
+      assert(share > 0.0 && share <= 1.0 && shortFrac >= 0.0 && shortFrac <= 1.0)
+    }
+  }
+
   // shared fixture for the three r9 rolling-window keys: per-user series
   // ordered by (ts, event_id), values µ-quantized
   private def userSeries(): Map[Long, Seq[(Long, Long)]] =
