@@ -637,6 +637,37 @@ object Streams {
         .orderBy("entity_id", "ts")
     }),
 
+    // I16 — streaming KMV distinct sketch (added r9): per-day distinct
+    // users served from MERGEABLE SKETCH STATE — the streaming form of
+    // `agg_kmv_distinct`, and the state-size story the exact streaming
+    // distinct can't tell: `functions.Kmv` runs as the streaming
+    // aggregation itself, so per open window the store holds ≤ k = 64
+    // longs (the bottom-k md5 sketch) instead of the full distinct user
+    // set — at 100 TB/day the difference between KBs and GBs of state
+    // per window. Bottom-k of a set is a pure function of the set —
+    // micro-batch arrival order and merge-tree shape cancel — so unlike
+    // the HLL keys the drained sketch is DETERMINISTIC and the DuckDB
+    // oracle reconstructs it in closed form (the agg_kmv_distinct
+    // readout, per day). Both estimate branches live across fixtures
+    // (sf0.001 days hold < 64 distinct users — sketch IS the set, exact;
+    // sf0.1 days exceed k — the (k−1)/(h_k/2⁶⁰) estimate path).
+    "stream_kmv_distinct" -> ((s, d) => {
+      val kmvAgg = udaf(new graft.functions.Kmv(64))
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(kmvAgg(col("user_id").cast("string")).as("sk"),
+          count(lit(1)).as("n_events"))
+      drain(s, agg, "graft_stream_kmv", OutputMode.Complete())
+        .select(col("window.start").as("day"), col("n_events"),
+          size(col("sk")).cast("long").as("n_sketch"),
+          round(when(size(col("sk")) < 64, size(col("sk")).cast("double"))
+            .otherwise(lit(63.0) /
+              (element_at(col("sk"), 64).cast("double") / lit(1152921504606846976.0))),
+            4).as("est_users"))
+        .orderBy("day")
+    }),
+
     // I12 — streaming last-touch attribution (added r5): the ONLINE form
     // of `win_attribution` — per user, keyed state holds only the latest
     // qualifying touch (click/view id, µs, type), and each purchase is
@@ -1073,6 +1104,29 @@ object Streams {
           |       CAST(cusq AS DOUBLE) / 1e6 AS cusum,
           |       abs(cusq) > 500000000 AS alarm
           |FROM c ORDER BY entity_id, ts""".stripMargin,
+      "stream_kmv_distinct" ->
+        """WITH e AS (
+          |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+          |         CAST(user_id AS VARCHAR) AS item
+          |  FROM events
+          |),
+          |n AS (SELECT day, count(*) AS n_events FROM e GROUP BY 1),
+          |h AS (SELECT DISTINCT day,
+          |        CAST(concat('0x', substring(md5(item), 1, 15)) AS BIGINT) AS hv
+          |      FROM e),
+          |r AS (SELECT day, hv,
+          |        row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+          |      FROM h),
+          |kk AS (SELECT day, hv AS h_k FROM r WHERE rn = 64),
+          |sm AS (SELECT day, count(*) AS n_small FROM h GROUP BY 1)
+          |SELECT n.day, n.n_events,
+          |       CAST(LEAST(sm.n_small, 64) AS BIGINT) AS n_sketch,
+          |       round(CASE WHEN kk.h_k IS NULL THEN CAST(sm.n_small AS DOUBLE)
+          |                  ELSE 63.0 / (CAST(kk.h_k AS DOUBLE) / 1152921504606846976.0)
+          |             END, 4) AS est_users
+          |FROM n LEFT JOIN kk ON n.day = kk.day
+          |       LEFT JOIN sm ON n.day = sm.day
+          |ORDER BY n.day""".stripMargin,
     )
   }
 }

@@ -413,6 +413,37 @@ class StreamingSpec extends SparkSpec {
       "fixture must exercise both alarm states")
   }
 
+  test("stream_kmv_distinct equals the batch Kmv aggregation; sketch bounded by k") {
+    val stream = graft.streaming.Streams.queries("stream_kmv_distinct")(spark, sf0001)
+      .collect()
+    val kmvAgg = udaf(new graft.functions.Kmv(64))
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(kmvAgg(col("user_id").cast("string")).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("day"), col("n_events"),
+        size(col("sk")).cast("long").as("n_sketch"),
+        round(when(size(col("sk")) < 64, size(col("sk")).cast("double"))
+          .otherwise(lit(63.0) /
+            (element_at(col("sk"), 64).cast("double") / lit(1152921504606846976.0))),
+          4).as("est_users"))
+      .orderBy("day").collect()
+    assert(stream.nonEmpty)
+    assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "drained streaming sketch diverged from the batch Kmv aggregation")
+    // at sf0.001 every day holds < 64 distinct users: the sketch IS the
+    // set, so the estimate must be EXACT per day
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 day").getField("start").as("day"))
+      .agg(countDistinct(col("user_id")).cast("double").as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    stream.foreach { r =>
+      assert(r.getLong(2) <= 64, "sketch exceeded k")
+      assert(r.getDouble(3) == exact(r.getTimestamp(0)),
+        s"sub-k sketch estimate not exact for ${r.getTimestamp(0)}")
+    }
+  }
+
   test("attribution touch state carries across micro-batches") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.streaming.TimeMode
