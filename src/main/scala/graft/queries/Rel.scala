@@ -25,6 +25,30 @@ object Rel {
     * corpus's 380-name blocks are where it bites. */
   private[graft] val FuzzyBlockCap = 64L
 
+  /** `sql_recursive_cte`'s shared SQL — ONE string executed verbatim on
+    * both engines (Spark 4's UnionLoop recursive CTE and DuckDB's), so
+    * parser-surface equivalence is literal, not reconstructed. A BOM-style
+    * containment tree is synthesized over parts (parent = key div 10 —
+    * deterministic, scales with the corpus, depth ≤ log₁₀(max key)); the
+    * walk carries depth, root, and an exact cent-quantized path cost.
+    * The recursive branch requires child ≥ 10: part key 0 would otherwise
+    * be its own parent (0 div 10 = 0) and recurse forever — keys ≤ 9 are
+    * roots ONLY. Each iteration is one join of the previous FRONTIER
+    * (level rows, never the accumulated result) against the part table —
+    * the same per-round shape as graph_bfs_levels, linear per level. */
+  private[graft] val RecursiveBomSql: String =
+    """WITH RECURSIVE bom AS (
+      |  SELECT p_partkey, CAST(0 AS BIGINT) AS depth, p_partkey AS root_key,
+      |         CAST(floor(p_retailprice * 100) AS BIGINT) AS path_cents
+      |  FROM part WHERE p_partkey <= 9
+      |  UNION ALL
+      |  SELECT c.p_partkey, b.depth + 1, b.root_key,
+      |         b.path_cents + CAST(floor(c.p_retailprice * 100) AS BIGINT)
+      |  FROM part c JOIN bom b
+      |    ON c.p_partkey >= 10 AND CAST(floor(c.p_partkey / 10) AS BIGINT) = b.p_partkey
+      |)
+      |SELECT p_partkey, depth, root_key, path_cents FROM bom ORDER BY p_partkey""".stripMargin
+
   /** The `filter_trigger_escalate` streak/severity ladder over hourly KPI
     * rows (entity_id, ts, kpi_load) — shared with `stream_escalate`, which
     * applies it to the DRAINED window-grain aggregate (the aggregate-hot /
@@ -618,6 +642,18 @@ object Rel {
           |ORDER BY r_name, n_name""".stripMargin)
     }),
 
+    // SQL surface #2 — recursive CTE hierarchy walk (added r9): Spark 4's
+    // WITH RECURSIVE (UnionLoop) through the same catalog views — the
+    // parser-surface feature every warehouse user asks about first for
+    // BOM/org-chart/graph-closure workloads. [[RecursiveBomSql]] is ONE
+    // string executed verbatim on both engines; see its doc for the tree
+    // construction, the key-0 self-loop guard, and the per-level frontier
+    // join shape.
+    "sql_recursive_cte" -> ((s, d) => {
+      graft.Catalog.registerAll(s, d)
+      s.sql(RecursiveBomSql)
+    }),
+
     // A5 — ingest upsert (the reference's bulk-COPY-with-fallback-to-
     // UPDATE): a batch of updated click readings plus brand-new rows merged
     // into the base last-writer-wins on the key. One shuffle on event_id
@@ -949,6 +985,8 @@ object Rel {
         |  AND l_shipdate < TIMESTAMP '1997-07-01'
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    // the SAME string the Spark side executes — literal parser parity
+    "sql_recursive_cte" -> RecursiveBomSql,
     "store_upsert" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events

@@ -1343,6 +1343,22 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("sql_recursive_cte matches a driver-side tree walk (depth, root, path cost)") {
+    val parts = Tables.part(spark, sf0001).select("p_partkey", "p_retailprice")
+      .collect().map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 100).toLong).toMap
+    def chain(k: Long): List[Long] = if (k <= 9) List(k) else k :: chain(k / 10)
+    val expect = parts.keys.toSeq.sorted.map { k =>
+      val c = chain(k)
+      (k, (c.length - 1).toLong, c.last, c.map(parts).sum)
+    }
+    val got = SparkEntry.queries("sql_recursive_cte")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // every part lands exactly once; the recursion actually deepens
+    assert(got.length == parts.size)
+    assert(got.map(_._2).max >= 2, "fixture tree too shallow to exercise recursion")
+  }
+
   // shared fixture for the three r9 rolling-window keys: per-user series
   // ordered by (ts, event_id), values µ-quantized
   private def userSeries(): Map[Long, Seq[(Long, Long)]] =
