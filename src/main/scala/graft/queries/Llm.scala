@@ -2367,6 +2367,38 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K7b — multimodal signature dedup (added r9): near-dup detection on
+    // an opaque BINARY media column via its content signature — the cheap
+    // perceptual-bucketing pass every media pipeline runs before pixel-
+    // level comparison. The features come through the REAL multimodal
+    // plumbing ([[graft.multimodal.Media.extractFeatures]]: mapPartitions,
+    // bounded batches, binary column in, 16-bin normalized byte histogram
+    // out — the decode stub's surrounding pipeline, exercised end to end);
+    // the signature is the 1e-3-floor-quantized histogram, and bucketing
+    // on it bounds pair work the way LSH bands do for text (candidates ∝
+    // collisions, never corpus²). Buckets with ≥2 items are reported with
+    // their distinct-payload count (md5 over the raw bytes) and survivor.
+    // On this corpus every collision bucket holds DISTINCT payloads —
+    // true byte-distribution near-dups, which is the signal the signature
+    // exists to find. Embarrassingly parallel to the one groupBy.
+    "llm_media_dedup" -> ((s, d) => {
+      val media = Tables.documents(s, d)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.multimodal.Media.extractFeatures(media, "payload")
+        .select(col("doc_id"), col("payload"),
+          concat_ws(",", transform(col("features"),
+            f => floor(f * 1000).cast("long").cast("string"))).as("sig"))
+        .groupBy("sig")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(md5(col("payload"))).as("n_payloads"),
+          min("doc_id").as("keep_id"))
+        .where(col("n_items") >= 2)
+        .select(md5(col("sig")).as("sig_hash"), col("n_items"),
+          col("n_payloads"), col("keep_id"))
+        .orderBy("sig_hash")
+    }),
+
     // K8 — token-window chunking (training-data prep): 40-token windows
     // with stride 30 (10-token overlap), each chunk fingerprinted. Chunk
     // boundaries are pure per-row arithmetic — embarrassingly parallel, no
@@ -5330,6 +5362,31 @@ object Llm {
         |       CAST(len(embedding) AS INTEGER) AS dim, round(norm, 4) AS norm
         |FROM documents d JOIN v ON d.doc_id = v.vec_id
         |ORDER BY d.doc_id""".stripMargin,
+    "llm_media_dedup" ->
+      """WITH pos AS (
+        |  SELECT doc_id, len(text) AS n, text, unnest(range(1, len(text) + 1)) AS i
+        |  FROM documents WHERE len(text) > 0
+        |),
+        |ch AS (SELECT doc_id, n,
+        |              ord(substring(text, CAST(i AS INTEGER), 1)) // 16 AS b FROM pos),
+        |cnt AS (SELECT doc_id, n, b, count(*) AS c FROM ch GROUP BY 1, 2, 3),
+        |dense AS (
+        |  SELECT d.doc_id, d.n, g.b, coalesce(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT doc_id, n FROM cnt) d
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS b) g
+        |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.b = g.b
+        |),
+        |sig AS (
+        |  SELECT doc_id, array_to_string(list(
+        |    CAST(CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)
+        |    ORDER BY b), ',') AS sig
+        |  FROM dense GROUP BY doc_id
+        |),
+        |bk AS (SELECT s.sig, s.doc_id, md5(d2.text) AS ph
+        |       FROM sig s JOIN documents d2 USING (doc_id))
+        |SELECT md5(sig) AS sig_hash, count(*) AS n_items,
+        |       count(DISTINCT ph) AS n_payloads, min(doc_id) AS keep_id
+        |FROM bk GROUP BY sig HAVING count(*) >= 2 ORDER BY sig_hash""".stripMargin,
     "llm_chunk_split" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

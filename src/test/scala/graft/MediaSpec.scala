@@ -64,4 +64,34 @@ class MediaSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("binary"))
   }
+
+  test("llm_media_dedup matches a driver signature-bucket recompute; corpus is ASCII") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).filter(_._2.nonEmpty)
+    // the oracle recomputes byte histograms from CODEPOINTS — valid only
+    // while chars ≡ UTF-8 bytes, so pin the precondition explicitly
+    docs.foreach { case (id, t) =>
+      assert(t.forall(_ < 128), s"doc $id is not pure ASCII — oracle precondition broken")
+    }
+    def sig(t: String): String = {
+      val bytes = t.getBytes("UTF-8")
+      Media.byteHistogram(bytes).map(f => math.floor(f * 1000).toLong).mkString(",")
+    }
+    def md5hex(s2: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expect = docs.map { case (id, t) => (sig(t), id, md5hex(t)) }
+      .groupBy(_._1).filter(_._2.length >= 2).map { case (sg, ms) =>
+        md5hex(sg) -> (ms.length.toLong, ms.map(_._3).distinct.length.toLong,
+          ms.map(_._2).min)
+      }
+    val got = SparkEntry.queries("llm_media_dedup")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "no signature collisions — key exercises nothing")
+    // on this corpus collisions are genuine near-dups (distinct payloads)
+    assert(got.values.exists(v => v._2 > 1), "no distinct-payload bucket in fixture")
+  }
 }
