@@ -1499,6 +1499,53 @@ object Aggs {
         .orderBy("nation")
     }),
 
+    // D36 — winsorized + trimmed mean (added r9): the robust central-
+    // tendency pair (clamp vs drop outside [p10, p90]) that survives the
+    // heavy tails `agg_stats`' plain mean is wrecked by — the defensive
+    // KPI every SLA dashboard should serve. EXACT, not approximate: runs
+    // on the (type × distinct µ-value) HISTOGRAM with cumulative-count
+    // rank cuts (⌈n/10⌉ / ⌈9n/10⌉ as integer arithmetic — the
+    // hist_quantile discipline), so the order statistics are the true
+    // percentile_disc values and every sum is exact-integer
+    // (DECIMAL/HUGEINT). Post-histogram work is value-domain-sized,
+    // never row-sized.
+    "agg_winsorized_mean" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hist = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value") * 1e6).cast("long").as("vq"))
+        .groupBy("event_type", "vq").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("event_type")
+      val cum = hist
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(wAll))
+      val bounds = cum
+        .withColumn("lo_t", expr("(n + 9) div 10"))
+        .withColumn("hi_t", expr("(9 * n + 9) div 10"))
+        .groupBy("event_type", "n")
+        .agg(min(when(col("cum") >= col("lo_t"), col("vq"))).as("v_lo"),
+          min(when(col("cum") >= col("hi_t"), col("vq"))).as("v_hi"))
+      hist.join(bounds, "event_type")
+        .groupBy(col("event_type"), col("n"), col("v_lo"), col("v_hi"))
+        .agg(
+          sum((greatest(least(col("vq"), col("v_hi")), col("v_lo")) * col("c")).cast(dec))
+            .as("wsum"),
+          sum(when(col("vq") >= col("v_lo") && col("vq") <= col("v_hi"), col("c"))
+            .otherwise(0L)).as("tn"),
+          sum(when(col("vq") >= col("v_lo") && col("vq") <= col("v_hi"),
+            col("vq") * col("c")).otherwise(0L).cast(dec)).as("tsum"))
+        .select(col("event_type"), col("n"),
+          (floor(col("v_lo").cast("double") / 1e6 * 1e4) / 1e4).as("p10"),
+          (floor(col("v_hi").cast("double") / 1e6 * 1e4) / 1e4).as("p90"),
+          (floor(col("wsum").cast("double") / col("n").cast("double") / 1e6 * 1e4) / 1e4)
+            .as("winsor_mean"),
+          col("tn").as("n_kept"),
+          (floor(col("tsum").cast("double") / col("tn").cast("double") / 1e6 * 1e4) / 1e4)
+            .as("trimmed_mean"))
+        .orderBy("event_type")
+    }),
+
     // D35 — Kaplan–Meier survival estimate (added r9): time-to-conversion
     // analysis with RIGHT CENSORING — the estimator marketing/reliability
     // teams run that naive "avg days to convert" gets wrong (dropping
@@ -2477,6 +2524,41 @@ object Aggs {
         |SELECT nation, n_suppliers, tot AS rev_cents,
         |       floor(list_aggregate(list(contrib ORDER BY s_suppkey), 'sum') * 1e4) / 1e4 AS hhi
         |FROM sh GROUP BY nation, n_suppliers, tot ORDER BY nation""".stripMargin,
+    "agg_winsorized_mean" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 1e6) AS BIGINT) AS vq, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT event_type, vq, c,
+        |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vq
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h
+        |),
+        |bounds AS (
+        |  SELECT event_type, n,
+        |         min(CASE WHEN cum >= (n + 9) // 10 THEN vq END) AS v_lo,
+        |         min(CASE WHEN cum >= (9 * n + 9) // 10 THEN vq END) AS v_hi
+        |  FROM cum GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT h.event_type, b.n, b.v_lo, b.v_hi,
+        |         CAST(sum(GREATEST(LEAST(h.vq, b.v_hi), b.v_lo) * h.c) AS BIGINT) AS wsum,
+        |         CAST(sum(CASE WHEN h.vq >= b.v_lo AND h.vq <= b.v_hi
+        |                       THEN h.c ELSE 0 END) AS BIGINT) AS tn,
+        |         CAST(sum(CASE WHEN h.vq >= b.v_lo AND h.vq <= b.v_hi
+        |                       THEN h.vq * h.c ELSE 0 END) AS BIGINT) AS tsum
+        |  FROM h JOIN bounds b ON h.event_type = b.event_type
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT event_type, n,
+        |       floor(CAST(v_lo AS DOUBLE) / 1e6 * 1e4) / 1e4 AS p10,
+        |       floor(CAST(v_hi AS DOUBLE) / 1e6 * 1e4) / 1e4 AS p90,
+        |       floor(CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e4) / 1e4 AS winsor_mean,
+        |       tn AS n_kept,
+        |       floor(CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) / 1e6 * 1e4) / 1e4 AS trimmed_mean
+        |FROM agg ORDER BY event_type""".stripMargin,
     "agg_survival_km" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type, value

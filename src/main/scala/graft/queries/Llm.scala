@@ -93,6 +93,29 @@ object Llm {
       .select(col("doc_id"), col("lang"), col("source"),
         explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
 
+  /** Encode a distinct-word table through the 4 trained BPE merges
+    * ([[bpeMerges]]) via the codegen'd fold-rewrite: (token, wlen = char
+    * count, wbpe = symbol count after the merges). Shared by
+    * `llm_bpe_encode` (per-doc compression) and `llm_tokenizer_fertility`
+    * (per-lang fertility) — one encoder, two readouts. Vocabulary-sized:
+    * the corpus is never re-touched here. */
+  private def bpeWordEnc(s: SparkSession, d: String, words: DataFrame): DataFrame = {
+    val merges = bpeMerges(s, d)
+    merges.foreach { case (_, a, b, _) =>
+      require(!(a + b).exists(c => c == '\'' || c == '\\'),
+        "BPE merge symbol needs SQL escaping — unsupported") }
+    def rw(inner: String, r: Int, a: String, b: String): String =
+      s"aggregate($inner, CAST(array() AS ARRAY<STRING>), (ac$r, x$r) -> " +
+        s"CASE WHEN size(ac$r) > 0 AND element_at(ac$r, -1) = '$a' AND x$r = '$b' " +
+        s"THEN concat(slice(ac$r, 1, size(ac$r) - 1), array('${a + b}')) " +
+        s"ELSE concat(ac$r, array(x$r)) END)"
+    val chars = "transform(sequence(1, length(token)), i -> substring(token, i, 1))"
+    val rewritten = merges.foldLeft(chars) { case (inner, (r, a, b, _)) =>
+      rw(inner, r.toInt, a, b) }
+    words.select(col("token"), length(col("token")).cast("long").as("wlen"),
+      expr(s"CAST(size($rewritten) AS BIGINT)").as("wbpe"))
+  }
+
   /** Winnowing fingerprint selection at the keys' pinned k=3, w=4 — see
     * [[graft.ops.Winnow.fingerprints]] for the algorithm and the measured
     * row-based-vs-array-lambda note. */
@@ -1806,24 +1829,36 @@ object Llm {
     // broadcasts the vocab side), with a left join re-admitting wordless
     // docs at zero. The oracle re-derives the merges in its own unrolled
     // CTEs and applies the identical nested list_reduce rewrites.
+    // K5e' — tokenizer fertility per language (added r9): BPE tokens per
+    // word and chars per BPE token under the TRAINED tokenizer
+    // (llm_bpe_train's 4 merges, encoded via the shared [[bpeWordEnc]]) —
+    // the number multilingual tokenizer papers report per language, and
+    // the capacity-planning input (a lang at 1.9 tokens/word costs ~2×
+    // the context of one at 1.2). Scale shape inherits the BPE family's:
+    // corpus touched once for (lang, word) counts; the encoder runs over
+    // the VOCABULARY only; the rollup is lang-grain. All exact ints to
+    // the two floored ratio readouts.
+    "llm_tokenizer_fertility" -> ((s, d) => {
+      val occ = tokensAll(s, d).groupBy("lang", "token")
+        .agg(count(lit(1)).as("k"))
+      val wordEnc = bpeWordEnc(s, d, occ.select("token").distinct())
+      occ.join(wordEnc, "token")
+        .groupBy("lang")
+        .agg(sum("k").as("n_words"),
+          sum(col("k") * col("wlen")).as("n_chars"),
+          sum(col("k") * col("wbpe")).as("n_bpe"))
+        .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe"),
+          (floor(col("n_bpe").cast("double") / col("n_words").cast("double") * 1e4) / 1e4)
+            .as("fertility"),
+          (floor(col("n_chars").cast("double") / col("n_bpe").cast("double") * 1e4) / 1e4)
+            .as("chars_per_token"))
+        .orderBy("lang")
+    }),
+
     "llm_bpe_encode" -> ((s, d) => {
-      val merges = bpeMerges(s, d)
-      merges.foreach { case (_, a, b, _) =>
-        require(!(a + b).exists(c => c == '\'' || c == '\\'),
-          "BPE merge symbol needs SQL escaping — unsupported") }
-      def rw(inner: String, r: Int, a: String, b: String): String =
-        s"aggregate($inner, CAST(array() AS ARRAY<STRING>), (ac$r, x$r) -> " +
-          s"CASE WHEN size(ac$r) > 0 AND element_at(ac$r, -1) = '$a' AND x$r = '$b' " +
-          s"THEN concat(slice(ac$r, 1, size(ac$r) - 1), array('${a + b}')) " +
-          s"ELSE concat(ac$r, array(x$r)) END)"
-      val chars = "transform(sequence(1, length(token)), i -> substring(token, i, 1))"
-      val rewritten = merges.foldLeft(chars) { case (inner, (r, a, b, _)) =>
-        rw(inner, r.toInt, a, b) }
       val occ = tokensAll(s, d).groupBy("doc_id", "token")
         .agg(count(lit(1)).as("k"))
-      val wordEnc = occ.select("token").distinct()
-        .select(col("token"), length(col("token")).cast("long").as("wlen"),
-          expr(s"CAST(size($rewritten) AS BIGINT)").as("wbpe"))
+      val wordEnc = bpeWordEnc(s, d, occ.select("token").distinct())
       val perDoc = occ.join(wordEnc, "token")
         .groupBy("doc_id")
         .agg(sum(col("k") * col("wlen")).as("n_syms"),
@@ -3766,14 +3801,23 @@ object Llm {
   /** `llm_bpe_encode` oracle: the trainer's CTEs re-derive the 4 merges,
     * then every doc's words are re-tokenized with the identical nested
     * greedy `list_reduce` rewrites (merge rank order, innermost first). */
-  private val bpeEncodeSql: String = {
+  /** The oracle-side BPE word-rewrite expression (4 merge rounds folded
+    * over the char split of `w`, merges read from the crossjoined b1..b4
+    * CTEs of [[bpeTrainCtes]]) — shared by `llm_bpe_encode` and
+    * `llm_tokenizer_fertility`, mirroring the Spark-side [[bpeWordEnc]]
+    * sharing. */
+  private val bpeRewrittenSql: String = {
     def rw(inner: String, r: Int): String =
       s"list_reduce(list_transform($inner, s$r -> [s$r]), " +
         s"(ac$r, x$r) -> CASE WHEN len(ac$r) > 0 AND ac$r[-1] = m$r.a AND x$r[1] = m$r.b " +
         s"THEN list_concat(list_slice(ac$r, 1, len(ac$r) - 1), [m$r.a || m$r.b]) " +
         s"ELSE list_concat(ac$r, [x$r[1]]) END)"
     val chars = "list_transform(range(1, len(w) + 1), i -> substring(w, i, 1))"
-    val rewritten = (1 to 4).foldLeft(chars)((inner, r) => rw(inner, r))
+    (1 to 4).foldLeft(chars)((inner, r) => rw(inner, r))
+  }
+
+  private val bpeEncodeSql: String = {
+    val rewritten = bpeRewrittenSql
     s"""WITH ${bpeTrainCtes(4)},
       |docs AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS words
@@ -5217,6 +5261,29 @@ object Llm {
         |ORDER BY q.vec_id""".stripMargin,
     "llm_bpe_train" -> bpeTrainSql(4),
     "llm_bpe_encode" -> bpeEncodeSql,
+    "llm_tokenizer_fertility" ->
+      s"""WITH ${bpeTrainCtes(4)},
+        |toks AS (
+        |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+        |  FROM documents
+        |),
+        |occ AS (SELECT lang, w, count(*) AS k FROM toks GROUP BY 1, 2),
+        |words AS (SELECT DISTINCT w FROM occ),
+        |enc AS (
+        |  SELECT w, CAST(len(w) AS BIGINT) AS wlen,
+        |         CAST(len($bpeRewrittenSql) AS BIGINT) AS wbpe
+        |  FROM words
+        |  CROSS JOIN b1 m1 CROSS JOIN b2 m2 CROSS JOIN b3 m3 CROSS JOIN b4 m4
+        |)
+        |SELECT o.lang, CAST(sum(o.k) AS BIGINT) AS n_words,
+        |       CAST(sum(o.k * e.wlen) AS BIGINT) AS n_chars,
+        |       CAST(sum(o.k * e.wbpe) AS BIGINT) AS n_bpe,
+        |       floor(CAST(sum(o.k * e.wbpe) AS DOUBLE)
+        |             / CAST(sum(o.k) AS DOUBLE) * 1e4) / 1e4 AS fertility,
+        |       floor(CAST(sum(o.k * e.wlen) AS DOUBLE)
+        |             / CAST(sum(o.k * e.wbpe) AS DOUBLE) * 1e4) / 1e4 AS chars_per_token
+        |FROM occ o JOIN enc e ON o.w = e.w
+        |GROUP BY o.lang ORDER BY o.lang""".stripMargin,
     "llm_semdedup" ->
       s"""WITH $vecCte,
         |seeded AS (

@@ -1359,6 +1359,63 @@ class MiscOpsSpec extends SparkSpec {
     assert(got.map(_._2).max >= 2, "fixture tree too shallow to exercise recursion")
   }
 
+  test("agg_winsorized_mean matches a driver order-statistic recompute") {
+    val vals = Tables.events(spark, sf0001).where(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1e6).cast("long").as("vq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = vals.groupBy(_._1).map { case (tpe, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length.toLong
+      val vLo = sorted(((n + 9) / 10 - 1).toInt)
+      val vHi = sorted(((9 * n + 9) / 10 - 1).toInt)
+      val wsum = sorted.map(v => math.max(math.min(v, vHi), vLo)).map(BigInt(_)).sum
+      val kept = sorted.filter(v => v >= vLo && v <= vHi)
+      tpe -> (n, fl(vLo.toDouble / 1e6), fl(vHi.toDouble / 1e6),
+        fl(wsum.toDouble / n.toDouble / 1e6), kept.length.toLong,
+        fl(kept.map(BigInt(_)).sum.toDouble / kept.length.toDouble / 1e6))
+    }
+    val got = SparkEntry.queries("agg_winsorized_mean")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got == expect)
+    got.values.foreach { case (n, p10, p90, wm, nk, tm) =>
+      assert(p10 <= wm && wm <= p90, (p10, wm, p90))
+      assert(p10 <= tm && tm <= p90, (p10, tm, p90))
+      assert(nk < n, "trim kept everything — cuts exercise nothing")
+    }
+  }
+
+  test("llm_tokenizer_fertility is consistent with llm_bpe_encode's per-doc totals") {
+    val docLang = Tables.documents(spark, sf0001).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = SparkEntry.queries("llm_bpe_encode")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = perDoc.groupBy(d => docLang(d._1)).map { case (lang, ds) =>
+      val nChars = ds.map(_._2).sum
+      val nBpe = ds.map(_._3).sum
+      lang -> (nChars, nBpe)
+    }
+    val got = SparkEntry.queries("llm_tokenizer_fertility")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.view.mapValues(v => (v._2, v._3)).toMap == expect,
+      "lang rollup diverged from the per-doc encoder totals")
+    // word counts from a direct recount; ratio arithmetic from the totals
+    val wordCounts = Tables.documents(spark, sf0001).select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    got.foreach { case (lang, (nw, nc, nb, fert, cpt)) =>
+      assert(nw == wordCounts(lang))
+      assert(fert == fl(nb.toDouble / nw.toDouble))
+      assert(cpt == fl(nc.toDouble / nb.toDouble))
+      assert(fert >= 1.0, "a word encodes to at least one symbol")
+      assert(cpt >= 1.0, "a symbol holds at least one char")
+      assert(nb < nc, s"$lang: merges never fired — fertility degenerate")
+    }
+  }
+
   // shared fixture for the three r9 rolling-window keys: per-user series
   // ordered by (ts, event_id), values µ-quantized
   private def userSeries(): Map[Long, Seq[(Long, Long)]] =
