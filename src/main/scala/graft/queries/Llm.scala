@@ -1682,6 +1682,40 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K — Jelinek–Mercer interpolated bigram LM (added r9): the smoothing
+    // rung above `llm_bigram_nll`'s raw MLE — p(w₂|w₁) = λ·p_ML(w₂|w₁) +
+    // (1−λ)·p_uni(w₂) at λ=0.5, the KenLM-family construction a corpus
+    // filter actually deploys (raw MLE assigns unseen bigrams zero; the
+    // unigram back-off floor is what makes the score usable on new text —
+    // self-scored here, so the smoothing's effect is the score shift the
+    // spec pins). Same plan shape as bigram_nll plus one unigram join and
+    // the one-row total broadcast; count tables vocabulary-sized, AQE
+    // picks broadcast when they fit.
+    "llm_ngram_lm_interp" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .where(size(col("toks")) >= 2)
+        .withColumn("z", arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1)))
+        .select(col("doc_id"), explode(col("z")).as("b"))
+        .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val tok = tokensAll(s, d)
+      val cu = tok.groupBy("token").agg(count(lit(1)).as("cu"))
+        .withColumnRenamed("token", "w2")
+      val total = tok.agg(count(lit(1)).as("total"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).join(cu, Seq("w2"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(lit(0.5) * (col("c2").cast("double") / col("c1"))
+            + lit(0.5) * (col("cu").cast("double") / col("total")))), 4)
+            .as("avg_nll_interp"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al.): per-language
     // head/middle/tail terciles of the unigram avg-NLL — the standard
     // corpus-curation split (keep head, sample middle, drop tail). The
@@ -4719,6 +4753,29 @@ object Llm {
         |SELECT doc_id, count(*) AS n_bigrams,
         |       round(avg(-ln(CAST(c2.c2 AS DOUBLE) / c1.c1)), 4) AS avg_nll
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_ngram_lm_interp" ->
+      s"""WITH $tokAllCte,
+        |t2 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+        |         unnest(list_slice(toks, 2, len(toks))) AS w2
+        |  FROM t2 WHERE len(toks) >= 2
+        |),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |cu AS (SELECT token AS w2, count(*) AS cu FROM tok GROUP BY 1),
+        |tt AS (SELECT count(*) AS total FROM tok)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln(0.5 * (CAST(c2.c2 AS DOUBLE) / c1.c1)
+        |                     + 0.5 * (CAST(cu.cu AS DOUBLE) / tt.total))), 4)
+        |         AS avg_nll_interp
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN cu USING (w2)
+        |     CROSS JOIN tt
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_ppl_bucket" ->
       s"""WITH $tokAllCte,

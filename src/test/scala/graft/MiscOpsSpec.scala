@@ -1416,6 +1416,37 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_ngram_lm_interp matches a driver recompute; interpolation bound vs raw MLE holds") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val bigrams = docs.flatMap { case (id, ts) => ts.sliding(2).collect {
+      case Seq(a, b) => (id, a, b) } }
+    val c2 = bigrams.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val allToks = docs.flatMap(_._2)
+    val cu = allToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = allToks.length.toLong
+    val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val nll = bs.map { case (_, a, b) =>
+        -math.log(0.5 * (c2((a, b)).toDouble / c1(a)) + 0.5 * (cu(b).toDouble / total))
+      }
+      id -> (bs.length.toLong, nll.sum / nll.length)
+    }
+    val got = SparkEntry.queries("llm_ngram_lm_interp")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (n, v)) =>
+      assert(n == expect(id)._1)
+      assert(math.abs(v - expect(id)._2) < 2e-4, s"doc $id: $v vs ${expect(id)._2}")
+    }
+    // p_interp >= 0.5 * p_ML per bigram ⇒ interp NLL <= raw MLE NLL + ln 2
+    val raw = SparkEntry.queries("llm_bigram_nll")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.foreach { case (id, (_, v)) =>
+      assert(v <= raw(id) + math.log(2.0) + 1e-3, s"doc $id breaks the smoothing bound")
+    }
+  }
+
   // shared fixture for the three r9 rolling-window keys: per-user series
   // ordered by (ts, event_id), values µ-quantized
   private def userSeries(): Map[Long, Seq[(Long, Long)]] =
