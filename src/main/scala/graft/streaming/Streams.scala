@@ -668,6 +668,40 @@ object Streams {
         .orderBy("day")
     }),
 
+    // I17 — streaming funnel conversions (added r9): the ONLINE form of
+    // `agg_funnel` — per user, keyed state is just THREE µs timestamps
+    // (first view / first later click / first later purchase), advanced
+    // by a strictly-ordered state machine at arrival time; one row is
+    // emitted at the purchase that COMPLETES the funnel. The batch key
+    // re-aggregates the fact three times per run; this answers the
+    // conversion feed continuously with O(1) state per user — the funnel
+    // shape an event pipeline actually serves at 100 TB/day. Greedy
+    // first-qualifying-in-ts-order ≡ the batch min-after-min semantics
+    // (processing order is event-time order), so the drained feed equals
+    // agg_funnel's completed rows and the oracle is that SQL filtered to
+    // completion. StreamingSpec additionally pins cross-batch state
+    // carry (a funnel spanning micro-batches still converts exactly once).
+    "stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("user_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val done = typed
+        .groupByKey(_._3)
+        .transformWithState(new FunnelProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = withRocksDb(s) {
+        drain(s, done.toDF("user_id", "tv", "tc", "tp"),
+          "graft_stream_funnel", OutputMode.Append())
+      }
+      out.select(col("user_id"),
+          timestamp_micros(col("tv")).as("t_view"),
+          timestamp_micros(col("tc")).as("t_click"),
+          timestamp_micros(col("tp")).as("t_purchase"))
+        .orderBy("user_id")
+    }),
+
     // I12 — streaming last-touch attribution (added r5): the ONLINE form
     // of `win_attribution` — per user, keyed state holds only the latest
     // qualifying touch (click/view id, µs, type), and each purchase is
@@ -1104,6 +1138,21 @@ object Streams {
           |       CAST(cusq AS DOUBLE) / 1e6 AS cusum,
           |       abs(cusq) > 500000000 AS alarm
           |FROM c ORDER BY entity_id, ts""".stripMargin,
+      "stream_funnel" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+          |),
+          |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+          |      WHERE event_type = 'view' GROUP BY 1),
+          |c AS (SELECT e.user_id, min(e.ts) AS t_click
+          |      FROM ev e JOIN v ON e.user_id = v.user_id
+          |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+          |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          |      FROM ev e JOIN c ON e.user_id = c.user_id
+          |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+          |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+          |FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+          |ORDER BY v.user_id""".stripMargin,
       "stream_kmv_distinct" ->
         """WITH e AS (
           |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
@@ -1462,6 +1511,43 @@ object AttributionState {
       if (tpe == "click" || tpe == "view") touch = Some((id, us, tpe))
     }
     (touch, out.result())
+  }
+}
+
+/** Online funnel state machine (view → click → purchase, strictly ordered
+  * in event time): keyed state = three µs timestamps (0 = unset), rows
+  * folded in (ts, event_id) order per batch with state carried across
+  * micro-batches; emits (user, t_view, t_click, t_purchase) exactly once,
+  * at the purchase that completes the funnel. Greedy first-qualifying in
+  * event-time order equals the batch min-after-min (`agg_funnel`)
+  * semantics; strict `>` comparisons match the batch key's. */
+class FunnelProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, String), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    state = getHandle.getValueState[(Long, Long, Long)]("funnel", enc, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Long, Long)] = {
+    // rows: (ts_us, event_id, user_id, event_type) for one user
+    var (tv, tc, tp) = if (state.exists()) state.get() else (0L, 0L, 0L)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+    rows.toSeq.sortBy(r => (r._1, r._2)).foreach { case (ts, _, _, tpe) =>
+      if (tp == 0L) tpe match {
+        case "view" if tv == 0L => tv = ts
+        case "click" if tv != 0L && tc == 0L && ts > tv => tc = ts
+        case "purchase" if tc != 0L && ts > tc =>
+          tp = ts; out += ((key, tv, tc, tp))
+        case _ =>
+      }
+    }
+    state.update((tv, tc, tp))
+    out.iterator
   }
 }
 

@@ -480,6 +480,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("funnel state carries across micro-batches and converts exactly once") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.streaming.TimeMode
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // user 1: view (batch 1) → click (batch 2) → purchase (batch 3) —
+      //   the funnel spans three micro-batches and converts once;
+      //   a later second purchase must NOT convert again.
+      // user 2: purchase then click then view — wrong order, never converts.
+      // user 3: view + same-µs click (strict > rejects) — never converts.
+      val in = MemoryStream[(Long, Long, Long, String)]
+      val q = in.toDS().groupByKey(_._3)
+        .transformWithState(new graft.streaming.FunnelProcessor(),
+          TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "tv", "tc", "tp")
+        .writeStream.format("memory").queryName("funnel_carry")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmpDir("ckpt_funnel_carry")).start()
+      in.addData((100L, 1L, 1L, "view"), (100L, 10L, 2L, "purchase"),
+        (300L, 11L, 3L, "view"), (300L, 12L, 3L, "click"))
+      q.processAllAvailable()
+      in.addData((200L, 2L, 1L, "click"), (200L, 11L, 2L, "click"))
+      q.processAllAvailable()
+      in.addData((300L, 3L, 1L, "purchase"), (400L, 4L, 1L, "purchase"),
+        (300L, 12L, 2L, "view"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("funnel_carry").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(rows == Seq((1L, 100L, 200L, 300L)), s"got $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("trigger notification store: batch-twin equality, replay idempotence, in-place refresh") {
     // 1. Drained streaming store equals the batch twin (same rules, same
     //    hourly KPI grain) — the property the shared oracle rests on.
