@@ -1594,6 +1594,243 @@ object Aggs {
           (floor(col("s_raw") * 1e4) / 1e4).as("survival"))
         .orderBy("t")
     }),
+
+    // D38 — Spearman rank correlation (added r10): the monotone-invariant
+    // dependence readout between customer account balance and realized
+    // order spend, per region — the robust complement to agg_corr_matrix's
+    // Pearson. Average ranks under ties come from the VALUE HISTOGRAM, not
+    // a per-row rank window: for a distinct value with count c and
+    // cumulative-before cb, every row's doubled average rank is the exact
+    // integer 2·cb + c + 1 — so the only windows run at (region × distinct
+    // value) grain (value-domain-sized for balances; ≤ one row per
+    // customer for spend) and the per-row work is two histogram equi-joins.
+    // All moment sums are exact integers (DECIMAL(38)/HUGEINT); ρ is the
+    // textbook Pearson-on-ranks formula evaluated in DOUBLE from those
+    // exact sums — identical IEEE op order both engines — floor-1e-4.
+    "agg_spearman" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("sp"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * lit(100.0)).cast("long").as("bal"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("bal"),
+          coalesce(col("sp"), lit(0L)).as("sp"))
+      // doubled average rank per distinct value: 2·cumBefore + cnt + 1
+      def rank2(df: DataFrame, v: String, out: String): DataFrame = {
+        val wcum = Window.partitionBy("region").orderBy(v)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.groupBy("region", v).agg(count(lit(1)).as("c"))
+          .withColumn(out,
+            lit(2L) * coalesce(sum(col("c")).over(wcum), lit(0L)) + col("c") + lit(1L))
+          .drop("c")
+      }
+      val joined = cust
+        .join(rank2(cust, "bal", "rb2"), Seq("region", "bal"))
+        .join(rank2(cust, "sp", "rs2"), Seq("region", "sp"))
+      joined.groupBy("region")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("rb2").cast("decimal(38,0)")).as("sx"),
+          sum(col("rs2").cast("decimal(38,0)")).as("sy"),
+          sum(col("rb2").cast("decimal(19,0)") * col("rs2")).as("sxy"),
+          sum(col("rb2").cast("decimal(19,0)") * col("rb2")).as("sxx"),
+          sum(col("rs2").cast("decimal(19,0)") * col("rs2")).as("syy"))
+        .select(col("region"), col("n_customers"),
+          (floor(
+            (col("n_customers").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n_customers").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n_customers").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double")))
+            * 1e4) / 1e4).as("rho_spearman"))
+        .orderBy("region")
+    }),
+
+    // D39 — mutual information + normalized MI between market segment and
+    // region (added r10): the model-free dependence strength between two
+    // categoricals — the information-theoretic reading of the same
+    // contingency table agg_cramers_v scores, and the feature-selection
+    // primitive (rank features by MI with the label). One groupBy at cell
+    // grain, marginals and total derived FROM the cell table (no second
+    // scan); MI/H contributions are count-ratio doubles folded in cell-key
+    // order (ordered-fold idiom), NMI = MI/√(H_seg·H_region), floor-1e-4.
+    "agg_mutual_info" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_mktsegment").as("seg"), col("r_name").as("region"))
+      val joint = cust.groupBy("seg", "region").agg(count(lit(1)).as("nxy"))
+        .localCheckpoint(true) // cell grain: ≤ |segs|·|regions| rows
+      val margx = joint.groupBy("seg").agg(sum("nxy").as("nx"))
+      val margy = joint.groupBy("region").agg(sum("nxy").as("ny"))
+      val tot = joint.agg(sum("nxy").as("n"))
+      val mi = joint
+        .join(broadcast(margx), "seg").join(broadcast(margy), "region")
+        .crossJoin(broadcast(tot))
+        .withColumn("c", col("nxy").cast("double") / col("n").cast("double")
+          * log(col("nxy").cast("double") * col("n").cast("double")
+            / (col("nx").cast("double") * col("ny").cast("double"))))
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('s', seg, 'r', region, 'c', c))), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c)").as("mi_raw"))
+      def entropy(marg: DataFrame, k: String, cnt: String): DataFrame = marg
+        .crossJoin(broadcast(tot))
+        .withColumn("c", -(col(cnt).cast("double") / col("n").cast("double"))
+          * log(col(cnt).cast("double") / col("n").cast("double")))
+        .agg(expr(s"aggregate(array_sort(collect_list(named_struct('k', $k, 'c', c))), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c)").as(s"h_$k"))
+      mi.crossJoin(entropy(margx, "seg", "nx"))
+        .crossJoin(entropy(margy, "region", "ny"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"),
+          (floor(col("mi_raw") * 1e4) / 1e4).as("mi"),
+          (floor(col("h_seg") * 1e4) / 1e4).as("h_seg"),
+          (floor(col("h_region") * 1e4) / 1e4).as("h_region"),
+          when(col("h_seg") > 0 && col("h_region") > 0,
+            floor(col("mi_raw") / sqrt(col("h_seg") * col("h_region")) * 1e4) / 1e4)
+            .as("nmi"))
+    }),
+
+    // D40 — log-log OLS price elasticity per brand (added r10): the
+    // econometric readout (slope of ln quantity on ln unit price) a
+    // pricing pipeline hangs on the warehouse — and the general pattern
+    // for EXACT distributed OLS: both regressors are µ-quantized to longs
+    // at the scan, every moment sum is an exact integer (DECIMAL(38) /
+    // HUGEINT — order-free, map-side partial), and slope/intercept/R² are
+    // closed-form doubles computed from those exact sums with identical
+    // IEEE op order on both engines. One join to part (brand lookup), one
+    // groupBy brand — two shuffles, no window. The 1e6 quantization scale
+    // cancels in the slope (both axes scaled identically); the intercept
+    // is de-scaled once. floor-1e-4; degenerate brands (zero variance)
+    // surface as NULL via the denominator guard.
+    "agg_price_elasticity" -> ((s, d) => {
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          floor(log(col("l_extendedprice") / col("l_quantity")) * lit(1e6)).cast("long").as("xq"),
+          floor(log(col("l_quantity")) * lit(1e6)).cast("long").as("yq"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      val agg = pts.groupBy(col("p_brand").as("brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("xq").cast("decimal(38,0)")).as("sx"),
+          sum(col("yq").cast("decimal(38,0)")).as("sy"),
+          sum((col("xq") * col("yq")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("yq") * col("yq")).cast("decimal(38,0)")).as("syy"))
+        .withColumn("dx", col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+        .withColumn("dy", col("n").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+        .withColumn("num", col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        .withColumn("slope", when(col("dx") > 0, col("num") / col("dx")))
+      agg.select(col("brand"), col("n"),
+          (floor(col("slope") * 1e4) / 1e4).as("elasticity"),
+          (floor((col("sy").cast("double") / col("n").cast("double")
+            - col("slope") * (col("sx").cast("double") / col("n").cast("double")))
+            / lit(1e6) * 1e4) / 1e4).as("intercept"),
+          when(col("dy") > 0,
+            floor(col("slope") * col("num") / col("dy") * 1e4) / 1e4).as("r2"))
+        .orderBy("brand")
+    }),
+
+    // D41 — Markov steady-state of the event-type transition chain (added
+    // r10): 3 unrolled power iterations v ← vP from a uniform start over
+    // the empirical transition matrix — the long-run state-occupancy
+    // readout that turns agg_transition_matrix's raw P into "where does
+    // the funnel settle". P lives at state² grain (≤ |types|² rows —
+    // dimension-sized at any corpus scale, broadcast everywhere); each
+    // iteration is one cell-grain join + an ordered fold over the ≤|types|
+    // incoming terms (src-ordered — identical IEEE sequence both engines).
+    // Raw power iteration, no dangling-state correction: every fixture
+    // state has out-transitions, and the oracle applies the identical
+    // semantics either way. floor-1e-4 on the final vector only.
+    "agg_markov_steady" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // state² grain
+      val p = trans
+        .join(broadcast(trans.groupBy("src").agg(sum("c").as("t"))), "src")
+        .select(col("src"), col("dst"),
+          (col("c").cast("double") / col("t").cast("double")).as("p"))
+      val states = trans.select(col("src").as("state"))
+        .unionByName(trans.select(col("dst").as("state"))).distinct()
+      val ns = states.agg(count(lit(1)).as("k"))
+      val v0 = states.crossJoin(broadcast(ns))
+        .select(col("state"), (lit(1.0) / col("k").cast("double")).as("v"))
+      def step(v: DataFrame): DataFrame = states
+        .join(
+          v.join(p, v("state") === p("src"))
+            .groupBy(col("dst"))
+            .agg(expr("aggregate(array_sort(collect_list(named_struct('s', src, 'x', v * p))), " +
+              "CAST(0.0 AS DOUBLE), (acc, y) -> acc + y.x)").as("vn"))
+            .select(col("dst").as("state"), col("vn")),
+          Seq("state"), "left")
+        .select(col("state"), coalesce(col("vn"), lit(0.0)).as("v"))
+      val v3 = step(step(step(v0)))
+      v3.select(col("state"), (floor(col("v") * 1e4) / 1e4).as("p_steady"))
+        .orderBy("state")
+    }),
+
+    // D42 — Pareto coverage points per region (added r10): "how many top
+    // customers carry 80 % of revenue, and what share does the top decile
+    // hold" — the concentration SUMMARY beside agg_hhi's index and
+    // win_ratio_total's per-row shares. Spend is exact cent longs; the
+    // global running sum comes from ops.Rank.withGlobalCumSum (range
+    // partition + broadcast prefix offsets — NO low-cardinality
+    // region-partitioned window over the data), per-region positions and
+    // cumulatives are recovered by subtracting the region's broadcast
+    // offsets, and the 80 % threshold is the exact integer comparison
+    // 5·cumBefore < 4·total — no float crosses a row boundary. Shares are
+    // single IEEE divides of exact ints, floor-1e-4.
+    "agg_pareto" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("sp"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("c_custkey"),
+          coalesce(col("sp"), lit(0L)).as("sp"))
+      val ranked = graft.ops.Rank.withGlobalCumSum(cust,
+        Seq(col("region"), col("sp").desc, col("c_custkey")),
+        "sp", "cum", "g", "n_all")
+      val regOff = ranked.groupBy("region")
+        .agg(min("g").as("g0"), min(col("cum") - col("sp")).as("cum0"),
+          count(lit(1)).as("n_customers"), sum("sp").as("tot"))
+      ranked.join(broadcast(regOff), "region")
+        .withColumn("rk", col("g") - col("g0") + lit(1L))
+        .withColumn("cumBefore", col("cum") - col("sp") - col("cum0"))
+        .groupBy(col("region"), col("n_customers"), col("tot"))
+        .agg(
+          sum(when(col("cumBefore") * 5 < col("tot") * 4, 1L).otherwise(0L)).as("k80"),
+          sum(when(col("rk") <= expr("(n_customers + 9) div 10"), col("sp"))
+            .otherwise(0L)).as("top10"))
+        .select(col("region"), col("n_customers"), col("tot").as("rev_cents"),
+          col("k80"),
+          (floor(col("k80").cast("double") / col("n_customers").cast("double") * 1e4) / 1e4)
+            .as("k80_frac"),
+          (floor(col("top10").cast("double") / col("tot").cast("double") * 1e4) / 1e4)
+            .as("top10_share"))
+        .orderBy("region")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -2593,5 +2830,168 @@ object Aggs {
         |FROM dd a JOIN dd b ON b.dur <= a.dur
         |GROUP BY a.dur, a.n_risk, a.d
         |ORDER BY t""".stripMargin,
+    "agg_spearman" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sp
+        |  FROM orders GROUP BY 1
+        |),
+        |cust AS (
+        |  SELECT r.r_name AS region,
+        |         CAST(floor(c.c_acctbal * 100.0) AS BIGINT) AS bal,
+        |         coalesce(s.sp, 0) AS sp
+        |  FROM customer c
+        |  LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |),
+        |hb AS (
+        |  SELECT region, bal,
+        |         CAST(2 * coalesce(sum(c) OVER (PARTITION BY region ORDER BY bal
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS BIGINT) AS rb2
+        |  FROM (SELECT region, bal, count(*) AS c FROM cust GROUP BY 1, 2)
+        |),
+        |hs AS (
+        |  SELECT region, sp,
+        |         CAST(2 * coalesce(sum(c) OVER (PARTITION BY region ORDER BY sp
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS BIGINT) AS rs2
+        |  FROM (SELECT region, sp, count(*) AS c FROM cust GROUP BY 1, 2)
+        |),
+        |j AS (
+        |  SELECT cust.region, hb.rb2, hs.rs2
+        |  FROM cust JOIN hb ON cust.region = hb.region AND cust.bal = hb.bal
+        |            JOIN hs ON cust.region = hs.region AND cust.sp = hs.sp
+        |),
+        |agg AS (
+        |  SELECT region, count(*) AS n,
+        |         sum(rb2) AS sx, sum(rs2) AS sy,
+        |         sum(rb2 * rs2) AS sxy, sum(rb2 * rb2) AS sxx, sum(rs2 * rs2) AS syy
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT region, n AS n_customers,
+        |       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |             * 1e4) / 1e4 AS rho_spearman
+        |FROM agg ORDER BY region""".stripMargin,
+    "agg_mutual_info" ->
+      """WITH cust AS (
+        |  SELECT c.c_mktsegment AS seg, r.r_name AS region
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |       JOIN region r ON n.n_regionkey = r.r_regionkey
+        |),
+        |joint AS (SELECT seg, region, count(*) AS nxy FROM cust GROUP BY 1, 2),
+        |margx AS (SELECT seg, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY 1),
+        |margy AS (SELECT region, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM joint),
+        |mi AS (
+        |  SELECT list_aggregate(list(
+        |           CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |           * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+        |                / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+        |           ORDER BY seg, region), 'sum') AS mi_raw
+        |  FROM joint JOIN margx USING (seg) JOIN margy USING (region), tot
+        |),
+        |hx AS (
+        |  SELECT list_aggregate(list(
+        |           -(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY seg), 'sum') AS hsr
+        |  FROM margx, tot
+        |),
+        |hy AS (
+        |  SELECT list_aggregate(list(
+        |           -(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY region), 'sum') AS hrr
+        |  FROM margy, tot
+        |)
+        |SELECT n,
+        |       floor(mi_raw * 1e4) / 1e4 AS mi,
+        |       floor(hsr * 1e4) / 1e4 AS h_seg,
+        |       floor(hrr * 1e4) / 1e4 AS h_region,
+        |       CASE WHEN hsr > 0 AND hrr > 0
+        |            THEN floor(mi_raw / sqrt(hsr * hrr) * 1e4) / 1e4 END AS nmi
+        |FROM mi, hx, hy, tot""".stripMargin,
+    "agg_price_elasticity" ->
+      """WITH pts AS (
+        |  SELECT p.p_brand AS brand,
+        |         CAST(floor(ln(l.l_extendedprice / l.l_quantity) * 1e6) AS BIGINT) AS xq,
+        |         CAST(floor(ln(l.l_quantity) * 1e6) AS BIGINT) AS yq
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |),
+        |agg AS (
+        |  SELECT brand, count(*) AS n,
+        |         sum(xq) AS sx, sum(yq) AS sy,
+        |         sum(xq * yq) AS sxy, sum(xq * xq) AS sxx, sum(yq * yq) AS syy
+        |  FROM pts GROUP BY 1
+        |),
+        |cl AS (
+        |  SELECT brand, n,
+        |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+        |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+        |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM agg
+        |),
+        |sl AS (SELECT *, CASE WHEN dx > 0 THEN num / dx END AS slope FROM cl)
+        |SELECT brand, n,
+        |       floor(slope * 1e4) / 1e4 AS elasticity,
+        |       floor((syd / CAST(n AS DOUBLE) - slope * (sxd / CAST(n AS DOUBLE)))
+        |             / 1e6 * 1e4) / 1e4 AS intercept,
+        |       CASE WHEN dy > 0 THEN floor(slope * num / dy * 1e4) / 1e4 END AS r2
+        |FROM sl ORDER BY brand""".stripMargin,
+    "agg_markov_steady" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+        |  FROM events
+        |),
+        |trans AS (SELECT event_type AS src, nxt AS dst, count(*) AS c
+        |          FROM ev WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT src, dst, CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        |      FROM trans JOIN (SELECT src, CAST(sum(c) AS BIGINT) AS t
+        |                       FROM trans GROUP BY 1) tt USING (src)),
+        |states AS (SELECT DISTINCT src AS state FROM trans
+        |           UNION SELECT DISTINCT dst FROM trans),
+        |ns AS (SELECT count(*) AS k FROM states),
+        |v0 AS (SELECT state, CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE) AS v FROM states, ns),
+        |v1 AS (SELECT s.state, coalesce(t.vn, CAST(0.0 AS DOUBLE)) AS v FROM states s LEFT JOIN (
+        |         SELECT p.dst AS state, list_aggregate(list(v0.v * p.p ORDER BY p.src), 'sum') AS vn
+        |         FROM v0 JOIN p ON v0.state = p.src GROUP BY p.dst) t ON s.state = t.state),
+        |v2 AS (SELECT s.state, coalesce(t.vn, CAST(0.0 AS DOUBLE)) AS v FROM states s LEFT JOIN (
+        |         SELECT p.dst AS state, list_aggregate(list(v1.v * p.p ORDER BY p.src), 'sum') AS vn
+        |         FROM v1 JOIN p ON v1.state = p.src GROUP BY p.dst) t ON s.state = t.state),
+        |v3 AS (SELECT s.state, coalesce(t.vn, CAST(0.0 AS DOUBLE)) AS v FROM states s LEFT JOIN (
+        |         SELECT p.dst AS state, list_aggregate(list(v2.v * p.p ORDER BY p.src), 'sum') AS vn
+        |         FROM v2 JOIN p ON v2.state = p.src GROUP BY p.dst) t ON s.state = t.state)
+        |SELECT state, floor(v * 1e4) / 1e4 AS p_steady FROM v3 ORDER BY state""".stripMargin,
+    "agg_pareto" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sp
+        |  FROM orders GROUP BY 1
+        |),
+        |cust AS (
+        |  SELECT r.r_name AS region, c.c_custkey, coalesce(s.sp, 0) AS sp
+        |  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+        |       JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |       JOIN region r ON n.n_regionkey = r.r_regionkey
+        |),
+        |rk AS (
+        |  SELECT region, sp,
+        |         row_number() OVER w AS rk,
+        |         CAST(coalesce(sum(sp) OVER (PARTITION BY region ORDER BY sp DESC, c_custkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+        |         count(*) OVER (PARTITION BY region) AS n,
+        |         CAST(sum(sp) OVER (PARTITION BY region) AS BIGINT) AS tot
+        |  FROM cust WINDOW w AS (PARTITION BY region ORDER BY sp DESC, c_custkey)
+        |)
+        |SELECT region, n AS n_customers, tot AS rev_cents,
+        |       CAST(sum(CASE WHEN cb * 5 < tot * 4 THEN 1 ELSE 0 END) AS BIGINT) AS k80,
+        |       floor(CAST(sum(CASE WHEN cb * 5 < tot * 4 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(n AS DOUBLE) * 1e4) / 1e4 AS k80_frac,
+        |       floor(CAST(sum(CASE WHEN rk <= (n + 9) // 10 THEN sp ELSE 0 END) AS DOUBLE)
+        |             / CAST(tot AS DOUBLE) * 1e4) / 1e4 AS top10_share
+        |FROM rk GROUP BY region, n, tot ORDER BY region""".stripMargin,
   )
 }

@@ -1533,4 +1533,180 @@ class MiscOpsSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  private def numAt(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.getAs[Number](i).longValue
+
+  private def custRegion(): Map[Long, String] = {
+    val nat = Tables.nation(spark, sf0001).select("n_nationkey", "n_regionkey")
+      .collect().map(r => numAt(r, 0) -> numAt(r, 1)).toMap
+    val reg = Tables.region(spark, sf0001).select("r_regionkey", "r_name")
+      .collect().map(r => numAt(r, 0) -> r.getString(1)).toMap
+    nat.view.mapValues(reg).toMap
+  }
+
+  private def custSpendCents(): Map[Long, Long] = Tables.orders(spark, sf0001)
+    .select(col("o_custkey"), floor(col("o_totalprice") * 100.0).cast("long").as("c"))
+    .collect().map(r => (numAt(r, 0), r.getLong(1)))
+    .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+  test("agg_spearman matches a driver tie-averaged rank recompute") {
+    val natReg = custRegion()
+    val spend = custSpendCents()
+    val rows = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (natReg(numAt(r, 1)), math.floor(r.getDouble(2) * 100.0).toLong,
+        spend.getOrElse(numAt(r, 0), 0L)))
+    // doubled average rank per distinct value: 2·cumBefore + cnt + 1
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      val hist = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var cum = 0L
+      hist.keys.toSeq.sorted.map { v =>
+        val c = hist(v); val r = 2 * cum + c + 1; cum += c; v -> r
+      }.toMap
+    }
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = rows.groupBy(_._1).map { case (reg, rs) =>
+      val rb = rank2(rs.toSeq.map(_._2)); val rsp = rank2(rs.toSeq.map(_._3))
+      val xs = rs.toSeq.map(t => rb(t._2)); val ys = rs.toSeq.map(t => rsp(t._3))
+      val n = rs.length.toDouble
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+      val sxx = xs.map(a => BigInt(a) * BigInt(a)).sum
+      val syy = ys.map(a => BigInt(a) * BigInt(a)).sum
+      val rho = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(n * sxx.toDouble - sx.toDouble * sx.toDouble)
+          * math.sqrt(n * syy.toDouble - sy.toDouble * sy.toDouble))
+      reg -> (rs.length.toLong, fl(rho))
+    }
+    val got = SparkEntry.queries("agg_spearman")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect)
+    got.values.foreach { case (_, rho) => assert(rho >= -1.0 && rho <= 1.0, rho) }
+  }
+
+  test("agg_mutual_info matches a driver contingency recompute") {
+    val natReg = custRegion()
+    val pairs = Tables.customer(spark, sf0001).select("c_mktsegment", "c_nationkey")
+      .collect().map(r => (r.getString(0), natReg(numAt(r, 1))))
+    val joint = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val margx = joint.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val margy = joint.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val n = joint.values.sum.toDouble
+    // same fold orders as the engines: MI by (seg, region); H by key
+    val mi = joint.toSeq.sortBy(t => (t._1._1, t._1._2)).foldLeft(0.0) { case (acc, ((s, g), c)) =>
+      acc + c.toDouble / n * math.log(c.toDouble * n / (margx(s).toDouble * margy(g).toDouble))
+    }
+    val hs = margx.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, c)) =>
+      acc + -(c.toDouble / n) * math.log(c.toDouble / n)
+    }
+    val hr = margy.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, c)) =>
+      acc + -(c.toDouble / n) * math.log(c.toDouble / n)
+    }
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val r = SparkEntry.queries("agg_mutual_info")(spark, sf0001).collect().head
+    assert(r.getLong(0) == n.toLong)
+    assert(r.getDouble(1) == fl(mi))
+    assert(r.getDouble(2) == fl(hs))
+    assert(r.getDouble(3) == fl(hr))
+    assert(r.getDouble(4) == fl(mi / math.sqrt(hs * hr)))
+    // information inequalities (floor slack): 0 ≤ MI ≤ min(H); NMI ∈ [0,1]
+    assert(r.getDouble(1) >= -1e-4 && r.getDouble(1) <= math.min(hs, hr) + 1e-4)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-4)
+  }
+
+  test("agg_price_elasticity matches a driver exact-moment OLS recompute") {
+    val brandOf = Tables.part(spark, sf0001).select("p_partkey", "p_brand")
+      .collect().map(r => numAt(r, 0) -> r.getString(1)).toMap
+    val pts = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_extendedprice", "l_quantity").collect()
+      .map { r =>
+        val ep = r.getDouble(1); val q = r.getDouble(2)
+        (brandOf(numAt(r, 0)),
+          math.floor(math.log(ep / q) * 1e6).toLong,
+          math.floor(math.log(q) * 1e6).toLong)
+      }
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = pts.groupBy(_._1).map { case (b, ps) =>
+      val n = ps.length.toDouble
+      val sx = ps.map(p => BigInt(p._2)).sum; val sy = ps.map(p => BigInt(p._3)).sum
+      val sxy = ps.map(p => BigInt(p._2) * BigInt(p._3)).sum
+      val sxx = ps.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val syy = ps.map(p => BigInt(p._3) * BigInt(p._3)).sum
+      val dx = n * sxx.toDouble - sx.toDouble * sx.toDouble
+      val dy = n * syy.toDouble - sy.toDouble * sy.toDouble
+      val num = n * sxy.toDouble - sx.toDouble * sy.toDouble
+      val slope = if (dx > 0) Some(num / dx) else None
+      b -> (ps.length.toLong,
+        slope.map(fl),
+        slope.map(s => fl((sy.toDouble / n - s * (sx.toDouble / n)) / 1e6)),
+        if (dy > 0) slope.map(s => fl(s * num / dy)) else None)
+    }
+    val got = SparkEntry.queries("agg_price_elasticity")(spark, sf0001)
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getString(0) -> (r.getLong(1), opt(2), opt(3), opt(4))
+      }.toMap
+    assert(got == expect)
+    got.values.foreach { case (_, _, _, r2) =>
+      r2.foreach(v => assert(v >= -1e-4 && v <= 1.0 + 1e-4, v))
+    }
+  }
+
+  test("agg_markov_steady matches a driver power-iteration recompute; mass conserved") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"), col("event_id"), col("event_type"))
+      .collect().map(r => (numAt(r, 0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.map(_._4).toSeq.sliding(2).collect { case Seq(a, b) => (a, b) }
+    }
+    val counts = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = counts.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val p = counts.map { case ((a, b), c) => (a, b) -> c.toDouble / rowTot(a).toDouble }
+    val states = (counts.keys.map(_._1) ++ counts.keys.map(_._2)).toSeq.distinct.sorted
+    var v: Map[String, Double] = states.map(_ -> 1.0 / states.length.toDouble).toMap
+    (1 to 3).foreach { _ =>
+      v = states.map { st =>
+        val terms = p.collect { case ((a, b), pp) if b == st => (a, v(a) * pp) }
+          .toSeq.sortBy(_._1)
+        st -> terms.foldLeft(0.0)(_ + _._2)
+      }.toMap
+    }
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val got = SparkEntry.queries("agg_markov_steady")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == v.view.mapValues(fl).toMap)
+    // chain has no dangling state at fixture scale ⇒ mass conserved up to floor slack
+    val mass = got.values.sum
+    assert(mass >= 1.0 - got.size * 1e-4 && mass <= 1.0 + 1e-9, mass)
+  }
+
+  test("agg_pareto matches a driver coverage recompute; decile dominance holds") {
+    val natReg = custRegion()
+    val spend = custSpendCents()
+    val rows = Tables.customer(spark, sf0001).select("c_custkey", "c_nationkey").collect()
+      .map(r => (natReg(numAt(r, 1)), numAt(r, 0), spend.getOrElse(numAt(r, 0), 0L)))
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = rows.groupBy(_._1).map { case (reg, rs) =>
+      val sorted = rs.toSeq.sortBy(t => (-t._3, t._2))
+      val n = sorted.length.toLong
+      val tot = sorted.map(_._3).sum
+      var cum = 0L; var k80 = 0L
+      sorted.foreach { t => if (cum * 5 < tot * 4) k80 += 1; cum += t._3 }
+      val topn = (n + 9) / 10
+      val top10 = sorted.take(topn.toInt).map(_._3).sum
+      reg -> (n, tot, k80, fl(k80.toDouble / n.toDouble), fl(top10.toDouble / tot.toDouble))
+    }
+    val got = SparkEntry.queries("agg_pareto")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == expect)
+    got.values.foreach { case (n, _, k80, k80f, top10) =>
+      assert(k80 >= 1 && k80 <= n, (k80, n))
+      // top decile of a descending sort carries at least its uniform share
+      assert(top10 >= 0.1 - 1e-4, top10)
+      assert(k80f <= 1.0, k80f)
+    }
+  }
 }
