@@ -982,7 +982,163 @@ object Wins {
             .as("gain"))
         .orderBy("user_id")
     }),
+
+    // E35 — MACD (added r10): the convergence/divergence pair of bounded-
+    // history EMAs (12/26, α = 2/(n+1)) plus the 9-EMA signal line and the
+    // histogram/crossover flag — the classic momentum readout, and the
+    // nested-recursion showcase: the signal line is an EMA OF an EMA
+    // difference, so each row prices 9 MACD taps (one per trailing
+    // position), each from two 33-sample sequential folds over the same
+    // collected frame. All folds are the win_ewma bit-identical
+    // sequential-fold discipline (Spark aggregate ↔ DuckDB list_reduce,
+    // same seed, same α spelled as a double-division literal); 18 folds ×
+    // 32 steps is a fixed per-row constant, one user-keyed shuffle, full
+    // 41-sample frames only. floor-1e-4; the crossover sign reads the
+    // unfloored doubles (identical on both engines).
+    "win_macd" -> ((s, d) => {
+      // MACD is computed ONCE per row (two folds over the 33-frame); the
+      // signal line's 9 taps come from lag() over the already-computed
+      // column — the tap at offset j IS the MACD of the row j back
+      // (full frames are consecutive per user), so this is value-identical
+      // to refolding 18 EMAs per row at an 8× lower constant (measured:
+      // 16 s → ~2 s at sf0.1).
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-32, 0)
+      val wl = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val base = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("l", collect_list(col("value")).over(w))
+        .where(size(col("l")) === 33)
+        .withColumn("m_raw", expr(s"${emaLSpark(2, 13)} - ${emaLSpark(2, 27)}"))
+      val taps = (8 to 1 by -1).map(j => lag(col("m_raw"), j).over(wl)) :+ col("m_raw")
+      base
+        .withColumn("m", array(taps: _*))
+        .where(element_at(col("m"), 1).isNotNull)
+        .withColumn("macd_raw", expr("element_at(m, 9)"))
+        .withColumn("sig_raw", expr(
+          "aggregate(slice(m, 2, 8), CAST(element_at(m, 1) AS DOUBLE), " +
+            "(acc, x) -> 0.2D * x + 0.8D * acc)"))
+        .select(col("event_id"),
+          (floor(col("macd_raw") * 1e4) / 1e4).as("macd"),
+          (floor(col("sig_raw") * 1e4) / 1e4).as("signal"),
+          (floor((col("macd_raw") - col("sig_raw")) * 1e4) / 1e4).as("hist"),
+          when(col("macd_raw") > col("sig_raw"), lit(1L))
+            .when(col("macd_raw") < col("sig_raw"), lit(-1L))
+            .otherwise(lit(0L)).as("crossover"))
+        .orderBy("event_id")
+    }),
+
+    // E36 — stochastic oscillator (added r10): %K = position of the
+    // current sample inside its trailing-14 min/max envelope, %D = 3-tap
+    // average of %K, zone flag at the 80/20 bands — the range-position
+    // momentum companion to win_rsi (gain-ratio) and win_bollinger
+    // (σ-envelope) on the same per-user series. %K is a single IEEE
+    // divide of exact µ-long differences; %D sums the three ALREADY
+    // FLOORED %K taps left-associatively via lag (no window sum — 3
+    // identical doubles added in one expression order on both engines).
+    // Flat envelopes (max = min) pin %K at 50 by convention. Full frames
+    // only; one user-keyed shuffle, two frames over the same sort.
+    "win_stochastic" -> ((s, d) => {
+      val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-13, 0)
+      val wl = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("n", count(col("vq")).over(wf))
+        .withColumn("mn", min(col("vq")).over(wf))
+        .withColumn("mx", max(col("vq")).over(wf))
+        .where(col("n") === 14)
+        .withColumn("k", when(col("mx") > col("mn"),
+          floor((col("vq") - col("mn")).cast("double")
+            / (col("mx") - col("mn")).cast("double") * lit(100.0) * 1e4) / 1e4)
+          .otherwise(lit(50.0)))
+        .withColumn("d", floor((lag(col("k"), 2).over(wl) + lag(col("k"), 1).over(wl)
+          + col("k")) / lit(3.0) * 1e4) / 1e4)
+        .select(col("event_id"), col("user_id"),
+          col("k").as("k_pct"), col("d").as("d_pct"),
+          when(col("k") > 80.0, lit(1L)).when(col("k") < 20.0, lit(-1L))
+            .otherwise(lit(0L)).as("zone"))
+        .orderBy("event_id")
+    }),
+
+    // E37 — cumulative VWAP per part (added r10): the volume-weighted
+    // running average unit price over each part's shipment history — the
+    // execution-quality benchmark every trading/pricing stack serves, and
+    // the canonical weighted running ratio: both running sums are exact
+    // integer windows (cents / whole units, truncated with explicit
+    // floor() — DuckDB CAST double→int ROUNDS while Spark's truncates, so
+    // neither side uses bare CAST), the readout one IEEE divide per row.
+    // Partitioned by part key (cardinality grows with the data — no
+    // low-cardinality funnel), one shuffle, one sort.
+    "win_vwap" -> ((s, d) => {
+      // (shipdate, orderkey, linenumber) is not guaranteed unique in the
+      // synthetic lineitem — the two value columns close the total order
+      // so the running sums are deterministic by construction
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("pc"), col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .withColumn("pc", floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+        .withColumn("q", floor(col("l_quantity")).cast("long"))
+        .withColumn("cp", sum(col("pc")).over(w))
+        .withColumn("cq", sum(col("q")).over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          (floor(col("cp").cast("double") / col("cq").cast("double")
+            / lit(100.0) * 1e4) / 1e4).as("vwap"),
+          col("cq").as("cum_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // E38 — Wald–Wolfowitz runs test per user (added r10): is the
+    // direction of consecutive value changes random, or does it trend/
+    // mean-revert? Signs of nonzero µ-long deltas (zero deltas dropped —
+    // exact integer comparison), runs counted as 1 + sign changes via a
+    // second lag over the SAME user-keyed sort, and the closed-form
+    // z-statistic (μ = 1 + 2n₁n₂/n, σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)))
+    // computed in DOUBLE from the exact counts with identical IEEE op
+    // order. Degenerate users (single sign, or 2n₁n₂ = n ⇒ σ = 0) emit
+    // NULL via the guard. One shuffle; all per-row work exact ints.
+    "win_runs_test" -> ((s, d) => {
+      val wl = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sg = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("dlt", col("vq") - lag(col("vq"), 1).over(wl))
+        .where(col("dlt").isNotNull && col("dlt") =!= 0L)
+        .withColumn("sgn", when(col("dlt") > 0, lit(1)).otherwise(lit(-1)))
+      val agg = sg
+        .withColumn("chg", when(lag(col("sgn"), 1).over(wl).isNull ||
+          lag(col("sgn"), 1).over(wl) === col("sgn"), lit(0L)).otherwise(lit(1L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_signs"),
+          sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_neg"),
+          (sum(col("chg")) + lit(1L)).as("runs"))
+      val n1 = col("n_pos").cast("double")
+      val n2 = col("n_neg").cast("double")
+      val nd = col("n_signs").cast("double")
+      val t = lit(2.0) * n1 * n2
+      val mu = lit(1.0) + t / nd
+      val vr = t * (t - nd) / (nd * nd * (nd - lit(1.0)))
+      agg.select(col("user_id"), col("n_signs"), col("n_pos"), col("n_neg"), col("runs"),
+        when(col("n_pos") > 0 && col("n_neg") > 0 && col("n_signs") > 1 &&
+          col("n_pos") * col("n_neg") * 2 > col("n_signs"),
+          floor((col("runs").cast("double") - mu) / sqrt(vr) * 1e4) / 1e4).as("z"))
+        .orderBy("user_id")
+    }),
   )
+
+  /** win_macd fold pieces: the EMA over the full 33-sample collected
+    * frame `l` — Spark HOF and DuckDB list_reduce twins (same seed
+    * element, same fold order, α spelled as the same double division). */
+  private def emaLSpark(num: Int, den: Int): String =
+    s"aggregate(slice(l, 2, 32), CAST(element_at(l, 1) AS DOUBLE), " +
+      s"(acc, x) -> ($num.0D / $den.0D) * x + (${den - num}.0D / $den.0D) * acc)"
+  private def emaLDuck(num: Int, den: Int): String =
+    s"list_reduce(l, (acc, x) -> (CAST($num.0 AS DOUBLE) / $den.0) * x " +
+      s"+ (CAST(${den - num}.0 AS DOUBLE) / $den.0) * acc)"
 
   /** The win_holt_winters oracle's fold pieces (DuckDB 1-based list
     * indexing; state layout [lv, tr, s0..s3, i] mirrors the Spark array). */
@@ -1702,5 +1858,119 @@ object Wins {
         |       CASE WHEN sse_full > 0
         |            THEN floor((sse_full - sse_split) / sse_full * 1e4) / 1e4 END AS gain
         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "win_macd" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT event_id, user_id, ts,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 32 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e
+        |),
+        |g AS (
+        |  SELECT event_id, user_id, ts,
+        |         ${emaLDuck(2, 13)} - ${emaLDuck(2, 27)} AS m_raw
+        |  FROM f WHERE len(l) = 33
+        |),
+        |h AS (
+        |  SELECT event_id,
+        |         [${(8 to 1 by -1).map(j => s"lag(m_raw, $j) OVER w2").mkString(", ")}, m_raw] AS m
+        |  FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |i AS (
+        |  SELECT event_id, m[9] AS macd_raw,
+        |         list_reduce(m, (acc, x) -> CAST(0.2 AS DOUBLE) * x
+        |                                    + CAST(0.8 AS DOUBLE) * acc) AS sig_raw
+        |  FROM h WHERE m[1] IS NOT NULL
+        |)
+        |SELECT event_id,
+        |       floor(macd_raw * 1e4) / 1e4 AS macd,
+        |       floor(sig_raw * 1e4) / 1e4 AS signal,
+        |       floor((macd_raw - sig_raw) * 1e4) / 1e4 AS hist,
+        |       CASE WHEN macd_raw > sig_raw THEN 1
+        |            WHEN macd_raw < sig_raw THEN -1 ELSE 0 END AS crossover
+        |FROM i ORDER BY event_id""".stripMargin,
+    "win_stochastic" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |           FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT event_id, user_id, ts, vq,
+        |         count(vq) OVER w AS n, min(vq) OVER w AS mn, max(vq) OVER w AS mx
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |),
+        |g AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN mx > mn
+        |              THEN floor(CAST(vq - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+        |                         * 100.0 * 1e4) / 1e4
+        |              ELSE CAST(50.0 AS DOUBLE) END AS k
+        |  FROM f WHERE n = 14
+        |),
+        |h AS (
+        |  SELECT event_id, user_id, k,
+        |         floor((lag(k, 2) OVER w2 + lag(k, 1) OVER w2 + k) / 3.0 * 1e4) / 1e4 AS d
+        |  FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id, k AS k_pct, d AS d_pct,
+        |       CASE WHEN k > 80.0 THEN 1 WHEN k < 20.0 THEN -1 ELSE 0 END AS zone
+        |FROM h ORDER BY event_id""".stripMargin,
+    "win_vwap" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) OVER w AS BIGINT) AS cp,
+        |         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) OVER w AS BIGINT) AS cq
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                        CAST(floor(l_extendedprice * 100.0) AS BIGINT),
+        |                        CAST(floor(l_quantity) AS BIGINT)
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |       floor(CAST(cp AS DOUBLE) / CAST(cq AS DOUBLE) / 100.0 * 1e4) / 1e4 AS vwap,
+        |       cq AS cum_qty
+        |FROM f ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "win_runs_test" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |           FROM events WHERE value IS NOT NULL),
+        |dd AS (
+        |  SELECT event_id, user_id, ts,
+        |         vq - lag(vq, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dlt
+        |  FROM e
+        |),
+        |sg AS (SELECT event_id, user_id, ts,
+        |              CASE WHEN dlt > 0 THEN 1 ELSE -1 END AS sgn
+        |       FROM dd WHERE dlt IS NOT NULL AND dlt <> 0),
+        |ch AS (
+        |  SELECT user_id, sgn,
+        |         CASE WHEN lag(sgn, 1) OVER w IS NULL
+        |                OR lag(sgn, 1) OVER w = sgn THEN 0 ELSE 1 END AS chg
+        |  FROM sg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_signs,
+        |         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |         CAST(sum(chg) + 1 AS BIGINT) AS runs
+        |  FROM ch GROUP BY 1
+        |)
+        |SELECT user_id, n_signs, n_pos, n_neg, runs,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0 AND n_signs > 1
+        |                 AND 2 * n_pos * n_neg > n_signs THEN
+        |         floor((CAST(runs AS DOUBLE)
+        |                - (1.0 + (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |                         / CAST(n_signs AS DOUBLE)))
+        |               / sqrt((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |                      * ((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |                         - CAST(n_signs AS DOUBLE))
+        |                      / (CAST(n_signs AS DOUBLE) * CAST(n_signs AS DOUBLE)
+        |                         * (CAST(n_signs AS DOUBLE) - 1.0)))
+        |               * 1e4) / 1e4
+        |       END AS z
+        |FROM agg ORDER BY user_id""".stripMargin,
   )
 }

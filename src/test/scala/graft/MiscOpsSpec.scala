@@ -1709,4 +1709,133 @@ class MiscOpsSpec extends SparkSpec {
       assert(k80f <= 1.0, k80f)
     }
   }
+
+  /** Per-user (value ordered by µs ts, event_id) series, nulls dropped —
+    * the shared input of the finance-window recomputes. */
+  private def valueSeries(): Map[Long, Seq[Double]] = Tables.events(spark, sf0001)
+    .where(col("value").isNotNull)
+    .select(col("user_id"), expr("unix_micros(ts)").as("tsu"), col("event_id"), col("value"))
+    .collect().map(r => (numAt(r, 0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    .groupBy(_._1).view.mapValues(_.toSeq.sortBy(t => (t._2, t._3)).map(_._4)).toMap
+
+  test("win_macd matches a driver nested-EMA recompute") {
+    def ema(vs: Seq[Double], num: Double, den: Double): Double = {
+      val a = num / den; val b = (den - num) / den
+      vs.tail.foldLeft(vs.head)((acc, x) => a * x + b * acc)
+    }
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    // keyed by event_id: rebuild the (user, pos) → event_id mapping
+    val evIds = Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"), col("event_id"))
+      .collect().map(r => (numAt(r, 0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(t => (t._2, t._3)).map(_._3)).toMap
+    val expect = valueSeries().flatMap { case (u, vs) =>
+      vs.indices.drop(40).map { i =>
+        val l = vs.slice(i - 40, i + 1) // 41 samples
+        val m = (8 to 0 by -1).map { j =>
+          val sl = l.slice(8 - j, 8 - j + 33)
+          ema(sl, 2.0, 13.0) - ema(sl, 2.0, 27.0)
+        }
+        val sig = m.tail.foldLeft(m.head)((acc, x) => 0.2 * x + 0.8 * acc)
+        val macd = m.last
+        evIds(u)(i) -> (fl(macd), fl(sig), fl(macd - sig),
+          if (macd > sig) 1L else if (macd < sig) -1L else 0L)
+      }
+    }
+    val got = SparkEntry.queries("win_macd")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    assert(got.values.map(_._4).toSet.subsetOf(Set(-1L, 0L, 1L)))
+  }
+
+  test("win_stochastic matches a driver envelope recompute; %K bounded") {
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val evIds = Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"), col("event_id"))
+      .collect().map(r => (numAt(r, 0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(t => (t._2, t._3)).map(_._3)).toMap
+    val expect = valueSeries().flatMap { case (u, vs) =>
+      val vq = vs.map(v => math.floor(v * 1e6).toLong)
+      val ks = vq.indices.drop(13).map { i =>
+        val w = vq.slice(i - 13, i + 1)
+        val (mn, mx) = (w.min, w.max)
+        if (mx > mn) fl((vq(i) - mn).toDouble / (mx - mn).toDouble * 100.0) else 50.0
+      }
+      ks.indices.map { p =>
+        val d = if (p >= 2) Some(fl((ks(p - 2) + ks(p - 1) + ks(p)) / 3.0)) else None
+        val zone = if (ks(p) > 80.0) 1L else if (ks(p) < 20.0) -1L else 0L
+        evIds(u)(p + 13) -> (ks(p), d, zone)
+      }
+    }
+    val got = SparkEntry.queries("win_stochastic")(spark, sf0001)
+      .collect().map { r =>
+        val d = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        r.getLong(0) -> (r.getDouble(2), d, r.getLong(4))
+      }.toMap
+    assert(got == expect)
+    got.values.foreach { case (k, _, _) => assert(k >= 0.0 && k <= 100.0, k) }
+  }
+
+  test("win_vwap matches a driver running-ratio recompute; vwap inside price range") {
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("sd"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5)))
+    // (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+    // compare the full output as a multiset, not a keyed map
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (pk, ls) =>
+      val sorted = ls.toSeq
+        .sortBy(t => (t._2, t._3, t._4, math.floor(t._5 * 100.0).toLong, math.floor(t._6).toLong))
+      var cp = 0L; var cq = 0L
+      sorted.map { t =>
+        cp += math.floor(t._5 * 100.0).toLong; cq += math.floor(t._6).toLong
+        (t._3, t._4, pk, fl(cp.toDouble / cq.toDouble / 100.0), cq)
+      }
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val got = SparkEntry.queries("win_vwap")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == expect)
+    got.keys.foreach { case (_, _, _, v, cq) => assert(v > 0 && cq > 0) }
+  }
+
+  test("win_runs_test matches a driver recompute; counts consistent") {
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = valueSeries().flatMap { case (u, vs) =>
+      val vq = vs.map(v => math.floor(v * 1e6).toLong)
+      val sgns = vq.sliding(2).collect {
+        case Seq(a, b) if b != a => if (b > a) 1 else -1
+      }.toSeq
+      if (sgns.isEmpty) None else {
+        val n = sgns.length.toLong
+        val n1 = sgns.count(_ == 1).toLong; val n2 = n - n1
+        val runs = 1L + sgns.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+        val z = if (n1 > 0 && n2 > 0 && n > 1 && 2 * n1 * n2 > n) {
+          val t = 2.0 * n1.toDouble * n2.toDouble
+          val nd = n.toDouble
+          val mu = 1.0 + t / nd
+          val vr = t * (t - nd) / (nd * nd * (nd - 1.0))
+          Some(fl((runs.toDouble - mu) / math.sqrt(vr)))
+        } else None
+        Some(u -> (n, n1, n2, runs, z))
+      }
+    }
+    val got = SparkEntry.queries("win_runs_test")(spark, sf0001)
+      .collect().map { r =>
+        val z = if (r.isNullAt(5)) None else Some(r.getDouble(5))
+        numAt(r, 0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), z)
+      }.toMap
+    assert(got == expect.toMap)
+    got.values.foreach { case (n, n1, n2, runs, _) =>
+      assert(n1 + n2 == n)
+      assert(runs >= 1 && runs <= n, (runs, n))
+    }
+  }
 }
