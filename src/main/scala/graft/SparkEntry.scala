@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Rel.queries ++
+      graft.queries.Geo.queries ++
       graft.queries.Aggs.queries ++
       graft.queries.Wins.queries ++
       graft.queries.Scalars.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Rel.oracles ++
+      graft.queries.Geo.oracles ++
       graft.queries.Aggs.oracles ++
       graft.queries.Wins.oracles ++
       graft.queries.Scalars.oracles ++

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spatial family (queries.Geo): driver recomputes of the md5-planar
+  * coordinates plus the blocking-completeness theorem — the 3×3
+  * neighbor-cell join is LOSSLESS for radius ≤ cell edge (|dx| ≤ cell ⇒
+  * cell index delta ≤ 1), so the blocked outputs must equal full
+  * brute force, not approximate it. */
+class GeoSpec extends SparkSpec {
+
+  private val Side = 1000000L
+  private val Cell = 100000L
+
+  /** Same 48-bit md5 coordinate synthesis as queries.Geo. */
+  private def coord(tag: String, key: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$tag$key".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    java.lang.Long.parseLong(hex, 16) % Side
+  }
+
+  private def numAt(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.getAs[Number](i).longValue
+
+  private def supplierCoords(): Seq[(Long, Long, Long)] =
+    Tables.supplier(spark, sf0001).select("s_suppkey").collect()
+      .map(r => numAt(r, 0)).toSeq
+      .map(k => (k, coord("gxs:", k), coord("gys:", k)))
+
+  private def customerCoords(): Seq[(Long, Long, Long)] =
+    Tables.customer(spark, sf0001).select("c_custkey").collect()
+      .map(r => numAt(r, 0)).toSeq
+      .map(k => (k, coord("gxc:", k), coord("gyc:", k)))
+
+  test("geo_grid_stats matches a driver recompute of the md5 coordinates") {
+    val cells = supplierCoords().map(t => (t._2 / Cell, t._3 / Cell, 1L, 0L)) ++
+      customerCoords().map(t => (t._2 / Cell, t._3 / Cell, 0L, 1L))
+    val expect = cells.groupBy(t => (t._1, t._2)).view
+      .mapValues(vs => (vs.map(_._3).sum, vs.map(_._4).sum)).toMap
+    val got = SparkEntry.queries("geo_grid_stats")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    assert(got.values.map(v => v._1 + v._2).sum ==
+      (supplierCoords().size + customerCoords().size).toLong)
+  }
+
+  test("geo_knn_grid matches a driver blocked-argmin recompute; block misses flagged") {
+    val sup = supplierCoords()
+    val expect = customerCoords().map { case (ck, cx, cy) =>
+      val (ccx, ccy) = (cx / Cell, cy / Cell)
+      val cand = sup.filter { case (_, sx, sy) =>
+        math.abs(sx / Cell - ccx) <= 1 && math.abs(sy / Cell - ccy) <= 1
+      }
+      if (cand.isEmpty) ck -> (0L, None: Option[Long], None: Option[Long])
+      else {
+        val (bk, d2) = cand.map { case (sk, sx, sy) =>
+          (sk, (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy))
+        }.minBy { case (sk, d2) => (d2, sk) } match { case (sk, d2) => (sk, d2) }
+        ck -> (1L, Some(bk), Some(math.floor(math.sqrt(d2.toDouble)).toLong))
+      }
+    }.toMap
+    val got = SparkEntry.queries("geo_knn_grid")(spark, sf0001)
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> (r.getLong(1), opt(2), opt(3))
+      }.toMap
+    assert(got == expect)
+    // both branches live at fixture scale (10 suppliers / 100 cells)
+    assert(got.values.exists(_._1 == 1L), "no customer found a neighbor — fixture degenerate")
+    assert(got.values.exists(_._1 == 0L), "every neighborhood occupied — miss branch untested")
+  }
+
+  test("geo_radius_pairs equals FULL brute force — 3×3 blocking is lossless at radius = cell") {
+    val sup = supplierCoords()
+    val expect = (for {
+      (k1, x1, y1) <- sup; (k2, x2, y2) <- sup if k1 < k2
+      d2 = (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)
+      if d2 <= Cell * Cell
+    } yield (k1, k2) -> math.floor(math.sqrt(d2.toDouble)).toLong).toMap
+    val got = SparkEntry.queries("geo_radius_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    got.values.foreach(d => assert(d <= Cell, d))
+  }
+}
