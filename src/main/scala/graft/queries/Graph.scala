@@ -633,6 +633,12 @@ object Graph {
       finishFreeing(modularityBody(edges, parts), edges)
     }),
 
+    // L12 — HITS hubs & authorities (added r10): see [[hitsBody]].
+    "graph_hits" -> ((s, d) => hitsBody(s, d)),
+
+    // L13 — deterministic random walks (added r10): see [[randomWalkBody]].
+    "graph_random_walk" -> ((s, d) => randomWalkBody(s, d)),
+
     // L8 — single-source shortest-path levels (added r7): BFS distance
     // from the minimum node id over the SUPPORTED co-purchase graph, 8
     // fixed relaxation rounds (the cc probe put the real graph's diameter
@@ -738,11 +744,94 @@ object Graph {
       ((s, d) => commonNeighborsBody(copurchaseEdgesPlan(s, d))),
     "graph_adamic_adar" -> ((s, d) => adamicAdarBody(copurchaseEdgesPlan(s, d))),
     "graph_jaccard" -> ((s, d) => jaccardBody(copurchaseEdgesPlan(s, d))),
+    "graph_hits" -> ((s, d) => hitsBody(s, d, checkpointed = false)),
+    "graph_random_walk" ->
+      ((s, d) => randomWalkBody(s, d, checkpointed = false)),
     "graph_label_prop" -> ((s, d) => labelPropBody(copurchaseEdgesPlan(s, d),
       Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct())),
     "graph_assortativity" -> ((s, d) => assortativityBody(copurchaseEdgesPlan(s, d))),
     "graph_modularity" -> ((s, d) => modularityBody(copurchaseEdgesPlan(s, d),
       Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct())))
+
+  /** L12 — HITS hubs & authorities (added r10): 2 power iterations over
+    * the DIRECTED supplier→part bipartite edges (hubs = suppliers who
+    * buy broadly-demanded parts; authorities = parts demanded by strong
+    * hubs — the mutual-reinforcement ranking PageRank's single vector
+    * can't express on a bipartite graph). Determinism is EXACT, one step
+    * stronger than pagerank's round-8-on-unordered-float-sums: after
+    * every iteration the max-normalized score is quantized to 1e-9-unit
+    * longs, so every Σ across edges is an exact integer sum (order-free,
+    * map-side partial) and the only floats are single IEEE divides of
+    * exact ints. Each iteration = one edge join + node-grain agg — the
+    * pagerank shuffle shape; node tables broadcast under the same 5M
+    * gate. Scores in [0,1] with the per-side max pinned at exactly 1.0. */
+  private def hitsBody(s: SparkSession, d: String,
+      checkpointed: Boolean = true): DataFrame = {
+    val Q = 1000000000L
+    val e0 = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    val e = if (checkpointed) e0.localCheckpoint(true) else e0
+    def maybeBc(df: DataFrame, n: Long): DataFrame =
+      if (n < 5000000L) broadcast(df) else df
+    val nNodes = e.select(col("sk")).distinct().count() +
+      e.select(col("pk")).distinct().count()
+    def norm(df: DataFrame, key: String): DataFrame = {
+      val mx = df.agg(max(col("v")).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col(key),
+          floor(col("v").cast("double") / col("mx").cast("double") * Q)
+            .cast("long").as("nq"))
+    }
+    val a1 = norm(e.groupBy("pk").agg((count(lit(1)) * Q).as("v")), "pk")
+    val h1 = norm(e.join(maybeBc(a1, nNodes), "pk").groupBy("sk").agg(sum("nq").as("v")), "sk")
+    val a2 = norm(e.join(maybeBc(h1, nNodes), "sk").groupBy("pk").agg(sum("nq").as("v")), "pk")
+    val h2 = norm(e.join(maybeBc(a2, nNodes), "pk").groupBy("sk").agg(sum("nq").as("v")), "sk")
+    val out = h2.select(lit("hub").as("kind"), concat(lit("s"), col("sk")).as("node"),
+        (col("nq").cast("double") / Q).as("score"))
+      .unionByName(a2.select(lit("authority").as("kind"),
+        concat(lit("p"), col("pk")).as("node"),
+        (col("nq").cast("double") / Q).as("score")))
+      .orderBy("kind", "node")
+    if (checkpointed) finishFreeing(out, e) else out
+  }
+
+  /** L13 — deterministic random walks (added r10): one 4-hop walk from
+    * every supplier node over the symmetrized supplier↔part graph — the
+    * DeepWalk/node2vec corpus-generation primitive, made replayable: the
+    * next hop is the neighbor minimizing md5(walk:step:neighbor) (a
+    * per-step pseudo-random draw that is a pure function of the walk id,
+    * so walks are identical across engines, retries and partitionings —
+    * the property a sampling pipeline must have to be debuggable). Each
+    * hop is ONE join of the walk-frontier against the edge list + a
+    * struct-min argmin — frontier stays start-set-sized at every hop
+    * (walks never fork), broadcast under the pagerank 5M gate. */
+  private def randomWalkBody(s: SparkSession, d: String,
+      checkpointed: Boolean = true): DataFrame = {
+    val e = if (checkpointed) supplierPartEdges(s, d).localCheckpoint(true)
+            else supplierPartEdges(s, d)
+    def maybeBc(df: DataFrame, n: Long): DataFrame =
+      if (n < 5000000L) broadcast(df) else df
+    val starts0 = e.select(col("src")).where(col("src").startsWith("s"))
+      .distinct().select(col("src").as("walk"), col("src").as("cur"))
+    val starts = if (checkpointed) starts0.localCheckpoint(true) else starts0
+    val nStarts = starts.count()
+    var pos = starts
+    // hop tables are start-set-sized checkpoints; all four feed the final
+    // join, so none is freed mid-loop — finishFreeing reclaims the lot
+    // once the result has materialized
+    val hops = (1 to 4).map { i =>
+      val nxt0 = maybeBc(pos, nStarts).join(e, pos("cur") === e("src"))
+        .withColumn("h", md5(concat(col("walk"), lit(s":$i:"), col("dst"))))
+        .groupBy("walk").agg(min(struct(col("h"), col("dst"))).as("b"))
+        .select(col("walk"), col("b.dst").as("cur"))
+      val nxt = if (checkpointed) nxt0.localCheckpoint(true) else nxt0
+      pos = nxt
+      nxt.select(col("walk"), col("cur").as(s"hop$i"))
+    }
+    val out = hops.foldLeft(starts.select("walk"))((acc, h) => acc.join(h, "walk"))
+      .orderBy("walk")
+    if (checkpointed) finishFreeing(out, (Seq(e, starts) ++ hops): _*) else out
+  }
 
   val oracles: Map[String, String] = {
     // shared CTE prefix for pagerank: symmetrized edges + degrees + N
@@ -1110,6 +1199,47 @@ object Graph {
           |parts AS (SELECT DISTINCT l_partkey AS part FROM lineitem)
           |SELECT p.part, coalesce(c.component, p.part) AS component
           |FROM parts p LEFT JOIN comp c ON c.id = p.part
-          |ORDER BY p.part""".stripMargin)
+          |ORDER BY p.part""".stripMargin,
+      "graph_hits" -> {
+        // 1e-9-quantized max normalization — mirrors hitsBody exactly
+        def norm(src: String, key: String): String =
+          s"""SELECT $key, CAST(floor(CAST(v AS DOUBLE)
+             |  / CAST((SELECT max(v) FROM $src) AS DOUBLE) * 1000000000) AS BIGINT) AS nq
+             |FROM $src""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+           |a1r AS (SELECT pk, count(*) * 1000000000 AS v FROM e GROUP BY 1),
+           |a1 AS (${norm("a1r", "pk")}),
+           |h1r AS (SELECT sk, CAST(sum(nq) AS BIGINT) AS v FROM e JOIN a1 USING (pk) GROUP BY 1),
+           |h1 AS (${norm("h1r", "sk")}),
+           |a2r AS (SELECT pk, CAST(sum(nq) AS BIGINT) AS v FROM e JOIN h1 USING (sk) GROUP BY 1),
+           |a2 AS (${norm("a2r", "pk")}),
+           |h2r AS (SELECT sk, CAST(sum(nq) AS BIGINT) AS v FROM e JOIN a2 USING (pk) GROUP BY 1),
+           |h2 AS (${norm("h2r", "sk")})
+           |SELECT kind, node, score FROM (
+           |  SELECT 'hub' AS kind, concat('s', sk) AS node,
+           |         CAST(nq AS DOUBLE) / 1000000000 AS score FROM h2
+           |  UNION ALL
+           |  SELECT 'authority', concat('p', pk), CAST(nq AS DOUBLE) / 1000000000 FROM a2
+           |) ORDER BY kind, node""".stripMargin
+      },
+      "graph_random_walk" -> {
+        val steps = (1 to 4).map { i =>
+          val prev = if (i == 1) "w0" else s"s${i - 1}"
+          s"""s$i AS (SELECT walk, cur FROM (
+             |  SELECT w.walk, e.dst AS cur,
+             |         row_number() OVER (PARTITION BY w.walk
+             |           ORDER BY md5(concat(w.walk, ':$i:', e.dst)), e.dst) AS rn
+             |  FROM $prev w JOIN edges e ON w.cur = e.src) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+           |edges AS (SELECT concat('s', sk) AS src, concat('p', pk) AS dst FROM e0
+           |          UNION ALL SELECT concat('p', pk), concat('s', sk) FROM e0),
+           |w0 AS (SELECT DISTINCT src AS walk, src AS cur FROM edges WHERE src LIKE 's%'),
+           |$steps
+           |SELECT w0.walk, s1.cur AS hop1, s2.cur AS hop2, s3.cur AS hop3, s4.cur AS hop4
+           |FROM w0 JOIN s1 USING (walk) JOIN s2 USING (walk)
+           |        JOIN s3 USING (walk) JOIN s4 USING (walk)
+           |ORDER BY walk""".stripMargin
+      })
   }
 }

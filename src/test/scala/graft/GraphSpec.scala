@@ -421,4 +421,56 @@ class GraphSpec extends SparkSpec {
       prev = p
     }
   }
+
+  private def spPairs(): Seq[(Long, Long)] = Tables.lineitem(spark, sf0001)
+    .select("l_suppkey", "l_partkey").distinct().collect()
+    .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("graph_hits matches a driver quantized power-iteration recompute; maxima pinned at 1") {
+    val e = spPairs()
+    val Q = 1000000000L
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.view.mapValues(v => math.floor(v.toDouble / mx.toDouble * Q).toLong).toMap
+    }
+    val a1 = norm(e.groupBy(_._2).view.mapValues(_.size.toLong * Q).toMap)
+    val h1 = norm(e.groupBy(_._1).view.mapValues(_.map(p => a1(p._2)).sum).toMap)
+    val a2 = norm(e.groupBy(_._2).view.mapValues(_.map(p => h1(p._1)).sum).toMap)
+    val h2 = norm(e.groupBy(_._1).view.mapValues(_.map(p => a2(p._2)).sum).toMap)
+    val expect = h2.map { case (k, v) => ("hub", s"s$k") -> v.toDouble / Q } ++
+      a2.map { case (k, v) => ("authority", s"p$k") -> v.toDouble / Q }
+    val got = SparkEntry.queries("graph_hits")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == expect)
+    // each side's leader normalizes to exactly 1.0; everything in [0,1]
+    assert(got.collect { case (("hub", _), v) => v }.max == 1.0)
+    assert(got.collect { case (("authority", _), v) => v }.max == 1.0)
+    got.values.foreach(v => assert(v >= 0.0 && v <= 1.0, v))
+  }
+
+  test("graph_random_walk matches a driver md5-argmin walk; hops alternate bipartite sides") {
+    val e = spPairs()
+    val out: Map[String, Seq[String]] =
+      (e.map(p => (s"s${p._1}", s"p${p._2}")) ++ e.map(p => (s"p${p._2}", s"s${p._1}")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = out.keys.filter(_.startsWith("s")).map { start =>
+      var cur = start
+      val hops = (1 to 4).map { i =>
+        cur = out(cur).minBy(nb => (md5hex(s"$start:$i:$nb"), nb))
+        cur
+      }
+      start -> hops
+    }.toMap
+    val got = SparkEntry.queries("graph_random_walk")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(got == expect)
+    got.foreach { case (start, hops) =>
+      assert(start.startsWith("s"))
+      assert(hops.map(_.head) == Seq('p', 's', 'p', 's'),
+        s"walk from $start broke bipartite alternation: $hops")
+    }
+  }
 }
