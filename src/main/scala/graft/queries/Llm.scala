@@ -3161,6 +3161,100 @@ object Llm {
             (col("c1a").cast(dec) * col("c1b").cast(dec)).cast("double")), 4).as("pmi"))
         .orderBy("w1", "w2")
     }),
+
+    // K — pairwise self-BLEU (added r10): BLEU-2 of each document against
+    // its successor within the source (deterministic doc_id pairing) —
+    // the surface-overlap DIVERSITY eval generation pipelines track
+    // (high self-BLEU = the corpus/generator is repeating itself), and
+    // the reference-based eval harness primitive (swap the pairing for
+    // (candidate, reference) and this IS corpus BLEU). Clipped n-gram
+    // matches are exact ints from two per-doc count tables equi-joined on
+    // the token within the pair (token-grain, never doc²); p₁/p₂ single
+    // IEEE divides; the brevity penalty's exp() is the one transcendental
+    // — floor-1e-4 on bp/bleu only. Pairs with no overlap keep their row
+    // (p=0 ⇒ bleu 0) via left joins + coalesce.
+    "llm_self_bleu" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .where(size(col("toks")) >= 2)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = docs
+        .withColumn("ref_id", lead(col("doc_id"), 1).over(w))
+        .where(col("ref_id").isNotNull)
+        .select(col("doc_id"), col("ref_id"))
+        .localCheckpoint(true) // pair list: one row per doc with a successor
+      val uni = docs.select(col("doc_id"), explode(col("toks")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val big = docs
+        .withColumn("z", arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1)))
+        .select(col("doc_id"), explode(col("z")).as("b"))
+        .select(col("doc_id"), concat(col("b.0"), lit(" "), col("b.1")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      def clipped(counts: DataFrame): DataFrame = pairs
+        .join(counts.select(col("doc_id"), col("g"), col("c").as("cc")), "doc_id")
+        .join(counts.select(col("doc_id").as("ref_id"), col("g"), col("c").as("rc")),
+          Seq("ref_id", "g"))
+        .groupBy("doc_id").agg(sum(least(col("cc"), col("rc"))).as("m"))
+      val lens = docs.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
+      val cl = lens.withColumnRenamed("len", "clen")
+      val rl = lens.select(col("doc_id").as("ref_id"), col("len").as("rlen"))
+      pairs
+        .join(clipped(uni).withColumnRenamed("m", "m1"), Seq("doc_id"), "left")
+        .join(clipped(big).withColumnRenamed("m", "m2"), Seq("doc_id"), "left")
+        .join(cl, "doc_id").join(rl, "ref_id")
+        .select(col("doc_id"), col("ref_id"),
+          coalesce(col("m1"), lit(0L)).as("n1_match"),
+          coalesce(col("m2"), lit(0L)).as("n2_match"),
+          col("clen"), col("rlen"))
+        .withColumn("p1", col("n1_match").cast("double") / col("clen").cast("double"))
+        .withColumn("p2", col("n2_match").cast("double")
+          / (col("clen") - lit(1L)).cast("double"))
+        .withColumn("bp", least(lit(1.0),
+          exp(lit(1.0) - col("rlen").cast("double") / col("clen").cast("double"))))
+        .select(col("doc_id"), col("ref_id"), col("n1_match"), col("n2_match"),
+          col("p1"), col("p2"),
+          (floor(col("bp") * 1e4) / 1e4).as("bp"),
+          (floor(col("bp") * sqrt(col("p1") * col("p2")) * 1e4) / 1e4).as("bleu"))
+        .orderBy("doc_id")
+    }),
+
+    // K — diagonal-Mahalanobis embedding outliers (added r10): distance
+    // of each vector from the corpus's per-dimension mean in per-dim
+    // σ units — the cheap embedding-space outlier score (encoder
+    // regressions / corrupted rows surface as d² ≫ dims) that precedes
+    // any clustering. Per-dim moments are EXACT (µ-quantized longs,
+    // DECIMAL/HUGEINT sums — the pca_power covariance discipline, linear
+    // one-pass, 64 groups); per-vector d² folds the 64 contributions in
+    // dim order (ordered-fold idiom). E[d²] = dims·(n−1)/n exactly under
+    // the population σ̂² — the identity the spec pins. Flag at 1.5·dims.
+    "llm_embed_outliers" -> ((s, d) => {
+      val xs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).as("dim"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("xq"))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val stats = xs.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("xq").as("sx"),
+          sum((col("xq") * col("xq")).cast(dec)).as("sxx"))
+        .select(col("dim"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mu"),
+          ((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n").cast("double") * col("n").cast("double"))).as("vr"))
+      xs.join(broadcast(stats), "dim")
+        .withColumn("contrib", when(col("vr") > 0,
+          (col("xq").cast("double") - col("mu")) * (col("xq").cast("double") - col("mu"))
+            / col("vr")).otherwise(lit(0.0)))
+        .groupBy("vec_id", "label")
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('d', dim, 'c', contrib))), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c)").as("d2raw"))
+        .select(col("vec_id"), col("label"),
+          (floor(col("d2raw") * 1e4) / 1e4).as("d2"),
+          when(col("d2raw") > 96.0, lit(1L)).otherwise(lit(0L)).as("is_outlier"))
+        .orderBy("vec_id")
+    }),
   )
 
   // the shared oracle tok CTE lives beside its Spark twin in Dedup so the
@@ -5939,5 +6033,74 @@ object Llm {
         |JOIN c1 a ON c2.w1 = a.token
         |JOIN c1 b ON c2.w2 = b.token
         |ORDER BY w1, w2""".stripMargin,
+    "llm_self_bleu" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> len(x) > 0)) >= 2
+        |),
+        |pairs AS (
+        |  SELECT doc_id, ref_id FROM (
+        |    SELECT doc_id, lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+        |    FROM t2
+        |  ) WHERE ref_id IS NOT NULL
+        |),
+        |uc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS g FROM t2) GROUP BY 1, 2),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM (
+        |  SELECT doc_id, concat(w1, ' ', w2) AS g FROM (
+        |    SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+        |           unnest(list_slice(toks, 2, len(toks))) AS w2
+        |    FROM t2)) GROUP BY 1, 2),
+        |m1 AS (SELECT p.doc_id, CAST(sum(least(c.c, r.c)) AS BIGINT) AS m
+        |       FROM pairs p JOIN uc c ON p.doc_id = c.doc_id
+        |                    JOIN uc r ON p.ref_id = r.doc_id AND c.g = r.g
+        |       GROUP BY 1),
+        |m2 AS (SELECT p.doc_id, CAST(sum(least(c.c, r.c)) AS BIGINT) AS m
+        |       FROM pairs p JOIN bgc c ON p.doc_id = c.doc_id
+        |                    JOIN bgc r ON p.ref_id = r.doc_id AND c.g = r.g
+        |       GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM t2),
+        |j AS (
+        |  SELECT p.doc_id, p.ref_id,
+        |         coalesce(m1.m, 0) AS n1_match, coalesce(m2.m, 0) AS n2_match,
+        |         CAST(coalesce(m1.m, 0) AS DOUBLE) / CAST(cl.len AS DOUBLE) AS p1,
+        |         CAST(coalesce(m2.m, 0) AS DOUBLE) / CAST(cl.len - 1 AS DOUBLE) AS p2,
+        |         least(CAST(1.0 AS DOUBLE),
+        |               exp(1.0 - CAST(rl.len AS DOUBLE) / CAST(cl.len AS DOUBLE))) AS bpraw
+        |  FROM pairs p
+        |  LEFT JOIN m1 ON p.doc_id = m1.doc_id
+        |  LEFT JOIN m2 ON p.doc_id = m2.doc_id
+        |  JOIN lens cl ON p.doc_id = cl.doc_id
+        |  JOIN lens rl ON p.ref_id = rl.doc_id
+        |)
+        |SELECT doc_id, ref_id, n1_match, n2_match, p1, p2,
+        |       floor(bpraw * 1e4) / 1e4 AS bp,
+        |       floor(bpraw * sqrt(p1 * p2) * 1e4) / 1e4 AS bleu
+        |FROM j ORDER BY doc_id""".stripMargin,
+    "llm_embed_outliers" ->
+      """WITH xs AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xq
+        |  FROM embeddings
+        |),
+        |st AS (SELECT dim, count(*) AS n, sum(xq) AS sx,
+        |              sum(CAST(xq AS HUGEINT) * xq) AS sxx
+        |       FROM xs GROUP BY 1),
+        |sp AS (SELECT dim, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |              (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vr
+        |       FROM st),
+        |co AS (SELECT vec_id, label, xs.dim,
+        |              CASE WHEN vr > 0
+        |                   THEN (CAST(xq AS DOUBLE) - mu) * (CAST(xq AS DOUBLE) - mu) / vr
+        |                   ELSE CAST(0.0 AS DOUBLE) END AS contrib
+        |       FROM xs JOIN sp ON xs.dim = sp.dim),
+        |ag AS (SELECT vec_id, label, list_aggregate(list(contrib ORDER BY dim), 'sum') AS d2raw
+        |       FROM co GROUP BY 1, 2)
+        |SELECT vec_id, label, floor(d2raw * 1e4) / 1e4 AS d2,
+        |       CASE WHEN d2raw > 96.0 THEN 1 ELSE 0 END AS is_outlier
+        |FROM ag ORDER BY vec_id""".stripMargin,
   )
 }

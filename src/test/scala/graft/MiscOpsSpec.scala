@@ -1838,4 +1838,69 @@ class MiscOpsSpec extends SparkSpec {
       assert(runs >= 1 && runs <= n, (runs, n))
     }
   }
+
+  test("llm_self_bleu matches a driver clipped-ngram recompute") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+      .filter(_._3.length >= 2)
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    def counts(g: Seq[String]) = g.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def clip(c: Map[String, Long], r: Map[String, Long]) =
+      c.map { case (g, n) => math.min(n, r.getOrElse(g, 0L)) }.sum
+    val expect = docs.groupBy(_._2).flatMap { case (_, ds) =>
+      ds.toSeq.sortBy(_._1).sliding(2).collect { case Seq((cid, _, ct), (rid, _, rt)) =>
+        val m1 = clip(counts(ct), counts(rt))
+        val m2 = clip(counts(ct.sliding(2).map(_.mkString(" ")).toSeq),
+          counts(rt.sliding(2).map(_.mkString(" ")).toSeq))
+        val (cl, rl) = (ct.length.toLong, rt.length.toLong)
+        val p1 = m1.toDouble / cl.toDouble
+        val p2 = m2.toDouble / (cl - 1).toDouble
+        val bp = math.min(1.0, math.exp(1.0 - rl.toDouble / cl.toDouble))
+        cid -> (rid, m1, m2, p1, p2, fl(bp), fl(bp * math.sqrt(p1 * p2)))
+      }
+    }
+    val got = SparkEntry.queries("llm_self_bleu")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(got == expect.toMap)
+    got.values.foreach { case (_, _, _, p1, p2, bp, bleu) =>
+      assert(p1 >= 0.0 && p1 <= 1.0, p1)
+      assert(p2 >= 0.0 && p2 <= 1.0, p2)
+      assert(bleu <= bp + 1e-9, (bleu, bp))
+    }
+    // the diversity eval is non-degenerate on the shared-vocabulary corpus:
+    // unigram overlap is high, exact bigram echo is not universal
+    assert(got.values.exists(_._4 > 0.5))
+    assert(got.values.exists(_._7 < 1.0))
+  }
+
+  test("llm_embed_outliers matches a driver recompute; mean d² identity holds") {
+    val vecs = Tables.embeddings(spark, sf0001).select("vec_id", "label", "embedding")
+      .collect().map(r => (r.getLong(0), numAt(r, 1),
+        r.getSeq[Float](2).map(f => math.floor(f.toDouble * 1e6).toLong)))
+    val dims = vecs.head._3.length
+    val n = vecs.length.toDouble
+    val stats = (0 until dims).map { d =>
+      val xs = vecs.map(_._3(d))
+      val sx = xs.map(BigInt(_)).sum; val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      (sx.toDouble / n, (n * sxx.toDouble - sx.toDouble * sx.toDouble) / (n * n))
+    }
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = vecs.map { case (id, lab, xs) =>
+      val d2 = (0 until dims).foldLeft(0.0) { (acc, d) =>
+        val (mu, vr) = stats(d)
+        acc + (if (vr > 0) (xs(d).toDouble - mu) * (xs(d).toDouble - mu) / vr else 0.0)
+      }
+      id -> (lab, fl(d2), if (d2 > 96.0) 1L else 0L)
+    }.toMap
+    val got = SparkEntry.queries("llm_embed_outliers")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (numAt(r, 1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got == expect)
+    // Σ_v (x−μ)²/σ̂² = n per dim under the population variance ⇒
+    // mean d² = dims·(n−1)/n... exactly dims·n/n = dims (biased σ̂² uses n)
+    val mean = got.values.map(_._2).sum / got.size
+    assert(math.abs(mean - dims) < 1e-3, mean)
+    assert(got.values.exists(_._3 == 1L) || got.values.forall(_._2 <= 96.0))
+  }
 }
