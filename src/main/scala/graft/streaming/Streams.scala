@@ -884,6 +884,33 @@ object Streams {
             StructField("dup_id", LongType), StructField("orig_id", LongType),
             StructField("jacc", DoubleType))))
     }),
+
+    // I17 — online OHLC candles (added r10): hourly open/high/low/close
+    // per event type maintained AS streaming aggregation state — the
+    // market-data/trend-store ingest readout, and the argmin-in-state
+    // pattern: open/close are min/max over a (ts, event_id, value)
+    // struct, so the state per open window is two structs + two longs +
+    // a count, never the window's rows, and the (ts, event_id) total
+    // order makes the picks deterministic under any batch arrival order
+    // (StreamingSpec pins a candle assembled across micro-batches).
+    // Values pass through exactly (the agg_ohlc convention — both
+    // engines read identical parquet doubles).
+    "stream_ohlc" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("n_samples"))
+      drain(s, agg, "graft_stream_ohlc", OutputMode.Complete())
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n_samples"), col("o.value").as("open"), col("high"),
+          col("low"), col("c.value").as("close"))
+        .orderBy("bucket", "event_type")
+    }),
   )
 
   /** Oracle SQL for the streaming keys: the batch-equivalent queries over
@@ -1176,6 +1203,20 @@ object Streams {
           |FROM n LEFT JOIN kk ON n.day = kk.day
           |       LEFT JOIN sm ON n.day = sm.day
           |ORDER BY n.day""".stripMargin,
+      "stream_ohlc" ->
+        s"""WITH r AS (
+           |  SELECT date_trunc('hour', ts) AS bucket, event_type, event_id, value,
+           |         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+           |                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+           |         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+           |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+           |  FROM $ev events
+           |)
+           |SELECT bucket, event_type, count(*) AS n_samples,
+           |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           |       max(value) AS high, min(value) AS low,
+           |       max(CASE WHEN rn_d = 1 THEN value END) AS close
+           |FROM r GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     )
   }
 }

@@ -601,4 +601,40 @@ class StreamingSpec extends SparkSpec {
     assert(stream.getLong(0) == batchSessions.getLong(0), s"$stream vs $batchSessions")
     assert(stream.getLong(1) == batchSessions.getLong(1))
   }
+
+  test("stream_ohlc assembles one candle across micro-batches; picks are arrival-order free") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val agg = in.toDF().toDF("ts", "event_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("b"), col("event_type"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("ohlc_test")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmpDir("ckpt_ohlc")).start()
+    // batch 1: mid-hour events arrive FIRST
+    in.addData((ts("2024-01-01 08:30:00"), 3L, "trade", 50.0),
+      (ts("2024-01-01 08:40:00"), 4L, "trade", 20.0))
+    q.processAllAvailable()
+    // batch 2: the true open (earliest ts) arrives LAST — including a
+    // same-timestamp tie broken by event_id — plus the closing sample
+    in.addData((ts("2024-01-01 08:05:00"), 1L, "trade", 30.0),
+      (ts("2024-01-01 08:05:00"), 2L, "trade", 99.0),
+      (ts("2024-01-01 08:55:00"), 5L, "trade", 40.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ohlc_test").collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    val r = rows.head
+    assert(r.getDouble(2) == 30.0, "open must be the earliest (ts, event_id) pick, not arrival order")
+    assert(r.getDouble(3) == 99.0 && r.getDouble(4) == 20.0)
+    assert(r.getDouble(5) == 40.0, "close must track the max (ts, event_id)")
+    assert(r.getLong(6) == 5L)
+  }
 }
