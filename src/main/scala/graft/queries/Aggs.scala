@@ -1831,6 +1831,29 @@ object Aggs {
             .as("top10_share"))
         .orderBy("region")
     }),
+
+    // D43 — day-of-week × hour-of-day activity matrix (added r10): the
+    // calendar-heatmap rollup every ops dashboard opens with. Weekday is
+    // computed ARITHMETICALLY ((epoch_days + 4) mod 7, 0 = Sunday — epoch
+    // day 0 was a Thursday) because the engines' dayofweek() builtins
+    // disagree on numbering; hour() truncates the same µs timestamp on
+    // both. Exact cent sums; one cell-grain aggregation (≤ 7·24 rows at
+    // any corpus size), map-side partial.
+    "agg_dow_hour" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("dow",
+          (datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")) + lit(4)) % 7)
+        .withColumn("hr", hour(col("ts")))
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .groupBy("dow", "hr")
+        .agg(count(lit(1)).as("n_events"),
+          sum("cents").as("sum_cents"),
+          count(col("cents")).as("n_vals"))
+        .select(col("dow"), col("hr"), col("n_events"), col("sum_cents"),
+          (floor(col("sum_cents").cast("double") / col("n_vals").cast("double")
+            / lit(100.0) * 1e4) / 1e4).as("avg_value"))
+        .orderBy("dow", "hr")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -2993,5 +3016,18 @@ object Aggs {
         |       floor(CAST(sum(CASE WHEN rk <= (n + 9) // 10 THEN sp ELSE 0 END) AS DOUBLE)
         |             / CAST(tot AS DOUBLE) * 1e4) / 1e4 AS top10_share
         |FROM rk GROUP BY region, n, tot ORDER BY region""".stripMargin,
+    "agg_dow_hour" ->
+      """WITH e AS (
+        |  SELECT (datediff('day', DATE '1970-01-01',
+        |            CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 4) % 7 AS dow,
+        |         hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT dow, hr, count(*) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       floor(CAST(sum(cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE)
+        |             / 100.0 * 1e4) / 1e4 AS avg_value
+        |FROM e GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
   )
 }

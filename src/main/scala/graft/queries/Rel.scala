@@ -49,6 +49,16 @@ object Rel {
       |)
       |SELECT p_partkey, depth, root_key, path_cents FROM bom ORDER BY p_partkey""".stripMargin
 
+  /** ONE literal SQL string for `sql_group_by_all` — runs verbatim on
+    * Spark (Catalog views) and DuckDB: both must infer the same grouping
+    * keys (every non-aggregate select item). */
+  private[graft] val GroupByAllSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events
+      |GROUP BY ALL
+      |ORDER BY event_type, day""".stripMargin
+
   /** The `filter_trigger_escalate` streak/severity ladder over hourly KPI
     * rows (entity_id, ts, kpi_load) — shared with `stream_escalate`, which
     * applies it to the DRAINED window-grain aggregate (the aggregate-hot /
@@ -654,6 +664,18 @@ object Rel {
       s.sql(RecursiveBomSql)
     }),
 
+    // SQL surface — GROUP BY ALL (added r10): the analyst-ergonomics
+    // clause both engines added recently (Spark 3.4 / DuckDB): grouping
+    // keys inferred as every non-aggregate select item. ONE SQL string
+    // executed verbatim on both engines (the sql_recursive_cte literal-
+    // parser-parity discipline) — this key pins that the INFERENCE
+    // agrees, not just the aggregation. Cents exact; plan is the plain
+    // two-phase hash aggregate.
+    "sql_group_by_all" -> ((s, d) => {
+      graft.Catalog.registerAll(s, d)
+      s.sql(GroupByAllSql)
+    }),
+
     // A5 — ingest upsert (the reference's bulk-COPY-with-fallback-to-
     // UPDATE): a batch of updated click readings plus brand-new rows merged
     // into the base last-writer-wins on the key. One shuffle on event_id
@@ -987,6 +1009,7 @@ object Rel {
         |ORDER BY r_name, n_name""".stripMargin,
     // the SAME string the Spark side executes — literal parser parity
     "sql_recursive_cte" -> RecursiveBomSql,
+    "sql_group_by_all" -> GroupByAllSql,
     "store_upsert" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events

@@ -1128,6 +1128,50 @@ object Wins {
           floor((col("runs").cast("double") - mu) / sqrt(vr) * 1e4) / 1e4).as("z"))
         .orderBy("user_id")
     }),
+
+    // E39 — rolling R/S (rescaled-range) Hurst estimate per user (added
+    // r10): trending (H>0.5) vs mean-reverting (H<0.5) vs random-walk —
+    // the long-memory diagnostic over the trailing-32 frame. The entire
+    // statistic is EXACT-INTEGER until two final IEEE ops: the cumulative
+    // deviations are scaled by n (32·prefix_k − k·Σx — exact longs, so
+    // the range R needs no float at all), n·S uses the variance identity
+    // on exact DECIMAL/HUGEINT moments, and rs = R_scaled/√(nΣx²−(Σx)²)
+    // (the 1/32 scalings cancel). H = ln(rs)/ln(n/2) — the single-window
+    // R/S estimate (a full Hurst regresses log R/S over scales; this is
+    // its per-scale kernel). One integer fold per row (32 steps), one
+    // user-keyed shuffle; constant series NULL via the variance guard.
+    "win_hurst" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-31, 0)
+      val base = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("n", count(col("vq")).over(wf))
+        .withColumn("s1", sum(col("vq")).over(wf))
+        .withColumn("s2", sum((col("vq") * col("vq")).cast(dec)).over(wf))
+        .withColumn("l", collect_list(col("vq")).over(wf))
+        .where(col("n") === 32)
+        .withColumn("rng", expr(
+          """aggregate(l,
+            |  named_struct('k', 0L, 'run', 0L,
+            |    'mn', 9223372036854775807L, 'mx', -9223372036854775807L),
+            |  (acc, x) -> named_struct(
+            |    'k', acc.k + 1L,
+            |    'run', acc.run + x,
+            |    'mn', least(acc.mn, 32L * (acc.run + x) - (acc.k + 1L) * s1),
+            |    'mx', greatest(acc.mx, 32L * (acc.run + x) - (acc.k + 1L) * s1)),
+            |  acc -> acc.mx - acc.mn)""".stripMargin))
+        .withColumn("varn", (lit(32).cast(dec) * col("s2")
+          - col("s1").cast(dec) * col("s1")).cast("double"))
+      base.select(col("event_id"), col("user_id"),
+          when(col("varn") > 0,
+            floor(col("rng").cast("double") / sqrt(col("varn")) * 1e4) / 1e4).as("rs"),
+          when(col("varn") > 0,
+            floor(log(col("rng").cast("double") / sqrt(col("varn")))
+              / log(lit(16.0)) * 1e4) / 1e4).as("hurst"))
+        .orderBy("event_id")
+    }),
   )
 
   /** win_macd fold pieces: the EMA over the full 33-sample collected
@@ -1972,5 +2016,42 @@ object Wins {
         |               * 1e4) / 1e4
         |       END AS z
         |FROM agg ORDER BY user_id""".stripMargin,
+    "win_hurst" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |           FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT event_id, user_id,
+        |         count(vq) OVER w AS n,
+        |         CAST(sum(vq) OVER w AS BIGINT) AS s1,
+        |         sum(CAST(vq AS HUGEINT) * vq) OVER w AS s2,
+        |         list(vq) OVER w AS l
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)
+        |),
+        |g AS (
+        |  SELECT event_id, user_id,
+        |         list_reduce(
+        |           list_prepend([CAST(0 AS BIGINT), 0, 9223372036854775807,
+        |                         -9223372036854775807],
+        |                        list_transform(l, x -> [x, 0, 0, 0])),
+        |           (acc, x) -> [acc[1] + 1,
+        |                        acc[2] + x[1],
+        |                        least(acc[3], 32 * (acc[2] + x[1]) - (acc[1] + 1) * s1),
+        |                        greatest(acc[4], 32 * (acc[2] + x[1]) - (acc[1] + 1) * s1)]
+        |         ) AS st,
+        |         CAST(32 * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS varn
+        |  FROM f WHERE n = 32
+        |)
+        |SELECT event_id, user_id,
+        |       CASE WHEN varn > 0
+        |            THEN floor(CAST(st[4] - st[3] AS DOUBLE) / sqrt(varn) * 1e4) / 1e4
+        |       END AS rs,
+        |       CASE WHEN varn > 0
+        |            THEN floor(ln(CAST(st[4] - st[3] AS DOUBLE) / sqrt(varn))
+        |                       / ln(16.0) * 1e4) / 1e4
+        |       END AS hurst
+        |FROM g ORDER BY event_id""".stripMargin,
   )
 }

@@ -1903,4 +1903,74 @@ class MiscOpsSpec extends SparkSpec {
     assert(math.abs(mean - dims) < 1e-3, mean)
     assert(got.values.exists(_._3 == 1L) || got.values.forall(_._2 <= 96.0))
   }
+
+  test("sql_group_by_all infers the same grouping as the explicit GROUP BY") {
+    graft.Catalog.registerAll(spark, sf0001)
+    val inferred = SparkEntry.queries("sql_group_by_all")(spark, sf0001).collect()
+    val explicitly = spark.sql(
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type, day""".stripMargin).collect()
+    assert(inferred.toSeq == explicitly.toSeq)
+    assert(inferred.nonEmpty)
+  }
+
+  test("win_hurst matches a driver exact-integer R/S recompute") {
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val evIds = Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"), col("event_id"))
+      .collect().map(r => (numAt(r, 0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(t => (t._2, t._3)).map(_._3)).toMap
+    val expect = valueSeries().flatMap { case (u, vs) =>
+      val vq = vs.map(v => math.floor(v * 1e6).toLong)
+      vq.indices.drop(31).map { i =>
+        val w = vq.slice(i - 31, i + 1)
+        val s1 = w.sum
+        val s2 = w.map(x => BigInt(x) * BigInt(x)).sum
+        var run = 0L; var mn = Long.MaxValue; var mx = Long.MinValue + 1
+        w.zipWithIndex.foreach { case (x, k) =>
+          run += x
+          val dev = 32L * run - (k + 1L) * s1
+          mn = math.min(mn, dev); mx = math.max(mx, dev)
+        }
+        val varn = (BigInt(32) * s2 - BigInt(s1) * BigInt(s1)).toDouble
+        val out = if (varn > 0) {
+          val rs = (mx - mn).toDouble / math.sqrt(varn)
+          (Some(fl(rs)), Some(fl(math.log(rs) / math.log(16.0))))
+        } else (None, None)
+        evIds(u)(i) -> out
+      }
+    }
+    val got = SparkEntry.queries("win_hurst")(spark, sf0001)
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getLong(0) -> (opt(2), opt(3))
+      }.toMap
+    assert(got == expect.toMap)
+    got.values.foreach { case (rs, _) => rs.foreach(v => assert(v > 0, v)) }
+    assert(got.nonEmpty)
+  }
+
+  test("agg_dow_hour matches a driver recompute; calendar cells bounded") {
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val rows = Tables.events(spark, sf0001)
+      .select(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("ed"),
+        expr("hour(ts)").as("hr"), col("value"))
+      .collect().map(r => ((numAt(r, 0) + 4) % 7, numAt(r, 1),
+        if (r.isNullAt(2)) None else Some(math.floor(r.getDouble(2) * 100).toLong)))
+    val expect = rows.groupBy(t => (t._1, t._2)).map { case (k, vs) =>
+      val cents = vs.flatMap(_._3)
+      k -> (vs.size.toLong, cents.sum, fl(cents.sum.toDouble / cents.size.toDouble / 100.0))
+    }
+    val got = SparkEntry.queries("agg_dow_hour")(spark, sf0001)
+      .collect().map(r => (numAt(r, 0), numAt(r, 1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expect)
+    got.keys.foreach { case (dow, hr) =>
+      assert(dow >= 0 && dow <= 6 && hr >= 0 && hr <= 23, (dow, hr))
+    }
+    assert(got.values.map(_._1).sum == rows.length.toLong)
+  }
 }
