@@ -142,6 +142,41 @@ object Geo {
           floor(sqrt(col("d2").cast("double"))).cast("long").as("dist_m"))
         .orderBy("s1", "s2")
     }),
+
+    // M4 — DBSCAN density classification (the clustering's step 1): each
+    // supplier classified core (≥ 3 neighbors within 100 km) / border /
+    // isolated from the SAME lossless 3×3 blocked self-join —
+    // neighborhood counts are the canonical-pair table read from both
+    // ends, so pair work is paid once. Suppliers with no qualifying pair
+    // keep their row at 0 via the left join (the noise class is the
+    // density-threshold-sizing signal, like geo_knn_grid's miss rate).
+    "geo_density_core" -> ((s, d) => {
+      val a = suppliers(s, d)
+        .select(col("s_suppkey").as("s1"), col("sx").as("x1"), col("sy").as("y1"),
+          col("scx"), col("scy"))
+        .withColumn("dx", explode(expr("sequence(-1, 1)")))
+        .withColumn("dy", explode(expr("sequence(-1, 1)")))
+        .withColumn("jx", col("scx") + col("dx"))
+        .withColumn("jy", col("scy") + col("dy"))
+      val b = suppliers(s, d)
+        .select(col("s_suppkey").as("s2"), col("sx").as("x2"), col("sy").as("y2"),
+          col("scx").as("bx"), col("scy").as("by"))
+      val pairs = a.join(b, col("jx") === col("bx") && col("jy") === col("by")
+          && col("s1") < col("s2"))
+        .where((col("x1") - col("x2")) * (col("x1") - col("x2"))
+          + (col("y1") - col("y2")) * (col("y1") - col("y2")) <= lit(Cell * Cell))
+        .select("s1", "s2")
+      val deg = pairs.select(col("s1").as("k")).unionByName(pairs.select(col("s2").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n_neighbors"))
+      suppliers(s, d).select(col("s_suppkey"))
+        .join(deg, col("s_suppkey") === col("k"), "left")
+        .select(col("s_suppkey"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+          when(coalesce(col("n_neighbors"), lit(0L)) >= 3, lit("core"))
+            .when(coalesce(col("n_neighbors"), lit(0L)) >= 1, lit("border"))
+            .otherwise(lit("isolated")).as("density_class"))
+        .orderBy("s_suppkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +230,29 @@ object Geo {
         |WHERE (a.sx - b.sx) * (a.sx - b.sx) + (a.sy - b.sy) * (a.sy - b.sy)
         |      <= ${Cell * Cell}
         |ORDER BY s1, s2""".stripMargin,
+    "geo_density_core" ->
+      s"""WITH sup AS ($suppliersSql),
+        |pr AS (
+        |  SELECT a.s_suppkey AS s1, b.s_suppkey AS s2
+        |  FROM sup a
+        |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox
+        |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy
+        |  JOIN sup b ON a.sx // $Cell + ox.dx = b.sx // $Cell
+        |            AND a.sy // $Cell + oy.dy = b.sy // $Cell
+        |            AND a.s_suppkey < b.s_suppkey
+        |  WHERE (a.sx - b.sx) * (a.sx - b.sx) + (a.sy - b.sy) * (a.sy - b.sy)
+        |        <= ${Cell * Cell}
+        |),
+        |deg AS (
+        |  SELECT k, count(*) AS n FROM (
+        |    SELECT s1 AS k FROM pr UNION ALL SELECT s2 FROM pr
+        |  ) GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, coalesce(deg.n, 0) AS n_neighbors,
+        |       CASE WHEN coalesce(deg.n, 0) >= 3 THEN 'core'
+        |            WHEN coalesce(deg.n, 0) >= 1 THEN 'border'
+        |            ELSE 'isolated' END AS density_class
+        |FROM sup s LEFT JOIN deg ON s.s_suppkey = deg.k
+        |ORDER BY s.s_suppkey""".stripMargin,
   )
 }

@@ -3255,6 +3255,64 @@ object Llm {
           when(col("d2raw") > 96.0, lit(1L)).otherwise(lit(0L)).as("is_outlier"))
         .orderBy("vec_id")
     }),
+
+    // K — Bradley–Terry source ranking (added r10): fit pairwise-duel
+    // strengths with 3 unrolled minorization-maximization iterations —
+    // the model behind LLM-eval win-rate leaderboards (pairwise
+    // preferences → per-player strength), exercised here on deterministic
+    // doc-length duels between sources. Duels pair md5-adjacent docs
+    // INSIDE 256 hash buckets (windows stay bucket-sized — no corpus-wide
+    // sort), then everything collapses to source-pair grain (≤ sources²
+    // cells at any corpus size): each MM step s_i ← W_i / Σ_j n_ij/(s_i+s_j)
+    // folds its ≤|sources| terms in j order, and the mean-1 normalization
+    // folds the source vector in i order — identical IEEE sequences both
+    // engines (the markov_steady discipline).
+    "llm_bradley_terry" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("bkt", conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 256)
+      val w = Window.partitionBy("bkt").orderBy("h", "doc_id")
+      val duels = docs
+        .withColumn("src2", lead("source", 1).over(w))
+        .withColumn("nc2", lead("n_chars", 1).over(w))
+        .where(col("src2").isNotNull && col("src2") =!= col("source")
+          && col("nc2") =!= col("n_chars"))
+        .select(
+          when(col("n_chars") > col("nc2"), col("source")).otherwise(col("src2")).as("winner"),
+          when(col("n_chars") > col("nc2"), col("src2")).otherwise(col("source")).as("loser"))
+      val cells = duels.groupBy("winner", "loser").agg(count(lit(1)).as("w"))
+        .localCheckpoint(true) // source² grain
+      val games = cells.select(col("winner").as("i"), col("loser").as("j"), col("w"))
+        .unionByName(cells.select(col("loser").as("i"), col("winner").as("j"), col("w")))
+        .groupBy("i", "j").agg(sum("w").as("nij"))
+      val wins = cells.groupBy(col("winner").as("i")).agg(sum("w").as("wi"))
+      val gtot = games.groupBy("i").agg(sum("nij").as("games"))
+      val srcs = games.select("i").distinct()
+      val kcnt = srcs.agg(count(lit(1)).as("k"))
+      def step(sv: DataFrame): DataFrame = {
+        val denom = games
+          .join(sv.select(col("i"), col("sv").as("si")), "i")
+          .join(sv.select(col("i").as("j"), col("sv").as("sj")), "j")
+          .withColumn("term", col("nij").cast("double") / (col("si") + col("sj")))
+          .groupBy("i")
+          .agg(expr("aggregate(array_sort(collect_list(named_struct('j', j, 'x', term))), " +
+            "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x)").as("den"))
+        val raw = denom.join(wins, Seq("i"), "left")
+          .select(col("i"),
+            (coalesce(col("wi"), lit(0L)).cast("double") / col("den")).as("sraw"))
+        val tot = raw.agg(expr("aggregate(array_sort(collect_list(named_struct('i', i, 'x', sraw))), " +
+          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x)").as("tots"))
+        raw.crossJoin(broadcast(tot)).crossJoin(broadcast(kcnt))
+          .select(col("i"),
+            (col("sraw") * col("k").cast("double") / col("tots")).as("sv"))
+      }
+      val v3 = step(step(step(srcs.withColumn("sv", lit(1.0)))))
+      v3.join(gtot, "i").join(wins, Seq("i"), "left")
+        .select(col("i").as("source"), col("games"),
+          coalesce(col("wi"), lit(0L)).as("wins"),
+          (floor(col("sv") * 1e4) / 1e4).as("strength"))
+        .orderBy("source")
+    }),
   )
 
   // the shared oracle tok CTE lives beside its Spark twin in Dedup so the
@@ -6102,5 +6160,52 @@ object Llm {
         |SELECT vec_id, label, floor(d2raw * 1e4) / 1e4 AS d2,
         |       CASE WHEN d2raw > 96.0 THEN 1 ELSE 0 END AS is_outlier
         |FROM ag ORDER BY vec_id""".stripMargin,
+    "llm_bradley_terry" -> {
+      val iters = (1 to 3).map { it =>
+        val prev = if (it == 1) "v0" else s"v${it - 1}"
+        s"""d$it AS (
+           |  SELECT g.i, list_aggregate(list(CAST(g.nij AS DOUBLE) / (si.sv + sj.sv)
+           |                                  ORDER BY g.j), 'sum') AS den
+           |  FROM games g JOIN $prev si ON g.i = si.i JOIN $prev sj ON g.j = sj.i
+           |  GROUP BY g.i
+           |),
+           |r$it AS (SELECT d$it.i, CAST(coalesce(w.wi, 0) AS DOUBLE) / d$it.den AS sraw
+           |        FROM d$it LEFT JOIN wins w ON d$it.i = w.i),
+           |t$it AS (SELECT list_aggregate(list(sraw ORDER BY i), 'sum') AS tot FROM r$it),
+           |v$it AS (SELECT i, sraw * CAST((SELECT k FROM kk) AS DOUBLE)
+           |                   / (SELECT tot FROM t$it) AS sv FROM r$it)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+         |              AS BIGINT) % 256 AS bkt
+         |  FROM documents
+         |),
+         |du AS (
+         |  SELECT source, n_chars,
+         |         lead(source) OVER w AS src2, lead(n_chars) OVER w AS nc2
+         |  FROM docs WINDOW w AS (PARTITION BY bkt ORDER BY h, doc_id)
+         |),
+         |duel AS (
+         |  SELECT CASE WHEN n_chars > nc2 THEN source ELSE src2 END AS winner,
+         |         CASE WHEN n_chars > nc2 THEN src2 ELSE source END AS loser
+         |  FROM du WHERE src2 IS NOT NULL AND src2 <> source AND nc2 <> n_chars
+         |),
+         |cells AS (SELECT winner, loser, count(*) AS w FROM duel GROUP BY 1, 2),
+         |games AS (SELECT i, j, CAST(sum(w) AS BIGINT) AS nij FROM (
+         |            SELECT winner AS i, loser AS j, w FROM cells
+         |            UNION ALL SELECT loser, winner, w FROM cells
+         |          ) GROUP BY 1, 2),
+         |wins AS (SELECT winner AS i, CAST(sum(w) AS BIGINT) AS wi FROM cells GROUP BY 1),
+         |gtot AS (SELECT i, CAST(sum(nij) AS BIGINT) AS games FROM games GROUP BY 1),
+         |srcs AS (SELECT DISTINCT i FROM games),
+         |kk AS (SELECT count(*) AS k FROM srcs),
+         |v0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS sv FROM srcs),
+         |$iters
+         |SELECT v3.i AS source, gtot.games, coalesce(wins.wi, 0) AS wins,
+         |       floor(v3.sv * 1e4) / 1e4 AS strength
+         |FROM v3 JOIN gtot ON v3.i = gtot.i LEFT JOIN wins ON v3.i = wins.i
+         |ORDER BY source""".stripMargin
+    },
   )
 }

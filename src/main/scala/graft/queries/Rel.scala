@@ -681,6 +681,40 @@ object Rel {
     // into the base last-writer-wins on the key. One shuffle on event_id
     // (`ops.Upsert.lastWriterWins`); no pair join. The partition-scoped
     // store rewrite lives in TrendStore.upsert (StoreSpec).
+    // A5' — snapshot diff (added r10): the CDC readout between two store
+    // snapshots — what a release/backfill review reads before publishing.
+    // The "next" snapshot is derived deterministically (clicks revalued,
+    // purchases duplicated at +10M ids, errors dropped) so all FOUR
+    // change classes are live: added / removed / changed / unchanged.
+    // One full-outer join keyed on event_id (single shuffle), presence
+    // flags (not value-nullness) drive the classification, the value
+    // compare is null-safe on exact cents, and the readout is cell-grain
+    // (type × class). At 100 TB this is the same one-shuffle diff —
+    // snapshots co-partitioned on the key diff exchange-free.
+    "store_diff" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val next = base.where(col("event_type") =!= "error")
+        .withColumn("cents",
+          when(col("event_type") === "click", col("cents") * 2).otherwise(col("cents")))
+        .unionByName(base.where(col("event_type") === "purchase")
+          .withColumn("event_id", col("event_id") + lit(10000000L)))
+      val o = base.select(col("event_id"), col("event_type").as("et_old"),
+        col("cents").as("c_old"), lit(1).as("in_old"))
+      val nn = next.select(col("event_id"), col("event_type").as("et_new"),
+        col("cents").as("c_new"), lit(1).as("in_new"))
+      o.join(nn, Seq("event_id"), "full_outer")
+        .select(coalesce(col("et_new"), col("et_old")).as("event_type"),
+          when(col("in_old").isNull, lit("added"))
+            .when(col("in_new").isNull, lit("removed"))
+            .when(!(col("c_old") <=> col("c_new")), lit("changed"))
+            .otherwise(lit("unchanged")).as("change"))
+        .groupBy("event_type", "change")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "change")
+    }),
+
     "store_upsert" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -1010,6 +1044,27 @@ object Rel {
     // the SAME string the Spark side executes — literal parser parity
     "sql_recursive_cte" -> RecursiveBomSql,
     "sql_group_by_all" -> GroupByAllSql,
+    "store_diff" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |),
+        |nxt AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_type = 'click' THEN cents * 2 ELSE cents END AS cents
+        |  FROM base WHERE event_type <> 'error'
+        |  UNION ALL
+        |  SELECT event_id + 10000000, event_type, cents FROM base
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT coalesce(n.event_type, o.event_type) AS event_type,
+        |       CASE WHEN o.event_id IS NULL THEN 'added'
+        |            WHEN n.event_id IS NULL THEN 'removed'
+        |            WHEN o.cents IS DISTINCT FROM n.cents THEN 'changed'
+        |            ELSE 'unchanged' END AS change,
+        |       count(*) AS n
+        |FROM base o FULL OUTER JOIN nxt n ON o.event_id = n.event_id
+        |GROUP BY 1, 2 ORDER BY event_type, change""".stripMargin,
     "store_upsert" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events

@@ -1172,6 +1172,70 @@ object Wins {
               / log(lit(16.0)) * 1e4) / 1e4).as("hurst"))
         .orderBy("event_id")
     }),
+
+    // E40 — per-entity series feature vector (added r10): the tsfresh-lite
+    // extraction pass a downstream model consumes — n, mean, std, lag-1
+    // autocorrelation, linear trend slope, mean-crossing rate — over each
+    // user's full value series in ONE user-keyed sort (two frames). Every
+    // moment is an exact integer: acf1's numerator/denominator are
+    // multiplied through by n² so no mean ever divides early
+    // (n²Σ′xy − n·Σx·(Σx−last + Σx−first) + (n−1)(Σx)² over
+    // DECIMAL(38)/HUGEINT — exact to n ≈ 3·10⁶ samples per entity, past
+    // which the expanded-double form takes over — documented envelope);
+    // the trend regressor is the row position with CLOSED-FORM Σt and
+    // Σt²; mean crossings compare n·x vs Σx in exact decimals (no
+    // division). Each feature is one final IEEE expression, floor-1e-4.
+    "win_series_features" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wAll = Window.partitionBy("user_id")
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val base = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("nn", count(col("vq")).over(wAll))
+        .withColumn("s1", sum(col("vq")).over(wAll))
+        .withColumn("t", row_number().over(wOrd))
+        .withColumn("nxt", lead(col("vq"), 1).over(wOrd))
+        .withColumn("above",
+          (col("nn").cast(dec) * col("vq")) > col("s1").cast(dec))
+        .withColumn("aboveNxt", lead(col("above"), 1).over(wOrd))
+      val agg = base.groupBy("user_id")
+        .agg(
+          max("nn").as("n"), max("s1").as("s1v"),
+          sum((col("vq").cast(dec) * col("vq"))).as("s2"),
+          sum(when(col("nxt").isNotNull, col("vq").cast(dec) * col("nxt"))
+            .otherwise(lit(0).cast(dec))).as("sxy"),
+          sum(col("t").cast(dec) * col("vq")).as("stx"),
+          min(when(col("t") === 1, col("vq"))).as("first"),
+          max(when(col("t") === col("nn"), col("vq"))).as("last"),
+          sum(when(col("aboveNxt").isNotNull && col("above") =!= col("aboveNxt"), 1L)
+            .otherwise(0L)).as("crossings"))
+      val n = col("n").cast("double")
+      val s1d = col("s1v").cast("double")
+      val varn = (col("n").cast(dec) * col("s2")
+        - col("s1v").cast(dec) * col("s1v")).cast("double")
+      // acf1 ·n²: n²Σ′xy − n·s1·(2s1 − last − first) + (n−1)·s1²
+      val acfNum = (col("n").cast(dec) * col("n") * col("sxy")
+        - col("n").cast(dec) * col("s1v")
+          * (lit(2).cast(dec) * col("s1v") - col("last") - col("first"))
+        + (col("n") - 1).cast(dec) * col("s1v") * col("s1v")).cast("double")
+      val acfDen = (col("n").cast(dec)
+        * (col("n").cast(dec) * col("s2") - col("s1v").cast(dec) * col("s1v")))
+        .cast("double")
+      // slope: Σt = n(n+1)/2, Σt² = n(n+1)(2n+1)/6 closed-form
+      val st = (col("n").cast(dec) * (col("n") + 1) / 2)
+      val stt = (col("n").cast(dec) * (col("n") + 1) * (lit(2).cast(dec) * col("n") + 1) / 6)
+      val slNum = (col("n").cast(dec) * col("stx") - st * col("s1v")).cast("double")
+      val slDen = (col("n").cast(dec) * stt - st * st).cast("double")
+      agg.select(col("user_id"), col("n"),
+          (floor(s1d / n / 1e6 * 1e4) / 1e4).as("mean"),
+          when(varn > 0, floor(sqrt(varn) / n / 1e6 * 1e4) / 1e4).as("std"),
+          when(varn > 0 && col("n") > 2, floor(acfNum / acfDen * 1e4) / 1e4).as("acf1"),
+          when(col("n") > 1, floor(slNum / slDen / 1e6 * 1e4) / 1e4).as("trend_slope"),
+          when(col("n") > 1, floor(col("crossings").cast("double") / (n - 1.0) * 1e4) / 1e4)
+            .as("crossing_rate"))
+        .orderBy("user_id")
+    }),
   )
 
   /** win_macd fold pieces: the EMA over the full 33-sample collected
@@ -2053,5 +2117,67 @@ object Wins {
         |                       / ln(16.0) * 1e4) / 1e4
         |       END AS hurst
         |FROM g ORDER BY event_id""".stripMargin,
+    "win_series_features" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |           FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT user_id, ts, event_id, vq,
+        |         count(vq) OVER wa AS nn,
+        |         CAST(sum(vq) OVER wa AS BIGINT) AS s1,
+        |         row_number() OVER wo AS t,
+        |         lead(vq) OVER wo AS nxt
+        |  FROM e
+        |  WINDOW wa AS (PARTITION BY user_id),
+        |         wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |g AS (SELECT *, CAST(nn AS HUGEINT) * vq > CAST(s1 AS HUGEINT) AS above FROM f),
+        |h AS (SELECT *, lead(above) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                AS aboveNxt
+        |      FROM g),
+        |a AS (
+        |  SELECT user_id, max(nn) AS n, max(s1) AS s1v,
+        |         sum(CAST(vq AS HUGEINT) * vq) AS s2,
+        |         sum(CASE WHEN nxt IS NOT NULL THEN CAST(vq AS HUGEINT) * nxt
+        |                  ELSE CAST(0 AS HUGEINT) END) AS sxy,
+        |         sum(CAST(t AS HUGEINT) * vq) AS stx,
+        |         min(CASE WHEN t = 1 THEN vq END) AS fst,
+        |         max(CASE WHEN t = nn THEN vq END) AS lst,
+        |         CAST(sum(CASE WHEN aboveNxt IS NOT NULL AND above <> aboveNxt
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+        |  FROM h GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT user_id, n, s1v, crossings,
+        |         CAST(n AS HUGEINT) * s2 - CAST(s1v AS HUGEINT) * s1v AS varn_i,
+        |         CAST(n AS HUGEINT) * n * sxy
+        |           - CAST(n AS HUGEINT) * s1v
+        |             * (CAST(2 AS HUGEINT) * s1v - lst - fst)
+        |           + CAST(n - 1 AS HUGEINT) * s1v * s1v AS acfnum_i,
+        |         CAST(n AS HUGEINT)
+        |           * (CAST(n AS HUGEINT) * s2 - CAST(s1v AS HUGEINT) * s1v) AS acfden_i,
+        |         CAST(n AS HUGEINT) * stx
+        |           - ((CAST(n AS HUGEINT) * (n + 1)) // 2) * s1v AS slnum_i,
+        |         CAST(n AS HUGEINT)
+        |           * ((CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)) // 6)
+        |           - ((CAST(n AS HUGEINT) * (n + 1)) // 2)
+        |             * ((CAST(n AS HUGEINT) * (n + 1)) // 2) AS slden_i
+        |  FROM a
+        |)
+        |SELECT user_id, n,
+        |       floor(CAST(s1v AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e4) / 1e4 AS mean,
+        |       CASE WHEN varn_i > 0
+        |            THEN floor(sqrt(CAST(varn_i AS DOUBLE)) / CAST(n AS DOUBLE)
+        |                       / 1e6 * 1e4) / 1e4 END AS std,
+        |       CASE WHEN varn_i > 0 AND n > 2
+        |            THEN floor(CAST(acfnum_i AS DOUBLE) / CAST(acfden_i AS DOUBLE)
+        |                       * 1e4) / 1e4 END AS acf1,
+        |       CASE WHEN n > 1
+        |            THEN floor(CAST(slnum_i AS DOUBLE) / CAST(slden_i AS DOUBLE)
+        |                       / 1e6 * 1e4) / 1e4 END AS trend_slope,
+        |       CASE WHEN n > 1
+        |            THEN floor(CAST(crossings AS DOUBLE)
+        |                       / (CAST(n AS DOUBLE) - 1.0) * 1e4) / 1e4 END AS crossing_rate
+        |FROM c ORDER BY user_id""".stripMargin,
   )
 }

@@ -83,4 +83,22 @@ class GeoSpec extends SparkSpec {
     assert(got == expect)
     got.values.foreach(d => assert(d <= Cell, d))
   }
+
+  test("geo_density_core matches brute-force neighborhood counts; classes consistent") {
+    val sup = supplierCoords()
+    val expect = sup.map { case (k, x, y) =>
+      val n = sup.count { case (k2, x2, y2) =>
+        k2 != k && (x - x2) * (x - x2) + (y - y2) * (y - y2) <= Cell * Cell
+      }.toLong
+      k -> (n, if (n >= 3) "core" else if (n >= 1) "border" else "isolated")
+    }.toMap
+    val got = SparkEntry.queries("geo_density_core")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == expect)
+    // degree table must agree with the pairs key read from both ends
+    val pairDeg = SparkEntry.queries("geo_radius_pairs")(spark, sf0001)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (k, (n, _)) => assert(n == pairDeg.getOrElse(k, 0L), k) }
+  }
 }

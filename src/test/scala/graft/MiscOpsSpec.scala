@@ -1973,4 +1973,112 @@ class MiscOpsSpec extends SparkSpec {
     }
     assert(got.values.map(_._1).sum == rows.length.toLong)
   }
+
+  test("win_series_features matches a driver exact-moment recompute") {
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = valueSeries().map { case (u, vs) =>
+      val vq = vs.map(v => math.floor(v * 1e6).toLong)
+      val n = vq.length.toLong
+      val s1 = vq.sum
+      val s2 = vq.map(x => BigInt(x) * BigInt(x)).sum
+      val sxy = vq.sliding(2).collect { case Seq(a, b) => BigInt(a) * BigInt(b) }.sum
+      val stx = vq.zipWithIndex.map { case (x, i) => BigInt(i + 1) * BigInt(x) }.sum
+      val crossings = vq.map(x => BigInt(n) * BigInt(x) > BigInt(s1))
+        .sliding(2).count { case Seq(a, b) => a != b; case _ => false }.toLong
+      val varn = (BigInt(n) * s2 - BigInt(s1) * BigInt(s1)).toDouble
+      val acfNum = (BigInt(n) * BigInt(n) * sxy
+        - BigInt(n) * BigInt(s1) * (BigInt(2) * BigInt(s1) - vq.last - vq.head)
+        + BigInt(n - 1) * BigInt(s1) * BigInt(s1)).toDouble
+      val acfDen = (BigInt(n) * (BigInt(n) * s2 - BigInt(s1) * BigInt(s1))).toDouble
+      val st = BigInt(n) * BigInt(n + 1) / 2
+      val stt = BigInt(n) * BigInt(n + 1) * BigInt(2 * n + 1) / 6
+      val slNum = (BigInt(n) * stx - st * BigInt(s1)).toDouble
+      val slDen = (BigInt(n) * stt - st * st).toDouble
+      val nd = n.toDouble
+      u -> (n, fl(s1.toDouble / nd / 1e6),
+        if (varn > 0) Some(fl(math.sqrt(varn) / nd / 1e6)) else None,
+        if (varn > 0 && n > 2) Some(fl(acfNum / acfDen)) else None,
+        if (n > 1) Some(fl(slNum / slDen / 1e6)) else None,
+        if (n > 1) Some(fl(crossings.toDouble / (nd - 1.0))) else None)
+    }
+    val got = SparkEntry.queries("win_series_features")(spark, sf0001)
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        numAt(r, 0) -> (r.getLong(1), r.getDouble(2), opt(3), opt(4), opt(5), opt(6))
+      }.toMap
+    assert(got == expect.toMap)
+    got.values.foreach { case (_, _, _, acf, _, cr) =>
+      acf.foreach(a => assert(a >= -1.0 - 1e-4 && a <= 1.0 + 1e-4, a))
+      cr.foreach(c => assert(c >= 0.0 && c <= 1.0, c))
+    }
+  }
+
+  test("store_diff classifies all four change classes with exact counts") {
+    val base = Tables.events(spark, sf0001).select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(math.floor(r.getDouble(2) * 100).toLong)))
+    val expect = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    base.foreach { case (_, et, c) =>
+      et match {
+        case "error"    => expect((et, "removed")) += 1
+        case "click"    =>
+          // doubled cents differ unless cents is 0 or NULL (null-safe equal)
+          if (c.exists(_ != 0L)) expect((et, "changed")) += 1
+          else expect((et, "unchanged")) += 1
+        case "purchase" =>
+          expect((et, "unchanged")) += 1 // original row keeps its value
+          expect((et, "added")) += 1     // +10M twin has no base row
+        case other      => expect((other, "unchanged")) += 1
+      }
+    }
+    val got = SparkEntry.queries("store_diff")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect.toMap)
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(got.keys.map(_._2).toSet), "all four change classes must be live")
+  }
+
+  test("llm_bradley_terry matches a driver MM recompute; mean strength pinned at 1") {
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), numAt(r, 2)))
+      .map { case (id, src, nc) =>
+        val h = md5hex(id.toString)
+        (java.lang.Long.parseLong(h.substring(0, 4), 16) % 256, h, id, src, nc)
+      }
+    val duels = docs.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      ds.toSeq.sortBy(t => (t._2, t._3)).sliding(2).collect {
+        case Seq((_, _, _, s1, n1), (_, _, _, s2, n2)) if s1 != s2 && n1 != n2 =>
+          if (n1 > n2) (s1, s2) else (s2, s1)
+      }
+    }
+    val cells = duels.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val games = (cells.toSeq.map { case ((i, j), w) => ((i, j), w) } ++
+      cells.toSeq.map { case ((i, j), w) => ((j, i), w) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wins = cells.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val srcs = games.keys.map(_._1).toSeq.distinct.sorted
+    val k = srcs.length.toDouble
+    var sv: Map[String, Double] = srcs.map(_ -> 1.0).toMap
+    (1 to 3).foreach { _ =>
+      val raw = srcs.map { i =>
+        val den = games.collect { case ((a, j), nij) if a == i => (j, nij) }
+          .toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (j, nij)) => acc + nij.toDouble / (sv(i) + sv(j)) }
+        i -> wins.getOrElse(i, 0L).toDouble / den
+      }
+      val tot = raw.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+      sv = raw.map { case (i, s) => i -> (s * k / tot) }.toMap
+    }
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val got = SparkEntry.queries("llm_bradley_terry")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val expect = srcs.map(i => i ->
+      (games.collect { case ((a, _), nij) if a == i => nij }.sum,
+        wins.getOrElse(i, 0L), fl(sv(i)))).toMap
+    assert(got == expect)
+    val mean = got.values.map(_._3).sum / got.size
+    assert(math.abs(mean - 1.0) < 1e-3, mean)
+  }
 }
