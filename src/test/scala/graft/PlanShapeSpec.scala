@@ -263,11 +263,14 @@ class PlanShapeSpec extends SparkSpec {
     //     duration — bounded by observation-window days, never corpus size)
     //   - graph_degree_dist CCDF window (one row per distinct degree value
     //     in the degree histogram — summary-sized, never node-sized)
+    //   - agg_pareto: ops.Rank.withGlobalCumSum's __pid offsets window —
+    //     the same numPartitions-sized metadata window as the agg_rfm
+    //     family; the customer data itself takes the range exchange
     val allow = Set(
       "agg_rfm", "llm_vocab_coverage", "llm_zipf_slope", "win_analytic",
       "llm_shard_plan",
       "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near",
-      "agg_survival_km", "graph_degree_dist")
+      "agg_survival_km", "graph_degree_dist", "agg_pareto")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val skip = graft.tools.PlanScan.skipKeys
