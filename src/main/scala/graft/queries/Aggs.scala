@@ -1854,6 +1854,79 @@ object Aggs {
             / lit(100.0) * 1e4) / 1e4).as("avg_value"))
         .orderBy("dow", "hr")
     }),
+
+    // D44 — Kitagawa (Oaxaca-style) mix/rate decomposition (added r10):
+    // the period-over-period change in the overall average split into
+    // "the mix of segments shifted" vs "segments themselves moved" —
+    // the first question a metrics review asks of any moved KPI, and an
+    // operator warehouses rarely ship built-in. Periods = first/second
+    // half of the observed day range (exact integer epoch-day midpoint);
+    // per (event_type segment, period): weight w = events share and rate
+    // r = mean value; contribution_mix = (w_B−w_A)·r_A,
+    // contribution_rate = w_B·(r_B−r_A) — Σ over segments reproduces
+    // R_B−R_A exactly (spec-pinned identity). All inputs exact ints;
+    // every output is a row-local IEEE expression of exact ratios (no
+    // cross-row float sums), floor-1e-4. One scan, one cell-grain agg.
+    "agg_mix_decompose" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("ed", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val rng = ev.agg(min("ed").as("d0"), max("ed").as("d1"))
+      val cells = ev.crossJoin(broadcast(rng))
+        .withColumn("period",
+          when(col("ed") * 2 <= col("d0") + col("d1"), lit("A")).otherwise(lit("B")))
+        .groupBy("event_type", "period")
+        .agg(count(lit(1)).as("c"), sum("cents").as("sc"))
+        .localCheckpoint(true) // segment × period grain
+      val tots = cells.groupBy("period").agg(sum("c").as("n"))
+      val wide = cells.join(broadcast(tots), "period")
+        .select(col("event_type"), col("period"),
+          (col("c").cast("double") / col("n").cast("double")).as("w"),
+          (col("sc").cast("double") / col("c").cast("double") / lit(100.0)).as("r"))
+      val a = wide.where(col("period") === "A")
+        .select(col("event_type"), col("w").as("wa"), col("r").as("ra"))
+      val b = wide.where(col("period") === "B")
+        .select(col("event_type"), col("w").as("wb"), col("r").as("rb"))
+      a.join(b, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (floor(coalesce(col("wa"), lit(0.0)) * 1e4) / 1e4).as("w_a"),
+          (floor(coalesce(col("wb"), lit(0.0)) * 1e4) / 1e4).as("w_b"),
+          (floor(col("ra") * 1e4) / 1e4).as("r_a"),
+          (floor(col("rb") * 1e4) / 1e4).as("r_b"),
+          (floor((coalesce(col("wb"), lit(0.0)) - coalesce(col("wa"), lit(0.0)))
+            * coalesce(col("ra"), lit(0.0)) * 1e4) / 1e4).as("mix_contrib"),
+          (floor(coalesce(col("wb"), lit(0.0))
+            * (coalesce(col("rb"), lit(0.0)) - coalesce(col("ra"), lit(0.0)))
+            * 1e4) / 1e4).as("rate_contrib"))
+        .orderBy("event_type")
+    }),
+
+    // D45 — sample-ratio-mismatch guard (added r10): the experiment-
+    // platform tripwire run before ANY A/B readout — users hash-assigned
+    // 50/50 (md5 parity, the llm_sample_hash idiom), χ²(1df) =
+    // (n₀−n₁)²/(n₀+n₁) against the 3.84 (p=0.05) critical value. An SRM
+    // fires on broken assignment/logging, not on treatment effects — the
+    // reason it gates the pipeline rather than living in a notebook.
+    // USER-grain assignment (one row per user first), exact ints to one
+    // IEEE expression.
+    "agg_ab_srm" -> ((s, d) => {
+      val users = Tables.events(s, d).select("user_id").distinct()
+        .withColumn("arm",
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2)
+      users.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        .select(col("n0"), col("n1"),
+          (floor((col("n0") - col("n1")).cast("double")
+            * (col("n0") - col("n1")).cast("double")
+            / (col("n0") + col("n1")).cast("double") * 1e4) / 1e4).as("chi2"),
+          when((col("n0") - col("n1")).cast("double")
+            * (col("n0") - col("n1")).cast("double")
+            / (col("n0") + col("n1")).cast("double") > 3.84, lit(1L))
+            .otherwise(lit(0L)).as("srm_flag"))
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -3029,5 +3102,59 @@ object Aggs {
         |       floor(CAST(sum(cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE)
         |             / 100.0 * 1e4) / 1e4 AS avg_value
         |FROM e GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
+    "agg_mix_decompose" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01',
+        |                  CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS ed,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |rng AS (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev),
+        |cells AS (
+        |  SELECT event_type,
+        |         CASE WHEN ed * 2 <= (SELECT d0 FROM rng) + (SELECT d1 FROM rng)
+        |              THEN 'A' ELSE 'B' END AS period,
+        |         count(*) AS c, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM ev GROUP BY 1, 2
+        |),
+        |tots AS (SELECT period, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |wide AS (
+        |  SELECT event_type, cells.period,
+        |         CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS w,
+        |         CAST(sc AS DOUBLE) / CAST(c AS DOUBLE) / 100.0 AS r
+        |  FROM cells JOIN tots ON cells.period = tots.period
+        |),
+        |a AS (SELECT event_type, w AS wa, r AS ra FROM wide WHERE period = 'A'),
+        |b AS (SELECT event_type, w AS wb, r AS rb FROM wide WHERE period = 'B')
+        |SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |       floor(coalesce(wa, 0.0) * 1e4) / 1e4 AS w_a,
+        |       floor(coalesce(wb, 0.0) * 1e4) / 1e4 AS w_b,
+        |       floor(ra * 1e4) / 1e4 AS r_a,
+        |       floor(rb * 1e4) / 1e4 AS r_b,
+        |       floor((coalesce(wb, 0.0) - coalesce(wa, 0.0))
+        |             * coalesce(ra, 0.0) * 1e4) / 1e4 AS mix_contrib,
+        |       floor(coalesce(wb, 0.0) * (coalesce(rb, 0.0) - coalesce(ra, 0.0))
+        |             * 1e4) / 1e4 AS rate_contrib
+        |FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+        |ORDER BY event_type""".stripMargin,
+    "agg_ab_srm" ->
+      """WITH users AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 2 AS arm
+        |  FROM events
+        |),
+        |agg AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM users
+        |)
+        |SELECT n0, n1,
+        |       floor(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+        |             / CAST(n0 + n1 AS DOUBLE) * 1e4) / 1e4 AS chi2,
+        |       CASE WHEN CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+        |                 / CAST(n0 + n1 AS DOUBLE) > 3.84 THEN 1 ELSE 0 END AS srm_flag
+        |FROM agg""".stripMargin,
   )
 }

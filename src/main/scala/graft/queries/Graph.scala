@@ -636,6 +636,20 @@ object Graph {
     // L12 — HITS hubs & authorities (added r10): see [[hitsBody]].
     "graph_hits" -> ((s, d) => hitsBody(s, d)),
 
+    // L14 — sampled-source closeness centrality (added r10): exact
+    // closeness (reached−1)/Σdist + eccentricity for 4 md5-chosen seeds
+    // over the supported co-purchase graph — the "how central is this
+    // entity" readout at per-query cost (all-pairs closeness is O(n·E);
+    // sampling sources is how production serves it). One BFS relation
+    // keyed (seed, node) relaxed 8 rounds (the measured diameter-7
+    // horizon, the bfs_levels bound) — each round one edge join + one
+    // min groupBy, per-round node-sized checkpoints (the dist relation
+    // is referenced twice per round; a lazy unroll would double the plan
+    // per round — PlanScan skips it like graph_bfs_levels, GraphSpec
+    // pins the per-round shape). Exact integer distances into one IEEE
+    // divide, floor-1e-4.
+    "graph_closeness" -> ((s, d) => closenessBody(copurchaseEdges(s, d))),
+
     // L13 — deterministic random walks (added r10): see [[randomWalkBody]].
     "graph_random_walk" -> ((s, d) => randomWalkBody(s, d)),
 
@@ -793,6 +807,40 @@ object Graph {
         (col("nq").cast("double") / Q).as("score")))
       .orderBy("kind", "node")
     if (checkpointed) finishFreeing(out, e) else out
+  }
+
+  /** L14 — multi-seed BFS closeness (added r10): see the registry entry.
+    * `edges` must be the canonical (u<v) co-purchase list; the caller's
+    * checkpoint is freed here once the readout materializes. */
+  private def closenessBody(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    val seeds = sym.select(col("a").as("node")).distinct()
+      .withColumn("h", md5(concat(col("node").cast("string"), lit("|close"))))
+      .orderBy("h", "node").limit(4).select(col("node").as("seed"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("level"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 8) {
+      val next = sym.join(dist, sym("b") === dist("node"))
+        .select(col("seed"), col("a").as("node"), (col("level") + 1).as("level"))
+      val merged = dist.unionByName(next)
+        .groupBy("seed", "node").agg(min("level").as("level"))
+        .localCheckpoint(true)
+      graft.ops.Checkpoints.free(dist)
+      dist = merged
+    }
+    val out = dist.groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum("level").as("sum_dist"),
+        max("level").as("eccentricity"))
+      .select(col("seed"), col("n_reached"), col("eccentricity"),
+        when(col("sum_dist") > 0,
+          floor((col("n_reached") - 1).cast("double")
+            / col("sum_dist").cast("double") * 1e4) / 1e4).as("closeness"))
+      .orderBy("seed")
+    graft.ops.Checkpoints.finishFreeing(out, edges, sym, seeds, dist)
   }
 
   /** L13 — deterministic random walks (added r10): one 4-hop walk from
@@ -1200,6 +1248,35 @@ object Graph {
           |SELECT p.part, coalesce(c.component, p.part) AS component
           |FROM parts p LEFT JOIN comp c ON c.id = p.part
           |ORDER BY p.part""".stripMargin,
+      "graph_closeness" ->
+        """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |),
+          |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+          |seeds AS (
+          |  SELECT node AS seed FROM (SELECT DISTINCT a AS node FROM sym)
+          |  ORDER BY md5(concat(CAST(node AS VARCHAR), '|close')), node LIMIT 4
+          |),
+          |walk AS (
+          |  SELECT seed, seed AS node, 0 AS lvl FROM seeds
+          |  UNION
+          |  SELECT w.seed, e2.b, w.lvl + 1 FROM walk w JOIN sym e2 ON e2.a = w.node
+          |  WHERE w.lvl < 8
+          |),
+          |lv AS (SELECT seed, node, CAST(min(lvl) AS BIGINT) AS level
+          |       FROM walk GROUP BY 1, 2)
+          |SELECT seed, count(*) AS n_reached,
+          |       CAST(max(level) AS BIGINT) AS eccentricity,
+          |       CASE WHEN CAST(sum(level) AS BIGINT) > 0
+          |            THEN floor(CAST(count(*) - 1 AS DOUBLE)
+          |                       / CAST(sum(level) AS DOUBLE) * 1e4) / 1e4
+          |       END AS closeness
+          |FROM lv GROUP BY seed ORDER BY seed""".stripMargin,
       "graph_hits" -> {
         // 1e-9-quantized max normalization — mirrors hitsBody exactly
         def norm(src: String, key: String): String =

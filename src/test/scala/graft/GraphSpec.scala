@@ -473,4 +473,36 @@ class GraphSpec extends SparkSpec {
         s"walk from $start broke bipartite alternation: $hops")
     }
   }
+
+  test("graph_closeness matches a driver multi-seed BFS recompute") {
+    val edges = supportedEdges(sf0001)
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = adj.keys.toSeq.sortBy(n => (md5hex(s"$n|close"), n)).take(4)
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = seeds.map { s =>
+      var dist = Map(s -> 0L)
+      (1 to 8).foreach { _ =>
+        val next = dist.toSeq.flatMap { case (n, d) =>
+          adj.getOrElse(n, Set.empty[Long]).map(_ -> (d + 1))
+        }
+        dist = (dist.toSeq ++ next).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      }
+      val r = dist.size.toLong
+      val sd = dist.values.sum
+      s -> (r, dist.values.max,
+        if (sd > 0) Some(fl((r - 1).toDouble / sd.toDouble)) else None)
+    }.toMap
+    val got = SparkEntry.queries("graph_closeness")(spark, sf0001)
+      .collect().map { r =>
+        val c = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), c)
+      }.toMap
+    assert(got == expect)
+    // the 8-round horizon covers the measured diameter-7 graph: every
+    // seed's eccentricity sits strictly inside the cap
+    got.values.foreach { case (_, ecc, _) => assert(ecc < 8, ecc) }
+  }
 }

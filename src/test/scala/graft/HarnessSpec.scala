@@ -43,7 +43,7 @@ class HarnessSpec extends SparkSpec {
     val sideEffect = graft.tools.PlanScan.skipKeys -- streaming
     assert(sideEffect == Set("scan_csv_typed", "scan_csv_malformed", "scan_jsonl",
       "scan_xml_typed", "sink_partitioned", "join_bucketed", "scan_binary",
-      "graph_cc", "graph_bfs_levels", "graph_kcore"),
+      "graph_cc", "graph_bfs_levels", "graph_kcore", "graph_closeness"),
       s"unexpected non-streaming PlanScan skips: $sideEffect")
   }
 

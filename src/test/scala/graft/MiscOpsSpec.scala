@@ -2081,4 +2081,62 @@ class MiscOpsSpec extends SparkSpec {
     val mean = got.values.map(_._3).sum / got.size
     assert(math.abs(mean - 1.0) < 1e-3, mean)
   }
+
+  test("agg_mix_decompose matches a driver recompute; decomposition identity holds") {
+    val rows = Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("ed"), col("value"))
+      .collect().map(r => (r.getString(0), numAt(r, 1), math.floor(r.getDouble(2) * 100).toLong))
+    val (d0, d1) = (rows.map(_._2).min, rows.map(_._2).max)
+    def side(ed: Long) = if (ed * 2 <= d0 + d1) "A" else "B"
+    val cells = rows.groupBy(t => (t._1, side(t._2)))
+      .view.mapValues(vs => (vs.size.toLong, vs.map(_._3).sum)).toMap
+    val tot = cells.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2._1).sum).toMap
+    def wr(et: String, p: String): Option[(Double, Double)] = cells.get((et, p))
+      .map { case (c, sc) => (c.toDouble / tot(p).toDouble, sc.toDouble / c.toDouble / 100.0) }
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val ets = rows.map(_._1).distinct.sorted
+    val expect = ets.map { et =>
+      val a = wr(et, "A"); val b = wr(et, "B")
+      val wa = a.map(_._1).getOrElse(0.0); val wb = b.map(_._1).getOrElse(0.0)
+      et -> (fl(wa), fl(wb), a.map(t => fl(t._2)), b.map(t => fl(t._2)),
+        fl((wb - wa) * a.map(_._2).getOrElse(0.0)),
+        fl(wb * (b.map(_._2).getOrElse(0.0) - a.map(_._2).getOrElse(0.0))))
+    }.toMap
+    val got = SparkEntry.queries("agg_mix_decompose")(spark, sf0001)
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getString(0) -> (r.getDouble(1), r.getDouble(2), opt(3), opt(4),
+          r.getDouble(5), r.getDouble(6))
+      }.toMap
+    assert(got == expect)
+    // the identity the decomposition exists for: Σ(mix + rate) == R_B − R_A
+    val rA = cells.collect { case ((_, "A"), (c, sc)) => (c, sc) }
+    val rB = cells.collect { case ((_, "B"), (c, sc)) => (c, sc) }
+    def rate(xs: Iterable[(Long, Long)]) =
+      xs.map(_._2).sum.toDouble / xs.map(_._1).sum.toDouble / 100.0
+    val sumContrib = ets.map { et =>
+      val a = wr(et, "A"); val b = wr(et, "B")
+      val wa = a.map(_._1).getOrElse(0.0); val wb = b.map(_._1).getOrElse(0.0)
+      (wb - wa) * a.map(_._2).getOrElse(0.0) +
+        wb * (b.map(_._2).getOrElse(0.0) - a.map(_._2).getOrElse(0.0))
+    }.sum
+    assert(math.abs(sumContrib - (rate(rB) - rate(rA))) < 1e-9)
+  }
+
+  test("agg_ab_srm hash split is balanced and exactly recomputable") {
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val users = Tables.events(spark, sf0001).select("user_id").distinct()
+      .collect().map(r => numAt(r, 0))
+    val arms = users.map(u => java.lang.Long.parseLong(md5hex(u.toString).substring(0, 8), 16) % 2)
+    val n0 = arms.count(_ == 0L).toLong; val n1 = arms.length - n0
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val chi2 = fl((n0 - n1).toDouble * (n0 - n1).toDouble / (n0 + n1).toDouble)
+    val r = SparkEntry.queries("agg_ab_srm")(spark, sf0001).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((n0, n1, chi2)))
+    assert(r.getLong(0) + r.getLong(1) == users.length.toLong)
+    assert(r.getLong(3) == (if (chi2 > 3.84) 1L else 0L))
+  }
 }
