@@ -3313,6 +3313,40 @@ object Llm {
           (floor(col("sv") * 1e4) / 1e4).as("strength"))
         .orderBy("source")
     }),
+
+    // K — Cohen's kappa judge agreement (added r10): chance-corrected
+    // agreement between two binary quality judges — the eval-harness
+    // statistic that decides whether a cheap heuristic can stand in for
+    // an expensive one (or an LLM judge for a human). Judges here are
+    // two deterministic heuristics (length ≥ 300 chars; distinct-token
+    // ratio ≥ 0.5 — tested as the exact integer 2·distinct ≥ total, no
+    // float crosses a row). One scan to the 2×2 confusion (map-side
+    // partial), po/pe/κ closed-form IEEE from exact counts, floor-1e-4;
+    // pe = 1 (a constant judge pair) guards to NULL.
+    "llm_cohens_kappa" -> ((s, d) => {
+      val j = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .select(
+          when(col("n_chars") >= 300, lit(1L)).otherwise(lit(0L)).as("j1"),
+          when(size(array_distinct(col("toks"))) * 2 >= size(col("toks")), lit(1L))
+            .otherwise(lit(0L)).as("j2"))
+      val c = j.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("j1") === 1 && col("j2") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("j1") === 1 && col("j2") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("j1") === 0 && col("j2") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("j1") === 0 && col("j2") === 0, 1L).otherwise(0L)).as("n00"))
+      val nd = col("n").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nd
+      val pe = ((col("n11") + col("n10")).cast("double")
+        * (col("n11") + col("n01")).cast("double")
+        + (col("n00") + col("n01")).cast("double")
+          * (col("n00") + col("n10")).cast("double")) / (nd * nd)
+      c.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        (floor(po * 1e4) / 1e4).as("po"),
+        (floor(pe * 1e4) / 1e4).as("pe"),
+        when(pe < 1.0, floor((po - pe) / (lit(1.0) - pe) * 1e4) / 1e4).as("kappa"))
+    }),
   )
 
   // the shared oracle tok CTE lives beside its Spark twin in Dedup so the
@@ -6207,5 +6241,35 @@ object Llm {
          |FROM v3 JOIN gtot ON v3.i = gtot.i LEFT JOIN wins ON v3.i = wins.i
          |ORDER BY source""".stripMargin
     },
+    "llm_cohens_kappa" ->
+      """WITH j AS (
+        |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS j1,
+        |         CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+        |                    x -> len(x) > 0))) * 2
+        |              >= len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |              THEN 1 ELSE 0 END AS j2
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN j1 = 1 AND j2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |         CAST(sum(CASE WHEN j1 = 1 AND j2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |         CAST(sum(CASE WHEN j1 = 0 AND j2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |         CAST(sum(CASE WHEN j1 = 0 AND j2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM j
+        |),
+        |k AS (
+        |  SELECT *, CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |         (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |          + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        |  FROM c
+        |)
+        |SELECT n, n11, n10, n01, n00,
+        |       floor(po * 1e4) / 1e4 AS po,
+        |       floor(pe * 1e4) / 1e4 AS pe,
+        |       CASE WHEN pe < 1.0
+        |            THEN floor((po - pe) / (1.0 - pe) * 1e4) / 1e4 END AS kappa
+        |FROM k""".stripMargin,
   )
 }

@@ -1210,8 +1210,6 @@ object Wins {
           max(when(col("t") === col("nn"), col("vq"))).as("last"),
           sum(when(col("aboveNxt").isNotNull && col("above") =!= col("aboveNxt"), 1L)
             .otherwise(0L)).as("crossings"))
-      val n = col("n").cast("double")
-      val s1d = col("s1v").cast("double")
       val varn = (col("n").cast(dec) * col("s2")
         - col("s1v").cast(dec) * col("s1v")).cast("double")
       // acf1 ·n²: n²Σ′xy − n·s1·(2s1 − last − first) + (n−1)·s1²
@@ -1227,6 +1225,8 @@ object Wins {
       val stt = (col("n").cast(dec) * (col("n") + 1) * (lit(2).cast(dec) * col("n") + 1) / 6)
       val slNum = (col("n").cast(dec) * col("stx") - st * col("s1v")).cast("double")
       val slDen = (col("n").cast(dec) * stt - st * st).cast("double")
+      val n = col("n").cast("double")
+      val s1d = col("s1v").cast("double")
       agg.select(col("user_id"), col("n"),
           (floor(s1d / n / 1e6 * 1e4) / 1e4).as("mean"),
           when(varn > 0, floor(sqrt(varn) / n / 1e6 * 1e4) / 1e4).as("std"),
@@ -1236,7 +1236,56 @@ object Wins {
             .as("crossing_rate"))
         .orderBy("user_id")
     }),
+
+    // E41 — SAX symbolization (added r10): the trailing-16 frame reduced
+    // to a 4-symbol word — PAA (4 segment means) then z-normalized
+    // against the frame and mapped through the 4-letter Gaussian
+    // breakpoints (−0.6745, 0, 0.6745) — the time-series INDEXING
+    // primitive (similar shapes ⇒ similar words ⇒ motif/anomaly lookups
+    // become string equality, the llm_fingerprint trick for series).
+    // Exactness: segment sums and frame moments are exact integers; the
+    // z-score of each PAA mean is (16·segsum·4⁻¹·... ) — computed as one
+    // IEEE expression of exact ints on both engines; breakpoint compares
+    // on identical doubles. Flat frames (σ=0) emit the all-mid word
+    // "bbbb" by convention. One user-keyed shuffle, full frames only.
+    "win_sax" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, 0)
+      val base = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("n", count(col("vq")).over(wf))
+        .withColumn("s1", sum(col("vq")).over(wf))
+        .withColumn("s2", sum((col("vq") * col("vq")).cast(dec)).over(wf))
+        .withColumn("l", collect_list(col("vq")).over(wf))
+        .where(col("n") === 16)
+      // z of the k-th PAA mean against the frame: PAA = segsum/4,
+      // mean = s1/16, σ = √(16·s2 − s1²)/16 ⇒ the 16s cancel and
+      // z_k = (4·segsum_k − s1) / √varn — numerator an exact long,
+      // one IEEE divide
+      val segs = (0 to 3).map { k =>
+        expr(s"aggregate(slice(l, ${4 * k + 1}, 4), 0L, (acc, x) -> acc + x)")
+          .as(s"seg$k")
+      }
+      val withSegs = base.select((col("event_id") +: col("user_id") +: col("s1")
+        +: col("s2") +: segs): _*)
+        .withColumn("varn", (lit(16).cast(dec) * col("s2")
+          - col("s1").cast(dec) * col("s1")).cast("double"))
+      def sym(k: Int) = {
+        val z = (col(s"seg$k") * 4 - col("s1")).cast("double") / sqrt(col("varn"))
+        when(col("varn") <= 0, lit("b"))
+          .when(z < -0.6745, lit("a"))
+          .when(z < 0.0, lit("b"))
+          .when(z < 0.6745, lit("c"))
+          .otherwise(lit("d"))
+      }
+      withSegs.select(col("event_id"), col("user_id"),
+          concat(sym(0), sym(1), sym(2), sym(3)).as("sax_word"))
+        .orderBy("event_id")
+    }),
   )
+
 
   /** win_macd fold pieces: the EMA over the full 33-sample collected
     * frame `l` — Spark HOF and DuckDB list_reduce twins (same seed
@@ -2179,5 +2228,40 @@ object Wins {
         |            THEN floor(CAST(crossings AS DOUBLE)
         |                       / (CAST(n AS DOUBLE) - 1.0) * 1e4) / 1e4 END AS crossing_rate
         |FROM c ORDER BY user_id""".stripMargin,
+    "win_sax" -> {
+      def zduck(k: Int) =
+        s"CAST(CAST(g$k AS BIGINT) * 4 - s1 AS DOUBLE) / sqrt(varn)"
+      def symDuck(k: Int) =
+        s"""CASE WHEN varn <= 0 THEN 'b'
+           |     WHEN ${zduck(k)} < -0.6745 THEN 'a'
+           |     WHEN ${zduck(k)} < 0.0 THEN 'b'
+           |     WHEN ${zduck(k)} < 0.6745 THEN 'c'
+           |     ELSE 'd' END""".stripMargin
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |           FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT event_id, user_id,
+        |         count(vq) OVER w AS n,
+        |         CAST(sum(vq) OVER w AS BIGINT) AS s1,
+        |         sum(CAST(vq AS HUGEINT) * vq) OVER w AS s2,
+        |         list(vq) OVER w AS l
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+        |),
+        |g AS (
+        |  SELECT event_id, user_id, s1,
+        |         CAST(16 * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS varn,
+        |         list_aggregate(list_slice(l, 1, 4), 'sum') AS g0,
+        |         list_aggregate(list_slice(l, 5, 8), 'sum') AS g1,
+        |         list_aggregate(list_slice(l, 9, 12), 'sum') AS g2,
+        |         list_aggregate(list_slice(l, 13, 16), 'sum') AS g3
+        |  FROM f WHERE n = 16
+        |)
+        |SELECT event_id, user_id,
+        |       concat(${symDuck(0)}, ${symDuck(1)}, ${symDuck(2)}, ${symDuck(3)}) AS sax_word
+        |FROM g ORDER BY event_id""".stripMargin
+    },
   )
 }

@@ -2139,4 +2139,62 @@ class MiscOpsSpec extends SparkSpec {
     assert(r.getLong(0) + r.getLong(1) == users.length.toLong)
     assert(r.getLong(3) == (if (chi2 > 3.84) 1L else 0L))
   }
+
+  test("win_sax matches a driver PAA recompute; words use the full alphabet") {
+    val evIds = Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"), col("event_id"))
+      .collect().map(r => (numAt(r, 0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(t => (t._2, t._3)).map(_._3)).toMap
+    val expect = valueSeries().flatMap { case (u, vs) =>
+      val vq = vs.map(v => math.floor(v * 1e6).toLong)
+      vq.indices.drop(15).map { i =>
+        val w = vq.slice(i - 15, i + 1)
+        val s1 = w.sum
+        val s2 = w.map(x => BigInt(x) * BigInt(x)).sum
+        val varn = (BigInt(16) * s2 - BigInt(s1) * BigInt(s1)).toDouble
+        val word = (0 to 3).map { k =>
+          val seg = w.slice(4 * k, 4 * k + 4).sum
+          if (varn <= 0) 'b'
+          else {
+            val z = (seg * 4 - s1).toDouble / math.sqrt(varn)
+            if (z < -0.6745) 'a' else if (z < 0.0) 'b' else if (z < 0.6745) 'c' else 'd'
+          }
+        }.mkString
+        evIds(u)(i) -> word
+      }
+    }
+    val got = SparkEntry.queries("win_sax")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == expect.toMap)
+    // a random-ish series exercises the whole alphabet somewhere
+    assert(got.values.flatten.toSet == Set('a', 'b', 'c', 'd'))
+  }
+
+  test("llm_cohens_kappa matches a driver confusion recompute; kappa bounded") {
+    val js = Tables.documents(spark, sf0001).select("text", "n_chars")
+      .collect().map { r =>
+        val toks = r.getString(0).split(" ").filter(_.nonEmpty)
+        val j1 = if (numAt(r, 1) >= 300) 1 else 0
+        val j2 = if (toks.distinct.length * 2 >= toks.length) 1 else 0
+        (j1, j2)
+      }
+    val n = js.length.toDouble
+    val n11 = js.count(_ == ((1, 1))).toLong; val n10 = js.count(_ == ((1, 0))).toLong
+    val n01 = js.count(_ == ((0, 1))).toLong; val n00 = js.count(_ == ((0, 0))).toLong
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01).toDouble
+      + (n00 + n01).toDouble * (n00 + n10).toDouble) / (n * n)
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val r = SparkEntry.queries("llm_cohens_kappa")(spark, sf0001).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((n11, n10, n01, n00)))
+    assert(r.getDouble(5) == fl(po) && r.getDouble(6) == fl(pe))
+    if (pe < 1.0) {
+      assert(r.getDouble(7) == fl((po - pe) / (1.0 - pe)))
+      assert(r.getDouble(7) <= 1.0 && r.getDouble(7) >= -1.0 - 1e-4)
+    }
+    // both judges discriminate on the fixture (no degenerate 2×2 margin)
+    assert(n11 + n10 > 0 && n01 + n00 > 0, "judge1 constant")
+    assert(n11 + n01 > 0 && n10 + n00 > 0, "judge2 constant")
+  }
 }
