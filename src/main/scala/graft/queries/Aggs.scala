@@ -243,6 +243,43 @@ object Aggs {
         .orderBy("user_id", "day")
     }),
 
+    // D8''' — CALENDAR-grain rollup chain (added r9, VERDICT item 4): the
+    // week/month ends of the `Granularity` catalog, which
+    // `agg_rollup_chain` stopped short of. Months are variable-length and
+    // weeks straddle months — `canRollupTo` allows Day→Week and Day→Month
+    // but NOT Week→Month, and this key runs both legal edges from the
+    // SAME stored daily partials (15 min → 1 h → 1 d paid once, then two
+    // calendar re-aggregations off the checkpointed day grain). The
+    // oracle computes both grains DIRECTLY from raw events, so hash
+    // equality proves the chained calendar rollup lossless AND pins
+    // `date_trunc('week'|'month')` parity cross-engine (both truncate to
+    // ISO Monday / month start). Exact µ-unit longs end to end — the same
+    // integer-sum argument that makes any rollup chain sound.
+    "agg_rollup_calendar" -> ((s, d) => {
+      import graft.store.Granularity
+      require(Granularity.canRollupTo(Granularity.Day, Granularity.Week)
+        && Granularity.canRollupTo(Granularity.Day, Granularity.Month)
+        && !Granularity.canRollupTo(Granularity.Week, Granularity.Month))
+      val daily = Tables.events(s, d)
+        .select(col("user_id"),
+          Granularity.QuarterHour.bucket(col("ts")).as("b15"),
+          floor(col("value") * 1e6).cast("long").as("vq"))
+        .groupBy("user_id", "b15")
+        .agg(sum("vq").as("vq"), count(lit(1)).as("n"))
+        .groupBy(col("user_id"), Granularity.Hour.bucket(col("b15")).as("bh"))
+        .agg(sum("vq").as("vq"), sum("n").as("n"))
+        .groupBy(col("user_id"), Granularity.Day.bucket(col("bh")).as("bd"))
+        .agg(sum("vq").as("vq"), sum("n").as("n"))
+        .localCheckpoint(true) // user×day grain, read by BOTH calendar legs
+      def leg(g: Granularity) = daily
+        .groupBy(col("user_id"), g.bucket(col("bd")).as("bucket"))
+        .agg(sum("vq").as("value_microunits"), sum("n").as("n_samples"))
+        .withColumn("grain", lit(g.name))
+      leg(Granularity.Week).unionByName(leg(Granularity.Month))
+        .select("grain", "user_id", "bucket", "value_microunits", "n_samples")
+        .orderBy("grain", "user_id", "bucket")
+    }),
+
     // D13' — Welch two-sample t statistic for every event-type pair
     // (added r7): the A/B-test readout over the value KPI — which
     // treatment/control splits differ beyond noise, the decision layer
@@ -1927,6 +1964,71 @@ object Aggs {
             / (col("n0") + col("n1")).cast("double") > 3.84, lit(1L))
             .otherwise(lit(0L)).as("srm_flag"))
     }),
+
+    // D-CUPED — variance-reduced A/B readout (CUPED, Deng et al. WSDM'13;
+    // added r9): the experiment-analysis layer above `agg_ab_ttest` /
+    // `agg_ab_srm` — each user's PRE-period mean is the control covariate
+    // that absorbs between-user variance from the POST-period metric:
+    // adj_u = y_u − θ·(x_u − x̄), θ = cov(x,y)/var(x) pooled. Periods
+    // split at the exact integer epoch-day midpoint (the mix_decompose
+    // discipline), arms are md5-parity at user grain (the srm
+    // discipline). Determinism: per-user means are fixed IEEE divides of
+    // exact µ-unit sums; every cross-user moment is an ORDERED
+    // user-id fold (array_sort + sequential aggregate ↔ DuckDB
+    // list(… ORDER BY)+list_aggregate — the chi_square/bradley_terry
+    // idiom), so both engines fold the identical double sequence; θ, x̄,
+    // means and variances are then single fixed IEEE expressions,
+    // floor-1e-4 at the edge. Scale shape: one user-grain shuffle, the
+    // user frame checkpointed once and read by the pooled + per-arm
+    // folds; everything after is arm-grain (2 rows). The degenerate
+    // var(x)=0 corpus guards θ to NULL (and the adjusted columns with
+    // it) on both engines.
+    "agg_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("ed", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+      val rng = ev.agg(min("ed").as("d0"), max("ed").as("d1"))
+      val per = ev.crossJoin(broadcast(rng))
+        .withColumn("period",
+          when(col("ed") * 2 <= col("d0") + col("d1"), lit("pre")).otherwise(lit("post")))
+        .groupBy("user_id", "period")
+        .agg(sum("vq").as("s"), count(lit(1)).as("n"))
+      val pre = per.where(col("period") === "pre").select(col("user_id"),
+        (col("s").cast("double") / col("n").cast("double") / 1e6).as("xu"))
+      val post = per.where(col("period") === "post").select(col("user_id"),
+        (col("s").cast("double") / col("n").cast("double") / 1e6).as("yu"))
+      val u = pre.join(post, "user_id")
+        .withColumn("arm",
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2)
+        .localCheckpoint(true) // user grain; read by pooled + per-arm folds
+      def ofold(v: String) = expr(
+        s"aggregate(array_sort(collect_list(named_struct('u', user_id, 'x', $v))), " +
+          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x)")
+      val pooled = u.agg(count(lit(1)).as("np"), ofold("xu").as("sx"),
+          ofold("yu").as("sy"), ofold("xu * xu").as("sxx"), ofold("xu * yu").as("sxy"))
+        .select(col("np"), (col("sx") / col("np").cast("double")).as("xbar"),
+          when(col("np").cast("double") * col("sxx") - col("sx") * col("sx") > 0,
+            (col("np").cast("double") * col("sxy") - col("sx") * col("sy"))
+              / (col("np").cast("double") * col("sxx") - col("sx") * col("sx")))
+            .as("theta"))
+      val adj = u.crossJoin(broadcast(pooled))
+        .withColumn("a", col("yu") - col("theta") * (col("xu") - col("xbar")))
+      val arms = adj.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), ofold("yu").as("sy"), ofold("a").as("sa"),
+          ofold("yu * yu").as("syy"), ofold("a * a").as("saa"))
+      val nd = col("n_users").cast("double")
+      val varY = (col("syy") - col("sy") * col("sy") / nd) / (nd - 1.0)
+      val varA = (col("saa") - col("sa") * col("sa") / nd) / (nd - 1.0)
+      arms.select(col("arm"), col("n_users"),
+          (floor(col("sy") / nd * 1e4) / 1e4).as("mean_y"),
+          (floor(col("sa") / nd * 1e4) / 1e4).as("mean_adj"),
+          (floor(varY * 1e4) / 1e4).as("var_y"),
+          (floor(varA * 1e4) / 1e4).as("var_adj"),
+          (floor((lit(1.0) - varA / varY) * 1e4) / 1e4).as("var_reduction"))
+        .orderBy("arm")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -2314,6 +2416,22 @@ object Aggs {
         |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS value_microunits,
         |       count(*) AS n_samples
         |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "agg_rollup_calendar" ->
+      """WITH q AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |         CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |  FROM events
+        |)
+        |SELECT '1w' AS grain, user_id,
+        |       CAST(date_trunc('week', t) AS TIMESTAMP) AS bucket,
+        |       CAST(sum(vq) AS BIGINT) AS value_microunits, count(*) AS n_samples
+        |FROM q GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT '1month' AS grain, user_id,
+        |       CAST(date_trunc('month', t) AS TIMESTAMP) AS bucket,
+        |       CAST(sum(vq) AS BIGINT) AS value_microunits, count(*) AS n_samples
+        |FROM q GROUP BY 1, 2, 3
+        |ORDER BY grain, user_id, bucket""".stripMargin,
     "agg_ab_ttest" ->
       """WITH g AS (
         |  SELECT event_type, count(*) AS n,
@@ -3156,5 +3274,68 @@ object Aggs {
         |       CASE WHEN CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
         |                 / CAST(n0 + n1 AS DOUBLE) > 3.84 THEN 1 ELSE 0 END AS srm_flag
         |FROM agg""".stripMargin,
+    "agg_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         datediff('day', DATE '1970-01-01',
+        |                  CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS ed,
+        |         CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |rng AS (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |         CASE WHEN ed * 2 <= (SELECT d0 FROM rng) + (SELECT d1 FROM rng)
+        |              THEN 'pre' ELSE 'post' END AS period,
+        |         CAST(sum(vq) AS BIGINT) AS s, count(*) AS n
+        |  FROM ev GROUP BY 1, 2
+        |),
+        |u AS (
+        |  SELECT p.user_id,
+        |         CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) / 1e6 AS xu,
+        |         CAST(q.s AS DOUBLE) / CAST(q.n AS DOUBLE) / 1e6 AS yu,
+        |         CAST(concat('0x', substring(md5(CAST(p.user_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 2 AS arm
+        |  FROM per p JOIN per q ON p.user_id = q.user_id
+        |  WHERE p.period = 'pre' AND q.period = 'post'
+        |),
+        |pooled AS (
+        |  SELECT count(*) AS np,
+        |         list_aggregate(list(xu ORDER BY user_id), 'sum') AS sx,
+        |         list_aggregate(list(yu ORDER BY user_id), 'sum') AS sy,
+        |         list_aggregate(list(xu * xu ORDER BY user_id), 'sum') AS sxx,
+        |         list_aggregate(list(xu * yu ORDER BY user_id), 'sum') AS sxy
+        |  FROM u
+        |),
+        |th AS (
+        |  SELECT sx / CAST(np AS DOUBLE) AS xbar,
+        |         CASE WHEN CAST(np AS DOUBLE) * sxx - sx * sx > 0
+        |              THEN (CAST(np AS DOUBLE) * sxy - sx * sy)
+        |                   / (CAST(np AS DOUBLE) * sxx - sx * sx) END AS theta
+        |  FROM pooled
+        |),
+        |adj AS (
+        |  SELECT u.*, yu - theta * (xu - xbar) AS a FROM u CROSS JOIN th
+        |),
+        |arms AS (
+        |  SELECT arm, count(*) AS n_users,
+        |         list_aggregate(list(yu ORDER BY user_id), 'sum') AS sy,
+        |         list_aggregate(list(a ORDER BY user_id), 'sum') AS sa,
+        |         list_aggregate(list(yu * yu ORDER BY user_id), 'sum') AS syy,
+        |         list_aggregate(list(a * a ORDER BY user_id), 'sum') AS saa
+        |  FROM adj GROUP BY 1
+        |)
+        |SELECT arm, n_users,
+        |       floor(sy / CAST(n_users AS DOUBLE) * 1e4) / 1e4 AS mean_y,
+        |       floor(sa / CAST(n_users AS DOUBLE) * 1e4) / 1e4 AS mean_adj,
+        |       floor((syy - sy * sy / CAST(n_users AS DOUBLE))
+        |             / (CAST(n_users AS DOUBLE) - 1.0) * 1e4) / 1e4 AS var_y,
+        |       floor((saa - sa * sa / CAST(n_users AS DOUBLE))
+        |             / (CAST(n_users AS DOUBLE) - 1.0) * 1e4) / 1e4 AS var_adj,
+        |       floor((1.0 - ((saa - sa * sa / CAST(n_users AS DOUBLE))
+        |                     / (CAST(n_users AS DOUBLE) - 1.0))
+        |                  / ((syy - sy * sy / CAST(n_users AS DOUBLE))
+        |                     / (CAST(n_users AS DOUBLE) - 1.0))) * 1e4) / 1e4 AS var_reduction
+        |FROM arms ORDER BY arm""".stripMargin,
   )
 }

@@ -2468,6 +2468,31 @@ object Llm {
         .orderBy("sig_hash")
     }),
 
+    // K7c — REAL image decode end to end (added r9, VERDICT item 6): one
+    // actual format — 24-bit BMP — flows bytes → pixels → features through
+    // a genuine pure-JVM parser ([[graft.multimodal.Media.decodeBmp]]:
+    // signature, pixel-offset field, 4-byte row padding, bottom-up row
+    // order, BGR channels), closing the "decode kernels stubbed" gap as
+    // far as an offline sandbox allows. Each doc's 3×5 grayscale pixels
+    // are its md5 bytes (in-plan unhex(md5) — the established cross-engine
+    // seed), encoded to a real BMP and decoded back inside the same
+    // bounded-batch mapPartitions the stub pipeline uses. The oracle
+    // recomputes the stats STRAIGHT from the md5 hex — so a hash match
+    // proves the codec round-trips every pixel VALUE and, via the
+    // position-weighted sum Σ(i+1)·pᵢ, every pixel POSITION (a decoder
+    // that misreads padding or row order matches sum_lum but not
+    // wsum_lum). Width 3 forces a nonzero pad (9 → 12 bytes/row).
+    // Embarrassingly parallel: no shuffle until the presentation sort.
+    "llm_media_decode" -> ((s, d) => {
+      val seeded = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("substring(unhex(md5(CAST(doc_id AS STRING))), 1, 15)").as("gray"))
+      graft.multimodal.Media.bmpRoundTripStats(seeded, "gray", width = 3, height = 5)
+        .select("doc_id", "width", "height", "n_bytes",
+          "sum_lum", "wsum_lum", "min_lum", "max_lum")
+        .orderBy("doc_id")
+    }),
+
     // K8 — token-window chunking (training-data prep): 40-token windows
     // with stride 30 (10-token overlap), each chunk fingerprinted. Chunk
     // boundaries are pure per-row arithmetic — embarrassingly parallel, no
@@ -3297,14 +3322,23 @@ object Llm {
           .groupBy("i")
           .agg(expr("aggregate(array_sort(collect_list(named_struct('j', j, 'x', term))), " +
             "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x)").as("den"))
+        // checkpoint the ≤|sources|-row frames per iteration (the
+        // agg_markov_steady discipline): raw is referenced twice (the tot
+        // fold + the output projection) and the returned sv twice by the
+        // NEXT step's si/sj joins, so without lineage cuts the lazy plan
+        // doubles per MM level (2³ subtrees re-planning two collect_list
+        // global aggs each — the r8 bench's 31 s outlier, 7 % of suite
+        // wall). Values are materialized unchanged — hash-identical.
         val raw = denom.join(wins, Seq("i"), "left")
           .select(col("i"),
             (coalesce(col("wi"), lit(0L)).cast("double") / col("den")).as("sraw"))
+          .localCheckpoint(true) // source-grain (k rows)
         val tot = raw.agg(expr("aggregate(array_sort(collect_list(named_struct('i', i, 'x', sraw))), " +
           "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x)").as("tots"))
         raw.crossJoin(broadcast(tot)).crossJoin(broadcast(kcnt))
           .select(col("i"),
             (col("sraw") * col("k").cast("double") / col("tots")).as("sv"))
+          .localCheckpoint(true) // k rows — frees the duel lineage per level
       }
       val v3 = step(step(step(srcs.withColumn("sv", lit(1.0)))))
       v3.join(gtot, "i").join(wins, Seq("i"), "left")
@@ -5697,6 +5731,23 @@ object Llm {
         |SELECT md5(sig) AS sig_hash, count(*) AS n_items,
         |       count(DISTINCT ph) AS n_payloads, min(doc_id) AS keep_id
         |FROM bk GROUP BY sig HAVING count(*) >= 2 ORDER BY sig_hash""".stripMargin,
+    // the oracle computes the decode stats STRAIGHT from the md5 hex the
+    // Spark side seeds its pixels from — so hash equality proves the BMP
+    // codec round-trips every pixel value and position (wsum_lum).
+    // n_bytes: 54-byte header + 5 rows × 12 (3·3 = 9 padded to 12) = 114.
+    "llm_media_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |                                     CAST(1 + 2 * i.i AS INTEGER), 2)) AS BIGINT) AS v
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 15)) AS i) i
+        |)
+        |SELECT doc_id, CAST(3 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+        |       CAST(114 AS INTEGER) AS n_bytes,
+        |       CAST(sum(v) AS BIGINT) AS sum_lum,
+        |       CAST(sum((i + 1) * v) AS BIGINT) AS wsum_lum,
+        |       CAST(min(v) AS INTEGER) AS min_lum, CAST(max(v) AS INTEGER) AS max_lum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_chunk_split" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

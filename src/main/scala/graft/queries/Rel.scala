@@ -695,6 +695,13 @@ object Rel {
       val base = Tables.events(s, d)
         .select(col("event_id"), col("event_type"),
           floor(col("value") * 100).cast("long").as("cents"))
+      // FIXTURE ENVELOPE: the synthetic "added" snapshot shifts purchase
+      // event_ids by +10,000,000 — valid only while the corpus holds
+      // < 10 M events (largest driver scale sf0.1 ≈ 600 k; the 100×
+      // derived corpora stay < 10 M). Past that the shifted ids collide
+      // with real ones and the full-outer key stops being unique. A real
+      // deployment diffs two genuine snapshots and has no shift at all —
+      // the constant is test-fixture synthesis, not diff logic.
       val next = base.where(col("event_type") =!= "error")
         .withColumn("cents",
           when(col("event_type") === "click", col("cents") * 2).otherwise(col("cents")))
@@ -720,6 +727,7 @@ object Rel {
         .select("event_id", "ts", "user_id", "event_type", "value")
       val updates = ev.where(col("event_type") === "click")
         .withColumn("value", col("value") * 2)
+      // same +10 M fixture-synthesis envelope as store_diff above
       val inserts = ev.where(col("event_type") === "purchase")
         .withColumn("event_id", col("event_id") + lit(10000000L))
       graft.ops.Upsert.lastWriterWins(ev, updates.unionByName(inserts), Seq("event_id"))

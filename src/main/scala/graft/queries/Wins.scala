@@ -920,7 +920,7 @@ object Wins {
         .withColumn("vq", floor(col("value") * 1e6).cast("long"))
         .withColumn("n", count(col("vq")).over(wf))
         .withColumn("s1", sum(col("vq")).over(wf))
-        .withColumn("s2", sum((col("vq") * col("vq")).cast(dec)).over(wf))
+        .withColumn("s2", sum(col("vq").cast(dec) * col("vq")).over(wf))
       val mean = col("s1").cast("double") / lit(8.0)
       val sigma = sqrt((lit(8.0) * col("s2").cast("double") -
         col("s1").cast("double") * col("s1").cast("double")) / lit(64.0))
@@ -956,10 +956,10 @@ object Wins {
         .withColumn("vq", floor(col("value") * 1e6).cast("long"))
         .withColumn("nl", count(col("vq")).over(wp))
         .withColumn("s1l", sum(col("vq")).over(wp))
-        .withColumn("s2l", sum((col("vq") * col("vq")).cast(dec)).over(wp))
+        .withColumn("s2l", sum(col("vq").cast(dec) * col("vq")).over(wp))
         .withColumn("n", count(col("vq")).over(wAll))
         .withColumn("s1", sum(col("vq")).over(wAll))
-        .withColumn("s2", sum((col("vq") * col("vq")).cast(dec)).over(wAll))
+        .withColumn("s2", sum(col("vq").cast(dec) * col("vq")).over(wAll))
         .where(col("nl") < col("n") && col("n") >= 2)
       def sse(n: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
               s2: org.apache.spark.sql.Column) =
@@ -1149,7 +1149,7 @@ object Wins {
         .withColumn("vq", floor(col("value") * 1e6).cast("long"))
         .withColumn("n", count(col("vq")).over(wf))
         .withColumn("s1", sum(col("vq")).over(wf))
-        .withColumn("s2", sum((col("vq") * col("vq")).cast(dec)).over(wf))
+        .withColumn("s2", sum(col("vq").cast(dec) * col("vq")).over(wf))
         .withColumn("l", collect_list(col("vq")).over(wf))
         .where(col("n") === 32)
         .withColumn("rng", expr(
@@ -1257,7 +1257,7 @@ object Wins {
         .withColumn("vq", floor(col("value") * 1e6).cast("long"))
         .withColumn("n", count(col("vq")).over(wf))
         .withColumn("s1", sum(col("vq")).over(wf))
-        .withColumn("s2", sum((col("vq") * col("vq")).cast(dec)).over(wf))
+        .withColumn("s2", sum(col("vq").cast(dec) * col("vq")).over(wf))
         .withColumn("l", collect_list(col("vq")).over(wf))
         .where(col("n") === 16)
       // z of the k-th PAA mean against the frame: PAA = segsum/4,

@@ -189,6 +189,54 @@ object Streams {
     dir.toString
   }
 
+  /** Stage events as 4 ARRIVAL-ORDER chunk files for the late-data replay
+    * (added r9): on-time rows arrive in event-time quartile order (chunk i
+    * = quartile i), while a deterministic late cohort — rows with
+    * md5(event_id) % 8 == 0 inside the md5-chosen quarter of hour buckets
+    * — is withheld until the LAST chunk regardless of event time. Chunk
+    * mtimes are strictly increasing so `maxFilesPerTrigger=1` replays them
+    * as 4 ordered micro-batches. Cached per source dir, same atomic
+    * staging discipline as [[documentChunks]]. */
+  private def lateEventChunks(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_late",
+      Integer.toHexString(d.hashCode))
+    if (!java.nio.file.Files.exists(dir.resolve("_staged")))
+      stageAtomically(dir) { tmp =>
+        val ev = graft.Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        // empty-corpus guard (the documentChunks discipline): degenerate
+        // bounds make every quartile filter empty, staging 4 rowless chunks
+        val (lo, hi) = if (mm.isNullAt(0)) (0L, 1L) else (mm.getLong(0), mm.getLong(1) + 1)
+        val span = math.max(hi - lo, 1L)
+        val tagged = ev
+          .withColumn("q", least((unix_micros(col("ts")) - lit(lo)) * 4 / lit(span), lit(3L))
+            .cast("long"))
+          .withColumn("late",
+            (conv(substring(md5(date_format(date_trunc("hour", col("ts")),
+              "yyyy-MM-dd-HH")), 1, 4), 16, 10).cast("long") % 4 === 0)
+              && (conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+                .cast("long") % 8 === 0))
+        (0 to 3).foreach { i =>
+          val part =
+            if (i < 3) tagged.where(col("q") === i && !col("late"))
+            else tagged.where((col("q") === 3 && !col("late")) || col("late"))
+          val staging = tmp.resolve(s"_staging$i")
+          part.select("event_id", "ts", "user_id", "event_type", "value")
+            .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+          val pf = listFiles(staging,
+            _.getFileName.toString.endsWith(".parquet")).head
+          val chunk = tmp.resolve(f"chunk$i%02d.parquet")
+          java.nio.file.Files.move(pf, chunk,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          chunk.toFile.setLastModified(1700000000000L + i * 1000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        }
+      }
+    dir.toString
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return the
     * sink table. The checkpoint lives under java.io.tmpdir per query name.
     *
@@ -911,7 +959,73 @@ object Streams {
           col("low"), col("c.value").as("close"))
         .orderBy("bucket", "event_type")
     }),
+
+    // I22 — late-bucket RE-MATERIALIZATION (added r9, VERDICT item 1 of
+    // "What's missing"): the reference's actual late-data semantic. Every
+    // other streaming key watermark-DROPS late rows (the documented
+    // divergence at §I's late-data note); this key closes it — late
+    // arrivals land via foreachBatch into the raw store, CHANGE their old
+    // bucket's fingerprint, and the batch `Materializer` recomputes
+    // exactly the stale buckets (fingerprint-gated dynamic partition
+    // overwrite; untouched buckets keep their files). The replay stages
+    // events as 4 arrival chunks: on-time rows arrive in event-time
+    // quartile order, while a deterministic late cohort (≈1/8 of rows in
+    // the md5-chosen quarter of hour buckets) arrives LAST — so pass 4
+    // re-materializes old buckets that earlier passes already emitted,
+    // and ONLY those (StreamingSpec pins both directions plus a
+    // value-level before/after change). The final store must equal the
+    // batch recompute over the FULL feed — which is exactly the oracle —
+    // so hash equality proves convergence under late data, the property
+    // a NOC user relies on daily. Per-pass cost = one fingerprint agg
+    // (map-side partial, bucket-grain output) + recompute of changed
+    // buckets only — the 100 TB shape, since bucket count is bounded by
+    // the retention window, not data volume. Exact µ-unit sums end to
+    // end (order-free under any arrival interleaving).
+    "stream_late_rematerialize" -> ((s, d) => lateRematerializeWithAudit(s, d)._2),
   )
+
+  /** The late-rematerialization replay, returning BOTH each pass's
+    * recomputed-bucket list (the audit StreamingSpec pins: pass 4 must
+    * re-touch already-emitted early buckets AND leave the non-late cohort
+    * alone) and the drained store. One implementation serves the query
+    * key and the spec so the two can't drift. */
+  private[graft] def lateRematerializeWithAudit(s: SparkSession, d: String)
+      : (Seq[Seq[String]], DataFrame) = {
+    val chunkDir = lateEventChunks(s, d)
+    val work = java.nio.file.Files.createTempDirectory("graft_late_remat")
+    val rawDir = s"$work/raw"; val tgtDir = s"$work/agg"; val stDir = s"$work/state"
+    val mat = new graft.materialize.Materializer(s, stDir)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir)
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    drainForeach(s, stream, "graft_stream_late_remat", OutputMode.Append()) {
+      (batch, _) =>
+        batch.write.mode("append").parquet(rawDir)
+        // no-space bucket format: the bucket becomes a PARTITION value in
+        // the target store, and partition-type inference must keep it a
+        // string on read-back (a 'yyyy-MM-dd HH' value risks timestamp
+        // inference; 'yyyy-MM-dd-HH' parses as neither date nor ts)
+        val src = s.read.parquet(rawDir)
+          .withColumn("bucket",
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd-HH"))
+        val res = mat.materialize(src, b => b.groupBy("bucket", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 1e6).cast("long")).as("value_microunits")),
+          tgtDir)
+        passes.synchronized { passes += res.recomputedBuckets }
+        ()
+    }
+    val out = s.read.parquet(tgtDir)
+      .select(col("bucket").cast("string").as("bucket"), col("event_type"),
+        col("n_events"), col("value_microunits"))
+      .orderBy("bucket", "event_type")
+    (passes.toSeq, out)
+  }
 
   /** Oracle SQL for the streaming keys: the batch-equivalent queries over
     * the same events table (ts truncated to µs on the DuckDB side exactly
@@ -938,6 +1052,14 @@ object Streams {
       "stream_tumbling" ->
         s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
            |       count(*) AS cnt, round(sum(value), 4) AS sum_value
+           |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+      // the late-rematerialization convergence contract: after the 4-pass
+      // replay (late cohort arriving last), the drained target store must
+      // equal the batch recompute over the FULL feed — late rows included
+      "stream_late_rematerialize" ->
+        s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS bucket,
+           |       event_type, count(*) AS n_events,
+           |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS value_microunits
            |FROM $ev events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
       // batch equivalent of the windowed-PSI monitor: hourly binned
       // counts vs the full-corpus reference histogram, the agg_psi_drift

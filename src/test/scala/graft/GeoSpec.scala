@@ -101,4 +101,65 @@ class GeoSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     got.foreach { case (k, (n, _)) => assert(n == pairDeg.getOrElse(k, 0L), k) }
   }
+
+  // ---- geodetic variant (r9) ----------------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Same geodetic synthesis + quantized-ECEF projection as queries.Geo —
+    * java.lang.Math trig, matching Spark's evaluation exactly. */
+  private def geoEcef(tagLat: String, tagLon: String, key: Long)
+      : (Long, Long, Long, Long, Long) = {
+    def bits(tag: String) = java.lang.Long.parseLong(md5hex(s"$tag$key").take(12), 16)
+    val lat = bits(tagLat) % 120000000L - 60000000L
+    val lon = bits(tagLon) % 360000000L - 180000000L
+    val latr = lat.toDouble / 1e6 * math.Pi / 180.0
+    val lonr = lon.toDouble / 1e6 * math.Pi / 180.0
+    def fdiv(c: Long) = { val m = ((c % 5000000L) + 5000000L) % 5000000L; (c - m) / 5000000L }
+    (math.floor(6371000.0 * math.cos(latr) * math.cos(lonr)).toLong,
+      math.floor(6371000.0 * math.cos(latr) * math.sin(lonr)).toLong,
+      math.floor(6371000.0 * math.sin(latr)).toLong,
+      fdiv(lat), fdiv(lon))
+  }
+
+  test("geo_knn_haversine: exact=1 rows equal GLOBAL brute force; exact=0 rows are past the envelope") {
+    val sup = Tables.supplier(spark, sf0001).select("s_suppkey").collect()
+      .map(r => numAt(r, 0)).toSeq.map(k => k -> geoEcef("hlats:", "hlons:", k))
+    val cus = Tables.customer(spark, sf0001).select("c_custkey").collect()
+      .map(r => numAt(r, 0)).toSeq.map(k => k -> geoEcef("hlatc:", "hlonc:", k))
+    def d2(a: (Long, Long, Long, Long, Long), b: (Long, Long, Long, Long, Long)): Long = {
+      val dx = a._1 - b._1; val dy = a._2 - b._2; val dz = a._3 - b._3
+      dx * dx + dy * dy + dz * dz
+    }
+    def arcM(dd: Long): Long =
+      math.floor(12742000.0 * math.asin(math.sqrt(dd.toDouble) / 12742000.0)).toLong
+    // global (unblocked) nearest with the (d2, key) tie-break
+    val brute = cus.map { case (ck, cpos) =>
+      ck -> sup.map { case (sk, spos) => (d2(cpos, spos), sk) }.min
+    }.toMap
+    val rows = SparkEntry.queries("geo_knn_haversine")(spark, sf0001).collect()
+    assert(rows.length == cus.size)
+    var nExact = 0
+    rows.foreach { r =>
+      val ck = r.getLong(0); val found = r.getLong(1)
+      val exact = r.getLong(4)
+      if (exact == 1) {
+        nExact += 1
+        assert(found == 1)
+        val (bd2, bsk) = brute(ck)
+        assert(r.getLong(2) == bsk,
+          s"customer $ck: exact=1 but blocked pick ${r.getLong(2)} != global nearest $bsk")
+        assert(r.getLong(3) == arcM(bd2))
+        assert(r.getLong(3) <= 277000L)
+      } else if (found == 1) {
+        // declared blocked approximation: only legal PAST the envelope
+        assert(r.getLong(3) > 277000L,
+          s"customer $ck: found=1 exact=0 inside the 277 km envelope")
+      }
+    }
+    // the envelope must be live in the fixture, or the theorem is untested
+    assert(nExact > 0, "no exact=1 row at sf0.001 — completeness claim unexercised")
+  }
 }

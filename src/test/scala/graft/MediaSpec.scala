@@ -94,4 +94,70 @@ class MediaSpec extends SparkSpec {
     // on this corpus collisions are genuine near-dups (distinct payloads)
     assert(got.values.exists(v => v._2 > 1), "no distinct-payload bucket in fixture")
   }
+
+  test("BMP codec: encode writes a real 24-bit bottom-up padded file, decode round-trips positions") {
+    // 3×2 grayscale, all six pixels DISTINCT so any padding/row/channel
+    // misread changes some position. Row-major top-down input.
+    val gray = Array[Byte](10, 20, 30, 40, 50, 60)
+    val bmp = Media.encodeBmp(3, 2, gray)
+    // header facts: signature, 54-byte pixel offset, 24 bpp, BI_RGB,
+    // row size 3·3 = 9 padded to 12 ⇒ file = 54 + 2·12 = 78
+    assert(bmp.length == 78)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    assert((bmp(10) & 0xff) == 54 && (bmp(28) & 0xff) == 24)
+    // bottom-up: file row 0 = image row 1 (40, 50, 60), BGR = same gray
+    assert((bmp(54) & 0xff) == 40 && (bmp(57) & 0xff) == 50 && (bmp(60) & 0xff) == 60)
+    // padding bytes at the end of each 12-byte row stay zero
+    assert(bmp(63) == 0 && bmp(64) == 0 && bmp(65) == 0)
+    // image row 0 lives in file row 1
+    assert((bmp(66) & 0xff) == 10 && (bmp(69) & 0xff) == 20 && (bmp(72) & 0xff) == 30)
+    val (w, h, px) = Media.decodeBmp(bmp)
+    assert(w == 3 && h == 2)
+    // decoded top-down row-major r-channel equals the input exactly
+    assert((0 until 6).map(i => px(i * 3)) == gray.map(_ & 0xff).toSeq)
+    // r = g = b for a grayscale encode
+    assert((0 until 6).forall(i => px(i * 3) == px(i * 3 + 1) && px(i * 3) == px(i * 3 + 2)))
+  }
+
+  test("BMP codec: negative-height top-down variant decodes without the flip") {
+    val gray = Array[Byte](1, 2, 3, 4, 5, 6)
+    val bmp = Media.encodeBmp(3, 2, gray)
+    // rewrite height to -2 and swap the two pixel rows: same logical image
+    val td = bmp.clone()
+    val neg = -2
+    td(22) = (neg & 0xff).toByte; td(23) = ((neg >> 8) & 0xff).toByte
+    td(24) = ((neg >> 16) & 0xff).toByte; td(25) = ((neg >> 24) & 0xff).toByte
+    for (i <- 0 until 12) { val t = td(54 + i); td(54 + i) = td(66 + i); td(66 + i) = t }
+    val (w, h, px) = Media.decodeBmp(td)
+    assert(w == 3 && h == 2)
+    assert((0 until 6).map(i => px(i * 3)) == gray.map(_ & 0xff).toSeq)
+  }
+
+  test("BMP codec: rejects non-BMP, compressed, and non-24-bit payloads") {
+    intercept[IllegalArgumentException](Media.decodeBmp(Array[Byte](1, 2, 3)))
+    val ok = Media.encodeBmp(2, 2, Array[Byte](1, 2, 3, 4))
+    val badBpp = ok.clone(); badBpp(28) = 8
+    intercept[IllegalArgumentException](Media.decodeBmp(badBpp))
+    val badComp = ok.clone(); badComp(30) = 1 // BI_RLE8
+    intercept[IllegalArgumentException](Media.decodeBmp(badComp))
+    val truncated = java.util.Arrays.copyOfRange(ok, 0, ok.length - 4)
+    intercept[IllegalArgumentException](Media.decodeBmp(truncated))
+  }
+
+  test("llm_media_decode matches a driver md5-byte recompute at sf0.001") {
+    def md5bytes(s2: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
+    val expect = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0)).map { id =>
+        val v = md5bytes(id.toString).take(15).map(_ & 0xff)
+        id -> (v.sum.toLong, v.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum,
+          v.min, v.max)
+      }.toMap
+    val got = SparkEntry.queries("llm_media_decode")(spark, sf0001).collect().map { r =>
+      assert(r.getInt(1) == 3 && r.getInt(2) == 5 && r.getInt(3) == 114)
+      r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7))
+    }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }

@@ -637,4 +637,46 @@ class StreamingSpec extends SparkSpec {
     assert(r.getDouble(5) == 40.0, "close must track the max (ts, event_id)")
     assert(r.getLong(6) == 5L)
   }
+
+  test("late arrivals invalidate and re-materialize exactly the stale buckets") {
+    val (passes, out) = graft.streaming.Streams.lateRematerializeWithAudit(spark, sf0001)
+    assert(passes.size == 4, s"expected 4 micro-batch passes, got ${passes.size}")
+    val emittedEarly = passes.take(3).flatten.toSet
+    val lastPass = passes(3).toSet
+    // a late row CHANGES an already-emitted bucket -> pass 4 must
+    // re-materialize buckets pass 1-3 already wrote
+    val reTouched = lastPass.intersect(emittedEarly)
+    assert(reTouched.nonEmpty,
+      "pass 4 re-materialized no already-emitted bucket — late-data semantics not exercised")
+    // ...and ONLY the stale ones: fingerprint gating must leave the
+    // non-late cohort of early buckets alone
+    assert((emittedEarly -- lastPass).nonEmpty,
+      "pass 4 recomputed every early bucket — fingerprint gating is not selective")
+    // convergence: drained store equals the batch twin over the FULL feed
+    val twin = Tables.events(spark, sf0001)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd-HH").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_microunits"))
+    val got = out.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    val exp = twin.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    assert(got == exp, "final store diverged from the batch recompute over the full feed")
+    // value-level: for some re-touched bucket the late rows genuinely
+    // changed the stored aggregate (on-time-only count < final count)
+    val lateFlag = (conv(substring(md5(date_format(date_trunc("hour", col("ts")),
+      "yyyy-MM-dd-HH")), 1, 4), 16, 10).cast("long") % 4 === 0) &&
+      (conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 8 === 0)
+    val onTimeCounts = Tables.events(spark, sf0001).where(!lateFlag)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd-HH").as("bucket"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val finalCounts = out.groupBy("bucket").agg(sum("n_events").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val changed = reTouched.filter(b => finalCounts(b) > onTimeCounts.getOrElse(b, 0L))
+    assert(changed.nonEmpty,
+      "no re-touched bucket actually gained rows from the late cohort")
+  }
 }
