@@ -654,7 +654,7 @@ class StreamingSpec extends SparkSpec {
       "pass 4 recomputed every early bucket — fingerprint gating is not selective")
     // convergence: drained store equals the batch twin over the FULL feed
     val twin = Tables.events(spark, sf0001)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd-HH").as("bucket"),
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("bucket"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(floor(col("value") * 1e6).cast("long")).as("value_microunits"))
@@ -665,12 +665,12 @@ class StreamingSpec extends SparkSpec {
     assert(got == exp, "final store diverged from the batch recompute over the full feed")
     // value-level: for some re-touched bucket the late rows genuinely
     // changed the stored aggregate (on-time-only count < final count)
-    val lateFlag = (conv(substring(md5(date_format(date_trunc("hour", col("ts")),
-      "yyyy-MM-dd-HH")), 1, 4), 16, 10).cast("long") % 4 === 0) &&
+    val lateFlag = (conv(substring(md5(date_format(date_trunc("day", col("ts")),
+      "yyyy-MM-dd")), 1, 4), 16, 10).cast("long") % 4 === 0) &&
       (conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
         .cast("long") % 8 === 0)
     val onTimeCounts = Tables.events(spark, sf0001).where(!lateFlag)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd-HH").as("bucket"))
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("bucket"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val finalCounts = out.groupBy("bucket").agg(sum("n_events").as("n")).collect()
