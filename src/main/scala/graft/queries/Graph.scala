@@ -650,6 +650,11 @@ object Graph {
     // divide, floor-1e-4.
     "graph_closeness" -> ((s, d) => closenessBody(copurchaseEdges(s, d))),
 
+    // L14 — sampled betweenness centrality (added r9): see
+    // [[betweennessBody]] — 4-seed horizon-bounded Brandes, exact-long
+    // path counts forward, ordered-fold dependency accumulation backward.
+    "graph_betweenness" -> ((s, d) => betweennessBody(copurchaseEdges(s, d))),
+
     // L13 — deterministic random walks (added r10): see [[randomWalkBody]].
     "graph_random_walk" -> ((s, d) => randomWalkBody(s, d)),
 
@@ -812,6 +817,88 @@ object Graph {
   /** L14 — multi-seed BFS closeness (added r10): see the registry entry.
     * `edges` must be the canonical (u<v) co-purchase list; the caller's
     * checkpoint is freed here once the readout materializes. */
+  /** L14 — horizon-bounded sampled betweenness (Brandes 2001; added r9):
+    * the load-bearing-node centrality the family was missing — which
+    * parts sit ON the shortest paths between others (closeness says who
+    * is near everything; betweenness says who everything routes
+    * through). Exact Brandes is O(n·E); production serves the standard
+    * sampled form — here 4 md5-chosen seeds — and the 8-round horizon
+    * (diameter probed at 7) makes both the loop and the oracle
+    * statically unrollable, the bfs_levels policy: paths longer than the
+    * horizon are excluded ON BOTH ENGINES, so parity is unconditional
+    * and the semantic is the documented k-bounded betweenness.
+    *
+    * Forward = level-synchronous BFS with PATH COUNTS: σ(v) = Σ σ(u)
+    * over level-(r−1) neighbors — exact longs (sums of longs, order-
+    * free). Backward = dependency accumulation δ(v) = Σ_w σv/σw·(1+δw)
+    * over level-(L+1) successors, processed strictly downward so every
+    * δw is finalized before use; each per-node sum folds its successor
+    * terms in w order (array_sort + sequential aggregate ↔ DuckDB
+    * `list(… ORDER BY)` + list_aggregate — the chi_square idiom), so
+    * both engines fold identical IEEE sequences. Per round: one edge
+    * join + one (seed,node) aggregation, linear in |E| — 8 forward + 8
+    * backward node-sized checkpoints (the closeness discipline; the
+    * doubly-referenced dist relation is why PlanScan skips this key).
+    * Final betweenness = per-node fold of its ≤4 seed deltas in seed
+    * order, floor-1e-4. */
+  private def betweennessBody(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    val seeds = sym.select(col("a").as("node")).distinct()
+      .withColumn("h", md5(concat(col("node").cast("string"), lit("|btw"))))
+      .orderBy("h", "node").limit(4).select(col("node").as("seed"))
+      .localCheckpoint(true)
+    var ds = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0).as("level"), lit(1L).as("sigma")).localCheckpoint(true)
+    for (r <- 1 to 8) {
+      val frontier = ds.where(col("level") === r - 1)
+      val cand = sym.join(frontier, sym("b") === frontier("node"))
+        .groupBy(col("seed"), col("a").as("node"))
+        .agg(sum("sigma").as("sigma"))
+      val fresh = cand.join(ds.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(r).as("level"), col("sigma"))
+      val merged = ds.unionByName(fresh).localCheckpoint(true)
+      graft.ops.Checkpoints.free(ds)
+      ds = merged
+    }
+    // horizon rim: level-8 nodes have no finalized successors — δ = 0
+    var finalized = ds.where(col("level") === 8)
+      .withColumn("delta", lit(0.0)).localCheckpoint(true)
+    for (lvl <- 7 to 0 by -1) {
+      val upper = finalized.where(col("level") === lvl + 1)
+        .select(col("seed"), col("node").as("w"),
+          col("sigma").as("sw"), col("delta").as("dw"))
+      val lower = ds.where(col("level") === lvl)
+      val folded = sym.join(upper, sym("b") === col("w"))
+        .select(col("seed"), col("a").as("node"), col("w"), col("sw"), col("dw"))
+        .join(lower.select(col("seed"), col("node"), col("sigma").as("sv")),
+          Seq("seed", "node"))
+        .select(col("seed"), col("node"), col("w"),
+          (col("sv").cast("double") / col("sw").cast("double")
+            * (lit(1.0) + col("dw"))).as("c"))
+        .groupBy("seed", "node")
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('w', w, 'x', c))), " +
+          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x)").as("delta"))
+      val lvlDone = lower
+        .join(folded, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("level"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+      val merged = finalized.unionByName(lvlDone).localCheckpoint(true)
+      graft.ops.Checkpoints.free(finalized)
+      finalized = merged
+    }
+    val out = finalized.where(col("node") =!= col("seed"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_seeds"),
+        expr("aggregate(array_sort(collect_list(named_struct('s', seed, 'x', delta))), " +
+          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x)").as("bc"))
+      .select(col("node"), col("n_seeds"),
+        (floor(col("bc") * 1e4) / 1e4).as("betweenness"))
+      .orderBy("node")
+    graft.ops.Checkpoints.finishFreeing(out, edges, sym, seeds, ds, finalized)
+  }
+
   private def closenessBody(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("u").as("a"), col("v").as("b"))
       .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
@@ -1277,6 +1364,70 @@ object Graph {
           |                       / CAST(sum(level) AS DOUBLE) * 1e4) / 1e4
           |       END AS closeness
           |FROM lv GROUP BY seed ORDER BY seed""".stripMargin,
+      // horizon-bounded Brandes, statically unrolled: 8 forward
+      // level/σ CTEs (NOT EXISTS = the left-anti settle check), then 8
+      // backward dependency CTEs folding successor terms in w order via
+      // list(… ORDER BY) + list_aggregate — the exact plan the Spark body
+      // runs, level for level.
+      "graph_betweenness" -> {
+        // every CTE is MATERIALIZED: DuckDB inlines multiply-referenced
+        // CTEs, and with ~30 of them referencing sym/s8 the inlined tree
+        // re-opened the lineitem parquet past the fd limit (measured:
+        // "Too many open files"); materialization caps it at one scan.
+        val head =
+          """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            |ok8 AS MATERIALIZED (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+            |e AS MATERIALIZED (
+            |  SELECT a.pk AS u, b.pk AS v
+            |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            |  JOIN ok8 ON a.ok = ok8.ok
+            |  GROUP BY 1, 2 HAVING count(*) >= 2
+            |),
+            |sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+            |seeds AS MATERIALIZED (
+            |  SELECT node AS seed FROM (SELECT DISTINCT a AS node FROM sym)
+            |  ORDER BY md5(concat(CAST(node AS VARCHAR), '|btw')), node LIMIT 4
+            |),
+            |l0 AS MATERIALIZED (SELECT seed, seed AS node, 0 AS level, CAST(1 AS BIGINT) AS sigma FROM seeds),
+            |s0 AS MATERIALIZED (SELECT * FROM l0)""".stripMargin
+        val fwd = (1 to 8).map { r =>
+          s"""l$r AS MATERIALIZED (
+             |  SELECT p.seed, e2.a AS node, $r AS level, CAST(sum(p.sigma) AS BIGINT) AS sigma
+             |  FROM sym e2 JOIN l${r - 1} p ON e2.b = p.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} x
+             |                    WHERE x.seed = p.seed AND x.node = e2.a)
+             |  GROUP BY 1, 2
+             |),
+             |s$r AS MATERIALIZED (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM l$r)""".stripMargin
+        }.mkString(",\n")
+        val rim = "d8 AS MATERIALIZED (SELECT seed, node, level, sigma, 0.0 AS delta FROM s8 WHERE level = 8)"
+        val back = (7 to 0 by -1).map { l =>
+          s"""c$l AS MATERIALIZED (
+             |  SELECT lo.seed, lo.node,
+             |         list_aggregate(list(CAST(lo.sigma AS DOUBLE) / CAST(hi.sigma AS DOUBLE)
+             |           * (1.0 + hi.delta) ORDER BY hi.node), 'sum') AS delta
+             |  FROM sym e2
+             |  JOIN d${l + 1} hi ON e2.b = hi.node
+             |  JOIN (SELECT * FROM s8 WHERE level = $l) lo
+             |    ON lo.node = e2.a AND lo.seed = hi.seed
+             |  GROUP BY 1, 2
+             |),
+             |d$l AS MATERIALIZED (
+             |  SELECT l2.seed, l2.node, l2.level, l2.sigma, coalesce(c2.delta, 0.0) AS delta
+             |  FROM (SELECT * FROM s8 WHERE level = $l) l2
+             |  LEFT JOIN c$l c2 ON c2.seed = l2.seed AND c2.node = l2.node
+             |)""".stripMargin
+        }.mkString(",\n")
+        val alld = (0 to 8).map(l => s"SELECT * FROM d$l").mkString(" UNION ALL ")
+        s"""$head,
+           |$fwd,
+           |$rim,
+           |$back,
+           |alld AS MATERIALIZED ($alld)
+           |SELECT node, count(*) AS n_seeds,
+           |       floor(list_aggregate(list(delta ORDER BY seed), 'sum') * 1e4) / 1e4 AS betweenness
+           |FROM alld WHERE node <> seed GROUP BY node ORDER BY node""".stripMargin
+      },
       "graph_hits" -> {
         // 1e-9-quantized max normalization — mirrors hitsBody exactly
         def norm(src: String, key: String): String =

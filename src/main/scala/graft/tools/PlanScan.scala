@@ -31,6 +31,7 @@ object PlanScan {
       "scan_csv_typed", "scan_csv_malformed", "scan_jsonl", "scan_xml_typed",
       "sink_partitioned", "join_bucketed", "scan_binary", "graph_cc",
       "graph_bfs_levels", "graph_kcore", "graph_closeness",
+      "graph_betweenness", // eager 16-round BFS+Brandes loop (closeness)
       "geo_dbscan_label") // pointer-jump loop executes eagerly (graph_cc)
 
   /** Lazy pre-checkpoint twins for keys whose registry route executes

@@ -505,4 +505,54 @@ class GraphSpec extends SparkSpec {
     // seed's eccentricity sits strictly inside the cap
     got.values.foreach { case (_, ecc, _) => assert(ecc < 8, ecc) }
   }
+
+  test("graph_betweenness matches a driver horizon-bounded Brandes with identical fold orders") {
+    val edges = supportedEdges(sf0001)
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = adj.keys.toSeq.sortBy(n => (md5hex(s"$n|btw"), n)).take(4)
+    // (seed, node) -> delta, mirroring the key's exact IEEE fold orders
+    val deltas = seeds.flatMap { s =>
+      // forward: level-synchronous BFS with exact path counts
+      var level = Map(s -> 0)
+      var sigma = Map(s -> 1L)
+      (1 to 8).foreach { r =>
+        val frontier = level.filter(_._2 == r - 1).keys
+        val contrib = frontier.toSeq.flatMap(u =>
+          adj.getOrElse(u, Set.empty[Long]).map(v => v -> sigma(u)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        contrib.foreach { case (v, sg) =>
+          if (!level.contains(v)) { level += v -> r; sigma += v -> sg }
+        }
+      }
+      // backward: process levels high -> low; per node fold successor
+      // terms in successor-id order (the key's array_sort order)
+      var delta = Map.empty[Long, Double]
+      val maxL = level.values.max
+      (maxL to 0 by -1).foreach { l =>
+        level.filter(_._2 == l).keys.foreach { v =>
+          val terms = adj.getOrElse(v, Set.empty[Long]).toSeq
+            .filter(w => level.get(w).contains(l + 1)).sorted
+            .map(w => sigma(v).toDouble / sigma(w).toDouble
+              * (1.0 + delta.getOrElse(w, 0.0)))
+          delta += v -> terms.foldLeft(0.0)(_ + _)
+        }
+      }
+      level.keys.filter(_ != s).map(v => (s, v, delta.getOrElse(v, 0.0)))
+    }
+    // per node: fold its seed deltas in seed order (the key's final fold)
+    val expect = deltas.groupBy(_._2).view.mapValues { vs =>
+      val bc = vs.sortBy(_._1).map(_._3).foldLeft(0.0)(_ + _)
+      (vs.size.toLong, math.floor(bc * 1e4) / 1e4)
+    }.toMap
+    val got = SparkEntry.queries("graph_betweenness")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // at least one genuine bridge node must carry positive betweenness,
+    // or the fixture exercises nothing
+    assert(got.values.exists(_._2 > 0), "no positive betweenness in fixture")
+  }
 }

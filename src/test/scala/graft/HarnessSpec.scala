@@ -51,7 +51,7 @@ class HarnessSpec extends SparkSpec {
     assert(sideEffect == Set("scan_csv_typed", "scan_csv_malformed", "scan_jsonl",
       "scan_xml_typed", "sink_partitioned", "join_bucketed", "scan_binary",
       "graph_cc", "graph_bfs_levels", "graph_kcore", "graph_closeness",
-      "geo_dbscan_label"),
+      "graph_betweenness", "geo_dbscan_label"),
       s"unexpected non-streaming PlanScan skips: $sideEffect")
   }
 
