@@ -843,6 +843,42 @@ object Llm {
     "llm_dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerified(s, Tables.documents(s, d), threshold = 0.5)),
 
+    // K2a-eval — MEASURED LSH recall curve (added r9): `llm_lsh_curve`
+    // publishes the analytic banding S-curve P(capture) = 1−(1−J⁴)²;
+    // this key MEASURES it on the real corpus — the eval that validates
+    // the dedup pipeline's recall contract instead of assuming it.
+    // Ground truth = the exact prefix-filtered AllPairs pairs at J ≥ 0.5
+    // (`Dedup.jaccardBitmask`, same-language by its semantics — recall is
+    // measured over same-lang true pairs, documented); candidates = the
+    // SAME 2×4 MinHash banding `llm_dedup_minhash` joins on. Pairs bucket
+    // by their (round-4) Jaccard decile; per bucket: true pairs, captured
+    // pairs, measured recall, and the analytic curve at the bucket
+    // midpoint for side-by-side reading. Cost = the near-dup exactness
+    // bill + one banded join — both collision-structured, never corpus².
+    "llm_lsh_recall" -> ((s, d) => {
+      val truth = Dedup.jaccardBitmask(s, Tables.documents(s, d), threshold = 0.5)
+        .select("a_id", "b_id", "jacc")
+      val bands = Dedup.bandKeys(tokensDistinct(s, d)).localCheckpoint(true)
+      val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
+      val r = bands.select(col("doc_id").as("b_id"),
+        col("band_i").as("bi2"), col("band_v").as("bv2"))
+      val cand = l.join(r, col("band_i") === col("bi2") && col("band_v") === col("bv2")
+          && col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val curve = floor((lit(1.0) - pow(lit(1.0)
+        - pow((col("bucket").cast("double") + 0.5) / 10.0, 4.0), 2.0)) * 1e4) / 1e4
+      truth.join(cand.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+        .withColumn("bucket", least(floor(col("jacc") * 10).cast("long"), lit(9L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_captured"))
+        .select(col("bucket"), col("n_true"), col("n_captured"),
+          (floor(col("n_captured").cast("double") / col("n_true").cast("double")
+            * 1e4) / 1e4).as("recall_measured"),
+          curve.as("recall_analytic"))
+        .orderBy("bucket")
+    }),
+
     // K2a-inc — incremental dedup (the daily-ingest production shape):
     // the newest 100 docs are the "batch", everything before them the
     // "corpus"; the batch is LSH-checked against the corpus band index
@@ -4372,6 +4408,41 @@ object Llm {
         |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // measured recall = the near-dup truth CTEs left-joined against the
+    // minhash banding CTEs, bucketed by (round-4) Jaccard decile
+    "llm_lsh_recall" ->
+      s"""WITH $tokCte,
+        |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |truth AS (
+        |  SELECT a_id, b_id,
+        |         round(CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter), 4) AS jacc
+        |  FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |  WHERE CAST(n_inter AS DOUBLE) / (na.ntok + nb.ntok - n_inter) >= 0.5
+        |),
+        |${Dedup.bandsCte},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
+        |),
+        |fl AS (
+        |  SELECT LEAST(CAST(floor(t.jacc * 10) AS BIGINT), 9) AS bucket,
+        |         CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM truth t LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id
+        |),
+        |bk AS (
+        |  SELECT bucket, count(*) AS n_true, CAST(sum(hit) AS BIGINT) AS n_captured
+        |  FROM fl GROUP BY 1
+        |)
+        |SELECT bucket, n_true, n_captured,
+        |       floor(CAST(n_captured AS DOUBLE) / CAST(n_true AS DOUBLE) * 1e4) / 1e4 AS recall_measured,
+        |       floor((1.0 - power(1.0 - power((CAST(bucket AS DOUBLE) + 0.5) / 10.0, 4.0), 2.0)) * 1e4) / 1e4 AS recall_analytic
+        |FROM bk ORDER BY bucket""".stripMargin,
     // Connected components in SQL: WITH RECURSIVE computes each node's
     // reachable set; a component's id is the minimum reachable node —
     // exactly the fixpoint Dedup.clusters' min-label propagation reaches.

@@ -289,4 +289,25 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("zip_with"), "expected the single-word path")
     df.count() // executes
   }
+
+  test("llm_lsh_recall: measured S-curve rises, captures bounded by truth, all deciles live") {
+    val rows = SparkEntry.queries("llm_lsh_recall")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // threshold-0.5 truth yields exactly the 0.5..0.9 deciles on this corpus
+    assert(rows.keySet == Set(5L, 6L, 7L, 8L, 9L), rows.keySet.toString)
+    rows.values.foreach { case (t, c, rm, ra) =>
+      assert(c <= t, "captured pairs cannot exceed true pairs")
+      assert(rm >= 0.0 && rm <= 1.0 && ra >= 0.0 && ra <= 1.0)
+    }
+    // the S-curve must actually rise across the measured range — a broken
+    // banding (e.g. constant band keys) would flatten it at 1.0, a broken
+    // join at 0.0
+    assert(rows(9L)._3 > rows(5L)._3 + 0.3,
+      s"no S-curve rise: bucket5=${rows(5L)._3} bucket9=${rows(9L)._3}")
+    // measured stays in the analytic curve's neighborhood (same banding)
+    rows.foreach { case (b, (_, _, rm, ra)) =>
+      assert(math.abs(rm - ra) < 0.15, s"bucket $b: measured $rm vs analytic $ra")
+    }
+  }
 }
