@@ -1965,6 +1965,86 @@ object Aggs {
             .otherwise(lit(0L)).as("srm_flag"))
     }),
 
+    // D-DID — difference-in-differences (added r9): the quasi-experiment
+    // readout completing the experiment family (ttest/srm/cuped measure a
+    // randomized split; DiD measures a ROLLOUT — treatment arrives for
+    // one cohort at a point in time, the control cohort's drift is the
+    // counterfactual). Cohorts = md5-parity at user grain (the srm
+    // discipline), periods = the exact epoch-day midpoint (the
+    // mix_decompose discipline); the 2×2 cell table is exact µ-unit
+    // sums/counts, every mean one fixed IEEE divide, and the estimate
+    // did = (t₁−t₀) − (c₁−c₀) one fixed IEEE expression, floor-1e-4.
+    // One event-grain aggregation to 4 cells — nothing after is
+    // data-sized.
+    "agg_did" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("ed", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("arm",
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2)
+      val rng = ev.agg(min("ed").as("d0"), max("ed").as("d1"))
+      val cells = ev.crossJoin(broadcast(rng))
+        .withColumn("period",
+          when(col("ed") * 2 <= col("d0") + col("d1"), lit(0L)).otherwise(lit(1L)))
+        .groupBy("arm", "period")
+        .agg(count(lit(1)).as("n"), sum("vq").as("sv"))
+        .localCheckpoint(true) // 4 cells
+      def cell(a: Int, p: Int) = cells.where(col("arm") === a && col("period") === p)
+        .select((col("sv").cast("double") / col("n").cast("double") / 1e6).as(s"m$a$p"),
+          col("n").as(s"n$a$p"))
+      cell(0, 0).crossJoin(cell(0, 1)).crossJoin(cell(1, 0)).crossJoin(cell(1, 1))
+        .select(col("n00"), col("n01"), col("n10"), col("n11"),
+          (floor(col("m00") * 1e4) / 1e4).as("ctrl_pre"),
+          (floor(col("m01") * 1e4) / 1e4).as("ctrl_post"),
+          (floor(col("m10") * 1e4) / 1e4).as("treat_pre"),
+          (floor(col("m11") * 1e4) / 1e4).as("treat_post"),
+          (floor(((col("m11") - col("m10")) - (col("m01") - col("m00")))
+            * 1e4) / 1e4).as("did"))
+    }),
+
+    // D-MDE — experiment power analysis (added r9): the minimum
+    // detectable effect at 80 % power / 5 % two-sided α for an equal-
+    // split test on the value KPI — the readout that decides whether an
+    // experiment is WORTH RUNNING before anyone flips a flag, completing
+    // the design side of the family (ttest judges after, this sizes
+    // before). mde = (z_{α/2} + z_β)·√(2σ²/n) with the conventional
+    // z = 1.96 / 0.84 constants; σ² from exact DECIMAL(38,0) moments
+    // (order-free), n = users per arm from the md5-parity assignment;
+    // per-arm rows so the readout also exposes the arm imbalance.
+    // One scan to user grain, one user-grain fold to 2 rows.
+    "agg_power_mde" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val u = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id")
+        .agg(sum("vq").as("sv"), count(lit(1)).as("n"))
+        .select(col("user_id"),
+          (col("sv").cast("double") / col("n").cast("double") / 1e6).as("yu"),
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).as("arm"))
+        .withColumn("yq", floor(col("yu") * 1e6).cast("long"))
+      // per-user means re-quantized to exact µ-unit longs so the arm
+      // moments are order-free integer sums (no ordered fold needed)
+      val arms = u.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("yq")).as("s1"),
+          sum(col("yq").cast(dec) * col("yq")).as("s2"))
+      val nd = col("n_users").cast("double")
+      val varY = ((col("s2").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double") / nd)
+        / (nd - 1.0)) / 1e12
+      arms.select(col("arm"), col("n_users"),
+          (floor(col("s1").cast("double") / nd / 1e6 * 1e4) / 1e4).as("mean"),
+          (floor(varY * 1e4) / 1e4).as("variance"),
+          // 2.8 as ONE literal (1.96 + 0.84 summed in IEEE lands 1 ulp off
+          // DuckDB's parsed 2.8 — a floor-edge risk for nothing)
+          (floor(lit(2.8) * sqrt(lit(2.0) * varY / nd) * 1e4) / 1e4).as("mde"))
+        .orderBy("arm")
+    }),
+
     // D-CUPED — variance-reduced A/B readout (CUPED, Deng et al. WSDM'13;
     // added r9): the experiment-analysis layer above `agg_ab_ttest` /
     // `agg_ab_srm` — each user's PRE-period mean is the control covariate
@@ -3274,6 +3354,65 @@ object Aggs {
         |       CASE WHEN CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
         |                 / CAST(n0 + n1 AS DOUBLE) > 3.84 THEN 1 ELSE 0 END AS srm_flag
         |FROM agg""".stripMargin,
+    "agg_did" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         datediff('day', DATE '1970-01-01',
+        |                  CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS ed,
+        |         CAST(floor(value * 1e6) AS BIGINT) AS vq,
+        |         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 2 AS arm
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |rng AS (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev),
+        |cells AS (
+        |  SELECT arm,
+        |         CASE WHEN ed * 2 <= (SELECT d0 FROM rng) + (SELECT d1 FROM rng)
+        |              THEN 0 ELSE 1 END AS period,
+        |         count(*) AS n, CAST(sum(vq) AS BIGINT) AS sv
+        |  FROM ev GROUP BY 1, 2
+        |),
+        |m AS (SELECT arm, period, n,
+        |             CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mu FROM cells)
+        |SELECT c00.n AS n00, c01.n AS n01, c10.n AS n10, c11.n AS n11,
+        |       floor(c00.mu * 1e4) / 1e4 AS ctrl_pre,
+        |       floor(c01.mu * 1e4) / 1e4 AS ctrl_post,
+        |       floor(c10.mu * 1e4) / 1e4 AS treat_pre,
+        |       floor(c11.mu * 1e4) / 1e4 AS treat_post,
+        |       floor(((c11.mu - c10.mu) - (c01.mu - c00.mu)) * 1e4) / 1e4 AS did
+        |FROM (SELECT * FROM m WHERE arm = 0 AND period = 0) c00
+        |CROSS JOIN (SELECT * FROM m WHERE arm = 0 AND period = 1) c01
+        |CROSS JOIN (SELECT * FROM m WHERE arm = 1 AND period = 0) c10
+        |CROSS JOIN (SELECT * FROM m WHERE arm = 1 AND period = 1) c11""".stripMargin,
+    "agg_power_mde" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sv,
+        |         count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |),
+        |uq AS (
+        |  SELECT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 2 AS arm,
+        |         CAST(floor(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e6)
+        |              AS BIGINT) AS yq
+        |  FROM u
+        |),
+        |arms AS (
+        |  SELECT arm, count(*) AS n_users, CAST(sum(yq) AS BIGINT) AS s1,
+        |         sum(CAST(yq AS HUGEINT) * CAST(yq AS HUGEINT)) AS s2
+        |  FROM uq GROUP BY 1
+        |)
+        |SELECT arm, n_users,
+        |       floor(CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE) / 1e6 * 1e4) / 1e4 AS mean,
+        |       floor((CAST(s2 AS DOUBLE)
+        |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |             / (CAST(n_users AS DOUBLE) - 1.0) / 1e12 * 1e4) / 1e4 AS variance,
+        |       floor(2.8 * sqrt(2.0 * ((CAST(s2 AS DOUBLE)
+        |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |             / (CAST(n_users AS DOUBLE) - 1.0) / 1e12)
+        |             / CAST(n_users AS DOUBLE)) * 1e4) / 1e4 AS mde
+        |FROM arms ORDER BY arm""".stripMargin,
     "agg_cuped" ->
       """WITH ev AS (
         |  SELECT user_id,
