@@ -258,7 +258,8 @@ class PlanShapeSpec extends SparkSpec {
     //   - Dedup.assignTokenIds vocabulary window (one row per DISTINCT
     //     token, gated at 10M with the documented RDD zipWithIndex route
     //     past it — Dedup.scala LargeVocab): llm_dedup_incremental,
-    //     llm_dedup_lsh_verified, llm_dedup_near
+    //     llm_dedup_lsh_verified, llm_dedup_near, and llm_lsh_recall
+    //     (whose truth side IS jaccardBitmask — same vocabulary window)
     //   - agg_survival_km duration-grain risk window (one row per distinct
     //     duration — bounded by observation-window days, never corpus size)
     //   - graph_degree_dist CCDF window (one row per distinct degree value
@@ -270,6 +271,7 @@ class PlanShapeSpec extends SparkSpec {
       "agg_rfm", "llm_vocab_coverage", "llm_zipf_slope", "win_analytic",
       "llm_shard_plan",
       "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near",
+      "llm_lsh_recall",
       "agg_survival_km", "graph_degree_dist", "agg_pareto")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
