@@ -2004,6 +2004,55 @@ object Aggs {
             * 1e4) / 1e4).as("did"))
     }),
 
+    // D-SEQ — sequential A/B monitoring (added r9): the cumulative
+    // day-by-day z statistic an experimenter actually watches — the
+    // "peeking" readout (each row = the decision state had you stopped
+    // that day), completing the family's time axis (ttest = one final
+    // look; this = every look). Day × arm cells are exact µ-unit sums;
+    // CUMULATIVE moments are window sums of exact longs over the
+    // day-grain table (bounded by the observation window — the
+    // agg_survival_km allowlist argument, never event-sized), and each
+    // day's Welch z is one fixed IEEE expression of those exact
+    // cumulative integers, floor-1e-4. The crossing flag |z| > 2.48
+    // (~α=0.0066, a Bonferroni-ish 25-look guard) marks the first day a
+    // naive peeker would have stopped.
+    "agg_ab_sequential" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cells = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("day", col("ts").cast("date"))
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("arm",
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2)
+        .groupBy("day", "arm")
+        .agg(count(lit(1)).as("n"), sum("vq").as("s1"),
+          sum(col("vq").cast(dec) * col("vq")).as("s2"))
+      val w = Window.partitionBy("arm").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells
+        .withColumn("cn", sum("n").over(w))
+        .withColumn("cs1", sum("s1").over(w))
+        .withColumn("cs2", sum("s2").over(w))
+        .select("day", "arm", "cn", "cs1", "cs2")
+      val a0 = cum.where(col("arm") === 0)
+        .select(col("day"), col("cn").as("n0"), col("cs1").as("sa0"), col("cs2").as("ss0"))
+      val a1 = cum.where(col("arm") === 1)
+        .select(col("day").as("day1"), col("cn").as("n1"), col("cs1").as("sa1"), col("cs2").as("ss1"))
+      def m(s1c: org.apache.spark.sql.Column, nc: org.apache.spark.sql.Column) = s1c.cast("double") / nc.cast("double") / 1e6
+      def v(s2c: org.apache.spark.sql.Column, s1c: org.apache.spark.sql.Column, nc: org.apache.spark.sql.Column) =
+        ((s2c.cast("double") - s1c.cast("double") * s1c.cast("double") / nc.cast("double"))
+          / (nc.cast("double") - 1.0)) / 1e12
+      val z = (m(col("sa1"), col("n1")) - m(col("sa0"), col("n0"))) /
+        sqrt(v(col("ss1"), col("sa1"), col("n1")) / col("n1").cast("double")
+          + v(col("ss0"), col("sa0"), col("n0")) / col("n0").cast("double"))
+      a0.join(a1, col("day") === col("day1"))
+        .select(col("day"), col("n0"), col("n1"),
+          (floor(z * 1e4) / 1e4).as("z"),
+          when(abs(z) > 2.48, lit(1L)).otherwise(lit(0L)).as("crossed"))
+        .orderBy("day")
+    }),
+
     // D-MDE — experiment power analysis (added r9): the minimum
     // detectable effect at 80 % power / 5 % two-sided α for an equal-
     // split test on the value KPI — the readout that decides whether an
@@ -3384,6 +3433,47 @@ object Aggs {
         |CROSS JOIN (SELECT * FROM m WHERE arm = 0 AND period = 1) c01
         |CROSS JOIN (SELECT * FROM m WHERE arm = 1 AND period = 0) c10
         |CROSS JOIN (SELECT * FROM m WHERE arm = 1 AND period = 1) c11""".stripMargin,
+    "agg_ab_sequential" ->
+      """WITH cells AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 2 AS arm,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS s1,
+        |         sum(CAST(floor(value * 1e6) AS HUGEINT)
+        |             * CAST(floor(value * 1e6) AS HUGEINT)) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT day, arm,
+        |         CAST(sum(n) OVER wa AS BIGINT) AS cn,
+        |         CAST(sum(s1) OVER wa AS BIGINT) AS cs1,
+        |         sum(s2) OVER wa AS cs2
+        |  FROM cells
+        |  WINDOW wa AS (PARTITION BY arm ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |),
+        |j AS (
+        |  SELECT a0.day, a0.cn AS n0, a0.cs1 AS sa0, a0.cs2 AS ss0,
+        |         a1.cn AS n1, a1.cs1 AS sa1, a1.cs2 AS ss1
+        |  FROM (SELECT * FROM cum WHERE arm = 0) a0
+        |  JOIN (SELECT * FROM cum WHERE arm = 1) a1 ON a0.day = a1.day
+        |),
+        |zt AS (
+        |  SELECT day, n0, n1,
+        |         (CAST(sa1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e6
+        |          - CAST(sa0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1e6)
+        |         / sqrt(((CAST(ss1 AS DOUBLE)
+        |                  - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |                 / (CAST(n1 AS DOUBLE) - 1.0)) / 1e12 / CAST(n1 AS DOUBLE)
+        |                + ((CAST(ss0 AS DOUBLE)
+        |                  - CAST(sa0 AS DOUBLE) * CAST(sa0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |                 / (CAST(n0 AS DOUBLE) - 1.0)) / 1e12 / CAST(n0 AS DOUBLE)) AS z
+        |  FROM j
+        |)
+        |SELECT day, n0, n1, floor(z * 1e4) / 1e4 AS z,
+        |       CASE WHEN abs(z) > 2.48 THEN 1 ELSE 0 END AS crossed
+        |FROM zt ORDER BY day""".stripMargin,
     "agg_power_mde" ->
       """WITH u AS (
         |  SELECT user_id,
