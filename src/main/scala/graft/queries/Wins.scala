@@ -237,6 +237,38 @@ object Wins {
         .orderBy("user_id", "session_no")
     }),
 
+    // E12' — local-peak detection with prominence (added r9): the spike
+    // readout `win_zscore_anomaly`/`win_mad_anomaly` can't give — not
+    // "how unusual is this value" but "is this a LOCAL MAXIMUM and by
+    // how much", the shape primitive under busy-hour analysis, alarm
+    // de-bouncing and event counting. A sample is a peak when it is
+    // strictly greater than ALL four ±2 neighbors in its entity's
+    // (ts, event_id) order (strict > means same-height plateaus emit NO
+    // peak — deterministic where tie-broken plateau picks would depend
+    // on convention); prominence-lite = height above the tallest
+    // neighbor. Everything is exact µ-unit long comparisons — no float
+    // crosses a row; interior-only (all 4 neighbors must exist) so the
+    // series edge can't fake a peak. One entity-keyed shuffle.
+    "win_peak_detect" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val base = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("m2", lag("vq", 2).over(w))
+        .withColumn("m1", lag("vq", 1).over(w))
+        .withColumn("p1", lead("vq", 1).over(w))
+        .withColumn("p2", lead("vq", 2).over(w))
+        .where(col("m2").isNotNull && col("m1").isNotNull
+          && col("p1").isNotNull && col("p2").isNotNull
+          && col("vq") > col("m2") && col("vq") > col("m1")
+          && col("vq") > col("p1") && col("vq") > col("p2"))
+      base.select(col("event_id"), col("user_id"),
+          col("vq").as("value_microunits"),
+          (col("vq") - greatest(col("m2"), col("m1"), col("p1"), col("p2")))
+            .as("prominence_microunits"))
+        .orderBy("event_id")
+    }),
+
     // E12 — rolling z-score anomaly flags (added r3): each sample scored
     // against the trailing 20-sample mean/stddev of its own entity — the
     // adaptive-baseline variant of the reference's fixed-threshold trigger.
@@ -1568,6 +1600,24 @@ object Wins {
         |       min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM g GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+    "win_peak_detect" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |w AS (
+        |  SELECT event_id, user_id, vq,
+        |         lag(vq, 2) OVER wf AS m2, lag(vq, 1) OVER wf AS m1,
+        |         lead(vq, 1) OVER wf AS p1, lead(vq, 2) OVER wf AS p2
+        |  FROM e WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id, vq AS value_microunits,
+        |       vq - GREATEST(m2, m1, p1, p2) AS prominence_microunits
+        |FROM w
+        |WHERE m2 IS NOT NULL AND m1 IS NOT NULL AND p1 IS NOT NULL AND p2 IS NOT NULL
+        |  AND vq > m2 AND vq > m1 AND vq > p1 AND vq > p2
+        |ORDER BY event_id""".stripMargin,
     "win_zscore_anomaly" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |w AS (
