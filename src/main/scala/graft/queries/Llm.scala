@@ -3393,6 +3393,35 @@ object Llm {
     // float crosses a row). One scan to the 2×2 confusion (map-side
     // partial), po/pe/κ closed-form IEEE from exact counts, floor-1e-4;
     // pe = 1 (a constant judge pair) guards to NULL.
+    // K — judge calibration curve (added r9): the reliability diagram for
+    // a cheap graded signal against a binary label — beside
+    // `llm_cohens_kappa` (agreement of two binary judges) this asks the
+    // GRADED question: when the length-based confidence says 0.7, is the
+    // lexical-diversity label true ~70 % of the time? Confidence =
+    // min(n_chars, 1000)/1000 (an exact 1e-3 rational), label = the
+    // kappa key's exact integer distinct-ratio test; buckets from the
+    // exact integer ⌊cq·10/1000⌋ (cap 9). Per bucket: n, mean confidence,
+    // observed rate, |gap| — all single IEEE expressions of exact sums,
+    // floor-1e-4. One scan, decile-grain output.
+    "llm_judge_calibration" -> ((s, d) => {
+      val j = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .select(least(col("n_chars"), lit(1000L)).as("cq"),
+          when(size(array_distinct(col("toks"))) * 2 >= size(col("toks")), lit(1L))
+            .otherwise(lit(0L)).as("y"))
+        .withColumn("bucket",
+          least(floor(col("cq").cast("double") * 10 / 1000.0).cast("long"), lit(9L)))
+      val conf = col("sc").cast("double") / col("n").cast("double") / 1000.0
+      val obs = col("sy").cast("double") / col("n").cast("double")
+      j.groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("cq").as("sc"), sum("y").as("sy"))
+        .select(col("bucket"), col("n").as("n_docs"),
+          (floor(conf * 1e4) / 1e4).as("confidence"),
+          (floor(obs * 1e4) / 1e4).as("observed"),
+          (floor(abs(conf - obs) * 1e4) / 1e4).as("gap"))
+        .orderBy("bucket")
+    }),
+
     "llm_cohens_kappa" -> ((s, d) => {
       val j = Tables.documents(s, d)
         .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
@@ -6363,6 +6392,26 @@ object Llm {
          |FROM v3 JOIN gtot ON v3.i = gtot.i LEFT JOIN wins ON v3.i = wins.i
          |ORDER BY source""".stripMargin
     },
+    "llm_judge_calibration" ->
+      """WITH j AS (
+        |  SELECT LEAST(n_chars, 1000) AS cq,
+        |         CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+        |                                     t -> len(t) > 0))) * 2
+        |                   >= len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |),
+        |b AS (
+        |  SELECT LEAST(CAST(floor(CAST(cq AS DOUBLE) * 10 / 1000.0) AS BIGINT), 9) AS bucket,
+        |         count(*) AS n, CAST(sum(cq) AS BIGINT) AS sc, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT bucket, n AS n_docs,
+        |       floor(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 * 1e4) / 1e4 AS confidence,
+        |       floor(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) * 1e4) / 1e4 AS observed,
+        |       floor(abs(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0
+        |                 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * 1e4) / 1e4 AS gap
+        |FROM b ORDER BY bucket""".stripMargin,
     "llm_cohens_kappa" ->
       """WITH j AS (
         |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS j1,
