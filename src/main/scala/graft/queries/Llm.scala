@@ -3446,6 +3446,44 @@ object Llm {
         (floor(pe * 1e4) / 1e4).as("pe"),
         when(pe < 1.0, floor((po - pe) / (lit(1.0) - pe) * 1e4) / 1e4).as("kappa"))
     }),
+
+    // K — per-source calibration scalars (added r9): ECE + Brier score of
+    // the graded length-confidence against the lexical-diversity label —
+    // the scalar companions to `llm_judge_calibration`'s per-decile curve,
+    // and the readout an eval harness actually gates on ("is source X's
+    // judge trustworthy enough to auto-label?"). Both statistics reduce
+    // to EXACT integer arithmetic: confidence is the exact rational
+    // cq/1000 (cq = min(n_chars,1000)), so ECE = Σ_b |1000·Σy_b − Σcq_b|
+    // / (1000·n) has an exact-long numerator (per-bucket signed gaps
+    // folded as absolute longs — order-free), and Brier = Σ(cq−1000y)²
+    // / (n·10⁶) sums exact per-row squares ≤ 10⁶ (≤ 5·10¹⁰ at sf0.1 —
+    // long-safe to ~9·10¹² docs). One scan → (source, decile) cells →
+    // source grain; the single IEEE divide per readout, floor-1e-4.
+    "llm_ece_brier" -> ((s, d) => {
+      val j = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .select(col("source"),
+          least(col("n_chars"), lit(1000L)).as("cq"),
+          when(size(array_distinct(col("toks"))) * 2 >= size(col("toks")), lit(1L))
+            .otherwise(lit(0L)).as("y"))
+        .withColumn("bucket",
+          least(floor(col("cq").cast("double") * 10 / 1000.0).cast("long"), lit(9L)))
+        .withColumn("sq",
+          (col("cq") - lit(1000L) * col("y")) * (col("cq") - lit(1000L) * col("y")))
+      j.groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n"), sum("cq").as("sc"),
+          sum("y").as("sy"), sum("sq").as("ss"))
+        .groupBy("source")
+        .agg(sum("n").as("n_docs"),
+          sum(abs(lit(1000L) * col("sy") - col("sc"))).as("eceNum"),
+          sum("ss").as("brierNum"))
+        .select(col("source"), col("n_docs"),
+          (floor(col("eceNum").cast("double")
+            / (col("n_docs").cast("double") * 1000.0) * 1e4) / 1e4).as("ece"),
+          (floor(col("brierNum").cast("double")
+            / (col("n_docs").cast("double") * 1e6) * 1e4) / 1e4).as("brier"))
+        .orderBy("source")
+    }),
   )
 
   // the shared oracle tok CTE lives beside its Spark twin in Dedup so the
@@ -6442,5 +6480,31 @@ object Llm {
         |       CASE WHEN pe < 1.0
         |            THEN floor((po - pe) / (1.0 - pe) * 1e4) / 1e4 END AS kappa
         |FROM k""".stripMargin,
+    "llm_ece_brier" ->
+      """WITH j AS (
+        |  SELECT source, LEAST(n_chars, 1000) AS cq,
+        |         CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+        |                                     t -> len(t) > 0))) * 2
+        |                   >= len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |),
+        |b AS (
+        |  SELECT source,
+        |         LEAST(CAST(floor(CAST(cq AS DOUBLE) * 10 / 1000.0) AS BIGINT), 9) AS bucket,
+        |         count(*) AS n, CAST(sum(cq) AS BIGINT) AS sc, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum((cq - 1000 * y) * (cq - 1000 * y)) AS BIGINT) AS ss
+        |  FROM j GROUP BY 1, 2
+        |),
+        |src AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |         CAST(sum(abs(1000 * sy - sc)) AS BIGINT) AS ece_num,
+        |         CAST(sum(ss) AS BIGINT) AS brier_num
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT source, n_docs,
+        |       floor(CAST(ece_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000.0) * 1e4) / 1e4 AS ece,
+        |       floor(CAST(brier_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6) * 1e4) / 1e4 AS brier
+        |FROM src ORDER BY source""".stripMargin,
   )
 }

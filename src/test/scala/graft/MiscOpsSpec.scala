@@ -2197,4 +2197,30 @@ class MiscOpsSpec extends SparkSpec {
     assert(n11 + n10 > 0 && n01 + n00 > 0, "judge1 constant")
     assert(n11 + n01 > 0 && n10 + n00 > 0, "judge2 constant")
   }
+
+  test("llm_ece_brier matches a driver recompute; bounds hold") {
+    val rows = Tables.documents(spark, sf0001)
+      .select("source", "text", "n_chars").collect().map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        val cq = math.min(numAt(r, 2), 1000L)
+        val y = if (toks.distinct.length * 2 >= toks.length) 1L else 0L
+        (r.getString(0), cq, y, math.min(cq * 10 / 1000, 9L))
+      }
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = rows.groupBy(_._1).map { case (src, rs) =>
+      val n = rs.length.toLong
+      val eceNum = rs.groupBy(_._4).values.map { b =>
+        math.abs(1000L * b.map(_._3).sum - b.map(_._2).sum)
+      }.sum
+      val brierNum = rs.map(r => (r._2 - 1000L * r._3) * (r._2 - 1000L * r._3)).sum
+      src -> ((n, fl(eceNum.toDouble / (n.toDouble * 1000.0)),
+        fl(brierNum.toDouble / (n.toDouble * 1e6))))
+    }
+    val got = SparkEntry.queries("llm_ece_brier")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+    // both statistics live in [0, 1] and the fixture is non-degenerate
+    assert(got.values.forall { case (_, e, b) => e >= 0 && e <= 1 && b >= 0 && b <= 1 })
+    assert(got.values.exists { case (_, e, b) => e > 0 && b > 0 })
+  }
 }
