@@ -2158,6 +2158,49 @@ object Aggs {
           (floor((lit(1.0) - varA / varY) * 1e4) / 1e4).as("var_reduction"))
         .orderBy("arm")
     }),
+
+    // D — Theil inequality indices per region (added r9): the decomposable
+    // inequality family beside `agg_gini` (rank-formulation) and `agg_hhi`
+    // (share-of-squares) — Theil T = Σ(x/X)·ln(x·n/X) weights by share
+    // (top-sensitive), Theil L (mean log deviation) = (1/n)Σ ln(X/(x·n))
+    // weights by head (bottom-sensitive); economists report both because
+    // they bound different tails, and T decomposes additively across
+    // subgroups (the reason it beats gini for drill-downs). Shares and
+    // totals are EXACT (positive balances as cent longs; per-region n, X
+    // from one groupBy); each per-row term is a single IEEE expression of
+    // exact ints (cents·n ≤ 3·10⁹ — double-exact), and the cross-row sums
+    // fold in customer-id order (array_sort+aggregate ↔ list(… ORDER
+    // BY)+list_aggregate) so both engines add identical IEEE sequences.
+    // Both indices ≥ 0 by Jensen; floor-1e-4. One scan + region-sized
+    // broadcast of totals; region-grain output.
+    "agg_theil_index" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .where(col("c_acctbal") > 0)
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").as("region"), col("c_custkey"),
+          floor(col("c_acctbal") * lit(100.0)).cast("long").as("cents"))
+      val tot = cust.groupBy("region")
+        .agg(count(lit(1)).as("n"), sum("cents").as("ctot"))
+      val terms = cust.join(broadcast(tot), "region")
+        .withColumn("tt",
+          (col("cents").cast("double") / col("ctot").cast("double"))
+            * log(col("cents").cast("double") * col("n").cast("double")
+              / col("ctot").cast("double")))
+        .withColumn("tl",
+          log(col("ctot").cast("double")
+            / (col("cents").cast("double") * col("n").cast("double"))))
+      def ofold(v: String) = expr(
+        s"aggregate(array_sort(collect_list(named_struct('u', c_custkey, 'x', $v))), " +
+          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x)")
+      terms.groupBy("region")
+        .agg(count(lit(1)).as("n_cust"), max("ctot").as("total_cents"),
+          ofold("tt").as("st"), ofold("tl").as("sl"))
+        .select(col("region"), col("n_cust"), col("total_cents"),
+          (floor(col("st") * 1e4) / 1e4).as("theil_t"),
+          (floor(col("sl") / col("n_cust").cast("double") * 1e4) / 1e4).as("theil_l"))
+        .orderBy("region")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -3566,5 +3609,35 @@ object Aggs {
         |                  / ((syy - sy * sy / CAST(n_users AS DOUBLE))
         |                     / (CAST(n_users AS DOUBLE) - 1.0))) * 1e4) / 1e4 AS var_reduction
         |FROM arms ORDER BY arm""".stripMargin,
+    "agg_theil_index" ->
+      """WITH c AS (
+        |  SELECT n.n_regionkey AS region, c_custkey,
+        |         CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents
+        |  FROM customer JOIN nation n ON c_nationkey = n.n_nationkey
+        |  WHERE c_acctbal > 0
+        |),
+        |tot AS (
+        |  SELECT region, count(*) AS n, CAST(sum(cents) AS BIGINT) AS ctot
+        |  FROM c GROUP BY 1
+        |),
+        |t AS (
+        |  SELECT c.region, c.c_custkey, tot.ctot,
+        |         (CAST(cents AS DOUBLE) / CAST(ctot AS DOUBLE))
+        |           * ln(CAST(cents AS DOUBLE) * CAST(n AS DOUBLE)
+        |                / CAST(ctot AS DOUBLE)) AS tt,
+        |         ln(CAST(ctot AS DOUBLE)
+        |            / (CAST(cents AS DOUBLE) * CAST(n AS DOUBLE))) AS tl
+        |  FROM c JOIN tot ON c.region = tot.region
+        |),
+        |s AS (
+        |  SELECT region, count(*) AS n_cust, max(ctot) AS total_cents,
+        |         list_aggregate(list(tt ORDER BY c_custkey), 'sum') AS st,
+        |         list_aggregate(list(tl ORDER BY c_custkey), 'sum') AS sl
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT region, CAST(n_cust AS BIGINT) AS n_cust, total_cents,
+        |       floor(st * 1e4) / 1e4 AS theil_t,
+        |       floor(sl / CAST(n_cust AS DOUBLE) * 1e4) / 1e4 AS theil_l
+        |FROM s ORDER BY region""".stripMargin,
   )
 }

@@ -2223,4 +2223,37 @@ class MiscOpsSpec extends SparkSpec {
     assert(got.values.forall { case (_, e, b) => e >= 0 && e <= 1 && b >= 0 && b <= 1 })
     assert(got.values.exists { case (_, e, b) => e > 0 && b > 0 })
   }
+
+  test("agg_theil_index matches a driver recompute; Jensen bounds hold") {
+    val nat = Tables.nation(spark, sf0001)
+      .select("n_nationkey", "n_regionkey").collect()
+      .map(r => numAt(r, 0) -> numAt(r, 1)).toMap
+    val rows = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .filter(r => r.getDouble(2) > 0)
+      .map(r => (nat(numAt(r, 1)), numAt(r, 0),
+        math.floor(r.getDouble(2) * 100.0).toLong))
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = rows.groupBy(_._1).map { case (region, rs) =>
+      val n = rs.length.toLong
+      val ctot = rs.map(_._3).sum
+      val sorted = rs.sortBy(_._2)
+      // identical fold order and per-term IEEE shape as the query
+      val st = sorted.foldLeft(0.0) { (acc, r) =>
+        acc + (r._3.toDouble / ctot.toDouble) *
+          math.log(r._3.toDouble * n.toDouble / ctot.toDouble)
+      }
+      val sl = sorted.foldLeft(0.0) { (acc, r) =>
+        acc + math.log(ctot.toDouble / (r._3.toDouble * n.toDouble))
+      }
+      region -> ((n, ctot, fl(st), fl(sl / n.toDouble)))
+    }
+    val got = SparkEntry.queries("agg_theil_index")(spark, sf0001).collect()
+      .map(r => numAt(r, 0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expect)
+    // Jensen: both indices nonnegative; fixture spreads balances so > 0
+    assert(got.values.forall { case (_, _, t, l) => t >= -1e-4 && l >= -1e-4 })
+    assert(got.values.exists { case (_, _, t, l) => t > 0 && l > 0 })
+  }
 }
