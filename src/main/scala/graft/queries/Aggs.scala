@@ -2201,6 +2201,48 @@ object Aggs {
           (floor(col("sl") / col("n_cust").cast("double") * 1e4) / 1e4).as("theil_l"))
         .orderBy("region")
     }),
+
+    // D — Tukey-fence outlier profile per event type (added r9): the IQR
+    // boxplot rule (outlier ⇔ x < Q1 − 1.5·IQR or x > Q3 + 1.5·IQR) —
+    // the distribution-free profiling twin of `win_zscore_anomaly`'s
+    // model-based flags, and what `agg_dq_checks`-style monitoring uses
+    // when no threshold is configured. Quartiles are TRUE type-1 order
+    // statistics from the value-histogram integer rank cuts (the
+    // winsorized_mean discipline — post-histogram work value-domain-
+    // sized, no per-row rank window), and the fence tests run in EXACT
+    // integers: 2·vq < 2·Q1 − 3·IQR avoids the 0.5-µunit half entirely,
+    // so NO float crosses a row. Readouts are fixed IEEE divides of
+    // exact longs, floor-1e-4. One scan + histogram-grain windows.
+    "agg_tukey_fence" -> ((s, d) => {
+      val hist = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value") * 1e6).cast("long").as("vq"))
+        .groupBy("event_type", "vq").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("event_type")
+      val bounds = hist
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(wAll))
+        .groupBy("event_type", "n")
+        .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("vq"))).as("q1"),
+          min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("vq"))).as("q3"))
+        .withColumn("iqr", col("q3") - col("q1"))
+      hist.join(bounds, "event_type")
+        .groupBy(col("event_type"), col("n"), col("q1"), col("q3"), col("iqr"))
+        .agg(
+          sum(when(col("vq") * 2 < col("q1") * 2 - col("iqr") * 3, col("c"))
+            .otherwise(0L)).as("n_low"),
+          sum(when(col("vq") * 2 > col("q3") * 2 + col("iqr") * 3, col("c"))
+            .otherwise(0L)).as("n_high"))
+        .select(col("event_type"), col("n"),
+          (floor(col("q1").cast("double") / 1e6 * 1e4) / 1e4).as("q1"),
+          (floor(col("q3").cast("double") / 1e6 * 1e4) / 1e4).as("q3"),
+          (floor(col("iqr").cast("double") / 1e6 * 1e4) / 1e4).as("iqr"),
+          col("n_low"), col("n_high"),
+          (floor((col("n_low") + col("n_high")).cast("double")
+            / col("n").cast("double") * 1e4) / 1e4).as("outlier_rate"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -3639,5 +3681,42 @@ object Aggs {
         |       floor(st * 1e4) / 1e4 AS theil_t,
         |       floor(sl / CAST(n_cust AS DOUBLE) * 1e4) / 1e4 AS theil_l
         |FROM s ORDER BY region""".stripMargin,
+    "agg_tukey_fence" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 1e6) AS BIGINT) AS vq, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT event_type, vq, c,
+        |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vq
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h
+        |),
+        |bounds AS (
+        |  SELECT event_type, n,
+        |         min(CASE WHEN cum >= (n + 3) // 4 THEN vq END) AS q1,
+        |         min(CASE WHEN cum >= (3 * n + 3) // 4 THEN vq END) AS q3,
+        |         min(CASE WHEN cum >= (3 * n + 3) // 4 THEN vq END)
+        |           - min(CASE WHEN cum >= (n + 3) // 4 THEN vq END) AS iqr
+        |  FROM cum GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT h.event_type, b.n, b.q1, b.q3, b.iqr,
+        |         CAST(sum(CASE WHEN h.vq * 2 < b.q1 * 2 - b.iqr * 3
+        |                       THEN h.c ELSE 0 END) AS BIGINT) AS n_low,
+        |         CAST(sum(CASE WHEN h.vq * 2 > b.q3 * 2 + b.iqr * 3
+        |                       THEN h.c ELSE 0 END) AS BIGINT) AS n_high
+        |  FROM h JOIN bounds b ON h.event_type = b.event_type
+        |  GROUP BY 1, 2, 3, 4, 5
+        |)
+        |SELECT event_type, n,
+        |       floor(CAST(q1 AS DOUBLE) / 1e6 * 1e4) / 1e4 AS q1,
+        |       floor(CAST(q3 AS DOUBLE) / 1e6 * 1e4) / 1e4 AS q3,
+        |       floor(CAST(iqr AS DOUBLE) / 1e6 * 1e4) / 1e4 AS iqr,
+        |       n_low, n_high,
+        |       floor(CAST(n_low + n_high AS DOUBLE) / CAST(n AS DOUBLE) * 1e4) / 1e4
+        |         AS outlier_rate
+        |FROM agg ORDER BY event_type""".stripMargin,
   )
 }

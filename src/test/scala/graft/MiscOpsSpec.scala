@@ -2256,4 +2256,30 @@ class MiscOpsSpec extends SparkSpec {
     assert(got.values.forall { case (_, _, t, l) => t >= -1e-4 && l >= -1e-4 })
     assert(got.values.exists { case (_, _, t, l) => t > 0 && l > 0 })
   }
+
+  test("agg_tukey_fence matches a driver order-statistic recompute") {
+    val rows = Tables.events(spark, sf0001)
+      .select("event_type", "value").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1) * 1e6).toLong)
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = rows.groupBy(_._1).map { case (et, rs) =>
+      val vs = rs.map(_._2).sorted
+      val n = vs.length.toLong
+      val q1 = vs(((n + 3) / 4 - 1).toInt)  // type-1: value at rank ceil(n/4)
+      val q3 = vs(((3 * n + 3) / 4 - 1).toInt)
+      val iqr = q3 - q1
+      val nLow = vs.count(v => 2 * v < 2 * q1 - 3 * iqr).toLong
+      val nHigh = vs.count(v => 2 * v > 2 * q3 + 3 * iqr).toLong
+      et -> ((n, fl(q1.toDouble / 1e6), fl(q3.toDouble / 1e6), fl(iqr.toDouble / 1e6),
+        nLow, nHigh, fl((nLow + nHigh).toDouble / n.toDouble)))
+    }
+    val got = SparkEntry.queries("agg_tukey_fence")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    assert(got == expect)
+    // fences sit strictly outside the box, and some type flags outliers
+    assert(got.values.forall { case (_, q1, q3, iqr, _, _, _) => q3 >= q1 && iqr >= 0 })
+    assert(got.values.exists { case (_, _, _, _, lo, hi, _) => lo + hi > 0 })
+  }
 }
