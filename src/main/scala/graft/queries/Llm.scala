@@ -3484,6 +3484,70 @@ object Llm {
             / (col("n_docs").cast("double") * 1e6) * 1e4) / 1e4).as("brier"))
         .orderBy("source")
     }),
+
+    // K — ROUGE-L via BIT-PARALLEL LCS (added r9): longest-common-
+    // SUBSEQUENCE overlap of each doc against its source-successor — the
+    // order-sensitive eval primitive beside `llm_self_bleu`'s clipped
+    // n-gram counts (BLEU rewards local phrase overlap; ROUGE-L rewards
+    // global ordering — swap the pairing for (candidate, reference) and
+    // this IS the summarization eval). The textbook DP is O(|A|·|B|)
+    // PER PAIR with a sequentially-dependent inner loop — poison for a
+    // columnar engine — so this runs the Allison–Dix bit-vector LCS
+    // instead: per reference token-position masks (exact longs, ≤ 60
+    // bits), then ONE O(|A|)-step fold of pure 64-bit integer ops
+    // V' = ((V + (V&M)) | (V & (full−M))) & full, LCS = rlen −
+    // popcount(V). Every op is exact integer arithmetic — NO float
+    // crosses the fold, both engines run the identical recurrence
+    // (list_reduce seeded by prepending full), and the per-step & full
+    // discards the carry bit so 60 steps can't overflow a long. Work is
+    // token-grain (pairs × |A| join rows, masks vocabulary-per-doc) —
+    // never |A|·|B| cells. Docs truncate to their first 60 tokens
+    // (prefix ROUGE-L, the declared envelope — one long fits 60
+    // positions with carry headroom). R/P/F single IEEE divides of the
+    // exact integer LCS, floor-1e-4.
+    "llm_rouge_l" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks",
+          slice(filter(split(col("text"), " "), t => length(t) > 0), 1, 60))
+        .where(size(col("toks")) >= 1)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = docs
+        .withColumn("ref_id", lead(col("doc_id"), 1).over(w))
+        .where(col("ref_id").isNotNull)
+        .select(col("doc_id"), col("ref_id"))
+        .localCheckpoint(true) // pair list: one row per doc with a successor
+      val atoks = docs
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+        .select(col("doc_id"), (col("p") + 1).as("i"), col("tok"))
+      val bmask = docs
+        .select(col("doc_id").as("ref_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+        .groupBy("ref_id", "tok")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), p)")).as("mask"))
+      val rl = docs.select(col("doc_id").as("ref_id"),
+        size(col("toks")).cast("long").as("rlen"))
+      val cl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("clen"))
+      pairs
+        .join(rl, "ref_id")
+        .withColumn("full",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(rlen AS INT)) - CAST(1 AS BIGINT)"))
+        .join(atoks, "doc_id")
+        .join(bmask, Seq("ref_id", "tok"), "left")
+        .withColumn("mv", coalesce(col("mask"), lit(0L)))
+        .groupBy("doc_id", "ref_id", "rlen", "full")
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('i', i, 'm', mv))), " +
+          "CAST(full AS BIGINT), " +
+          "(acc, e) -> ((acc + (acc & e.m)) | (acc & (full - e.m))) & full)").as("v"))
+        .join(cl, "doc_id")
+        .withColumn("lcs", col("rlen") - bit_count(col("v")).cast("long"))
+        .select(col("doc_id"), col("ref_id"), col("clen"), col("rlen"), col("lcs"),
+          (floor(col("lcs").cast("double") / col("rlen").cast("double") * 1e4) / 1e4)
+            .as("rouge_r"),
+          (floor(col("lcs").cast("double") / col("clen").cast("double") * 1e4) / 1e4)
+            .as("rouge_p"),
+          (floor(lit(2.0) * col("lcs").cast("double")
+            / (col("clen") + col("rlen")).cast("double") * 1e4) / 1e4).as("rouge_f"))
+        .orderBy("doc_id")
+    }),
   )
 
   // the shared oracle tok CTE lives beside its Spark twin in Dedup so the
@@ -6506,5 +6570,52 @@ object Llm {
         |       floor(CAST(ece_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000.0) * 1e4) / 1e4 AS ece,
         |       floor(CAST(brier_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6) * 1e4) / 1e4 AS brier
         |FROM src ORDER BY source""".stripMargin,
+    "llm_rouge_l" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         (list_filter(string_split(text, ' '), x -> len(x) > 0))[1:60] AS toks
+        |  FROM documents
+        |),
+        |d AS (SELECT * FROM t WHERE len(toks) >= 1),
+        |p AS (
+        |  SELECT doc_id, ref_id FROM (
+        |    SELECT doc_id,
+        |           lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+        |    FROM d
+        |  ) WHERE ref_id IS NOT NULL
+        |),
+        |a AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok FROM d),
+        |bm AS (
+        |  SELECT doc_id AS ref_id, tok, CAST(sum(1::BIGINT << (i - 1)) AS BIGINT) AS mask
+        |  FROM (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok FROM d)
+        |  GROUP BY 1, 2
+        |),
+        |rl AS (SELECT doc_id AS ref_id, CAST(len(toks) AS BIGINT) AS rlen FROM d),
+        |cl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS clen FROM d),
+        |seq AS (
+        |  SELECT p.doc_id, p.ref_id, rl.rlen, a.i, coalesce(bm.mask, 0) AS mv
+        |  FROM p JOIN rl ON p.ref_id = rl.ref_id
+        |       JOIN a ON p.doc_id = a.doc_id
+        |       LEFT JOIN bm ON p.ref_id = bm.ref_id AND a.tok = bm.tok
+        |),
+        |f AS (
+        |  SELECT doc_id, ref_id, rlen,
+        |         list_reduce(list_prepend((1::BIGINT << CAST(rlen AS INT)) - 1,
+        |                                  list(mv ORDER BY i)),
+        |           (acc, m) -> ((acc + (acc & m))
+        |                        | (acc & (((1::BIGINT << CAST(rlen AS INT)) - 1) - m)))
+        |                       & ((1::BIGINT << CAST(rlen AS INT)) - 1)) AS v
+        |  FROM seq GROUP BY 1, 2, 3
+        |)
+        |SELECT f.doc_id, f.ref_id, cl.clen, f.rlen,
+        |       f.rlen - CAST(bit_count(f.v) AS BIGINT) AS lcs,
+        |       floor(CAST(f.rlen - CAST(bit_count(f.v) AS BIGINT) AS DOUBLE)
+        |             / CAST(f.rlen AS DOUBLE) * 1e4) / 1e4 AS rouge_r,
+        |       floor(CAST(f.rlen - CAST(bit_count(f.v) AS BIGINT) AS DOUBLE)
+        |             / CAST(cl.clen AS DOUBLE) * 1e4) / 1e4 AS rouge_p,
+        |       floor(2.0 * CAST(f.rlen - CAST(bit_count(f.v) AS BIGINT) AS DOUBLE)
+        |             / CAST(cl.clen + f.rlen AS DOUBLE) * 1e4) / 1e4 AS rouge_f
+        |FROM f JOIN cl ON f.doc_id = cl.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
   )
 }

@@ -2282,4 +2282,44 @@ class MiscOpsSpec extends SparkSpec {
     assert(got.values.forall { case (_, q1, q3, iqr, _, _, _) => q3 >= q1 && iqr >= 0 })
     assert(got.values.exists { case (_, _, _, _, lo, hi, _) => lo + hi > 0 })
   }
+
+  test("llm_rouge_l bit-parallel LCS equals the classic DP recompute") {
+    // classic O(n·m) dynamic program — the textbook truth the bit-vector
+    // recurrence must reproduce token for token
+    def lcsDp(a: Array[String], b: Array[String]): Long = {
+      var prev = Array.fill(b.length + 1)(0)
+      a.foreach { x =>
+        val cur = Array.fill(b.length + 1)(0)
+        var j = 1
+        while (j <= b.length) {
+          cur(j) = if (b(j - 1) == x) prev(j - 1) + 1 else math.max(prev(j), cur(j - 1))
+          j += 1
+        }
+        prev = cur
+      }
+      prev(b.length).toLong
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (numAt(r, 0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).take(60)))
+      .filter(_._3.nonEmpty)
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    val expect = docs.groupBy(_._2).values.flatMap { ds =>
+      ds.map(_._1).sorted.sliding(2).filter(_.length == 2).map { case Array(c, ref) =>
+        val (a, b) = (byId(c), byId(ref))
+        val lcs = lcsDp(a, b)
+        c -> ((ref, a.length.toLong, b.length.toLong, lcs,
+          fl(lcs.toDouble / b.length), fl(lcs.toDouble / a.length),
+          fl(2.0 * lcs / (a.length + b.length))))
+      }
+    }.toMap
+    val got = SparkEntry.queries("llm_rouge_l")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got == expect)
+    // the fixture exercises non-trivial subsequences (not just 0 / full)
+    assert(got.values.exists { case (_, cl, rl, l, _, _, _) => l > 0 && l < math.min(cl, rl) })
+  }
 }
