@@ -269,6 +269,54 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E — dynamic time warping between consecutive octaves (added r9):
+    // DTW distance of each sample's trailing-8 window against the SAME
+    // entity's preceding-8 window — the elastic-alignment regime-change
+    // score (win_changepoint prices a MEAN shift; DTW prices a SHAPE
+    // shift, tolerant of phase drift a pointwise L1 would misprice as
+    // change). The 8×8 DP d[i][j] = |aᵢ−bⱼ| + min(d[i−1][j], d[i][j−1],
+    // d[i−1][j−1]) has a sequentially-dependent inner loop, so it's
+    // STATICALLY UNROLLED along 15 anti-diagonal waves — every cell a
+    // named column referencing only earlier waves (the Column tree would
+    // be 3¹⁴ nodes if inlined; named bindings keep it 64 expressions,
+    // and Catalyst collapses the 15 projections into one). ALL
+    // arithmetic is exact µ-unit longs — no float in the DP; the lone
+    // IEEE expression is the warp_gain readout 1 − dtw/L1 (DTW ≤ L1
+    // because the diagonal is a valid path — the spec's invariant),
+    // floor-1e-4. One entity-keyed shuffle; 64 integer ops/row.
+    "win_dtw" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      var base = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+      // a1..a8 = previous octave (lags 15..8); b1..b8 = current (lags 7..0)
+      for (i <- 1 to 8) base = base.withColumn(s"a$i", lag("vq", 16 - i).over(w))
+      for (j <- 1 to 7) base = base.withColumn(s"b$j", lag("vq", 8 - j).over(w))
+      base = base.withColumn("b8", col("vq"))
+      var df = base.where(col("a1").isNotNull)
+      for (k <- 2 to 16) {
+        val cols = for { i <- 1 to 8; j = k - i; if j >= 1 && j <= 8 } yield {
+          val c = abs(col(s"a$i") - col(s"b$j"))
+          val v =
+            if (i == 1 && j == 1) c
+            else if (i == 1) col(s"d_1_${j - 1}") + c
+            else if (j == 1) col(s"d_${i - 1}_1") + c
+            else c + least(col(s"d_${i - 1}_$j"), col(s"d_${i}_${j - 1}"),
+              col(s"d_${i - 1}_${j - 1}"))
+          v.as(s"d_${i}_$j")
+        }
+        df = df.select(col("*") +: cols.toSeq: _*)
+      }
+      val l1 = (1 to 8).map(i => abs(col(s"a$i") - col(s"b$i"))).reduce(_ + _)
+      df.withColumn("l1", l1)
+        .select(col("event_id"), col("user_id"),
+          col("d_8_8").as("dtw_microunits"), col("l1").as("l1_microunits"),
+          when(col("l1") > 0,
+            floor((lit(1.0) - col("d_8_8").cast("double") / col("l1").cast("double"))
+              * 1e4) / 1e4).otherwise(lit(0.0)).as("warp_gain"))
+        .orderBy("event_id")
+    }),
+
     // E12 — rolling z-score anomaly flags (added r3): each sample scored
     // against the trailing 20-sample mean/stddev of its own entity — the
     // adaptive-baseline variant of the reference's fixed-threshold trigger.
@@ -1337,6 +1385,47 @@ object Wins {
   private val hwTR = s"(0.2 * ($hwLV - acc[1]) + 0.8 * acc[2])"
   private val hwSN = s"(0.3 * (x[1] - $hwLV) + 0.7 * $hwSI)"
 
+  /** win_dtw's oracle, generated by the SAME anti-diagonal unroll as the
+    * Spark side (cell for cell — the two DPs cannot drift): 15 nested
+    * SELECTs each add one wave of named d_i_j columns, because inlining
+    * the recurrence would duplicate subtrees 3¹⁴-fold. All-long DP; the
+    * warp_gain readout is the lone IEEE expression (lateral alias). */
+  private def dtwSql: String = {
+    val nested = (2 to 16).foldLeft("SELECT * FROM t WHERE a1 IS NOT NULL") {
+      (inner, k) =>
+        val cols = for { i <- 1 to 8; j = k - i; if j >= 1 && j <= 8 } yield {
+          val c = s"abs(a$i - b$j)"
+          val v =
+            if (i == 1 && j == 1) c
+            else if (i == 1) s"d_1_${j - 1} + $c"
+            else if (j == 1) s"d_${i - 1}_1 + $c"
+            else s"$c + LEAST(d_${i - 1}_$j, d_${i}_${j - 1}, d_${i - 1}_${j - 1})"
+          s"$v AS d_${i}_$j"
+        }
+        s"SELECT *, ${cols.mkString(", ")} FROM ($inner)"
+    }
+    val lags = ((1 to 8).map(i => s"lag(vq, ${16 - i}) OVER wf AS a$i") ++
+      (1 to 7).map(j => s"lag(vq, ${8 - j}) OVER wf AS b$j")).mkString(", ")
+    val l1 = (1 to 8).map(i => s"abs(a$i - b$i)").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |         CAST(floor(value * 1e6) AS BIGINT) AS vq
+       |  FROM events WHERE value IS NOT NULL
+       |),
+       |t AS (
+       |  SELECT event_id, user_id, $lags, vq AS b8
+       |  FROM e WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |),
+       |dp AS ($nested)
+       |SELECT event_id, user_id, d_8_8 AS dtw_microunits,
+       |       $l1 AS l1_microunits,
+       |       CASE WHEN l1_microunits > 0
+       |            THEN floor((1.0 - CAST(d_8_8 AS DOUBLE)
+       |                        / CAST(l1_microunits AS DOUBLE)) * 1e4) / 1e4
+       |            ELSE 0.0 END AS warp_gain
+       |FROM dp ORDER BY event_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "win_acf" ->
       """WITH e AS (
@@ -1618,6 +1707,7 @@ object Wins {
         |WHERE m2 IS NOT NULL AND m1 IS NOT NULL AND p1 IS NOT NULL AND p2 IS NOT NULL
         |  AND vq > m2 AND vq > m1 AND vq > p1 AND vq > p2
         |ORDER BY event_id""".stripMargin,
+    "win_dtw" -> dtwSql,
     "win_zscore_anomaly" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |w AS (

@@ -2322,4 +2322,43 @@ class MiscOpsSpec extends SparkSpec {
     // the fixture exercises non-trivial subsequences (not just 0 / full)
     assert(got.values.exists { case (_, cl, rl, l, _, _, _) => l > 0 && l < math.min(cl, rl) })
   }
+
+  test("win_dtw unrolled DP equals a driver DTW recompute; dtw <= L1") {
+    def dtw(a: Array[Long], b: Array[Long]): Long = {
+      val d = Array.ofDim[Long](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length) {
+        val c = math.abs(a(i - 1) - b(j - 1))
+        d(i)(j) =
+          if (i == 1 && j == 1) c
+          else if (i == 1) d(1)(j - 1) + c
+          else if (j == 1) d(i - 1)(1) + c
+          else c + math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+      }
+      d(a.length)(b.length)
+    }
+    val series = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (numAt(r, 0), (numAt(r, 1), numAt(r, 2),
+        math.floor(r.getDouble(3) * 1e6).toLong)))
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> rs.map(_._2).sortBy(t => (t._1, t._2))
+      }
+    val expect = series.flatMap { case (_, s) =>
+      s.indices.drop(15).map { t =>
+        val win = s.slice(t - 15, t + 1).map(_._3)
+        val (a, b) = (win.take(8), win.drop(8))
+        val l1 = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+        s(t)._2 -> ((dtw(a, b), l1))
+      }
+    }
+    val got = SparkEntry.queries("win_dtw")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect.toMap)
+    // the diagonal is a valid warping path, and warping genuinely helps
+    // somewhere on a random-ish fixture
+    assert(got.values.forall { case (d, l1) => d <= l1 })
+    assert(got.values.exists { case (d, l1) => d < l1 })
+  }
 }
