@@ -3485,6 +3485,60 @@ object Llm {
         .orderBy("source")
     }),
 
+    // K — Mixture-of-Experts routing audit (added r9): route every
+    // embedding to its top-2 of 8 "experts" (the shared Lloyd centroids)
+    // and report the per-expert LOAD BALANCE — top-1 load f_e, capacity
+    // demand (top-2), mean softmax gate probability P_e, and the Switch
+    // Transformer auxiliary-loss contribution k·f_e·P_e (Fedus et al.;
+    // a balanced router reads aux ≈ 1 per expert, a collapsed router
+    // concentrates it). This is the data-side readout MoE training
+    // pipelines gate on: routed token distribution BEFORE the GPUs see
+    // the imbalance. Determinism: cosines via the exact sequential
+    // vec_dot against floor-quantized centroids (the lloyd recipe);
+    // softmax folds exp(csim) in cell order per vector and P_e folds in
+    // vec_id order per expert — both engines add identical sequences;
+    // ties (csim, cell asc). Work: |v|×8 affinity rows — linear; expert
+    // grain output. At 100 TB experts stay k-sized (broadcast), the
+    // affinity scan is the one pass.
+    "llm_moe_route" -> ((s, d) => {
+      val v = vecs(s, d).select("vec_id", "embedding", "norm")
+      val asg = graft.ops.Ivf.lloyd(v, k = 8, rounds = 3)
+      val cent = graft.ops.Ivf.centroidsOf(asg)
+      val aff = v.crossJoin(broadcast(cent))
+        .withColumn("csim", dot(col("embedding"), col("centroid"))
+          / (col("norm") * col("cnorm")))
+        .select(col("vec_id"), col("cell"), col("csim"))
+        .localCheckpoint(true) // 8·|v| affinity rows, read by gate + route
+      val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+      val gated = aff
+        .groupBy("vec_id")
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('c', cell, 'e', exp(csim)))), " +
+          "CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.e)").as("z"))
+      val routed = aff.withColumn("rn", row_number().over(wA)).where(col("rn") <= 2)
+        .join(gated, "vec_id")
+        .withColumn("p", exp(col("csim")) / col("z"))
+      val n = v.agg(count(lit(1)).as("n_vecs"))
+      routed.groupBy("cell")
+        .agg(
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_top1"),
+          count(lit(1)).as("n_top2"),
+          expr("aggregate(array_sort(collect_list(named_struct('v', vec_id, " +
+            "'p', CASE WHEN rn = 1 THEN p ELSE CAST(0.0 AS DOUBLE) END))), " +
+            "CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.p)").as("sp"))
+        .crossJoin(broadcast(n))
+        .select(col("cell").as("expert"), col("n_top1"), col("n_top2"),
+          (floor(col("n_top1").cast("double") / col("n_vecs").cast("double") * 1e4)
+            / 1e4).as("load_frac"),
+          when(col("n_top1") > 0,
+            floor(col("sp") / col("n_top1").cast("double") * 1e4) / 1e4)
+            .otherwise(lit(0.0)).as("mean_gate"),
+          when(col("n_top1") > 0,
+            floor(lit(8.0) * (col("n_top1").cast("double") / col("n_vecs").cast("double"))
+              * (col("sp") / col("n_top1").cast("double")) * 1e4) / 1e4)
+            .otherwise(lit(0.0)).as("aux_loss"))
+        .orderBy("expert")
+    }),
+
     // K — ROUGE-L via BIT-PARALLEL LCS (added r9): longest-common-
     // SUBSEQUENCE overlap of each doc against its source-successor — the
     // order-sensitive eval primitive beside `llm_self_bleu`'s clipped
@@ -4336,6 +4390,71 @@ object Llm {
       |       unnest(t.centroid) AS c
       |FROM ctF t JOIN occ o USING (cell)
       |ORDER BY t.cell, i""".stripMargin
+
+  /** `llm_moe_route` oracle: the shared Lloyd chain's FINAL centroids
+    * (the same ctF/cnF tail as [[kmeansLloydSql]]) as the 8 experts,
+    * then all-expert cosine affinities, a cell-ordered softmax fold, and
+    * top-2 routing with vec-ordered per-expert gate-probability folds —
+    * CTE for CTE the Spark plan. `aff` is MATERIALIZED (referenced by
+    * both the softmax total and the routing — the kcore lesson). */
+  private def moeRouteSql(k: Int, rounds: Int): String =
+    s"""WITH ${kmeansChainSql(k, rounds)},
+      |pxF AS (
+      |  SELECT cell, unnest(range(1, len(embedding) + 1)) AS i,
+      |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      |  FROM a$rounds
+      |),
+      |cmF AS (
+      |  SELECT cell, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
+      |  FROM pxF GROUP BY 1, 2
+      |),
+      |ctF AS (
+      |  SELECT cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
+      |  FROM cmF GROUP BY cell
+      |),
+      |cnF AS (
+      |  SELECT cell, centroid,
+      |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
+      |  FROM ctF
+      |),
+      |aff AS MATERIALIZED (
+      |  SELECT a.vec_id, c.cell,
+      |         list_aggregate(list_transform(list_zip(a.embedding, c.centroid),
+      |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
+      |           / (a.norm * c.cnorm) AS csim
+      |  FROM v a CROSS JOIN cnF c
+      |),
+      |z AS (
+      |  SELECT vec_id, list_aggregate(list(exp(csim) ORDER BY cell), 'sum') AS z
+      |  FROM aff GROUP BY 1
+      |),
+      |routed AS (
+      |  SELECT r.vec_id, r.cell, r.rn, exp(r.csim) / z.z AS p
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                     ORDER BY csim DESC, cell) AS rn
+      |        FROM aff) r
+      |  JOIN z ON r.vec_id = z.vec_id
+      |  WHERE r.rn <= 2
+      |),
+      |nv AS (SELECT count(*) AS n_vecs FROM v),
+      |g AS (
+      |  SELECT cell, CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top1,
+      |         count(*) AS n_top2,
+      |         list_aggregate(list(CASE WHEN rn = 1 THEN p ELSE 0.0 END
+      |                             ORDER BY vec_id), 'sum') AS sp
+      |  FROM routed GROUP BY 1
+      |)
+      |SELECT cell AS expert, n_top1, CAST(n_top2 AS BIGINT) AS n_top2,
+      |       floor(CAST(n_top1 AS DOUBLE) / CAST(n_vecs AS DOUBLE) * 1e4) / 1e4
+      |         AS load_frac,
+      |       CASE WHEN n_top1 > 0
+      |            THEN floor(sp / CAST(n_top1 AS DOUBLE) * 1e4) / 1e4
+      |            ELSE 0.0 END AS mean_gate,
+      |       CASE WHEN n_top1 > 0
+      |            THEN floor($k.0 * (CAST(n_top1 AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+      |                       * (sp / CAST(n_top1 AS DOUBLE)) * 1e4) / 1e4
+      |            ELSE 0.0 END AS aux_loss
+      |FROM g CROSS JOIN nv ORDER BY expert""".stripMargin
 
   /** `llm_cluster_eval` oracle: the shared Lloyd chain + per-cluster
     * label-majority purity over the final assignment. */
@@ -5712,6 +5831,7 @@ object Llm {
     "llm_embed_pca_power" -> pcaPowerSql,
     "llm_embed_whiten" -> embedWhitenSql,
     "llm_kmeans_lloyd" -> kmeansLloydSql(8, 3),
+    "llm_moe_route" -> moeRouteSql(8, 3),
     "llm_cluster_eval" -> clusterEvalSql(8, 3),
     "llm_recall_graph" ->
       s"""WITH $nnDescentCtes,

@@ -2361,4 +2361,35 @@ class MiscOpsSpec extends SparkSpec {
     assert(got.values.forall { case (d, l1) => d <= l1 })
     assert(got.values.exists { case (d, l1) => d < l1 })
   }
+
+  test("llm_moe_route conserves mass and matches an independent argmax route") {
+    val rows = SparkEntry.queries("llm_moe_route")(spark, sf0001).collect()
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "top-1 loads partition the corpus")
+    assert(rows.map(_.getLong(2)).sum == 2 * nVecs, "every vector routes to 2 experts")
+    rows.foreach { r =>
+      val (load, gate, aux) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(load >= 0 && load <= 1)
+      // softmax over 8 experts: top-1 prob in (1/8 - eps, 1]
+      assert(gate > 0.125 - 1e-4 && gate <= 1.0, s"gate $gate out of range")
+      assert(aux >= 0)
+    }
+    // independent top-1 route: argmax cosine vs the same final centroids,
+    // computed through a different expression (struct max, no window)
+    import org.apache.spark.sql.functions._
+    val v = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("norm"))
+    val asg = graft.ops.Ivf.lloyd(v.select("vec_id", "embedding", "norm"), k = 8, rounds = 3)
+    val cent = graft.ops.Ivf.centroidsOf(asg)
+    val top1 = v.crossJoin(broadcast(cent))
+      .withColumn("csim", call_function("vec_dot", col("embedding"), col("centroid"))
+        / (col("norm") * col("cnorm")))
+      .groupBy("vec_id")
+      .agg(expr("min_by(cell, named_struct('s', -csim, 'c', cell))").as("cell"))
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotLoads = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLoads.filter(_._2 > 0) == top1)
+  }
 }
