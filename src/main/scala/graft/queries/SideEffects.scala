@@ -372,6 +372,49 @@ object SideEffects {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("d")
     }),
+
+    // A — Z-ORDER layout (added r9): multi-dimensional clustering as a
+    // STORE operator — interleave the bits of two query dimensions
+    // (balance octile × nation mod 8) into a 6-bit Morton value and
+    // partition the store by it, so a 2-D RECTANGLE predicate becomes a
+    // 1-D partition prune (the Delta/Iceberg OPTIMIZE ZORDER idea, and
+    // at 100 TB the difference between scanning 12/64 of the store and
+    // all of it — data skipping no single-column sort can give both
+    // dimensions at once). The rectangle x∈[2,5] × y∈[1,3] reads exactly
+    // its 12 covering Morton cells (enumerated — at 3+3 bits the cover
+    // IS the cell list, no litmax/bigmin walk needed) as a partition
+    // filter plus the exact residual predicate; the oracle recomputes
+    // the aggregate straight from the source, so the hash proves the
+    // cell cover is COMPLETE (a missed cell = missing rows), while
+    // StoreSpec pins that pruning actually happens (PartitionFilters,
+    // 12 of 64 directories) and that the pruned read equals the
+    // brute-force scan. Bucketing arithmetic is identical IEEE on both
+    // engines; all sums exact cent longs.
+    "store_zorder" -> ((s, d) => {
+      val out = scratch("cust_zorder")
+      def bit(c: String, i: Int) = s"(($c div ${1 << i}) % 2)"
+      val zExpr = (0 until 3).map(i =>
+        s"${bit("xb", i)} * ${1 << (2 * i + 1)} + ${bit("yb", i)} * ${1 << (2 * i)}")
+        .mkString(" + ")
+      Tables.customer(s, d)
+        .withColumn("cents", floor(col("c_acctbal") * lit(100.0)).cast("long"))
+        .withColumn("xb",
+          least(floor((col("c_acctbal") + lit(1000.0)) / lit(1375.0)), lit(7.0))
+            .cast("int"))
+        .withColumn("yb", (col("c_nationkey") % 8).cast("int"))
+        .withColumn("z", expr(zExpr).cast("int"))
+        .repartition(col("z"))
+        .write.mode("overwrite").partitionBy("z").parquet(out)
+      val cells = for { x <- 2 to 5; y <- 1 to 3 } yield
+        (0 until 3).map(i => (((x >> i) & 1) << (2 * i + 1))
+          | (((y >> i) & 1) << (2 * i))).sum
+      s.read.parquet(out)
+        .where(col("z").isin(cells: _*))
+        .where(col("xb") >= 2 && col("xb") <= 5 && col("yb") >= 1 && col("yb") <= 3)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"))
+        .orderBy("c_nationkey")
+    }),
   )
 
   // Each oracle recomputes the round-trip's output directly from the
@@ -452,6 +495,17 @@ object SideEffects {
     "sink_partitioned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,
+    "store_zorder" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents,
+        |         CAST(LEAST(floor((c_acctbal + 1000.0) / 1375.0), 7.0) AS INT) AS xb,
+        |         CAST(c_nationkey % 8 AS INT) AS yb
+        |  FROM customer
+        |)
+        |SELECT c_nationkey, count(*) AS n_cust, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c
+        |WHERE xb BETWEEN 2 AND 5 AND yb BETWEEN 1 AND 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_schema_merge" ->
       """SELECT 1 AS b, count(*) AS n, CAST(0 AS BIGINT) AS n_adj,
         |       round(sum(value), 4) AS sum_value

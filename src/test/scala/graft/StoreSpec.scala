@@ -296,4 +296,39 @@ class StoreSpec extends SparkSpec {
     // with no cooldown the identical inputs re-raise everything
     assert(Triggers.evaluate(again, rules).count() == 3)
   }
+
+  test("store_zorder prunes to the rectangle's 12 Morton cells and loses no rows") {
+    val got = SparkEntry.queries("store_zorder")(spark, sf0001)
+    val rows = got.collect()
+    // the write happened: all 64 Morton cells exist as directories
+    val dirs = new java.io.File("/root/repo/target/scratch/cust_zorder")
+      .listFiles().filter(_.getName.startsWith("z=")).map(_.getName.stripPrefix("z=").toInt).toSet
+    // tiny fixture: a few of the 64 cells may be empty, but most exist
+    assert(dirs.size >= 48 && dirs.forall(z => z >= 0 && z <= 63),
+      s"unexpected z dirs: $dirs")
+    // pruning is real: the pruned read lists exactly the covering cells
+    // that exist on disk (12 at full occupancy)
+    val cells = (for { x <- 2 to 5; y <- 1 to 3 } yield
+      (0 until 3).map(i => (((x >> i) & 1) << (2 * i + 1))
+        | (((y >> i) & 1) << (2 * i))).sum).toSet
+    assert(cells.size == 12)
+    val pruned = spark.read.parquet("/root/repo/target/scratch/cust_zorder")
+      .where(col("z").isin(cells.toSeq: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [z"), plan.take(2000))
+    assert(pruned.select("z").distinct().count() == (cells & dirs).size)
+    // completeness: the pruned rectangle aggregate equals brute force
+    // over the full store (the GeoSpec blocked-vs-brute argument)
+    def numAt(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+      case l: Long => l; case n: Int => n.toLong; case x => x.toString.toLong
+    }
+    val brute = spark.read.parquet("/root/repo/target/scratch/cust_zorder")
+      .where(col("xb") >= 2 && col("xb") <= 5 && col("yb") >= 1 && col("yb") <= 3)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"))
+      .collect().map(r => (numAt(r, 0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(r => (numAt(r, 0), r.getLong(1), r.getLong(2))).toSet == brute)
+    // the rectangle's y range keeps only nations with nation mod 8 in [1,3]
+    assert(rows.nonEmpty && rows.forall(r => (numAt(r, 0) % 8) >= 1 && (numAt(r, 0) % 8) <= 3))
+  }
 }
