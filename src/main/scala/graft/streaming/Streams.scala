@@ -702,6 +702,50 @@ object Streams {
     // readout, per day). Both estimate branches live across fixtures
     // (sf0.001 days hold < 64 distinct users — sketch IS the set, exact;
     // sf0.1 days exceed k — the (k−1)/(h_k/2⁶⁰) estimate path).
+    // I — streaming histogram quantiles (added r9): per-day p50/p90/p99
+    // served from FIXED-BIN histogram state — the mergeable-summary
+    // quantile the batch `agg_hist_quantile` key computes, maintained AS
+    // the streaming aggregation. An open day's state is ≤ 40 (bucket,
+    // count) longs regardless of traffic (exact quantiles would hold the
+    // day's values; a histogram is the bounded-state trade a 100 TB/day
+    // latency dashboard actually makes — same state story as
+    // stream_kmv_distinct's bottom-k). Counts are exact integers and
+    // arrival-order/merge-shape free, so the drained histogram is
+    // deterministic and the readout (integer rank cuts + one linear
+    // interpolation per quantile) matches the batch oracle bit for bit.
+    "stream_hist_quantile" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("bucket",
+          least(greatest(floor(col("value") / 25), lit(0.0)), lit(39.0)).cast("long"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val hist = drain(s, agg, "graft_stream_histq", OutputMode.Complete())
+        .select(col("window.start").as("day"), col("bucket"), col("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("day").orderBy("bucket")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("day")
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wAll))
+      val targets = cum.select("day", "n").distinct()
+        .select(col("day"), col("n"), explode(expr(
+          "array(named_struct('q', '50', 'tgt', (n + 1) div 2), " +
+            "named_struct('q', '90', 'tgt', (9 * n + 9) div 10), " +
+            "named_struct('q', '99', 'tgt', (99 * n + 99) div 100))")).as("t"))
+        .select(col("day"), col("n"), col("t.q").as("q"), col("t.tgt").as("tgt"))
+      targets.join(cum.select("day", "bucket", "cnt", "cum"), "day")
+        .where(col("cum") >= col("tgt"))
+        .groupBy("day", "q", "n", "tgt")
+        .agg(min_by(struct(col("bucket"), col("cnt"), col("cum")), col("bucket")).as("b"))
+        .select(col("day"), col("q"), col("n"),
+          round((col("b.bucket") * 25).cast("double") +
+            lit(25.0) * (col("tgt") - (col("b.cum") - col("b.cnt"))).cast("double")
+              / col("b.cnt").cast("double"), 4).as("q_est"))
+        .orderBy("day", "q")
+    }),
+
     "stream_kmv_distinct" -> ((s, d) => {
       val kmvAgg = udaf(new graft.functions.Kmv(64))
       val agg = eventsStream(s, d)
@@ -1324,6 +1368,36 @@ object Streams {
           |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
           |FROM v JOIN c USING (user_id) JOIN p USING (user_id)
           |ORDER BY v.user_id""".stripMargin,
+      "stream_hist_quantile" ->
+        """WITH h AS (
+          |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+          |         CAST(LEAST(GREATEST(floor(value / 25), 0), 39) AS BIGINT) AS bucket,
+          |         count(*) AS cnt
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+          |),
+          |c AS (
+          |  SELECT day, bucket, cnt,
+          |         sum(cnt) OVER (PARTITION BY day ORDER BY bucket) AS cum,
+          |         sum(cnt) OVER (PARTITION BY day) AS n
+          |  FROM h
+          |),
+          |t AS (SELECT DISTINCT day, n FROM c),
+          |q AS (
+          |  SELECT day, n, '50' AS q, (n + 1) // 2 AS tgt FROM t
+          |  UNION ALL SELECT day, n, '90', (9 * n + 9) // 10 FROM t
+          |  UNION ALL SELECT day, n, '99', (99 * n + 99) // 100 FROM t
+          |),
+          |pick AS (
+          |  SELECT q.day, q.q, q.n, q.tgt, min(c.bucket) AS bucket
+          |  FROM q JOIN c ON c.day = q.day AND c.cum >= q.tgt
+          |  GROUP BY 1, 2, 3, 4
+          |)
+          |SELECT p.day, p.q, CAST(p.n AS BIGINT) AS n,
+          |       round(CAST(p.bucket * 25 AS DOUBLE)
+          |             + 25.0 * CAST(p.tgt - (c.cum - c.cnt) AS DOUBLE)
+          |               / CAST(c.cnt AS DOUBLE), 4) AS q_est
+          |FROM pick p JOIN c ON c.day = p.day AND c.bucket = p.bucket
+          |ORDER BY p.day, p.q""".stripMargin,
       "stream_kmv_distinct" ->
         """WITH e AS (
           |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

@@ -413,6 +413,48 @@ class StreamingSpec extends SparkSpec {
       "fixture must exercise both alarm states")
   }
 
+  test("stream_hist_quantile equals the batch histogram readout; quantiles ordered") {
+    val stream = graft.streaming.Streams.queries("stream_hist_quantile")(spark, sf0001)
+      .collect()
+    assert(stream.nonEmpty)
+    // batch twin: per-day fixed-bin histogram + the same rank-cut readout
+    val hist = Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("bucket",
+        least(greatest(floor(col("value") / 25), lit(0.0)), lit(39.0)).cast("long"))
+      .groupBy("day", "bucket").count()
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    val expect = hist.groupBy(_._1).flatMap { case (day, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      Seq(("50", (n + 1) / 2), ("90", (9 * n + 9) / 10), ("99", (99 * n + 99) / 100))
+        .map { case (q, tgt) =>
+          var cum = 0L
+          val (bucket, cnt, cumAt) = sorted.map { case (_, b, c) =>
+            cum += c; (b, c, cum)
+          }.find(_._3 >= tgt).get
+          val est = bucket * 25.0 + 25.0 * (tgt - (cumAt - cnt)).toDouble / cnt.toDouble
+          (day, q) -> ((n, math.rint(est * 1e4) / 1e4))
+        }
+    }
+    val got = stream.map(r => (r.getTimestamp(0), r.getString(1))
+      -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // rounding: Spark round() is HALF_UP on the shortest decimal repr;
+    // compare with a ±1e-4 tolerance on the interpolated estimate and
+    // exactly on n
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (n, est)) =>
+      assert(n == expect(k)._1)
+      assert(math.abs(est - expect(k)._2) <= 1e-4, s"$k: $est vs ${expect(k)._2}")
+    }
+    // per day: p50 <= p90 <= p99
+    stream.groupBy(_.getTimestamp(0)).values.foreach { rs =>
+      val m = rs.map(r => r.getString(1) -> r.getDouble(3)).toMap
+      assert(m("50") <= m("90") && m("90") <= m("99"))
+    }
+  }
+
   test("stream_kmv_distinct equals the batch Kmv aggregation; sketch bounded by k") {
     val stream = graft.streaming.Streams.queries("stream_kmv_distinct")(spark, sf0001)
       .collect()
