@@ -3539,6 +3539,42 @@ object Llm {
         .orderBy("expert")
     }),
 
+    // K — naive-Bayes discriminative tokens (added r9): train the
+    // data-side half of a fastText-style quality classifier — per-token
+    // Laplace-smoothed log-odds ln((n₁+1)/(N₁+2)) − ln((n₀+1)/(N₀+2))
+    // between the lexical-diversity classes, report the 50 most
+    // discriminative tokens (min df 5). This is how production quality
+    // filters bootstrap (CCNet/fastText: label a seed corpus with a
+    // cheap heuristic, train token weights, score everything); the
+    // token table IS the model. Shapes: one scan → per-doc distinct
+    // presence explode → vocabulary-grain class counts; the two ln's are
+    // row-local on exact integer rationals (no accumulation); selection
+    // orders by (|log_odds| desc, token) — the tfidf_terms tie policy.
+    // Vocabulary-grain throughout; the class totals broadcast as one row.
+    "llm_nb_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("y",
+          when(size(array_distinct(col("toks"))) * 2 >= size(col("toks")), lit(1L))
+            .otherwise(lit(0L)))
+      val cls = docs.agg(sum("y").as("n_pos_docs"),
+        sum(lit(1L) - col("y")).as("n_neg_docs"))
+      val tokCls = docs
+        .select(col("y"), explode(array_distinct(col("toks"))).as("token"))
+        .groupBy("token")
+        .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+        .where(col("n_pos") + col("n_neg") >= 5)
+      tokCls.crossJoin(broadcast(cls))
+        .withColumn("lo",
+          log((col("n_pos") + 1).cast("double") / (col("n_pos_docs") + 2).cast("double"))
+            - log((col("n_neg") + 1).cast("double") / (col("n_neg_docs") + 2).cast("double")))
+        .orderBy(abs(col("lo")).desc, col("token"))
+        .limit(50)
+        .select(col("token"), col("n_pos"), col("n_neg"),
+          (floor(col("lo") * 1e4) / 1e4).as("log_odds"))
+        .orderBy("token")
+    }),
+
     // K — ROUGE-L via BIT-PARALLEL LCS (added r9): longest-common-
     // SUBSEQUENCE overlap of each doc against its source-successor — the
     // order-sensitive eval primitive beside `llm_self_bleu`'s clipped
@@ -6690,6 +6726,37 @@ object Llm {
         |       floor(CAST(ece_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000.0) * 1e4) / 1e4 AS ece,
         |       floor(CAST(brier_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6) * 1e4) / 1e4 AS brier
         |FROM src ORDER BY source""".stripMargin,
+    "llm_nb_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |),
+        |docs AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM t
+        |),
+        |cls AS (
+        |  SELECT CAST(sum(y) AS BIGINT) AS n_pos_docs,
+        |         CAST(sum(1 - y) AS BIGINT) AS n_neg_docs
+        |  FROM docs
+        |),
+        |pres AS (SELECT y, unnest(list_distinct(toks)) AS token FROM docs),
+        |tc AS (
+        |  SELECT token, CAST(sum(y) AS BIGINT) AS n_pos,
+        |         CAST(sum(1 - y) AS BIGINT) AS n_neg
+        |  FROM pres GROUP BY 1 HAVING sum(y) + sum(1 - y) >= 5
+        |),
+        |sc AS (
+        |  SELECT token, n_pos, n_neg,
+        |         ln(CAST(n_pos + 1 AS DOUBLE) / CAST(n_pos_docs + 2 AS DOUBLE))
+        |         - ln(CAST(n_neg + 1 AS DOUBLE) / CAST(n_neg_docs + 2 AS DOUBLE)) AS lo
+        |  FROM tc CROSS JOIN cls
+        |)
+        |SELECT token, n_pos, n_neg, floor(lo * 1e4) / 1e4 AS log_odds
+        |FROM (SELECT * FROM sc ORDER BY abs(lo) DESC, token LIMIT 50)
+        |ORDER BY token""".stripMargin,
     "llm_rouge_l" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -2392,4 +2392,30 @@ class MiscOpsSpec extends SparkSpec {
     val gotLoads = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotLoads.filter(_._2 > 0) == top1)
   }
+
+  test("llm_nb_tokens matches a driver log-odds recompute") {
+    val docs = Tables.documents(spark, sf0001).select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val labeled = docs.map(t => (t.distinct.toSet, if (t.distinct.length * 2 >= t.length) 1L else 0L))
+    val nPos = labeled.count(_._2 == 1L).toLong
+    val nNeg = labeled.length - nPos
+    val counts = labeled.flatMap { case (ts, y) => ts.map(_ -> y) }
+      .groupBy(_._1).map { case (tok, ys) =>
+        tok -> ((ys.count(_._2 == 1L).toLong, ys.count(_._2 == 0L).toLong))
+      }.filter { case (_, (p, n)) => p + n >= 5 }
+    val scored = counts.map { case (tok, (p, n)) =>
+      val lo = math.log((p + 1).toDouble / (nPos + 2).toDouble) -
+        math.log((n + 1).toDouble / (nNeg + 2).toDouble)
+      (tok, p, n, lo)
+    }.toSeq
+    val expect = scored.sortBy(t => (-math.abs(t._4), t._1)).take(50)
+      .map(t => t._1 -> ((t._2, t._3, math.floor(t._4 * 1e4) / 1e4))).toMap
+    val got = SparkEntry.queries("llm_nb_tokens")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+    // the model discriminates: nonzero odds survive selection (on this
+    // fixture the df>=5 tokens all skew to the repetitive y=0 class —
+    // exactly what a boilerplate detector should learn)
+    assert(got.values.exists(_._3 != 0))
+  }
 }
