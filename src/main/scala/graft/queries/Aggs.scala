@@ -2243,6 +2243,35 @@ object Aggs {
             / col("n").cast("double") * 1e4) / 1e4).as("outlier_rate"))
         .orderBy("event_type")
     }),
+
+    // D — capture–recapture population estimate (added r9): the
+    // Lincoln–Petersen / Chapman estimator N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    // from two deterministic md5-parity event samples — the ecology
+    // estimator that answers "how many distinct users/URLs EXIST given
+    // we only observe samples" (crawl-coverage estimation: two crawl
+    // passes, overlap → universe size; same question `agg_kmv_distinct`
+    // answers from hashes, here answered from OBSERVATION overlap).
+    // Capture flags are exact per-user max-indicators over the event
+    // parity (one user-grain shuffle, map-side partial); all counts
+    // exact longs; the estimator is one IEEE divide of exact integer
+    // products ((n+1)² ≤ 10¹⁰ — double-exact), floor-1e-4. The true
+    // distinct count rides along so the readout carries its own error.
+    "agg_capture_recapture" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .withColumn("parity",
+          conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2)
+        .groupBy("user_id")
+        .agg(max(when(col("parity") === 0, 1L).otherwise(0L)).as("in_a"),
+          max(when(col("parity") === 1, 1L).otherwise(0L)).as("in_b"))
+      u.agg(count(lit(1)).as("n_true"),
+          sum("in_a").as("n1"), sum("in_b").as("n2"),
+          sum(col("in_a") * col("in_b")).as("n_both"))
+        .select(col("n_true"), col("n1"), col("n2"), col("n_both"),
+          (floor((((col("n1") + 1) * (col("n2") + 1)).cast("double")
+            / (col("n_both") + 1).cast("double") - lit(1.0)) * 1e4) / 1e4)
+            .as("chapman_est"))
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -3718,5 +3747,26 @@ object Aggs {
         |       floor(CAST(n_low + n_high AS DOUBLE) / CAST(n AS DOUBLE) * 1e4) / 1e4
         |         AS outlier_rate
         |FROM agg ORDER BY event_type""".stripMargin,
+    "agg_capture_recapture" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 2 AS parity
+        |  FROM events
+        |),
+        |u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN parity = 0 THEN 1 ELSE 0 END) AS in_a,
+        |         max(CASE WHEN parity = 1 THEN 1 ELSE 0 END) AS in_b
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT count(*) AS n_true,
+        |       CAST(sum(in_a) AS BIGINT) AS n1,
+        |       CAST(sum(in_b) AS BIGINT) AS n2,
+        |       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+        |       floor((CAST((sum(in_a) + 1) * (sum(in_b) + 1) AS DOUBLE)
+        |              / CAST(sum(in_a * in_b) + 1 AS DOUBLE) - 1.0) * 1e4) / 1e4
+        |         AS chapman_est
+        |FROM u""".stripMargin,
   )
 }

@@ -2418,4 +2418,31 @@ class MiscOpsSpec extends SparkSpec {
     // exactly what a boilerplate detector should learn)
     assert(got.values.exists(_._3 != 0))
   }
+
+  test("agg_capture_recapture matches a driver recompute; estimator sane") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def parity(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val flags = Tables.events(spark, sf0001)
+      .select("user_id", "event_id").collect()
+      .map(r => (numAt(r, 0), parity(numAt(r, 1))))
+      .groupBy(_._1).values.toSeq.map { rs =>
+        (rs.exists(_._2 == 0), rs.exists(_._2 == 1))
+      }
+    val nTrue = flags.size.toLong
+    val n1 = flags.count(_._1).toLong
+    val n2 = flags.count(_._2).toLong
+    val m = flags.count(f => f._1 && f._2).toLong
+    val est = math.floor(((n1 + 1).toDouble * (n2 + 1).toDouble / (m + 1).toDouble
+      - 1.0) * 1e4) / 1e4
+    val r = SparkEntry.queries("agg_capture_recapture")(spark, sf0001).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((nTrue, n1, n2, m)))
+    assert(r.getDouble(4) == est)
+    // Chapman is consistent when both samples cover most users: the
+    // estimate lands within 20% of truth on this dense fixture
+    assert(m > 0 && math.abs(r.getDouble(4) - nTrue.toDouble) < 0.2 * nTrue)
+  }
 }
