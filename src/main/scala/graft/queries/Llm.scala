@@ -3575,6 +3575,71 @@ object Llm {
         .orderBy("token")
     }),
 
+    // K — online Elo ratings (added r9): the SEQUENTIAL companion to
+    // `llm_bradley_terry`'s batch MM fit — Elo processes duels one at a
+    // time (R_w += K·(1−E_w), the update arena leaderboards apply live),
+    // so the result depends on arrival ORDER, which this key pins
+    // deterministically: duels replay per md5 bucket in (h, doc_id)
+    // order, each bucket folds its duel list sequentially over a k-sized
+    // rating vector (state = k doubles per bucket, never the duels), and
+    // per-source ratings average across buckets in bucket order. All
+    // duel identities exact (the bradley_terry pairing verbatim); the
+    // fold's one transcendental is 10^(Δ/400) per duel, identical IEEE
+    // shape both engines (the expected-score term appears twice in the
+    // CASE — same expression, same result). k comes from one distinct
+    // count; the source→index bijection is the distributed `ops.Rank`
+    // (no partition-less window over data). Bucket-parallel at any
+    // corpus: 256 independent folds.
+    "llm_elo_online" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("bkt", conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 256)
+      val w = Window.partitionBy("bkt").orderBy("h", "doc_id")
+      val duels = docs
+        .withColumn("src2", lead("source", 1).over(w))
+        .withColumn("nc2", lead("n_chars", 1).over(w))
+        .where(col("src2").isNotNull && col("src2") =!= col("source")
+          && col("nc2") =!= col("n_chars"))
+        .select(col("bkt"), col("h"), col("doc_id"),
+          when(col("n_chars") > col("nc2"), col("source")).otherwise(col("src2")).as("winner"),
+          when(col("n_chars") > col("nc2"), col("src2")).otherwise(col("source")).as("loser"))
+        .localCheckpoint(true) // duel grain; read by the fold + the counts
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      val k = srcs.count().toInt
+      val idx = graft.ops.Rank.withGlobalRank(srcs, Seq(col("source").asc), "idx", "__n")
+        .select(col("source"), col("idx").cast("int").as("idx"))
+        .localCheckpoint(true) // k rows
+      val dIdx = duels
+        .join(broadcast(idx.select(col("source").as("winner"), col("idx").as("wi"))), "winner")
+        .join(broadcast(idx.select(col("source").as("loser"), col("idx").as("li"))), "loser")
+        .withColumn("arr", array(col("wi").cast("double"), col("li").cast("double")))
+      val dTerm = "16.0D / (1.0D + pow(10.0D, (element_at(acc, CAST(element_at(e.a, 1) AS INT))" +
+        " - element_at(acc, CAST(element_at(e.a, 2) AS INT))) / 400.0D))"
+      val byBkt = dIdx.groupBy("bkt")
+        .agg(expr(
+          s"""aggregate(
+             |  array_sort(collect_list(named_struct('h', h, 'd', doc_id, 'a', arr))),
+             |  array_repeat(CAST(1000.0 AS DOUBLE), $k),
+             |  (acc, e) -> transform(acc, (v, i) ->
+             |    CASE WHEN i + 1 = CAST(element_at(e.a, 1) AS INT) THEN v + $dTerm
+             |         WHEN i + 1 = CAST(element_at(e.a, 2) AS INT) THEN v - $dTerm
+             |         ELSE v END))""".stripMargin).as("ratings"))
+      val perSrc = byBkt
+        .select(col("bkt"), posexplode(col("ratings")).as(Seq("p", "r")))
+        .select(col("bkt"), (col("p") + 1).as("idx"), col("r"))
+        .groupBy("idx")
+        .agg(count(lit(1)).as("n_buckets"),
+          expr("aggregate(array_sort(collect_list(named_struct('b', bkt, 'x', r))), " +
+            "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x)").as("sr"))
+      val games = duels.select(col("winner").as("source"))
+        .unionByName(duels.select(col("loser").as("source")))
+        .groupBy("source").agg(count(lit(1)).as("n_duels"))
+      idx.join(perSrc, "idx").join(games, Seq("source"), "left")
+        .select(col("source"), coalesce(col("n_duels"), lit(0L)).as("n_duels"),
+          (floor(col("sr") / col("n_buckets").cast("double") * 1e4) / 1e4).as("mean_elo"))
+        .orderBy("source")
+    }),
+
     // K — ROUGE-L via BIT-PARALLEL LCS (added r9): longest-common-
     // SUBSEQUENCE overlap of each doc against its source-successor — the
     // order-sensitive eval primitive beside `llm_self_bleu`'s clipped
@@ -6726,6 +6791,69 @@ object Llm {
         |       floor(CAST(ece_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000.0) * 1e4) / 1e4 AS ece,
         |       floor(CAST(brier_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6) * 1e4) / 1e4 AS brier
         |FROM src ORDER BY source""".stripMargin,
+    "llm_elo_online" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |              AS BIGINT) % 256 AS bkt
+        |  FROM documents
+        |),
+        |du AS (
+        |  SELECT bkt, h, doc_id, source, n_chars,
+        |         lead(source) OVER w AS src2, lead(n_chars) OVER w AS nc2
+        |  FROM docs WINDOW w AS (PARTITION BY bkt ORDER BY h, doc_id)
+        |),
+        |duels AS MATERIALIZED (
+        |  SELECT bkt, h, doc_id,
+        |         CASE WHEN n_chars > nc2 THEN source ELSE src2 END AS winner,
+        |         CASE WHEN n_chars > nc2 THEN src2 ELSE source END AS loser
+        |  FROM du WHERE src2 IS NOT NULL AND src2 <> source AND nc2 <> n_chars
+        |),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |idx AS MATERIALIZED (
+        |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS INT) AS idx
+        |  FROM srcs
+        |),
+        |kk AS (SELECT count(*) AS k FROM idx),
+        |di AS (
+        |  SELECT d.bkt, d.h, d.doc_id,
+        |         [CAST(wi.idx AS DOUBLE), CAST(li.idx AS DOUBLE)] AS a
+        |  FROM duels d JOIN idx wi ON d.winner = wi.source
+        |       JOIN idx li ON d.loser = li.source
+        |),
+        |byb AS (
+        |  SELECT bkt, list_reduce(
+        |    list_prepend(list_transform(range(1, (SELECT k FROM kk) + 1), x -> 1000.0),
+        |                 list(a ORDER BY h, doc_id)),
+        |    (acc, x) -> list_transform(acc, (v, i) ->
+        |      CASE WHEN i = CAST(x[1] AS INT)
+        |           THEN v + 16.0 / (1.0 + pow(10.0, (acc[CAST(x[1] AS INT)]
+        |                                             - acc[CAST(x[2] AS INT)]) / 400.0))
+        |           WHEN i = CAST(x[2] AS INT)
+        |           THEN v - 16.0 / (1.0 + pow(10.0, (acc[CAST(x[1] AS INT)]
+        |                                             - acc[CAST(x[2] AS INT)]) / 400.0))
+        |           ELSE v END)) AS ratings
+        |  FROM di GROUP BY bkt
+        |),
+        |per AS (
+        |  SELECT bkt, CAST(generate_subscripts(ratings, 1) AS BIGINT) AS idx,
+        |         unnest(ratings) AS r
+        |  FROM byb
+        |),
+        |ps AS (
+        |  SELECT idx, count(*) AS n_buckets,
+        |         list_aggregate(list(r ORDER BY bkt), 'sum') AS sr
+        |  FROM per GROUP BY 1
+        |),
+        |games AS (
+        |  SELECT source, count(*) AS n_duels FROM (
+        |    SELECT winner AS source FROM duels UNION ALL SELECT loser FROM duels
+        |  ) GROUP BY 1
+        |)
+        |SELECT i.source, CAST(coalesce(g.n_duels, 0) AS BIGINT) AS n_duels,
+        |       floor(ps.sr / CAST(ps.n_buckets AS DOUBLE) * 1e4) / 1e4 AS mean_elo
+        |FROM idx i JOIN ps ON i.idx = ps.idx LEFT JOIN games g ON i.source = g.source
+        |ORDER BY i.source""".stripMargin,
     "llm_nb_tokens" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

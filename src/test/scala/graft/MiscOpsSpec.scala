@@ -2445,4 +2445,51 @@ class MiscOpsSpec extends SparkSpec {
     // estimate lands within 20% of truth on this dense fixture
     assert(m > 0 && math.abs(r.getDouble(4) - nTrue.toDouble) < 0.2 * nTrue)
   }
+
+  test("llm_elo_online matches a driver sequential Elo replay") {
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdi.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars").collect()
+      .map { r =>
+        val h = md5hex(numAt(r, 0).toString)
+        (java.lang.Long.parseLong(h.substring(0, 4), 16) % 256, h,
+          numAt(r, 0), r.getString(1), numAt(r, 2))
+      }
+    val sources = docs.map(_._4).distinct.sorted
+    val si = sources.zipWithIndex.toMap // 0-based driver index
+    val k = sources.length
+    // duels replayed per bucket in (h, doc_id) order, Elo folded live
+    val byBucket = docs.groupBy(_._1).toSeq.collect {
+      case (bkt, ds) if ds.length >= 2 =>
+        val ordered = ds.sortBy(t => (t._2, t._3))
+        val duels = ordered.zip(ordered.tail).collect {
+          case (a, b) if a._4 != b._4 && a._5 != b._5 =>
+            if (a._5 > b._5) (si(a._4), si(b._4)) else (si(b._4), si(a._4))
+        }
+        bkt -> duels
+    }.filter(_._2.nonEmpty)
+    val perBucket = byBucket.map { case (bkt, duels) =>
+      val rt = Array.fill(k)(1000.0)
+      duels.foreach { case (wi, li) =>
+        val delta = 16.0 / (1.0 + math.pow(10.0, (rt(wi) - rt(li)) / 400.0))
+        rt(wi) += delta
+        rt(li) -= delta
+      }
+      bkt -> rt
+    }
+    val nB = perBucket.length.toDouble
+    val expect = sources.zipWithIndex.map { case (src, i) =>
+      val sum = perBucket.sortBy(_._1).foldLeft(0.0)((acc, br) => acc + br._2(i))
+      src -> (math.floor(sum / nB * 1e4) / 1e4)
+    }.toMap
+    val got = SparkEntry.queries("llm_elo_online")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == expect)
+    // duel conservation: total rating mass stays k*1000 per bucket, so
+    // the mean over sources must be 1000 exactly up to float dust
+    val meanAll = got.values.sum / k
+    assert(math.abs(meanAll - 1000.0) < 0.01, s"rating mass drifted: $meanAll")
+  }
 }
