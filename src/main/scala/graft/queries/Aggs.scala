@@ -2272,6 +2272,55 @@ object Aggs {
             / (col("n_both") + 1).cast("double") - lit(1.0)) * 1e4) / 1e4)
             .as("chapman_est"))
     }),
+
+    // D — closed-form ridge regression (added r9): 2-feature + intercept
+    // ridge fit of the KPI on (day index, hour of day) per event type —
+    // the MULTIVARIATE rung above `agg_price_elasticity`'s 1-feature
+    // log-log OLS, and the shape every distributed linear model shares:
+    // ONE pass of map-side-partial EXACT moment sums (decimal-first
+    // products — the r8 ADVICE overflow rule), then the k×k normal
+    // equations (X'X + λI, slopes penalized, intercept free; λ=1) solved
+    // in CLOSED FORM by Cramer's rule — nine 3×3 determinant terms,
+    // each the identical textual IEEE expression on both engines, fed by
+    // exact integers. No iteration, no per-row float: the whole model is
+    // a k²-sized readout off one aggregation, which is why this plan
+    // shape holds at any corpus (the moments shrink to one row per
+    // group before any float exists). det=0 guards to NULL.
+    "agg_ridge_ols" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("ed", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+      val d0 = ev.agg(min("ed").as("d0"))
+      val base = ev.crossJoin(broadcast(d0))
+        .withColumn("x1", (col("ed") - col("d0")).cast("long"))
+        .withColumn("x2", hour(col("ts")).cast("long"))
+      val m = base.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("yq").cast(dec)).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1").cast(dec) * col("yq")).as("s1y"),
+        sum(col("x2").cast(dec) * col("yq")).as("s2y"))
+      m.selectExpr("event_type", "n",
+          "CAST(n AS DOUBLE) AS a", "CAST(s1 AS DOUBLE) AS b", "CAST(s2 AS DOUBLE) AS c",
+          "CAST(s11 AS DOUBLE) + 1.0D AS e", "CAST(s12 AS DOUBLE) AS f",
+          "CAST(s22 AS DOUBLE) + 1.0D AS i",
+          "CAST(sy AS DOUBLE) AS r0", "CAST(s1y AS DOUBLE) AS r1",
+          "CAST(s2y AS DOUBLE) AS r2")
+        .selectExpr("event_type", "n",
+          "a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c) AS det",
+          "r0 * (e * i - f * f) - b * (r1 * i - f * r2) + c * (r1 * f - e * r2) AS d0",
+          "a * (r1 * i - f * r2) - r0 * (b * i - f * c) + c * (b * r2 - r1 * c) AS d1",
+          "a * (e * r2 - r1 * f) - b * (b * r2 - r1 * c) + r0 * (b * f - e * c) AS d2")
+        .selectExpr("event_type", "n",
+          "CASE WHEN det <> 0.0D THEN floor(d0 / det / 1e6 * 1e4) / 1e4 END AS intercept",
+          "CASE WHEN det <> 0.0D THEN floor(d1 / det / 1e6 * 1e4) / 1e4 END AS slope_day",
+          "CASE WHEN det <> 0.0D THEN floor(d2 / det / 1e6 * 1e4) / 1e4 END AS slope_hour")
+        .orderBy("event_type")
+    }),
   )
 
   /** Row counts at or under this keep the profile's distinct counts exact;
@@ -3768,5 +3817,53 @@ object Aggs {
         |              / CAST(sum(in_a * in_b) + 1 AS DOUBLE) - 1.0) * 1e4) / 1e4
         |         AS chapman_est
         |FROM u""".stripMargin,
+    "agg_ridge_ols" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01',
+        |                  CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS ed,
+        |         hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |         CAST(floor(value * 1e6) AS BIGINT) AS yq
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |dz AS (SELECT min(ed) AS d0 FROM ev),
+        |b AS (
+        |  SELECT event_type, CAST(ed - (SELECT d0 FROM dz) AS BIGINT) AS x1,
+        |         CAST(hr AS BIGINT) AS x2, yq
+        |  FROM ev
+        |),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |         sum(CAST(yq AS HUGEINT)) AS sy,
+        |         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |         sum(CAST(x1 AS HUGEINT) * yq) AS s1y,
+        |         sum(CAST(x2 AS HUGEINT) * yq) AS s2y
+        |  FROM b GROUP BY 1
+        |),
+        |dd AS (
+        |  SELECT event_type, n,
+        |         CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b, CAST(s2 AS DOUBLE) AS c,
+        |         CAST(s11 AS DOUBLE) + 1.0 AS e, CAST(s12 AS DOUBLE) AS f,
+        |         CAST(s22 AS DOUBLE) + 1.0 AS i,
+        |         CAST(sy AS DOUBLE) AS r0, CAST(s1y AS DOUBLE) AS r1,
+        |         CAST(s2y AS DOUBLE) AS r2
+        |  FROM m
+        |),
+        |dt AS (
+        |  SELECT event_type, n,
+        |         a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c) AS det,
+        |         r0 * (e * i - f * f) - b * (r1 * i - f * r2) + c * (r1 * f - e * r2) AS d0,
+        |         a * (r1 * i - f * r2) - r0 * (b * i - f * c) + c * (b * r2 - r1 * c) AS d1,
+        |         a * (e * r2 - r1 * f) - b * (b * r2 - r1 * c) + r0 * (b * f - e * c) AS d2
+        |  FROM dd
+        |)
+        |SELECT event_type, n,
+        |       CASE WHEN det <> 0.0 THEN floor(d0 / det / 1e6 * 1e4) / 1e4 END AS intercept,
+        |       CASE WHEN det <> 0.0 THEN floor(d1 / det / 1e6 * 1e4) / 1e4 END AS slope_day,
+        |       CASE WHEN det <> 0.0 THEN floor(d2 / det / 1e6 * 1e4) / 1e4 END AS slope_hour
+        |FROM dt ORDER BY event_type""".stripMargin,
   )
 }

@@ -2492,4 +2492,52 @@ class MiscOpsSpec extends SparkSpec {
     val meanAll = got.values.sum / k
     assert(math.abs(meanAll - 1000.0) < 0.01, s"rating mass drifted: $meanAll")
   }
+
+  test("agg_ridge_ols matches a driver Cramer recompute; residuals beat the mean") {
+    val raw = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("ts").cast("date").cast("string").as("day"),
+        hour(col("ts")).as("hr"), col("value")).collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getString(0), java.time.LocalDate.parse(r.getString(1)).toEpochDay,
+        r.getInt(2).toLong, math.floor(r.getDouble(3) * 1e6).toLong))
+    val d0 = raw.map(_._2).min
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    val expect = raw.groupBy(_._1).map { case (et, rs) =>
+      val xs = rs.map(r => (r._2 - d0, r._3, r._4))
+      val n = xs.length.toDouble
+      val (s1, s2) = (xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+      val sy = xs.map(r => BigDecimal(r._3)).sum.toDouble
+      val s11 = xs.map(r => r._1 * r._1).sum.toDouble
+      val s12 = xs.map(r => r._1 * r._2).sum.toDouble
+      val s22 = xs.map(r => r._2 * r._2).sum.toDouble
+      val s1y = xs.map(r => BigDecimal(r._1) * BigDecimal(r._3)).sum.toDouble
+      val s2y = xs.map(r => BigDecimal(r._2) * BigDecimal(r._3)).sum.toDouble
+      val (a, b, c, e, f, i) = (n, s1, s2, s11 + 1.0, s12, s22 + 1.0)
+      val (r0, r1, r2) = (sy, s1y, s2y)
+      val det = a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c)
+      val dd0 = r0 * (e * i - f * f) - b * (r1 * i - f * r2) + c * (r1 * f - e * r2)
+      val dd1 = a * (r1 * i - f * r2) - r0 * (b * i - f * c) + c * (b * r2 - r1 * c)
+      val dd2 = a * (e * r2 - r1 * f) - b * (b * r2 - r1 * c) + r0 * (b * f - e * c)
+      et -> ((rs.length.toLong, fl(dd0 / det / 1e6), fl(dd1 / det / 1e6), fl(dd2 / det / 1e6)))
+    }
+    val got = SparkEntry.queries("agg_ridge_ols")(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expect)
+    // the ridge fit predicts no worse than the class mean on its own
+    // training data for at least one group (regression sanity, not a
+    // statistical claim): check residual SS <= total SS + epsilon
+    raw.groupBy(_._1).foreach { case (et, rs) =>
+      val (_, b0, b1, b2) = got(et)
+      val ys = rs.map(_._4.toDouble / 1e6)
+      val mean = ys.sum / ys.length
+      val ssTot = ys.map(y => (y - mean) * (y - mean)).sum
+      val ssRes = rs.map { r =>
+        val pred = b0 + b1 * (r._2 - d0) + b2 * r._3
+        val err = r._4.toDouble / 1e6 - pred
+        err * err
+      }.sum
+      assert(ssRes <= ssTot * 1.05 + 1e-6, s"$et: ridge fit worse than the mean")
+    }
+  }
 }
