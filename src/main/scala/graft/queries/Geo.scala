@@ -350,6 +350,42 @@ object Geo {
           coalesce(col("c_lbl"), col("b_lbl"), lit(-1L)).as("cluster"))
         .orderBy("s_suppkey")
     }),
+
+    // M7 — per-nation diameter (added r9): the farthest supplier pair and
+    // its exact squared distance — the spatial SPREAD readout (service
+    // radius, territory extent) that complements the density keys'
+    // proximity view. Pair work is blocked by NATION (the natural
+    // business block; supplier groups are dimension-grain here), and the
+    // argmax is a struct-min under the total order (d² desc, a asc,
+    // b asc) so ties can't leak. Everything is exact long arithmetic —
+    // dx²+dy² on integer meters. At corpus sizes where per-block
+    // quadratic pair volume bites, production prefilters to the per-block
+    // convex hull (diameter endpoints are hull points) — the documented
+    // scale path; the block here is ≤ dimension-sized by construction.
+    "geo_diameter" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_regionkey").as("region"),
+          coord("gxs:", col("s_suppkey")).as("sx"),
+          coord("gys:", col("s_suppkey")).as("sy"))
+      val a = sup.select(col("region"), col("s_suppkey").as("a_id"),
+        col("sx").as("ax"), col("sy").as("ay"))
+      val b = sup.select(col("region"), col("s_suppkey").as("b_id"),
+        col("sx").as("bx"), col("sy").as("by"))
+      val pairs = a.join(b, Seq("region")).where(col("a_id") < col("b_id"))
+        .withColumn("d2", (col("ax") - col("bx")) * (col("ax") - col("bx"))
+          + (col("ay") - col("by")) * (col("ay") - col("by")))
+      val nSup = sup.groupBy(col("region")).agg(count(lit(1)).as("n_sup"))
+      pairs.groupBy("region")
+        .agg(min_by(struct(col("a_id"), col("b_id"), col("d2")),
+          struct(negate(col("d2")), col("a_id"), col("b_id"))).as("m"))
+        .join(nSup, "region")
+        .select(col("region"), col("n_sup"),
+          col("m.a_id").as("a_id"), col("m.b_id").as("b_id"),
+          col("m.d2").as("d2_meters"))
+        .orderBy("region")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -509,5 +545,27 @@ object Geo {
         |LEFT JOIN corelbl cl ON cl.k = s.s_suppkey
         |LEFT JOIN battach ba ON ba.k = s.s_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
+    "geo_diameter" ->
+      s"""WITH s AS (
+        |  SELECT s_suppkey, nt.n_regionkey AS region,
+        |         ${coordSql("gxs:", "s_suppkey")} AS sx,
+        |         ${coordSql("gys:", "s_suppkey")} AS sy
+        |  FROM supplier JOIN nation nt ON s_nationkey = nt.n_nationkey
+        |),
+        |p AS (
+        |  SELECT a.region, a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+        |         (a.sx - b.sx) * (a.sx - b.sx) + (a.sy - b.sy) * (a.sy - b.sy) AS d2
+        |  FROM s a JOIN s b
+        |    ON a.region = b.region AND a.s_suppkey < b.s_suppkey
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY region
+        |                               ORDER BY d2 DESC, a_id, b_id) AS rn
+        |  FROM p
+        |),
+        |n AS (SELECT region, count(*) AS n_sup FROM s GROUP BY 1)
+        |SELECT r.region, n.n_sup, r.a_id, r.b_id, r.d2 AS d2_meters
+        |FROM r JOIN n ON r.region = n.region
+        |WHERE rn = 1 ORDER BY r.region""".stripMargin,
   )
 }

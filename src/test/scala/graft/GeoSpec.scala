@@ -162,4 +162,30 @@ class GeoSpec extends SparkSpec {
     // the envelope must be live in the fixture, or the theorem is untested
     assert(nExact > 0, "no exact=1 row at sf0.001 — completeness claim unexercised")
   }
+
+  test("geo_diameter matches a driver brute-force farthest pair per region") {
+    val reg = Tables.nation(spark, sf0001)
+      .select("n_nationkey", "n_regionkey").collect()
+      .map(r => numAt(r, 0) -> numAt(r, 1)).toMap
+    val nat = Tables.supplier(spark, sf0001)
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => numAt(r, 0) -> reg(numAt(r, 1))).toMap
+    val pts = supplierCoords().map { case (k, x, y) => (nat(k), k, x, y) }
+    val expect = pts.groupBy(_._1).collect { case (region, ps) if ps.length >= 2 =>
+      val pairs = for {
+        a <- ps; b <- ps; if a._2 < b._2
+      } yield {
+        val (dx, dy) = (a._3 - b._3, a._4 - b._4)
+        (a._2, b._2, dx * dx + dy * dy)
+      }
+      val best = pairs.minBy(p => (-p._3, p._1, p._2))
+      region -> ((ps.length.toLong, best._1, best._2, best._3))
+    }
+    val got = SparkEntry.queries("geo_diameter")(spark, sf0001).collect()
+      .map(r => numAt(r, 0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect.toMap)
+    // the diameter dominates every sampled pair distance
+    assert(got.values.forall(_._4 > 0))
+  }
 }
