@@ -629,6 +629,24 @@ object Rel {
       a.except(b).orderBy("p_partkey")
     }),
 
+    // G4 — MULTISET set operations (added r9): INTERSECT ALL / EXCEPT ALL
+    // — the bag semantics (min-multiplicity / multiplicity-difference)
+    // the distinct variants above silently discard, and the one users
+    // reach for in reconciliation jobs ("which rows of feed A are not
+    // covered BY COUNT in feed B"). One key exercises both operators on
+    // overlapping fact multisets; row MULTIPLICITY is the contract under
+    // test, so the hash compare (which preserves duplicate rows) is
+    // exactly the right oracle. Both engines implement the ANSI bag
+    // semantics as a grouped count compare — one shuffle each side.
+    "set_ops_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.where(col("l_quantity") >= 25).select(col("l_partkey"))
+      val b = li.where(col("l_discount") >= 0.05).select(col("l_partkey"))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .orderBy("op", "l_partkey")
+    }),
+
     // C10 — the flagship OLAP shape: a 5-table star join through plain
     // SQL over the registered catalog views (graft.Catalog). Catalyst
     // picks the physical strategy per join: region/nation broadcast,
@@ -1037,6 +1055,15 @@ object Rel {
         |INTERSECT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin,
     "set_except" ->
       """SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem ORDER BY p_partkey""".stripMargin,
+    "set_ops_all" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25),
+        |     b AS (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05)
+        |SELECT l_partkey, 'intersect_all' AS op
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT l_partkey, 'except_all'
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |ORDER BY op, l_partkey""".stripMargin,
     "sql_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_items,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue

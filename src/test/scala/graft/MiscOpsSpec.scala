@@ -2540,4 +2540,29 @@ class MiscOpsSpec extends SparkSpec {
       assert(ssRes <= ssTot * 1.05 + 1e-6, s"$et: ridge fit worse than the mean")
     }
   }
+
+  test("set_ops_all matches a driver multiset recompute") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_quantity", "l_discount").collect()
+      .map(r => (numAt(r, 0), r.getDouble(1), r.getDouble(2)))
+    val a = li.filter(_._2 >= 25).map(_._1)
+    val b = li.filter(_._3 >= 0.05).map(_._1)
+    val ca = a.groupBy(identity).view.mapValues(_.length).toMap
+    val cb = b.groupBy(identity).view.mapValues(_.length).toMap
+    val inter = ca.flatMap { case (k, n) =>
+      Seq.fill(math.min(n, cb.getOrElse(k, 0)))(k)
+    }.toSeq
+    val exc = ca.flatMap { case (k, n) =>
+      Seq.fill(math.max(n - cb.getOrElse(k, 0), 0))(k)
+    }.toSeq
+    val got = SparkEntry.queries("set_ops_all")(spark, sf0001).collect()
+      .map(r => (r.getString(1), numAt(r, 0)))
+    val gi = got.filter(_._1 == "intersect_all").map(_._2).sorted.toSeq
+    val ge = got.filter(_._1 == "except_all").map(_._2).sorted.toSeq
+    assert(gi == inter.sorted)
+    assert(ge == exc.sorted)
+    // multiplicities genuinely exceed 1 somewhere, or ALL == DISTINCT
+    assert(gi.distinct.size < gi.size || ge.distinct.size < ge.size,
+      "fixture degenerate: bag results equal set results")
+  }
 }
