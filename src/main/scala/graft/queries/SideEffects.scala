@@ -373,6 +373,36 @@ object SideEffects {
         .orderBy("d")
     }),
 
+    // A — quoted MULTI-LINE CSV round-trip (added r9): text columns with
+    // embedded newlines are the classic CSV interchange trap — the
+    // default line-splitting reader shreds a quoted field at its first
+    // newline and the corruption is silent. Every doc's text is rewritten
+    // with real newlines (space → \n), written as quoted CSV, and read
+    // back under multiLine=true; the oracle recomputes the per-source
+    // char/line totals from the SOURCE table, so the hash proves every
+    // embedded newline survived the quote/parse round-trip byte for
+    // byte. Scale note (declared): multiLine CSV files are NOT
+    // splittable — Spark parses each file serially — so the write
+    // coalesces to a bounded file count and a 100 TB pipeline would use
+    // a record-delimited format instead; this key pins the CORRECTNESS
+    // of the escape hatch, not its throughput.
+    "scan_csv_multiline" -> ((s, d) => {
+      val out = scratch("docs_multiline_csv")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          translate(col("text"), " ", "\n").as("text2"))
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema("doc_id BIGINT, source STRING, text2 STRING")
+        .csv(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text2"))).as("n_chars"),
+          sum(size(split(col("text2"), "\n")).cast("long")).as("n_lines"))
+        .orderBy("source")
+    }),
+
     // A — Z-ORDER layout (added r9): multi-dimensional clustering as a
     // STORE operator — interleave the bits of two query dimensions
     // (balance octile × nation mod 8) into a 6-bit Morton value and
@@ -495,6 +525,14 @@ object SideEffects {
     "sink_partitioned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,
+    "scan_csv_multiline" ->
+      """WITH t AS (
+        |  SELECT source, replace(text, ' ', chr(10)) AS t2 FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(len(t2)) AS BIGINT) AS n_chars,
+        |       CAST(sum(len(string_split(t2, chr(10)))) AS BIGINT) AS n_lines
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "store_zorder" ->
       """WITH c AS (
         |  SELECT c_nationkey, CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents,

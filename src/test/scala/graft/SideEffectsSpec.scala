@@ -73,4 +73,24 @@ class SideEffectsSpec extends SparkSpec {
       assert(math.abs(a - n) <= math.max(1L, (0.02 * n).round), s"$day: approx $a vs exact $n")
     }
   }
+
+  test("scan_csv_multiline: embedded newlines survive the quoted round-trip") {
+    val got = SparkEntry.queries("scan_csv_multiline")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expect = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).replace(' ', '\n'))
+      .groupBy(_._1).map { case (src, rs) =>
+        src -> ((rs.length.toLong, rs.map(_._2.length.toLong).sum,
+          rs.map(t => t._2.split("\n", -1).length.toLong).sum))
+      }
+    assert(got == expect)
+    // the trap is live: at least one written field really is multi-line
+    assert(expect.values.exists { case (n, _, lines) => lines > n })
+    // and the raw single-line reader would see MORE records than docs —
+    // the corruption this key exists to rule out
+    val raw = spark.read.option("header", "true")
+      .csv("/root/repo/target/scratch/docs_multiline_csv")
+    assert(raw.count() > expect.values.map(_._1).sum)
+  }
 }
