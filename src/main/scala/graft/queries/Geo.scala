@@ -362,6 +362,37 @@ object Geo {
     // quadratic pair volume bites, production prefilters to the per-block
     // convex hull (diameter endpoints are hull points) — the documented
     // scale path; the block here is ≤ dimension-sized by construction.
+    // M8 — geohash encoding (added r9): the standard base32 spatial key
+    // (interleaved lon/lat bisection bits) every geo store indexes by —
+    // prefix-share = proximity, so the 6-char hash IS a hierarchical
+    // blocking key (the string form of the grid-cell idea). The textbook
+    // algorithm bisects float intervals; here each 15-bit axis value is
+    // ONE exact integer expression — floor((lon+180e6)·2¹⁵/360e6) equals
+    // 15 bisection steps at once (products ≤ 1.2·10¹³, long-safe) — and
+    // the 30-bit Morton interleave + base32 digits are div/mod
+    // arithmetic, so the whole encode is exact integer work on both
+    // engines (GeoSpec proves the closed form equals the textbook
+    // bisection on the corpus). One linear pass, no shuffle before the
+    // final sort.
+    "geo_geohash" -> ((s, d) => {
+      val lonBits = s"(((lon + 180000000L) * 32768L) div 360000000L)"
+      val latBits = s"(((lat + 90000000L) * 32768L) div 180000000L)"
+      val morton = (0 to 14).map { i =>
+        s"(($lonBits div ${1L << (14 - i)}L) % 2L) * ${1L << (29 - 2 * i)}L" +
+          s" + (($latBits div ${1L << (14 - i)}L) % 2L) * ${1L << (28 - 2 * i)}L"
+      }.mkString(" + ")
+      val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val chars = (0 to 5).map { c =>
+        s"substring('$alphabet', CAST((g div ${1L << (5 * (5 - c))}L) % 32L AS INT) + 1, 1)"
+      }.mkString("concat(", ", ", ")")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey") +: geodetic("hlats:", "hlons:", col("s_suppkey")): _*)
+        .withColumn("g", expr(morton))
+        .select(col("s_suppkey"), col("lat"), col("lon"),
+          expr(chars).as("geohash"))
+        .orderBy("s_suppkey")
+    }),
+
     "geo_diameter" -> ((s, d) => {
       val sup = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
@@ -545,6 +576,25 @@ object Geo {
         |LEFT JOIN corelbl cl ON cl.k = s.s_suppkey
         |LEFT JOIN battach ba ON ba.k = s.s_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
+    "geo_geohash" -> {
+      val lonBits = "(((lon + 180000000) * 32768) // 360000000)"
+      val latBits = "(((lat + 90000000) * 32768) // 180000000)"
+      val morton = (0 to 14).map { i =>
+        s"(($lonBits // ${1L << (14 - i)}) % 2) * ${1L << (29 - 2 * i)}" +
+          s" + (($latBits // ${1L << (14 - i)}) % 2) * ${1L << (28 - 2 * i)}"
+      }.mkString(" + ")
+      val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val chars = (0 to 5).map { c =>
+        s"substring('$alphabet', CAST((g // ${1L << (5 * (5 - c))}) % 32 AS INT) + 1, 1)"
+      }.mkString("concat(", ", ", ")")
+      s"""WITH s AS (
+         |  SELECT s_suppkey, ${geodeticSql("hlats:", "hlons:", "s_suppkey")}
+         |  FROM supplier
+         |),
+         |gg AS (SELECT s_suppkey, lat, lon, $morton AS g FROM s)
+         |SELECT s_suppkey, lat, lon, $chars AS geohash
+         |FROM gg ORDER BY s_suppkey""".stripMargin
+    },
     "geo_diameter" ->
       s"""WITH s AS (
         |  SELECT s_suppkey, nt.n_regionkey AS region,

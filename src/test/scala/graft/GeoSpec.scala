@@ -188,4 +188,41 @@ class GeoSpec extends SparkSpec {
     // the diameter dominates every sampled pair distance
     assert(got.values.forall(_._4 > 0))
   }
+
+  test("geo_geohash integer closed form equals the textbook float bisection") {
+    // reference implementation: standard geohash binary subdivision
+    def textbook(lat: Double, lon: Double, chars: Int): String = {
+      val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+      var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
+      var evenBit = true
+      val sb = new StringBuilder
+      var idx = 0; var bit = 0
+      while (sb.length < chars) {
+        if (evenBit) {
+          val mid = (lonLo + lonHi) / 2
+          if (lon >= mid) { idx = idx * 2 + 1; lonLo = mid }
+          else { idx = idx * 2; lonHi = mid }
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (lat >= mid) { idx = idx * 2 + 1; latLo = mid }
+          else { idx = idx * 2; latHi = mid }
+        }
+        evenBit = !evenBit
+        bit += 1
+        if (bit == 5) { sb.append(alphabet(idx)); bit = 0; idx = 0 }
+      }
+      sb.toString
+    }
+    val rows = SparkEntry.queries("geo_geohash")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lat, lon) = (r.getLong(1), r.getLong(2))
+      val expect = textbook(lat.toDouble / 1e6, lon.toDouble / 1e6, 6)
+      assert(r.getString(3) == expect,
+        s"supplier ${r.getLong(0)}: ${r.getString(3)} != textbook $expect")
+    }
+    // prefix-share = proximity is real on the fixture: at least two
+    // suppliers land in distinct hashes (non-degenerate)
+    assert(rows.map(_.getString(3)).distinct.length > 1)
+  }
 }
