@@ -1029,6 +1029,50 @@ object Streams {
     // the retention window, not data volume. Exact µ-unit sums end to
     // end (order-free under any arrival interleaving).
     "stream_late_rematerialize" -> ((s, d) => lateRematerializeWithAudit(s, d)._2),
+
+    // I — watermark-drop audit (added r9): QUANTIFIES the late-data
+    // divergence `stream_late_rematerialize` repairs. The same 4-pass
+    // late-cohort replay feeds a WATERMARKED day aggregation in Append
+    // mode; the drained feed shows, per day bucket, how many events the
+    // watermark policy actually served vs the batch truth — late rows
+    // whose day was finalized before they arrived are DROPPED (counted
+    // in n_late_dropped), and the trailing days the watermark never
+    // passed are still OPEN (status 'open', no emission). The oracle
+    // reproduces the watermark machine in closed form: with chunks
+    // replayed in event-time quartiles, the watermark during the late
+    // batch is max(on-time ts of chunks 0-2) − 10 min and the final
+    // watermark is max(all ts) − 10 min, so dropped = late rows with
+    // day_end ≤ wm₄ and emitted = days with day_end ≤ wm_f — the hash
+    // match proves Spark's drop/finalize boundaries are exactly these.
+    // Together with the rematerialize key this pins BOTH late-data
+    // policies: drop-and-account (this key) vs recompute (that one).
+    "stream_watermark_audit" -> ((s, d) => {
+      val chunkDir = lateEventChunks(s, d)
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunkDir)
+      val agg = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_stream"))
+      val emitted = drain(s, agg, "graft_stream_wm_audit", OutputMode.Append())
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("bucket"),
+          col("n_stream"))
+      val full = graft.Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("bucket"))
+        .agg(count(lit(1)).as("n_full"))
+      full.join(emitted, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_full"), col("n_stream"),
+          when(col("n_stream").isNotNull, lit("final")).otherwise(lit("open"))
+            .as("status"),
+          when(col("n_stream").isNotNull, col("n_full") - col("n_stream"))
+            .as("n_late_dropped"))
+        .orderBy("bucket")
+    }),
   )
 
   /** The late-rematerialization replay, returning BOTH each pass's
@@ -1122,6 +1166,40 @@ object Streams {
       // the late-rematerialization convergence contract: after the 4-pass
       // replay (late cohort arriving last), the drained target store must
       // equal the batch recompute over the FULL feed — late rows included
+      "stream_watermark_audit" ->
+        s"""WITH b AS (
+           |  SELECT event_id, ts, epoch_us(ts) AS us,
+           |         epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS day_end_us,
+           |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket
+           |  FROM $ev events
+           |),
+           |mm AS (SELECT min(us) AS lo, max(us) + 1 AS hi FROM b),
+           |t AS (
+           |  SELECT b.*,
+           |         LEAST((us - lo) * 4 // GREATEST(hi - lo, 1), 3) AS q,
+           |         (CAST(concat('0x', substring(md5(bucket), 1, 4)) AS BIGINT) % 4 = 0
+           |          AND CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 4))
+           |                   AS BIGINT) % 8 = 0) AS late
+           |  FROM b CROSS JOIN mm
+           |),
+           |wm AS (
+           |  SELECT (SELECT max(us) FROM t WHERE NOT late AND q <= 1) - 600000000 AS wm_late,
+           |         (SELECT max(us) FROM t) - 600000000 AS wmf
+           |),
+           |cnt AS (
+           |  SELECT bucket, day_end_us, count(*) AS n_full,
+           |         CAST(sum(CASE WHEN NOT (late AND day_end_us <= (SELECT wm_late FROM wm))
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_counted
+           |  FROM t GROUP BY 1, 2
+           |)
+           |SELECT bucket, n_full,
+           |       CASE WHEN day_end_us <= (SELECT wmf FROM wm)
+           |            THEN n_counted END AS n_stream,
+           |       CASE WHEN day_end_us <= (SELECT wmf FROM wm)
+           |            THEN 'final' ELSE 'open' END AS status,
+           |       CASE WHEN day_end_us <= (SELECT wmf FROM wm)
+           |            THEN n_full - n_counted END AS n_late_dropped
+           |FROM cnt ORDER BY bucket""".stripMargin,
       "stream_late_rematerialize" ->
         s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
            |       event_type, count(*) AS n_events,

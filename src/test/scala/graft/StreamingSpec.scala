@@ -455,6 +455,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_watermark_audit: drops are real, open tail exists, and the rematerializer repairs exactly them") {
+    val audit = graft.streaming.Streams.queries("stream_watermark_audit")(spark, sf0001)
+      .collect()
+    assert(audit.nonEmpty)
+    // final days conserve mass: served + dropped == truth
+    audit.filter(_.getString(3) == "final").foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(4), r.toString)
+      assert(r.getLong(4) >= 0)
+    }
+    // the watermark policy genuinely dropped late rows somewhere
+    assert(audit.exists(r => r.getString(3) == "final" && r.getLong(4) > 0),
+      "no late rows dropped — the audit's subject is absent from the fixture")
+    // and the stream end leaves an open (never-finalized) tail
+    assert(audit.exists(_.getString(3) == "open"), "no open trailing day")
+    // contrast pin: the REMATERIALIZING policy serves the batch truth for
+    // every day the watermark policy shortchanged
+    val remat = graft.streaming.Streams.queries("stream_late_rematerialize")(spark, sf0001)
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    audit.foreach { r =>
+      assert(remat(r.getString(0)) == r.getLong(1),
+        s"${r.getString(0)}: rematerialized store != batch truth")
+    }
+  }
+
   test("stream_kmv_distinct equals the batch Kmv aggregation; sketch bounded by k") {
     val stream = graft.streaming.Streams.queries("stream_kmv_distinct")(spark, sf0001)
       .collect()
