@@ -666,6 +666,46 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E — Hampel REPAIR filter (added r9): `win_mad_anomaly` flags; this
+    // key FIXES — the sensor-cleaning transform that replaces a sample
+    // breaching the 3·1.4826·MAD fence around its trailing-20
+    // leave-one-out median WITH that median (the repaired series is what
+    // a forecasting pipeline actually trains on; flags alone still feed
+    // it spikes). Same exact machinery as the MAD key: µ-unit longs
+    // through both order statistics (midpoints (a+b)/2 exact in double),
+    // the fence test one IEEE comparison of exact-in-double values,
+    // identical on both engines; warm-up rows (< 12 priors) pass
+    // through unrepaired. O(k log k) per row in-partition, one entity
+    // shuffle.
+    "win_hampel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      Tables.events(s, d)
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("l", collect_list(col("yq")).over(w))
+        .withColumn("n", size(col("l")))
+        .withColumn("srt", array_sort(col("l")))
+        .withColumn("med", expr(
+          """CASE WHEN n >= 12 THEN
+            |  (element_at(srt, CAST((n+1) div 2 AS INT))
+            |   + element_at(srt, CAST(n div 2 + 1 AS INT))) / 2.0D
+            |END""".stripMargin))
+        .withColumn("dev", expr("array_sort(transform(l, x -> abs(x - med)))"))
+        .withColumn("mad", expr(
+          """CASE WHEN n >= 12 THEN
+            |  (element_at(dev, CAST((n+1) div 2 AS INT))
+            |   + element_at(dev, CAST(n div 2 + 1 AS INT))) / 2.0D
+            |END""".stripMargin))
+        .withColumn("hit", expr(
+          "coalesce(mad > 0 AND abs(yq - med) > 3.0D * 1.4826D * mad, false)"))
+        .select(col("event_id"), col("user_id"),
+          col("yq").as("value_microunits"),
+          expr("floor((CASE WHEN hit THEN med ELSE CAST(yq AS DOUBLE) END) / 100.0D) / 1e4")
+            .as("repaired"),
+          expr("CAST(hit AS INT)").as("was_repaired"))
+        .orderBy("event_id")
+    }),
+
     // E21 — MAD anomaly score (added r4): each sample scored against the
     // trailing-20 leave-one-out MEDIAN and median-absolute-deviation of
     // its entity — the robust twin of win_zscore_anomaly (one prior spike
@@ -1909,6 +1949,36 @@ object Wins {
         |                        ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
         |         / 1000000 AS roll_median
         |FROM e ORDER BY event_id""".stripMargin,
+    "win_hampel" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS yq
+        |  FROM events
+        |), l AS (
+        |  SELECT event_id, user_id, yq,
+        |         list(yq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS l
+        |  FROM e
+        |), m AS (
+        |  SELECT *, len(l) AS n, list_sort(l) AS srt FROM l
+        |), md AS (
+        |  SELECT *, CASE WHEN n >= 12 THEN
+        |      (srt[(n+1) // 2] + srt[n // 2 + 1]) / 2.0 END AS med
+        |  FROM m
+        |), dv AS (
+        |  SELECT *, list_sort(list_transform(l, x -> abs(x - med))) AS dev FROM md
+        |), sc AS (
+        |  SELECT *, CASE WHEN n >= 12 THEN
+        |      (dev[(n+1) // 2] + dev[n // 2 + 1]) / 2.0 END AS mad FROM dv
+        |), h AS (
+        |  SELECT *, coalesce(mad > 0 AND abs(yq - med) > 3.0 * 1.4826 * mad, false) AS hit
+        |  FROM sc
+        |)
+        |SELECT event_id, user_id, yq AS value_microunits,
+        |       floor((CASE WHEN hit THEN med ELSE CAST(yq AS DOUBLE) END) / 100.0)
+        |         / 10000 AS repaired,
+        |       CAST(hit AS INTEGER) AS was_repaired
+        |FROM h ORDER BY event_id""".stripMargin,
     "win_mad_anomaly" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

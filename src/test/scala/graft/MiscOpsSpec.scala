@@ -2565,4 +2565,22 @@ class MiscOpsSpec extends SparkSpec {
     assert(gi.distinct.size < gi.size || ge.distinct.size < ge.size,
       "fixture degenerate: bag results equal set results")
   }
+
+  test("win_hampel agrees with win_mad_anomaly and repairs toward the median") {
+    val hampel = SparkEntry.queries("win_hampel")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    // repairs happen (the fence is live) and untouched rows pass through
+    // value-identically (floor lattice of the original microunits)
+    assert(hampel.values.exists(_._3 == 1), "no repair on the fixture")
+    hampel.values.filter(_._3 == 0).foreach { case (vq, rep, _) =>
+      assert(rep == math.floor(vq.toDouble / 100.0) / 1e4, s"$vq -> $rep")
+    }
+    // consistency with the flag key: hampel's fence is 3σ-equivalent,
+    // mad_anomaly's 3.5σ — every 3.5σ flag must also be repaired
+    val flags = SparkEntry.queries("win_mad_anomaly")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    flags.filter(_._2 == 1).keys.foreach { id =>
+      assert(hampel(id)._3 == 1, s"event $id flagged at 3.5 sigma but not repaired at 3")
+    }
+  }
 }
