@@ -666,6 +666,35 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E — gaps-and-islands (added r9): maximal runs of a per-sample STATE
+    // (value ≥ 100 = hi) collapsed to island rows — the value-run twin of
+    // `win_session_batch`'s time-gap sessions, and the classic SQL
+    // pattern under uptime/outage reporting ("how long was the KPI
+    // continuously degraded"). Island identity is the exact integer
+    // row_number difference (global rn − per-state rn is constant within
+    // a run and cannot collide across states) — no sequential scan, two
+    // same-keyed windows + one groupBy that all reuse the single entity
+    // shuffle. Everything exact: integer state test, count, min/max ts;
+    // island_no re-ranks islands per user by start so the output order
+    // is total. One entity-keyed shuffle at any scale.
+    "win_islands" -> ((s, d) => {
+      val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wSt = Window.partitionBy("user_id", "state").orderBy(col("ts"), col("event_id"))
+      val runs = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("state", (col("value") >= 100).cast("int"))
+        .withColumn("grp", row_number().over(wAll) - row_number().over(wSt))
+        .groupBy("user_id", "state", "grp")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("island_start"), max("ts").as("island_end"))
+      val wIsl = Window.partitionBy("user_id").orderBy("island_start")
+      runs
+        .withColumn("island_no", row_number().over(wIsl).cast("long"))
+        .select(col("user_id"), col("island_no"), col("state"),
+          col("n_events"), col("island_start"), col("island_end"))
+        .orderBy("user_id", "island_no")
+    }),
+
     // E — Hampel REPAIR filter (added r9): `win_mad_anomaly` flags; this
     // key FIXES — the sensor-cleaning transform that replaces a sample
     // breaching the 3·1.4826·MAD fence around its trailing-20
@@ -1949,6 +1978,28 @@ object Wins {
         |                        ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
         |         / 1000000 AS roll_median
         |FROM e ORDER BY event_id""".stripMargin,
+    "win_islands" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(value >= 100 AS INT) AS state
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |g AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            - row_number() OVER (PARTITION BY user_id, state
+        |                                 ORDER BY ts, event_id) AS grp
+        |  FROM e
+        |),
+        |runs AS (
+        |  SELECT user_id, state, grp, count(*) AS n_events,
+        |         min(ts) AS island_start, max(ts) AS island_end
+        |  FROM g GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY island_start)
+        |            AS BIGINT) AS island_no,
+        |       state, n_events, island_start, island_end
+        |FROM runs ORDER BY user_id, island_no""".stripMargin,
     "win_hampel" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -2583,4 +2583,42 @@ class MiscOpsSpec extends SparkSpec {
       assert(hampel(id)._3 == 1, s"event $id flagged at 3.5 sigma but not repaired at 3")
     }
   }
+
+  test("win_islands matches a driver run-length recompute") {
+    val series = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (numAt(r, 0), (numAt(r, 1), numAt(r, 2),
+        if (r.getDouble(3) >= 100) 1 else 0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (t._1, t._2))).toMap
+    val expect = series.flatMap { case (u, evs) =>
+      // fold into maximal same-state runs in order
+      val runs = evs.foldLeft(List.empty[(Int, Long, Long, Long)]) {
+        case (acc, (us, _, st)) => acc match {
+          case (s0, n, a, _) :: rest if s0 == st => (s0, n + 1, a, us) :: rest
+          case _ => (st, 1L, us, us) :: acc
+        }
+      }.reverse
+      runs.zipWithIndex.map { case ((st, n, a, b), i) =>
+        (u, i + 1L) -> ((st, n, a, b))
+      }
+    }
+    val got = SparkEntry.queries("win_islands")(spark, sf0001).collect()
+      .map { r =>
+        (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3),
+          unixMicros(r.getTimestamp(4)), unixMicros(r.getTimestamp(5))))
+      }.toMap
+    assert(got == expect.toMap)
+    // runs alternate by construction: adjacent islands differ in state
+    got.groupBy(_._1._1).values.foreach { isl =>
+      isl.toSeq.sortBy(_._1._2).map(_._2._1).sliding(2).foreach {
+        case Seq(a, b) => assert(a != b, "adjacent islands share a state")
+        case _ =>
+      }
+    }
+  }
+
+  private def unixMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 }
