@@ -3640,6 +3640,57 @@ object Llm {
         .orderBy("source")
     }),
 
+    // K — ROUGE-1/2 recall (added r9): clipped n-gram RECALL of each doc
+    // against its source-successor — with `llm_self_bleu` (clipped
+    // PRECISION + brevity penalty) and `llm_rouge_l` (subsequence order)
+    // this completes the surface-overlap eval triad; ROUGE-N recall is
+    // what summarization leaderboards report. Same token-grain shape as
+    // self_bleu: per-doc n-gram count tables equi-joined on the gram
+    // WITHIN the pair (never doc²), clipped matches exact ints, recall =
+    // match/ref_len one IEEE divide each, floor-1e-4; zero-overlap pairs
+    // kept via left joins. No length cap (counts are linear, unlike the
+    // LCS key's 60-token DP envelope).
+    "llm_rouge_n" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .where(size(col("toks")) >= 2)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = docs
+        .withColumn("ref_id", lead(col("doc_id"), 1).over(w))
+        .where(col("ref_id").isNotNull)
+        .select(col("doc_id"), col("ref_id"))
+        .localCheckpoint(true) // pair list: one row per doc with a successor
+      val uni = docs.select(col("doc_id"), explode(col("toks")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val big = docs
+        .withColumn("z", arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1)))
+        .select(col("doc_id"), explode(col("z")).as("b"))
+        .select(col("doc_id"), concat(col("b.0"), lit(" "), col("b.1")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      def clipped(counts: DataFrame): DataFrame = pairs
+        .join(counts.select(col("doc_id"), col("g"), col("c").as("cc")), "doc_id")
+        .join(counts.select(col("doc_id").as("ref_id"), col("g"), col("c").as("rc")),
+          Seq("ref_id", "g"))
+        .groupBy("doc_id").agg(sum(least(col("cc"), col("rc"))).as("m"))
+      val rl = docs.select(col("doc_id").as("ref_id"),
+        size(col("toks")).cast("long").as("rlen"))
+      pairs
+        .join(clipped(uni).withColumnRenamed("m", "m1"), Seq("doc_id"), "left")
+        .join(clipped(big).withColumnRenamed("m", "m2"), Seq("doc_id"), "left")
+        .join(rl, "ref_id")
+        .select(col("doc_id"), col("ref_id"),
+          coalesce(col("m1"), lit(0L)).as("n1_match"),
+          coalesce(col("m2"), lit(0L)).as("n2_match"),
+          col("rlen"),
+          (floor(coalesce(col("m1"), lit(0L)).cast("double")
+            / col("rlen").cast("double") * 1e4) / 1e4).as("rouge1_r"),
+          (floor(coalesce(col("m2"), lit(0L)).cast("double")
+            / (col("rlen") - 1).cast("double") * 1e4) / 1e4).as("rouge2_r"))
+        .orderBy("doc_id")
+    }),
+
     // K — ROUGE-L via BIT-PARALLEL LCS (added r9): longest-common-
     // SUBSEQUENCE overlap of each doc against its source-successor — the
     // order-sensitive eval primitive beside `llm_self_bleu`'s clipped
@@ -6599,6 +6650,46 @@ object Llm {
         |JOIN c1 a ON c2.w1 = a.token
         |JOIN c1 b ON c2.w2 = b.token
         |ORDER BY w1, w2""".stripMargin,
+    "llm_rouge_n" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> len(x) > 0)) >= 2
+        |),
+        |pairs AS (
+        |  SELECT doc_id, ref_id FROM (
+        |    SELECT doc_id, lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+        |    FROM t2
+        |  ) WHERE ref_id IS NOT NULL
+        |),
+        |uc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS g FROM t2) GROUP BY 1, 2),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM (
+        |  SELECT doc_id, concat(w1, ' ', w2) AS g FROM (
+        |    SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+        |           unnest(list_slice(toks, 2, len(toks))) AS w2
+        |    FROM t2)) GROUP BY 1, 2),
+        |m1 AS (SELECT p.doc_id, CAST(sum(least(c.c, r.c)) AS BIGINT) AS m
+        |       FROM pairs p JOIN uc c ON p.doc_id = c.doc_id
+        |                    JOIN uc r ON p.ref_id = r.doc_id AND c.g = r.g
+        |       GROUP BY 1),
+        |m2 AS (SELECT p.doc_id, CAST(sum(least(c.c, r.c)) AS BIGINT) AS m
+        |       FROM pairs p JOIN bgc c ON p.doc_id = c.doc_id
+        |                    JOIN bgc r ON p.ref_id = r.doc_id AND c.g = r.g
+        |       GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM t2)
+        |SELECT p.doc_id, p.ref_id,
+        |       coalesce(m1.m, 0) AS n1_match, coalesce(m2.m, 0) AS n2_match,
+        |       rl.len AS rlen,
+        |       floor(CAST(coalesce(m1.m, 0) AS DOUBLE)
+        |             / CAST(rl.len AS DOUBLE) * 1e4) / 1e4 AS rouge1_r,
+        |       floor(CAST(coalesce(m2.m, 0) AS DOUBLE)
+        |             / CAST(rl.len - 1 AS DOUBLE) * 1e4) / 1e4 AS rouge2_r
+        |FROM pairs p
+        |LEFT JOIN m1 ON p.doc_id = m1.doc_id
+        |LEFT JOIN m2 ON p.doc_id = m2.doc_id
+        |JOIN lens rl ON p.ref_id = rl.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     "llm_self_bleu" ->
       """WITH t2 AS (
         |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

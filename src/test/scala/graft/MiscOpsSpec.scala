@@ -2584,6 +2584,37 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_rouge_n matches a driver clipped-recall recompute") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (numAt(r, 0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty)))
+      .filter(_._3.length >= 2)
+    def fl(x: Double) = math.floor(x * 1e4) / 1e4
+    def counts(ts: Array[String]) = ts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def clip(a: Map[String, Long], b: Map[String, Long]) =
+      a.map { case (g, c) => math.min(c, b.getOrElse(g, 0L)) }.sum
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    val expect = docs.groupBy(_._2).values.flatMap { ds =>
+      ds.map(_._1).sorted.sliding(2).filter(_.length == 2).map { case Array(c, ref) =>
+        val (a, b) = (byId(c), byId(ref))
+        def bigrams(t: Array[String]) = t.sliding(2).map(_.mkString(" ")).toArray
+        val m1 = clip(counts(a), counts(b))
+        val m2 = clip(counts(bigrams(a)), counts(bigrams(b)))
+        val rlen = b.length.toLong
+        c -> ((ref, m1, m2, rlen,
+          fl(m1.toDouble / rlen), fl(m2.toDouble / (rlen - 1))))
+      }
+    }.toMap
+    val got = SparkEntry.queries("llm_rouge_n")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == expect)
+    // recall bounded and non-trivial somewhere on the fixture
+    assert(got.values.forall { case (_, _, _, _, r1, r2) => r1 <= 1.0001 && r2 <= 1.0001 })
+    assert(got.values.exists { case (_, m1, _, _, _, _) => m1 > 0 })
+  }
+
   test("win_islands matches a driver run-length recompute") {
     val series = Tables.events(spark, sf0001)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
