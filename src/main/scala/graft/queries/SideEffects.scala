@@ -373,6 +373,40 @@ object SideEffects {
         .orderBy("d")
     }),
 
+    // A — gzip-compressed CSV round-trip (added r9): the interchange
+    // format most real feeds actually arrive in (.csv.gz drops). Writes
+    // the event feed as gzip CSV (timestamps as explicit µs longs — CSV
+    // has no timestamp type; doubles as shortest-repr text) and reads it
+    // back through codec auto-detection; the re-read aggregates µ-unit
+    // integer sums, so if the text→double parse mangled even one value
+    // the quantization diverges and the hash fails — the oracle
+    // recomputes the same sums straight from the source table. Scale
+    // note (declared): gzip files are NOT splittable — one task per
+    // file; the write pins a bounded file count, and a 100 TB feed
+    // would land as many smaller .gz parts (or zstd/bzip2 splittables).
+    "scan_csv_gzip" -> ((s, d) => {
+      val out = scratch("events_csv_gz")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(out)
+      s.read.option("header", "true")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "ts_us BIGINT, value DOUBLE")
+        .csv(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          // modular checksum, not a raw sum: epoch-µs values overflow a
+          // long after ~5k rows in ANSI mode; the mod keeps every term
+          // < 1e9 (order-free exact to ~9e9 rows) and is equally
+          // sensitive to any mangled timestamp
+          sum(col("ts_us") % 1000000007L).as("ts_checksum"),
+          sum(floor(col("value") * 1e6).cast("long")).as("sum_value_microunits"))
+        .orderBy("event_type")
+    }),
+
     // A — quoted MULTI-LINE CSV round-trip (added r9): text columns with
     // embedded newlines are the classic CSV interchange trap — the
     // default line-splitting reader shreds a quoted field at its first
@@ -525,6 +559,13 @@ object SideEffects {
     "sink_partitioned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,
+    "scan_csv_gzip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000007) AS BIGINT)
+        |         AS ts_checksum,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_microunits
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_csv_multiline" ->
       """WITH t AS (
         |  SELECT source, replace(text, ' ', chr(10)) AS t2 FROM documents

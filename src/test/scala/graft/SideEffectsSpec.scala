@@ -93,4 +93,25 @@ class SideEffectsSpec extends SparkSpec {
       .csv("/root/repo/target/scratch/docs_multiline_csv")
     assert(raw.count() > expect.values.map(_._1).sum)
   }
+
+  test("scan_csv_gzip: files are really gzip and the parse round-trips exactly") {
+    val got = SparkEntry.queries("scan_csv_gzip")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expect = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(unix_micros(col("ts")) % 1000000007L).as("s"),
+        sum(floor(col("value") * 1e6).cast("long")).as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    // the layout really is compressed: .csv.gz parts with the gzip magic
+    val parts = new java.io.File("/root/repo/target/scratch/events_csv_gz")
+      .listFiles().filter(_.getName.endsWith(".csv.gz"))
+    assert(parts.nonEmpty, "no .csv.gz parts written")
+    parts.foreach { f =>
+      val in = new java.io.FileInputStream(f)
+      val (b0, b1) = (in.read(), in.read()); in.close()
+      assert(b0 == 0x1f && b1 == 0x8b, s"${f.getName}: not gzip")
+    }
+  }
 }
