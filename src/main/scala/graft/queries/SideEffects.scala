@@ -373,6 +373,46 @@ object SideEffects {
         .orderBy("d")
     }),
 
+    // A — FILE-LEVEL min/max data skipping (added r9): the Iceberg/Delta
+    // manifest mechanism as an explicit operator, and the third rung of
+    // the layout ladder (partition pruning = sink_partitioned/zorder;
+    // bucket co-location = join_bucketed; FILE skipping = this). The
+    // store is range-clustered on the query column at write time, a
+    // file-grain (min,max) manifest is derived, and a range query reads
+    // ONLY the overlapping files plus the exact residual predicate —
+    // at 100 TB the manifest comes free from parquet footers at write
+    // time; the explicit stats pass here makes the mechanism
+    // oracle-checkable. The manifest collect is file-grain METADATA
+    // (bounded by file count, the Knn-gate collect class). The oracle
+    // recomputes the range aggregate from the source, so the hash
+    // proves the file cover is COMPLETE (a skipped-but-needed file =
+    // missing rows); the spec pins that skipping is REAL (fewer files
+    // read than written) and pruned == brute force. Query bounds are
+    // integer fractions of max(user_id), scale-free across fixtures.
+    "store_minmax_prune" -> ((s, d) => {
+      val out = scratch("events_minmax")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("user_id"))
+        .write.mode("overwrite").parquet(out)
+      val back = s.read.parquet(out)
+      val maxU = back.agg(max("user_id")).head().getLong(0)
+      val (loQ, hiQ) = (maxU / 10, (3 * maxU) / 10)
+      val manifest = back
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+        .collect() // file-grain metadata, bounded by file count
+      val files = manifest
+        .filter(m => m.getLong(1) <= hiQ && m.getLong(2) >= loQ)
+        .map(_.getString(0))
+      s.read.parquet(files: _*)
+        .where(col("user_id") >= loQ && col("user_id") <= hiQ)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1e6).cast("long")).as("sum_value_microunits"))
+        .orderBy("event_type")
+    }),
+
     // A — gzip-compressed CSV round-trip (added r9): the interchange
     // format most real feeds actually arrive in (.csv.gz drops). Writes
     // the event feed as gzip CSV (timestamps as explicit µs longs — CSV
@@ -559,6 +599,14 @@ object SideEffects {
     "sink_partitioned" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,
+    "store_minmax_prune" ->
+      """WITH mu AS (SELECT max(user_id) AS m FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_microunits
+        |FROM events CROSS JOIN mu
+        |WHERE user_id >= m // 10 AND user_id <= (3 * m) // 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_csv_gzip" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000007) AS BIGINT)

@@ -114,4 +114,28 @@ class SideEffectsSpec extends SparkSpec {
       assert(b0 == 0x1f && b1 == 0x8b, s"${f.getName}: not gzip")
     }
   }
+
+  test("store_minmax_prune skips files and loses no rows") {
+    val got = SparkEntry.queries("store_minmax_prune")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // brute force over the whole store (no manifest) must agree
+    val back = spark.read.parquet("/root/repo/target/scratch/events_minmax")
+    val maxU = back.agg(max("user_id")).head().getLong(0)
+    val (lo, hi) = (maxU / 10, (3 * maxU) / 10)
+    val brute = back
+      .where(col("user_id") >= lo && col("user_id") <= hi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6).cast("long")).as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == brute)
+    // skipping is real: the 20%-wide range must not need all 8
+    // range-clustered files
+    val manifest = back.groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi")).collect()
+    val needed = manifest.count(m => m.getLong(1) <= hi && m.getLong(2) >= lo)
+    assert(manifest.length >= 6, s"expected ~8 files, got ${manifest.length}")
+    assert(needed < manifest.length,
+      s"no file skipped: $needed of ${manifest.length} overlap the range")
+  }
 }
