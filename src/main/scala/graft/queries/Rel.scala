@@ -629,6 +629,27 @@ object Rel {
       a.except(b).orderBy("p_partkey")
     }),
 
+    // B — SARGABLE predicate rewrite (added r9): the scan-cost trap every
+    // 100 TB pipeline hits — `date_trunc('day', ts) = D` is correct but
+    // UNPUSHABLE (the filter wraps the column in a function, so the
+    // parquet reader sees no bounds and reads every row group), while
+    // the equivalent half-open range `ts >= D AND ts < D+1d` pushes to
+    // the scan as min/max row-group filters. This key RUNS the sargable
+    // form; the ORACLE states the truncate form — the hash match proves
+    // the rewrite's equivalence (the thing a reviewer must trust when
+    // rewriting a slow filter), and PlanShapeSpec-style asserts in the
+    // spec show the pushed bounds present here and ABSENT from the
+    // naive form. Exact µ-unit sums; one scan.
+    "filter_sargable_rewrite" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp")
+          && col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1e6).cast("long")).as("sum_value_microunits"))
+        .orderBy("event_type")
+    }),
+
     // G4 — MULTISET set operations (added r9): INTERSECT ALL / EXCEPT ALL
     // — the bag semantics (min-multiplicity / multiplicity-difference)
     // the distinct variants above silently discard, and the one users
@@ -1055,6 +1076,13 @@ object Rel {
         |INTERSECT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin,
     "set_except" ->
       """SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem ORDER BY p_partkey""".stripMargin,
+    "filter_sargable_rewrite" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_microunits
+        |FROM events
+        |WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) = TIMESTAMP '2024-01-10'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "set_ops_all" ->
       """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25),
         |     b AS (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05)

@@ -2584,6 +2584,29 @@ class MiscOpsSpec extends SparkSpec {
     }
   }
 
+  test("filter_sargable_rewrite: range form pushes scan bounds, naive form cannot") {
+    val ranged = SparkEntry.queries("filter_sargable_rewrite")(spark, sf0001)
+    val rangedPlan = ranged.queryExecution.executedPlan.toString
+    // the half-open range reaches the parquet scan as pushed ts bounds
+    assert("PushedFilters: \\[[^\\]]*(GreaterThanOrEqual|LessThan)\\(ts".r
+      .findFirstIn(rangedPlan).isDefined, rangedPlan.take(1500))
+    // the naive truncate form is semantically identical but pushes NO ts
+    // bound — the full-scan trap this key's rewrite removes
+    val naive = Tables.events(spark, sf0001)
+      .where(date_trunc("day", col("ts")) === lit("2024-01-10 00:00:00").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6).cast("long")).as("sum_value_microunits"))
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*(GreaterThanOrEqual|LessThan)\\(ts".r
+      .findFirstIn(naivePlan).isEmpty, naivePlan.take(1500))
+    // and the two forms agree row for row (the equivalence the oracle pins
+    // cross-engine, re-proven here within Spark)
+    val a = ranged.collect().map(_.toSeq).toSet
+    val b = naive.orderBy("event_type").collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("llm_rouge_n matches a driver clipped-recall recompute") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "source", "text").collect()
