@@ -351,11 +351,13 @@ object Geo {
         .orderBy("s_suppkey")
     }),
 
-    // M7 — per-nation diameter (added r9): the farthest supplier pair and
+    // M7 — per-region diameter (added r9): the farthest supplier pair and
     // its exact squared distance — the spatial SPREAD readout (service
     // radius, territory extent) that complements the density keys'
-    // proximity view. Pair work is blocked by NATION (the natural
-    // business block; supplier groups are dimension-grain here), and the
+    // proximity view. Pair work is blocked by REGION (5 blocks, so pair
+    // volume is ~n²/5 — the coarsest dimension block; blocking by nation
+    // would tighten the quadratic bound to ~n²/25 at the cost of a
+    // different business readout), and the
     // argmax is a struct-min under the total order (d² desc, a asc,
     // b asc) so ties can't leak. Everything is exact long arithmetic —
     // dx²+dy² on integer meters. At corpus sizes where per-block
@@ -375,8 +377,12 @@ object Geo {
     // bisection on the corpus). One linear pass, no shuffle before the
     // final sort.
     "geo_geohash" -> ((s, d) => {
-      val lonBits = s"(((lon + 180000000L) * 32768L) div 360000000L)"
-      val latBits = s"(((lat + 90000000L) * 32768L) div 180000000L)"
+      // least(·, 32767): floor((v+off)·2¹⁵/range) reads 32768 at exactly
+      // v = +90°/+180°, which would wrap the 15-bit field to all-zeros
+      // (north pole encoding as lat −90). Textbook geohash puts the
+      // boundary in the topmost cell — the clamp, on both engines.
+      val lonBits = s"least((((lon + 180000000L) * 32768L) div 360000000L), 32767L)"
+      val latBits = s"least((((lat + 90000000L) * 32768L) div 180000000L), 32767L)"
       val morton = (0 to 14).map { i =>
         s"(($lonBits div ${1L << (14 - i)}L) % 2L) * ${1L << (29 - 2 * i)}L" +
           s" + (($latBits div ${1L << (14 - i)}L) % 2L) * ${1L << (28 - 2 * i)}L"
@@ -577,8 +583,8 @@ object Geo {
         |LEFT JOIN battach ba ON ba.k = s.s_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
     "geo_geohash" -> {
-      val lonBits = "(((lon + 180000000) * 32768) // 360000000)"
-      val latBits = "(((lat + 90000000) * 32768) // 180000000)"
+      val lonBits = "LEAST((((lon + 180000000) * 32768) // 360000000), 32767)"
+      val latBits = "LEAST((((lat + 90000000) * 32768) // 180000000), 32767)"
       val morton = (0 to 14).map { i =>
         s"(($lonBits // ${1L << (14 - i)}) % 2) * ${1L << (29 - 2 * i)}" +
           s" + (($latBits // ${1L << (14 - i)}) % 2) * ${1L << (28 - 2 * i)}"

@@ -3488,9 +3488,15 @@ object Llm {
     // K — Mixture-of-Experts routing audit (added r9): route every
     // embedding to its top-2 of 8 "experts" (the shared Lloyd centroids)
     // and report the per-expert LOAD BALANCE — top-1 load f_e, capacity
-    // demand (top-2), mean softmax gate probability P_e, and the Switch
-    // Transformer auxiliary-loss contribution k·f_e·P_e (Fedus et al.;
-    // a balanced router reads aux ≈ 1 per expert, a collapsed router
+    // demand (top-2), mean gate probability, and an auxiliary-loss
+    // readout k·f_e·ĝ_e in the Switch Transformer SHAPE (Fedus et al.
+    // define the aux loss with P_e = mean router probability over ALL
+    // tokens; here ĝ_e is the mean gate over only the tokens top-1
+    // routed TO expert e — the top-1-conditional mean, biased above the
+    // paper's P_e by construction. The conditional form is what a
+    // routing AUDIT wants — "how confident were the tokens this expert
+    // actually received" — and is what both engines compute; a balanced
+    // router still reads aux ≈ 1 per expert, a collapsed router still
     // concentrates it). This is the data-side readout MoE training
     // pipelines gate on: routed token distribution BEFORE the GPUs see
     // the imbalance. Determinism: cosines via the exact sequential

@@ -705,11 +705,16 @@ object Wins {
     // the fence test one IEEE comparison of exact-in-double values,
     // identical on both engines; warm-up rows (< 12 priors) pass
     // through unrepaired. O(k log k) per row in-partition, one entity
-    // shuffle.
+    // shuffle. NULL values are filtered on BOTH engines before
+    // windowing (r9 ADVICE): Spark's collect_list drops NULLs while
+    // DuckDB's list() keeps them, so an unfiltered null-bearing corpus
+    // would give the two engines different rolling windows, n, and
+    // medians — the explicit filter is the parity contract.
     "win_hampel" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-20, -1)
       Tables.events(s, d)
+        .where(col("value").isNotNull)
         .withColumn("yq", floor(col("value") * 1e6).cast("long"))
         .withColumn("l", collect_list(col("yq")).over(w))
         .withColumn("n", size(col("l")))
@@ -745,11 +750,14 @@ object Wins {
     // exact in double), one multiply + one divide of the same values on
     // both engines, floor-1e-4 quantized; the flag thresholds the
     // QUANTIZED score (the zscore precedent). Frame work is O(k log k)
-    // at k=20 — bounded, in-partition.
+    // at k=20 — bounded, in-partition. NULLs filtered on both engines
+    // (r9 ADVICE — the win_hampel parity contract: collect_list drops
+    // NULLs, DuckDB list() keeps them).
     "win_mad_anomaly" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-20, -1)
       Tables.events(s, d)
+        .where(col("value").isNotNull)
         .withColumn("yq", floor(col("value") * 1e6).cast("long"))
         .withColumn("l", collect_list(col("yq")).over(w))
         .withColumn("n", size(col("l")))
@@ -2004,7 +2012,7 @@ object Wins {
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |         CAST(floor(value * 1000000) AS BIGINT) AS yq
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), l AS (
         |  SELECT event_id, user_id, yq,
         |         list(yq) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2034,7 +2042,7 @@ object Wins {
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |         CAST(floor(value * 1000000) AS BIGINT) AS yq
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), l AS (
         |  SELECT event_id, user_id, yq,
         |         list(yq) OVER (PARTITION BY user_id ORDER BY ts, event_id

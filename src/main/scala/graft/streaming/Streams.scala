@@ -1039,11 +1039,17 @@ object Streams {
     // in n_late_dropped), and the trailing days the watermark never
     // passed are still OPEN (status 'open', no emission). The oracle
     // reproduces the watermark machine in closed form: with chunks
-    // replayed in event-time quartiles, the watermark during the late
-    // batch is max(on-time ts of chunks 0-2) − 10 min and the final
-    // watermark is max(all ts) − 10 min, so dropped = late rows with
-    // day_end ≤ wm₄ and emitted = days with day_end ≤ wm_f — the hash
-    // match proves Spark's drop/finalize boundaries are exactly these.
+    // replayed in event-time quartiles, the watermark APPLIED to the
+    // late batch (batch 4) is max(on-time ts of chunks 0-1) − 10 min —
+    // one batch BEHIND the data already seen, because Spark commits a
+    // batch's max event time to the watermark only at the NEXT batch's
+    // start (chunk 2's maximum has been observed but not yet
+    // propagated when batch 4 filters) — and the final watermark is
+    // max(all ts) − 10 min, so dropped = late rows with day_end ≤ wm₄
+    // and emitted = days with day_end ≤ wm_f. The hash match pins this
+    // one-extra-batch propagation lag exactly (the chunks-0-2 model
+    // would drop 304 rows, not the observed 177); a Spark upgrade that
+    // changes watermark-commit timing will surface here first.
     // Together with the rematerialize key this pins BOTH late-data
     // policies: drop-and-account (this key) vs recompute (that one).
     "stream_watermark_audit" -> ((s, d) => {

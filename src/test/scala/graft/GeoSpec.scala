@@ -224,5 +224,26 @@ class GeoSpec extends SparkSpec {
     // prefix-share = proximity is real on the fixture: at least two
     // suppliers land in distinct hashes (non-degenerate)
     assert(rows.map(_.getString(3)).distinct.length > 1)
+
+    // boundary clamp (r9 ADVICE): the closed-form axis value reads 2¹⁵ at
+    // exactly lat=+90 / lon=+180 and must clamp to the topmost cell
+    // (32767) — which is also where the textbook bisection puts the
+    // boundary (lat >= mid always takes the upper half). Evaluate the
+    // key's own clamped expressions on the corner fixtures.
+    import spark.implicits._
+    val lonBits = "least((((lon + 180000000L) * 32768L) div 360000000L), 32767L)"
+    val latBits = "least((((lat + 90000000L) * 32768L) div 180000000L), 32767L)"
+    val corners = Seq((90000000L, 180000000L), (90000000L, -180000000L),
+      (-90000000L, 180000000L), (0L, 0L))
+      .toDF("lat", "lon")
+      .selectExpr(s"$latBits AS latb", s"$lonBits AS lonb", "lat", "lon")
+      .collect()
+    corners.foreach { r =>
+      val (latb, lonb) = (r.getLong(0), r.getLong(1))
+      assert(latb >= 0 && latb <= 32767, s"lat bits out of field: $latb")
+      assert(lonb >= 0 && lonb <= 32767, s"lon bits out of field: $lonb")
+      if (r.getLong(2) == 90000000L) assert(latb == 32767L)
+      if (r.getLong(3) == 180000000L) assert(lonb == 32767L)
+    }
   }
 }
