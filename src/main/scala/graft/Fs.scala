@@ -95,6 +95,49 @@ object Fs {
     dropped.map { case (_, v) => v }
   }
 
+  /** Per-file (min, max) of a 64-bit integer column under `dir`, read from
+    * the PARQUET FOOTER STATISTICS only — no data pages are touched, so the
+    * cost is one footer round-trip per file (the same metadata a pruning
+    * reader consults). This is the manifest primitive behind file skipping
+    * (`store_minmax_prune`) and compaction-clustering audits
+    * (`store_compact_files`): a second full scan of the data to learn its
+    * per-file ranges would defeat the point of having written statistics.
+    * Driver-side iteration, bounded by file count (file-grain metadata, the
+    * house manifest rule); a 100 TB store distributes the same footer reads
+    * over executors. Files whose footer lacks stats for the column (all-null
+    * chunk, stats disabled) are skipped — the conservative no-prune branch. */
+  def parquetColumnMinMax(spark: SparkSession, dir: String, column: String): Seq[(String, Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val (fs, p) = fileSystem(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !isHidden(st.getPath.getName)
+        && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    files.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val perGroup = reader.getFooter.getBlocks.asScala.toSeq.flatMap { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .flatMap { cc =>
+              val st = cc.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) => Some((lo.longValue, hi.longValue))
+                case (lo: java.lang.Integer, hi: java.lang.Integer) => Some((lo.longValue, hi.longValue))
+                case _ => None
+              }
+            }
+        }
+        if (perGroup.isEmpty) None
+        else Some((f.toString, perGroup.map(_._1).min, perGroup.map(_._2).max))
+      } finally reader.close()
+    }
+  }
+
   /** Read a small control file (fingerprint, marker) as UTF-8, if present. */
   def readUtf8(spark: SparkSession, file: String): Option[String] = {
     val (fs, p) = fileSystem(spark, file)

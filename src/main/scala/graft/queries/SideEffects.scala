@@ -378,12 +378,12 @@ object SideEffects {
     // the layout ladder (partition pruning = sink_partitioned/zorder;
     // bucket co-location = join_bucketed; FILE skipping = this). The
     // store is range-clustered on the query column at write time, a
-    // file-grain (min,max) manifest is derived, and a range query reads
-    // ONLY the overlapping files plus the exact residual predicate —
-    // at 100 TB the manifest comes free from parquet footers at write
-    // time; the explicit stats pass here makes the mechanism
-    // oracle-checkable. The manifest collect is file-grain METADATA
-    // (bounded by file count, the Knn-gate collect class). The oracle
+    // file-grain (min,max) manifest is read STRAIGHT FROM THE PARQUET
+    // FOOTERS (r9 VERDICT #8 — `Fs.parquetColumnMinMax`; the former
+    // second full scan re-derived statistics the write had already
+    // persisted), and a range query reads ONLY the overlapping files
+    // plus the exact residual predicate. The footer pass is file-grain
+    // METADATA — no data pages, bounded by file count. The oracle
     // recomputes the range aggregate from the source, so the hash
     // proves the file cover is COMPLETE (a skipped-but-needed file =
     // missing rows); the spec pins that skipping is REAL (fewer files
@@ -395,18 +395,48 @@ object SideEffects {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .repartitionByRange(8, col("user_id"))
         .write.mode("overwrite").parquet(out)
-      val back = s.read.parquet(out)
-      val maxU = back.agg(max("user_id")).head().getLong(0)
+      val manifest = graft.Fs.parquetColumnMinMax(s, out, "user_id")
+      val maxU = manifest.map(_._3).max // footer stats, no data read
       val (loQ, hiQ) = (maxU / 10, (3 * maxU) / 10)
-      val manifest = back
-        .groupBy(input_file_name().as("f"))
-        .agg(min("user_id").as("lo"), max("user_id").as("hi"))
-        .collect() // file-grain metadata, bounded by file count
       val files = manifest
-        .filter(m => m.getLong(1) <= hiQ && m.getLong(2) >= loQ)
-        .map(_.getString(0))
+        .filter(m => m._2 <= hiQ && m._3 >= loQ)
+        .map(_._1)
       s.read.parquet(files: _*)
         .where(col("user_id") >= loQ && col("user_id") <= hiQ)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1e6).cast("long")).as("sum_value_microunits"))
+        .orderBy("event_type")
+    }),
+
+    // A — small-file COMPACTION under the oracle (added r10, r9 VERDICT
+    // #1): the nightly maintenance op every 100 TB store actually runs —
+    // an appended-every-15-minutes feed accumulates thousands of tiny
+    // files whose footer/task overhead degrades scans long before
+    // capacity does. The key fragments the event feed into 48 round-robin
+    // files (the per-task-append pattern), rewrites it range-clustered on
+    // user_id via the real `store.Compaction.compactTo` (repartitionByRange
+    // → few large files, out-of-place so a crash can't eat the store),
+    // and re-aggregates FROM THE COMPACTED COPY; the oracle recomputes
+    // the same aggregate from the source table, so the hash proves the
+    // rewrite is LOSSLESS — no dropped, duplicated, or mangled row.
+    // StoreSpec pins the layout facts the hash can't see: files_after <
+    // files_before AND clustering survives (per-file footer min/max
+    // ranges are pairwise disjoint after the range rewrite). Sizing is
+    // scale-free: rowsPerFile = ceil(n/4) targets 4 files at any sf
+    // (production sets bytes, same arithmetic). The planning count() is
+    // parquet metadata-only (row-group counts, no data pages).
+    "store_compact_files" -> ((s, d) => {
+      val src = scratch("events_fragmented")
+      val dst = scratch("events_compacted")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(48)
+        .write.mode("overwrite").parquet(src)
+      val n = s.read.parquet(src).count()
+      graft.store.Compaction.compactTo(s, src, dst,
+        rowsPerFile = math.max(1L, (n + 3) / 4), sortCols = Seq("user_id"))
+      s.read.parquet(dst)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1e6).cast("long")).as("sum_value_microunits"))
@@ -607,6 +637,13 @@ object SideEffects {
         |FROM events CROSS JOIN mu
         |WHERE user_id >= m // 10 AND user_id <= (3 * m) // 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compaction losslessness: the aggregate over the compacted copy must
+    // equal the same aggregate straight off the source table
+    "store_compact_files" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_microunits
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_csv_gzip" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000007) AS BIGINT)

@@ -137,5 +137,19 @@ class SideEffectsSpec extends SparkSpec {
     assert(manifest.length >= 6, s"expected ~8 files, got ${manifest.length}")
     assert(needed < manifest.length,
       s"no file skipped: $needed of ${manifest.length} overlap the range")
+    // the key's manifest comes from parquet FOOTER stats (no data pages,
+    // no second scan — r9 VERDICT #8); prove the footer read is exact by
+    // comparing it to the scan-derived per-file ranges above
+    val footer = graft.Fs.parquetColumnMinMax(
+      spark, "/root/repo/target/scratch/events_minmax", "user_id")
+    val scanRanges = manifest
+      .map(m => stripScheme(m.getString(0)) -> ((m.getLong(1), m.getLong(2)))).toMap
+    val footerRanges = footer
+      .map { case (f, l, h) => stripScheme(f) -> ((l, h)) }.toMap
+    assert(footerRanges == scanRanges,
+      s"footer stats disagree with scanned ranges: $footerRanges vs $scanRanges")
   }
+
+  private def stripScheme(p: String): String =
+    p.stripPrefix("file:").replaceAll("^/+", "/")
 }

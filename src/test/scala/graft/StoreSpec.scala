@@ -331,4 +331,38 @@ class StoreSpec extends SparkSpec {
     // the rectangle's y range keeps only nations with nation mod 8 in [1,3]
     assert(rows.nonEmpty && rows.forall(r => (numAt(r, 0) % 8) >= 1 && (numAt(r, 0) % 8) <= 3))
   }
+
+  test("store_compact_files shrinks the file count and keeps range clustering") {
+    val got = SparkEntry.queries("store_compact_files")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    // compaction is real: strictly fewer data files after the rewrite
+    val before = graft.Fs.countDataFiles(spark,
+      "/root/repo/target/scratch/events_fragmented", ".parquet")
+    val after = graft.Fs.countDataFiles(spark,
+      "/root/repo/target/scratch/events_compacted", ".parquet")
+    assert(before >= 40, s"fragmentation fixture too small: $before files")
+    assert(after < before, s"no compaction: $after >= $before")
+    assert(after <= 5, s"rowsPerFile sizing missed: $after files for a 4-file target")
+    // clustering survives: the compacted files' footer min/max user_id
+    // ranges are pairwise DISJOINT (repartitionByRange assigns each key
+    // to exactly one partition), where the fragmented round-robin input
+    // had every file spanning nearly the full key range
+    val ranges = graft.Fs.parquetColumnMinMax(spark,
+      "/root/repo/target/scratch/events_compacted", "user_id")
+      .map { case (_, lo, hi) => (lo, hi) }.sorted
+    assert(ranges.nonEmpty && ranges.forall { case (lo, hi) => lo <= hi })
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(lo2 >= hi1, s"overlapping compacted ranges: $ranges")
+      case _ => ()
+    }
+    val fragRanges = graft.Fs.parquetColumnMinMax(spark,
+      "/root/repo/target/scratch/events_fragmented", "user_id")
+    val (gLo, gHi) = (fragRanges.map(_._2).min, fragRanges.map(_._3).max)
+    // round-robin fragments each cover most of the global range — the
+    // layout compaction just repaired
+    assert(fragRanges.count { case (_, lo, hi) =>
+      (hi - lo) * 10 >= (gHi - gLo) * 5 } * 2 >= fragRanges.size,
+      "fragmented fixture unexpectedly clustered already")
+  }
 }
