@@ -829,6 +829,39 @@ object Rel {
           col("valid_to"), col("version"), col("is_current"))
         .orderBy("entity_id", "version")
     }),
+
+    // A — incremental SCD-2 MERGE (added r10, r9 VERDICT #4): the nightly
+    // dimension-maintenance op — fold one day's attribute batch into the
+    // EXISTING dimension (close open intervals, append versions) without
+    // ever re-reading full history. The feed splits at the 3/4 point of
+    // its time range (exact integer µs arithmetic on the 1-row min/max
+    // bounds, broadcast — scale-free across fixtures): the first 3/4
+    // builds the standing dimension via scd2(), the last 1/4 arrives as
+    // the batch into AttributeStore.mergeScd2 (closed versions untouched,
+    // only affected entities' open rows replay; one entity shuffle of
+    // open ∪ batch). The ORACLE rebuilds the dimension from the FULL feed
+    // from scratch, so the hash IS the merge ≡ rebuild equivalence proof
+    // cross-engine — a dropped close, a mis-numbered version, or a
+    // batch-head that failed to compact against the current version all
+    // diverge it. At 100 TB this is the difference between touching
+    // day-grain data and re-sorting years of history.
+    "store_scd2_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(
+        unix_micros(min("ts")).as("lo_us"), unix_micros(max("ts")).as("hi_us"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+        .withColumn("__late",
+          unix_micros(col("ts")) >= col("lo_us") + (col("hi_us") - col("lo_us")) * 3 / 4)
+      def changes(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("user_id").as("entity_id"), col("ts"))
+        .agg(min("event_type").as("status"))
+      val dim = graft.store.AttributeStore.scd2(changes(tagged.where(!col("__late"))))
+      val batch = changes(tagged.where(col("__late")))
+      graft.store.AttributeStore.mergeScd2(dim, batch)
+        .select(col("entity_id"), col("status"), col("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))
+        .orderBy("entity_id", "version")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1153,6 +1186,26 @@ object Rel {
         |WHERE prev IS NULL OR status <> prev
         |ORDER BY entity_id, ts""".stripMargin,
     "store_scd2" ->
+      """WITH h AS (
+        |  SELECT user_id AS entity_id, CAST(ts AS TIMESTAMP) AS ts, min(event_type) AS status
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT *, lag(status) OVER (PARTITION BY entity_id ORDER BY ts) AS prev FROM h
+        |), chg AS (
+        |  SELECT entity_id, ts, status FROM l WHERE prev IS NULL OR status <> prev
+        |), v AS (
+        |  SELECT entity_id, status, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY entity_id ORDER BY ts) AS valid_to,
+        |         row_number() OVER (PARTITION BY entity_id ORDER BY ts) AS version
+        |  FROM chg
+        |)
+        |SELECT entity_id, status, valid_from, valid_to, version,
+        |       valid_to IS NULL AS is_current
+        |FROM v ORDER BY entity_id, version""".stripMargin,
+    // merge ≡ rebuild: the oracle rebuilds the dimension from the FULL
+    // feed from scratch — the Spark side merged a 1/4-tail batch into the
+    // 3/4-head dimension, so a hash match IS the equivalence proof
+    "store_scd2_merge" ->
       """WITH h AS (
         |  SELECT user_id AS entity_id, CAST(ts AS TIMESTAMP) AS ts, min(event_type) AS status
         |  FROM events GROUP BY 1, 2

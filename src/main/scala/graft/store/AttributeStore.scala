@@ -69,6 +69,61 @@ object AttributeStore {
       .drop("__h", "__prev")
   }
 
+  /** Incremental SCD-2 merge: fold one batch of NEW attribute change-rows
+    * (entity_id, ts, attrs...; every ts strictly after the dimension's
+    * build horizon) into an existing `scd2` dimension WITHOUT re-reading
+    * full history — the nightly dimension-maintenance op (a 100 TB
+    * dimension's closed versions never need rewriting; only each affected
+    * entity's open interval participates).
+    *
+    * Mechanics: closed versions and open versions of unaffected entities
+    * pass through untouched; each affected entity's open version replays
+    * as the seed change-row (carrying its version number) ahead of the
+    * batch rows under one entity-keyed window — the same compact-then-
+    * interval machinery as the full build, so batch rows whose attributes
+    * equal the running last value (including a batch head equal to the
+    * current version) compact away, the open interval closes at the first
+    * surviving change, and version numbers continue from the seed.
+    * Entities new in the batch seed at version 1. Cost: one shuffle of
+    * (affected open rows ∪ batch), two anti/semi joins at entity grain.
+    *
+    * Equivalence contract (the reason this is safe to run nightly):
+    * mergeScd2(scd2(h), b) == scd2(h ∪ b) whenever max(h.ts) < min(b.ts)
+    * per entity — pinned cross-engine by `store_scd2_merge`'s oracle
+    * (which rebuilds from scratch) and by StoreSpec's fixture cases. */
+  def mergeScd2(dim: DataFrame, batch: DataFrame): DataFrame = {
+    val attrs = attrCols(batch)
+    val open = dim.where(col("is_current"))
+    val closed = dim.where(!col("is_current"))
+    val ents = batch.select("entity_id").distinct()
+    val untouched = open.join(ents, Seq("entity_id"), "left_anti")
+    val affected = open.join(ents, Seq("entity_id"), "left_semi")
+    val seed = affected.select(col("entity_id"), col("valid_from").as("ts"),
+      struct(attrs.map(col): _*).as("__a"),
+      col("version").cast("int").as("__seed_ver"))
+    val incoming = batch.select(col("entity_id"), col("ts"),
+      struct(attrs.map(col): _*).as("__a"),
+      lit(null).cast("int").as("__seed_ver"))
+    val w = Window.partitionBy("entity_id").orderBy("ts")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = seed.unionByName(incoming)
+      .withColumn("__h", xxhash64(col("__a")))
+      .withColumn("__prev", lag(col("__h"), 1).over(w))
+      .where(col("__prev").isNull || col("__h") =!= col("__prev"))
+      // the seed (if the entity has one) survives compaction first — its
+      // version anchors the numbering; batch-only entities anchor at 1
+      .withColumn("__base", coalesce(
+        first(col("__seed_ver"), ignoreNulls = true).over(wRun), lit(1)))
+      .withColumn("version", col("__base") + row_number().over(w) - 1)
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+    val flat = attrs.foldLeft(merged) {
+      (acc, a) => acc.withColumn(a, col("__a").getField(a))
+    }.select(dim.columns.map(col): _*)
+    closed.unionByName(untouched).unionByName(flat)
+  }
+
   /** SCD-2 build: compacted change-rows become versioned validity
     * intervals `[valid_from, valid_to)` (NULL `valid_to` = open/current)
     * with a per-entity version counter — the attribute_history

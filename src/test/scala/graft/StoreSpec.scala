@@ -222,6 +222,42 @@ class StoreSpec extends SparkSpec {
     assert(viaScd2 == viaAt)
   }
 
+  test("scd2 merge: one batch folded into the dimension equals the full rebuild") {
+    def df(rows: Seq[(Long, String, String)]) = rows
+      .toDF("entity_id", "ts", "status")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val hist = df(Seq(
+      (1L, "2024-01-01 00:00:00", "planned"),
+      (1L, "2024-01-05 00:00:00", "active"),
+      (2L, "2024-01-02 00:00:00", "active"),
+      (3L, "2024-01-03 00:00:00", "active")))   // untouched by the batch
+    val batch = df(Seq(
+      (1L, "2024-02-01 00:00:00", "active"),    // equals current -> compacts away
+      (1L, "2024-02-03 00:00:00", "inactive"),  // real change -> closes + version 3
+      (1L, "2024-02-03 06:00:00", "inactive"),  // duplicate run -> no new version
+      (2L, "2024-02-02 00:00:00", "retired"),   // single change
+      (4L, "2024-02-04 00:00:00", "planned"),   // NEW entity -> version 1
+      (4L, "2024-02-05 00:00:00", "active")))   // ...then version 2
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("entity_id", "status", "valid_from", "valid_to", "version", "is_current")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Int, Boolean)]
+      .collect().sortBy(r => (r._1, r._5)).toSeq
+    val merged = snap(AttributeStore.mergeScd2(AttributeStore.scd2(hist), batch))
+    val rebuilt = snap(AttributeStore.scd2(hist.unionByName(batch)))
+    assert(merged == rebuilt, s"merge != rebuild:\n$merged\nvs\n$rebuilt")
+    // the fixture exercised what it claims: entity 1 gained exactly one
+    // version (the equal-head and duplicate compacted away), entity 3 is
+    // byte-identical to its pre-merge row, entity 4 numbered from 1
+    assert(merged.filter(_._1 == 1L).map(_._2) == Seq("planned", "active", "inactive"))
+    assert(merged.filter(_._1 == 3L) == snap(AttributeStore.scd2(hist)).filter(_._1 == 3L))
+    assert(merged.filter(_._1 == 4L).map(r => (r._2, r._5)) ==
+      Seq(("planned", 1), ("active", 2)))
+    // merging an EMPTY batch is the identity
+    val empty = batch.where(lit(false))
+    assert(snap(AttributeStore.mergeScd2(AttributeStore.scd2(hist), empty)) ==
+      snap(AttributeStore.scd2(hist)))
+  }
+
   test("attribute asof join equals per-row at() lookup") {
     val hist = Seq(
       (10L, "2024-01-01 00:00:00", "v1"),
