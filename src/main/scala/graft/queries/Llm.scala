@@ -2529,6 +2529,32 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K7d — REAL PNG decode end to end (added r10, r9 VERDICT #5): the
+    // second genuine pure-JVM codec next to BMP — 8-bit grayscale PNG
+    // through java.util.zip.Deflater/Inflater, with the full spec
+    // machinery owned in-repo: signature, chunk framing with CRC-32
+    // validation, IHDR contract, multi-IDAT concatenation, and scanline
+    // filters 0-4 (None/Sub/Up/Average/Paeth) reversed against the
+    // RECONSTRUCTED neighbors. The encode cycles the filter type per row
+    // (row % 5), so at height 5 every unfilter path — including the
+    // Paeth predictor — is on the hot path of every single image. Same
+    // md5-seeded 3×5 pixels and same oracle trick as the BMP key: the
+    // oracle computes the stats straight from the md5 hex, so the hash
+    // proves value fidelity (sum) AND position fidelity (Σ(i+1)·pᵢ —
+    // a filter-reconstruction bug preserves sums but not positions).
+    // n_raw is the inflated payload length h·(1+w) (deterministic; the
+    // deflated byte count depends on the zlib build, so it's excluded).
+    // Embarrassingly parallel: no shuffle until the presentation sort.
+    "llm_media_decode_png" -> ((s, d) => {
+      val seeded = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("substring(unhex(md5(CAST(doc_id AS STRING))), 1, 15)").as("gray"))
+      graft.multimodal.Media.pngRoundTripStats(seeded, "gray", width = 3, height = 5)
+        .select("doc_id", "width", "height", "n_raw",
+          "sum_lum", "wsum_lum", "min_lum", "max_lum")
+        .orderBy("doc_id")
+    }),
+
     // K8 — token-window chunking (training-data prep): 40-token windows
     // with stride 30 (10-token overlap), each chunk fingerprinted. Chunk
     // boundaries are pure per-row arithmetic — embarrassingly parallel, no
@@ -6224,6 +6250,21 @@ object Llm {
         |)
         |SELECT doc_id, CAST(3 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
         |       CAST(114 AS INTEGER) AS n_bytes,
+        |       CAST(sum(v) AS BIGINT) AS sum_lum,
+        |       CAST(sum((i + 1) * v) AS BIGINT) AS wsum_lum,
+        |       CAST(min(v) AS INTEGER) AS min_lum, CAST(max(v) AS INTEGER) AS max_lum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // PNG twin: identical md5-hex recomputation; n_raw is the inflated
+    // scanline payload h·(1+w) = 5·4 = 20 (filter byte per row + pixels)
+    "llm_media_decode_png" ->
+      """WITH px AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |                                     CAST(1 + 2 * i.i AS INTEGER), 2)) AS BIGINT) AS v
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 15)) AS i) i
+        |)
+        |SELECT doc_id, CAST(3 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+        |       CAST(20 AS INTEGER) AS n_raw,
         |       CAST(sum(v) AS BIGINT) AS sum_lum,
         |       CAST(sum((i + 1) * v) AS BIGINT) AS wsum_lum,
         |       CAST(min(v) AS INTEGER) AS min_lum, CAST(max(v) AS INTEGER) AS max_lum

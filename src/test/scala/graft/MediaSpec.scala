@@ -160,4 +160,76 @@ class MediaSpec extends SparkSpec {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  test("PNG codec: every filter type 0-4 round-trips a gradient exactly") {
+    // 4×6: values with strong horizontal AND vertical structure so each
+    // filter produces distinct residuals; one fixed filter per image
+    val gray = Array.tabulate(24)(i => ((i % 4) * 50 + (i / 4) * 7).toByte)
+    (0 to 4).foreach { ft =>
+      val png = Media.encodePng(4, 6, gray, filterForRow = _ => ft)
+      val (w, h, px) = Media.decodePng(png)
+      assert(w == 4 && h == 6, s"filter $ft: wrong dims")
+      assert(px.toSeq == gray.map(_ & 0xff).toSeq, s"filter $ft: pixel mismatch")
+    }
+    // the cycling form the key uses (all five filters in one image)
+    val png = Media.encodePng(4, 6, gray, filterForRow = r => r % 5)
+    assert(Media.decodePng(png)._3.toSeq == gray.map(_ & 0xff).toSeq)
+  }
+
+  test("PNG codec: header facts, multi-IDAT concatenation, ImageIO cross-decode") {
+    val gray = Array.tabulate(15)(i => (17 * i + 3).toByte)
+    val png = Media.encodePng(3, 5, gray, filterForRow = r => r % 5)
+    // signature + IHDR facts at fixed offsets (13-byte IHDR first chunk)
+    assert((png(0) & 0xff) == 137 && png(1) == 'P'.toByte)
+    assert(new String(png, 12, 4, "US-ASCII") == "IHDR")
+    assert(png(24) == 8 && png(25) == 0, "bit depth 8, color type 0 (gray)")
+    // multi-IDAT: 5-byte chunks force several; decoder must concatenate
+    val multi = Media.encodePng(3, 5, gray, filterForRow = r => r % 5, idatChunkSize = 5)
+    assert(multi.length > png.length, "chunk split should add framing overhead")
+    assert(Media.decodePng(multi)._3.toSeq == gray.map(_ & 0xff).toSeq)
+    // independent decoder: the JDK's ImageIO must read our file and see
+    // the exact pixels — proves spec conformance, not just self-inverse
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO could not parse our PNG")
+    assert(img.getWidth == 3 && img.getHeight == 5)
+    val viaImageIO = for (r <- 0 until 5; c <- 0 until 3)
+      yield img.getRaster.getSample(c, r, 0)
+    assert(viaImageIO == gray.map(_ & 0xff).toSeq)
+  }
+
+  test("PNG codec: rejects bad signature, corrupted CRC, and unsupported color type") {
+    intercept[IllegalArgumentException](Media.decodePng(Array[Byte](1, 2, 3)))
+    val ok = Media.encodePng(2, 2, Array[Byte](9, 8, 7, 6))
+    // flip one bit inside the IHDR data -> CRC must catch it
+    val badCrc = ok.clone(); badCrc(17) = (badCrc(17) ^ 1).toByte
+    intercept[IllegalArgumentException](Media.decodePng(badCrc))
+    // declare RGB (color type 2) with the CRC recomputed -> explicit reject
+    val rgb = ok.clone(); rgb(25) = 2
+    val crc = new java.util.zip.CRC32
+    crc.update(rgb, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    rgb(29) = ((cv >> 24) & 0xff).toByte; rgb(30) = ((cv >> 16) & 0xff).toByte
+    rgb(31) = ((cv >> 8) & 0xff).toByte; rgb(32) = (cv & 0xff).toByte
+    intercept[IllegalArgumentException](Media.decodePng(rgb))
+    // truncated IDAT stream
+    intercept[IllegalArgumentException](
+      Media.decodePng(java.util.Arrays.copyOfRange(ok, 0, ok.length - 13)))
+  }
+
+  test("llm_media_decode_png matches a driver md5-byte recompute at sf0.001") {
+    def md5bytes(s2: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
+    val expect = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0)).map { id =>
+        val v = md5bytes(id.toString).take(15).map(_ & 0xff)
+        id -> (v.sum.toLong, v.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum,
+          v.min, v.max)
+      }.toMap
+    val got = SparkEntry.queries("llm_media_decode_png")(spark, sf0001).collect().map { r =>
+      assert(r.getInt(1) == 3 && r.getInt(2) == 5 && r.getInt(3) == 20)
+      r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7))
+    }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }
