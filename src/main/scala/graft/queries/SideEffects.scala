@@ -539,12 +539,60 @@ object SideEffects {
         .withColumn("z", expr(zExpr).cast("int"))
         .repartition(col("z"))
         .write.mode("overwrite").partitionBy("z").parquet(out)
-      val cells = for { x <- 2 to 5; y <- 1 to 3 } yield
-        (0 until 3).map(i => (((x >> i) & 1) << (2 * i + 1))
-          | (((y >> i) & 1) << (2 * i))).sum
+      // the cover is COMPUTED by the generalized litmax/bigmin machinery
+      // (r10 — ZOrderSpec proves it equals the formerly hand-enumerated
+      // 12-cell list at this width); at 3+3 bits the ranges flatten to
+      // the same IN-list partition filter
+      val cells = graft.store.ZOrder.rangeCover(2, 5, 1, 3, bits = 3)
+        .flatMap { case (lo, hi) => (lo to hi).map(_.toInt) }
       s.read.parquet(out)
         .where(col("z").isin(cells: _*))
         .where(col("xb") >= 2 && col("xb") <= 5 && col("yb") >= 1 && col("yb") <= 3)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"))
+        .orderBy("c_nationkey")
+    }),
+
+    // A — Z-order at PRODUCTION width (added r10, r9 VERDICT #7): the
+    // 3-bit `store_zorder` enumerates its 12 cells by hand and partitions
+    // by cell; at real widths (here 6+6 bits → 4096 cells, production
+    // 16-20) neither works — the actual Delta/Iceberg mechanism is SORT
+    // the store by the Morton value, then at query time COMPUTE the
+    // rectangle's exact Morton-range cover (quadtree/litmax-bigmin walk,
+    // O(ranges·bits), independent of box area — `store.ZOrder.rangeCover`)
+    // and skip every file whose footer [min(z), max(z)] overlaps no cover
+    // range. This key runs that exact pipeline: range-cluster 16 files on
+    // z, footer-stats manifest (`Fs.parquetColumnMinMax` — no data read),
+    // interval-overlap file selection against the computed cover, exact
+    // residual predicate. The oracle recomputes the rectangle aggregate
+    // from the source, so the hash proves cover+manifest completeness (a
+    // skipped-but-needed file = missing rows); ZOrderSpec proves the
+    // cover machinery exhaustively and StoreSpec pins that files are
+    // really skipped. Exact cent sums; identical IEEE bucketing on both
+    // engines (the store_zorder discipline).
+    "store_zorder_range" -> ((s, d) => {
+      val out = scratch("cust_zorder_range")
+      def bit(c: String, i: Int) = s"(($c div ${1 << i}) % 2)"
+      val zExpr = (0 until 6).map(i =>
+        s"${bit("xb", i)} * ${1 << (2 * i + 1)} + ${bit("yb", i)} * ${1 << (2 * i)}")
+        .mkString(" + ")
+      Tables.customer(s, d)
+        .withColumn("cents", floor(col("c_acctbal") * lit(100.0)).cast("long"))
+        .withColumn("xb",
+          least(floor((col("c_acctbal") + lit(1000.0)) / lit(172.0)), lit(63.0))
+            .cast("int"))
+        .withColumn("yb", (col("c_custkey") % 64).cast("int"))
+        .withColumn("z", expr(zExpr).cast("long"))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(out)
+      val cover = graft.store.ZOrder.rangeCover(8, 23, 16, 47, bits = 6)
+      val manifest = graft.Fs.parquetColumnMinMax(s, out, "z")
+      val files = manifest.filter { case (_, lo, hi) =>
+        cover.exists { case (cl, ch) => lo <= ch && hi >= cl }
+      }.map(_._1)
+      s.read.parquet(files: _*)
+        .where(col("xb") >= 8 && col("xb") <= 23 && col("yb") >= 16 && col("yb") <= 47)
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"))
         .orderBy("c_nationkey")
@@ -669,6 +717,17 @@ object SideEffects {
         |SELECT c_nationkey, count(*) AS n_cust, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM c
         |WHERE xb BETWEEN 2 AND 5 AND yb BETWEEN 1 AND 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "store_zorder_range" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents,
+        |         CAST(LEAST(floor((c_acctbal + 1000.0) / 172.0), 63.0) AS INT) AS xb,
+        |         CAST(c_custkey % 64 AS INT) AS yb
+        |  FROM customer
+        |)
+        |SELECT c_nationkey, count(*) AS n_cust, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c
+        |WHERE xb BETWEEN 8 AND 23 AND yb BETWEEN 16 AND 47
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_schema_merge" ->
       """SELECT 1 AS b, count(*) AS n, CAST(0 AS BIGINT) AS n_adj,

@@ -368,6 +368,31 @@ class StoreSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(r => (numAt(r, 0) % 8) >= 1 && (numAt(r, 0) % 8) <= 3))
   }
 
+  test("store_zorder_range skips z-sorted files via footer stats and loses no rows") {
+    val got = SparkEntry.queries("store_zorder_range")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val out = "/root/repo/target/scratch/cust_zorder_range"
+    // the pruning decision repeated here: cover ∩ footer manifest
+    val cover = graft.store.ZOrder.rangeCover(8, 23, 16, 47, bits = 6)
+    val manifest = graft.Fs.parquetColumnMinMax(spark, out, "z")
+    val needed = manifest.count { case (_, lo, hi) =>
+      cover.exists { case (cl, ch) => lo <= ch && hi >= cl } }
+    assert(manifest.size >= 12, s"expected ~16 z-clustered files, got ${manifest.size}")
+    assert(needed < manifest.size,
+      s"no file skipped: $needed of ${manifest.size} overlap the cover")
+    // completeness: pruned rectangle aggregate equals brute force over
+    // the full store
+    def numAt(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+      case l: Long => l; case n: Int => n.toLong; case x => x.toString.toLong
+    }
+    val brute = spark.read.parquet(out)
+      .where(col("xb") >= 8 && col("xb") <= 23 && col("yb") >= 16 && col("yb") <= 47)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"))
+      .collect().map(r => (numAt(r, 0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(r => (numAt(r, 0), r.getLong(1), r.getLong(2))).toSet == brute)
+  }
+
   test("store_compact_files shrinks the file count and keeps range clustering") {
     val got = SparkEntry.queries("store_compact_files")(spark, sf0001).collect()
     assert(got.nonEmpty)
