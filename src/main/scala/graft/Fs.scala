@@ -138,6 +138,45 @@ object Fs {
     }
   }
 
+  /** Per-file bloom-filter probe for a point-lookup: does any row group's
+    * written bloom filter for `column` possibly contain ANY of `values`?
+    * Footer + bloom pages only — no data pages. This is the EQUALITY
+    * complement of [[parquetColumnMinMax]]'s range skipping: a
+    * hash-distributed store has every file spanning the full key range
+    * (min/max skips nothing), but each key lives in ONE file — the bloom
+    * names it. Conservative by construction: a missing column chunk,
+    * absent bloom, or unhashable value reads as "might contain" (no
+    * false negatives possible, the bloom contract). Driver-side, bounded
+    * by file count — the manifest rule; a 100 TB store distributes the
+    * same probe. */
+  def parquetBloomMightContain(spark: SparkSession, dir: String, column: String,
+                               values: Seq[Long]): Seq[(String, Boolean)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val (fs, p) = fileSystem(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && !isHidden(st.getPath.getName)
+        && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    files.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val might = reader.getFooter.getBlocks.asScala.exists { block =>
+          block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case None => true // column missing from this file: stay conservative
+            case Some(cc) =>
+              val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+              if (bf == null) true // no bloom written: cannot rule the group out
+              else values.exists(v => bf.findHash(bf.hash(v)))
+          }
+        }
+        (f.toString, might)
+      } finally reader.close()
+    }
+  }
+
   /** Read a small control file (fingerprint, marker) as UTF-8, if present. */
   def readUtf8(spark: SparkSession, file: String): Option[String] = {
     val (fs, p) = fileSystem(spark, file)

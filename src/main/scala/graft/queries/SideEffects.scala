@@ -553,6 +553,52 @@ object SideEffects {
         .orderBy("c_nationkey")
     }),
 
+    // A — BLOOM-FILTER point-lookup file skipping (added r10): the fourth
+    // and last rung of the data-skipping ladder — partition pruning
+    // (sink_partitioned), range skipping (store_minmax_prune), Z-order
+    // rectangles (store_zorder_range) all serve RANGE predicates; the
+    // point lookup on a HASH-distributed store is the case they can't
+    // touch (every file spans the full key range, min/max skips nothing —
+    // but each key lives in exactly one file, and the parquet BLOOM
+    // FILTER names it). The store is written hash-partitioned on user_id
+    // with blooms enabled (`parquet.bloom.filter.enabled#user_id`), and
+    // three probe ids — exact integer fractions of max(user_id), scale-
+    // free — select files via `Fs.parquetBloomMightContain` (footer +
+    // bloom pages only, no data read, no false negatives by the bloom
+    // contract). The oracle recomputes the point aggregates from the
+    // source, so the hash proves the file cover kept every probed row;
+    // the spec pins that skipping is REAL (~1 file per id out of 8) and
+    // that blooms were actually written. At 100 TB this is the needle
+    // query: one file read instead of the whole store.
+    "store_bloom_prune" -> ((s, d) => {
+      val out = scratch("events_bloom")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(8, col("user_id"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+        // parquet-mr OMITS the bloom when a chunk stays fully dictionary-
+        // encoded (the dictionary already answers membership exactly);
+        // the fixture's key cardinality is dictionary-sized, so disable
+        // the dictionary on this one column to emulate the high-NDV
+        // regime blooms exist for (at real NDV the encoder falls back to
+        // PLAIN by itself and writes the bloom unprompted)
+        .option("parquet.enable.dictionary#user_id", "false")
+        .parquet(out)
+      val manifest = graft.Fs.parquetColumnMinMax(s, out, "user_id")
+      val maxU = manifest.map(_._3).max // footer stats, no data read
+      val ids = Seq(2L, 5L, 8L).map(k => k * (maxU / 10))
+      val files = graft.Fs.parquetBloomMightContain(s, out, "user_id", ids)
+        .filter(_._2).map(_._1)
+      s.read.parquet(files: _*)
+        .where(col("user_id").isin(ids: _*))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1e6).cast("long")).as("sum_value_microunits"))
+        .orderBy("user_id")
+    }),
+
     // A — Z-order at PRODUCTION width (added r10, r9 VERDICT #7): the
     // 3-bit `store_zorder` enumerates its 12 cells by hand and partitions
     // by cell; at real widths (here 6+6 bits → 4096 cells, production
@@ -684,6 +730,17 @@ object SideEffects {
         |         AS sum_value_microunits
         |FROM events CROSS JOIN mu
         |WHERE user_id >= m // 10 AND user_id <= (3 * m) // 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // point-lookup completeness: the probed aggregates must equal the
+    // same aggregates straight off the source (a bloom false negative =
+    // a missing file = missing rows = hash divergence)
+    "store_bloom_prune" ->
+      """WITH mu AS (SELECT max(user_id) AS m FROM events)
+        |SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_microunits
+        |FROM events CROSS JOIN mu
+        |WHERE user_id IN (2 * (m // 10), 5 * (m // 10), 8 * (m // 10))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // compaction losslessness: the aggregate over the compacted copy must
     // equal the same aggregate straight off the source table

@@ -150,6 +150,42 @@ class SideEffectsSpec extends SparkSpec {
       s"footer stats disagree with scanned ranges: $footerRanges vs $scanRanges")
   }
 
+  test("store_bloom_prune skips files via written blooms and loses no rows") {
+    val got = SparkEntry.queries("store_bloom_prune")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val out = "/root/repo/target/scratch/events_bloom"
+    val back = spark.read.parquet(out)
+    val maxU = back.agg(max("user_id")).head().getLong(0)
+    val ids = Seq(2L, 5L, 8L).map(k => k * (maxU / 10))
+    // brute force over the whole store must agree
+    val brute = back.where(col("user_id").isin(ids: _*))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6).cast("long")).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == brute)
+    assert(got.nonEmpty, "probe ids found no rows — fixture assumption broken")
+    // skipping is real: a hash-distributed key lives in ~1 of 8 files per
+    // id, so 3 ids keep at most 3 files (bloom fp could add one)
+    val probe = graft.Fs.parquetBloomMightContain(spark, out, "user_id", ids)
+    assert(probe.size >= 6, s"expected ~8 files, got ${probe.size}")
+    val kept = probe.count(_._2)
+    assert(kept < probe.size, s"no file skipped: $kept of ${probe.size}")
+    assert(kept <= 4, s"bloom kept $kept files for 3 point ids")
+    // blooms were really written: an ABSENT key is ruled out nearly
+    // everywhere (without blooms every file would read conservative-true)
+    val absent = graft.Fs.parquetBloomMightContain(
+      spark, out, "user_id", Seq(maxU + 987654321L))
+    assert(absent.count(_._2) <= 1,
+      s"absent key not pruned — blooms missing? ${absent.count(_._2)} of ${absent.size}")
+    // every file actually HOLDING a probe id is kept (no false negative)
+    val holders = back.where(col("user_id").isin(ids: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => stripScheme(r.getString(0))).toSet
+    val keptSet = probe.filter(_._2).map(p => stripScheme(p._1)).toSet
+    assert(holders.subsetOf(keptSet), s"bloom false negative: $holders vs $keptSet")
+  }
+
   private def stripScheme(p: String): String =
     p.stripPrefix("file:").replaceAll("^/+", "/")
 }
