@@ -456,6 +456,45 @@ object Media {
     }(enc)
   }
 
+  /** Average-hash (aHash) over DECODED pixels — the classic perceptual
+    * image-dedup primitive (bit i = pixel i brighter than the image mean;
+    * images differing by re-encode/contrast shift collide, distinct
+    * images don't). Runs through the REAL BMP codec: encode the grayscale
+    * payload, decode it back, hash the decoded pixels — so the hash also
+    * witnesses codec fidelity. Exact integers throughout: the mean
+    * comparison is `pixel·n > sum` (no division), making the bit vector
+    * bit-for-bit reproducible on any engine. Emits the hash as a long
+    * (LSB = pixel 0 in top-down row-major order) plus its popcount. */
+  def bmpAHash(df: DataFrame, grayCol: String,
+               width: Int, height: Int, batchSize: Int = 64): DataFrame = {
+    require(width * height <= 63, "ahash must fit a long")
+    val inSchema = df.schema
+    val grayIdx = inSchema.fieldIndex(grayCol)
+    require(inSchema(grayIdx).dataType == BinaryType, s"$grayCol must be binary")
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("ahash", LongType), StructField("n_bright", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val gray = row.getAs[Array[Byte]](grayIdx)
+          require(gray != null && gray.length == width * height,
+            s"gray payload must be ${width * height} bytes")
+          val (w, h, px) = decodeBmp(encodeBmp(width, height, gray))
+          val n = w * h
+          var sum = 0L; var i = 0
+          while (i < n) { sum += px(i * 3); i += 1 }
+          var hash = 0L; var bits = 0; i = 0
+          while (i < n) {
+            if (px(i * 3).toLong * n > sum) { hash |= 1L << i; bits += 1 }
+            i += 1
+          }
+          Row.fromSeq(row.toSeq :+ hash :+ bits)
+        }
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract a binary column. Input: any DataFrame with a
     * `BinaryType` column `binCol`. Output: input columns + `media` struct +
     * `features` array<double>, produced partition-wise in batches of

@@ -2555,6 +2555,30 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K7e — perceptual image dedup via AVERAGE-HASH (added r10): the
+    // classic image near-dup primitive (aHash: bit i = pixel i brighter
+    // than the image mean) computed over pixels that went THROUGH the
+    // real BMP codec — encode, decode, hash the decoded values — so the
+    // signature also witnesses codec fidelity end to end. Exact integers
+    // only: the mean test is pixel·n > sum (no division, no float), so
+    // the 15-bit vector is bit-identical on any engine; the dedup
+    // readout is each doc's bucket size (docs sharing the hash = visual
+    // near-dup candidates, the media twin of llm_dedup_exact's text
+    // buckets). Embarrassingly parallel decode+hash, one hash-grain
+    // window for bucket sizes. At 100 TB this is the image-dedup
+    // pre-filter: 64-bit aHash buckets, verify inside buckets only.
+    "llm_media_ahash" -> ((s, d) => {
+      val seeded = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("substring(unhex(md5(CAST(doc_id AS STRING))), 1, 15)").as("gray"))
+      val hashed = graft.multimodal.Media.bmpAHash(seeded, "gray", width = 3, height = 5)
+      val w = Window.partitionBy("ahash")
+      hashed
+        .withColumn("bucket_size", count(lit(1)).over(w))
+        .select(col("doc_id"), col("ahash"), col("n_bright"), col("bucket_size"))
+        .orderBy("doc_id")
+    }),
+
     // K8 — token-window chunking (training-data prep): 40-token windows
     // with stride 30 (10-token overlap), each chunk fingerprinted. Chunk
     // boundaries are pure per-row arithmetic — embarrassingly parallel, no
@@ -6254,6 +6278,27 @@ object Llm {
         |       CAST(sum((i + 1) * v) AS BIGINT) AS wsum_lum,
         |       CAST(min(v) AS INTEGER) AS min_lum, CAST(max(v) AS INTEGER) AS max_lum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // aHash from the same md5-hex pixels: bit i = v_i·15 > sum (exact
+    // integer mean test), hash = Σ 2^i·bit, bucket via a hash-grain count
+    "llm_media_ahash" ->
+      """WITH px AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |                                     CAST(1 + 2 * i.i AS INTEGER), 2)) AS BIGINT) AS v
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 15)) AS i) i
+        |), s AS (
+        |  SELECT doc_id, sum(v) AS total FROM px GROUP BY 1
+        |), h AS (
+        |  SELECT px.doc_id,
+        |         CAST(sum(CASE WHEN px.v * 15 > s.total THEN CAST(pow(2, px.i) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS ahash,
+        |         CAST(sum(CASE WHEN px.v * 15 > s.total THEN 1 ELSE 0 END) AS INTEGER)
+        |           AS n_bright
+        |  FROM px JOIN s ON px.doc_id = s.doc_id GROUP BY 1
+        |)
+        |SELECT doc_id, ahash, n_bright,
+        |       count(*) OVER (PARTITION BY ahash) AS bucket_size
+        |FROM h ORDER BY doc_id""".stripMargin,
     // PNG twin: identical md5-hex recomputation; n_raw is the inflated
     // scanline payload h·(1+w) = 5·4 = 20 (filter byte per row + pixels)
     "llm_media_decode_png" ->

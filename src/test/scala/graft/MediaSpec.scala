@@ -216,6 +216,26 @@ class MediaSpec extends SparkSpec {
       Media.decodePng(java.util.Arrays.copyOfRange(ok, 0, ok.length - 13)))
   }
 
+  test("llm_media_ahash matches a driver recompute; buckets are consistent") {
+    def md5bytes(s2: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
+    def ahash(id: Long): (Long, Int) = {
+      val v = md5bytes(id.toString).take(15).map(_ & 0xff)
+      val sum = v.map(_.toLong).sum
+      val bits = v.zipWithIndex.filter { case (x, _) => x.toLong * 15 > sum }
+      (bits.map { case (_, i) => 1L << i }.sum, bits.length)
+    }
+    val rows = SparkEntry.queries("llm_media_ahash")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h, b) = ahash(r.getLong(0))
+      assert(r.getLong(1) == h && r.getInt(2) == b, s"doc ${r.getLong(0)} hash mismatch")
+    }
+    // bucket sizes are the true per-hash cardinalities
+    val byHash = rows.groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    rows.foreach(r => assert(r.getLong(3) == byHash(r.getLong(1))))
+  }
+
   test("llm_media_decode_png matches a driver md5-byte recompute at sf0.001") {
     def md5bytes(s2: String): Array[Byte] =
       java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
