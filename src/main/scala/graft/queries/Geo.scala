@@ -31,6 +31,28 @@ object Geo {
   private val Side = 1000000L
   private val Cell = 100000L
 
+  /** Fixed simple NON-CONVEX geofence polygon (integer meters inside the
+    * square; the concavity at (450k, 600k) makes the even-odd parity
+    * load-bearing — a convex test would pass with a broken crossing
+    * count). GeoSpec verifies simplicity (no self-intersection) and
+    * cross-checks containment against JDK Path2D. */
+  val PolyVerts: Seq[(Long, Long)] = Seq(
+    (100000L, 200000L), (500000L, 100000L), (900000L, 400000L),
+    (700000L, 900000L), (450000L, 600000L), (200000L, 800000L))
+
+  /** The even-odd crossing COUNT as one generated SQL expression over
+    * integer point columns `px`/`py` — identical text on both engines.
+    * Per non-horizontal edge: straddle test on y, then the division-free
+    * cross-product comparison with (y2−y1)'s sign resolved at build time. */
+  def polyCrossingsExpr(px: String, py: String): String = {
+    val edges = PolyVerts.zip(PolyVerts.tail :+ PolyVerts.head)
+    edges.collect { case ((x1, y1), (x2, y2)) if y1 != y2 =>
+      val cross = s"(${x2 - x1} * ($py - $y1) - ($px - $x1) * ${y2 - y1})"
+      val cmp = if (y2 - y1 > 0) s"$cross > 0" else s"$cross < 0"
+      s"(CASE WHEN (($y1 > $py) <> ($y2 > $py)) AND ($cmp) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** Deterministic planar meters from the entity key: 48 md5 bits mod the
     * square side. `tag` disambiguates entity type and axis. */
   private def coord(tag: String, key: Column): Column =
@@ -399,6 +421,38 @@ object Geo {
         .orderBy("s_suppkey")
     }),
 
+    // M9 — POINT-IN-POLYGON containment (added r10): the geofence /
+    // service-territory primitive the family lacked — classify every
+    // customer against a fixed simple (non-convex) polygon by the
+    // even-odd ray-casting rule, with the crossing test kept in EXACT
+    // long arithmetic: for edge (x1,y1)→(x2,y2) straddling the point's
+    // horizontal ray ((y1>py) ≠ (y2>py)), the "ray passes left of the
+    // edge" test px < x1 + (x2−x1)(py−y1)/(y2−y1) is cross-multiplied to
+    // the division-free cross = (x2−x1)(py−y1) − (px−x1)(y2−y1) compared
+    // against 0 with the sign of (y2−y1) resolved AT BUILD TIME per edge
+    // (products ≤ 1e12 — long-safe; horizontal edges contribute nothing
+    // and are dropped at build time). Both engines run the literally
+    // identical generated predicate, so parity is unconditional — no
+    // float, no boundary convention to disagree on. GeoSpec additionally
+    // cross-checks every classification against java.awt.geom.Path2D
+    // (independent JDK geometry) and verifies the polygon is simple.
+    // One linear scan, nation-grain aggregate; the polygon broadcasts as
+    // a constant expression — the 100 TB geofence shape.
+    "geo_point_in_poly" -> ((s, d) => {
+      val crossings = Geo.polyCrossingsExpr("cx", "cy")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          coord("gxc:", col("c_custkey")).as("cx"),
+          coord("gyc:", col("c_custkey")).as("cy"))
+        .withColumn("inside", expr(s"(($crossings) % 2) = 1"))
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"),
+          sum(when(col("inside"), col("c_custkey").cast("long")).otherwise(0L))
+            .as("sum_key_inside"))
+        .orderBy("nation")
+    }),
+
     "geo_diameter" -> ((s, d) => {
       val sup = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
@@ -601,6 +655,23 @@ object Geo {
          |SELECT s_suppkey, lat, lon, $chars AS geohash
          |FROM gg ORDER BY s_suppkey""".stripMargin
     },
+    "geo_point_in_poly" ->
+      s"""WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         ${coordSql("gxc:", "c_custkey")} AS cx,
+        |         ${coordSql("gyc:", "c_custkey")} AS cy
+        |  FROM customer
+        |),
+        |t AS (
+        |  SELECT c_nationkey, c_custkey,
+        |         ((${polyCrossingsExpr("cx", "cy")}) % 2) = 1 AS inside
+        |  FROM c
+        |)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n_cust,
+        |       CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+        |       CAST(sum(CASE WHEN inside THEN c_custkey ELSE 0 END) AS BIGINT)
+        |         AS sum_key_inside
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "geo_diameter" ->
       s"""WITH s AS (
         |  SELECT s_suppkey, nt.n_regionkey AS region,

@@ -189,6 +189,49 @@ class GeoSpec extends SparkSpec {
     assert(got.values.forall(_._4 > 0))
   }
 
+  test("geo_point_in_poly: polygon is simple; parity matches JDK Path2D geometry") {
+    val v = graft.queries.Geo.PolyVerts
+    // simplicity: no two non-adjacent edges intersect (exact long segment
+    // intersection via orientation signs)
+    def orient(ax: Long, ay: Long, bx: Long, by: Long, cx: Long, cy: Long): Long =
+      java.lang.Long.signum((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+    val edges = v.zip(v.tail :+ v.head)
+    for (i <- edges.indices; j <- edges.indices if j > i + 1 && !(i == 0 && j == edges.size - 1)) {
+      val ((a, b), (c, dd)) = (edges(i), edges(j))
+      val o1 = orient(a._1, a._2, b._1, b._2, c._1, c._2)
+      val o2 = orient(a._1, a._2, b._1, b._2, dd._1, dd._2)
+      val o3 = orient(c._1, c._2, dd._1, dd._2, a._1, a._2)
+      val o4 = orient(c._1, c._2, dd._1, dd._2, b._1, b._2)
+      assert(!(o1 != o2 && o3 != o4), s"edges $i and $j intersect — polygon not simple")
+    }
+    // every classified customer agrees with the JDK's own even-odd
+    // geometry (Path2D.WIND_EVEN_ODD) — an independent oracle
+    val path = new java.awt.geom.Path2D.Double(java.awt.geom.Path2D.WIND_EVEN_ODD)
+    path.moveTo(v.head._1.toDouble, v.head._2.toDouble)
+    v.tail.foreach { case (x, y) => path.lineTo(x.toDouble, y.toDouble) }
+    path.closePath()
+    def md5coord(tag: String, key: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag$key".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val rows = SparkEntry.queries("geo_point_in_poly")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(1)).sum > 0)
+    // re-derive per-customer insideness driver-side and re-aggregate
+    val cust = Tables.customer(spark, sf0001).select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toLong))
+    val expect = cust.groupBy(_._2).map { case (nat, cs) =>
+      val ins = cs.filter { case (k, _) =>
+        path.contains(md5coord("gxc:", k).toDouble, md5coord("gyc:", k).toDouble) }
+      nat -> ((cs.length.toLong, ins.length.toLong, ins.map(_._1).sum))
+    }
+    val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, s"$got\nvs\n$expect")
+    // the fixture exercises both classes
+    assert(got.values.map(_._2).sum > 0 && got.values.map(_._2).sum < cust.length)
+  }
+
   test("geo_geohash integer closed form equals the textbook float bisection") {
     // reference implementation: standard geohash binary subdivision
     def textbook(lat: Double, lon: Double, chars: Int): String = {
