@@ -74,6 +74,62 @@ object Dedup {
       |  UNION ALL SELECT doc_id, 1, md5(mh4 || mh5 || mh6 || mh7) FROM mh
       |)""".stripMargin
 
+  /** One-Permutation Hashing (Li, Owen, Zhang 2012) with rotation
+    * densification (Shrivastava & Li 2014): hash each token ONCE (60-bit
+    * md5 prefix), split the hash space into 8 bins (h mod 8), keep the
+    * per-bin min — a full 8-slot MinHash signature from ONE hash pass
+    * instead of 8 (the production cost win: at 100 TB the k-hash scan is
+    * the dominant dedup bill, and OPH divides it by k). Empty bins are
+    * densified by circular right-borrow with a per-step offset
+    * (slot j ← min over k of slot (j+k) mod 8 present, + k·C), so equal
+    * token sets still produce equal signatures and distinct borrow
+    * distances cannot alias (C = 1e17 > any 60-bit hash; max value
+    * 7e17 + 2⁶⁰ — long-safe). Returns (doc_id, t0..t7). */
+  private[graft] val OphC = 100000000000000000L
+  private[graft] def ophSlots(tok: DataFrame): DataFrame = {
+    val hv = conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long")
+    val binned = tok.select(col("doc_id"), hv.as("hv"))
+      .withColumn("bin", col("hv") % 8)
+    val mins = (0 until 8).map(j => min(when(col("bin") === j, col("hv"))).as(s"s$j"))
+    val s = binned.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    (0 until 8).foldLeft(s) { (acc, j) =>
+      acc.withColumn(s"t$j", coalesce((0 until 8).map(k =>
+        col(s"s${(j + k) % 8}") + lit(k.toLong * OphC)): _*))
+    }.select(col("doc_id") +: (0 until 8).map(j => col(s"t$j")): _*)
+  }
+
+  /** Oracle-side CTEs for [[ophSlots]] + the same 2×4 banding (requires a
+    * `tok` CTE with doc_id, token). */
+  private[graft] val ophBandsCte: String = {
+    val mins = (0 until 8).map(j =>
+      s"min(CASE WHEN hv % 8 = $j THEN hv END) AS s$j").mkString(",\n      |         ")
+    val slots = (0 until 8).map { j =>
+      val alts = (0 until 8).map(k =>
+        if (k == 0) s"s${j % 8}" else s"s${(j + k) % 8} + ${k.toLong * OphC}")
+      s"COALESCE(${alts.mkString(", ")}) AS t$j"
+    }.mkString(",\n      |         ")
+    def band(js: Range) =
+      js.map(j => s"CAST(t$j AS VARCHAR)").mkString(" || ':' || ")
+    s"""h AS (
+      |  SELECT doc_id, CAST(concat('0x', substring(md5(token), 1, 15)) AS BIGINT) AS hv
+      |  FROM tok
+      |),
+      |sl0 AS (
+      |  SELECT doc_id,
+      |         $mins
+      |  FROM h GROUP BY doc_id
+      |),
+      |sl AS (
+      |  SELECT doc_id,
+      |         $slots
+      |  FROM sl0
+      |),
+      |obands AS (
+      |  SELECT doc_id, 0 AS band_i, md5(${band(0 until 4)}) AS band_v FROM sl
+      |  UNION ALL SELECT doc_id, 1, md5(${band(4 until 8)}) FROM sl
+      |)""".stripMargin
+  }
+
   /** Dense token-id assignment for the mask dictionary. Two routes with
     * identical output (a bijection token → 0..V-1 in lexicographic order,
     * pinned equal by DedupSpec):

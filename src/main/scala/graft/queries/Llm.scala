@@ -979,6 +979,36 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // K2a' — ONE-PERMUTATION HASHING MinHash (added r10; Li, Owen, Zhang
+    // 2012 + Shrivastava & Li 2014 rotation densification): the
+    // production-cost variant of `llm_dedup_minhash` — each token hashed
+    // ONCE (60-bit md5 prefix), binned by h mod 8, per-bin min = the
+    // signature slot; empty bins borrow circularly rightward with a
+    // k·1e17 per-step offset so equal token sets keep equal signatures
+    // and borrow distances can't alias. At 100 TB the k-hash scan IS the
+    // minhash bill; OPH divides that pass by k (here 8×) for the same
+    // banding recall curve. Same 2×4 band equi-join and pair readout as
+    // the classic key, so the two candidate generators are directly
+    // comparable; DedupSpec pins the densification semantics
+    // (single-token doc = fully borrowed signature) and the equal-set ⇒
+    // equal-signature contract. Deterministic: md5 bit-identical on both
+    // engines, mins and borrows exact longs.
+    "llm_dedup_oph" -> ((s, d) => {
+      val slots = Dedup.ophSlots(tokensDistinct(s, d))
+      val bands = slots.select(col("doc_id"), posexplode(array(
+        md5(concat_ws(":", (0 until 4).map(j => col(s"t$j").cast("string")): _*)),
+        md5(concat_ws(":", (4 until 8).map(j => col(s"t$j").cast("string")): _*)))))
+        .toDF("doc_id", "band_i", "band_v")
+        .localCheckpoint(true) // doc-grain ×2, read twice by the self-join
+      val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
+      val r = bands.select(col("doc_id").as("b_id"),
+        col("band_i").as("bi2"), col("band_v").as("bv2"))
+      l.join(r, col("band_i") === col("bi2") && col("band_v") === col("bv2")
+          && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // K2b' — n-gram Jaccard near-dup: 3-token shingle sets, Jaccard >= 0.5.
     // Shingles are near-unique, so the shared-shingle equi-join is sparse:
     // candidate generation cost follows true similarity, not n². This is
@@ -4933,6 +4963,13 @@ object Llm {
         |${Dedup.bandsCte}
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
         |FROM bands a JOIN bands b
+        |  ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin,
+    "llm_dedup_oph" ->
+      s"""WITH $tokCte,
+        |${Dedup.ophBandsCte}
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+        |FROM obands a JOIN obands b
         |  ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin,
     "llm_minhash_est" ->

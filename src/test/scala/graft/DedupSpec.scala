@@ -310,4 +310,43 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(rm - ra) < 0.15, s"bucket $b: measured $rm vs analytic $ra")
     }
   }
+
+  test("OPH signature: one-hash bins, rotation densification, equal sets equal sigs") {
+    def h60(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // single-token doc: one bin real, seven borrowed at exact k·C offsets
+    val single = Seq((1L, "en", "lonely")).toDF("doc_id", "lang", "token")
+    val sl = Dedup.ophSlots(single).collect().head
+    val hv = h60("lonely")
+    val bin = (hv % 8).toInt
+    (0 until 8).foreach { j =>
+      val k = ((bin - j) % 8 + 8) % 8
+      assert(sl.getLong(1 + j) == hv + k * Dedup.OphC,
+        s"slot $j: borrow distance $k wrong")
+    }
+    // equal token SETS (different order/duplication) => identical signature
+    val toks = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val two = (toks.map((2L, "en", _)) ++ toks.reverse.map((3L, "en", _)))
+      .toDF("doc_id", "lang", "token")
+    val sigs = Dedup.ophSlots(two).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    assert(sigs(2L) == sigs(3L), "equal sets must produce equal signatures")
+    // driver recompute of the full bin/min/borrow pipeline
+    val hs = toks.map(h60)
+    val byBin = hs.groupBy(h => (h % 8).toInt).view.mapValues(_.min).toMap
+    val expect = (0 until 8).map { j =>
+      val k = (0 until 8).find(k2 => byBin.contains((j + k2) % 8)).get
+      byBin((j + k) % 8) + k * Dedup.OphC
+    }
+    assert(sigs(2L) == expect, s"${sigs(2L)} vs $expect")
+    // a different set diverges in at least one slot
+    val other = Seq("alpha", "beta", "gamma", "delta", "epsilon", "eta")
+      .map((4L, "en", _)).toDF("doc_id", "lang", "token")
+    val sig4 = Dedup.ophSlots(other).collect()
+      .map(r => (1 to 8).map(r.getLong).toSeq).head
+    assert(sig4 != sigs(2L))
+  }
 }
