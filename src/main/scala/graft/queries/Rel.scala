@@ -533,6 +533,45 @@ object Rel {
         .orderBy("o_orderkey")
     }),
 
+    // C14' — BIN-BLOCKED interval-overlap join (added r10): the pure
+    // range join `join_interval` dodges — there the equi-key (uid) made
+    // the range condition a residual on a hash join; with NO equi key
+    // Spark's only native plan is BroadcastNestedLoopJoin, O(n·m) row
+    // comparisons. The standard fix (Databricks range-join binning,
+    // interval-tree partitioning in the literature) is to make time
+    // itself the equi-key: explode each window into the day bins it
+    // touches (≤ 2 here — 6 h windows, sequence() over the truncated
+    // bounds), join events on their day bin (a plain shuffled equi-join),
+    // then apply the EXACT ts-range residual; a window spanning two bins
+    // meets an event at most once because the event's bin is unique, so
+    // no dedup pass is needed. Candidate volume = Σ per-bin windows ×
+    // per-bin events — day-locality-bound, never n·m. Windows come from
+    // the supplier dim (every 10th supplier; bounded fan-out at any sf);
+    // the oracle runs the NAIVE inequality join, so the hash match
+    // proves the binned plan is exactly the range join. PlanShapeSpec
+    // pins that no BroadcastNestedLoopJoin appears in the binned plan.
+    "join_interval_binned" -> ((s, d) => {
+      val win = Tables.supplier(s, d)
+        .where(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey").as("win_id"),
+          expr("TIMESTAMP '2024-01-02' + make_interval(0, 0, 0, " +
+            "CAST(s_suppkey % 25 AS INT), CAST(s_suppkey % 24 AS INT), 0, 0)")
+            .as("w_start"))
+        .withColumn("w_end", expr("w_start + INTERVAL 6 HOUR"))
+      val bins = win.select(col("win_id"), col("w_start"), col("w_end"),
+        explode(expr(
+          "sequence(date_trunc('DAY', w_start), date_trunc('DAY', w_end), INTERVAL 1 DAY)"))
+          .as("bin"))
+      val ev = Tables.events(s, d)
+        .withColumn("bin", date_trunc("DAY", col("ts")))
+      bins.join(ev, Seq("bin"))
+        .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1e6).cast("long")).as("sum_value_microunits"))
+        .orderBy("win_id")
+    }),
+
     // C15 — blocked fuzzy join (entity resolution / record linkage, added
     // r7): all customer-name pairs within edit distance 1, WITHOUT the
     // quadratic all-pairs scan. Blocking = FastSS deletion neighborhoods
@@ -1084,6 +1123,21 @@ object Rel {
         |FROM w JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
         |  ON e.user_id = w.uid AND e.ts >= w.w_start AND e.ts < w.w_end
         |GROUP BY w.o_orderkey ORDER BY w.o_orderkey""".stripMargin,
+    // the NAIVE inequality join is the ground truth the binned plan must
+    // reproduce exactly (DuckDB serves it via its own IEJoin operator)
+    "join_interval_binned" ->
+      """WITH w AS (
+        |  SELECT s_suppkey AS win_id,
+        |         TIMESTAMP '2024-01-02' + (s_suppkey % 25) * INTERVAL 1 DAY
+        |           + (s_suppkey % 24) * INTERVAL 1 HOUR AS w_start
+        |  FROM supplier WHERE s_suppkey % 10 = 0
+        |)
+        |SELECT w.win_id, count(*) AS n_events,
+        |       CAST(sum(CAST(floor(e.value * 1e6) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_microunits
+        |FROM w JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events) e
+        |  ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 6 HOUR
+        |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin,
     "join_fuzzy_blocked" ->
       """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
         |       a.c_name AS name_a, b.c_name AS name_b,

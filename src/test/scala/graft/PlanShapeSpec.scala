@@ -329,6 +329,17 @@ class PlanShapeSpec extends SparkSpec {
       s"boundary scan not inside a codegen'd higher-order filter:\n$p")
   }
 
+  test("join_interval_binned replaces the nested-loop range join with an equi-join") {
+    val p = planOf("join_interval_binned")
+    // the whole point: the keyless range join must NOT plan as a
+    // nested-loop scan of windows x events
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested loop:\n$p")
+    // the day bin is the equi-key (either shuffled or broadcast hash join)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join on the bin key:\n$p")
+  }
+
   test("agg_dq_checks fuses the row-level rules into one pass over events") {
     val p = planOf("agg_dq_checks")
     // one aggregate computes both the null and range measures (the stack
