@@ -2701,6 +2701,43 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K — repeated-LINE removal TRANSFORM (added r10): the C4/RefinedWeb
+    // line-dedup stage as an actual REWRITE, not a flag —
+    // `llm_boilerplate` only scores boilerplate density; production
+    // pipelines REMOVE lines that recur across documents (nav bars,
+    // cookie banners, license headers) and train on what's left. Lines
+    // here are disjoint 5-token segments (the corpus has no newlines;
+    // the segmentation is declared and identical on both engines); a
+    // line is boilerplate when it appears in ≥ 3 DISTINCT documents.
+    // Per doc: line counts before/after and the md5 of the KEPT text
+    // reassembled IN ORDER — the hash pins that removal dropped exactly
+    // the flagged lines and preserved the survivors' order, i.e. the
+    // rewritten corpus itself, not just its size. Shapes: line-grain
+    // groupBy (corpus line volume — linear), one broadcast-size df join
+    // back, order-restoring fold via array_sort(collect_list(struct)).
+    // At 100 TB this is the single most common text-cleaning pass.
+    "llm_dedup_lines" -> ((s, d) => {
+      val lines = Tables.documents(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), expr("CAST((size(toks) - 1) div 5 AS INT)")),
+          i => struct(i.as("idx"),
+            concat_ws(" ", slice(col("toks"), i * 5 + 1, lit(5))).as("line")))).as("l"))
+        .select(col("doc_id"), col("l.idx").as("idx"), col("l.line").as("line"))
+      val dfreq = lines.select("doc_id", "line").distinct()
+        .groupBy("line").agg(count(lit(1)).as("df"))
+      lines.join(dfreq, "line")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_removed"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(CASE WHEN df < 3 THEN " +
+              "named_struct('idx', idx, 'line', line) END)), s -> s.line)")))
+            .as("kept_hash"))
+        .orderBy("doc_id")
+    }),
+
     // K13 — C4-style quality-filter funnel: four rules applied in
     // sequence (min tokens, mean token length, 2-gram repetition, stopword
     // floor), reporting in/dropped/out per stage. One pass computes every
@@ -6463,6 +6500,36 @@ object Llm {
         |       FROM c GROUP BY 1)
         |SELECT r.doc_id, r.n_tok, r.dup2_frac, tp.top2_frac
         |FROM r JOIN tp USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // line segmentation mirrored exactly (disjoint 5-token slices); the
+    // kept_hash reassembles survivors in idx order — DuckDB's list()
+    // keeps NULLs, so the FILTER clause replaces Spark's collect_list
+    // null-dropping (the win_hampel parity lesson, applied proactively)
+    "llm_dedup_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |),
+        |l0 AS (
+        |  SELECT doc_id, toks, unnest(range(0, (len(toks) - 1) // 5 + 1)) AS idx
+        |  FROM t WHERE len(toks) > 0
+        |),
+        |l AS (
+        |  SELECT doc_id, CAST(idx AS INTEGER) AS idx,
+        |         array_to_string(toks[idx * 5 + 1 : idx * 5 + 5], ' ') AS line
+        |  FROM l0
+        |),
+        |d AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1),
+        |j AS (SELECT l.doc_id, l.idx, l.line, d.df FROM l JOIN d USING (line))
+        |SELECT doc_id, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       -- coalesce the STRING: with every line removed, the filtered
+        |       -- list is NULL and array_to_string of even an empty list is
+        |       -- NULL in DuckDB, while Spark's concat_ws over an empty
+        |       -- collect_list is '' — md5('') is the shared fixpoint
+        |       md5(coalesce(array_to_string(
+        |         list(line ORDER BY idx) FILTER (WHERE df < 3), ' '), ''))
+        |         AS kept_hash
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_boilerplate" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |           FROM documents),

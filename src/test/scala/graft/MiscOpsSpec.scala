@@ -2675,4 +2675,26 @@ class MiscOpsSpec extends SparkSpec {
 
   private def unixMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  test("llm_dedup_lines matches a driver recompute of segmentation, gate, and kept hash") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def lines(t: String): Seq[String] =
+      t.split(" ").filter(_.nonEmpty).grouped(5).map(_.mkString(" ")).toSeq
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val df = docs.flatMap { case (id, t) => lines(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expect = docs.flatMap { case (id, t) =>
+      val ls = lines(t)
+      if (ls.isEmpty) None
+      else Some(id -> ((ls.size.toLong, ls.count(df(_) >= 3).toLong,
+        md5hex(ls.filter(df(_) < 3).mkString(" ")))))
+    }.toMap
+    val got = SparkEntry.queries("llm_dedup_lines")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expect)
+    // the gate is live in both directions on the fixture
+    assert(got.values.exists(_._2 > 0) && got.values.exists(v => v._2 < v._1))
+  }
 }
