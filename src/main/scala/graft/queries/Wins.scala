@@ -377,6 +377,63 @@ object Wins {
     // β=0.4), so both engines execute the identical IEEE op sequence —
     // bit-identical doubles, floor-quantized at 1e-4 (the win_interpolate
     // midpoint rule). One user-keyed shuffle + in-partition sort.
+    // E13d — CROSTON intermittent-demand forecast (added r10; Croston
+    // 1972): the forecasting family's missing regime — a series that is
+    // MOSTLY ZERO (spare-part demand, rare-event load) breaks SES/Holt
+    // (forecasts decay toward zero between demands); Croston runs two
+    // exponential smoothers, one over the NONZERO demand sizes and one
+    // over the INTER-DEMAND intervals, updated only when demand occurs,
+    // and forecasts their ratio z/p. The sparse series: per user per
+    // day, the exact µ-unit sum over the deterministic ~1/37 event
+    // subset (event_id % 37 = 0 — scale-free sparsity), on the COMPLETE
+    // global day spine (zeros materialized — the interval smoother needs
+    // them). Determinism: daily sums are exact longs cast once to double
+    // (< 2⁵³); the fold is one ordered sequential pass per user (the
+    // win_holt discipline — both engines add identical sequences);
+    // α = 0.2 with D-suffixed literals; readouts floor-1e-4. Shapes: one
+    // (user, day) agg, a users × days spine (dimension × ~30 — linear),
+    // one entity-grain fold.
+    "win_croston" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("yq", when(col("event_id") % 37 === 0,
+          floor(col("value") * 1e6).cast("long")).otherwise(lit(0L)))
+      val daily = ev.groupBy("user_id", "day").agg(sum("yq").as("demand"))
+      val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+      val spine = ev.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val fold =
+        """aggregate(
+          |  transform(array_sort(collect_list(named_struct('day', day, 'd', demand))),
+          |            x -> CAST(x.d AS DOUBLE)),
+          |  named_struct('z', CAST(0.0 AS DOUBLE), 'p', CAST(0.0 AS DOUBLE),
+          |               'q', CAST(0.0 AS DOUBLE), 'init', CAST(0.0 AS DOUBLE)),
+          |  (acc, x) -> CASE
+          |    WHEN x > 0.0D AND acc.init = 0.0D THEN
+          |      named_struct('z', x, 'p', acc.q + 1.0D, 'q', CAST(0.0 AS DOUBLE),
+          |                   'init', CAST(1.0 AS DOUBLE))
+          |    WHEN x > 0.0D THEN
+          |      named_struct('z', 0.2D * x + 0.8D * acc.z,
+          |                   'p', 0.2D * (acc.q + 1.0D) + 0.8D * acc.p,
+          |                   'q', CAST(0.0 AS DOUBLE), 'init', CAST(1.0 AS DOUBLE))
+          |    ELSE named_struct('z', acc.z, 'p', acc.p, 'q', acc.q + 1.0D,
+          |                      'init', acc.init) END)""".stripMargin
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("demand", coalesce(col("demand"), lit(0L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("demand") > 0, 1L).otherwise(0L)).as("n_demand_days"),
+          expr(fold).as("st"))
+        .select(col("user_id"), col("n_days"), col("n_demand_days"),
+          when(col("st.init") > 0, floor(col("st.z") / 1e2) / 1e4).as("z_microunits_4dp"),
+          when(col("st.init") > 0, floor(col("st.p") * 1e4) / 1e4).as("p_days"),
+          when(col("st.init") > 0,
+            floor(col("st.z") / col("st.p") / 1e2) / 1e4).as("croston_forecast"))
+        .orderBy("user_id")
+    }),
+
     "win_holt" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
@@ -1823,6 +1880,55 @@ object Wins {
     // named_struct semantics exactly. list_reduce seeds from the first
     // element, so the list is pre-lifted to [x, 0] pairs — the seed
     // becomes (x₀, 0) exactly like the Spark init.
+    // the Croston fold mirrored with list_reduce (seed prepended — DuckDB
+    // folds from the first element); literals promote to DOUBLE against
+    // the DOUBLE state array, the win_holt precedent
+    "win_croston" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+        |  FROM events
+        |),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |spine AS (
+        |  SELECT u.user_id, CAST(g.g AS DATE) AS day
+        |  FROM u CROSS JOIN b
+        |       CROSS JOIN LATERAL (SELECT unnest(generate_series(
+        |         CAST(b.lo AS TIMESTAMP), CAST(b.hi AS TIMESTAMP), INTERVAL 1 DAY)) AS g) g
+        |),
+        |dl AS (
+        |  SELECT user_id, day,
+        |         sum(CASE WHEN event_id % 37 = 0
+        |                  THEN CAST(floor(value * 1e6) AS BIGINT) ELSE 0 END) AS demand
+        |  FROM e GROUP BY 1, 2
+        |),
+        |grid AS (
+        |  SELECT s.user_id, s.day, coalesce(dl.demand, 0) AS demand
+        |  FROM spine s LEFT JOIN dl USING (user_id, day)
+        |),
+        |ser AS (
+        |  SELECT user_id, count(*) AS n_days,
+        |         CAST(sum(CASE WHEN demand > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_demand_days,
+        |         list(CAST(demand AS DOUBLE) ORDER BY day) AS ds
+        |  FROM grid GROUP BY 1
+        |),
+        |st AS (
+        |  SELECT user_id, n_days, n_demand_days,
+        |         list_reduce(
+        |           [[CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]]
+        |             || list_transform(ds, x -> [x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+        |           (acc, e2) -> CASE
+        |             WHEN e2[1] > 0 AND acc[4] = 0 THEN [e2[1], acc[3] + 1.0, 0.0, 1.0]
+        |             WHEN e2[1] > 0 THEN [0.2 * e2[1] + 0.8 * acc[1],
+        |                                  0.2 * (acc[3] + 1.0) + 0.8 * acc[2], 0.0, 1.0]
+        |             ELSE [acc[1], acc[2], acc[3] + 1.0, acc[4]] END) AS s
+        |  FROM ser
+        |)
+        |SELECT user_id, n_days, n_demand_days,
+        |       CASE WHEN s[4] > 0 THEN floor(s[1] / 1e2) / 1e4 END AS z_microunits_4dp,
+        |       CASE WHEN s[4] > 0 THEN floor(s[2] * 1e4) / 1e4 END AS p_days,
+        |       CASE WHEN s[4] > 0 THEN floor(s[1] / s[2] / 1e2) / 1e4 END AS croston_forecast
+        |FROM st ORDER BY user_id""".stripMargin,
     "win_holt" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |l AS (

@@ -2676,6 +2676,36 @@ class MiscOpsSpec extends SparkSpec {
   private def unixMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  test("win_croston matches a driver recompute of the two-smoother fold") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("yq"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2), r.getLong(3)))
+    val (lo, hi) = (ev.map(_._2).min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay)),
+      ev.map(_._2).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay)))
+    val days = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).toSeq
+    val demand = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.collect { case (_, _, id, yq) if id % 37 == 0 => yq }.sum).toMap
+    val expect = ev.map(_._1).distinct.map { u =>
+      val ds = days.map(dy => demand.getOrElse((u, dy), 0L).toDouble)
+      var (z, p, q, init) = (0.0, 0.0, 0.0, false)
+      ds.foreach { x =>
+        if (x > 0 && !init) { z = x; p = q + 1.0; q = 0.0; init = true }
+        else if (x > 0) { z = 0.2 * x + 0.8 * z; p = 0.2 * (q + 1.0) + 0.8 * p; q = 0.0 }
+        else q += 1.0
+      }
+      u -> ((days.size.toLong, ds.count(_ > 0).toLong,
+        if (init) Some(math.floor(z / p / 1e2) / 1e4) else None))
+    }.toMap
+    val got = SparkEntry.queries("win_croston")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(got == expect)
+    // intermittency is real on the fixture: demands are sparse
+    assert(got.values.forall(v => v._2 < v._1))
+    assert(got.values.exists(v => v._2 > 0))
+  }
+
   test("llm_dedup_lines matches a driver recompute of segmentation, gate, and kept hash") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
