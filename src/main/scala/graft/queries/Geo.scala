@@ -453,6 +453,75 @@ object Geo {
         .orderBy("nation")
     }),
 
+    // M7' — diameter via CONVEX HULL (added r10): `geo_diameter`'s own
+    // doc declares its scale path — "production prefilters to the
+    // per-block convex hull (diameter endpoints are hull points)" — and
+    // this key RUNS that path: per region, Andrew's monotone chain
+    // (`ops.Hull`, exact long cross products) reduces k points to h hull
+    // vertices, then the diameter scans h² vertex pairs instead of
+    // joining k²/2. The ORACLE is the brute-force all-pairs argmax — the
+    // hash match IS the proof that the hull shortcut is exact, tie rule
+    // included (argmax candidates are restricted to points AT hull-vertex
+    // positions, so duplicate coordinates keep brute-identical id
+    // tie-breaks; an edge-interior point strictly loses — distance along
+    // a segment is strictly convex). mapGroups is the declared imperative
+    // drop-down: region blocks are dimension-grain (k ≤ |suppliers|/5),
+    // the hull loop is genuinely sequential, and the group fold keeps the
+    // O(k²) pair volume OFF the wire entirely — one shuffle of points,
+    // never pairs. At 100 TB blocks: hull first, pairs after — this key.
+    "geo_hull_diameter" -> ((s, d) => {
+      import s.implicits._
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").cast("long").as("region"),
+          col("s_suppkey").cast("long").as("id"),
+          coord("gxs:", col("s_suppkey")).as("sx"),
+          coord("gys:", col("s_suppkey")).as("sy"))
+        .as[(Long, Long, Long, Long)]
+      sup.groupByKey(_._1).flatMapGroups { (region, it) =>
+        val pts = it.map(t => (t._2, t._3, t._4)).toArray
+        if (pts.length < 2) Iterator.empty
+        else {
+          val hull = graft.ops.Hull.monotoneChain(pts.map(p => (p._2, p._3)).toIndexedSeq)
+          val hv = hull.toArray
+          var d2max = 0L
+          var i = 0
+          while (i < hv.length) {
+            var j = i + 1
+            while (j < hv.length) {
+              val dx = hv(i)._1 - hv(j)._1; val dy = hv(i)._2 - hv(j)._2
+              val d2 = dx * dx + dy * dy
+              if (d2 > d2max) d2max = d2
+              j += 1
+            }
+            i += 1
+          }
+          val posSet = hull.toSet
+          val cand = pts.filter(p => posSet.contains((p._2, p._3))).sortBy(_._1)
+          var best: (Long, Long) = null
+          var bi = 0
+          while (bi < cand.length) {
+            var bj = bi + 1
+            while (bj < cand.length) {
+              val dx = cand(bi)._2 - cand(bj)._2; val dy = cand(bi)._3 - cand(bj)._3
+              if (dx * dx + dy * dy == d2max) {
+                val pair = if (cand(bi)._1 < cand(bj)._1) (cand(bi)._1, cand(bj)._1)
+                  else (cand(bj)._1, cand(bi)._1)
+                if (best == null || pair._1 < best._1
+                  || (pair._1 == best._1 && pair._2 < best._2)) best = pair
+              }
+              bj += 1
+            }
+            bi += 1
+          }
+          if (best == null) Iterator.empty
+          else Iterator((region, pts.length.toLong, best._1, best._2, d2max))
+        }
+      }.toDF("region", "n_sup", "a_id", "b_id", "d2_meters")
+        .orderBy("region")
+    }),
+
     "geo_diameter" -> ((s, d) => {
       val sup = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
@@ -672,6 +741,30 @@ object Geo {
         |       CAST(sum(CASE WHEN inside THEN c_custkey ELSE 0 END) AS BIGINT)
         |         AS sum_key_inside
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // brute-force all-pairs ground truth: the hull shortcut must reproduce
+    // it exactly, tie rule included
+    "geo_hull_diameter" ->
+      s"""WITH s AS (
+        |  SELECT s_suppkey, CAST(nt.n_regionkey AS BIGINT) AS region,
+        |         ${coordSql("gxs:", "s_suppkey")} AS sx,
+        |         ${coordSql("gys:", "s_suppkey")} AS sy
+        |  FROM supplier JOIN nation nt ON s_nationkey = nt.n_nationkey
+        |),
+        |p AS (
+        |  SELECT a.region, a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+        |         (a.sx - b.sx) * (a.sx - b.sx) + (a.sy - b.sy) * (a.sy - b.sy) AS d2
+        |  FROM s a JOIN s b
+        |    ON a.region = b.region AND a.s_suppkey < b.s_suppkey
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY region
+        |                               ORDER BY d2 DESC, a_id, b_id) AS rn
+        |  FROM p
+        |),
+        |n AS (SELECT region, count(*) AS n_sup FROM s GROUP BY 1)
+        |SELECT r.region, n.n_sup, r.a_id, r.b_id, r.d2 AS d2_meters
+        |FROM r JOIN n ON r.region = n.region
+        |WHERE rn = 1 ORDER BY r.region""".stripMargin,
     "geo_diameter" ->
       s"""WITH s AS (
         |  SELECT s_suppkey, nt.n_regionkey AS region,

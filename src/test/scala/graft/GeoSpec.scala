@@ -189,6 +189,42 @@ class GeoSpec extends SparkSpec {
     assert(got.values.forall(_._4 > 0))
   }
 
+  test("Hull.monotoneChain: vertices only, degenerate inputs, interior/collinear dropped") {
+    import graft.ops.Hull
+    // unit square + interior + edge-midpoint + duplicate corner
+    val hull = Hull.monotoneChain(Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L),
+      (5L, 5L), (5L, 0L), (0L, 0L))).toSet
+    assert(hull == Set((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L)))
+    // all collinear -> the two extremes
+    assert(Hull.monotoneChain(Seq((0L, 0L), (2L, 2L), (5L, 5L), (3L, 3L))).toSet ==
+      Set((0L, 0L), (5L, 5L)))
+    // <= 2 distinct points pass through
+    assert(Hull.monotoneChain(Seq((7L, 7L), (7L, 7L))) == Seq((7L, 7L)))
+    assert(Hull.monotoneChain(Seq((1L, 2L))) == Seq((1L, 2L)))
+    // random cloud: every input point lies inside or on the hull
+    val rnd = new scala.util.Random(11)
+    val cloud = Seq.fill(200)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val h = Hull.monotoneChain(cloud)
+    def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    cloud.foreach { p =>
+      val inside = h.indices.forall { k =>
+        cross(h(k), h((k + 1) % h.size), p) >= 0 }
+      assert(inside, s"$p outside hull $h")
+    }
+    assert(h.size < cloud.distinct.size, "hull should compress a random cloud")
+  }
+
+  test("geo_hull_diameter equals geo_diameter exactly (hull shortcut is lossless)") {
+    def snap(key: String) = SparkEntry.queries(key)(spark, sf0001).collect()
+      .map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong,
+        r.get(2).toString.toLong, r.get(3).toString.toLong, r.get(4).toString.toLong)).toSeq
+    val viaHull = snap("geo_hull_diameter")
+    val brute = snap("geo_diameter")
+    assert(viaHull == brute, s"hull diameter diverged:\n$viaHull\nvs\n$brute")
+    assert(viaHull.nonEmpty)
+  }
+
   test("geo_point_in_poly: polygon is simple; parity matches JDK Path2D geometry") {
     val v = graft.queries.Geo.PolyVerts
     // simplicity: no two non-adjacent edges intersect (exact long segment
