@@ -541,6 +541,57 @@ object Wins {
     // the sorted slope array. C(16,2)=120 slopes/row — constant work per
     // row, all inside codegen'd higher-order functions; same identical-
     // IEEE-op-order oracle contract as the fold family; floor-1e-4 edge.
+    // E — MANN-KENDALL trend test (added r10; Mann 1945, Kendall 1975):
+    // the significance half of the robust-trend pair — `win_theil_sen`
+    // estimates the slope, this key decides whether a monotone trend
+    // EXISTS: S = Σ_{i<j} sign(y_j − y_i) over the entity's daily series,
+    // τ = S / C(n,2), and the tie-corrected normal z-score
+    // (S∓1)/√Var(S), Var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 — the
+    // standard KPI-degradation gate (is this cell's load trending up,
+    // beyond noise?). Exactness: daily values are exact µ-unit long
+    // sums; S and both variance terms are exact integer arithmetic
+    // (day-grain series, ≤ C(n,2) sign terms per entity — bounded by the
+    // calendar, not the corpus); only √ and one divide are IEEE, then
+    // floor-1e-4, and the trend flag thresholds the QUANTIZED z (the
+    // zscore precedent). One (user, day) agg + one entity fold.
+    "win_mann_kendall" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id", "day").agg(sum("yq").as("v"))
+      val ties = daily.groupBy("user_id", "v").agg(count(lit(1)).as("t"))
+        .groupBy("user_id")
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tsum"))
+      daily.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          expr("transform(array_sort(collect_list(named_struct('day', day, 'v', v))), x -> x.v)")
+            .as("vs"))
+        .where(col("n") >= 2)
+        .join(ties, "user_id")
+        .withColumn("s_stat", expr(
+          """aggregate(flatten(transform(sequence(1, CAST(n - 1 AS INT)), i ->
+            |  transform(sequence(i + 1, CAST(n AS INT)), j ->
+            |    CASE WHEN element_at(vs, j) > element_at(vs, i) THEN CAST(1 AS BIGINT)
+            |         WHEN element_at(vs, j) < element_at(vs, i) THEN CAST(-1 AS BIGINT)
+            |         ELSE CAST(0 AS BIGINT) END))),
+            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("var18", col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tsum"))
+        .withColumn("z", expr(
+          """CASE WHEN var18 <= 0 THEN CAST(NULL AS DOUBLE)
+            |     WHEN s_stat > 0 THEN floor((s_stat - 1) / sqrt(var18 / 18.0D) * 1e4) / 1e4
+            |     WHEN s_stat < 0 THEN floor((s_stat + 1) / sqrt(var18 / 18.0D) * 1e4) / 1e4
+            |     ELSE CAST(0.0 AS DOUBLE) END""".stripMargin))
+        .select(col("user_id"), col("n").as("n_days"), col("s_stat"),
+          (floor(col("s_stat").cast("double") / (col("n") * (col("n") - 1) / 2).cast("double")
+            * 1e4) / 1e4).as("tau"),
+          col("z"),
+          when(col("z").isNull, lit("flat"))
+            .when(col("z") > 1.96, lit("up"))
+            .when(col("z") < -1.96, lit("down"))
+            .otherwise(lit("none")).as("trend"))
+        .orderBy("user_id")
+    }),
+
     "win_theil_sen" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
@@ -2003,6 +2054,45 @@ object Wins {
         |SELECT event_id, user_id,
         |       floor(s.y * 10000) / 10000 AS ewma_t
         |FROM st ORDER BY event_id""".stripMargin,
+    "win_mann_kendall" ->
+      """WITH dl AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         sum(CAST(floor(value * 1e6) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2
+        |),
+        |tt AS (
+        |  SELECT user_id, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT user_id, v, count(*) AS t FROM dl GROUP BY 1, 2)
+        |  GROUP BY 1
+        |),
+        |ser AS (
+        |  SELECT user_id, count(*) AS n, list(v ORDER BY day) AS vs
+        |  FROM dl GROUP BY 1 HAVING count(*) >= 2
+        |),
+        |st AS (
+        |  SELECT ser.user_id, n, tsum,
+        |         CAST(list_aggregate(flatten(list_transform(range(1, n), i ->
+        |           list_transform(range(i + 1, n + 1), j ->
+        |             CASE WHEN vs[CAST(j AS INTEGER)] > vs[CAST(i AS INTEGER)] THEN 1
+        |                  WHEN vs[CAST(j AS INTEGER)] < vs[CAST(i AS INTEGER)] THEN -1
+        |                  ELSE 0 END))), 'sum') AS BIGINT) AS s_stat,
+        |         n * (n - 1) * (2 * n + 5) - tsum AS var18
+        |  FROM ser JOIN tt ON ser.user_id = tt.user_id
+        |)
+        |SELECT user_id, n AS n_days, s_stat,
+        |       floor(CAST(s_stat AS DOUBLE) / (CAST(n * (n - 1) AS DOUBLE) / 2) * 1e4) / 1e4
+        |         AS tau,
+        |       CASE WHEN var18 <= 0 THEN NULL
+        |            WHEN s_stat > 0 THEN floor((s_stat - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e4) / 1e4
+        |            WHEN s_stat < 0 THEN floor((s_stat + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e4) / 1e4
+        |            ELSE 0.0 END AS z,
+        |       CASE WHEN var18 <= 0 THEN 'flat'
+        |            WHEN s_stat > 0 AND floor((s_stat - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e4) / 1e4 > 1.96
+        |              THEN 'up'
+        |            WHEN s_stat < 0 AND floor((s_stat + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e4) / 1e4 < -1.96
+        |              THEN 'down'
+        |            ELSE 'none' END AS trend
+        |FROM st ORDER BY user_id""".stripMargin,
     "win_theil_sen" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |l AS (

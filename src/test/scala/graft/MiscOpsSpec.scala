@@ -2676,6 +2676,41 @@ class MiscOpsSpec extends SparkSpec {
   private def unixMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  test("win_mann_kendall matches a driver recompute of S, tau, and tie-corrected z") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6).cast("long").as("yq"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._3).sum).toMap
+    val expect = daily.keys.map(_._1).toSeq.distinct.flatMap { u =>
+      val vs = daily.collect { case ((`u`, dy), v) => (dy, v) }.toSeq.sortBy(_._1.toEpochDay)
+        .map(_._2)
+      val n = vs.size
+      if (n < 2) None else {
+        val sStat = (for (i <- 0 until n; j <- i + 1 until n)
+          yield java.lang.Long.signum(vs(j) - vs(i)).toLong).sum
+        val tsum = vs.groupBy(identity).values.map(_.size.toLong)
+          .map(t => t * (t - 1) * (2 * t + 5)).sum
+        val var18 = n.toLong * (n - 1) * (2L * n + 5) - tsum
+        val z: Option[Double] =
+          if (var18 <= 0) None
+          else if (sStat > 0) Some(math.floor((sStat - 1) / math.sqrt(var18 / 18.0) * 1e4) / 1e4)
+          else if (sStat < 0) Some(math.floor((sStat + 1) / math.sqrt(var18 / 18.0) * 1e4) / 1e4)
+          else Some(0.0)
+        val tau = math.floor(sStat.toDouble / (n.toLong * (n - 1) / 2).toDouble * 1e4) / 1e4
+        val trend =
+          if (z.isEmpty) "flat"
+          else if (z.get > 1.96) "up" else if (z.get < -1.96) "down" else "none"
+        Some(u -> ((n.toLong, sStat, tau, z, trend)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("win_mann_kendall")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getString(5)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("win_croston matches a driver recompute of the two-smoother fold") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("event_id"),
