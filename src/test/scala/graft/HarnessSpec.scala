@@ -33,6 +33,20 @@ class HarnessSpec extends SparkSpec {
       s"SURVEY inventory-count line says $counted but queries map has ${implemented.size}")
   }
 
+  test("SCALE_full.json covers every registered key (the 10x-probe artifact is complete)") {
+    // r9 VERDICT #2: the committed scale artifact drifted to 327 of 352
+    // keys without any test noticing — pin its _keys header to the real
+    // map size the same way the SURVEY count line is pinned
+    val scale = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/SCALE_full.json")))
+    val keys = """"_keys": (\d+)""".r.findFirstMatchIn(scale).map(_.group(1).toInt)
+    assert(keys.contains(SparkEntry.queries.size),
+      s"SCALE_full.json _keys says $keys but queries map has ${SparkEntry.queries.size} — rerun graft.tools.ScaleFull")
+    // and every key really has a row (the header could lie)
+    val missing = SparkEntry.queries.keySet.filterNot(k => scale.contains(s""""$k":"""))
+    assert(missing.isEmpty, s"keys without a SCALE_full row: $missing")
+  }
+
   test("PlanScan's skip set covers every streaming key and nothing batch-auditable") {
     val streaming = graft.streaming.Streams.queries.keySet
     // every streaming key must be skipped (a "plan scan" of a drained
