@@ -107,16 +107,26 @@ object Fs {
     * over executors. Files whose footer lacks stats for the column (all-null
     * chunk, stats disabled) are skipped — the conservative no-prune branch. */
   def parquetColumnMinMax(spark: SparkSession, dir: String, column: String): Seq[(String, Long, Long)] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
     val (fs, p) = fileSystem(spark, dir)
-    val conf = spark.sessionState.newHadoopConf()
     val files = fs.listStatus(p).toSeq
       .filter(st => st.isFile && !isHidden(st.getPath.getName)
         && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath).sortBy(_.getName)
-    files.flatMap { f =>
+      .map(_.getPath.toString).sorted
+    parquetColumnMinMaxFiles(spark, files, column)
+  }
+
+  /** [[parquetColumnMinMax]] over an EXPLICIT file list — the incremental-
+    * manifest primitive: after appending a batch, only the NEW files'
+    * footers are read and merged into the standing manifest (the whole
+    * point of keeping one; a 100 TB store's manifest update must cost
+    * batch-grain, not store-grain). */
+  def parquetColumnMinMaxFiles(spark: SparkSession, files: Seq[String],
+                               column: String): Seq[(String, Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    files.sorted.map(new Path(_)).flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         val perGroup = reader.getFooter.getBlocks.asScala.toSeq.flatMap { block =>

@@ -553,6 +553,53 @@ object SideEffects {
         .orderBy("c_nationkey")
     }),
 
+    // A — INCREMENTAL manifest maintenance (added r10): the operational
+    // half of `store_minmax_prune` — a live store is APPENDED daily, and
+    // at 100 TB the manifest update must cost batch-grain, not
+    // store-grain (re-reading a million standing footers nightly defeats
+    // having a manifest). The key bootstraps the store from the first
+    // 3/4 of the feed (exact integer event-id split, the scd2_merge
+    // discipline), derives manifest M₀ from its footers, appends the
+    // last-1/4 batch, and MERGES: M = M₀ ∪ footer-stats(new files ONLY —
+    // `Fs.parquetColumnMinMaxFiles` over the listing delta; the standing
+    // files' footers are never re-opened). The merged manifest is
+    // persisted as a control file (`Fs.writeUtf8`) and drives the same
+    // range-pruned read as the minmax key; the oracle recomputes the
+    // range aggregate from the FULL source, so the hash proves the
+    // incremental manifest is COMPLETE over both generations of files.
+    // The spec additionally pins incremental == full-rescan manifest.
+    "store_manifest_merge" -> ((s, d) => {
+      val out = scratch("events_manifest")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val bounds = ev.agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+        .withColumn("__late",
+          col("event_id") >= col("lo") + (col("hi") - col("lo")) * 3 / 4)
+      tagged.where(!col("__late")).drop("lo", "hi", "__late")
+        .repartitionByRange(8, col("user_id"))
+        .write.mode("overwrite").parquet(out)
+      val m0 = graft.Fs.parquetColumnMinMax(s, out, "user_id")
+      val standing = m0.map(_._1).toSet
+      tagged.where(col("__late")).drop("lo", "hi", "__late")
+        .repartitionByRange(2, col("user_id"))
+        .write.mode("append").parquet(out)
+      val newFiles = graft.Fs.listDataFiles(s, out)
+        .filter(f => f.endsWith(".parquet") && !standing.contains(f))
+      val merged = m0 ++ graft.Fs.parquetColumnMinMaxFiles(s, newFiles, "user_id")
+      graft.Fs.writeUtf8(s, out + "_manifest.tsv",
+        merged.sortBy(_._1).map { case (f, lo, hi) => s"$f\t$lo\t$hi" }.mkString("\n"))
+      val maxU = merged.map(_._3).max
+      val (loQ, hiQ) = (maxU / 10, (3 * maxU) / 10)
+      val files = merged.filter(m => m._2 <= hiQ && m._3 >= loQ).map(_._1)
+      s.read.parquet(files: _*)
+        .where(col("user_id") >= loQ && col("user_id") <= hiQ)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1e6).cast("long")).as("sum_value_microunits"))
+        .orderBy("event_type")
+    }),
+
     // A — BLOOM-FILTER point-lookup file skipping (added r10): the fourth
     // and last rung of the data-skipping ladder — partition pruning
     // (sink_partitioned), range skipping (store_minmax_prune), Z-order
@@ -724,6 +771,16 @@ object SideEffects {
       """SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |FROM events GROUP BY d ORDER BY d""".stripMargin,
     "store_minmax_prune" ->
+      """WITH mu AS (SELECT max(user_id) AS m FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_microunits
+        |FROM events CROSS JOIN mu
+        |WHERE user_id >= m // 10 AND user_id <= (3 * m) // 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // incremental-manifest completeness: the pruned range aggregate over
+    // BOTH file generations must equal the recompute from the full source
+    "store_manifest_merge" ->
       """WITH mu AS (SELECT max(user_id) AS m FROM events)
         |SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)

@@ -150,6 +150,36 @@ class SideEffectsSpec extends SparkSpec {
       s"footer stats disagree with scanned ranges: $footerRanges vs $scanRanges")
   }
 
+  test("store_manifest_merge: incremental manifest equals a full footer rescan") {
+    val got = SparkEntry.queries("store_manifest_merge")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val out = "/root/repo/target/scratch/events_manifest"
+    // the persisted merged manifest must equal re-reading EVERY footer
+    val persisted = graft.Fs.readUtf8(spark, out + "_manifest.tsv").get
+      .split("\n").map { ln =>
+        val Array(f, lo, hi) = ln.split("\t"); (stripScheme(f), lo.toLong, hi.toLong)
+      }.toSet
+    val rescan = graft.Fs.parquetColumnMinMax(spark, out, "user_id")
+      .map { case (f, lo, hi) => (stripScheme(f), lo, hi) }.toSet
+    assert(persisted == rescan,
+      s"incremental manifest != full rescan:\n$persisted\nvs\n$rescan")
+    // both generations are present (8 standing + ~2 appended files)
+    assert(rescan.size >= 9, s"append generation missing: ${rescan.size} files")
+    // the pruned aggregate equals brute force over the whole store
+    val back = spark.read.parquet(out)
+    val maxU = back.agg(max("user_id")).head().getLong(0)
+    val (lo, hi) = (maxU / 10, (3 * maxU) / 10)
+    val brute = back.where(col("user_id") >= lo && col("user_id") <= hi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6).cast("long")).as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap == brute)
+    // pruning still skips files after the merge
+    val kept = rescan.count(m => m._2 <= hi && m._3 >= lo)
+    assert(kept < rescan.size, s"no file skipped: $kept of ${rescan.size}")
+  }
+
   test("store_bloom_prune skips files via written blooms and loses no rows") {
     val got = SparkEntry.queries("store_bloom_prune")(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
