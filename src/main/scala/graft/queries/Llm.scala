@@ -936,6 +936,56 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // K4b' — b-BIT MINHASH estimator (added r10; Li & König 2010): the
+    // memory-optimal end of the signature spectrum — store only the
+    // LOWEST b bits of each minhash value (b=4 here: the final hex
+    // nibble) and correct for accidental collisions: non-matching mins
+    // still agree on b bits with probability C = 2⁻ᵇ, so
+    // Ĵ = (match_frac − C)/(1 − C). 32× smaller signatures than the md5
+    // strings at a quantified variance cost — at 100 TB the signature
+    // TABLE is itself storage-priced, and this is the published knob.
+    // Same doc_id < 100 evaluation slice as `llm_minhash_est` so the
+    // full-width and b-bit estimators are side-by-side comparable
+    // against true Jaccard; the nibble compare (last hex char —
+    // string-equal ⟺ value-equal) and the debias are exact integer /
+    // single-IEEE-divide work, floor-quantized.
+    "llm_minhash_bbit" -> ((s, d) => {
+      val tok = tokensDistinct(s, d).where(col("doc_id") < 100).select("doc_id", "token")
+      val mhCols = (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("token")))).as(s"mh$i"))
+      val sig = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val nib = (0 until 8).foldLeft(sig) { (acc, i) =>
+        acc.withColumn(s"v$i", expr(s"substring(mh$i, 32, 1)"))
+      }
+      val n = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+      val inter = tok.as("a")
+        .join(tok.as("b"),
+          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("ni"))
+      val sa = nib.select(col("doc_id").as("a_id") +:
+        (0 until 8).flatMap(i => Seq(col(s"mh$i").as(s"am$i"), col(s"v$i").as(s"av$i"))): _*)
+      val sb = nib.select(col("doc_id").as("b_id") +:
+        (0 until 8).flatMap(i => Seq(col(s"mh$i").as(s"bm$i"), col(s"v$i").as(s"bv$i"))): _*)
+      inter
+        .join(n.select(col("doc_id").as("a_id"), col("ntok").as("na")), "a_id")
+        .join(n.select(col("doc_id").as("b_id"), col("ntok").as("nb")), "b_id")
+        .join(sa, "a_id").join(sb, "b_id")
+        .withColumn("n_match_full",
+          (0 until 8).map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0)).reduce(_ + _))
+        .withColumn("n_match_4bit",
+          (0 until 8).map(i => when(col(s"av$i") === col(s"bv$i"), 1).otherwise(0)).reduce(_ + _))
+        .select(col("a_id"), col("b_id"),
+          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 4).as("jacc"),
+          col("n_match_full"), col("n_match_4bit"),
+          round(col("n_match_full") / lit(8.0), 4).as("est_full"),
+          // debias: (m/8 − 1/16) / (15/16), clamped at 0 (a pair can
+          // undershoot the collision floor by chance)
+          (floor(greatest(
+            (col("n_match_4bit").cast("double") / 8.0 - 1.0 / 16.0) / (15.0 / 16.0),
+            lit(0.0)) * 1e4) / 1e4).as("est_4bit"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // K4c — LSH tuning curve against observed pair mass (added r5): the
     // capacity-planning readout a banded index is re-tuned FROM — per
     // 0.05 similarity bucket, how many exact-Jaccard pairs the corpus
@@ -5009,6 +5059,53 @@ object Llm {
         |FROM obands a JOIN obands b
         |  ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin,
+    // b-bit variant: last hex nibble of each min (CAST '0x'||char), the
+    // 2⁻ᵇ collision debias, greatest(·,0) clamp mirrored exactly
+    "llm_minhash_bbit" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split(text, ' '), t -> len(t) > 0))) AS token
+        |  FROM documents WHERE doc_id < 100
+        |),
+        |mh AS (
+        |  SELECT doc_id,
+        |         min(md5('0:' || token)) AS mh0, min(md5('1:' || token)) AS mh1,
+        |         min(md5('2:' || token)) AS mh2, min(md5('3:' || token)) AS mh3,
+        |         min(md5('4:' || token)) AS mh4, min(md5('5:' || token)) AS mh5,
+        |         min(md5('6:' || token)) AS mh6, min(md5('7:' || token)) AS mh7
+        |  FROM tok GROUP BY doc_id
+        |),
+        |n AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+        |i AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT i.a_id, i.b_id,
+        |         round(CAST(ni AS DOUBLE) / (na.ntok + nb.ntok - ni), 4) AS jacc,
+        |         (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+        |          + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END
+        |          + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END
+        |          + CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END + CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END)
+        |           AS n_match_full,
+        |         (CASE WHEN substring(a.mh0, 32, 1) = substring(b.mh0, 32, 1) THEN 1 ELSE 0 END
+        |          + CASE WHEN substring(a.mh1, 32, 1) = substring(b.mh1, 32, 1) THEN 1 ELSE 0 END
+        |          + CASE WHEN substring(a.mh2, 32, 1) = substring(b.mh2, 32, 1) THEN 1 ELSE 0 END
+        |          + CASE WHEN substring(a.mh3, 32, 1) = substring(b.mh3, 32, 1) THEN 1 ELSE 0 END
+        |          + CASE WHEN substring(a.mh4, 32, 1) = substring(b.mh4, 32, 1) THEN 1 ELSE 0 END
+        |          + CASE WHEN substring(a.mh5, 32, 1) = substring(b.mh5, 32, 1) THEN 1 ELSE 0 END
+        |          + CASE WHEN substring(a.mh6, 32, 1) = substring(b.mh6, 32, 1) THEN 1 ELSE 0 END
+        |          + CASE WHEN substring(a.mh7, 32, 1) = substring(b.mh7, 32, 1) THEN 1 ELSE 0 END)
+        |           AS n_match_4bit
+        |  FROM i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
+        |       JOIN mh a ON a.doc_id = i.a_id JOIN mh b ON b.doc_id = i.b_id
+        |)
+        |SELECT a_id, b_id, jacc, n_match_full, n_match_4bit,
+        |       round(n_match_full / 8.0, 4) AS est_full,
+        |       floor(GREATEST((CAST(n_match_4bit AS DOUBLE) / 8.0 - 1.0 / 16.0)
+        |                        / (15.0 / 16.0), 0.0) * 1e4) / 1e4 AS est_4bit
+        |FROM m ORDER BY a_id, b_id""".stripMargin,
     "llm_minhash_est" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(list_filter(
