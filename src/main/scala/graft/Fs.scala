@@ -105,7 +105,11 @@ object Fs {
     * Driver-side iteration, bounded by file count (file-grain metadata, the
     * house manifest rule); a 100 TB store distributes the same footer reads
     * over executors. Files whose footer lacks stats for the column (all-null
-    * chunk, stats disabled) are skipped — the conservative no-prune branch. */
+    * chunk, stats disabled) report the SENTINEL FULL RANGE
+    * (Long.MinValue, Long.MaxValue) so that manifest-driven prune callers
+    * always read them — dropping them from the manifest would be
+    * anti-conservative (a stats-disabled writer's rows would silently
+    * vanish from every pruned read). */
   def parquetColumnMinMax(spark: SparkSession, dir: String, column: String): Seq[(String, Long, Long)] = {
     val (fs, p) = fileSystem(spark, dir)
     val files = fs.listStatus(p).toSeq
@@ -129,7 +133,13 @@ object Fs {
     files.sorted.map(new Path(_)).flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
-        val perGroup = reader.getFooter.getBlocks.asScala.toSeq.flatMap { block =>
+        // Per row group: Some(range) when the footer carries usable stats,
+        // None when it does not (all-null chunk, stats disabled, non-integer
+        // physical type). ONE stat-less group poisons the whole file to the
+        // full-range sentinel — a partial min/max over the stat-bearing
+        // groups would understate the file's true range.
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val perGroup = blocks.map { block =>
           block.getColumns.asScala
             .find(_.getPath.toDotString == column)
             .flatMap { cc =>
@@ -142,8 +152,10 @@ object Fs {
               }
             }
         }
-        if (perGroup.isEmpty) None
-        else Some((f.toString, perGroup.map(_._1).min, perGroup.map(_._2).max))
+        if (perGroup.nonEmpty && perGroup.forall(_.isDefined)) {
+          val ranges = perGroup.flatten
+          Some((f.toString, ranges.map(_._1).min, ranges.map(_._2).max))
+        } else Some((f.toString, Long.MinValue, Long.MaxValue))
       } finally reader.close()
     }
   }
@@ -177,9 +189,17 @@ object Fs {
           block.getColumns.asScala.find(_.getPath.toDotString == column) match {
             case None => true // column missing from this file: stay conservative
             case Some(cc) =>
-              val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
-              if (bf == null) true // no bloom written: cannot rule the group out
-              else values.exists(v => bf.findHash(bf.hash(v)))
+              // bf.hash(v: Long) is only meaningful when the writer hashed
+              // 8-byte values; probing an INT32/other chunk with the Long
+              // overload would produce SYSTEMATIC false negatives (breaking
+              // the bloom contract). Non-INT64 chunks read conservative.
+              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+              if (cc.getPrimitiveType.getPrimitiveTypeName != PrimitiveTypeName.INT64) true
+              else {
+                val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+                if (bf == null) true // no bloom written: cannot rule the group out
+                else values.exists(v => bf.findHash(bf.hash(v)))
+              }
           }
         }
         (f.toString, might)

@@ -383,7 +383,10 @@ object Media {
     var filled = 0
     while (filled < raw.length && !infl.finished()) {
       val n = infl.inflate(raw, filled, raw.length - filled)
-      require(n > 0 || !infl.needsInput(), "truncated IDAT stream")
+      // n == 0 with needsInput() means the stream ran dry; needsDictionary()
+      // (FDICT-set zlib header) would otherwise return 0 forever and spin
+      // this loop — both are malformed input here, not recoverable states.
+      require(n > 0 || !(infl.needsInput() || infl.needsDictionary()), "truncated IDAT stream")
       filled += n
     }
     infl.end()

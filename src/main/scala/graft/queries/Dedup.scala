@@ -83,9 +83,10 @@ object Dedup {
     * densified by circular right-borrow with a per-step offset
     * (slot j ← min over k of slot (j+k) mod 8 present, + k·C), so equal
     * token sets still produce equal signatures and distinct borrow
-    * distances cannot alias (C = 1e17 > any 60-bit hash; max value
-    * 7e17 + 2⁶⁰ — long-safe). Returns (doc_id, t0..t7). */
-  private[graft] val OphC = 100000000000000000L
+    * distances cannot alias (C = 2⁶⁰ > any 60-bit hash value, so hv + k·C
+    * decomposes uniquely into (hv, k); max value 7·2⁶⁰ + 2⁶⁰−1 =
+    * Long.MaxValue — overflow-safe). Returns (doc_id, t0..t7). */
+  private[graft] val OphC = 1L << 60
   private[graft] def ophSlots(tok: DataFrame): DataFrame = {
     val hv = conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long")
     val binned = tok.select(col("doc_id"), hv.as("hv"))

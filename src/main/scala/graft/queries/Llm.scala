@@ -2833,17 +2833,34 @@ object Llm {
         .orderBy("stage")
     }),
 
-    // K3c — IVF similarity search (the genuine scale path past the
-    // sign-bit bucketing of llm_ann_bucket): 16 data-dependent coarse
-    // centroids (per-dim means over deterministic md5 seed cells — one
-    // k-means update step on a reproducible init), every vector assigned
-    // to its nearest centroid by cosine, then NN searched within the cell
-    // only (nprobe = 1; probing the q nearest cells is the recall knob at
-    // scale). Assignment is a 16-row broadcast — linear in corpus size;
-    // cell occupancy bounds the pair work exactly like an IVF index.
-    // Centroids are rounded to 6 decimals so both engines quantize the
-    // (order-sensitive) mean the same way before any dot product.
-    "llm_ivf_centroids" -> ((s, d) => ivfSearch(s, d, nprobe = 1)),
+    // K3c — IVF centroid BUILD (re-shaped r11; r10 VERDICT #1): the key
+    // now emits the index-construction product its name promises — the 16
+    // data-dependent coarse centroids (per-dim means over deterministic
+    // md5 seed cells, one k-means update step on a reproducible init,
+    // floor-quantized 1e-6) at (cell, dim) grain plus each home cell's
+    // occupancy — instead of duplicating `llm_ivf_probe`'s all-corpus
+    // within-cell search at nprobe=1, whose pair volume is n·occupancy =
+    // n²/nlist (the 10× probe read 10.9× — a scale killer the probe key
+    // already prices as a DECLARED demo trade). The build is LINEAR and
+    // stays linear: one posexplode mean pass over the corpus + one
+    // broadcast-16 assignment for occupancy; output is 16×64 = 1024 rows
+    // at ANY corpus size (index metadata, the thing a deployment actually
+    // persists). nprobe=1 search coverage lives on in KnnSpec's dominance
+    // test, which calls ivfSearch(nprobe=1) directly against the probe key.
+    "llm_ivf_centroids" -> ((s, d) => {
+      val v = vecs(s, d)
+      val cent = graft.ops.Ivf.centroidsOf(
+        v.withColumn("cell",
+          pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long"),
+            lit(16L))))
+      val occ = coarseRanked(v).where(col("r") === 1)
+        .groupBy("cell").agg(count(lit(1)).as("occupancy"))
+      cent.select(col("cell"), posexplode(col("centroid")).as(Seq("i", "c")))
+        .join(occ, Seq("cell"), "left")
+        .select(col("cell"), (col("i") + 1).cast("long").as("i"), col("c"),
+          coalesce(col("occupancy"), lit(0L)).as("occupancy"))
+        .orderBy("cell", "i")
+    }),
 
     // K3c' — IVF with nprobe = 2, the recall knob the nprobe=1 key
     // documents: each QUERY probes its 2 nearest coarse cells and unions
@@ -2959,39 +2976,37 @@ object Llm {
         .orderBy("vec_id")
     }),
 
-    // K8d — ANN recall eval (added r4): recall@1 of the IVF probe against
-    // the exact nearest neighbor — the index-health number every ANN
+    // K8d — ANN recall eval (added r4; re-budgeted r11, r10 VERDICT #1):
+    // recall@1 of the demo IVF index (nlist=16, nprobe=2) against the
+    // exact nearest neighbor — the index-health number every ANN
     // deployment watches before trusting approximate results (pairs with
     // llm_index_stats' occupancy view: stats say the index is balanced,
-    // recall says it is CORRECT enough). The query set is a deterministic
-    // md5 25% SAMPLE — recall eval at scale is always sampled, because
-    // ground truth is an exact scan: the 10× probe showed the all-vectors
-    // form growing with |corpus|² while the sampled form pays
-    // |sample|·|corpus| (each query's truth stays exact — sampling
-    // changes coverage, never a verdict). Exact side is ops.Knn's
-    // two-set broadcast blocked scan; IVF side is the llm_ivf_probe
-    // pipeline at nprobe=2. hit=0 where the probed cells missed the true
-    // neighbor or the home cell was a singleton (nn_ivf null).
+    // recall says it is CORRECT enough). The query set is the FIXED
+    // 500-query md5 budget (`serveTail`'s contract, shared verbatim with
+    // `llm_ivf_serve` / `llm_recall_two_level`): the r4 25% sample grew
+    // WITH the corpus, so the eval's exact side paid 0.25·n² (the 10×
+    // probe read 13.9×) — a deployed eval answers a bounded query stream,
+    // its cost |budget|·n regardless of corpus size (recall_two_level's
+    // identical shape reads 2.3× at 10×). Each budget query's verdict is
+    // still EXACT (ops.Knn two-set broadcast blocked scan); the IVF side
+    // is serveTail over the nlist=16 index — query side restricted BEFORE
+    // the cell join, the llm_ivf_query plan discipline. hit=0 where the
+    // probed cells missed the true neighbor or the home cell was a
+    // singleton (nn_ivf null) — a recall MISS, not a row to drop.
     "llm_recall_at_k" -> ((s, d) => {
-      val all = Tables.embeddings(s, d)
-      // norm > 0 is asserted EXPLICITLY on the query sample (and mirrored
-      // in the oracle's q/ex CTEs) so the key's Spark≡DuckDB equivalence
-      // is by construction, not fixture luck: Knn.topKCosine silently
-      // drops zero-norm queries while a brute-force SQL scan would score
-      // them with inf/NaN sims (r4 ADVICE).
-      val norm2 = aggregate(col("embedding"), lit(0.0d),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))
-      val queries = all.where(conv(substring(
-        md5(concat(col("vec_id").cast("string"), lit("|q"))), 1, 4),
-        16, 10).cast("long") < 16384L)
-        .where(norm2 > 0.0d)
-      val exact = graft.ops.Knn.topKCosine(queries, all, 1).toDF()
+      val v = vecs(s, d)
+      // norm > 0 asserted on the budget (mirrored in the oracle's qs/ex
+      // CTEs): Knn.topKCosine silently drops zero-norm queries while a
+      // brute-force SQL scan would score them with inf/NaN sims (r4 ADVICE).
+      val qids = v.where(col("norm") > 0.0d)
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
+        .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
+      val queries = v.join(broadcast(qids), col("vec_id") === col("q_id"))
+        .select("vec_id", "embedding", "label", "norm")
+      val exact = graft.ops.Knn.topKCosine(queries, v, 1).toDF()
         .select(col("q_id").as("vec_id"), col("c_id").as("nn_exact"))
-      val ivf = ivfSearch(s, d, nprobe = 2)
+      val ivf = serveTail(v, coarseRanked(v))
         .select(col("vec_id"), col("nn_id").as("nn_ivf"))
-      // LEFT join, matching the oracle: a query whose IVF home cell is a
-      // singleton has no approximate neighbor — that is a recall MISS
-      // (hit=0), not a row to drop.
       exact.join(ivf, Seq("vec_id"), "left")
         .withColumn("hit", when(col("nn_ivf") === col("nn_exact"), 1).otherwise(0))
         .orderBy("vec_id")
@@ -6682,7 +6697,21 @@ object Llm {
         |UNION ALL
         |SELECT 4, 'stopword_floor', c3, c3 - c4, c4 FROM c
         |ORDER BY stage""".stripMargin,
-    "llm_ivf_centroids" -> ivfSql(1),
+    // Centroid-build product: the shared CTE chain through `cent` (the
+    // quantized centroid table) and `cells` (home-cell assignment for
+    // occupancy); the search CTEs (sims/nn) are simply unreferenced.
+    "llm_ivf_centroids" ->
+      s"""WITH ${ivfCtes(1)},
+        |cx AS (
+        |  SELECT cell, unnest(range(1, len(centroid) + 1)) AS i,
+        |         unnest(centroid) AS c
+        |  FROM cent
+        |),
+        |occ AS (SELECT cell, count(*) AS occupancy FROM cells GROUP BY cell)
+        |SELECT CAST(cx.cell AS BIGINT) AS cell, cx.i, cx.c,
+        |       COALESCE(occ.occupancy, 0) AS occupancy
+        |FROM cx LEFT JOIN occ ON cx.cell = occ.cell
+        |ORDER BY cell, i""".stripMargin,
     "llm_ivf_probe" -> ivfSql(2),
     // Sampled-query serving: nn over all queries filtered to the sample is
     // row-identical to restricting the query side first (per-query top-1
@@ -6715,14 +6744,17 @@ object Llm {
         |ORDER BY c.vec_id""".stripMargin,
     "llm_ivf_two_level" -> ivf2Sql,
     "llm_recall_two_level" -> recall2Sql,
+    // Budgeted recall eval (r11): nn over all queries restricted to the
+    // 500-query budget at the output is row-identical to restricting the
+    // query side first (per-query top-1 independence — the llm_ivf_query
+    // argument); the Spark plan takes the scalable restricted form.
     "llm_recall_at_k" ->
       s"""WITH ${ivfCtes(2)},
-        |q AS (
-        |  SELECT * FROM v
-        |  WHERE CAST(concat('0x', substring(
-        |          md5(CAST(vec_id AS VARCHAR) || '|q'), 1, 4)) AS BIGINT) < 16384
-        |    AND norm > 0
+        |qs AS (
+        |  SELECT vec_id FROM v WHERE norm > 0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|sq') LIMIT 500
         |),
+        |q AS (SELECT v.* FROM v JOIN qs USING (vec_id)),
         |ex AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |         $dotSql / (a.norm * b.norm) AS sim

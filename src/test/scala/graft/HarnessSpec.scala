@@ -31,6 +31,16 @@ class HarnessSpec extends SparkSpec {
       .findFirstMatchIn(survey).map(_.group(1).toInt)
     assert(counted.contains(implemented.size),
       s"SURVEY inventory-count line says $counted but queries map has ${implemented.size}")
+    // the oracle-checked sub-count drifted r8→r10 (350 while the map held
+    // 365) — pin the prose number AND the structural invariant behind it
+    // (exactly the two declared approximate HLL keys lack an oracle)
+    val oracleCounted = """\*\*Inventory count: \d+ declared keys\*\* \((\d+) oracle-checked""".r
+      .findFirstMatchIn(survey).map(_.group(1).toInt)
+    assert(oracleCounted.contains(SparkEntry.oracleSql.size),
+      s"SURVEY oracle-checked count says $oracleCounted but oracleSql map has ${SparkEntry.oracleSql.size}")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("agg_approx_distinct", "agg_sketch_merge"),
+      s"keys without an oracle beyond the two declared approximate ones: $noOracle")
   }
 
   test("SCALE_full.json covers every registered key (the 10x-probe artifact is complete)") {

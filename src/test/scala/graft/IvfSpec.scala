@@ -170,4 +170,21 @@ class IvfSpec extends SparkSpec {
     assert(finalObj >= seedObj - 1e-9,
       f"Lloyd worsened the objective: $seedObj%.4f -> $finalObj%.4f")
   }
+
+  test("llm_ivf_centroids build product: 16 cells x dim rows, occupancy sums to n (r11 re-shape)") {
+    val rows = SparkEntry.queries("llm_ivf_centroids")(spark, sf0001).collect()
+    val dim = Tables.embeddings(spark, sf0001).select(size(col("embedding")))
+      .head().getInt(0)
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(rows.length == 16 * dim, s"expected ${16 * dim} (cell,dim) rows, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == (0L until 16L))
+    // occupancy is cell-grain (repeated per dim) and partitions the corpus
+    val occ = rows.map(r => r.getLong(0) -> r.getLong(3)).distinct
+    assert(occ.length == 16, "occupancy must be constant within a cell")
+    assert(occ.map(_._2).sum == n, "home-cell occupancies must partition the corpus")
+    // centroids are 1e-6 floor-quantized doubles
+    assert(rows.forall { r =>
+      val c = r.getDouble(2); math.floor(c * 1e6) / 1e6 == c
+    })
+  }
 }

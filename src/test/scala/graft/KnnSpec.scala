@@ -78,11 +78,14 @@ class KnnSpec extends SparkSpec {
   }
 
   test("IVF nprobe=2 dominates nprobe=1: no lost neighbors, sims and recall never drop") {
-    def nnMap(key: String) = SparkEntry.queries(key)(spark, sf0001).collect()
+    // nprobe=1 via ivfSearch directly: the registry's llm_ivf_centroids
+    // re-shaped to the build product in r11, but the dominance property
+    // of the search stays pinned here
+    def nnMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3))))).toMap
-    val np1 = nnMap("llm_ivf_centroids")
-    val np2 = nnMap("llm_ivf_probe")
+    val np1 = nnMap(graft.queries.Llm.ivfSearch(spark, sf0001, nprobe = 1))
+    val np2 = nnMap(SparkEntry.queries("llm_ivf_probe")(spark, sf0001))
     assert(np1.keySet == np2.keySet)
     // probing more cells only ADDS candidates: every query keeps a
     // neighbor at least as similar as before
