@@ -182,9 +182,8 @@ class IvfSpec extends SparkSpec {
     val occ = rows.map(r => r.getLong(0) -> r.getLong(3)).distinct
     assert(occ.length == 16, "occupancy must be constant within a cell")
     assert(occ.map(_._2).sum == n, "home-cell occupancies must partition the corpus")
-    // centroids are 1e-6 floor-quantized doubles
-    assert(rows.forall { r =>
-      val c = r.getDouble(2); math.floor(c * 1e6) / 1e6 == c
-    })
+    // (exact 1e-6 floor quantization of the centroid values is proven by
+    // the DuckDB hash match, not re-asserted here: floor(c*1e6)/1e6 is
+    // not an IEEE fixed point for every representable c)
   }
 }
