@@ -690,6 +690,55 @@ object SideEffects {
         .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"))
         .orderBy("c_nationkey")
     }),
+
+    // A — 3-DIMENSIONAL Z-order clustering (added r11, r10 VERDICT #5):
+    // the k-D generalization working end to end — events clustered on
+    // (entity-bucket, day-bucket, value-hexadecile), each 4 bits, sorted
+    // by the 12-bit interleaved Morton value into 16 range files; at
+    // query time the 3-D box's EXACT range cover (`ZOrder.rangeCoverK` —
+    // the 2^k-tree walk; exact is affordable at 4-bit axes, while 3-D
+    // covers at production width are budget-capped per the rangeCoverK
+    // doc) intersects the footer [min(z),max(z)] manifest and skips
+    // non-overlapping files, exact residual predicate after. Oracle
+    // recomputes the box aggregate from source — hash proves the cover,
+    // the interleave expression, and the manifest are jointly complete
+    // (one skipped-but-needed file = missing rows); ZOrderSpec proves
+    // the k-D machinery exhaustively (2-bit × 3-dim), StoreSpec pins
+    // that files are really skipped. Exact micro-unit sums; all three
+    // bucket expressions are single IEEE ops identical cross-engine.
+    "store_zorder_3d" -> ((s, d) => {
+      val out = scratch("events_zorder_3d")
+      // dim 0 (ub) at bit 3i+2, dim 1 (db) at 3i+1, dim 2 (vb) at 3i —
+      // the ZOrder.encodeK layout, stated as an in-plan expression
+      def bit(c: String, i: Int) = s"(($c div ${1 << i}) % 2)"
+      val zExpr = (0 until 4).map(i =>
+        s"${bit("ub", i)} * ${1L << (3 * i + 2)} + " +
+          s"${bit("db", i)} * ${1L << (3 * i + 1)} + " +
+          s"${bit("vb", i)} * ${1L << (3 * i)}").mkString(" + ")
+      Tables.events(s, d)
+        .withColumn("micro", floor(col("value") * lit(1e6)).cast("long"))
+        .withColumn("ub", (col("user_id") % 16).cast("int"))
+        .withColumn("db", ((dayofmonth(col("ts")) - 1) % 16).cast("int"))
+        .withColumn("vb",
+          least(floor(col("value") / lit(31.0)), lit(15.0)).cast("int"))
+        .withColumn("z", expr(zExpr).cast("long"))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(out)
+      val cover = graft.store.ZOrder.rangeCoverK(
+        Seq(4L, 3L, 5L), Seq(11L, 12L, 13L), bits = 4)
+      val manifest = graft.Fs.parquetColumnMinMax(s, out, "z")
+      val files = manifest.filter { case (_, lo, hi) =>
+        cover.exists { case (cl, ch) => lo <= ch && hi >= cl }
+      }.map(_._1)
+      s.read.parquet(files: _*)
+        .where(col("ub") >= 4 && col("ub") <= 11
+          && col("db") >= 3 && col("db") <= 12
+          && col("vb") >= 5 && col("vb") <= 13)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("micro").as("sum_micro"))
+        .orderBy("event_type")
+    }),
   )
 
   // Each oracle recomputes the round-trip's output directly from the
@@ -842,6 +891,19 @@ object SideEffects {
         |SELECT c_nationkey, count(*) AS n_cust, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM c
         |WHERE xb BETWEEN 8 AND 23 AND yb BETWEEN 16 AND 47
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "store_zorder_3d" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(user_id % 16 AS INT) AS ub,
+        |         CAST((day(CAST(ts AS TIMESTAMP)) - 1) % 16 AS INT) AS db,
+        |         CAST(LEAST(floor(value / 31.0), 15.0) AS INT) AS vb,
+        |         CAST(floor(value * 1e6) AS BIGINT) AS micro
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_events, CAST(sum(micro) AS BIGINT) AS sum_micro
+        |FROM e
+        |WHERE ub BETWEEN 4 AND 11 AND db BETWEEN 3 AND 12 AND vb BETWEEN 5 AND 13
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_schema_merge" ->
       """SELECT 1 AS b, count(*) AS n, CAST(0 AS BIGINT) AS n_adj,

@@ -393,6 +393,36 @@ class StoreSpec extends SparkSpec {
     assert(got.map(r => (numAt(r, 0), r.getLong(1), r.getLong(2))).toSet == brute)
   }
 
+  test("store_zorder_3d skips 3-D z-sorted files via footer stats and loses no rows (r11)") {
+    val got = SparkEntry.queries("store_zorder_3d")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val out = "/root/repo/target/scratch/events_zorder_3d"
+    val cover = graft.store.ZOrder.rangeCoverK(
+      Seq(4L, 3L, 5L), Seq(11L, 12L, 13L), bits = 4)
+    val manifest = graft.Fs.parquetColumnMinMax(spark, out, "z")
+    val needed = manifest.count { case (_, lo, hi) =>
+      cover.exists { case (cl, ch) => lo <= ch && hi >= cl } }
+    assert(manifest.size >= 12, s"expected ~16 z-clustered files, got ${manifest.size}")
+    assert(needed < manifest.size,
+      s"no file skipped: $needed of ${manifest.size} overlap the cover")
+    // the in-plan interleave expression agrees with ZOrder.encodeK
+    val zcheck = spark.read.parquet(out)
+      .select("ub", "db", "vb", "z").distinct().collect()
+    zcheck.foreach { r =>
+      val expect = graft.store.ZOrder.encodeK(
+        Seq(r.getInt(0).toLong, r.getInt(1).toLong, r.getInt(2).toLong), bits = 4)
+      assert(r.getLong(3) == expect, s"z mismatch at $r")
+    }
+    // completeness: pruned box aggregate equals brute force over the store
+    val brute = spark.read.parquet(out)
+      .where(col("ub").between(4, 11) && col("db").between(3, 12)
+        && col("vb").between(5, 13))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("micro").as("sum_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == brute)
+  }
+
   test("store_compact_files shrinks the file count and keeps range clustering") {
     val got = SparkEntry.queries("store_compact_files")(spark, sf0001).collect()
     assert(got.nonEmpty)
