@@ -459,6 +459,108 @@ object Media {
     }(enc)
   }
 
+  /** Quantized DCT-II basis row for perceptual hashing: cq(u)(x) =
+    * ⌊cos(π(2x+1)u / 2n) · 1e6⌋ as exact longs, u < k, x < n. StrictMath
+    * (not Math) so the table is bit-identical on every JVM/arch an
+    * executor might run on; the 1e6 quantization turns the whole DCT into
+    * EXACT INTEGER arithmetic (pixel ≤ 255, |cq| ≤ 1e6 ⇒ a 16×16 image's
+    * coefficient magnitude ≤ 16²·255·1e12 ≈ 6.5e16, long-safe), which is
+    * what lets a SQL oracle reproduce the hash bit for bit — the table is
+    * emitted into the oracle as literal integers, so no engine ever
+    * evaluates cos() at query time. */
+  private[graft] def phashCosQ(n: Int, k: Int): Array[Array[Long]] =
+    Array.tabulate(k, n) { (u, x) =>
+      math.floor(StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * n)) * 1e6).toLong
+    }
+
+  /** Perceptual hash (pHash, the public DCT algorithm) over pixels that
+    * went THROUGH the real PNG codec: encode the grayscale payload
+    * (cycling all five scanline filters), decode it back, separable
+    * quantized DCT-II (O(n²k), not the naive n²k²), keep the top-left
+    * `k`×`k` low-frequency block, drop DC, threshold at the EXACT integer
+    * median (element ⌈m/2⌉ of the sorted k²−1 coefficients) — bit
+    * (u·k+v−1) set when coef(u,v) > median. Everything after the decode
+    * is exact longs (see [[phashCosQ]]), so the hash is bit-identical
+    * cross-engine and SQL-reproducible. Unlike aHash's per-pixel mean
+    * test, the low-frequency block barely moves under single-pixel
+    * damage or re-encode noise — MediaSpec pins a near-dup pair aHash
+    * separates and pHash does not. */
+  def pngPHash(df: DataFrame, grayCol: String, width: Int, height: Int,
+               k: Int = 8, batchSize: Int = 64): DataFrame = {
+    require(k >= 2 && k * k - 1 <= 63, "k^2-1 hash bits must fit a long")
+    require(width >= k && height >= k, "image smaller than the DCT block")
+    val inSchema = df.schema
+    val grayIdx = inSchema.fieldIndex(grayCol)
+    require(inSchema(grayIdx).dataType == BinaryType, s"$grayCol must be binary")
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("phash", LongType), StructField("n_bits", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val cqx = phashCosQ(width, k)
+    val cqy = phashCosQ(height, k)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val gray = row.getAs[Array[Byte]](grayIdx)
+          require(gray != null && gray.length == width * height,
+            s"gray payload must be ${width * height} bytes")
+          val png = encodePng(width, height, gray, filterForRow = r => r % 5)
+          val (w, h, px) = decodePng(png)
+          // separable DCT: rows first (per u: fold x), then columns (per v)
+          val rowSum = Array.ofDim[Long](k, h) // rowSum(u)(y) = Σx px(y,x)·cqx(u)(x)
+          var y = 0
+          while (y < h) {
+            var u = 0
+            while (u < k) {
+              var s = 0L; var x = 0
+              while (x < w) { s += px(y * w + x).toLong * cqx(u)(x); x += 1 }
+              rowSum(u)(y) = s
+              u += 1
+            }
+            y += 1
+          }
+          val coef = Array.ofDim[Long](k, k)
+          var u = 0
+          while (u < k) {
+            var v = 0
+            while (v < k) {
+              var s = 0L; var yy = 0
+              while (yy < h) { s += rowSum(u)(yy) * cqy(v)(yy); yy += 1 }
+              coef(u)(v) = s
+              v += 1
+            }
+            u += 1
+          }
+          val nonDc = new Array[Long](k * k - 1)
+          var j = 0
+          u = 0
+          while (u < k) {
+            var v = 0
+            while (v < k) {
+              if (u != 0 || v != 0) { nonDc(j) = coef(u)(v); j += 1 }
+              v += 1
+            }
+            u += 1
+          }
+          val sorted = nonDc.sorted
+          val median = sorted((k * k - 1) / 2) // element 32 of 63 at k=8 (0-based 31)
+          var hash = 0L; var bits = 0
+          u = 0
+          while (u < k) {
+            var v = 0
+            while (v < k) {
+              if ((u != 0 || v != 0) && coef(u)(v) > median) {
+                hash |= 1L << (u * k + v - 1); bits += 1
+              }
+              v += 1
+            }
+            u += 1
+          }
+          Row.fromSeq(row.toSeq :+ hash :+ bits)
+        }
+      }
+    }(enc)
+  }
+
   /** Average-hash (aHash) over DECODED pixels — the classic perceptual
     * image-dedup primitive (bit i = pixel i brighter than the image mean;
     * images differing by re-encode/contrast shift collide, distinct

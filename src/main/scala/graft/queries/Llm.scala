@@ -2659,6 +2659,35 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K13c — perceptual DCT hash (pHash; added r11, r10 VERDICT #6): the
+    // published pHash algorithm next to the aHash key — separable DCT-II
+    // over a 16×16 image that went THROUGH the real PNG codec (encode
+    // cycling all 5 scanline filters, decode back), keep the top-left 8×8
+    // low-frequency block, drop DC, threshold at the exact integer median
+    // → 63-bit hash. The DCT basis is the 1e6-quantized StrictMath cosine
+    // table (`Media.phashCosQ`), so the whole pipeline after decode is
+    // EXACT LONGS — the oracle carries the same table as literal integers
+    // and reproduces every bit without evaluating cos() anywhere.
+    // 16 chained md5s per doc give the 256-byte payload (same md5-hex
+    // ground-truth trick as the decode keys). Robustness difference vs
+    // aHash is pinned in MediaSpec (single-pixel damage: aHash separates,
+    // pHash collides). Embarrassingly parallel decode+DCT (per-doc O(w·h·k)
+    // longs), one hash-grain window. 100 TB shape: pHash buckets as the
+    // perceptual image-dedup pre-filter, hamming-verify inside buckets.
+    "llm_media_phash" -> ((s, d) => {
+      val seeded = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("unhex(concat_ws('', transform(sequence(0, 15), " +
+            "j -> md5(concat(CAST(doc_id AS STRING), ':p', CAST(j AS STRING))))))")
+            .as("gray"))
+      val hashed = graft.multimodal.Media.pngPHash(seeded, "gray", width = 16, height = 16)
+      val w = Window.partitionBy("phash")
+      hashed
+        .withColumn("bucket_size", count(lit(1)).over(w))
+        .select(col("doc_id"), col("phash"), col("n_bits"), col("bucket_size"))
+        .orderBy("doc_id")
+    }),
+
     // K8 — token-window chunking (training-data prep): 40-token windows
     // with stride 30 (10-token overlap), each chunk fingerprinted. Chunk
     // boundaries are pure per-row arithmetic — embarrassingly parallel, no
@@ -6485,6 +6514,52 @@ object Llm {
         |SELECT doc_id, ahash, n_bright,
         |       count(*) OVER (PARTITION BY ahash) AS bucket_size
         |FROM h ORDER BY doc_id""".stripMargin,
+    // pHash: px from the 16 chained md5s (chunk j = image row y), then the
+    // SAME separable quantized-DCT in SQL — the cosine table arrives as
+    // literal integers from Media.phashCosQ (single source of truth), so
+    // every coefficient, the median, and each hash bit are exact-integer
+    // reproductions of the Spark side
+    "llm_media_phash" -> {
+      val ctRows = graft.multimodal.Media.phashCosQ(16, 8).zipWithIndex.flatMap {
+        case (rowArr, u) => rowArr.zipWithIndex.map {
+          case (cq, x) => s"($u, $x, $cq)"
+        }
+      }.mkString(", ")
+      s"""WITH ct(u, x, cq) AS (VALUES $ctRows),
+        |px AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+        |         CAST(concat('0x', substring(
+        |           md5(CAST(doc_id AS VARCHAR) || ':p' || CAST(i.i // 16 AS VARCHAR)),
+        |           CAST(1 + 2 * (i.i % 16) AS INTEGER), 2)) AS BIGINT) AS v
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
+        |),
+        |rs AS (
+        |  SELECT p.doc_id, ct.u, p.i // 16 AS y, sum(p.v * ct.cq) AS s
+        |  FROM px p JOIN ct ON ct.x = p.i % 16
+        |  GROUP BY 1, 2, 3
+        |),
+        |coef AS (
+        |  SELECT rs.doc_id, rs.u, cy.u AS v, sum(rs.s * cy.cq) AS c
+        |  FROM rs JOIN ct cy ON cy.x = rs.y
+        |  GROUP BY 1, 2, 3
+        |),
+        |med AS (
+        |  SELECT doc_id, list_sort(list(c))[32] AS m
+        |  FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY 1
+        |),
+        |h AS (
+        |  SELECT coef.doc_id,
+        |         CAST(sum(CASE WHEN (coef.u != 0 OR coef.v != 0) AND coef.c > med.m
+        |                       THEN CAST(pow(2, coef.u * 8 + coef.v - 1) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS phash,
+        |         CAST(sum(CASE WHEN (coef.u != 0 OR coef.v != 0) AND coef.c > med.m
+        |                       THEN 1 ELSE 0 END) AS INTEGER) AS n_bits
+        |  FROM coef JOIN med ON coef.doc_id = med.doc_id GROUP BY 1
+        |)
+        |SELECT doc_id, phash, n_bits,
+        |       count(*) OVER (PARTITION BY phash) AS bucket_size
+        |FROM h ORDER BY doc_id""".stripMargin
+    },
     // PNG twin: identical md5-hex recomputation; n_raw is the inflated
     // scanline payload h·(1+w) = 5·4 = 20 (filter byte per row + pixels)
     "llm_media_decode_png" ->

@@ -252,4 +252,75 @@ class MediaSpec extends SparkSpec {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  /** Driver-side pHash recompute: same quantized separable DCT as
+    * Media.pngPHash, straight off the raw gray bytes (no codec) — the
+    * codec is identity on pixel values, so equality also re-proves the
+    * PNG round-trip at 16x16. */
+  private def phashOf(gray: Array[Byte]): (Long, Int) = {
+    val cq = Media.phashCosQ(16, 8)
+    val px = gray.map(_ & 0xff)
+    val rowSum = Array.tabulate(8, 16) { (u, y) =>
+      (0 until 16).map(x => px(y * 16 + x).toLong * cq(u)(x)).sum }
+    val coef = Array.tabulate(8, 8) { (u, v) =>
+      (0 until 16).map(y => rowSum(u)(y) * cq(v)(y)).sum }
+    val nonDc = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      yield coef(u)(v)).sorted
+    val med = nonDc(31)
+    val bits = for (u <- 0 until 8; v <- 0 until 8
+                    if (u != 0 || v != 0) && coef(u)(v) > med) yield u * 8 + v - 1
+    (bits.map(1L << _).sum, bits.length)
+  }
+
+  test("llm_media_phash matches a driver recompute; ~half the 63 bits set") {
+    import spark.implicits._
+    def md5hex(s2: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = SparkEntry.queries("llm_media_phash")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val gray = (0 until 16).flatMap(j =>
+        md5hex(s"$id:p$j").grouped(2).map(Integer.parseInt(_, 16).toByte)).toArray
+      val (h, b) = phashOf(gray)
+      assert(r.getLong(1) == h && r.getInt(2) == b, s"doc $id phash mismatch")
+    }
+    // median threshold: 31 strict-above bits unless ties collapse some
+    rows.foreach(r => assert(r.getInt(2) >= 25 && r.getInt(2) <= 31, r.toString))
+    val byHash = rows.groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    rows.foreach(r => assert(r.getLong(3) == byHash(r.getLong(1))))
+  }
+
+  test("pHash survives an illumination gradient that aHash scatters (the robustness contract)") {
+    import spark.implicits._
+    // base: md5-derived pseudo-random 16x16; damaged: a +-2(x-8) linear
+    // illumination gradient (vignette/lighting change — the classic
+    // near-duplicate). The gradient shifts many pixels relative to the
+    // GLOBAL mean (aHash bits scatter) but only perturbs the lowest
+    // x-frequency DCT coefficients, far from the median threshold
+    // (pHash identical).
+    val base = (0 until 16).flatMap { j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fixture:$j".getBytes("UTF-8"))
+    }.toArray
+    val damaged = Array.tabulate(256) { i =>
+      val x = i % 16
+      math.min(255, math.max(0, (base(i) & 0xff) + 2 * (x - 8))).toByte
+    }
+    // aHash-style mean-test bit set (computed at 16x16 here — the library
+    // bmpAHash is capped at 63 px, so this asserts the ALGORITHM relation)
+    def ahashBits(g: Array[Byte]): Set[Int] = {
+      val px = g.map(_ & 0xff); val sum = px.map(_.toLong).sum
+      (0 until 256).filter(i => px(i).toLong * 256 > sum).toSet
+    }
+    val aBase = ahashBits(base); val aDam = ahashBits(damaged)
+    val aHamming = (aBase diff aDam).size + (aDam diff aBase).size
+    assert(aHamming >= 3, s"fixture must scatter aHash bits, moved $aHamming")
+    val df = Seq((1L, base), (2L, damaged)).toDF("doc_id", "gray")
+    val hashed = Media.pngPHash(df, "gray", 16, 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hashed(1L) == hashed(2L),
+      f"pHash should collide under the gradient: ${hashed(1L)}%x vs ${hashed(2L)}%x")
+  }
 }
