@@ -207,6 +207,50 @@ object Fs {
     }
   }
 
+  /** Orphan-file vacuum (r11, r10 VERDICT #7): the maintenance pass every
+    * long-lived store needs, because crashed writers leave two kinds of
+    * debris that a plain directory read CANNOT distinguish from data —
+    *
+    *   - `_temporary/` trees (the Hadoop committer's staging area): never
+    *     data, deleted unconditionally;
+    *   - stray part files directly under `dir` that are NOT in the
+    *     committed listing: these have valid schemas and WOULD be read as
+    *     real rows by any `spark.read.parquet(dir)` (silent duplication /
+    *     corruption — the worst failure mode a store has).
+    *
+    * The age gate (`minAgeMs`) protects in-flight writers: an uncommitted
+    * file younger than the gate may belong to a running job and is spared
+    * (the Delta/Iceberg VACUUM retention stance). `nowMs` is an explicit
+    * parameter — callers pass the clock, tests pass a constant. Deletion
+    * order: `_temporary` trees first, then aged orphans, both sorted;
+    * returns (deletedDirs, deletedFiles) as the audit record. Committed
+    * files and hidden markers (`_SUCCESS`, dotfiles) are never touched.
+    * Driver-side at file grain (the manifest rule); a 100 TB store
+    * distributes the same listing + mtime checks over executors. */
+  def vacuum(spark: SparkSession, dir: String, committed: Set[String],
+             minAgeMs: Long, nowMs: Long): (Seq[String], Seq[String]) = {
+    val (fs, root) = fileSystem(spark, dir)
+    if (!fs.exists(root)) return (Nil, Nil)
+    val entries = fs.listStatus(root).toSeq
+    val tempDirs = entries
+      .filter(st => st.isDirectory && st.getPath.getName == "_temporary")
+      .map(_.getPath).sortBy(_.toString)
+    tempDirs.foreach(p => fs.delete(p, true))
+    // committed paths may arrive qualified or not: compare both forms
+    val keep = committed.flatMap(c =>
+      Set(c, fs.makeQualified(new Path(c)).toString))
+    val orphans = entries
+      .filter { st =>
+        st.isFile && !isHidden(st.getPath.getName) &&
+          !keep.contains(st.getPath.toString) &&
+          !keep.contains(fs.makeQualified(st.getPath).toString) &&
+          st.getModificationTime <= nowMs - minAgeMs
+      }
+      .map(_.getPath).sortBy(_.getName)
+    orphans.foreach(p => fs.delete(p, false))
+    (tempDirs.map(_.toString), orphans.map(_.toString))
+  }
+
   /** Read a small control file (fingerprint, marker) as UTF-8, if present. */
   def readUtf8(spark: SparkSession, file: String): Option[String] = {
     val (fs, p) = fileSystem(spark, file)

@@ -739,6 +739,50 @@ object SideEffects {
         .agg(count(lit(1)).as("n_events"), sum("micro").as("sum_micro"))
         .orderBy("event_type")
     }),
+
+    // A — orphan-file VACUUM (added r11, r10 VERDICT #7): crash-leftover
+    // cleanup proven DATA-INTACT under the oracle. The fixture plants the
+    // two real debris kinds a crashed writer leaves: a `_temporary/`
+    // staging tree AND an uncommitted duplicate part file directly in the
+    // store (valid schema — a naive directory read ingests its rows as
+    // data, the silent-duplication failure mode). `Fs.vacuum` deletes the
+    // tree + the AGED orphan (age gate: in-flight writers' fresh files
+    // are spared — FsSpec pins that) using the committed listing captured
+    // at write time; the readout aggregates the store AFTER vacuum. The
+    // oracle recomputes from source, so the hash proves BOTH directions:
+    // orphan gone (else rows double-count) and committed files intact
+    // (else rows missing). FsSpec adds the byte-level crash fixtures.
+    "store_vacuum" -> ((s, d) => {
+      val out = scratch("events_vacuum")
+      Tables.events(s, d)
+        .withColumn("micro", floor(col("value") * lit(1e6)).cast("long"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("micro"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(out)
+      val (fs, root) = graft.Fs.fileSystem(s, out)
+      val committed = graft.Fs.listDataFiles(s, out)
+      val conf = s.sessionState.newHadoopConf()
+      // plant an aged uncommitted duplicate of a real part (schema-valid
+      // rows that MUST NOT be readable after vacuum) ...
+      val src = new org.apache.hadoop.fs.Path(committed.head)
+      val orphan = new org.apache.hadoop.fs.Path(out, "part-orphan-crashed.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, orphan, false, true, conf)
+      fs.setTimes(orphan, System.currentTimeMillis() - 3600L * 1000, -1)
+      // ... and a committer staging tree from the same "crash"
+      val tmp = new org.apache.hadoop.fs.Path(out, "_temporary/0/task_000/part-00000.parquet")
+      fs.mkdirs(tmp.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, true, conf)
+      val (gone_dirs, gone_files) = graft.Fs.vacuum(s, out,
+        committed.toSet, minAgeMs = 600L * 1000, nowMs = System.currentTimeMillis())
+      require(gone_dirs.nonEmpty && gone_files.nonEmpty,
+        s"vacuum must remove the planted debris, got $gone_dirs / $gone_files")
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("micro").as("sum_micro"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy("event_type")
+    }),
   )
 
   // Each oracle recomputes the round-trip's output directly from the
@@ -905,6 +949,11 @@ object SideEffects {
         |FROM e
         |WHERE ub BETWEEN 4 AND 11 AND db BETWEEN 3 AND 12 AND vb BETWEEN 5 AND 13
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "store_vacuum" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
+        |       count(DISTINCT event_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_schema_merge" ->
       """SELECT 1 AS b, count(*) AS n, CAST(0 AS BIGINT) AS n_adj,
         |       round(sum(value), 4) AS sum_value

@@ -37,4 +37,40 @@ class FsSpec extends SparkSpec {
     Fs.writeUtf8(spark, f, "b:2")
     assert(Fs.readUtf8(spark, f).contains("b:2"))
   }
+
+  test("vacuum removes _temporary trees and AGED orphans; spares fresh, committed, hidden (r11)") {
+    val root = tmpDir("fs_vacuum")
+    val now = 1_000_000_000L // explicit clock — the determinism contract
+    def put(rel: String, body: String, mtime: Long): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, body)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      p
+    }
+    val keep1 = put("part-0.parquet", "committed-a", now - 999999)
+    val keep2 = put("part-1.parquet", "committed-b", now - 999999)
+    put("_SUCCESS", "", now - 999999)
+    put("_temporary/0/task_1/part-9.parquet", "staging", now - 1)
+    val agedOrphan = put("part-orphan-old.parquet", "crash-leftover", now - 120000)
+    val freshOrphan = put("part-orphan-new.parquet", "in-flight", now - 1000)
+    val committed = Set(keep1.toString, keep2.toString)
+    val (dirs, files) = Fs.vacuum(spark, root, committed, minAgeMs = 60000, nowMs = now)
+    assert(dirs.size == 1 && dirs.head.endsWith("_temporary"))
+    assert(files.size == 1 && files.head.endsWith("part-orphan-old.parquet"))
+    assert(!java.nio.file.Files.exists(agedOrphan), "aged orphan must be gone")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_temporary")))
+    assert(java.nio.file.Files.exists(freshOrphan), "age gate must spare in-flight files")
+    // committed data byte-identical, markers untouched
+    assert(java.nio.file.Files.readString(keep1) == "committed-a")
+    assert(java.nio.file.Files.readString(keep2) == "committed-b")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_SUCCESS")))
+    // second vacuum after the gate elapses removes the ex-fresh orphan
+    val (d2, f2) = Fs.vacuum(spark, root, committed, minAgeMs = 60000, nowMs = now + 120000)
+    assert(d2.isEmpty && f2.size == 1 && f2.head.endsWith("part-orphan-new.parquet"))
+    // idempotent on a clean store; quiet no-op on a missing dir
+    assert(Fs.vacuum(spark, root, committed, 60000, now + 240000) == ((Nil, Nil)))
+    assert(Fs.vacuum(spark, s"$root/nope", Set.empty, 0, now) == ((Nil, Nil)))
+  }
 }
