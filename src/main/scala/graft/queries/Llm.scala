@@ -687,14 +687,33 @@ object Llm {
       .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|entry"))))
       .orderBy(col("h"), col("vec_id")).limit(1)
       .select(col("vec_id").as("cur"))
-    var st = qids.crossJoin(broadcast(entry))
+    val st0 = qids.crossJoin(broadcast(entry))
       .join(v.select(col("vec_id").as("cur"), col("embedding").as("c_e"),
         col("norm").as("c_n")), "cur")
       .withColumn("cur_sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
       .select(col("q_id"), col("q_e"), col("q_n"), col("cur"), col("cur_sim"),
         lit(0).as("hops"))
-      .localCheckpoint(true)
-    for (_ <- 1 to 6) {
+    val st = greedyHops(v, nb, st0, 6)
+    graft.ops.Checkpoints.finishFreeing(
+      st.select(col("q_id").as("vec_id"), col("cur").as("nn_id"),
+          round(col("cur_sim"), 4).as("sim"), col("hops"),
+          (col("cur") === col("q_id")).as("reached"))
+        .orderBy("vec_id"),
+      members, nb, st)
+  }
+
+  /** `hops` rounds of strict-improvement greedy walking over neighbor
+    * table `nb`, shared by the flat serve ([[graphSearch]]) and both
+    * layers of the hierarchical serve (`llm_hnsw_search`): per round,
+    * each query scores its current node's neighbors and moves only on
+    * strict `>` (plateaus stop the walk — no cycles, deterministic);
+    * per-round checkpoint-and-free. State: (q_id, q_e, q_n, cur,
+    * cur_sim, hops). Input state is checkpointed here; the FINAL state
+    * is returned still checkpointed — the caller frees it. */
+  private def greedyHops(v: DataFrame, nb: DataFrame,
+                         st0: DataFrame, hops: Int): DataFrame = {
+    var st = st0.localCheckpoint(true)
+    for (_ <- 1 to hops) {
       val best = st.select(col("q_id").as("b_q"), col("q_e").as("b_e"),
           col("q_n").as("b_n"), col("cur"))
         .join(nb.withColumnRenamed("node", "cur"), "cur")
@@ -715,12 +734,65 @@ object Llm {
       graft.ops.Checkpoints.free(st)
       st = next
     }
+    st
+  }
+
+  /** The md5-deterministic UPPER LAYER of the 2-layer hierarchical serve:
+    * a vector is promoted when the first 16 bits of md5(vec_id|"lvl")
+    * fall under 8192/65536 — an expected 1/8 of the corpus, the HNSW
+    * level-assignment recipe (geometric decay, here truncated at 2
+    * layers) made replayable: promotion is a pure function of the id, so
+    * index and oracle agree at any partitioning. */
+  private def upperLayer(v: DataFrame): DataFrame =
+    v.where(conv(substring(
+      md5(concat(col("vec_id").cast("string"), lit("|lvl"))), 1, 4),
+      16, 10).cast("long") < 8192L)
+
+  /** `llm_hnsw_search` body — 2-layer hierarchical greedy serving (the
+    * HNSW query path proper, upgrading [[graphSearch]]'s single layer;
+    * r10 VERDICT #8): the upper layer is the md5-promoted 1/8 subset
+    * with its OWN NN-descent graph (same build machinery at 1/8 scale),
+    * the base layer is the full NN-descent graph. Each query enters at
+    * the upper layer's md5-chosen entry point, walks ≤3 greedy hops
+    * THERE (long strides across the corpus — the hierarchy's point: the
+    * upper walk replaces base-layer hops through unrelated regions),
+    * then descends and continues ≤6 greedy hops on the base graph from
+    * wherever the upper walk landed. Per-hop cost per query is k=4
+    * neighbor sims on either layer — constant at any corpus size; the
+    * upper build is the base build at 1/8 input. Output mirrors the flat
+    * key (`reached` = routability) so the two serve policies are
+    * directly comparable; KnnSpec measures routability + recall side by
+    * side vs the flat graph and the exact truth. */
+  private[graft] def hnswSearch(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).where(col("norm") > 0.0d)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val upper = upperLayer(v)
+    val (nbU, membersU) = nnDescentGraph(s, upper)
+    val (nb, members) = nnDescentGraph(s, v)
+    val qids = v
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
+      .orderBy("h").limit(500)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+        col("norm").as("q_n"))
+    // entry lives in the UPPER layer (the hierarchy's global entry point)
+    val entry = upper
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|entry"))))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("cur"))
+    val st0 = qids.crossJoin(broadcast(entry))
+      .join(v.select(col("vec_id").as("cur"), col("embedding").as("c_e"),
+        col("norm").as("c_n")), "cur")
+      .withColumn("cur_sim", dot(col("q_e"), col("c_e")) / (col("q_n") * col("c_n")))
+      .select(col("q_id"), col("q_e"), col("q_n"), col("cur"), col("cur_sim"),
+        lit(0).as("hops"))
+    val afterUpper = greedyHops(v, nbU, st0, 3)
+    val st = greedyHops(v, nb, afterUpper, 6)
     graft.ops.Checkpoints.finishFreeing(
       st.select(col("q_id").as("vec_id"), col("cur").as("nn_id"),
           round(col("cur_sim"), 4).as("sim"), col("hops"),
           (col("cur") === col("q_id")).as("reached"))
         .orderBy("vec_id"),
-      members, nb, st)
+      membersU, nbU, members, nb, afterUpper, st)
   }
 
   private[graft] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
@@ -2390,6 +2462,36 @@ object Llm {
             .as("recall"))
         .orderBy("vec_id")
       graft.ops.Checkpoints.finishFreeing(out, members, nb)
+    }),
+
+    // K3j''' — 2-LAYER hierarchical greedy serving (added r11, r10
+    // VERDICT #8): the HNSW query path proper — md5-deterministic level
+    // promotion (1/8 of the corpus), an upper NN-descent graph at 1/8
+    // scale for long strides, then the base-graph walk from wherever the
+    // upper walk landed. See [[hnswSearch]]; same output shape as the
+    // flat key so routability (`reached`) and recall compare directly
+    // (KnnSpec measures both side by side).
+    "llm_hnsw_search" -> ((s, d) => hnswSearch(s, d)),
+
+    // K3j'''' — recall eval for the 2-layer serve (added r11): recall@1
+    // of `llm_hnsw_search`'s answer vs the exact top-1 over the SAME
+    // 500-query budget — the price tag beside the hierarchy key, the
+    // family convention (llm_recall_at_k / _two_level / _graph). Exact
+    // side budget-sized (|budget|·n, never n²); null nn (empty upper
+    // layer) = recall miss, not a dropped row.
+    "llm_recall_hnsw" -> ((s, d) => {
+      val v = vecs(s, d)
+      val qids = v.where(col("norm") > 0.0d)
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
+        .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
+      val queries = v.join(broadcast(qids), col("vec_id") === col("q_id"))
+        .select("vec_id", "embedding", "label", "norm")
+      val exact = graft.ops.Knn.topKCosine(queries, v, 1).toDF()
+        .select(col("q_id").as("vec_id"), col("c_id").as("nn_exact"))
+      val h = hnswSearch(s, d).select(col("vec_id"), col("nn_id").as("nn_hnsw"))
+      exact.join(h, Seq("vec_id"), "left")
+        .withColumn("hit", when(col("nn_hnsw") === col("nn_exact"), 1).otherwise(0))
+        .orderBy("vec_id")
     }),
 
     // K3h' — clustering quality eval (added r9): per-cluster label
@@ -4183,95 +4285,168 @@ object Llm {
     * (neighbor-table readout) and `llm_graph_search` (greedy serving
     * over the same graph), so the two keys can never desynchronize on
     * the build. */
-  private val nnDescentCtes: String = {
+  /** The [[nnDescentGraph]] oracle CTE chain as a FUNCTION of the source
+    * vector relation `src` (vec_id, embedding, norm) and a CTE-name
+    * prefix `p` — so the SAME build can be instantiated once for the
+    * full corpus (p = "", `llm_nn_descent` / `llm_graph_search` /
+    * `llm_recall_graph`) and once for the md5-promoted upper layer
+    * (p = "u", the 2-layer `llm_hnsw_search`). Ends at `${p}nb2`. */
+  private def descentChain(src: String, p: String): String = {
     val rounds = (1 to 2).map { i =>
-      s"""cand$i AS (
+      s"""${p}cand$i AS (
          |  SELECT DISTINCT node, nb FROM (
-         |    SELECT node, nb FROM nb${i - 1}
+         |    SELECT node, nb FROM ${p}nb${i - 1}
          |    UNION ALL
-         |    SELECT a.node, b.nb FROM nb${i - 1} a JOIN nb${i - 1} b ON a.nb = b.node
+         |    SELECT a.node, b.nb FROM ${p}nb${i - 1} a JOIN ${p}nb${i - 1} b ON a.nb = b.node
          |  ) WHERE nb <> node
          |),
-         |sc$i AS (
+         |${p}sc$i AS (
          |  SELECT c.node, c.nb,
          |         ${dtSql("va.embedding", "vb.embedding")} / (va.norm * vb.norm) AS sim
-         |  FROM cand$i c JOIN vp va ON va.vec_id = c.node
-         |  JOIN vp vb ON vb.vec_id = c.nb
+         |  FROM ${p}cand$i c JOIN $src va ON va.vec_id = c.node
+         |  JOIN $src vb ON vb.vec_id = c.nb
          |),
-         |nb$i AS MATERIALIZED (
+         |${p}nb$i AS MATERIALIZED (
          |  SELECT node, nb FROM (
          |    SELECT *, row_number() OVER (PARTITION BY node
          |                                 ORDER BY sim DESC, nb) AS rk
-         |    FROM sc$i
+         |    FROM ${p}sc$i
          |  ) WHERE rk <= 4
          |)""".stripMargin
     }.mkString(",\n")
-    s"""$vecCte,
-      |vp AS (SELECT vec_id, embedding, norm FROM v WHERE norm > 0),
-      |nl AS (SELECT least(65536, greatest(16, count(*) // 50)) AS nlist FROM vp),
-      |seeded AS (
+    s"""${p}nl AS (SELECT least(65536, greatest(16, count(*) // 50)) AS nlist FROM $src),
+      |${p}seeded AS (
       |  SELECT vec_id, embedding, norm,
       |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
-      |           % (SELECT nlist FROM nl) AS seed
-      |  FROM vp
+      |           % (SELECT nlist FROM ${p}nl) AS seed
+      |  FROM $src
       |),
-      |px AS (
+      |${p}px AS (
       |  SELECT seed, unnest(range(1, len(embedding) + 1)) AS i,
       |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
-      |  FROM seeded
+      |  FROM ${p}seeded
       |),
-      |cm AS (
+      |${p}cm AS (
       |  SELECT seed, i, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS m
-      |  FROM px GROUP BY 1, 2
+      |  FROM ${p}px GROUP BY 1, 2
       |),
-      |cent AS (
+      |${p}cent AS (
       |  SELECT seed AS cell, list(floor(m * 1000000) / 1000000 ORDER BY i) AS centroid
-      |  FROM cm GROUP BY seed
+      |  FROM ${p}cm GROUP BY seed
       |),
-      |centn AS (
+      |${p}centn AS (
       |  SELECT cell, centroid,
       |         sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnorm
-      |  FROM cent
+      |  FROM ${p}cent
       |),
-      |asg AS (
+      |${p}asg AS (
       |  SELECT s.vec_id, c.cell,
       |         list_aggregate(list_transform(list_zip(s.embedding, c.centroid),
       |           p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)), 'sum')
       |           / (s.norm * c.cnorm) AS csim
-      |  FROM seeded s CROSS JOIN centn c
+      |  FROM ${p}seeded s CROSS JOIN ${p}centn c
       |),
-      |cells AS MATERIALIZED (
+      |${p}cells AS MATERIALIZED (
       |  SELECT vec_id, cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
-      |    FROM asg
+      |    FROM ${p}asg
       |  ) WHERE r = 1
       |),
-      |s3 AS (
+      |${p}s3 AS (
       |  SELECT cell, vec_id,
       |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
-      |  FROM cells
+      |  FROM ${p}cells
       |),
-      |own AS (
+      |${p}own AS (
       |  SELECT node, nb FROM (
       |    SELECT c.vec_id AS node, s.vec_id AS nb,
       |           row_number() OVER (PARTITION BY c.vec_id ORDER BY s.vec_id) AS rk
-      |    FROM cells c JOIN s3 s
+      |    FROM ${p}cells c JOIN ${p}s3 s
       |      ON s.cell = c.cell AND s.rk <= 3 AND s.vec_id <> c.vec_id
       |  ) WHERE rk <= 2
       |),
-      |nxt AS (
+      |${p}nxt AS (
       |  SELECT c.vec_id AS node, s.vec_id AS nb
-      |  FROM cells c JOIN s3 s
+      |  FROM ${p}cells c JOIN ${p}s3 s
       |    ON s.rk <= 2
-      |   AND (s.cell - 1 + (SELECT nlist FROM nl)) % (SELECT nlist FROM nl) = c.cell
+      |   AND (s.cell - 1 + (SELECT nlist FROM ${p}nl)) % (SELECT nlist FROM ${p}nl) = c.cell
       |),
-      |nb0 AS MATERIALIZED (
+      |${p}nb0 AS MATERIALIZED (
       |  SELECT DISTINCT node, nb FROM (
-      |    SELECT node, nb FROM own UNION ALL SELECT node, nb FROM nxt
+      |    SELECT node, nb FROM ${p}own UNION ALL SELECT node, nb FROM ${p}nxt
       |  )
       |),
       |$rounds""".stripMargin
   }
+
+  private val nnDescentCtes: String =
+    s"""$vecCte,
+      |vp AS (SELECT vec_id, embedding, norm FROM v WHERE norm > 0),
+      |${descentChain("vp", "")}""".stripMargin
+
+  /** Unrolled greedy-walk rounds `from until from+n` over neighbor CTE
+    * `graph`: each round's best strict improvement moves the cursor,
+    * mirroring [[greedyHops]] hop for hop. h0 must exist; ends at
+    * h(from+n-1). Shared by the flat and 2-layer serve oracles. */
+  private def greedyHopCtes(from: Int, n: Int, graph: String): String =
+    (from until from + n).map { i =>
+      s"""b$i AS (
+         |  SELECT q_id, nb AS best, nsim AS best_sim FROM (
+         |    SELECT t.*, row_number() OVER (PARTITION BY q_id
+         |                                   ORDER BY nsim DESC, nb) AS rk
+         |    FROM (
+         |      SELECT s.q_id, g.nb,
+         |             ${dtSql("vq.embedding", "vb.embedding")} / (vq.norm * vb.norm) AS nsim
+         |      FROM h${i - 1} s JOIN $graph g ON g.node = s.cur
+         |      JOIN vp vq ON vq.vec_id = s.q_id
+         |      JOIN vp vb ON vb.vec_id = g.nb
+         |    ) t
+         |  ) WHERE rk = 1
+         |),
+         |h$i AS MATERIALIZED (
+         |  SELECT s.q_id,
+         |         CASE WHEN b.best_sim > s.cur_sim THEN b.best ELSE s.cur END AS cur,
+         |         CASE WHEN b.best_sim > s.cur_sim THEN b.best_sim
+         |              ELSE s.cur_sim END AS cur_sim,
+         |         s.hops + (CASE WHEN b.best_sim > s.cur_sim THEN 1 ELSE 0 END) AS hops
+         |  FROM h${i - 1} s LEFT JOIN b$i b ON b.q_id = s.q_id
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  /** The `llm_hnsw_search` CTE chain through h9: base + upper descent
+    * builds, upper-layer entry, 3 upper hops (unb2), 6 base hops (nb2).
+    * Shared verbatim with `llm_recall_hnsw`. */
+  private val hnswCtes: String =
+    s"""$nnDescentCtes,
+      |up AS (
+      |  SELECT vec_id, embedding, norm FROM vp
+      |  WHERE CAST(concat('0x', substring(
+      |          md5(CAST(vec_id AS VARCHAR) || '|lvl'), 1, 4)) AS BIGINT) < 8192
+      |),
+      |${descentChain("up", "u")},
+      |qsb AS (
+      |  SELECT vec_id AS q_id FROM vp
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|sq') LIMIT 500
+      |),
+      |ent AS (
+      |  SELECT vec_id AS cur FROM up
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|entry'), vec_id LIMIT 1
+      |),
+      |h0 AS (
+      |  SELECT q.q_id, e.cur,
+      |         ${dtSql("vq.embedding", "vc.embedding")} / (vq.norm * vc.norm) AS cur_sim,
+      |         0 AS hops
+      |  FROM qsb q CROSS JOIN ent e
+      |  JOIN vp vq ON vq.vec_id = q.q_id
+      |  JOIN vp vc ON vc.vec_id = e.cur
+      |),
+      |${greedyHopCtes(1, 3, "unb2")},
+      |${greedyHopCtes(4, 6, "nb2")}""".stripMargin
+
+  private val hnswTailSql: String =
+    """SELECT q_id AS vec_id, cur AS nn_id, round(cur_sim, 4) + 0 AS sim,
+      |       CAST(hops AS INTEGER) AS hops, cur = q_id AS reached
+      |FROM h9 ORDER BY vec_id""".stripMargin
 
   /** `llm_ivf_two_level` oracle: mirrors `Ivf.coarseRankedTwoLevel` CTE
     * for CTE — nlist/nsuper derived from the corpus (scalar subqueries),
@@ -6149,29 +6324,6 @@ object Llm {
         |)
         |ORDER BY vec_id, rank""".stripMargin,
     "llm_graph_search" -> {
-      val hops = (1 to 6).map { i =>
-        s"""b$i AS (
-           |  SELECT q_id, nb AS best, nsim AS best_sim FROM (
-           |    SELECT t.*, row_number() OVER (PARTITION BY q_id
-           |                                   ORDER BY nsim DESC, nb) AS rk
-           |    FROM (
-           |      SELECT s.q_id, g.nb,
-           |             ${dtSql("vq.embedding", "vb.embedding")} / (vq.norm * vb.norm) AS nsim
-           |      FROM h${i - 1} s JOIN nb2 g ON g.node = s.cur
-           |      JOIN vp vq ON vq.vec_id = s.q_id
-           |      JOIN vp vb ON vb.vec_id = g.nb
-           |    ) t
-           |  ) WHERE rk = 1
-           |),
-           |h$i AS MATERIALIZED (
-           |  SELECT s.q_id,
-           |         CASE WHEN b.best_sim > s.cur_sim THEN b.best ELSE s.cur END AS cur,
-           |         CASE WHEN b.best_sim > s.cur_sim THEN b.best_sim
-           |              ELSE s.cur_sim END AS cur_sim,
-           |         s.hops + (CASE WHEN b.best_sim > s.cur_sim THEN 1 ELSE 0 END) AS hops
-           |  FROM h${i - 1} s LEFT JOIN b$i b ON b.q_id = s.q_id
-           |)""".stripMargin
-      }.mkString(",\n")
       s"""WITH $nnDescentCtes,
         |qsb AS (
         |  SELECT vec_id AS q_id FROM vp
@@ -6189,11 +6341,36 @@ object Llm {
         |  JOIN vp vq ON vq.vec_id = q.q_id
         |  JOIN vp vc ON vc.vec_id = e.cur
         |),
-        |$hops
+        |${greedyHopCtes(1, 6, "nb2")}
         |SELECT q_id AS vec_id, cur AS nn_id, round(cur_sim, 4) + 0 AS sim,
         |       CAST(hops AS INTEGER) AS hops, cur = q_id AS reached
         |FROM h6 ORDER BY vec_id""".stripMargin
     },
+    // 2-layer hierarchical serve: the base descent chain (unprefixed) +
+    // the same chain instantiated over the md5-promoted upper subset
+    // (prefix u), entry from the upper layer, 3 unrolled upper hops over
+    // unb2 then 6 base hops over nb2 — CTE for CTE what hnswSearch runs.
+    "llm_hnsw_search" -> s"WITH $hnswCtes\n$hnswTailSql",
+    // recall@1 of the hierarchy vs the exact top-1 over the same budget
+    "llm_recall_hnsw" ->
+      s"""WITH $hnswCtes,
+        |hn AS ($hnswTailSql),
+        |q AS (SELECT v.* FROM vp v JOIN qsb ON v.vec_id = qsb.q_id),
+        |ex AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         ${dtSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS sim
+        |  FROM q a JOIN vp b ON a.vec_id <> b.vec_id
+        |),
+        |ex1 AS (
+        |  SELECT a_id AS vec_id, b_id AS nn_exact FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+        |    FROM ex
+        |  ) WHERE rn = 1
+        |)
+        |SELECT e.vec_id, e.nn_exact, hn.nn_id AS nn_hnsw,
+        |       CASE WHEN hn.nn_id = e.nn_exact THEN 1 ELSE 0 END AS hit
+        |FROM ex1 e LEFT JOIN hn ON e.vec_id = hn.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "llm_mmr_rerank" -> {
       def dt(x: String, y: String) =
         s"""list_aggregate(list_transform(list_zip($x, $y),

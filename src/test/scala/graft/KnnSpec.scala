@@ -104,6 +104,35 @@ class KnnSpec extends SparkSpec {
       s"recall dropped: np2=${recall(np2)} np1=${recall(np1)}")
   }
 
+  test("2-layer HNSW serve beats the flat graph on routability, recall and final sim (r11)") {
+    // the r10 VERDICT #8 measurement: hierarchy vs flat, side by side on
+    // the same 500-query budget. Everything is deterministic, so the
+    // margins below pin the MEASURED relation (sf0.001 near-orthogonal
+    // worst case: flat reached 2.8% / recall 2.6%; hnsw 4.8% / 4.8%;
+    // hnsw's final sim >= flat's for 72.8% of queries, mean +0.057).
+    def serveMap(key: String) = SparkEntry.queries(key)(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(4))).toMap
+    val flat = serveMap("llm_graph_search")
+    val hnsw = serveMap("llm_hnsw_search")
+    assert(flat.keySet == hnsw.keySet)
+    def reachedRate(m: Map[Long, (Long, Double, Boolean)]) =
+      m.values.count(_._3).toDouble / m.size
+    assert(reachedRate(hnsw) >= reachedRate(flat),
+      s"hierarchy lost routability: ${reachedRate(hnsw)} < ${reachedRate(flat)}")
+    val exact = SparkEntry.queries("llm_recall_hnsw")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallOf(m: Map[Long, (Long, Double, Boolean)]) =
+      exact.count { case (q, nn) => m.get(q).exists(_._1 == nn) }.toDouble / exact.size
+    assert(recallOf(hnsw) >= recallOf(flat),
+      s"hierarchy lost recall: ${recallOf(hnsw)} < ${recallOf(flat)}")
+    // the upper walk's long strides must help most queries, not a fluke few
+    val atLeastAsGood = flat.keys.count(q => hnsw(q)._2 >= flat(q)._2 - 1e-12)
+    assert(atLeastAsGood.toDouble / flat.size >= 0.65,
+      s"only $atLeastAsGood/${flat.size} queries ended at least as close")
+    val meanDelta = flat.keys.map(q => hnsw(q)._2 - flat(q)._2).sum / flat.size
+    assert(meanDelta > 0.0, s"mean final-sim delta $meanDelta not positive")
+  }
+
   test("every query yields exactly k edges (self excluded) and no self-match") {
     val edges = Knn.topKCosine(Tables.embeddings(spark, sf0001), 3).collect()
     val n = Tables.embeddings(spark, sf0001).count()
