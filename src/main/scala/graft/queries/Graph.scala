@@ -636,6 +636,24 @@ object Graph {
     // L12 — HITS hubs & authorities (added r10): see [[hitsBody]].
     "graph_hits" -> ((s, d) => hitsBody(s, d)),
 
+    // L15 — truncated Katz centrality (added r11): the walk-counting
+    // centrality between degree (k=1) and eigenvector/PageRank (k→∞) —
+    // score = Σ_k α^k · (#walks of length k ending here), truncated at
+    // k=3 with α = 1/8. The truncation is what makes it EXACT: with
+    // z_t := 8^t·x_t the recurrence x_{t+1} = 1 + α·A·x_t becomes
+    // z_{t+1}(i) = 8^(t+1) + Σ_{j~i} z_t(j) — pure integer sums, no
+    // division until the single IEEE readout z_3/512 (floor-1e-6). Each
+    // round is one edge join + node groupBy — the pagerank cost shape,
+    // linear in |E| per round; parts on no supported edge stay at the
+    // β-floor 1.0 via the left-join coalesce (the graph_cc policy).
+    "graph_katz" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      val parts = Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct()
+      val out = katzBody(edges, parts)
+      graft.ops.Checkpoints.free(edges)
+      out
+    }),
+
     // L14 — sampled-source closeness centrality (added r10): exact
     // closeness (reached−1)/Σdist + eccentricity for 4 md5-chosen seeds
     // over the supported co-purchase graph — the "how central is this
@@ -770,7 +788,40 @@ object Graph {
       Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct())),
     "graph_assortativity" -> ((s, d) => assortativityBody(copurchaseEdgesPlan(s, d))),
     "graph_modularity" -> ((s, d) => modularityBody(copurchaseEdgesPlan(s, d),
-      Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct())))
+      Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct())),
+    "graph_katz" -> ((s, d) => katzBody(copurchaseEdgesPlan(s, d),
+      Tables.lineitem(s, d).select(col("l_partkey").as("part")).distinct(),
+      checkpointed = false)))
+
+  /** L15 — exact truncated-Katz body: 3 rounds of
+    * z_{t+1}(i) = 8^(t+1) + Σ_{j~i} z_t(j) over the symmetrized supported
+    * edges, all exact longs; readout = z_3 / 8^3, floor-1e-6. Per-round
+    * node-sized checkpoints (the pagerank discipline) unless `checkpointed`
+    * is false (lazy plan-audit twin). */
+  private def katzBody(edges: DataFrame, allParts: DataFrame,
+                       checkpointed: Boolean = true): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+    var z = allParts.select(col("part"), lit(1L).as("z"))
+    if (checkpointed) z = z.localCheckpoint(true)
+    for (t <- 1 to 3) {
+      val nbSum = sym.join(z.withColumnRenamed("part", "dst"), "dst")
+        .groupBy("src").agg(sum("z").as("nsum"))
+        .withColumnRenamed("src", "part")
+      var next = allParts.join(nbSum, Seq("part"), "left")
+        .select(col("part"),
+          (lit(1L << (3 * t)) + coalesce(col("nsum"), lit(0L))).as("z"))
+      if (checkpointed) {
+        next = next.localCheckpoint(true)
+        graft.ops.Checkpoints.free(z)
+      }
+      z = next
+    }
+    val out = z.select(col("part"), col("z").as("z3"),
+        (floor(col("z").cast("double") / lit(512.0) * 1e6) / 1e6).as("katz"))
+      .orderBy("part")
+    if (checkpointed) graft.ops.Checkpoints.finishFreeing(out, z) else out
+  }
 
   /** L12 — HITS hubs & authorities (added r10): 2 power iterations over
     * the DIRECTED supplier→part bipartite edges (hubs = suppliers who
@@ -1449,6 +1500,33 @@ object Graph {
            |  UNION ALL
            |  SELECT 'authority', concat('p', pk), CAST(nq AS DOUBLE) / 1000000000 FROM a2
            |) ORDER BY kind, node""".stripMargin
+      },
+      "graph_katz" -> {
+        // z_{t+1} = 8^(t+1) + A·z_t, exact BIGINTs; one IEEE readout
+        val rounds = (1 to 3).map { t =>
+          s"""z$t AS MATERIALIZED (
+             |  SELECT p.part, CAST(${1L << (3 * t)} + COALESCE(s.nsum, 0) AS BIGINT) AS z
+             |  FROM parts p LEFT JOIN (
+             |    SELECT sym.src AS part, CAST(sum(z.z) AS BIGINT) AS nsum
+             |    FROM sym JOIN z${t - 1} z ON z.part = sym.dst GROUP BY 1
+             |  ) s ON s.part = p.part
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |),
+          |sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+          |parts AS (SELECT DISTINCT l_partkey AS part FROM lineitem),
+          |z0 AS (SELECT part, CAST(1 AS BIGINT) AS z FROM parts),
+          |$rounds
+          |SELECT part, z AS z3,
+          |       floor(CAST(z AS DOUBLE) / 512.0 * 1e6) / 1e6 AS katz
+          |FROM z3 ORDER BY part""".stripMargin
       },
       "graph_random_walk" -> {
         val steps = (1 to 4).map { i =>

@@ -555,4 +555,30 @@ class GraphSpec extends SparkSpec {
     // or the fixture exercises nothing
     assert(got.values.exists(_._2 > 0), "no positive betweenness in fixture")
   }
+
+  test("graph_katz matches a driver exact-integer recompute; isolated parts at the beta floor (r11)") {
+    val edges = supportedEdges(sf0001)
+    val nbrs = (edges.toSeq.map(e => e._1 -> e._2) ++ edges.toSeq.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val parts = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey")).distinct().collect().map(_.getLong(0)).toSet
+    var z: Map[Long, Long] = parts.map(_ -> 1L).toMap
+    for (t <- 1 to 3) {
+      z = parts.map { p =>
+        p -> ((1L << (3 * t)) + nbrs.getOrElse(p, Nil).map(z).sum)
+      }.toMap
+    }
+    val expect = z.map { case (p, v) =>
+      p -> (v, math.floor(v.toDouble / 512.0 * 1e6) / 1e6) }
+    val got = SparkEntry.queries("graph_katz")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // the beta floor: a part scores exactly (z3=512, katz=1.0) iff it sits
+    // on no supported edge (every sf0.001 part is connected, so the floor
+    // branch is equivalence-checked rather than existence-checked)
+    val isolated = parts -- nbrs.keySet
+    isolated.foreach(p => assert(got(p) == ((512L, 1.0)), s"floor broken at $p"))
+    nbrs.keys.foreach(p => assert(got(p)._1 > 512L, s"connected $p at floor"))
+  }
 }
