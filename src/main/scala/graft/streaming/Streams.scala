@@ -612,6 +612,36 @@ object Streams {
       out.orderBy("user_id")
     }),
 
+    // I10' — streaming SCD2 APPLY (added r11): type-2 slowly-changing
+    // dimension maintenance as a STREAM — the online form of
+    // `store_scd2_merge`'s batch merge. Each user's event_type is treated
+    // as an observed attribute; a change CLOSES the open version row
+    // (emitted with valid_to = the new observation's time, Append mode)
+    // and opens the next. State per key is ONE open row (segment,
+    // valid_from, n_events) — constant per entity at any event volume,
+    // the smallest state a versioned-dimension maintainer can carry.
+    // Batch rows fold in (ts_sec, event_id) order inside the processor
+    // (arrival order within a micro-batch is not meaningful); the batch
+    // twin is the classic gaps-and-islands + lead() SCD2 derivation over
+    // the same ordering, so the drained bounded replay is oracle-exact.
+    // StreamingSpec proves the multi-batch form over MemoryStream (runs
+    // spanning batch boundaries close correctly, state carries over).
+    "stream_scd2_apply" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("ts_sec"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val agg = typed.groupByKey(_._1)
+        .transformWithState(new Scd2Processor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = withRocksDb(s) {
+        drain(s, agg.toDF("user_id", "segment_value", "valid_from", "valid_to", "n_events"),
+          "graft_stream_scd2_apply", OutputMode.Append())
+      }
+      out.orderBy("user_id", "valid_from", "valid_to", "segment_value")
+    }),
+
     // I11 — streaming top-k (added r5): per tumbling hour, the 3 busiest
     // event types. The STREAMING stage is the watermarked incremental
     // count — state is one counter per (window, type), exactly what the
@@ -1410,6 +1440,41 @@ object Streams {
            |  FROM $ev events
            |)
            |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      // Closed SCD2 intervals via gaps-and-islands + lead() over the
+      // SAME (second, event_id) ordering the processor folds in —
+      // ordering by full-precision ts would disagree with the fold
+      // whenever two events share a second.
+      "stream_scd2_apply" ->
+        s"""WITH e AS (
+           |  SELECT user_id, event_id, event_type,
+           |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           |  FROM $ev events
+           |),
+           |o AS (
+           |  SELECT *, CASE WHEN lag(event_type) OVER
+           |           (PARTITION BY user_id ORDER BY ts_sec, event_id)
+           |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           |  FROM e
+           |),
+           |r AS (
+           |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+           |                           ROWS UNBOUNDED PRECEDING) AS run
+           |  FROM o
+           |),
+           |runs AS (
+           |  SELECT user_id, run, min(event_type) AS segment_value,
+           |         min(ts_sec) AS valid_from, count(*) AS n_events
+           |  FROM r GROUP BY 1, 2
+           |),
+           |closed AS (
+           |  SELECT user_id, segment_value, valid_from, n_events,
+           |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+           |  FROM runs
+           |)
+           |SELECT user_id, segment_value, valid_from, valid_to,
+           |       CAST(n_events AS BIGINT) AS n_events
+           |FROM closed WHERE valid_to IS NOT NULL
+           |ORDER BY user_id, valid_from, valid_to, segment_value""".stripMargin,
       // The streaming replay converges to the batch computation exactly
       // (same fold arithmetic, same ordering), so it shares the batch
       // twin's oracle verbatim.
@@ -1550,6 +1615,60 @@ class GapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long
         if (state.exists()) state.get() else (0L, Long.MinValue, 0L), sorted)
       state.update(st)
       Iterator.single(out)
+    }
+  }
+}
+
+/** Keyed state for `stream_scd2_apply`: the entity's OPEN version row
+  * (segment value, valid_from_sec, n_events). Rows fold in (ts_sec,
+  * event_id) order; a segment change CLOSES the open row — emitted as the
+  * finished SCD2 interval with valid_to = the new observation's second —
+  * and opens the next. The batch twin derives the same closed intervals
+  * via gaps-and-islands + lead() over the identical ordering. Pure fold
+  * shared with the spec's driver recompute. */
+object Scd2State {
+  /** rows: (event_id, ts_sec, segment) pre-sorted by (ts_sec, event_id);
+    * returns (new open row, closed rows (user, segment, from, to, n)). */
+  def fold(userId: Long, st0: Option[(String, Long, Long)],
+           sorted: Seq[(Long, Long, String)])
+      : (Option[(String, Long, Long)], Seq[(Long, String, Long, Long, Long)]) = {
+    var open = st0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+    sorted.foreach { case (_, ts, seg) =>
+      open match {
+        case Some((s0, from, n)) if s0 == seg => open = Some((s0, from, n + 1))
+        case Some((s0, from, n)) =>
+          out += ((userId, s0, from, ts, n))
+          open = Some((seg, ts, 1L))
+        case None => open = Some((seg, ts, 1L))
+      }
+    }
+    (open, out.toSeq)
+  }
+}
+
+class Scd2Processor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, String), (Long, String, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(String, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(String, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    state = getHandle.getValueState[(String, Long, Long)]("scd2", enc, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
+                               timerValues: TimerValues): Iterator[(Long, String, Long, Long, Long)] = {
+    val sorted = rows.map(r => (r._2, r._3, r._4)).toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (st, out) = Scd2State.fold(key,
+        if (state.exists()) Some(state.get()) else None, sorted)
+      st.foreach(state.update)
+      out.iterator
     }
   }
 }

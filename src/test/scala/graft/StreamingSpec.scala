@@ -746,4 +746,44 @@ class StreamingSpec extends SparkSpec {
     assert(changed.nonEmpty,
       "no re-touched bucket actually gained rows from the late cohort")
   }
+
+  test("stream_scd2_apply: version rows close across micro-batch boundaries (r11)") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, Long, String)] // (user, event_id, ts_sec, segment)
+      val agg = in.toDS().groupByKey(_._1)
+        .transformWithState(new graft.streaming.Scd2Processor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val ckpt = tmpDir("ckpt_scd2")
+      val q = agg.toDF("user_id", "segment_value", "valid_from", "valid_to", "n_events")
+        .writeStream.format("memory").queryName("scd2_test")
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+      // batch 1: user 1 runs a, a, then b (closing a); user 2 opens c
+      in.addData((1L, 10L, 100L, "a"), (1L, 11L, 160L, "a"), (1L, 12L, 200L, "b"),
+        (2L, 20L, 50L, "c"))
+      q.processAllAvailable()
+      // batch 2: user 1's open b closes ACROSS the batch boundary;
+      // user 2's run continues (no emission — same segment)
+      in.addData((1L, 13L, 400L, "a"), (2L, 21L, 90L, "c"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("scd2_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(rows == Set(
+        (1L, "a", 100L, 200L, 2L),  // batch-1 close: 2 events in run a
+        (1L, "b", 200L, 400L, 1L)), // cross-batch close: state carried over
+        rows.mkString(";"))
+      // out-of-order arrival within a batch folds in (ts, event_id) order
+      val fold = graft.streaming.Scd2State.fold(5L, None,
+        Seq((2L, 20L, "y"), (1L, 10L, "x"), (3L, 30L, "x")).sortBy(r => (r._2, r._1)))
+      assert(fold._1.contains(("x", 30L, 1L)))
+      assert(fold._2 == Seq((5L, "x", 10L, 20L, 1L), (5L, "y", 20L, 30L, 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
