@@ -1087,6 +1087,55 @@ object Wins {
     // (zero variance) and ℓ ≥ n yield NULL on both engines. One counting
     // scan + one type-keyed window over the ≤ types·hours summary grid —
     // everything past the first groupBy is summary-sized at any corpus.
+    // W — AR(1) fit + one-step forecast (added r11): the model the acf
+    // key only diagnoses, actually FIT — conditional least squares over
+    // consecutive pairs of the zero-filled hourly series (x_{t+1} =
+    // c + φ·x_t + ε): φ = (m·S11 − S1·S2)/(m·S00 − S1²) from EXACT
+    // DECIMAL(38,0) moments of 1e4-quantized values (the win_acf
+    // discipline — order-free integer sums, division deferred), then c
+    // and the one-step forecast c + φ·x_last as a fixed chain of IEEE
+    // ops on exactly-cast decimals — bit-identical cross-engine,
+    // floor-1e-6/1e-4 at the edge. One groupBy over the lead-paired
+    // grid: linear, map-side partial, no iteration — a per-entity
+    // forecaster at fleet scale is one aggregation pass. Entities with
+    // fewer than 3 grid hours or a constant series (zero variance
+    // denominator) are excluded on both engines.
+    "win_ar1" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          floor(col("value") * 1e4).cast("long").as("vq"))
+      val hourly = ev.groupBy("event_type", "h").agg(sum(col("vq")).as("xq"))
+      val bounds = ev.groupBy("event_type")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = bounds.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), coalesce(col("xq"), lit(0L)).as("xq"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val led = dense.withColumn("x1", lead(col("xq"), 1).over(w))
+      val xd = col("xq").cast(dec)
+      val st = led.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("x1").isNotNull, xd)).as("s1"),
+        sum(col("x1").cast(dec)).as("s2"),
+        sum(when(col("x1").isNotNull, xd * xd)).as("s00"),
+        sum(xd * col("x1").cast(dec)).as("s11"),
+        // the dense grid's only null lead is the final row: x_last
+        max(when(col("x1").isNull, col("xq"))).as("xlast"))
+      val m = (col("n") - 1).cast(dec)
+      val num = m * col("s11") - col("s1") * col("s2")
+      val den = m * col("s00") - col("s1") * col("s1")
+      val phi = num.cast("double") / den.cast("double")
+      val c0 = (col("s2").cast("double") - phi * col("s1").cast("double")) / m.cast("double")
+      val fc = (c0 + phi * col("xlast").cast("double")) / 1e4
+      st.where(col("n") >= 3 && den =!= lit(0).cast(dec))
+        .select(col("event_type"), col("n").as("n_hours"),
+          (floor(phi * 1e6) / 1e6).as("phi"),
+          (floor(fc * 1e4) / 1e4).as("forecast_next"))
+        .orderBy("event_type")
+    }),
+
     "win_acf" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val ev = Tables.events(s, d)
@@ -1612,6 +1661,44 @@ object Wins {
   }
 
   val oracles: Map[String, String] = Map(
+    "win_ar1" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         CAST(floor(value * 10000) AS BIGINT) AS vq
+        |  FROM events
+        |),
+        |hourly AS (SELECT event_type, h, sum(vq) AS xq FROM e GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |dense AS (
+        |  SELECT g.event_type, g.h, CAST(coalesce(hr.xq, 0) AS HUGEINT) AS xq
+        |  FROM grid g LEFT JOIN hourly hr ON g.event_type = hr.event_type AND g.h = hr.h
+        |),
+        |led AS (
+        |  SELECT event_type, xq,
+        |         lead(xq, 1) OVER (PARTITION BY event_type ORDER BY h) AS x1
+        |  FROM dense
+        |),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CASE WHEN x1 IS NOT NULL THEN xq END) AS s1,
+        |         sum(x1) AS s2,
+        |         sum(CASE WHEN x1 IS NOT NULL THEN xq * xq END) AS s00,
+        |         sum(xq * x1) AS s11,
+        |         max(CASE WHEN x1 IS NULL THEN xq END) AS xlast
+        |  FROM led GROUP BY 1
+        |),
+        |p AS (
+        |  SELECT *, CAST((n - 1) * s11 - s1 * s2 AS DOUBLE)
+        |         / CAST((n - 1) * s00 - s1 * s1 AS DOUBLE) AS phid
+        |  FROM st WHERE n >= 3 AND (n - 1) * s00 - s1 * s1 <> 0
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+        |       floor(phid * 1e6) / 1e6 AS phi,
+        |       floor(((CAST(s2 AS DOUBLE) - phid * CAST(s1 AS DOUBLE))
+        |              / CAST(n - 1 AS DOUBLE)
+        |              + phid * CAST(xlast AS DOUBLE)) / 1e4 * 1e4) / 1e4 AS forecast_next
+        |FROM p ORDER BY event_type""".stripMargin,
     "win_acf" ->
       """WITH e AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
