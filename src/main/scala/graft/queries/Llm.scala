@@ -1273,6 +1273,34 @@ object Llm {
         .orderBy("cluster_id")
     }),
 
+    // K2h — SOFT deduplication weights (added r11): downweight instead
+    // of drop — the alternative to `llm_dedup_survivors`' keep-one
+    // policy that several corpus pipelines prefer (duplicated mass gets
+    // equalized, weight = 1/|dup cluster|, so the training distribution
+    // stays unbiased while no document is discarded outright; the
+    // survivors key's hard drop is the p→0 limit). Same verified-pair
+    // graph + pointer-jump components as the clusters/survivors keys
+    // (one cluster machinery, three policies); singletons weight 1.0
+    // via the survivors key's LEFT-join coalesce. Weight is one IEEE
+    // divide floor-1e-6; per-source effective sizes are then a trivial
+    // rollup downstream (Σ weight — deliberately left to the consumer,
+    // the key keeps doc grain).
+    "llm_dedup_soft" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshVerified(s, docs, threshold = 0.9,
+        presentationSort = false, eager = false)
+      val comp = Dedup.clustersPointerJump(pairs)
+      val assigned = docs.select(col("doc_id"), col("source"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      assigned.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("source"), col("cluster_id"), col("n_members"),
+          (floor(lit(1e6) / col("n_members").cast("double")) / 1e6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // K5e2 — unigram-LM perplexity proxy (the CCNet/KenLM quality-filter
     // shape): corpus unigram distribution → per-doc mean negative
     // log-likelihood. Docs far from the corpus distribution (high avg_nll)
@@ -5247,6 +5275,19 @@ object Llm {
       s"""$componentCtes
         |SELECT cluster_id, count(*) AS n_members, min(id) AS canonical_id
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // Soft weights = components + cluster sizes + one floored divide.
+    // Same CTE chain as the clusters/survivors oracles.
+    "llm_dedup_soft" ->
+      s"""$componentCtes,
+        |assigned AS (
+        |  SELECT d.doc_id, d.source, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |),
+        |sz AS (SELECT cluster_id, count(*) AS n_members FROM assigned GROUP BY 1)
+        |SELECT a.doc_id, a.source, a.cluster_id, CAST(sz.n_members AS BIGINT) AS n_members,
+        |       floor(1e6 / CAST(sz.n_members AS DOUBLE)) / 1e6 AS weight
+        |FROM assigned a JOIN sz ON a.cluster_id = sz.cluster_id
+        |ORDER BY a.doc_id""".stripMargin,
     // Survivors = components + per-cluster argmax. Same CTE chain as the
     // clusters oracle; singletons enter via the LEFT JOIN's coalesce.
     "llm_dedup_survivors" ->
