@@ -2021,6 +2021,46 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K9c — curriculum ordering (added r11): the easy→hard training
+    // schedule + reproducible shard shuffle in one pass — curriculum
+    // learning's data-side contract (Bengio et al. 2009: present short/
+    // simple documents first, harden by stages). Difficulty = token
+    // count; STAGE assignment is distribution-relative but computed at
+    // VALUE grain, never via a global rank: cumulative doc counts per
+    // distinct difficulty value (summary-sized — the degree_dist
+    // bounded-window policy) give stage(v) = floor(cum_below·10/n), so
+    // ties share a stage and no corpus-sized data ever crosses one
+    // partition. Within (stage, shard) the order is the md5 shuffle —
+    // deterministic across engines/retries/partitionings (the
+    // llm_sample_hash stance: rand() re-draws, a keyed hash never does);
+    // shard = md5 mod 8. Output is exactly what a curriculum loader
+    // consumes: per shard, stages in order, docs md5-shuffled within.
+    "llm_curriculum" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => length(t) > 0))
+            .cast("long").as("difficulty"))
+      val byVal = docs.groupBy("difficulty").agg(count(lit(1)).as("nv"))
+      val wv = Window.orderBy("difficulty") // value-grain: bounded input
+      val n = Window.partitionBy(lit(1))
+      val cuts = byVal
+        .withColumn("cum_below",
+          coalesce(sum(col("nv")).over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_total", sum(col("nv")).over(n))
+        .select(col("difficulty"),
+          floor(col("cum_below") * 10 / col("n_total")).cast("long").as("stage"))
+      val staged = docs.join(broadcast(cuts), "difficulty")
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("|cur"))))
+        .withColumn("shard",
+          pmod(conv(substring(col("h"), 1, 4), 16, 10).cast("long"), lit(8L)))
+      val w = Window.partitionBy("stage", "shard").orderBy(col("h"), col("doc_id"))
+      staged
+        .withColumn("rank_in_shard", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("difficulty"), col("stage"), col("shard"),
+          col("rank_in_shard"))
+        .orderBy("doc_id")
+    }),
+
     // K5d' — BPE first-merge statistics (added r5): frequency-weighted
     // adjacent character-pair counts over the word-frequency table — the
     // argmax of this table IS the first merge a BPE tokenizer trainer
@@ -6023,6 +6063,36 @@ object Llm {
         |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
         |       CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Curriculum: value-grain cumulative counts -> stage, md5 shuffle ->
+    // (shard, rank) — same integers, same hex ordering on both engines
+    "llm_curriculum" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+        |           AS difficulty
+        |  FROM documents
+        |),
+        |byval AS (SELECT difficulty, count(*) AS nv FROM docs GROUP BY 1),
+        |cuts AS (
+        |  SELECT difficulty,
+        |         CAST(floor(CAST(coalesce(sum(nv) OVER (ORDER BY difficulty
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |           * 10 / (SELECT count(*) FROM docs)) AS BIGINT) AS stage
+        |  FROM byval
+        |),
+        |staged AS (
+        |  SELECT d.doc_id, d.difficulty, c.stage,
+        |         md5(CAST(d.doc_id AS VARCHAR) || '|cur') AS h
+        |  FROM docs d JOIN cuts c ON d.difficulty = c.difficulty
+        |),
+        |sh AS (
+        |  SELECT *, CAST(concat('0x', substring(h, 1, 4)) AS BIGINT) % 8 AS shard
+        |  FROM staged
+        |)
+        |SELECT doc_id, difficulty, stage, shard,
+        |       CAST(row_number() OVER (PARTITION BY stage, shard
+        |            ORDER BY h, doc_id) AS BIGINT) AS rank_in_shard
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "llm_bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
