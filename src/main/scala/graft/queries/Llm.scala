@@ -1008,6 +1008,53 @@ object Llm {
         .orderBy("a_id", "b_id")
     }),
 
+    // K4b'' — WEIGHTED minhash estimator (added r11; the replication
+    // construction — an integer-weighted set element of weight w becomes
+    // w replicas token:0..token:w−1, and plain minhash over the expanded
+    // universe estimates the WEIGHTED Jaccard Σmin(w_a,w_b)/Σmax(w_a,w_b)
+    // — the frequency-aware similarity tf-blind minhash cannot see:
+    // "word word word spam" vs one "word" is near-identical to a set
+    // sketch but not to a weighted one). Weights = term frequency capped
+    // at 4 (the cap bounds the expansion factor — the production knob
+    // that keeps sketch cost ≤ 4× the set sketch at any corpus). Same
+    // doc_id < 100 evaluation slice and 8-hash layout as
+    // `llm_minhash_est`, so set-Jaccard, weighted-Jaccard, and the
+    // estimate sit side by side; Σmax via the identity Σmax = T_a + T_b
+    // − Σmin (no full outer join needed — the shared-token inner join
+    // plus two per-doc totals suffice).
+    "llm_minhash_weighted" -> ((s, d) => {
+      val tf = Tables.documents(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(least(count(lit(1)), lit(4L)).as("w"))
+      val reps = tf.select(col("doc_id"), col("token"),
+        explode(sequence(lit(0L), col("w") - 1)).as("rep"))
+      val mhCols = (0 until 8).map(i => min(md5(concat(lit(s"$i:"),
+        col("token"), lit(":"), col("rep").cast("string")))).as(s"mh$i"))
+      val sig = reps.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val tot = tf.groupBy("doc_id").agg(sum("w").as("tw"))
+      val inter = tf.as("a")
+        .join(tf.as("b"),
+          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(sum(least(col("a.w"), col("b.w"))).as("wmin"))
+      val sa = sig.select(col("doc_id").as("a_id") +: (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("b_id") +: (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+      inter
+        .join(tot.select(col("doc_id").as("a_id"), col("tw").as("ta")), "a_id")
+        .join(tot.select(col("doc_id").as("b_id"), col("tw").as("tb")), "b_id")
+        .join(sa, "a_id").join(sb, "b_id")
+        .withColumn("n_match",
+          (0 until 8).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _))
+        .select(col("a_id"), col("b_id"), col("wmin"),
+          round(col("wmin").cast("double") / (col("ta") + col("tb") - col("wmin")), 4)
+            .as("wjacc"),
+          col("n_match"),
+          round(col("n_match") / lit(8.0), 4).as("est"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // K4b' — b-BIT MINHASH estimator (added r10; Li & König 2010): the
     // memory-optimal end of the signature spectrum — store only the
     // LOWEST b bits of each minhash value (b=4 here: the final hex
@@ -5406,6 +5453,45 @@ object Llm {
         |       floor(GREATEST((CAST(n_match_4bit AS DOUBLE) / 8.0 - 1.0 / 16.0)
         |                        / (15.0 / 16.0), 0.0) * 1e4) / 1e4 AS est_4bit
         |FROM m ORDER BY a_id, b_id""".stripMargin,
+    // Weighted minhash via replication: tf capped at 4, replicas
+    // token:0..token:w-1, same 8-hash layout; weighted Jaccard from the
+    // shared-token join + the sum-identity (no full outer join)
+    "llm_minhash_weighted" -> {
+      val cases = (0 until 8).map(i =>
+        s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString("\n        |        + ")
+      val mins = (0 until 8).map(i =>
+        s"min(md5('$i:' || token || ':' || CAST(rep AS VARCHAR))) AS mh$i")
+        .mkString(",\n        |         ")
+      s"""WITH tf AS (
+        |  SELECT doc_id, token, least(count(*), 4) AS w
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |                t -> len(t) > 0)) AS token
+        |        FROM documents WHERE doc_id < 100)
+        |  GROUP BY 1, 2
+        |),
+        |reps AS (SELECT doc_id, token, unnest(range(0, w)) AS rep FROM tf),
+        |mh AS (
+        |  SELECT doc_id,
+        |         $mins
+        |  FROM reps GROUP BY doc_id
+        |),
+        |tot AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw FROM tf GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(sum(least(a.w, b.w)) AS BIGINT) AS wmin
+        |  FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.a_id, i.b_id, wmin,
+        |       round(CAST(wmin AS DOUBLE) / (ta.tw + tb.tw - wmin), 4) AS wjacc,
+        |       ($cases) AS n_match,
+        |       round(($cases) / 8.0, 4) AS est
+        |FROM i JOIN tot ta ON ta.doc_id = i.a_id
+        |JOIN tot tb ON tb.doc_id = i.b_id
+        |JOIN mh a ON a.doc_id = i.a_id
+        |JOIN mh b ON b.doc_id = i.b_id
+        |ORDER BY a_id, b_id""".stripMargin
+    },
     "llm_minhash_est" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(list_filter(
