@@ -398,6 +398,50 @@ object Geo {
     // engines (GeoSpec proves the closed form equals the textbook
     // bisection on the corpus). One linear pass, no shuffle before the
     // final sort.
+    // M10 — trajectory path analytics (added r11): per-entity travelled
+    // distance, net displacement, and straightness ratio over the
+    // (ts, event_id)-ordered position sequence — the trip-level readout
+    // every movement pipeline computes first (odometer vs as-the-crow-
+    // flies; straightness ≈ 1 = directed transit, ≈ 0 = wandering).
+    // Positions are the family's md5-synthesized exact integer meters;
+    // each segment length ⌊√(dx²+dy²)⌋ is a correctly-rounded IEEE sqrt
+    // of an exactly-representable long (≤ 2e12 < 2⁵³) FLOORED TO A LONG,
+    // so the per-entity sums are order-free exact integers — no float
+    // accumulation anywhere (the family's no-libm-drift stance, extended
+    // to paths). One lag window + one groupBy: linear, entity-keyed.
+    // Endpoints via lexicographic struct min/max on (ts, event_id) —
+    // the agg_minmax_by idiom.
+    "geo_path_length" -> ((s, d) => {
+      def coord(tag: String) =
+        (conv(substring(md5(concat(lit(tag), col("event_id").cast("string"))), 1, 12),
+          16, 10).cast("long") % Side)
+      val pts = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        coord("px:").as("px"), coord("py:").as("py"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val seg = pts
+        .withColumn("lx", lag("px", 1).over(w))
+        .withColumn("ly", lag("py", 1).over(w))
+        .withColumn("d", when(col("lx").isNotNull,
+          floor(sqrt(((col("px") - col("lx")) * (col("px") - col("lx"))
+            + (col("py") - col("ly")) * (col("py") - col("ly"))).cast("double")))
+            .cast("long")))
+      seg.groupBy("user_id").agg(
+          count(lit(1)).as("n_points"),
+          coalesce(sum("d"), lit(0L)).as("path_m"),
+          min(struct(col("ts"), col("event_id"), col("px"), col("py"))).as("f"),
+          max(struct(col("ts"), col("event_id"), col("px"), col("py"))).as("l"))
+        .withColumn("disp_m",
+          floor(sqrt(((col("l.px") - col("f.px")) * (col("l.px") - col("f.px"))
+            + (col("l.py") - col("f.py")) * (col("l.py") - col("f.py"))).cast("double")))
+            .cast("long"))
+        .select(col("user_id"), col("n_points"), col("path_m"), col("disp_m"),
+          when(col("path_m") > 0,
+            floor(col("disp_m").cast("double") / col("path_m").cast("double") * 1e4) / 1e4)
+            .as("straightness"))
+        .orderBy("user_id")
+    }),
+
     "geo_geohash" -> ((s, d) => {
       // least(·, 32767): floor((v+off)·2¹⁵/range) reads 32768 at exactly
       // v = +90°/+180°, which would wrap the 15-bit field to all-zeros
@@ -705,6 +749,46 @@ object Geo {
         |LEFT JOIN corelbl cl ON cl.k = s.s_suppkey
         |LEFT JOIN battach ba ON ba.k = s.s_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
+    "geo_path_length" ->
+      """WITH pts AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CAST(concat('0x', substring(md5(concat('px:', CAST(event_id AS VARCHAR))),
+        |           1, 12)) AS BIGINT) % 1000000 AS px,
+        |         CAST(concat('0x', substring(md5(concat('py:', CAST(event_id AS VARCHAR))),
+        |           1, 12)) AS BIGINT) % 1000000 AS py
+        |  FROM events
+        |),
+        |seg AS (
+        |  SELECT user_id, px, py,
+        |         lag(px) OVER w AS lx, lag(py) OVER w AS ly,
+        |         row_number() OVER w AS ra,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_points,
+        |         CAST(coalesce(sum(CASE WHEN lx IS NOT NULL THEN
+        |           CAST(floor(sqrt(CAST((px - lx) * (px - lx)
+        |             + (py - ly) * (py - ly) AS DOUBLE))) AS BIGINT) END), 0) AS BIGINT)
+        |           AS path_m,
+        |         max(CASE WHEN ra = 1 THEN px END) AS fx,
+        |         max(CASE WHEN ra = 1 THEN py END) AS fy,
+        |         max(CASE WHEN rd = 1 THEN px END) AS gx,
+        |         max(CASE WHEN rd = 1 THEN py END) AS gy
+        |  FROM seg GROUP BY 1
+        |),
+        |fin AS (
+        |  SELECT user_id, CAST(n_points AS BIGINT) AS n_points, path_m,
+        |         CAST(floor(sqrt(CAST((gx - fx) * (gx - fx)
+        |           + (gy - fy) * (gy - fy) AS DOUBLE))) AS BIGINT) AS disp_m
+        |  FROM agg
+        |)
+        |SELECT user_id, n_points, path_m, disp_m,
+        |       CASE WHEN path_m > 0 THEN
+        |         floor(CAST(disp_m AS DOUBLE) / CAST(path_m AS DOUBLE) * 1e4) / 1e4
+        |       END AS straightness
+        |FROM fin ORDER BY user_id""".stripMargin,
     "geo_geohash" -> {
       val lonBits = "LEAST((((lon + 180000000) * 32768) // 360000000), 32767)"
       val latBits = "LEAST((((lat + 90000000) * 32768) // 180000000), 32767)"
