@@ -783,6 +783,44 @@ object SideEffects {
           countDistinct(col("event_id")).as("n_distinct"))
         .orderBy("event_type")
     }),
+
+    // A — TIME TRAVEL via version manifests (added r11): the lakehouse
+    // snapshot-isolation primitive — every commit records its file list
+    // in a version manifest (`_manifests/vN.txt`, a hidden control file:
+    // Fs.writeUtf8), and a reader AT version N opens exactly that list,
+    // never the directory. The key commits v1, APPENDS a second batch
+    // into the SAME directory as v2, then reads both versions through
+    // their manifests: the v1 aggregate must exclude the later files
+    // sitting right next to its own (a directory read could not), and
+    // the v2 aggregate must see both. Oracle recomputes both snapshots
+    // from source — the hash proves snapshot isolation AND manifest
+    // completeness in one readout. At 100 TB this IS the Delta/Iceberg
+    // read path: manifests are metadata-sized, version selection costs
+    // one control-file read, zero data movement.
+    "store_time_travel" -> ((s, d) => {
+      val out = scratch("events_time_travel")
+      val outDir = new java.io.File(out)
+      if (outDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+      val ev = Tables.events(s, d)
+        .withColumn("micro", floor(col("value") * lit(1e6)).cast("long"))
+        .select(col("event_id"), col("event_type"), col("micro"))
+      ev.where(col("event_id") % 3 === 0)
+        .repartition(4).write.mode("overwrite").parquet(out)
+      graft.Fs.writeUtf8(s, s"$out/_manifests/v1.txt",
+        graft.Fs.listDataFiles(s, out).mkString("\n"))
+      ev.where(col("event_id") % 3 === 1)
+        .repartition(4).write.mode("append").parquet(out)
+      graft.Fs.writeUtf8(s, s"$out/_manifests/v2.txt",
+        graft.Fs.listDataFiles(s, out).mkString("\n"))
+      def snapshot(v: Long): DataFrame = {
+        val files = graft.Fs.readUtf8(s, s"$out/_manifests/v$v.txt")
+          .getOrElse(sys.error(s"missing manifest v$v")).split("\n").toSeq
+        s.read.parquet(files: _*)
+          .agg(count(lit(1)).as("n_events"), sum("micro").as("sum_micro"))
+          .select(lit(v).as("version"), col("n_events"), col("sum_micro"))
+      }
+      snapshot(1L).unionByName(snapshot(2L)).orderBy("version")
+    }),
   )
 
   // Each oracle recomputes the round-trip's output directly from the
@@ -949,6 +987,15 @@ object SideEffects {
         |FROM e
         |WHERE ub BETWEEN 4 AND 11 AND db BETWEEN 3 AND 12 AND vb BETWEEN 5 AND 13
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "store_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_events,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM events WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT 2, count(*),
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+        |FROM events WHERE event_id % 3 IN (0, 1)
+        |ORDER BY version""".stripMargin,
     "store_vacuum" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
