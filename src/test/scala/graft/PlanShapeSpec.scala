@@ -267,12 +267,16 @@ class PlanShapeSpec extends SparkSpec {
     //   - agg_pareto: ops.Rank.withGlobalCumSum's __pid offsets window —
     //     the same numPartitions-sized metadata window as the agg_rfm
     //     family; the customer data itself takes the range exchange
+    //   - llm_curriculum stage-cut windows (cumulative count + total over
+    //     one row per DISTINCT difficulty value — summary-sized, the
+    //     graph_degree_dist situation; the corpus itself only sees the
+    //     broadcast stage join and the (stage, shard)-partitioned rank)
     val allow = Set(
       "agg_rfm", "llm_vocab_coverage", "llm_zipf_slope", "win_analytic",
       "llm_shard_plan",
       "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near",
       "llm_lsh_recall",
-      "agg_survival_km", "graph_degree_dist", "agg_pareto")
+      "agg_survival_km", "graph_degree_dist", "agg_pareto", "llm_curriculum")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val skip = graft.tools.PlanScan.skipKeys
