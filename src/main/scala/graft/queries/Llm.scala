@@ -142,6 +142,35 @@ object Llm {
       .groupBy("doc_id", "lang")
       .agg(sum(when(col("sgn") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("simhash"))
 
+  /** BM25 (k1=1.2, b=0.75) over the fixed 3-term demo query — the
+    * `llm_bm25_search` body, shared with `llm_rank_fusion`'s lexical leg
+    * so the two can never desynchronize. Returns
+    * (doc_id, bm25 round-4, n_terms), unsorted. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("hash", "join", "vector") // fixed, lexicographic
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+    val tf = toks.where(col("token").isin(qTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d)))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("s", col("idf") * (col("tf") * 2.2d)
+        / (col("tf") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl") / col("avgdl"))))
+    val perTerm = qTerms.map(t =>
+      coalesce(sum(when(col("token") === t, col("s"))), lit(0d)))
+    scored.groupBy("doc_id")
+      .agg(perTerm.reduce(_ + _).as("bm25_raw"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"), col("n_terms"))
+  }
+
   /** Embeddings with a precomputed L2 norm (computed once, not per pair). */
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecDot.register(s)
@@ -2302,30 +2331,46 @@ object Llm {
     // float-order drift), and ln/round follow the llm_tfidf_terms
     // precedent. Output is every matching doc ordered by doc_id — no
     // top-k rank boundary to flip on a last-ulp score tie.
-    "llm_bm25_search" -> ((s, d) => {
-      val qTerms = Seq("hash", "join", "vector") // fixed, lexicographic
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
-      val tf = toks.where(col("token").isin(qTerms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(dfreq), "token")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(lit(1.0) + (col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d)))
-        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-        .withColumn("s", col("idf") * (col("tf") * 2.2d)
-          / (col("tf") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl") / col("avgdl"))))
-      val perTerm = qTerms.map(t =>
-        coalesce(sum(when(col("token") === t, col("s"))), lit(0d)))
-      scored.groupBy("doc_id")
-        .agg(perTerm.reduce(_ + _).as("bm25_raw"), count(lit(1)).as("n_terms"))
-        .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"), col("n_terms"))
-        .orderBy("doc_id")
+    "llm_bm25_search" -> ((s, d) => bm25Scores(s, d).orderBy("doc_id")),
+
+    // K3b' — RECIPROCAL RANK FUSION (added r11; Cormack et al. 2009):
+    // hybrid search's standard combiner — fuse the lexical (BM25) and
+    // semantic (cosine) shortlists with rrf = Σ 1/(60 + rank), the
+    // production retrieval stack in one key (BM25 finds exact terms,
+    // embeddings find paraphrases; RRF needs no score calibration
+    // between the two, which is why it won). Scale shape: each system
+    // contributes only its TOP-100 shortlist (TakeOrdered — never a
+    // corpus-sized global rank; the rank window's input is the 100-row
+    // limit, bounded by construction), fusion is a 100∪100 outer join,
+    // readout top-20. Ranks on round-4 BM25 / raw index-order-fold
+    // cosine with doc_id ties — deterministic cross-engine; rrf is pure
+    // IEEE on small ints, floor-1e-6.
+    "llm_rank_fusion" -> ((s, d) => {
+      val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lex = bm25Scores(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+        .withColumn("r_lex", row_number().over(wLex))
+        .select(col("doc_id"), col("r_lex"))
+      val v = vecs(s, d)
+      val q = v.where(col("norm") > 0.0d)
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|rrf"))))
+        .orderBy(col("h"), col("vec_id")).limit(1)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+          col("norm").as("q_n"))
+      val wSem = Window.orderBy(col("sim").desc, col("vec_id"))
+      val sem = v.where(col("norm") > 0.0d).crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("embedding"), col("q_e")) / (col("norm") * col("q_n")))
+        .orderBy(col("sim").desc, col("vec_id")).limit(100)
+        .withColumn("r_sem", row_number().over(wSem))
+        .select(col("vec_id").as("doc_id"), col("r_sem"))
+      val rrf = when(col("r_lex").isNotNull, lit(1.0) / (lit(60) + col("r_lex"))).otherwise(0.0) +
+        when(col("r_sem").isNotNull, lit(1.0) / (lit(60) + col("r_sem"))).otherwise(0.0)
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", floor(rrf * 1e6) / 1e6)
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
     // K3c — int8 scalar quantization of the embedding column: per-vector
@@ -7327,6 +7372,61 @@ object Llm {
         |           + coalesce(sum(CASE WHEN token = 'vector' THEN s END), 0.0), 4) AS bm25,
         |       count(*) AS n_terms
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // RRF: top-100 shortlists from the shared BM25 CTEs + the cosine leg,
+    // fused with 1/(60+rank), floor-1e-6, top-20
+    "llm_rank_fusion" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        |  FROM documents
+        |),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+        |               / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        |),
+        |bm AS (
+        |  SELECT doc_id,
+        |         round(coalesce(sum(CASE WHEN token = 'hash' THEN s END), 0.0)
+        |             + coalesce(sum(CASE WHEN token = 'join' THEN s END), 0.0)
+        |             + coalesce(sum(CASE WHEN token = 'vector' THEN s END), 0.0), 4) AS bm25
+        |  FROM scored GROUP BY doc_id
+        |),
+        |lex AS (
+        |  SELECT doc_id, r_lex FROM (
+        |    SELECT doc_id,
+        |           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex
+        |    FROM bm
+        |  ) WHERE r_lex <= 100
+        |),
+        |$vecCte,
+        |q AS (
+        |  SELECT vec_id AS q_id, embedding, norm FROM v WHERE norm > 0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|rrf'), vec_id LIMIT 1
+        |),
+        |sem AS (
+        |  SELECT doc_id, r_sem FROM (
+        |    SELECT a.vec_id AS doc_id,
+        |           CAST(row_number() OVER (
+        |             ORDER BY $dotSql / (a.norm * b.norm) DESC, a.vec_id) AS INTEGER) AS r_sem
+        |    FROM v a CROSS JOIN q b WHERE a.norm > 0 AND a.vec_id <> b.q_id
+        |  ) WHERE r_sem <= 100
+        |),
+        |f AS (
+        |  SELECT coalesce(l.doc_id, s2.doc_id) AS doc_id, l.r_lex, s2.r_sem,
+        |         floor((CASE WHEN l.r_lex IS NOT NULL THEN 1.0 / (60 + l.r_lex) ELSE 0.0 END
+        |              + CASE WHEN s2.r_sem IS NOT NULL THEN 1.0 / (60 + s2.r_sem) ELSE 0.0 END)
+        |               * 1e6) / 1e6 AS rrf
+        |  FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id
+        |)
+        |SELECT doc_id, r_lex, r_sem, rrf FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "llm_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token

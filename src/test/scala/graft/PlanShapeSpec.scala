@@ -271,12 +271,15 @@ class PlanShapeSpec extends SparkSpec {
     //     one row per DISTINCT difficulty value — summary-sized, the
     //     graph_degree_dist situation; the corpus itself only sees the
     //     broadcast stage join and the (stage, shard)-partitioned rank)
+    //   - llm_rank_fusion shortlist-rank windows (input = each system's
+    //     TakeOrdered top-100 — bounded by the limit, never corpus-sized)
     val allow = Set(
       "agg_rfm", "llm_vocab_coverage", "llm_zipf_slope", "win_analytic",
       "llm_shard_plan",
       "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near",
       "llm_lsh_recall",
-      "agg_survival_km", "graph_degree_dist", "agg_pareto", "llm_curriculum")
+      "agg_survival_km", "graph_degree_dist", "agg_pareto", "llm_curriculum",
+      "llm_rank_fusion")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val skip = graft.tools.PlanScan.skipKeys
