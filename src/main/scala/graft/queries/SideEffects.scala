@@ -821,6 +821,45 @@ object SideEffects {
       }
       snapshot(1L).unionByName(snapshot(2L)).orderBy("version")
     }),
+
+    // A — DYNAMIC PARTITION OVERWRITE (added r11): the partition-grain
+    // correction path every day-partitioned store needs — re-emit ONE
+    // day's corrected rows with partitionOverwriteMode=dynamic and only
+    // the touched partition is replaced; static overwrite semantics
+    // (Spark's default) would WIPE the whole table on the same code.
+    // The correction drops the target day's sub-1.0 values (a "purge bad
+    // rows" repair, derivable from source so the oracle can recompute
+    // it). The per-day aggregate read-back proves BOTH directions: the
+    // untouched days must still hold every original row (a static wipe
+    // loses them — and would hash-mismatch loudly), the target day must
+    // hold exactly the corrected subset. Day values carry a 'd' prefix
+    // so partition-column type inference can't silently turn the key
+    // into a DATE on re-read. StoreSpec additionally pins the physical
+    // contract: untouched partition files byte-identical (same names +
+    // mtimes) across the correcting write.
+    "store_partition_overwrite" -> ((s, d) => {
+      val out = scratch("events_dyn_overwrite")
+      val outDir = new java.io.File(out)
+      if (outDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+      val ev = Tables.events(s, d)
+        .withColumn("day", concat(lit("d"), date_format(col("ts"), "yyyy-MM-dd")))
+        .withColumn("micro", floor(col("value") * lit(1e6)).cast("long"))
+        .select(col("event_id"), col("day"), col("event_type"), col("micro"))
+      ev.write.partitionBy("day").mode("overwrite").parquet(out)
+      val target = "d2024-01-05"
+      val corrected = ev.where(col("day") === target && col("micro") >= 1000000L)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try corrected.write.partitionBy("day").mode("overwrite").parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"), sum("micro").as("sum_micro"))
+        .orderBy("day")
+    }),
   )
 
   // Each oracle recomputes the round-trip's output directly from the
@@ -996,6 +1035,17 @@ object SideEffects {
         |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
         |FROM events WHERE event_id % 3 IN (0, 1)
         |ORDER BY version""".stripMargin,
+    "store_partition_overwrite" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |         concat('d', strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS day,
+        |         CAST(floor(value * 1e6) AS BIGINT) AS micro
+        |  FROM events
+        |)
+        |SELECT day, count(*) AS n_events, CAST(sum(micro) AS BIGINT) AS sum_micro
+        |FROM e
+        |WHERE day <> 'd2024-01-05' OR micro >= 1000000
+        |GROUP BY day ORDER BY day""".stripMargin,
     "store_vacuum" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,

@@ -423,6 +423,41 @@ class StoreSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == brute)
   }
 
+  test("dynamic partition overwrite replaces ONLY the touched partition (r11 physical pin)") {
+    import spark.implicits._
+    val out = tmpDir("dyn_overwrite_pin")
+    Seq((1L, "da", 10L), (2L, "da", 20L), (3L, "db", 30L), (4L, "dc", 40L))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(out)
+    def files(day: String) = {
+      val dir = java.nio.file.Paths.get(out, s"day=$day")
+      val st = java.nio.file.Files.list(dir)
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally st.close()
+    }
+    val beforeA = files("da"); val beforeC = files("dc")
+    assert(beforeA.nonEmpty && beforeC.nonEmpty)
+    Thread.sleep(5) // ensure a rewrite would move mtimes
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try Seq((5L, "db", 99L)).toDF("id", "day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(out)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // untouched partitions: exact same files, same mtimes (no rewrite)
+    assert(files("da") == beforeA, "partition da was touched")
+    assert(files("dc") == beforeC, "partition dc was touched")
+    // touched partition fully replaced
+    val rows = spark.read.parquet(out).select("id", "day", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, "da", 10L), (2L, "da", 20L), (5L, "db", 99L), (4L, "dc", 40L)))
+  }
+
   test("store_compact_files shrinks the file count and keeps range clustering") {
     val got = SparkEntry.queries("store_compact_files")(spark, sf0001).collect()
     assert(got.nonEmpty)
