@@ -207,48 +207,75 @@ object Fs {
     }
   }
 
-  /** Orphan-file vacuum (r11, r10 VERDICT #7): the maintenance pass every
-    * long-lived store needs, because crashed writers leave two kinds of
-    * debris that a plain directory read CANNOT distinguish from data —
+  /** Orphan-file vacuum (r11, r10 VERDICT #7; hardened r12 per ADVICE):
+    * the maintenance pass every long-lived store needs, because crashed
+    * writers leave two kinds of debris that a plain directory read CANNOT
+    * distinguish from data —
     *
-    *   - `_temporary/` trees (the Hadoop committer's staging area): never
-    *     data, deleted unconditionally;
-    *   - stray part files directly under `dir` that are NOT in the
-    *     committed listing: these have valid schemas and WOULD be read as
-    *     real rows by any `spark.read.parquet(dir)` (silent duplication /
-    *     corruption — the worst failure mode a store has).
+    *   - `_temporary/` trees (the Hadoop committer's staging area, at the
+    *     root or inside partition directories): never data;
+    *   - stray part files NOT in the committed listing — at the root or
+    *     inside partition subdirectories (exactly where a crashed writer
+    *     of a day-partitioned store leaves them): these have valid
+    *     schemas and WOULD be read as real rows by any
+    *     `spark.read.parquet(dir)` (silent duplication / corruption —
+    *     the worst failure mode a store has).
     *
-    * The age gate (`minAgeMs`) protects in-flight writers: an uncommitted
-    * file younger than the gate may belong to a running job and is spared
-    * (the Delta/Iceberg VACUUM retention stance). `nowMs` is an explicit
-    * parameter — callers pass the clock, tests pass a constant. Deletion
-    * order: `_temporary` trees first, then aged orphans, both sorted;
-    * returns (deletedDirs, deletedFiles) as the audit record. Committed
-    * files and hidden markers (`_SUCCESS`, dotfiles) are never touched.
-    * Driver-side at file grain (the manifest rule); a 100 TB store
-    * distributes the same listing + mtime checks over executors. */
+    * The age gate (`minAgeMs`) protects in-flight writers and applies to
+    * BOTH debris kinds (r12): a running Hadoop-committer job stages its
+    * output under `_temporary` until commit, so a staging tree is deleted
+    * only when its newest inner file mtime (the tree's own mtime if it
+    * holds no files yet) is older than the gate — an actively writing job
+    * always has a fresh newest file. Uncommitted files younger than the
+    * gate are likewise spared (the Delta/Iceberg VACUUM retention
+    * stance). Only data-shaped names (`part-*` or `*.parquet`) are ever
+    * deleted — an aged stray README is not the vacuum's business — and
+    * committed files and hidden markers (`_SUCCESS`, dotfiles) are never
+    * touched. `nowMs` is an explicit parameter — callers pass the clock,
+    * tests pass a constant. Returns (deletedDirs, deletedFiles), each
+    * path-sorted, as the audit record. Driver-side at file grain (the
+    * manifest rule); a 100 TB store distributes the same listing + mtime
+    * checks over executors. */
   def vacuum(spark: SparkSession, dir: String, committed: Set[String],
              minAgeMs: Long, nowMs: Long): (Seq[String], Seq[String]) = {
     val (fs, root) = fileSystem(spark, dir)
     if (!fs.exists(root)) return (Nil, Nil)
-    val entries = fs.listStatus(root).toSeq
-    val tempDirs = entries
-      .filter(st => st.isDirectory && st.getPath.getName == "_temporary")
-      .map(_.getPath).sortBy(_.toString)
-    tempDirs.foreach(p => fs.delete(p, true))
+    val cutoff = nowMs - minAgeMs
+    // liveness signal for a staging tree: the newest FILE mtime inside it
+    // (directory mtimes churn on listing/creation and would mask age); a
+    // file-less skeleton falls back to the directory's own mtime
+    def newestFileMtime(p: Path): Long = {
+      val sts = fs.listStatus(p)
+      val inner = sts.map(st =>
+        if (st.isDirectory) newestFileMtime(st.getPath) else st.getModificationTime)
+      if (inner.isEmpty) fs.getFileStatus(p).getModificationTime else inner.max
+    }
     // committed paths may arrive qualified or not: compare both forms
     val keep = committed.flatMap(c =>
       Set(c, fs.makeQualified(new Path(c)).toString))
-    val orphans = entries
-      .filter { st =>
-        st.isFile && !isHidden(st.getPath.getName) &&
+    def looksLikeData(name: String): Boolean =
+      name.startsWith("part-") || name.endsWith(".parquet")
+    val delDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val delFiles = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (name == "_temporary") {
+          if (newestFileMtime(st.getPath) <= cutoff) delDirs += st.getPath
+        } else if (!isHidden(name)) walk(st.getPath) // partition subdirs
+      } else if (!isHidden(name) && looksLikeData(name) &&
           !keep.contains(st.getPath.toString) &&
           !keep.contains(fs.makeQualified(st.getPath).toString) &&
-          st.getModificationTime <= nowMs - minAgeMs
+          st.getModificationTime <= cutoff) {
+        delFiles += st.getPath
       }
-      .map(_.getPath).sortBy(_.getName)
-    orphans.foreach(p => fs.delete(p, false))
-    (tempDirs.map(_.toString), orphans.map(_.toString))
+    }
+    walk(root)
+    val dirsOut = delDirs.map(_.toString).sorted.toSeq
+    val filesOut = delFiles.map(_.toString).sorted.toSeq
+    delDirs.foreach(p => fs.delete(p, true))
+    delFiles.foreach(p => fs.delete(p, false))
+    (dirsOut, filesOut)
   }
 
   /** Read a small control file (fingerprint, marker) as UTF-8, if present. */

@@ -768,10 +768,13 @@ object SideEffects {
       val orphan = new org.apache.hadoop.fs.Path(out, "part-orphan-crashed.parquet")
       org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, orphan, false, true, conf)
       fs.setTimes(orphan, System.currentTimeMillis() - 3600L * 1000, -1)
-      // ... and a committer staging tree from the same "crash"
+      // ... and a committer staging tree from the same "crash" — aged past
+      // the gate (r12: _temporary is age-gated too, so a live writer's
+      // staging area survives; a crashed one's does not)
       val tmp = new org.apache.hadoop.fs.Path(out, "_temporary/0/task_000/part-00000.parquet")
       fs.mkdirs(tmp.getParent)
       org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, true, conf)
+      fs.setTimes(tmp, System.currentTimeMillis() - 3600L * 1000, -1)
       val (gone_dirs, gone_files) = graft.Fs.vacuum(s, out,
         committed.toSet, minAgeMs = 600L * 1000, nowMs = System.currentTimeMillis())
       require(gone_dirs.nonEmpty && gone_files.nonEmpty,
@@ -848,6 +851,13 @@ object SideEffects {
       ev.write.partitionBy("day").mode("overwrite").parquet(out)
       val target = "d2024-01-05"
       val corrected = ev.where(col("day") === target && col("micro") >= 1000000L)
+      // Dynamic overwrite with an EMPTY corrected set writes no partitions
+      // and silently leaves the stale one in place — a purge-everything
+      // correction cannot be expressed this way (it needs an explicit
+      // partition drop, Fs.dropPartitions). Fail loudly instead of letting
+      // the readback diverge quietly (r12, ADVICE).
+      require(!corrected.isEmpty,
+        s"empty corrected set for $target: dynamic overwrite would keep the stale partition")
       val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try corrected.write.partitionBy("day").mode("overwrite").parquet(out)

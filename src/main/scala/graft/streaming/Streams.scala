@@ -1628,13 +1628,30 @@ class GapProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long
   * shared with the spec's driver recompute. */
 object Scd2State {
   /** rows: (event_id, ts_sec, segment) pre-sorted by (ts_sec, event_id);
-    * returns (new open row, closed rows (user, segment, from, to, n)). */
+    * returns (new open row, closed rows (user, segment, from, to, n)).
+    *
+    * MONOTONE-REPLAY CONTRACT (r12, ADVICE): rows are sorted only WITHIN
+    * a micro-batch; correctness across batches rests on the source
+    * delivering batches in event-time order (true for the bounded
+    * doc-ordered file replay and for any log-ordered ingest). A later
+    * batch carrying a ts older than the open row's valid_from would
+    * otherwise be folded as if newer and emit an INVERTED interval
+    * (valid_to < valid_from) — so the assumption is ASSERTED: an
+    * out-of-order source fails loudly here instead of silently
+    * corrupting the dimension. A deployment that must absorb late
+    * dimension observations repairs through the batch rebuild
+    * (`store_scd2_merge`), the same late-data split as
+    * `stream_late_rematerialize`. */
   def fold(userId: Long, st0: Option[(String, Long, Long)],
            sorted: Seq[(Long, Long, String)])
       : (Option[(String, Long, Long)], Seq[(Long, String, Long, Long, Long)]) = {
     var open = st0
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
     sorted.foreach { case (_, ts, seg) =>
+      open.foreach { case (_, from, _) =>
+        require(ts >= from, s"out-of-order SCD2 observation for entity $userId: " +
+          s"ts=$ts < open valid_from=$from — batches must replay in event-time order")
+      }
       open match {
         case Some((s0, from, n)) if s0 == seg => open = Some((s0, from, n + 1))
         case Some((s0, from, n)) =>

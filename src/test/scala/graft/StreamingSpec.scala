@@ -781,6 +781,14 @@ class StreamingSpec extends SparkSpec {
         Seq((2L, 20L, "y"), (1L, 10L, "x"), (3L, 30L, "x")).sortBy(r => (r._2, r._1)))
       assert(fold._1.contains(("x", 30L, 1L)))
       assert(fold._2 == Seq((5L, "x", 10L, 20L, 1L), (5L, "y", 20L, 30L, 1L)))
+      // monotone-replay contract (r12, ADVICE): a LATER batch carrying a
+      // ts older than the open row's valid_from would emit an inverted
+      // interval — the fold must refuse it loudly, not corrupt silently
+      val ex = intercept[IllegalArgumentException] {
+        graft.streaming.Scd2State.fold(5L, Some(("x", 100L, 2L)),
+          Seq((9L, 40L, "y")))
+      }
+      assert(ex.getMessage.contains("out-of-order SCD2 observation"))
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
