@@ -629,7 +629,7 @@ object Llm {
   private def nnDescent(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).where(col("norm") > 0.0d)
       .select(col("vec_id"), col("embedding"), col("norm"))
-    val (nb, members) = nnDescentGraph(s, v)
+    val nb = descentArtifact(s, d, "base", v)
     def scored(pairs: DataFrame): DataFrame = pairs
       .join(v.select(col("vec_id").as("node"), col("embedding").as("a_e"),
         col("norm").as("a_n")), "node")
@@ -637,13 +637,11 @@ object Llm {
         col("norm").as("b_n")), "nb")
       .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
     val wTop = Window.partitionBy("node").orderBy(col("sim").desc, col("nb"))
-    graft.ops.Checkpoints.finishFreeing(
-      scored(nb)
-        .withColumn("rank", row_number().over(wTop))
-        .select(col("node").as("vec_id"), col("rank"), col("nb").as("nb_id"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("vec_id", "rank"),
-      members, nb)
+    scored(nb)
+      .withColumn("rank", row_number().over(wTop))
+      .select(col("node").as("vec_id"), col("rank"), col("nb").as("nb_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("vec_id", "rank")
   }
 
   /** The NN-descent build shared by `llm_nn_descent` (graph readout) and
@@ -692,6 +690,38 @@ object Llm {
     (nb, members)
   }
 
+  /** Algorithm-version tag committed into the descent artifact's
+    * fingerprint: bump whenever [[nnDescentGraph]]'s construction changes,
+    * or a stale on-disk index would silently serve the OLD graph. */
+  private val DescentAlgoVersion = "nn-descent-k4-r2-v1"
+
+  private def indexScratch(d: String, name: String): String = {
+    val ds = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val p = java.nio.file.Paths.get("/root/repo/target/scratch/index", ds, name)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  /** The PERSISTED NN-descent graph (r12, r11 VERDICT #1): the (node, nb)
+    * k=4 neighbor table served from a fingerprint-committed parquet
+    * artifact via [[graft.store.IndexStore]] — built at most once per
+    * corpus version and read back through its manifest by EVERY caller
+    * (`llm_nn_descent`, `llm_graph_search`, `llm_recall_graph`, both
+    * layers of `llm_hnsw_search`/`llm_recall_hnsw`, and
+    * `store_index_persist`). The build is [[nnDescentGraph]] verbatim and
+    * md5-deterministic, so the artifact is bit-identical to an in-key
+    * rebuild — the oracles' unrolled descent CTEs keep matching
+    * unchanged, and `store_index_persist`'s hash proves the round trip.
+    * Returns a disk-backed frame: callers hold no checkpoints to free. */
+  private def descentArtifact(s: SparkSession, d: String, layer: String,
+                              v: DataFrame): DataFrame =
+    graft.store.IndexStore.orBuild(s, indexScratch(d, s"nn_descent_$layer"),
+      DescentAlgoVersion, v) { () =>
+      val (nb, members) = nnDescentGraph(s, v)
+      (nb.coalesce(4), Seq(nb, members))
+    }
+
   /** `llm_graph_search` body — greedy best-first serving over the
     * NN-descent graph (the single-layer HNSW query path): from one
     * md5-chosen global entry point, every query walks to its current
@@ -706,7 +736,7 @@ object Llm {
   private def graphSearch(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).where(col("norm") > 0.0d)
       .select(col("vec_id"), col("embedding"), col("norm"))
-    val (nb, members) = nnDescentGraph(s, v)
+    val nb = descentArtifact(s, d, "base", v)
     val qids = v
       .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
       .orderBy("h").limit(500)
@@ -728,7 +758,7 @@ object Llm {
           round(col("cur_sim"), 4).as("sim"), col("hops"),
           (col("cur") === col("q_id")).as("reached"))
         .orderBy("vec_id"),
-      members, nb, st)
+      st)
   }
 
   /** `hops` rounds of strict-improvement greedy walking over neighbor
@@ -796,8 +826,8 @@ object Llm {
     val v = vecs(s, d).where(col("norm") > 0.0d)
       .select(col("vec_id"), col("embedding"), col("norm"))
     val upper = upperLayer(v)
-    val (nbU, membersU) = nnDescentGraph(s, upper)
-    val (nb, members) = nnDescentGraph(s, v)
+    val nbU = descentArtifact(s, d, "upper", upper)
+    val nb = descentArtifact(s, d, "base", v)
     val qids = v
       .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
       .orderBy("h").limit(500)
@@ -821,7 +851,7 @@ object Llm {
           round(col("cur_sim"), 4).as("sim"), col("hops"),
           (col("cur") === col("q_id")).as("reached"))
         .orderBy("vec_id"),
-      membersU, nbU, members, nb, afterUpper, st)
+      afterUpper, st)
   }
 
   private[graft] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
@@ -2619,7 +2649,7 @@ object Llm {
     // nnDescentCtes, so eval and build can never desynchronize.
     "llm_recall_graph" -> ((s, d) => {
       val v = vecs(s, d).where(col("norm") > 0.0d)
-      val (nb, members) = nnDescentGraph(s,
+      val nb = descentArtifact(s, d, "base",
         v.select(col("vec_id"), col("embedding"), col("norm")))
       val qids = v
         .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|gq"))))
@@ -2637,7 +2667,7 @@ object Llm {
           (floor(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(4.0) * 1e4) / 1e4)
             .as("recall"))
         .orderBy("vec_id")
-      graft.ops.Checkpoints.finishFreeing(out, members, nb)
+      out
     }),
 
     // K3j''' — 2-LAYER hierarchical greedy serving (added r11, r10
@@ -2648,6 +2678,45 @@ object Llm {
     // flat key so routability (`reached`) and recall compare directly
     // (KnnSpec measures both side by side).
     "llm_hnsw_search" -> ((s, d) => hnswSearch(s, d)),
+
+    // A/K3j''''' — PERSISTED ANN INDEX ARTIFACT (added r12, r11 VERDICT
+    // #1): the index LIFECYCLE as an operator — build the NN-descent
+    // graphs (base + md5-promoted upper layer) at most ONCE per corpus
+    // version, commit each as a manifest-listed parquet artifact with a
+    // (algoVersion, count, xxhash64-xor) fingerprint written last
+    // (graft.store.IndexStore), then read the COMMITTED files back
+    // through the manifest and emit each layer's out-degree histogram.
+    // The oracle recomputes both descent builds from source, so the hash
+    // proves the round trip: artifact ≡ direct compute, edge for edge.
+    // Every graph-ANN key (`llm_nn_descent`, `llm_graph_search`,
+    // `llm_recall_graph`, `llm_hnsw_search`, `llm_recall_hnsw`) now
+    // SERVES from these same artifacts instead of rebuilding in-key —
+    // production's build-once/serve-many shape; StoreSpec pins that a
+    // second call performs zero builds and leaves the artifact bytes
+    // untouched, and that a data or algorithm change rebuilds. At 100 TB
+    // the serve path is a manifest read + metadata-sized fingerprint
+    // check; the build happens once per corpus version.
+    "store_index_persist" -> ((s, d) => {
+      val v = vecs(s, d).where(col("norm") > 0.0d)
+        .select(col("vec_id"), col("embedding"), col("norm"))
+      val base = descentArtifact(s, d, "base", v)
+      val upper = descentArtifact(s, d, "upper", upperLayer(v))
+      // edge_sum = Σ md5-48bit(node:nb) per degree bucket — an order-free
+      // exact-integer EDGE-SET checksum (48-bit values, long-safe at any
+      // realistic degree-bucket size), so the hash pins every edge, not
+      // just the degree distribution
+      def stats(layer: String, nb: DataFrame): DataFrame = nb
+        .withColumn("eh", conv(substring(md5(concat(
+          col("node").cast("string"), lit(":"), col("nb").cast("string"))),
+          1, 12), 16, 10).cast("long"))
+        .groupBy("node").agg(count(lit(1)).as("out_deg"), sum("eh").as("ns"))
+        .groupBy("out_deg").agg(count(lit(1)).as("n_nodes"),
+          sum("ns").as("edge_sum"))
+        .select(lit(layer).as("layer"), col("out_deg"), col("n_nodes"),
+          col("edge_sum"))
+      stats("base", base).unionByName(stats("upper", upper))
+        .orderBy("layer", "out_deg")
+    }),
 
     // K3j'''' — recall eval for the 2-layer serve (added r11): recall@1
     // of `llm_hnsw_search`'s answer vs the exact top-1 over the SAME
@@ -4592,14 +4661,21 @@ object Llm {
   /** The `llm_hnsw_search` CTE chain through h9: base + upper descent
     * builds, upper-layer entry, 3 upper hops (unb2), 6 base hops (nb2).
     * Shared verbatim with `llm_recall_hnsw`. */
-  private val hnswCtes: String =
+  /** Both descent layers as CTEs (base chain ending at `nb2`, md5-promoted
+    * upper chain ending at `unb2`) — the BUILD half of [[hnswCtes]],
+    * shared with `store_index_persist`'s artifact-stat oracle so the
+    * persisted index and the serve can never desynchronize. */
+  private val twoLayerCtes: String =
     s"""$nnDescentCtes,
       |up AS (
       |  SELECT vec_id, embedding, norm FROM vp
       |  WHERE CAST(concat('0x', substring(
       |          md5(CAST(vec_id AS VARCHAR) || '|lvl'), 1, 4)) AS BIGINT) < 8192
       |),
-      |${descentChain("up", "u")},
+      |${descentChain("up", "u")}""".stripMargin
+
+  private val hnswCtes: String =
+    s"""$twoLayerCtes,
       |qsb AS (
       |  SELECT vec_id AS q_id FROM vp
       |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|sq') LIMIT 500
@@ -6609,6 +6685,35 @@ object Llm {
     // (prefix u), entry from the upper layer, 3 unrolled upper hops over
     // unb2 then 6 base hops over nb2 — CTE for CTE what hnswSearch runs.
     "llm_hnsw_search" -> s"WITH $hnswCtes\n$hnswTailSql",
+    // artifact ≡ direct compute: both descent layers rebuilt from source,
+    // degree-histogram readout — a hash match proves the persisted index
+    // round-trips every edge of both graphs
+    "store_index_persist" ->
+      s"""WITH $twoLayerCtes,
+        |bd AS (
+        |  SELECT node, count(*) AS out_deg,
+        |         sum(CAST(concat('0x', substring(md5(
+        |           CAST(node AS VARCHAR) || ':' || CAST(nb AS VARCHAR)), 1, 12))
+        |           AS BIGINT)) AS ns
+        |  FROM nb2 GROUP BY node
+        |),
+        |ud AS (
+        |  SELECT node, count(*) AS out_deg,
+        |         sum(CAST(concat('0x', substring(md5(
+        |           CAST(node AS VARCHAR) || ':' || CAST(nb AS VARCHAR)), 1, 12))
+        |           AS BIGINT)) AS ns
+        |  FROM unb2 GROUP BY node
+        |)
+        |SELECT layer, out_deg, n_nodes, edge_sum FROM (
+        |  SELECT 'base' AS layer, out_deg, count(*) AS n_nodes,
+        |         CAST(sum(ns) AS BIGINT) AS edge_sum
+        |  FROM bd GROUP BY out_deg
+        |  UNION ALL
+        |  SELECT 'upper' AS layer, out_deg, count(*) AS n_nodes,
+        |         CAST(sum(ns) AS BIGINT) AS edge_sum
+        |  FROM ud GROUP BY out_deg
+        |)
+        |ORDER BY layer, out_deg""".stripMargin,
     // recall@1 of the hierarchy vs the exact top-1 over the same budget
     "llm_recall_hnsw" ->
       s"""WITH $hnswCtes,
