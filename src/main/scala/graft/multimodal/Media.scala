@@ -505,60 +505,71 @@ object Media {
             s"gray payload must be ${width * height} bytes")
           val png = encodePng(width, height, gray, filterForRow = r => r % 5)
           val (w, h, px) = decodePng(png)
-          // separable DCT: rows first (per u: fold x), then columns (per v)
-          val rowSum = Array.ofDim[Long](k, h) // rowSum(u)(y) = Σx px(y,x)·cqx(u)(x)
-          var y = 0
-          while (y < h) {
-            var u = 0
-            while (u < k) {
-              var s = 0L; var x = 0
-              while (x < w) { s += px(y * w + x).toLong * cqx(u)(x); x += 1 }
-              rowSum(u)(y) = s
-              u += 1
-            }
-            y += 1
-          }
-          val coef = Array.ofDim[Long](k, k)
-          var u = 0
-          while (u < k) {
-            var v = 0
-            while (v < k) {
-              var s = 0L; var yy = 0
-              while (yy < h) { s += rowSum(u)(yy) * cqy(v)(yy); yy += 1 }
-              coef(u)(v) = s
-              v += 1
-            }
-            u += 1
-          }
-          val nonDc = new Array[Long](k * k - 1)
-          var j = 0
-          u = 0
-          while (u < k) {
-            var v = 0
-            while (v < k) {
-              if (u != 0 || v != 0) { nonDc(j) = coef(u)(v); j += 1 }
-              v += 1
-            }
-            u += 1
-          }
-          val sorted = nonDc.sorted
-          val median = sorted((k * k - 1) / 2) // element 32 of 63 at k=8 (0-based 31)
-          var hash = 0L; var bits = 0
-          u = 0
-          while (u < k) {
-            var v = 0
-            while (v < k) {
-              if ((u != 0 || v != 0) && coef(u)(v) > median) {
-                hash |= 1L << (u * k + v - 1); bits += 1
-              }
-              v += 1
-            }
-            u += 1
-          }
+          val (hash, bits) = phashOfPixels(px, w, h, k, cqx, cqy)
           Row.fromSeq(row.toSeq :+ hash :+ bits)
         }
       }
     }(enc)
+  }
+
+  /** The pHash math proper over decoded pixels — separable quantized
+    * DCT-II (O(n²k)), top-left k×k block, DC dropped, exact-integer
+    * median threshold; see [[pngPHash]]'s doc for the full contract.
+    * Shared by the PNG and JPEG codec routes so the hash definition
+    * cannot fork per format (the cross-format dedup requirement). */
+  private[graft] def phashOfPixels(px: Array[Int], w: Int, h: Int, k: Int,
+      cqx: Array[Array[Long]], cqy: Array[Array[Long]]): (Long, Int) = {
+    // separable DCT: rows first (per u: fold x), then columns (per v)
+    val rowSum = Array.ofDim[Long](k, h) // rowSum(u)(y) = Σx px(y,x)·cqx(u)(x)
+    var y = 0
+    while (y < h) {
+      var u = 0
+      while (u < k) {
+        var s = 0L; var x = 0
+        while (x < w) { s += px(y * w + x).toLong * cqx(u)(x); x += 1 }
+        rowSum(u)(y) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = Array.ofDim[Long](k, k)
+    var u = 0
+    while (u < k) {
+      var v = 0
+      while (v < k) {
+        var s = 0L; var yy = 0
+        while (yy < h) { s += rowSum(u)(yy) * cqy(v)(yy); yy += 1 }
+        coef(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = new Array[Long](k * k - 1)
+    var j = 0
+    u = 0
+    while (u < k) {
+      var v = 0
+      while (v < k) {
+        if (u != 0 || v != 0) { nonDc(j) = coef(u)(v); j += 1 }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = nonDc.sorted
+    val median = sorted((k * k - 1) / 2) // element 32 of 63 at k=8 (0-based 31)
+    var hash = 0L; var bits = 0
+    u = 0
+    while (u < k) {
+      var v = 0
+      while (v < k) {
+        if ((u != 0 || v != 0) && coef(u)(v) > median) {
+          hash |= 1L << (u * k + v - 1); bits += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    (hash, bits)
   }
 
   /** Average-hash (aHash) over DECODED pixels — the classic perceptual
@@ -604,6 +615,399 @@ object Media {
     * `BinaryType` column `binCol`. Output: input columns + `media` struct +
     * `features` array<double>, produced partition-wise in batches of
     * `batchSize` rows. */
+  // ------------------------------------------------------------------
+  // Baseline JFIF (JPEG) — the dominant media-lake format. The DECODER
+  // is hand-rolled below (marker parse, canonical Huffman, dequantize,
+  // dezigzag, double-precision IDCT with a StrictMath basis — fully
+  // deterministic across JVMs/arches); encoding goes through the JDK's
+  // own ImageIO writer, because the production case is decoding bytes
+  // some FOREIGN encoder produced — MediaSpec cross-checks this decoder
+  // against ImageIO's reader on ImageIO-written streams.
+  // ------------------------------------------------------------------
+
+  /** Encode an 8-bit grayscale image as baseline JFIF via the JDK's
+    * ImageIO JPEG writer at the given quality (1.0f ⇒ all-1 quantization
+    * tables: flat 8×8 blocks round-trip EXACTLY — the property the oracle
+    * keys build on; see [[decodeJpeg]]). */
+  def encodeJpegGray(width: Int, height: Int, gray: Array[Byte],
+                     quality: Float): Array[Byte] = {
+    require(gray.length == width * height, "gray payload size mismatch")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.getRaster.setSample(x, y, 0, gray(y * width + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** JPEG zigzag scan order: zigzagOrder(k) = natural (row-major) index of
+    * the k-th coefficient in scan order (ISO/IEC 10918-1 Figure A.6). */
+  private val zigzagOrder: Array[Int] = {
+    val order = new Array[Int](64)
+    var k = 0
+    // walk anti-diagonals, alternating direction
+    var d = 0
+    while (d < 15) {
+      val range = math.max(0, d - 7) to math.min(7, d)
+      val cells = range.map(i => (i, d - i)) // (row, col) with row+col = d
+      val walk = if (d % 2 == 0) cells.reverse else cells // even diagonals go up-right
+      walk.foreach { case (r, c) => order(k) = r * 8 + c; k += 1 }
+      d += 1
+    }
+    order
+  }
+
+  /** IDCT basis: cos((2x+1)·u·π/16) · C(u), StrictMath so the table is
+    * bit-identical on every JVM/arch (the [[phashCosQ]] stance). */
+  private val idctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+    c * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+  }
+
+  /** Canonical Huffman table in the JPEG spec's DECODE representation:
+    * per code length 1..16, the smallest/largest code value and the index
+    * of its first symbol (mincode/maxcode/valptr, ISO 10918-1 F.2.2.3). */
+  private final class JpegHuff(counts: Array[Int], val symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Entropy-segment bit reader with FF00 byte unstuffing; a bare marker
+    * inside the stream is a bitstream error (restarts are consumed by the
+    * MCU loop via [[syncRestart]], not here). */
+  private final class JpegBits(bytes: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def nextBit(): Int = {
+      if (cnt == 0) {
+        var b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          val b2 = bytes(pos) & 0xff
+          require(b2 == 0x00, f"unexpected marker FF$b2%02X inside entropy data")
+          pos += 1
+        }
+        buf = b; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def decode(t: JpegHuff): Int = {
+      var code = nextBit()
+      var l = 1
+      while (code > t.maxCode(l)) {
+        require(l < 16, "corrupt Huffman stream: code longer than 16 bits")
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      t.symbols(t.valPtr(l) + code - t.minCode(l))
+    }
+    /** Byte-align and consume the expected RSTn marker. */
+    def syncRestart(n: Int): Unit = {
+      cnt = 0
+      require((bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xff) == (0xd0 + n),
+        f"expected RST$n%d at $pos")
+      pos += 2
+    }
+  }
+
+  /** EXTEND (ISO 10918-1 F.2.2.1): map the `t`-bit received value to its
+    * signed coefficient. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0 || v >= (1 << (t - 1))) v else v - (1 << t) + 1
+
+  /** Hand-rolled baseline sequential JFIF decoder for single-component
+    * (grayscale) streams — the third genuine pure-JVM codec beside BMP
+    * and PNG, covering the format media lakes are actually made of. The
+    * full baseline machinery is owned here: marker segments (DQT 8/16-bit
+    * tables in zigzag order, SOF0 with the baseline-only guard, DHT
+    * canonical code construction, DRI), the entropy-coded scan (spec
+    * DECODE/RECEIVE/EXTEND procedures, FF00 unstuffing, RSTn resync with
+    * DC-predictor reset), dequantization, dezigzag, and a separable
+    * double-precision IDCT over a StrictMath cosine basis (deterministic
+    * on every JVM/arch — the [[phashCosQ]] stance; JPEG pins no exact
+    * IDCT, so determinism is a property we must OWN, not inherit).
+    * Returns (width, height, row-major pixels 0–255). Progressive
+    * (SOF2), arithmetic coding, and multi-component color are rejected
+    * loudly — baseline grayscale is the declared scope; MediaSpec
+    * cross-checks against ImageIO's reader on ImageIO-written streams
+    * (exact on flat blocks at quality 1.0, ≤1 gray level elsewhere). */
+  def decodeJpeg(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length > 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "not a JFIF stream (SOI)")
+    var pos = 2
+    def u16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var width = 0; var height = 0
+    var compQ = -1; var compDc = -1; var compAc = -1
+    var restartInterval = 0
+    var pixels: Array[Int] = null
+    var done = false
+    while (!done) {
+      require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      while ((bytes(pos + 1) & 0xff) == 0xff) pos += 1 // FF fill bytes
+      val marker = bytes(pos + 1) & 0xff
+      pos += 2
+      marker match {
+        case 0xd9 => done = true // EOI
+        case 0xdb => // DQT
+          val end = pos + u16(pos)
+          var off = pos + 2
+          while (off < end) {
+            val pq = (bytes(off) & 0xff) >> 4; val tq = bytes(off) & 0x0f
+            off += 1
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              t(i) = if (pq == 0) bytes(off + i) & 0xff else u16(off + 2 * i)
+              i += 1
+            }
+            quant(tq) = t // zigzag order, as stored
+            off += (if (pq == 0) 64 else 128)
+          }
+          pos = end
+        case 0xc4 => // DHT
+          val end = pos + u16(pos)
+          var off = pos + 2
+          while (off < end) {
+            val tc = (bytes(off) & 0xff) >> 4; val th = bytes(off) & 0x0f
+            off += 1
+            val counts = Array.tabulate(16)(i => bytes(off + i) & 0xff)
+            off += 16
+            val n = counts.sum
+            val syms = Array.tabulate(n)(i => bytes(off + i) & 0xff)
+            off += n
+            val huff = new JpegHuff(counts, syms)
+            if (tc == 0) dcTabs(th) = huff else acTabs(th) = huff
+          }
+          pos = end
+        case 0xc0 => // SOF0: baseline sequential
+          require((bytes(pos + 2) & 0xff) == 8, "only 8-bit precision supported")
+          height = u16(pos + 3); width = u16(pos + 5)
+          val ncomp = bytes(pos + 7) & 0xff
+          require(ncomp == 1,
+            s"only single-component (grayscale) streams supported, got $ncomp")
+          require((bytes(pos + 9) & 0xff) == 0x11, "grayscale must be 1x1 sampled")
+          compQ = bytes(pos + 10) & 0x0f
+          pos += u16(pos)
+        case m if m == 0xc2 || m == 0xc1 || m == 0xc3 || (m >= 0xc5 && m <= 0xc7) ||
+            (m >= 0xc9 && m <= 0xcb) || (m >= 0xcd && m <= 0xcf) =>
+          require(false, f"unsupported SOF marker FF$m%02X (baseline SOF0 only)")
+        case 0xdd => // DRI
+          restartInterval = u16(pos + 2)
+          pos += u16(pos)
+        case 0xda => // SOS: the one scan
+          require(width > 0 && quant(compQ) != null, "SOS before SOF0/DQT")
+          val ns = bytes(pos + 2) & 0xff
+          require(ns == 1, "single-scan grayscale only")
+          compDc = (bytes(pos + 4) & 0xff) >> 4
+          compAc = bytes(pos + 4) & 0x0f
+          val bits = new JpegBits(bytes, pos + u16(pos))
+          val qt = quant(compQ)
+          val dcT = dcTabs(compDc); val acT = acTabs(compAc)
+          require(dcT != null && acT != null, "missing Huffman tables")
+          pixels = new Array[Int](width * height)
+          val bw = (width + 7) / 8; val bh = (height + 7) / 8
+          val coef = new Array[Int](64)
+          var pred = 0
+          var mcu = 0
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                bits.syncRestart((mcu / restartInterval - 1) % 8)
+                pred = 0
+              }
+              java.util.Arrays.fill(coef, 0)
+              // DC: category + EXTEND, differential vs predictor
+              val t = bits.decode(dcT)
+              pred += jpegExtend(bits.receive(t), t)
+              coef(0) = pred * qt(0)
+              // AC: run-length of zeros + category
+              var k = 1
+              while (k < 64) {
+                val rs = bits.decode(acT)
+                val r = rs >> 4; val s = rs & 0x0f
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL: 16 zeros
+                  else k = 64 // EOB
+                } else {
+                  k += r
+                  require(k < 64, "AC run past block end")
+                  coef(zigzagOrder(k)) = jpegExtend(bits.receive(s), s) * qt(k)
+                  k += 1
+                }
+              }
+              // separable IDCT: columns then rows, double precision
+              val tmp = new Array[Double](64)
+              var x = 0
+              while (x < 8) {
+                var yy = 0
+                while (yy < 8) {
+                  var s2 = 0.0; var v = 0
+                  while (v < 8) { s2 += idctCos(v)(yy) * coef(v * 8 + x); v += 1 }
+                  tmp(yy * 8 + x) = s2
+                  yy += 1
+                }
+                x += 1
+              }
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  var s2 = 0.0; var u = 0
+                  while (u < 8) { s2 += idctCos(u)(xx) * tmp(yy * 8 + u); u += 1 }
+                  val v = Math.round(s2 / 4.0 + 128.0).toInt
+                  val px = math.max(0, math.min(255, v))
+                  val ix = bx * 8 + xx; val iy = by * 8 + yy
+                  if (ix < width && iy < height) pixels(iy * width + ix) = px
+                  xx += 1
+                }
+                yy += 1
+              }
+              mcu += 1
+              bx += 1
+            }
+            by += 1
+          }
+          pos = bits.pos
+          // skip any trailing fill bytes to the EOI marker
+          while ((bytes(pos) & 0xff) != 0xff || (bytes(pos + 1) & 0xff) == 0x00) pos += 1
+        case _ => // APPn, COM, others: length-prefixed skip
+          pos += u16(pos)
+      }
+    }
+    require(pixels != null, "no scan decoded (missing SOS)")
+    (width, height, pixels)
+  }
+
+  /** Assemble the 16×16 blockwise-flat gray payload from 4 block values
+    * (2×2 grid of 8×8 flat blocks, row-major) — the fixture family whose
+    * JPEG round trip is EXACT at quality 1.0 (flat blocks have zero AC
+    * energy and an integer DC, untouched by all-1 quantization), which is
+    * what lets a SQL oracle reproduce decoded-pixel statistics. */
+  def flatBlocks16(b: Array[Int]): Array[Byte] = {
+    require(b.length == 4, "need 4 block values")
+    val gray = new Array[Byte](256)
+    var i = 0
+    while (i < 256) {
+      val x = i % 16; val y = i / 16
+      gray(i) = b((y / 8) * 2 + (x / 8)).toByte
+      i += 1
+    }
+    gray
+  }
+
+  /** JPEG decode end to end over blockwise-flat fixtures: build the 16×16
+    * payload from `blocksCol` (array<int>, 4 values 0–255), encode via the
+    * JDK's ImageIO writer at quality 1.0, decode with [[decodeJpeg]], emit
+    * the same value+position statistics as the BMP/PNG decode keys. The
+    * flat-block/quality-1.0 pair makes the round trip exact, so the
+    * oracle recomputes every statistic in closed form from the 4 block
+    * values — a decoder bug in Huffman, dequant, zigzag, IDCT, or block
+    * placement breaks the hash. Embarrassingly parallel; bounded batches
+    * (codec state amortizes per batch). */
+  def jpegRoundTripStats(df: DataFrame, blocksCol: String,
+                         batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val bIdx = inSchema.fieldIndex(blocksCol)
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("sum_lum", LongType), StructField("wsum_lum", LongType),
+      StructField("min_lum", IntegerType), StructField("max_lum", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary: a real decoder initializes codec state here
+        batch.iterator.map { row =>
+          val blocks = row.getSeq[Int](bIdx).toArray
+          val jpeg = encodeJpegGray(16, 16, flatBlocks16(blocks), 1.0f)
+          val (w, h, px) = decodeJpeg(jpeg)
+          var sum = 0L; var wsum = 0L; var mn = 255; var mx = 0
+          var i = 0
+          val n = w * h
+          while (i < n) {
+            val v = px(i)
+            sum += v; wsum += (i + 1).toLong * v
+            if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          Row.fromSeq(row.toSeq :+ w :+ h :+ sum :+ wsum :+ mn :+ mx)
+        }
+      }
+    }(enc)
+  }
+
+  /** Cross-format perceptual hashing: the SAME image pushed through BOTH
+    * real codecs — JPEG (ImageIO encode at quality 1.0 → [[decodeJpeg]])
+    * and PNG (all-5-filter encode → [[decodePng]]) — then pHashed by the
+    * shared [[phashOfPixels]] math. On the flat-block fixture both
+    * decodes are exact, so the two hashes MUST be identical (hamming 0):
+    * the property that makes a pHash index format-agnostic — the same
+    * photo stored as PNG by one pipeline and JPEG by another lands in the
+    * same dedup bucket. The lossy case (quality < 1, hamming ≤ 2) is
+    * MediaSpec's cross-format near-duplicate pin. */
+  def jpegPngCrossPHash(df: DataFrame, blocksCol: String, k: Int = 8,
+                        batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val bIdx = inSchema.fieldIndex(blocksCol)
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("phash_jpeg", LongType), StructField("phash_png", LongType),
+      StructField("hamming", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val cq = phashCosQ(16, k)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val blocks = row.getSeq[Int](bIdx).toArray
+          val gray = flatBlocks16(blocks)
+          val (_, _, pxJ) = decodeJpeg(encodeJpegGray(16, 16, gray, 1.0f))
+          val (_, _, pxP) = decodePng(encodePng(16, 16, gray, filterForRow = r => r % 5))
+          val (hJ, _) = phashOfPixels(pxJ, 16, 16, k, cq, cq)
+          val (hP, _) = phashOfPixels(pxP, 16, 16, k, cq, cq)
+          Row.fromSeq(row.toSeq :+ hJ :+ hP :+ java.lang.Long.bitCount(hJ ^ hP))
+        }
+      }
+    }(enc)
+  }
+
   def extractFeatures(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
     val inSchema = df.schema
     val binIdx = inSchema.fieldIndex(binCol)

@@ -3035,6 +3035,62 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K7f — REAL JPEG decode end to end (added r12, r11 VERDICT #2): the
+    // THIRD genuine pure-JVM codec and the format media lakes are made
+    // of — baseline JFIF through the hand-rolled decoder
+    // (Media.decodeJpeg: marker parse, canonical Huffman DECODE, FF00
+    // unstuffing, RSTn resync, dequantize, dezigzag, StrictMath IDCT),
+    // over bytes the JDK's OWN ImageIO writer produced (the production
+    // case: decoding a foreign encoder's stream). Fixture: 4 md5-derived
+    // flat 8x8 blocks per doc at quality 1.0 — flat blocks have zero AC
+    // energy and an integer DC untouched by the all-1 quant tables, so
+    // the lossy format round-trips EXACTLY and the oracle recomputes
+    // every statistic in closed form from the block values (block-grain
+    // wsum constants 3872/4384/12064/12576 = Σ(i+1) per quadrant): a
+    // Huffman, dequant, zigzag, IDCT, or block-placement bug breaks the
+    // hash. MediaSpec carries the lossy side: ImageIO cross-conformance
+    // within 1 gray level, restart-marker resync, loud rejects.
+    // Embarrassingly parallel; no shuffle until the presentation sort.
+    "llm_media_decode_jpeg" -> ((s, d) => {
+      val seeded = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("transform(sequence(0, 3), j -> CAST(conv(substring(" +
+            "md5(concat(CAST(doc_id AS STRING), ':jb', CAST(j AS STRING)))," +
+            " 1, 2), 16, 10) AS INT))").as("blocks"))
+      graft.multimodal.Media.jpegRoundTripStats(seeded, "blocks")
+        .select("doc_id", "width", "height", "sum_lum", "wsum_lum",
+          "min_lum", "max_lum")
+        .orderBy("doc_id")
+    }),
+
+    // K13d — CROSS-FORMAT perceptual hash (added r12): the SAME image
+    // pushed through BOTH real codecs — ImageIO-encoded JPEG through
+    // Media.decodeJpeg, and the all-5-filter PNG through decodePng —
+    // then pHashed by the SHARED DCT math (Media.phashOfPixels; one hash
+    // definition, two formats). On the flat-block fixture both decodes
+    // are exact, so the hashes MUST agree bit for bit (hamming 0, pinned
+    // per row): the property that makes a pHash dedup index
+    // format-agnostic — the same photo stored as PNG by one pipeline and
+    // JPEG by another lands in the same bucket. The lossy case (quality
+    // 0.9 re-encode, hamming ≤ 2) is MediaSpec's near-duplicate pin.
+    // Oracle reproduces the hash from the block values through the same
+    // literal-integer DCT table as llm_media_phash — no cos() at query
+    // time. Embarrassingly parallel; one hash-grain window for buckets.
+    "llm_media_phash_jpeg" -> ((s, d) => {
+      val seeded = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("transform(sequence(0, 3), j -> CAST(conv(substring(" +
+            "md5(concat(CAST(doc_id AS STRING), ':jb', CAST(j AS STRING)))," +
+            " 1, 2), 16, 10) AS INT))").as("blocks"))
+      val hashed = graft.multimodal.Media.jpegPngCrossPHash(seeded, "blocks")
+      val w = Window.partitionBy("phash_jpeg")
+      hashed
+        .withColumn("bucket_size", count(lit(1)).over(w))
+        .select(col("doc_id"), col("phash_jpeg"), col("phash_png"),
+          col("hamming"), col("bucket_size"))
+        .orderBy("doc_id")
+    }),
+
     // K8 — token-window chunking (training-data prep): 40-token windows
     // with stride 30 (10-token overlap), each chunk fingerprinted. Chunk
     // boundaries are pure per-row arithmetic — embarrassingly parallel, no
@@ -7097,6 +7153,71 @@ object Llm {
         |  FROM coef JOIN med ON coef.doc_id = med.doc_id GROUP BY 1
         |)
         |SELECT doc_id, phash, n_bits,
+        |       count(*) OVER (PARTITION BY phash) AS bucket_size
+        |FROM h ORDER BY doc_id""".stripMargin
+    },
+    // JPEG decode: closed form from the 4 md5-derived flat-block values —
+    // the flat-block/quality-1.0 pair makes the lossy round trip exact,
+    // so sum/min/max follow directly and the block-grain position sums
+    // are the Σ(i+1)-per-quadrant constants (3872/4384/12064/12576,
+    // totalling 256·257/2)
+    "llm_media_decode_jpeg" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':jb0'), 1, 2)) AS BIGINT) AS b0,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':jb1'), 1, 2)) AS BIGINT) AS b1,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':jb2'), 1, 2)) AS BIGINT) AS b2,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':jb3'), 1, 2)) AS BIGINT) AS b3
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |       CAST(64 * (b0 + b1 + b2 + b3) AS BIGINT) AS sum_lum,
+        |       CAST(3872 * b0 + 4384 * b1 + 12064 * b2 + 12576 * b3 AS BIGINT) AS wsum_lum,
+        |       CAST(least(b0, b1, b2, b3) AS INTEGER) AS min_lum,
+        |       CAST(greatest(b0, b1, b2, b3) AS INTEGER) AS max_lum
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // cross-format pHash: both codecs decode the flat-block fixture
+    // exactly, so one clean DCT hash (same literal cos table as
+    // llm_media_phash) serves both format columns and hamming is 0 by
+    // construction — which is precisely the cross-format claim under test
+    "llm_media_phash_jpeg" -> {
+      val ctRows = graft.multimodal.Media.phashCosQ(16, 8).zipWithIndex.flatMap {
+        case (rowArr, u) => rowArr.zipWithIndex.map {
+          case (cq, x) => s"($u, $x, $cq)"
+        }
+      }.mkString(", ")
+      s"""WITH ct(u, x, cq) AS (VALUES $ctRows),
+        |px AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+        |         CAST(concat('0x', substring(
+        |           md5(CAST(doc_id AS VARCHAR) || ':jb' ||
+        |               CAST(((i.i // 16) // 8) * 2 + (i.i % 16) // 8 AS VARCHAR)),
+        |           1, 2)) AS BIGINT) AS v
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
+        |),
+        |rs AS (
+        |  SELECT p.doc_id, ct.u, p.i // 16 AS y, sum(p.v * ct.cq) AS s
+        |  FROM px p JOIN ct ON ct.x = p.i % 16
+        |  GROUP BY 1, 2, 3
+        |),
+        |coef AS (
+        |  SELECT rs.doc_id, rs.u, cy.u AS v, sum(rs.s * cy.cq) AS c
+        |  FROM rs JOIN ct cy ON cy.x = rs.y
+        |  GROUP BY 1, 2, 3
+        |),
+        |med AS (
+        |  SELECT doc_id, list_sort(list(c))[32] AS m
+        |  FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY 1
+        |),
+        |h AS (
+        |  SELECT coef.doc_id,
+        |         CAST(sum(CASE WHEN (coef.u != 0 OR coef.v != 0) AND coef.c > med.m
+        |                       THEN CAST(pow(2, coef.u * 8 + coef.v - 1) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS phash
+        |  FROM coef JOIN med ON coef.doc_id = med.doc_id GROUP BY 1
+        |)
+        |SELECT doc_id, phash AS phash_jpeg, phash AS phash_png,
+        |       CAST(0 AS INTEGER) AS hamming,
         |       count(*) OVER (PARTITION BY phash) AS bucket_size
         |FROM h ORDER BY doc_id""".stripMargin
     },

@@ -323,4 +323,126 @@ class MediaSpec extends SparkSpec {
     assert(hashed(1L) == hashed(2L),
       f"pHash should collide under the gradient: ${hashed(1L)}%x vs ${hashed(2L)}%x")
   }
+
+  private def md5Gray(seed: String, n: Int): Array[Byte] =
+    (0 until (n + 15) / 16).flatMap { j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8"))
+    }.take(n).toArray
+
+  private def imageIoDecode(jpeg: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = Array.tabulate(w * h)(i => img.getRaster.getSample(i % w, i / w, 0))
+    (w, h, px)
+  }
+
+  test("JPEG codec: flat blocks at quality 1.0 round-trip EXACTLY (the oracle property)") {
+    val blocks = Array(63, 131, 255, 0)
+    val gray = Media.flatBlocks16(blocks)
+    val (w, h, px) = Media.decodeJpeg(Media.encodeJpegGray(16, 16, gray, 1.0f))
+    assert(w == 16 && h == 16)
+    (0 until 256).foreach { i =>
+      assert(px(i) == (gray(i) & 0xff), s"pixel $i: ${px(i)} vs ${gray(i) & 0xff}")
+    }
+  }
+
+  test("JPEG codec: ImageIO cross-conformance on non-flat images, multiple MCUs and qualities") {
+    // 24x16 forces a 3x2 MCU grid (block placement on the hot path);
+    // 16x16 covers the square case. ImageIO's libjpeg-style integer IDCT
+    // and our double-precision IDCT are both spec-compliant but not
+    // identical — JPEG pins no exact IDCT — so parity is within 1 gray
+    // level; at quality 1.0 the residual is IDCT rounding only.
+    for ((w, h) <- Seq((16, 16), (24, 16)); q <- Seq(1.0f, 0.75f)) {
+      val gray = md5Gray(s"jpeg:$w:$h", w * h)
+      val jpeg = Media.encodeJpegGray(w, h, gray, q)
+      val (dw, dh, ours) = Media.decodeJpeg(jpeg)
+      val (iw, ih, ref) = imageIoDecode(jpeg)
+      assert((dw, dh) == (w, h) && (iw, ih) == (w, h))
+      val maxDiff = (0 until w * h).map(i => math.abs(ours(i) - ref(i))).max
+      assert(maxDiff <= 1,
+        s"decoder disagrees with ImageIO by $maxDiff gray levels at ${w}x$h q=$q")
+    }
+  }
+
+  test("JPEG codec: DRI/RSTn restart markers resync and reset the DC predictor") {
+    // hand-assembled baseline stream: 16x8 (two MCUs), all-1 quant, DRI=1,
+    // so a RST0 sits between the blocks and the second DC codes from a
+    // RESET predictor — a decoder that keeps the old predictor reads the
+    // wrong value; one that doesn't byte-align desyncs entirely.
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT tq=0, all 1s
+    seg(0xc0, Array(8, 0, 8, 0, 16, 1, 0x01, 0x11, 0x00)) // SOF0 8x16, 1 comp
+    // DC table 0: two codes of length 2 -> syms (8, 9); AC table 0: one
+    // code of length 1 -> sym 0x00 (EOB)
+    seg(0xc4, Array(0x00, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 8, 9))
+    seg(0xc4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    seg(0xdd, Array(0, 1)) // DRI = 1 MCU
+    seg(0xda, Array(1, 0x01, 0x00, 0, 63, 0)) // SOS
+    // entropy: block1 v=100 -> DC diff -224: cat 8 (code '00'), bits
+    // -224 + 255 = 31 -> 00011111; EOB '0'. 11 bits, pad to 16 with 1s.
+    // bits: 00 00011111 0 11111 -> bytes 0x07 0xDF
+    out.write(0x07); out.write(0xdf)
+    out.write(0xff); out.write(0xd0) // RST0
+    // block2 v=180 -> predictor RESET, DC diff 416: cat 9 (code '01'),
+    // bits 110100000; EOB '0'. 12 bits pad to 16: 01 110100000 0 1111
+    // -> 0111 0100 0000 1111 -> 0x74 0x0F
+    out.write(0x74); out.write(0x0f)
+    out.write(0xff); out.write(0xd9) // EOI
+    val (w, h, px) = Media.decodeJpeg(out.toByteArray)
+    assert(w == 16 && h == 8)
+    (0 until 8).foreach { y =>
+      (0 until 8).foreach { x =>
+        assert(px(y * 16 + x) == 100, s"block1 ($x,$y) = ${px(y * 16 + x)}")
+        assert(px(y * 16 + 8 + x) == 180, s"block2 ($x,$y) = ${px(y * 16 + 8 + x)}")
+      }
+    }
+  }
+
+  test("JPEG codec: rejects progressive, color, and non-JFIF payloads loudly") {
+    intercept[IllegalArgumentException](Media.decodeJpeg(Array[Byte](1, 2, 3, 4, 5)))
+    // progressive (SOF2)
+    val prog = new java.io.ByteArrayOutputStream()
+    prog.write(0xff); prog.write(0xd8)
+    prog.write(0xff); prog.write(0xc2); prog.write(0); prog.write(11)
+    Seq(8, 0, 8, 0, 8, 1, 0x01, 0x11, 0x00).foreach(prog.write)
+    val e1 = intercept[IllegalArgumentException](Media.decodeJpeg(prog.toByteArray))
+    assert(e1.getMessage.contains("FFC2"))
+    // 3-component color via ImageIO
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val e2 = intercept[IllegalArgumentException](Media.decodeJpeg(bos.toByteArray))
+    assert(e2.getMessage.contains("single-component"))
+  }
+
+  test("JPEG/PNG cross-format pHash: lossless fixtures identical; lossy re-encode within 2 bits") {
+    import spark.implicits._
+    // flat-block fixture: both codecs decode exactly -> hashes identical
+    val df = Seq((1L, Seq(40, 200, 120, 88)), (2L, Seq(10, 10, 250, 30)))
+      .toDF("doc_id", "blocks")
+    Media.jpegPngCrossPHash(df, "blocks").collect().foreach { r =>
+      assert(r.getAs[Int]("hamming") == 0,
+        s"flat-block cross-format hash must match: $r")
+    }
+    // the production claim: the SAME non-trivial photo stored as PNG by
+    // one pipeline and as LOSSY JPEG by another still lands in the same
+    // dedup bucket (pHash distance <= 2)
+    val base = md5Gray("crossfmt", 256)
+    val cq = Media.phashCosQ(16, 8)
+    val (_, _, pxP) = Media.decodePng(Media.encodePng(16, 16, base, r => r % 5))
+    val (_, _, pxJ) = Media.decodeJpeg(Media.encodeJpegGray(16, 16, base, 0.9f))
+    val (hP, _) = Media.phashOfPixels(pxP, 16, 16, 8, cq, cq)
+    val (hJ, _) = Media.phashOfPixels(pxJ, 16, 16, 8, cq, cq)
+    val d = java.lang.Long.bitCount(hP ^ hJ)
+    assert(d <= 2, f"cross-format pHash distance $d: $hP%x vs $hJ%x")
+  }
 }
