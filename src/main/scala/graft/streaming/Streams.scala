@@ -642,6 +642,41 @@ object Streams {
       out.orderBy("user_id", "valid_from", "valid_to", "segment_value")
     }),
 
+    // I10'' — streaming POINT-IN-TIME enrichment (added r12, r11 VERDICT
+    // #4): the composite a NOC actually runs — a live fact stream
+    // enriched against the LIVE SCD-2 dimension with as-of semantics,
+    // `join_scd2_pit`'s contract in streaming form. One stream carries
+    // both row kinds (the CDC-topic shape): dimension observations
+    // (event_id % 4 == 0; observed segment = event_type) maintain the
+    // open version per entity, every other row is a FACT emitted with
+    // the segment open AS OF its (ts, event_id) instant — a same-instant
+    // dimension change applies first (the valid_from <= ts < valid_to
+    // boundary), facts before any observation enrich as 'none' (the
+    // left-join stance: a row, not a drop). Unlike stream_static_join's
+    // frozen dimension, the dimension here CHANGES MID-STREAM and each
+    // fact must see exactly the version its instant falls in. State per
+    // entity is one (segment, last_ts) pair — constant at any volume;
+    // monotone-replay asserted like Scd2State. Oracle = the batch PIT
+    // derivation: carry-forward last dimension observation over the
+    // (ts_sec, event_id) order (the asof union+last_value single-shuffle
+    // shape). StreamingSpec proves cross-batch state carry and the
+    // same-instant boundary over MemoryStream.
+    "stream_scd2_enrich" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("ts_sec"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val agg = typed.groupByKey(_._1)
+        .transformWithState(new Scd2EnrichProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = withRocksDb(s) {
+        drain(s, agg.toDF("user_id", "event_id", "ts_sec", "segment_asof"),
+          "graft_stream_scd2_enrich", OutputMode.Append())
+      }
+      out.orderBy("user_id", "event_id")
+    }),
+
     // I11 — streaming top-k (added r5): per tumbling hour, the 3 busiest
     // event types. The STREAMING stage is the watermarked incremental
     // count — state is one counter per (window, type), exactly what the
@@ -1475,6 +1510,25 @@ object Streams {
            |       CAST(n_events AS BIGINT) AS n_events
            |FROM closed WHERE valid_to IS NOT NULL
            |ORDER BY user_id, valid_from, valid_to, segment_value""".stripMargin,
+      // PIT enrichment: carry-forward last dimension observation over the
+      // identical (ts_sec, event_id) total order — the batch as-of shape
+      "stream_scd2_enrich" ->
+        s"""WITH e AS (
+           |  SELECT user_id, event_id, event_type,
+           |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           |  FROM $ev events
+           |),
+           |f AS (
+           |  SELECT user_id, event_id, ts_sec,
+           |         last_value(CASE WHEN event_id % 4 = 0 THEN event_type END
+           |                    IGNORE NULLS)
+           |           OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           |  FROM e
+           |)
+           |SELECT user_id, event_id, ts_sec, coalesce(seg, 'none') AS segment_asof
+           |FROM f WHERE event_id % 4 <> 0
+           |ORDER BY user_id, event_id""".stripMargin,
       // The streaming replay converges to the batch computation exactly
       // (same fold arithmetic, same ordering), so it shares the batch
       // twin's oracle verbatim.
@@ -1685,6 +1739,64 @@ class Scd2Processor extends org.apache.spark.sql.streaming.StatefulProcessor[
       val (st, out) = Scd2State.fold(key,
         if (state.exists()) Some(state.get()) else None, sorted)
       st.foreach(state.update)
+      out.iterator
+    }
+  }
+}
+
+/** Keyed state for `stream_scd2_enrich`: the entity's CURRENT dimension
+  * version (segment value) plus the last folded instant. Rows fold in
+  * (ts_sec, event_id) order: DIMENSION observations (event_id % 4 == 0 in
+  * the fixture's split) update the open segment and emit nothing; FACT
+  * rows emit themselves enriched with the segment open AS OF their
+  * instant — `join_scd2_pit`'s valid_from <= ts < valid_to contract run
+  * ONLINE against the live dimension (a same-instant dimension change
+  * applies before the fact, the PIT boundary convention). Facts arriving
+  * before any observation enrich as 'none' — a row, not a drop (the
+  * left-join stance). State is one (segment, last_ts) pair per entity —
+  * constant at any event volume. Same monotone-replay contract as
+  * [[Scd2State]]: batches must arrive in event-time order or a late fact
+  * would silently read a TOO-NEW version; asserted loudly. */
+object Scd2EnrichState {
+  /** rows: (event_id, ts_sec, event_type) pre-sorted by (ts_sec, event_id);
+    * state: (segment or "" for none, last folded ts_sec);
+    * returns (new state, enriched facts (user, event_id, ts_sec, segment)). */
+  def fold(userId: Long, st0: (String, Long), sorted: Seq[(Long, Long, String)])
+      : ((String, Long), Seq[(Long, Long, Long, String)]) = {
+    var (seg, lastTs) = st0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    sorted.foreach { case (eid, ts, typ) =>
+      require(ts >= lastTs, s"out-of-order row for entity $userId: ts=$ts < " +
+        s"last folded ts=$lastTs — batches must replay in event-time order")
+      lastTs = ts
+      if (eid % 4 == 0) seg = typ
+      else out += ((userId, eid, ts, if (seg.isEmpty) "none" else seg))
+    }
+    ((seg, lastTs), out.toSeq)
+  }
+}
+
+class Scd2EnrichProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, String), (Long, Long, Long, String)] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(String, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    state = getHandle.getValueState[(String, Long)]("scd2enrich", enc, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long, String)] = {
+    val sorted = rows.map(r => (r._2, r._3, r._4)).toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (st, out) = Scd2EnrichState.fold(key,
+        if (state.exists()) state.get() else ("", Long.MinValue), sorted)
+      state.update(st)
       out.iterator
     }
   }

@@ -794,4 +794,45 @@ class StreamingSpec extends SparkSpec {
       case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("stream_scd2_enrich: facts read the LIVE dimension version as of their instant, across batches (r12)") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, Long, String)] // (user, event_id, ts_sec, type)
+      val agg = in.toDS().groupByKey(_._1)
+        .transformWithState(new graft.streaming.Scd2EnrichProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val ckpt = tmpDir("ckpt_scd2_enrich")
+      val q = agg.toDF("user_id", "event_id", "ts_sec", "segment_asof")
+        .writeStream.format("memory").queryName("scd2_enrich_test")
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+      // batch 1 (delivered unsorted — the fold orders by (ts, event_id)):
+      // fact eid 1 BEFORE any observation -> 'none'; dim eid 4 opens 'a'
+      // at t=100; fact eid 5 at t=150 -> 'a'
+      in.addData((1L, 5L, 150L, "ignored"), (1L, 4L, 100L, "a"), (1L, 1L, 50L, "x"))
+      q.processAllAvailable()
+      // batch 2: fact eid 9 at t=200 reads 'a' CARRIED ACROSS the batch
+      // boundary; dim eid 8 flips to 'b' at t=250; fact eid 13 at t=250
+      // (same instant as the change, higher event_id) must read 'b' —
+      // the valid_from <= ts boundary convention
+      in.addData((1L, 13L, 250L, "y"), (1L, 8L, 250L, "b"), (1L, 9L, 200L, "z"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("scd2_enrich_test").collect()
+        .map(r => (r.getLong(1), r.getString(3))).toMap
+      assert(rows == Map(1L -> "none", 5L -> "a", 9L -> "a", 13L -> "b"), rows.toString)
+      // monotone-replay contract: a late fact would silently read a
+      // TOO-NEW version — the fold refuses instead
+      val ex = intercept[IllegalArgumentException] {
+        graft.streaming.Scd2EnrichState.fold(1L, ("b", 250L), Seq((17L, 180L, "w")))
+      }
+      assert(ex.getMessage.contains("out-of-order row"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
