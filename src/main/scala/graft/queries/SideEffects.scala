@@ -825,6 +825,103 @@ object SideEffects {
       snapshot(1L).unionByName(snapshot(2L)).orderBy("version")
     }),
 
+    // A — SHALLOW CLONE (added r12): the zero-copy snapshot primitive —
+    // a clone is a MANIFEST COPY, not a data copy (Delta SHALLOW CLONE /
+    // Iceberg snapshot ref): the clone directory holds ONE control file
+    // pointing at the source's committed files and NO part files (the
+    // key asserts that), so cloning a 100 TB store costs one metadata
+    // write. The key commits v1, clones it, then APPENDS v2 to the
+    // source: the clone must keep reading exactly the v1 snapshot while
+    // the source sees both batches — clone isolation under source
+    // evolution, the property that makes clones safe for dev/test/audit
+    // against production stores. Oracle recomputes both aggregates from
+    // source, so the hash proves isolation AND manifest completeness.
+    "store_clone" -> ((s, d) => {
+      val src = scratch("events_clone_src")
+      val dst = scratch("events_clone_dst")
+      Seq(src, dst).foreach { p =>
+        val f = new java.io.File(p)
+        if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      }
+      val ev = Tables.events(s, d)
+        .withColumn("micro", floor(col("value") * lit(1e6)).cast("long"))
+        .select(col("event_id"), col("micro"))
+      ev.where(col("event_id") % 2 === 0)
+        .repartition(4).write.mode("overwrite").parquet(src)
+      graft.Fs.writeUtf8(s, s"$src/_manifests/v1.txt",
+        graft.Fs.listDataFiles(s, src).mkString("\n"))
+      // the clone IS this one control-file write — zero data movement
+      graft.Fs.writeUtf8(s, s"$dst/_manifests/v1.txt",
+        graft.Fs.readUtf8(s, s"$src/_manifests/v1.txt").get)
+      // source evolves after the clone
+      ev.where(col("event_id") % 2 === 1)
+        .repartition(4).write.mode("append").parquet(src)
+      graft.Fs.writeUtf8(s, s"$src/_manifests/v2.txt",
+        graft.Fs.listDataFiles(s, src).mkString("\n"))
+      require(graft.Fs.listDataFiles(s, dst).isEmpty,
+        "a shallow clone must hold no data files of its own")
+      def snap(tag: String, manifest: String): DataFrame = {
+        val files = graft.Fs.readUtf8(s, manifest)
+          .getOrElse(sys.error(s"missing manifest $manifest")).split("\n").toSeq
+        s.read.parquet(files: _*)
+          .agg(count(lit(1)).as("n_events"), sum("micro").as("sum_micro"))
+          .select(lit(tag).as("snapshot"), col("n_events"), col("sum_micro"))
+      }
+      snap("clone", s"$dst/_manifests/v1.txt")
+        .unionByName(snap("source", s"$src/_manifests/v2.txt"))
+        .orderBy("snapshot")
+    }),
+
+    // A — CHANGE DATA FEED between store versions (added r12): the CDC
+    // read path a versioned store serves (Delta CDF's table_changes) —
+    // row-grain insert/delete/update rows derived by comparing two
+    // MANIFEST-committed snapshots living in the SAME directory. v2 is a
+    // copy-on-write rewrite (its manifest lists only the new files; v1's
+    // files sit untouched beside them — the time-travel layout), with
+    // the correction derivable from source so the oracle can recompute:
+    // 'error' rows purged (deletes), click micros doubled (updates,
+    // old+new values on one row), purchase rows re-keyed +10M (inserts —
+    // store_diff's documented fixture-synthesis envelope, valid while
+    // the corpus holds < 10M events). Unchanged rows are NOT emitted
+    // (the CDF contract: downstream consumers apply the delta, never
+    // rescan the table). One co-partitioned full-outer join on the key —
+    // at 100 TB both snapshots hash-partition on event_id and the diff
+    // is exchange-aligned; the feed is change-sized, not table-sized.
+    "store_cdc_read" -> ((s, d) => {
+      val out = scratch("events_cdc_store")
+      val outDir = new java.io.File(out)
+      if (outDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+      val base = Tables.events(s, d)
+        .withColumn("micro", floor(col("value") * lit(1e6)).cast("long"))
+        .select(col("event_id"), col("event_type"), col("micro"))
+      base.repartition(4).write.mode("overwrite").parquet(out)
+      val v1Files = graft.Fs.listDataFiles(s, out)
+      graft.Fs.writeUtf8(s, s"$out/_manifests/v1.txt", v1Files.mkString("\n"))
+      val corrected = base.where(col("event_type") =!= "error")
+        .withColumn("micro",
+          when(col("event_type") === "click", col("micro") * 2).otherwise(col("micro")))
+        .unionByName(base.where(col("event_type") === "purchase")
+          .withColumn("event_id", col("event_id") + lit(10000000L)))
+      corrected.repartition(4).write.mode("append").parquet(out)
+      val v2Files = graft.Fs.listDataFiles(s, out).filterNot(v1Files.toSet)
+      graft.Fs.writeUtf8(s, s"$out/_manifests/v2.txt", v2Files.mkString("\n"))
+      def snap(v: Int): DataFrame = s.read.parquet(
+        graft.Fs.readUtf8(s, s"$out/_manifests/v$v.txt").get.split("\n").toSeq: _*)
+      val o = snap(1).select(col("event_id"), col("micro").as("micro_old"),
+        lit(1).as("in_old"))
+      val n = snap(2).select(col("event_id"), col("micro").as("micro_new"),
+        lit(1).as("in_new"))
+      o.join(n, Seq("event_id"), "full_outer")
+        .withColumn("change",
+          when(col("in_old").isNull, lit("insert"))
+            .when(col("in_new").isNull, lit("delete"))
+            .when(col("micro_old") =!= col("micro_new"), lit("update"))
+            .otherwise(lit("unchanged")))
+        .where(col("change") =!= "unchanged")
+        .select(col("event_id"), col("change"), col("micro_old"), col("micro_new"))
+        .orderBy("event_id")
+    }),
+
     // A — DYNAMIC PARTITION OVERWRITE (added r11): the partition-grain
     // correction path every day-partitioned store needs — re-emit ONE
     // day's corrected rows with partitionOverwriteMode=dynamic and only
@@ -1045,6 +1142,40 @@ object SideEffects {
         |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
         |FROM events WHERE event_id % 3 IN (0, 1)
         |ORDER BY version""".stripMargin,
+    "store_clone" ->
+      """SELECT 'clone' AS snapshot, count(*) AS n_events,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT 'source', count(*),
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+        |FROM events
+        |ORDER BY snapshot""".stripMargin,
+    "store_cdc_read" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, CAST(floor(value * 1e6) AS BIGINT) AS micro
+        |  FROM events
+        |),
+        |nxt AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_type = 'click' THEN micro * 2 ELSE micro END AS micro
+        |  FROM base WHERE event_type <> 'error'
+        |  UNION ALL
+        |  SELECT event_id + 10000000, event_type, micro
+        |  FROM base WHERE event_type = 'purchase'
+        |),
+        |j AS (
+        |  SELECT coalesce(b.event_id, n.event_id) AS event_id,
+        |         CASE WHEN b.event_id IS NULL THEN 'insert'
+        |              WHEN n.event_id IS NULL THEN 'delete'
+        |              WHEN b.micro <> n.micro THEN 'update'
+        |              ELSE 'unchanged' END AS change,
+        |         b.micro AS micro_old, n.micro AS micro_new
+        |  FROM base b FULL JOIN nxt n ON b.event_id = n.event_id
+        |)
+        |SELECT event_id, change, micro_old, micro_new FROM j
+        |WHERE change <> 'unchanged'
+        |ORDER BY event_id""".stripMargin,
     "store_partition_overwrite" ->
       """WITH e AS (
         |  SELECT event_id,
