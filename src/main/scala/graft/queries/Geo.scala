@@ -442,6 +442,104 @@ object Geo {
         .orderBy("user_id")
     }),
 
+    // M8' — STAY-POINT detection (added r12; Li et al. 2008's stop
+    // extraction in its production step-distance form): per entity,
+    // maximal runs of consecutive trajectory points (in the (ts,
+    // event_id) total order) whose step distance stays ≤ 6 km — the
+    // dwell/stop readout movement pipelines derive right after
+    // `geo_path_length`'s trip stats (home/work detection, visit mining,
+    // POI attribution). Fixture gives trajectories real structure while
+    // staying md5-exact: each event is either a DWELL observation (md5
+    // mode 0 of 4 — jittered ±2 km around the user's md5 home, so
+    // consecutive dwells step ≤ √2·4 km < 6 km by construction) or a
+    // full-square uniform MOVE point (P[within 6 km of the previous
+    // point] ≈ 10⁻⁴ — stays are runs, not coincidences). Gaps-and-islands
+    // on the step flag (one lag window + one running sum, entity-keyed
+    // linear — the win_islands shape in space); stays of ≥ 3 points
+    // emitted with exact-integer duration and floor-div centroid. All
+    // arithmetic exact longs; the only IEEE op is the step sqrt of an
+    // exactly-representable long, floored (the geo_path_length stance).
+    "geo_stay_points" -> ((s, d) => {
+      val mode = pmod(conv(substring(md5(concat(lit("sm:"),
+        col("event_id").cast("string"))), 1, 4), 16, 10).cast("long"), lit(4L))
+      def jit(tag: String) = pmod(conv(substring(md5(concat(lit(tag),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(4001L)) - 2000L
+      val pts = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          mode.as("m"),
+          coord("hx:", col("user_id")).as("hx"), coord("hy:", col("user_id")).as("hy"),
+          coord("px:", col("event_id")).as("ux"), coord("py:", col("event_id")).as("uy"),
+          jit("jx:").as("jx"), jit("jy:").as("jy"))
+        .select(col("user_id"), col("ts").cast("long").as("ts_sec"), col("event_id"),
+          when(col("m") === 0, col("hx") + col("jx")).otherwise(col("ux")).as("px"),
+          when(col("m") === 0, col("hy") + col("jy")).otherwise(col("uy")).as("py"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_sec", "event_id")
+      val flagged = pts
+        .withColumn("lx", lag("px", 1).over(w))
+        .withColumn("ly", lag("py", 1).over(w))
+        .withColumn("brk", when(col("lx").isNull ||
+          (col("px") - col("lx")) * (col("px") - col("lx"))
+            + (col("py") - col("ly")) * (col("py") - col("ly")) > lit(36000000L), 1L)
+          .otherwise(0L))
+        .withColumn("stay_id", sum("brk").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      flagged.groupBy("user_id", "stay_id")
+        .agg(count(lit(1)).as("n_points"),
+          min("ts_sec").as("from_sec"), max("ts_sec").as("to_sec"),
+          expr("sum(px) div count(*)").as("cx"),
+          expr("sum(py) div count(*)").as("cy"))
+        .where(col("n_points") >= 3)
+        .select(col("user_id"), col("stay_id"), col("n_points"),
+          col("from_sec"), col("to_sec"),
+          (col("to_sec") - col("from_sec")).as("duration_sec"), col("cx"), col("cy"))
+        .orderBy("user_id", "stay_id")
+    }),
+
+    // M8'' — CO-MOVEMENT screen (added r12): entity pairs repeatedly
+    // co-located — within 100 km in the SAME hour, in ≥ 2 distinct hours
+    // — the convoy/contact/travelling-together primitive (flock mining,
+    // exposure tracing, fraud collusion). The spatial LSH blocks in
+    // SPACE-TIME: one representative position per (entity, hour)
+    // (min-event_id argmin — one struct min, no window), then the
+    // family's lossless 3×3 cell join ADDITIONALLY keyed on the hour —
+    // candidate volume is Σ occupancy² per (hour, cell), never corpus²,
+    // and the hour key shards the join ~uniformly across time (the skew
+    // story a pure-space join lacks). A qualifying pair matches exactly
+    // one (dx,dy) offset (R = cell edge ⇒ lossless, the
+    // geo_radius_pairs argument) so counts need no dedup; repeat
+    // filter ≥ 2 is what separates convoys from single coincidences.
+    // Exact long distance test; counts exact.
+    "geo_comovement" -> ((s, d) => {
+      val rep = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+          col("event_id"),
+          coord("px:", col("event_id")).as("px"), coord("py:", col("event_id")).as("py"))
+        .groupBy("user_id", "hr")
+        .agg(min(struct(col("event_id"), col("px"), col("py"))).as("r"))
+        .select(col("user_id"), col("hr"),
+          col("r.px").as("px"), col("r.py").as("py"))
+        .withColumn("cx", expr(s"px div $Cell"))
+        .withColumn("cy", expr(s"py div $Cell"))
+      val a = rep.select(col("user_id").as("u1"), col("hr"),
+          col("px").as("x1"), col("py").as("y1"), col("cx"), col("cy"))
+        .withColumn("dx", explode(expr("sequence(-1, 1)")))
+        .withColumn("dy", explode(expr("sequence(-1, 1)")))
+        .withColumn("jx", col("cx") + col("dx"))
+        .withColumn("jy", col("cy") + col("dy"))
+      val b = rep.select(col("user_id").as("u2"), col("hr").as("hr2"),
+        col("px").as("x2"), col("py").as("y2"),
+        col("cx").as("bx"), col("cy").as("by"))
+      a.join(b, col("hr") === col("hr2") && col("jx") === col("bx")
+          && col("jy") === col("by") && col("u1") < col("u2"))
+        .where((col("x1") - col("x2")) * (col("x1") - col("x2"))
+          + (col("y1") - col("y2")) * (col("y1") - col("y2")) <= lit(Cell * Cell))
+        .groupBy("u1", "u2")
+        .agg(count(lit(1)).as("n_hours"),
+          min("hr").as("first_hr"), max("hr").as("last_hr"))
+        .where(col("n_hours") >= 2)
+        .orderBy("u1", "u2")
+    }),
+
     "geo_geohash" -> ((s, d) => {
       // least(·, 32767): floor((v+off)·2¹⁵/range) reads 32768 at exactly
       // v = +90°/+180°, which would wrap the 15-bit field to all-zeros
@@ -789,6 +887,71 @@ object Geo {
         |         floor(CAST(disp_m AS DOUBLE) / CAST(path_m AS DOUBLE) * 1e4) / 1e4
         |       END AS straightness
         |FROM fin ORDER BY user_id""".stripMargin,
+    "geo_stay_points" ->
+      """WITH pts AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec,
+        |         CAST(concat('0x', substring(md5(concat('sm:', CAST(event_id AS VARCHAR))), 1, 4)) AS BIGINT) % 4 AS m,
+        |         CAST(concat('0x', substring(md5(concat('hx:', CAST(user_id AS VARCHAR))), 1, 12)) AS BIGINT) % 1000000 AS hx,
+        |         CAST(concat('0x', substring(md5(concat('hy:', CAST(user_id AS VARCHAR))), 1, 12)) AS BIGINT) % 1000000 AS hy,
+        |         CAST(concat('0x', substring(md5(concat('px:', CAST(event_id AS VARCHAR))), 1, 12)) AS BIGINT) % 1000000 AS ux,
+        |         CAST(concat('0x', substring(md5(concat('py:', CAST(event_id AS VARCHAR))), 1, 12)) AS BIGINT) % 1000000 AS uy,
+        |         CAST(concat('0x', substring(md5(concat('jx:', CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4001 - 2000 AS jx,
+        |         CAST(concat('0x', substring(md5(concat('jy:', CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4001 - 2000 AS jy
+        |  FROM events
+        |),
+        |p2 AS (
+        |  SELECT user_id, ts_sec, event_id,
+        |         CASE WHEN m = 0 THEN hx + jx ELSE ux END AS px,
+        |         CASE WHEN m = 0 THEN hy + jy ELSE uy END AS py
+        |  FROM pts
+        |),
+        |f AS (
+        |  SELECT *, CASE WHEN lx IS NULL OR
+        |                  (px - lx) * (px - lx) + (py - ly) * (py - ly) > 36000000
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM (SELECT *, lag(px) OVER w AS lx, lag(py) OVER w AS ly FROM p2
+        |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        |),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS stay_id
+        |  FROM f
+        |),
+        |st AS (
+        |  SELECT user_id, stay_id, count(*) AS n_points,
+        |         min(ts_sec) AS from_sec, max(ts_sec) AS to_sec,
+        |         sum(px) // count(*) AS cx, sum(py) // count(*) AS cy
+        |  FROM g GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(stay_id AS BIGINT) AS stay_id,
+        |       CAST(n_points AS BIGINT) AS n_points, from_sec, to_sec,
+        |       to_sec - from_sec AS duration_sec,
+        |       CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy
+        |FROM st WHERE n_points >= 3
+        |ORDER BY user_id, stay_id""".stripMargin,
+    "geo_comovement" ->
+      """WITH pts AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_id,
+        |         CAST(concat('0x', substring(md5(concat('px:', CAST(event_id AS VARCHAR))), 1, 12)) AS BIGINT) % 1000000 AS px,
+        |         CAST(concat('0x', substring(md5(concat('py:', CAST(event_id AS VARCHAR))), 1, 12)) AS BIGINT) % 1000000 AS py
+        |  FROM events
+        |),
+        |rep AS (
+        |  SELECT user_id, hr, px, py FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, hr ORDER BY event_id) AS rn
+        |    FROM pts
+        |  ) WHERE rn = 1
+        |),
+        |p AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2, a.hr
+        |  FROM rep a JOIN rep b ON a.hr = b.hr AND a.user_id < b.user_id
+        |  WHERE (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+        |        <= 10000000000
+        |)
+        |SELECT u1, u2, count(*) AS n_hours, min(hr) AS first_hr, max(hr) AS last_hr
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY u1, u2""".stripMargin,
     "geo_geohash" -> {
       val lonBits = "LEAST((((lon + 180000000) * 32768) // 360000000), 32767)"
       val latBits = "LEAST((((lat + 90000000) * 32768) // 180000000), 32767)"
