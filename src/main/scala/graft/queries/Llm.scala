@@ -171,6 +171,17 @@ object Llm {
       .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"), col("n_terms"))
   }
 
+  /** NDCG discount weights quantized ONCE to integer nano-units —
+    * wq(r) = ⌊1e9 / log2(r+1)⌋ for ranks 1..10, StrictMath on the driver
+    * (the phashCosQ pattern): both engines consume the SAME literal
+    * integers, so no query-time log() can drift cross-engine, and every
+    * DCG sum is exact long arithmetic. */
+  private val NdcgWq: Seq[Long] = (1 to 10).map(r =>
+    math.floor(1e9 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0))).toLong)
+
+  /** Prefix sums W(0..10) of [[NdcgWq]] — the ideal-DCG lookup. */
+  private val NdcgWp: Seq[Long] = NdcgWq.scanLeft(0L)(_ + _)
+
   /** Embeddings with a precomputed L2 norm (computed once, not per pair). */
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecDot.register(s)
@@ -2378,6 +2389,97 @@ object Llm {
     // precedent. Output is every matching doc ordered by doc_id — no
     // top-k rank boundary to flip on a last-ulp score tie.
     "llm_bm25_search" -> ((s, d) => bm25Scores(s, d).orderBy("doc_id")),
+
+    // K10c — NDCG@k ranking eval (added r12): the graded-relevance
+    // quality curve the retrieval family lacked (recall@k says WHETHER
+    // the answer surfaced; NDCG says how well the whole ranking orders
+    // graded relevance — the metric search teams actually report).
+    // System under eval = the shared BM25 ranking (bm25Scores verbatim —
+    // eval and system cannot desynchronize); graded relevance = distinct
+    // query terms matched (1..3), a label derivable on both engines.
+    // Determinism is EXACT integers end to end: discount weights are the
+    // driver-quantized ⌊1e9/log2(r+1)⌋ literal table (NdcgWq — no
+    // query-time log), gains (2^rel − 1) are CASE constants, DCG@k is a
+    // cumulative long sum, and the IDEAL DCG needs NO second global
+    // sort: with only 3 relevance grades the ideal prefix at rank k is a
+    // closed form over the grade counts (c3, c2, c1 — one broadcast
+    // 1-row aggregate) via the W prefix-sum table. ndcg_at_k =
+    // (dcg·1e4) div idcg — integer floor, zero float drift. Both
+    // windows run over the TakeOrdered top-10 (bounded input, the
+    // llm_rank_fusion allowlist rationale).
+    "llm_rank_ndcg" -> ((s, d) => {
+      val scored = bm25Scores(s, d)
+      val counts = scored.agg(
+        sum(when(col("n_terms") === 3, 1L).otherwise(0L)).as("c3"),
+        sum(when(col("n_terms") === 2, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("n_terms") === 1, 1L).otherwise(0L)).as("c1"))
+      val top = scored.orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      val wRank = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val wqArr = array(NdcgWq.map(lit): _*)
+      val wpArr = array(NdcgWp.map(lit): _*)
+      def wPrefix(k: Column) = element_at(wpArr, (k + 1).cast("int"))
+      top
+        .withColumn("rank", row_number().over(wRank))
+        .withColumn("gain", when(col("n_terms") === 3, 7L)
+          .when(col("n_terms") === 2, 3L).otherwise(1L))
+        .withColumn("wq", element_at(wqArr, col("rank")))
+        .withColumn("dcg_q", sum(col("gain") * col("wq")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(counts))
+        .withColumn("idcg_q",
+          lit(7L) * wPrefix(least(col("rank"), col("c3")))
+            + lit(3L) * (wPrefix(least(col("rank"), col("c3") + col("c2")))
+              - wPrefix(least(col("rank"), col("c3"))))
+            + (wPrefix(least(col("rank"), col("c3") + col("c2") + col("c1")))
+              - wPrefix(least(col("rank"), col("c3") + col("c2")))))
+        .select(col("rank"), col("doc_id"), col("bm25"),
+          col("n_terms").as("rel"), col("dcg_q"),
+          (expr("(dcg_q * 10000) div idcg_q").cast("double") / 1e4).as("ndcg_at_k"))
+        .orderBy("rank")
+    }),
+
+    // K15'' — FUZZY decontamination (added r12): exact shingle matching
+    // (llm_decontaminate) misses paraphrased / partially-copied eval
+    // material — the production screen (GPT-3 appendix C lineage) also
+    // hunts NEAR-duplicates of eval documents. Train docs probe the eval
+    // docs' MinHash band index (the SAME 2×4 banding the dedup family
+    // joins on — Dedup.bandKeys verbatim) and band collisions are
+    // exact-verified with full-token-set Jaccard ≥ 0.5 via the shared-
+    // token equi-join + the Σmin/Σmax identity — candidates ∝ collisions,
+    // never train×eval. Asymmetric by construction: eval bands are
+    // eval-set-sized (broadcastable at any corpus scale); banding recall
+    // at J=0.5 is the DECLARED ANN trade the llm_lsh_recall curve
+    // measures. jacq = ⌊1e4·inter/union⌋ — integer quotient, exact on
+    // both engines. Same md5 eval split as the exact key, so the three
+    // decontamination keys screen the same contract at rising fuzziness.
+    "llm_decontaminate_fuzzy" -> ((s, d) => {
+      val tok = tokensDistinct(s, d)
+      val isEval = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") < 3277L).cast("int")
+      val ids = Tables.documents(s, d).select(col("doc_id"), isEval.as("is_eval"))
+      val bands = Dedup.bandKeys(tok)
+      val eb = bands.join(broadcast(ids.where(col("is_eval") === 1)).drop("is_eval"),
+        "doc_id").select(col("doc_id").as("eval_id"), col("band_i"), col("band_v"))
+      val tb = bands.join(broadcast(ids.where(col("is_eval") === 0)).drop("is_eval"),
+        "doc_id").select(col("doc_id"), col("band_i").as("bi2"), col("band_v").as("bv2"))
+      val cand = tb.join(eb, col("band_i") === col("bi2") && col("band_v") === col("bv2"))
+        .select("doc_id", "eval_id").distinct()
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val tt = tok.select(col("doc_id"), col("token"))
+      val inter = cand
+        .join(tt, "doc_id")
+        .join(tt.select(col("doc_id").as("eval_id"), col("token")),
+          Seq("eval_id", "token"))
+        .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id"), col("n").as("na")), "doc_id")
+        .join(sizes.select(col("doc_id").as("eval_id"), col("n").as("nb")), "eval_id")
+        .withColumn("jacq", expr("(inter * 10000) div (na + nb - inter)"))
+        .where(col("jacq") >= 5000L)
+        .select(col("doc_id"), col("eval_id"), col("inter"),
+          (col("jacq").cast("double") / 1e4).as("jaccard"))
+        .orderBy("doc_id", "eval_id")
+    }),
 
     // K3b' — RECIPROCAL RANK FUSION (added r11; Cormack et al. 2009):
     // hybrid search's standard combiner — fuse the lexical (BM25) and
@@ -7614,6 +7716,101 @@ object Llm {
         |           + coalesce(sum(CASE WHEN token = 'vector' THEN s END), 0.0), 4) AS bm25,
         |       count(*) AS n_terms
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // NDCG@k: same BM25 CTEs, rank + cumulative DCG over the LIMIT-10
+    // shortlist, ideal DCG in closed form from the grade counts via the
+    // SAME driver-quantized literal weight tables as the Spark plan —
+    // integer arithmetic end to end, no query-time log()
+    "llm_rank_ndcg" -> {
+      val wqRows = NdcgWq.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }.mkString(", ")
+      val wpRows = NdcgWp.zipWithIndex
+        .map { case (w, k) => s"($k, CAST($w AS BIGINT))" }.mkString(", ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        |  FROM documents
+        |),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+        |               / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        |),
+        |bm AS (
+        |  SELECT doc_id,
+        |         round(coalesce(sum(CASE WHEN token = 'hash' THEN s END), 0.0)
+        |             + coalesce(sum(CASE WHEN token = 'join' THEN s END), 0.0)
+        |             + coalesce(sum(CASE WHEN token = 'vector' THEN s END), 0.0), 4) AS bm25,
+        |         count(*) AS n_terms
+        |  FROM scored GROUP BY doc_id
+        |),
+        |wq(rank, w) AS (VALUES $wqRows),
+        |wp(k, wsum) AS (VALUES $wpRows),
+        |cnts AS (
+        |  SELECT sum(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END) AS c3,
+        |         sum(CASE WHEN n_terms = 2 THEN 1 ELSE 0 END) AS c2,
+        |         sum(CASE WHEN n_terms = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM bm
+        |),
+        |top AS (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM top),
+        |cum AS (
+        |  SELECT rk.rank, rk.doc_id, rk.bm25, rk.n_terms AS rel,
+        |         sum((CASE WHEN n_terms = 3 THEN 7 WHEN n_terms = 2 THEN 3 ELSE 1 END)
+        |             * wq.w) OVER (ORDER BY rk.rank) AS dcg_q
+        |  FROM rk JOIN wq ON wq.rank = rk.rank
+        |),
+        |fin AS (
+        |  SELECT cum.*,
+        |         7 * w3.wsum + 3 * (w2.wsum - w3.wsum) + (w1.wsum - w2.wsum) AS idcg_q
+        |  FROM cum CROSS JOIN cnts
+        |  JOIN wp w3 ON w3.k = least(cum.rank, c3)
+        |  JOIN wp w2 ON w2.k = least(cum.rank, c3 + c2)
+        |  JOIN wp w1 ON w1.k = least(cum.rank, c3 + c2 + c1)
+        |)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, bm25,
+        |       CAST(rel AS BIGINT) AS rel, CAST(dcg_q AS BIGINT) AS dcg_q,
+        |       CAST((dcg_q * 10000) // idcg_q AS DOUBLE) / 1e4 AS ndcg_at_k
+        |FROM fin ORDER BY rank""".stripMargin
+    },
+    // fuzzy decontamination: same tok/band CTEs as the dedup family, eval
+    // split as the exact key, band-collision candidates exact-verified
+    // with the integer-quotient Jaccard
+    "llm_decontaminate_fuzzy" ->
+      s"""WITH ${graft.queries.Dedup.tokCte},
+        |${graft.queries.Dedup.bandsCte},
+        |ev AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 3277
+        |),
+        |eb AS (SELECT b.doc_id AS eval_id, band_i, band_v
+        |       FROM bands b JOIN ev ON b.doc_id = ev.doc_id),
+        |tb AS (SELECT b.doc_id, band_i, band_v FROM bands b
+        |       WHERE b.doc_id NOT IN (SELECT doc_id FROM ev)),
+        |cand AS (SELECT DISTINCT tb.doc_id, eb.eval_id
+        |         FROM tb JOIN eb USING (band_i, band_v)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |it AS (
+        |  SELECT c.doc_id, c.eval_id, count(*) AS inter
+        |  FROM cand c JOIN tok a ON a.doc_id = c.doc_id
+        |  JOIN tok e ON e.doc_id = c.eval_id AND e.token = a.token
+        |  GROUP BY 1, 2
+        |),
+        |fin AS (
+        |  SELECT it.doc_id, it.eval_id, it.inter,
+        |         (it.inter * 10000) // (sa.n + sb.n - it.inter) AS jacq
+        |  FROM it JOIN sz sa ON sa.doc_id = it.doc_id
+        |       JOIN sz sb ON sb.doc_id = it.eval_id
+        |)
+        |SELECT doc_id, eval_id, CAST(inter AS BIGINT) AS inter,
+        |       CAST(jacq AS DOUBLE) / 1e4 AS jaccard
+        |FROM fin WHERE jacq >= 5000
+        |ORDER BY doc_id, eval_id""".stripMargin,
     // RRF: top-100 shortlists from the shared BM25 CTEs + the cosine leg,
     // fused with 1/(60+rank), floor-1e-6, top-20
     "llm_rank_fusion" ->

@@ -273,13 +273,15 @@ class PlanShapeSpec extends SparkSpec {
     //     broadcast stage join and the (stage, shard)-partitioned rank)
     //   - llm_rank_fusion shortlist-rank windows (input = each system's
     //     TakeOrdered top-100 — bounded by the limit, never corpus-sized)
+    //   - llm_rank_ndcg rank + cumulative-DCG windows (input = the
+    //     TakeOrdered top-10 shortlist — the llm_rank_fusion rationale)
     val allow = Set(
       "agg_rfm", "llm_vocab_coverage", "llm_zipf_slope", "win_analytic",
       "llm_shard_plan",
       "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near",
       "llm_lsh_recall",
       "agg_survival_km", "graph_degree_dist", "agg_pareto", "llm_curriculum",
-      "llm_rank_fusion")
+      "llm_rank_fusion", "llm_rank_ndcg")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val skip = graft.tools.PlanScan.skipKeys
