@@ -709,6 +709,35 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E14' — Page–Hinkley drift detector (added r12; Page 1954, the
+    // sequential test the stream-drift literature standardizes on): the
+    // alarm-bearing sibling of `win_cusum` — PH tracks the cumulative
+    // deviation m_t = Σ(x − μ0 − δ) AND its running minimum, alarming on
+    // m_t − min_{i≤t} m_i > λ. The min-anchor is what CUSUM's raw sum
+    // lacks: after a long low period the sum is deeply negative and a
+    // genuine upward shift takes ages to cross any fixed line; PH
+    // re-anchors at the historical minimum, so detection delay depends
+    // only on the POST-CHANGE drift (the property that makes it the
+    // model-monitoring default). μ0 = 50 (the KPI's design center),
+    // δ = 1 tolerance, λ = 200. Exact µ-unit longs: one running sum +
+    // one running min over the same entity-keyed order — one shuffle,
+    // one sort, two window passes; the only float is the final display
+    // divide of an exact long (the win_cusum stance). Both alarm states
+    // live on the fixture (checked at review: alarms fire on heavy-tail
+    // bursts, clear after re-anchoring).
+    "win_page_hinkley" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("mq", sum(floor(col("value") * 1e6).cast("long")
+          - lit(51000000L)).over(w))
+        .withColumn("mn", min(col("mq")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          ((col("mq") - col("mn")).cast("double") / 1e6).as("ph"),
+          (col("mq") - col("mn") > lit(200000000L)).cast("int").as("alarm"))
+        .orderBy("event_id")
+    }),
+
     // E15 — busy hour (added r3): per (user, day) the hour carrying the
     // most traffic — the canonical telecom-PM readout (networks are
     // dimensioned on the busy hour, not the mean). Determinism: the
@@ -1822,6 +1851,23 @@ object Wins {
         |         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |               ROWS UNBOUNDED PRECEDING) / 1000000.0 AS cusum
         |FROM events ORDER BY event_id""".stripMargin,
+    "win_page_hinkley" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         sum(CAST(floor(value * 1000000) AS BIGINT) - 51000000)
+        |           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS mq
+        |  FROM events
+        |),
+        |p AS (
+        |  SELECT *, min(mq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS mn
+        |  FROM m
+        |)
+        |SELECT event_id, user_id, ts,
+        |       CAST(mq - mn AS DOUBLE) / 1000000.0 AS ph,
+        |       CAST(CASE WHEN mq - mn > 200000000 THEN 1 ELSE 0 END AS INTEGER) AS alarm
+        |FROM p ORDER BY event_id""".stripMargin,
     "win_interpolate" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |hourly AS (
