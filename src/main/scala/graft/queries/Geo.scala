@@ -495,6 +495,34 @@ object Geo {
         .orderBy("user_id", "stay_id")
     }),
 
+    // M8''' — ORIGIN–DESTINATION matrix (added r12): aggregate flows
+    // between grid cells from consecutive trajectory points — the
+    // transport-planning / capacity readout every movement pipeline
+    // publishes (agg_transition_matrix's idea taken to SPACE: states =
+    // 100 km cells). A trip = two consecutive points (the (ts, event_id)
+    // order) landing in DIFFERENT cells; stationary steps are not trips.
+    // One lag window + one (from, to)-cell groupBy — entity-keyed
+    // linear, and the output is grid²-bounded (≤ 9 900 OD rows at ANY
+    // corpus size: the summary-grain property that makes OD matrices
+    // publishable). n_users (distinct entities per flow) rides along —
+    // the privacy/aggregation k-anonymity count OD releases gate on.
+    "geo_od_matrix" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        coord("px:", col("event_id")).as("px"), coord("py:", col("event_id")).as("py"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      pts
+        .withColumn("cx", expr(s"px div $Cell"))
+        .withColumn("cy", expr(s"py div $Cell"))
+        .withColumn("fx", lag("cx", 1).over(w))
+        .withColumn("fy", lag("cy", 1).over(w))
+        .where(col("fx").isNotNull
+          && (col("fx") =!= col("cx") || col("fy") =!= col("cy")))
+        .groupBy("fx", "fy", "cx", "cy")
+        .agg(count(lit(1)).as("n_trips"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("fx", "fy", "cx", "cy")
+    }),
+
     // M8'' — CO-MOVEMENT screen (added r12): entity pairs repeatedly
     // co-located — within 100 km in the SAME hour, in ≥ 2 distinct hours
     // — the convoy/contact/travelling-together primitive (flock mining,
@@ -887,6 +915,27 @@ object Geo {
         |         floor(CAST(disp_m AS DOUBLE) / CAST(path_m AS DOUBLE) * 1e4) / 1e4
         |       END AS straightness
         |FROM fin ORDER BY user_id""".stripMargin,
+    "geo_od_matrix" ->
+      """WITH pts AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CAST(concat('0x', substring(md5(concat('px:', CAST(event_id AS VARCHAR))), 1, 12)) AS BIGINT) % 1000000 AS px,
+        |         CAST(concat('0x', substring(md5(concat('py:', CAST(event_id AS VARCHAR))), 1, 12)) AS BIGINT) % 1000000 AS py
+        |  FROM events
+        |),
+        |c AS (
+        |  SELECT user_id, ts, event_id, px // 100000 AS cx, py // 100000 AS cy
+        |  FROM pts
+        |),
+        |mv AS (
+        |  SELECT *, lag(cx) OVER w AS fx, lag(cy) OVER w AS fy
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT fx, fy, cx, cy, count(*) AS n_trips,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM mv
+        |WHERE fx IS NOT NULL AND (fx <> cx OR fy <> cy)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY fx, fy, cx, cy""".stripMargin,
     "geo_stay_points" ->
       """WITH pts AS (
         |  SELECT user_id, event_id,

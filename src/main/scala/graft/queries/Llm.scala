@@ -2841,6 +2841,39 @@ object Llm {
         .orderBy("vec_id")
     }),
 
+    // K3k — MATRYOSHKA prefix-dimension recall (added r12; Kusupati et
+    // al. 2022): serving systems cut ANN cost by searching a PREFIX of
+    // the embedding (MRL-trained models front-load information) — this
+    // key measures what that trade costs on THIS corpus: recall@1 of
+    // exact search over the first 16 of 64 dims vs exact search over the
+    // full vector, on the family's md5 500-query budget. Both truth
+    // sides are budget-sized (|budget|·n via ops.Knn.topKCosine — never
+    // n²), so the eval itself survives any corpus size; a query or
+    // candidate whose PREFIX is zero-norm has no cosine direction and
+    // drops from the prefix side only (miss, not a dropped row — the
+    // recall-family stance). The 4× dot-product saving is the point; the
+    // measured hit rate is the price tag, beside llm_recall_at_k (IVF)
+    // and llm_recall_hnsw (graph) — the third axis: DIMENSION, not
+    // index, as the approximation knob.
+    "llm_recall_matryoshka" -> ((s, d) => {
+      val v = vecs(s, d)
+      val qids = v.where(col("norm") > 0.0d)
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
+        .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
+      val queries = v.join(broadcast(qids), col("vec_id") === col("q_id"))
+        .select("vec_id", "embedding", "label")
+      val corpus = v.select("vec_id", "embedding", "label")
+      val full = graft.ops.Knn.topKCosine(queries, corpus, 1).toDF()
+        .select(col("q_id").as("vec_id"), col("c_id").as("nn_full"))
+      def prefix(df: DataFrame): DataFrame = df.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"), col("label"))
+      val pref = graft.ops.Knn.topKCosine(prefix(queries), prefix(corpus), 1).toDF()
+        .select(col("q_id").as("vec_id"), col("c_id").as("nn_16"))
+      full.join(pref, Seq("vec_id"), "left")
+        .withColumn("hit", when(col("nn_16") === col("nn_full"), 1).otherwise(0))
+        .orderBy("vec_id")
+    }),
+
     // K3h' — clustering quality eval (added r9): per-cluster label
     // purity of the `llm_kmeans_lloyd` partition — the readout that makes
     // unsupervised clustering actionable for data curation (a cluster
@@ -6872,6 +6905,48 @@ object Llm {
         |  FROM ud GROUP BY out_deg
         |)
         |ORDER BY layer, out_deg""".stripMargin,
+    // matryoshka: both exact sides over the same 500-query budget, the
+    // prefix side sliced to dims 1..16 with its own norms + zero-prefix
+    // guard
+    "llm_recall_matryoshka" ->
+      s"""WITH $vecCte,
+        |q AS (
+        |  SELECT * FROM v WHERE norm > 0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|sq') LIMIT 500
+        |),
+        |exf AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         $dotSql / (a.norm * b.norm) AS sim
+        |  FROM q a JOIN v b ON a.vec_id <> b.vec_id AND b.norm > 0
+        |),
+        |f1 AS (
+        |  SELECT a_id AS vec_id, b_id AS nn_full FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+        |    FROM exf
+        |  ) WHERE rn = 1
+        |),
+        |pv AS (
+        |  SELECT vec_id, embedding[1:16] AS embedding,
+        |         sqrt(list_aggregate(list_transform(embedding[1:16],
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm
+        |  FROM v
+        |),
+        |pq AS (SELECT pv.* FROM pv JOIN q ON pv.vec_id = q.vec_id WHERE pv.norm > 0),
+        |exp16 AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         $dotSql / (a.norm * b.norm) AS sim
+        |  FROM pq a JOIN pv b ON a.vec_id <> b.vec_id AND b.norm > 0
+        |),
+        |p1 AS (
+        |  SELECT a_id AS vec_id, b_id AS nn_16 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+        |    FROM exp16
+        |  ) WHERE rn = 1
+        |)
+        |SELECT f.vec_id, f.nn_full, p.nn_16,
+        |       CASE WHEN p.nn_16 = f.nn_full THEN 1 ELSE 0 END AS hit
+        |FROM f1 f LEFT JOIN p1 p ON f.vec_id = p.vec_id
+        |ORDER BY f.vec_id""".stripMargin,
     // recall@1 of the hierarchy vs the exact top-1 over the same budget
     "llm_recall_hnsw" ->
       s"""WITH $hnswCtes,
