@@ -190,18 +190,19 @@ object Llm {
   }
 
   /** The flat-policy ANN serving tail shared by `llm_ivf_serve`,
-    * `llm_ivf_two_level` (via [[twoLevelServe]]) and the recall eval:
-    * a FIXED 500-query budget (deterministic md5 order + LIMIT), probes
-    * from the top-2 ranked cells restricted to the budget BEFORE the
-    * cell join, per-query top-1 with (sim DESC, id ASC) ties, LEFT join
-    * keeping empty-probe queries as null-neighbor rows. Any change to
-    * the serving contract lives HERE — the one-level and two-level keys
-    * (and their oracle tails) may never desynchronize. */
-  private def serveTail(v: DataFrame, ranked: DataFrame): DataFrame = {
+    * `llm_ivf_two_level` (via [[twoLevelServe]]), `llm_ivf_probe` (via
+    * [[ivfSearch]], r12) and the recall eval: a FIXED 500-query budget
+    * (deterministic md5 order + LIMIT), probes from the top-`nprobe`
+    * ranked cells restricted to the budget BEFORE the cell join,
+    * per-query top-1 with (sim DESC, id ASC) ties, LEFT join keeping
+    * empty-probe queries as null-neighbor rows. Any change to the
+    * serving contract lives HERE — the one-level, two-level and probe
+    * keys (and their oracle tails) may never desynchronize. */
+  private def serveTail(v: DataFrame, ranked: DataFrame, nprobe: Int = 2): DataFrame = {
     val qids = v.where(col("norm") > 0.0d)
       .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
       .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
-    val probes = ranked.where(col("r") <= 2)
+    val probes = ranked.where(col("r") <= nprobe)
       .join(broadcast(qids), col("vec_id") === col("q_id"))
       .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
         col("norm").as("a_n"), col("cell").as("p_cell"))
@@ -865,24 +866,19 @@ object Llm {
       afterUpper, st)
   }
 
+  /** `llm_ivf_probe` body (re-budgeted r12, r11 weak-set closure): the
+    * nprobe-knob demo now runs the SHARED [[serveTail]] contract — the
+    * fixed 500-query md5 budget — instead of all-corpus-as-queries. The
+    * old shape's pair volume was n·occupancy·nprobe = n²·nprobe/nlist at
+    * the pinned demo nlist=16 (the 10× probe read 24.7× and worsened as
+    * the fixture densified); the budgeted eval answers a bounded query
+    * stream, |budget|·occupancy·nprobe — linear in occupancy, the same
+    * re-shape `llm_recall_at_k` took in r11. nprobe dominance (the thing
+    * this key demonstrates) is unchanged over the budget and stays
+    * pinned in KnnSpec against ivfSearch(nprobe = 1) directly. */
   private[graft] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val v = vecs(s, d)
-    val ranked = coarseRanked(v)
-    val cells = ranked.where(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
-    val probes = ranked.where(col("r") <= nprobe)
-      .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
-        col("norm").as("a_n"), col("cell").as("p_cell"))
-    val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
-      col("norm").as("b_n"), col("cell").as("b_cell"))
-    val sims = probes.join(b, col("p_cell") === col("b_cell") && col("a_id") =!= col("b_id"))
-      .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
-    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-    val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
-    cells.join(nn, col("vec_id") === col("a_id"), "left")
-      .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
-      .orderBy("vec_id")
+    serveTail(v, coarseRanked(v), nprobe)
   }
 
   /** The 16-bit SimHash DEMO keys' fixture cap (r12, r11 VERDICT #3): a
@@ -3405,10 +3401,10 @@ object Llm {
     // data-dependent coarse centroids (per-dim means over deterministic
     // md5 seed cells, one k-means update step on a reproducible init,
     // floor-quantized 1e-6) at (cell, dim) grain plus each home cell's
-    // occupancy — instead of duplicating `llm_ivf_probe`'s all-corpus
-    // within-cell search at nprobe=1, whose pair volume is n·occupancy =
-    // n²/nlist (the 10× probe read 10.9× — a scale killer the probe key
-    // already prices as a DECLARED demo trade). The build is LINEAR and
+    // occupancy — instead of duplicating an all-corpus within-cell search
+    // at nprobe=1, whose pair volume is n·occupancy = n²/nlist (the 10×
+    // probe read 10.9× — a scale killer; the probe key itself moved to
+    // the budgeted serveTail contract in r12). The build is LINEAR and
     // stays linear: one posexplode mean pass over the corpus + one
     // broadcast-16 assignment for occupancy; output is 16×64 = 1024 rows
     // at ANY corpus size (index metadata, the thing a deployment actually
@@ -3435,16 +3431,17 @@ object Llm {
     // one cell, so no pair is generated twice); the re-rank picks the best
     // across both probes. Candidate volume doubles, recall strictly
     // dominates nprobe=1 (superset of candidates — KnnSpec pins it), and
-    // the plan stays an equi-join on the cell key.
+    // the plan stays an equi-join on the cell key. Re-budgeted r12 to the
+    // shared serveTail 500-query contract — see ivfSearch's Scaladoc.
     "llm_ivf_probe" -> ((s, d) => ivfSearch(s, d, nprobe = 2)),
 
     // K8g — production-asymmetry ANN serving (added r7): a SAMPLED query
     // stream against the full IVF index — the shape a deployed index
-    // actually runs (bounded queries over a growing corpus), vs
-    // `llm_ivf_probe`'s all-corpus-as-queries eval. Query set = the same
-    // deterministic md5 25% sample as `llm_recall_at_k`, norm > 0
-    // asserted (zero-norm queries have no cosine neighbor on either
-    // engine). The query side is restricted BEFORE the cell join, so the
+    // actually runs (bounded queries over a growing corpus). Query set =
+    // the deterministic md5 25% sample (its own `|q` salt, distinct from
+    // serveTail's `|sq` budget), norm > 0 asserted (zero-norm queries
+    // have no cosine neighbor on either engine), bounded at 500 (r12).
+    // The query side is restricted BEFORE the cell join, so the
     // pair volume is Q·occupancy·nprobe: per-query cost is a function of
     // cell occupancy (corpus/nlist), NOT corpus size — scale nlist with
     // the corpus and serving cost per query is flat (measured across
@@ -3454,10 +3451,20 @@ object Llm {
     "llm_ivf_query" -> ((s, d) => {
       val v = vecs(s, d)
       val ranked = coarseRanked(v)
-      val sampled = conv(substring(
-        md5(concat(col("vec_id").cast("string"), lit("|q"))), 1, 4),
-        16, 10).cast("long") < 16384L && col("norm") > 0.0d
-      val probes = ranked.where(col("r") <= 2).where(sampled)
+      // the sampled query STREAM, bounded (r12, r11 weak-set closure): the
+      // md5 25% membership keeps the key's sampled-stream identity, the
+      // LIMIT caps the window served per run at a fixed 500 — a deployed
+      // index answers a bounded stream; the old uncapped sample grew Q
+      // with n, making the scale row superlinear by construction (the
+      // in-code declaration since r8; 10× probe read 21.6×). Pair volume
+      // is now |budget|·occupancy·nprobe at ANY corpus size.
+      val h = md5(concat(col("vec_id").cast("string"), lit("|q")))
+      val qids = v.where(col("norm") > 0.0d)
+        .withColumn("h", h)
+        .where(conv(substring(col("h"), 1, 4), 16, 10).cast("long") < 16384L)
+        .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
+      val probes = ranked.where(col("r") <= 2)
+        .join(broadcast(qids), col("vec_id") === col("q_id"))
         .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
           col("norm").as("a_n"), col("cell").as("p_cell"))
       val cells = ranked.where(col("r") === 1)
@@ -3469,7 +3476,8 @@ object Llm {
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
       val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
-      ranked.where(col("r") === 1).where(sampled)
+      ranked.where(col("r") === 1)
+        .join(broadcast(qids), col("vec_id") === col("q_id"))
         .select(col("vec_id"), col("cell"))
         .join(nn, col("vec_id") === col("a_id"), "left")
         .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
@@ -5106,10 +5114,19 @@ object Llm {
       |         * 1e4) / 1e4 AS resid_norm
       |FROM pj ORDER BY vec_id""".stripMargin
 
+  /** Budgeted (r12): nn over all queries restricted to the 500-query
+    * `|sq` budget at the output is row-identical to restricting the
+    * query side first (per-query top-1 independence); the Spark plan
+    * takes the scalable restricted form via [[serveTail]]. */
   private def ivfSql(nprobe: Int): String =
-    s"""WITH ${ivfCtes(nprobe)}
+    s"""WITH ${ivfCtes(nprobe)},
+      |qs AS (
+      |  SELECT vec_id FROM v WHERE norm > 0
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|sq') LIMIT 500
+      |)
       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
-      |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
+      |FROM cells c JOIN qs USING (vec_id)
+      |LEFT JOIN nn ON c.vec_id = nn.a_id
       |ORDER BY c.vec_id""".stripMargin
 
   /** The `llm_embed_pca_power` computation through the power iteration,
@@ -7626,17 +7643,23 @@ object Llm {
         |FROM cx LEFT JOIN occ ON cx.cell = occ.cell
         |ORDER BY cell, i""".stripMargin,
     "llm_ivf_probe" -> ivfSql(2),
-    // Sampled-query serving: nn over all queries filtered to the sample is
-    // row-identical to restricting the query side first (per-query top-1
-    // independence) — the oracle takes the simple form, the Spark plan the
-    // scalable one.
+    // Sampled-query serving, bounded (r12): the md5 25% membership filter
+    // plus the fixed 500-query window in md5 order — nn over all queries
+    // restricted to the budget at the output is row-identical to
+    // restricting the query side first (per-query top-1 independence);
+    // the oracle takes the simple form, the Spark plan the scalable one.
     "llm_ivf_query" ->
-      s"""WITH ${ivfCtes(2)}
+      s"""WITH ${ivfCtes(2)},
+        |qs AS (
+        |  SELECT vec_id FROM v
+        |  WHERE norm > 0
+        |    AND CAST(concat('0x', substring(
+        |          md5(CAST(vec_id AS VARCHAR) || '|q'), 1, 4)) AS BIGINT) < 16384
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|q') LIMIT 500
+        |)
         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, nn.nn_id, nn.sim
-        |FROM cells c LEFT JOIN nn ON c.vec_id = nn.a_id
-        |WHERE CAST(concat('0x', substring(
-        |        md5(CAST(c.vec_id AS VARCHAR) || '|q'), 1, 4)) AS BIGINT) < 16384
-        |  AND c.norm > 0
+        |FROM cells c JOIN qs USING (vec_id)
+        |LEFT JOIN nn ON c.vec_id = nn.a_id
         |ORDER BY c.vec_id""".stripMargin,
     // Flat-policy serving: the SAME CTE chain with the modulus a scalar
     // subquery — nlist = least(65536, greatest(16, n/50)) derived from
