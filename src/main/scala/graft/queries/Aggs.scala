@@ -1869,6 +1869,41 @@ object Aggs {
         .orderBy("region")
     }),
 
+    // D42b — LORENZ CURVE decile points (added r12): the full inequality
+    // curve under agg_gini's scalar and agg_pareto's two summary points —
+    // customers ranked ASCENDING by total spend, cut into 10 exact
+    // SQL-NTILE tiles (ops.Rank.ntileExpr over the distributed global
+    // rank — the first n mod 10 tiles carry one extra row; no
+    // single-partition window), each decile reporting its customer count,
+    // exact cent sum, and the CUMULATIVE revenue share up to that decile
+    // — the (x, L(x)) points a fairness/concentration dashboard plots.
+    // Zero-spend customers kept (LEFT join, the pareto convention);
+    // rank ties break on custkey. Exact integers end-to-end; the share
+    // is one final IEEE divide of exact longs, floor-1e-6. Scale: one
+    // groupBy + the withGlobalCumSum range-partition pass; output is 10
+    // rows at any corpus size.
+    "agg_lorenz" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("sp"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("sp"), lit(0L)).as("sp"))
+      val ranked = graft.ops.Rank.withGlobalCumSum(cust,
+        Seq(col("sp").asc, col("c_custkey").asc), "sp", "cum", "g", "n_all")
+      ranked
+        .withColumn("decile", graft.ops.Rank.ntileExpr(10, "g", "n_all"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum("sp").as("rev_cents"),
+          max("cum").as("cumq"), max("n_all").as("na"))
+        .join(broadcast(cust.agg(sum("sp").as("tot"))))
+        .select(col("decile"), col("n_customers"), col("rev_cents"),
+          (floor(col("cumq").cast("double") / col("tot").cast("double") * 1e6) / 1e6)
+            .as("cum_share"))
+        .orderBy("decile")
+    }),
+
     // D43 — day-of-week × hour-of-day activity matrix (added r10): the
     // calendar-heatmap rollup every ops dashboard opens with. Weekday is
     // computed ARITHMETICALLY ((epoch_days + 4) mod 7, 0 = Sunday — epoch
@@ -3499,6 +3534,31 @@ object Aggs {
         |       floor(CAST(sum(CASE WHEN rk <= (n + 9) // 10 THEN sp ELSE 0 END) AS DOUBLE)
         |             / CAST(tot AS DOUBLE) * 1e4) / 1e4 AS top10_share
         |FROM rk GROUP BY region, n, tot ORDER BY region""".stripMargin,
+    // SQL-standard NTILE (first n mod 10 tiles one row heavier) matches
+    // ops.Rank.ntileExpr exactly; cum share is max-cum-in-tile / total.
+    "agg_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sp
+        |  FROM orders GROUP BY 1
+        |),
+        |cust AS (
+        |  SELECT c.c_custkey, coalesce(s.sp, 0) AS sp
+        |  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+        |),
+        |rk AS (
+        |  SELECT c_custkey, sp,
+        |         CAST(ntile(10) OVER w AS INTEGER) AS decile,
+        |         CAST(sum(sp) OVER (ORDER BY sp ASC, c_custkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM cust WINDOW w AS (ORDER BY sp ASC, c_custkey ASC)
+        |),
+        |tot AS (SELECT CAST(sum(sp) AS BIGINT) AS tot FROM cust)
+        |SELECT decile, count(*) AS n_customers,
+        |       CAST(sum(sp) AS BIGINT) AS rev_cents,
+        |       floor(CAST(max(cum) AS DOUBLE) / CAST(tot.tot AS DOUBLE) * 1e6) / 1e6
+        |         AS cum_share
+        |FROM rk, tot GROUP BY decile, tot.tot ORDER BY decile""".stripMargin,
     "agg_dow_hour" ->
       """WITH e AS (
         |  SELECT (datediff('day', DATE '1970-01-01',

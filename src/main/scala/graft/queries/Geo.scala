@@ -195,6 +195,54 @@ object Geo {
         .orderBy("c_custkey")
     }),
 
+    // M12 — INVERSE-DISTANCE-WEIGHTED grid interpolation (added r12;
+    // Shepard 1968, p = 2): estimate a continuous field at every 100 km
+    // cell CENTER from the supplier "stations'" deterministic md5
+    // measurements — the coverage/signal-surface raster a siting or
+    // radio-planning view draws (the spatial analogue of win_interpolate:
+    // values exist at stations, the consumer wants a grid). Candidates =
+    // the center's 3×3 blocked neighborhood (the geo_knn_grid spatial-LSH
+    // shape — per-center cost is neighborhood occupancy, never corpus²;
+    // production shrinks the cell to hold occupancy flat). Determinism:
+    // weights are the EXACT integer quotient wq = 1e15 div max(d², 1)
+    // (coincident station ⇒ the 1e15 cap dominates, as IDW demands), the
+    // two accumulations are DECIMAL(38,0) sums of exact products, and the
+    // estimate is ONE final IEEE divide, floor-1e-4. Centers with an
+    // empty neighborhood keep their row (n_stations = 0, null idw) — the
+    // raster's coverage-hole map is a first-class readout. Output ≤ 100
+    // rows at any corpus size.
+    "geo_idw" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val st = suppliers(s, d)
+        .withColumn("zq",
+          pmod(conv(substring(md5(concat(lit("gz:"), col("s_suppkey").cast("string"))),
+            1, 12), 16, 10).cast("long"), lit(100000001L)))
+      val centers = s.range(100)
+        .select((col("id") % 10).as("gx"), expr("id div 10").as("gy"))
+        .withColumn("px", col("gx") * lit(Cell) + lit(Cell / 2))
+        .withColumn("py", col("gy") * lit(Cell) + lit(Cell / 2))
+      val cand = centers
+        .withColumn("dx", explode(expr("sequence(-1, 1)")))
+        .withColumn("dy", explode(expr("sequence(-1, 1)")))
+        .join(st, col("gx") + col("dx") === col("scx")
+          && col("gy") + col("dy") === col("scy"))
+        .withColumn("d2",
+          (col("px") - col("sx")) * (col("px") - col("sx"))
+            + (col("py") - col("sy")) * (col("py") - col("sy")))
+        .withColumn("wq", expr("CAST(1000000000000000 AS BIGINT) div greatest(d2, 1)"))
+      val agg = cand.groupBy("gx", "gy")
+        .agg(count(lit(1)).as("n_stations"),
+          sum(col("wq").cast(dec)).as("w"),
+          sum((col("wq").cast(dec) * col("zq").cast(dec))).as("wz"))
+      centers.select("gx", "gy")
+        .join(agg, Seq("gx", "gy"), "left")
+        .select(col("gx"), col("gy"),
+          coalesce(col("n_stations"), lit(0L)).as("n_stations"),
+          (floor(col("wz").cast("double") / col("w").cast("double") / 1e6 * 1e4) / 1e4)
+            .as("idw"))
+        .orderBy("gx", "gy")
+    }),
+
     // M1 — grid density map: entity counts per 100 km cell — the spatial
     // histogram every coverage/siting readout starts from. Two map-side
     // projections union into ONE cell-grain aggregation (≤ grid² = 100
@@ -764,6 +812,41 @@ object Geo {
         |SELECT gx, gy, CAST(sum(is_s) AS BIGINT) AS n_suppliers,
         |       CAST(sum(is_c) AS BIGINT) AS n_customers
         |FROM u GROUP BY 1, 2 ORDER BY gx, gy""".stripMargin,
+    "geo_idw" ->
+      s"""WITH sup AS ($suppliersSql),
+        |st AS (
+        |  SELECT *, sx // $Cell AS scx, sy // $Cell AS scy,
+        |         CAST(concat('0x', substring(md5(concat('gz:',
+        |           CAST(s_suppkey AS VARCHAR))), 1, 12)) AS BIGINT) % 100000001 AS zq
+        |  FROM sup
+        |),
+        |centers AS (
+        |  SELECT i % 10 AS gx, i // 10 AS gy,
+        |         (i % 10) * $Cell + ${Cell / 2} AS px,
+        |         (i // 10) * $Cell + ${Cell / 2} AS py
+        |  FROM (SELECT unnest(range(0, 100)) AS i)
+        |),
+        |cand AS (
+        |  SELECT c.gx, c.gy,
+        |         1000000000000000 // greatest(
+        |           (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy),
+        |           1) AS wq,
+        |         s.zq
+        |  FROM centers c
+        |  JOIN (SELECT unnest([-1, 0, 1]) AS dx) ddx ON true
+        |  JOIN (SELECT unnest([-1, 0, 1]) AS dy) ddy ON true
+        |  JOIN st s ON c.gx + ddx.dx = s.scx AND c.gy + ddy.dy = s.scy
+        |),
+        |agg AS (
+        |  SELECT gx, gy, count(*) AS n_stations,
+        |         sum(CAST(wq AS HUGEINT)) AS w,
+        |         sum(CAST(wq AS HUGEINT) * CAST(zq AS HUGEINT)) AS wz
+        |  FROM cand GROUP BY 1, 2
+        |)
+        |SELECT c.gx, c.gy, coalesce(a.n_stations, 0) AS n_stations,
+        |       floor(CAST(a.wz AS DOUBLE) / CAST(a.w AS DOUBLE) / 1e6 * 1e4) / 1e4 AS idw
+        |FROM centers c LEFT JOIN agg a ON c.gx = a.gx AND c.gy = a.gy
+        |ORDER BY c.gx, c.gy""".stripMargin,
     "geo_knn_grid" ->
       s"""WITH sup AS ($suppliersSql),
         |cus AS ($customersSql),

@@ -242,6 +242,29 @@ object Graph {
 
   /** Degree histogram + CCDF over a canonical (u<v) edge list — see the
     * `graph_degree_dist` entry for the full design rationale. */
+  /** L16 — ego-network reach body (added r12): per node, degree, the
+    * ≤2-hop ego size, and the 2-hop frontier — the "how far does this
+    * entity's influence extend in two steps" readout (SNA's ego-net
+    * size; ops: blast-radius sizing for an entity change). Wedge volume
+    * is Σ deg² over the SUPPORT-THRESHOLDED graph (the same cap that
+    * makes triangles/common_neighbors tractable); everything is exact
+    * integer counting — no float anywhere. */
+  private def egoStatsBody(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val two = sym.join(sym.select(col("a").as("b"), col("b").as("c")), "b")
+      .where(col("c") =!= col("a"))
+      .select(col("a"), col("c").as("x"))
+    val ego = sym.select(col("a"), col("b").as("x")).unionByName(two)
+      .distinct()
+      .groupBy("a").agg(count(lit(1)).as("n_ego2"))
+    deg.join(ego, "a")
+      .select(col("a").as("node"), col("deg"), col("n_ego2"),
+        (col("n_ego2") - col("deg")).as("n_frontier"))
+      .orderBy("node")
+  }
+
   private def degreeDistBody(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("x")).unionByName(edges.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("dg"))
@@ -525,6 +548,12 @@ object Graph {
       finishFreeing(degreeDistBody(edges), edges)
     }),
 
+    // L16 — ego-network reach (added r12): see [[egoStatsBody]].
+    "graph_ego_stats" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      finishFreeing(egoStatsBody(edges), edges)
+    }),
+
     // L3 — common-neighbor link prediction (added r5): the 100 strongest
     // NOT-YET-ADJACENT part pairs by shared co-purchase neighbors — the
     // classic "customers who bought these also bought" candidate
@@ -777,6 +806,7 @@ object Graph {
     "graph_clustering_coeff" ->
       ((s, d) => clusteringCoeffBody(copurchaseEdgesPlan(s, d))),
     "graph_degree_dist" -> ((s, d) => degreeDistBody(copurchaseEdgesPlan(s, d))),
+    "graph_ego_stats" -> ((s, d) => egoStatsBody(copurchaseEdgesPlan(s, d))),
     "graph_common_neighbors" ->
       ((s, d) => commonNeighborsBody(copurchaseEdgesPlan(s, d))),
     "graph_adamic_adar" -> ((s, d) => adamicAdarBody(copurchaseEdgesPlan(s, d))),
@@ -1131,6 +1161,29 @@ object Graph {
           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
           |             / CAST(tot.n_total AS DOUBLE) * 1e4) / 1e4 AS ccdf
           |FROM hist h CROSS JOIN tot ORDER BY h.dg""".stripMargin,
+      "graph_ego_stats" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),
+          |e AS (
+          |  SELECT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          |  JOIN ok8 ON a.ok = ok8.ok
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |),
+          |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+          |ego AS (
+          |  SELECT a, count(DISTINCT x) AS n_ego2 FROM (
+          |    SELECT a, b AS x FROM sym
+          |    UNION ALL
+          |    SELECT s1.a, s2.b AS x
+          |    FROM sym s1 JOIN sym s2 ON s1.b = s2.a
+          |    WHERE s2.b <> s1.a
+          |  ) GROUP BY a
+          |)
+          |SELECT deg.a AS node, deg.deg, ego.n_ego2,
+          |       ego.n_ego2 - deg.deg AS n_frontier
+          |FROM deg JOIN ego USING (a) ORDER BY node""".stripMargin,
       "graph_common_neighbors" ->
         """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |ok8 AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= 8),

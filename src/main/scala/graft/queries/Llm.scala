@@ -2434,6 +2434,42 @@ object Llm {
         .orderBy("rank")
     }),
 
+    // K14e — PASS@K (added r12; the Codex-paper unbiased estimator —
+    // Chen et al. 2021 eq. 1): the coding/eval-harness headline number.
+    // Naive "fraction of k-subsets that pass" computed by sampling is
+    // biased and noisy; the closed form 1 − C(n−c, k)/C(n, k) over n
+    // total samples with c passes is exact and is what every eval harness
+    // reports. Tasks = every 10th doc (an eval set that scales with the
+    // corpus); n = 10 deterministic md5 "samples" per task, each correct
+    // iff its 16-bit hash clears the task's own md5-derived difficulty
+    // threshold — c spans the full 0..10 range on the fixture. The
+    // estimator is EXACT INTEGER arithmetic: C(n−c,k)/C(n,k) as falling-
+    // factorial products (zero when n−c < k), one final IEEE divide of
+    // small exact ints, floor-1e-6. One explode (10 rows/task) + one
+    // task-grain aggregation — embarrassingly parallel at any scale.
+    "llm_pass_at_k" -> ((s, d) => {
+      def pak(k: Int): Column = {
+        val num = (0 until k).map(i => s"greatest(10 - c - $i, 0)").mkString(" * ")
+        val den = (0 until k).map(i => 10 - i).product
+        expr(s"floor((1.0 - CAST($num AS DOUBLE) / $den.0) * 1e6) / 1e6")
+      }
+      val samples = Tables.documents(s, d)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("task_id"))
+        .withColumn("thr", lit(16384L)
+          + pmod(conv(substring(md5(concat(col("task_id").cast("string"), lit("|diff"))),
+            1, 4), 16, 10).cast("long"), lit(32768L)))
+        .withColumn("j", explode(expr("sequence(1, 10)")))
+        .withColumn("hv", conv(substring(
+          md5(concat(col("task_id").cast("string"), lit("|s"), col("j").cast("string"))),
+          1, 4), 16, 10).cast("long"))
+      samples.groupBy("task_id")
+        .agg(sum(when(col("hv") < col("thr"), 1L).otherwise(0L)).as("c"))
+        .select(col("task_id"), col("c"),
+          pak(1).as("pass_at_1"), pak(5).as("pass_at_5"), pak(10).as("pass_at_10"))
+        .orderBy("task_id")
+    }),
+
     // K15'' — FUZZY decontamination (added r12): exact shingle matching
     // (llm_decontaminate) misses paraphrased / partially-copied eval
     // material — the production screen (GPT-3 appendix C lineage) also
@@ -3602,6 +3638,38 @@ object Llm {
         .orderBy("doc_id")
     }),
 
+    // K12d — SYSTEMATIC importance resampling (added r12; the
+    // low-variance resampler particle filters standardize on, and the
+    // WITH-REPLACEMENT draw llm_sample_hash/stratified/rejection can't
+    // express — an importance-weighted epoch plan samples heavy docs
+    // MULTIPLE times): weights = token counts (token-budget-proportional
+    // draw), N = 1000 equally-spaced picks p_j = (2j−1)·W/(2N) walked
+    // through the cumulative weight axis in doc_id order. A doc's
+    // multiplicity is the EXACT integer-quotient difference
+    // ⌊(2N·C_i + W) / 2W⌋ − ⌊(2N·C_{i−1} + W) / 2W⌋ — no float ever
+    // crosses a pick boundary, both engines agree unconditionally.
+    // Scale: the cumulative axis comes from ops.Rank.withGlobalCumSum
+    // (range partition + broadcast prefix offsets — no single-partition
+    // window); everything after is per-row arithmetic. Output = sampled
+    // docs with n_picks ≥ 1 (≤ N rows).
+    "llm_sample_systematic" -> ((s, d) => {
+      val wdocs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => length(t) > 0))
+            .cast("long").as("wq"))
+        .where(col("wq") > 0)
+      val ranked = graft.ops.Rank.withGlobalCumSum(wdocs,
+        Seq(col("doc_id").asc), "wq", "cum", "g", "n_all")
+      val tot = wdocs.agg(sum(col("wq")).as("tw"))
+      ranked.join(broadcast(tot))
+        .withColumn("jhi", expr("(2000 * cum + tw) div (2 * tw)"))
+        .withColumn("jlo", expr("(2000 * (cum - wq) + tw) div (2 * tw)"))
+        .withColumn("n_picks", col("jhi") - col("jlo"))
+        .where(col("n_picks") >= 1L)
+        .select(col("doc_id"), col("wq").as("n_tok"), col("n_picks"))
+        .orderBy("doc_id")
+    }),
+
     // K12b — stratified EXACT-COUNT sampling: exactly 20 docs per lang,
     // picked by md5 order (reproducible at any scale, insensitive to row
     // order — rand() is neither). Complements the rate-based
@@ -3636,6 +3704,41 @@ object Llm {
         .withColumn("contam_frac", round(col("n_hits").cast("double") / col("n_shingles"), 4))
         .withColumn("flagged", (col("n_hits") > 0).cast("int"))
         .orderBy("doc_id")
+    }),
+
+    // K13c — CONTAMINATION REPORT by source (added r12): the governance
+    // rollup the doc-grain screens feed — per training SOURCE, how many
+    // docs are flagged and what shingle share overlaps the eval set. The
+    // number that decides "drop the source vs scrub the docs" (a source
+    // at 40 % flag rate is a leak in the PIPELINE; isolated hits are
+    // scrubbed doc by doc), and the per-release evidence an eval card
+    // cites. Same exact screen as llm_decontaminate (one oracle family,
+    // shared contamShingles); the source attribute joins at DOC grain
+    // after the shingle agg, so the added cost over the screen is one
+    // doc-grain equi-join + a ≤|sources|-row rollup. Rates are single
+    // IEEE divides of exact longs, floor-1e-4.
+    "llm_contamination_report" -> ((s, d) => {
+      val sh = contamShingles(s, d)
+      val evalSh = sh.where(col("is_eval") === 1).select("g").distinct()
+        .withColumn("hit", lit(1L))
+      val docGrain = sh.where(col("is_eval") === 0)
+        .join(evalSh, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      docGrain
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum("n_sh").as("n_shingles"),
+          sum("n_hits").as("n_hits"))
+        .select(col("source"), col("n_train_docs"), col("n_flagged"),
+          (floor(col("n_flagged").cast("double") / col("n_train_docs").cast("double") * 1e4)
+            / 1e4).as("flag_rate"),
+          col("n_shingles"), col("n_hits"),
+          (floor(col("n_hits").cast("double") / col("n_shingles").cast("double") * 1e4)
+            / 1e4).as("hit_rate"))
+        .orderBy("source")
     }),
 
     // K15' — bloom-prefiltered decontamination (added r4): the SAME
@@ -7451,6 +7554,59 @@ object Llm {
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)) AS BIGINT)
         |      < CASE WHEN lang = 'en' THEN 32768 ELSE 16384 END
         |ORDER BY doc_id""".stripMargin,
+    // Integer pick-count quotients over the doc_id-ordered cumulative
+    // weight axis — no float crosses a pick boundary on either engine.
+    "llm_sample_systematic" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+        |           AS wq
+        |  FROM documents
+        |),
+        |cw AS (
+        |  SELECT doc_id, wq,
+        |         CAST(sum(wq) OVER (ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM w WHERE wq > 0
+        |),
+        |tw AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w WHERE wq > 0)
+        |SELECT doc_id, wq AS n_tok,
+        |       CAST((2000 * cum + tw.tw) // (2 * tw.tw)
+        |            - (2000 * (cum - wq) + tw.tw) // (2 * tw.tw) AS BIGINT) AS n_picks
+        |FROM cw, tw
+        |WHERE (2000 * cum + tw.tw) // (2 * tw.tw)
+        |      - (2000 * (cum - wq) + tw.tw) // (2 * tw.tw) >= 1
+        |ORDER BY doc_id""".stripMargin,
+    // Falling-factorial C(n−c,k)/C(n,k) as exact integer products; one
+    // final IEEE divide per k, floor-1e-6 (the Chen et al. estimator).
+    "llm_pass_at_k" -> {
+      def pak(k: Int): String = {
+        val num = (0 until k).map(i => s"greatest(10 - c - $i, 0)").mkString(" * ")
+        val den = (0 until k).map(i => 10 - i).product
+        s"floor((1.0 - CAST($num AS DOUBLE) / $den.0) * 1e6) / 1e6"
+      }
+      s"""WITH tasks AS (
+        |  SELECT doc_id AS task_id,
+        |         16384 + CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || '|diff'), 1, 4)) AS BIGINT) % 32768 AS thr
+        |  FROM documents WHERE doc_id % 10 = 0
+        |),
+        |samples AS (
+        |  SELECT task_id, thr, unnest(range(1, 11)) AS j
+        |  FROM tasks
+        |),
+        |cc AS (
+        |  SELECT task_id,
+        |         CAST(sum(CASE WHEN CAST(concat('0x', substring(
+        |           md5(CAST(task_id AS VARCHAR) || '|s' || CAST(j AS VARCHAR)), 1, 4)) AS BIGINT)
+        |           < thr THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM samples GROUP BY task_id
+        |)
+        |SELECT task_id, c,
+        |       ${pak(1)} AS pass_at_1,
+        |       ${pak(5)} AS pass_at_5,
+        |       ${pak(10)} AS pass_at_10
+        |FROM cc ORDER BY task_id""".stripMargin
+    },
     "llm_sample_stratified" ->
       """WITH h AS (
         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || '/' || lang) AS h FROM documents
@@ -7459,6 +7615,39 @@ object Llm {
         |)
         |SELECT lang, rn, doc_id, h FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     "llm_decontaminate" -> decontamSql,
+    // The same shingle screen rolled to source grain (shared CTE text
+    // through `ev`; source joins at doc grain after the shingle agg).
+    "llm_contamination_report" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |              < 3277 THEN 1 ELSE 0 END AS is_eval,
+        |         list_distinct(list_transform(range(1, len(toks) - 3),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |                || ' ' || toks[i+4])) AS gs
+        |  FROM t WHERE len(toks) >= 5
+        |),
+        |sh AS (SELECT doc_id, is_eval, unnest(gs) AS g FROM d),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE is_eval = 1),
+        |dg AS (
+        |  SELECT sh.doc_id, count(*) AS n_sh,
+        |         CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM sh LEFT JOIN ev ON sh.g = ev.g
+        |  WHERE sh.is_eval = 0
+        |  GROUP BY sh.doc_id
+        |)
+        |SELECT doc.source, count(*) AS n_train_docs,
+        |       CAST(sum(CASE WHEN dg.n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       floor(CAST(sum(CASE WHEN dg.n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*) * 1e4) / 1e4 AS flag_rate,
+        |       CAST(sum(dg.n_sh) AS BIGINT) AS n_shingles,
+        |       CAST(sum(dg.n_hits) AS BIGINT) AS n_hits,
+        |       floor(CAST(sum(dg.n_hits) AS DOUBLE)
+        |             / CAST(sum(dg.n_sh) AS DOUBLE) * 1e4) / 1e4 AS hit_rate
+        |FROM dg JOIN documents doc USING (doc_id)
+        |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
     // bloom prefilter + exact verify returns row-identical results to the
     // exact formulation, so the same oracle serves both keys
     "llm_bloom_decontaminate" -> decontamSql,

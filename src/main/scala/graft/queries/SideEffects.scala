@@ -409,6 +409,52 @@ object SideEffects {
         .orderBy("event_type")
     }),
 
+    // A14 — ANALYZE-style table statistics (added r12): the per-column
+    // (count, nulls, exact NDV, min, max) profile a cost-based optimizer,
+    // a data catalog, and every "is this load sane" check consume — the
+    // STATISTICS sibling of agg_dq_profile's QUALITY rules. One pass over
+    // lineitem computes all five columns' stats (Spark expands the
+    // multi-distinct into one Expand + two aggregations — still a single
+    // scan), then unpivots to the (column, stat) grain catalogs store.
+    // Numeric min/max are exact µ-unit longs (floor-1e-6 — the profile is
+    // for pruning decisions, not display); string columns carry NDV with
+    // null min_q/max_q (their ordering is collation-dependent — a
+    // catalog stores string bounds separately or not at all). Output = 5
+    // rows at any corpus size; work is one map-side-partial scan.
+    "store_stats_ndv" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("qq", floor(col("l_quantity") * 1e6).cast("long"))
+        .withColumn("pq", floor(col("l_extendedprice") * 1e6).cast("long"))
+        .withColumn("dq", floor(col("l_discount") * 1e6).cast("long"))
+      val c = li.agg(
+        count(lit(1)).as("n"),
+        count(col("l_orderkey")).as("nn_ok"),
+        countDistinct(col("l_orderkey")).as("ndv_ok"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        count(col("qq")).as("nn_q"), countDistinct(col("qq")).as("ndv_q"),
+        min(col("qq")).as("min_q"), max(col("qq")).as("max_q"),
+        count(col("pq")).as("nn_p"), countDistinct(col("pq")).as("ndv_p"),
+        min(col("pq")).as("min_p"), max(col("pq")).as("max_p"),
+        count(col("dq")).as("nn_d"), countDistinct(col("dq")).as("ndv_d"),
+        min(col("dq")).as("min_d"), max(col("dq")).as("max_d"),
+        count(col("l_returnflag")).as("nn_rf"),
+        countDistinct(col("l_returnflag")).as("ndv_rf"))
+      def row(name: String, nn: String, ndv: String,
+              mn: Option[String], mx: Option[String]) =
+        struct(lit(name).as("column"), col("n").as("n_rows"),
+          (col("n") - col(nn)).as("n_null"), col(ndv).as("ndv"),
+          mn.map(col).getOrElse(lit(null).cast("long")).as("min_q"),
+          mx.map(col).getOrElse(lit(null).cast("long")).as("max_q"))
+      c.select(explode(array(
+          row("l_discount", "nn_d", "ndv_d", Some("min_d"), Some("max_d")),
+          row("l_extendedprice", "nn_p", "ndv_p", Some("min_p"), Some("max_p")),
+          row("l_orderkey", "nn_ok", "ndv_ok", Some("min_ok"), Some("max_ok")),
+          row("l_quantity", "nn_q", "ndv_q", Some("min_q"), Some("max_q")),
+          row("l_returnflag", "nn_rf", "ndv_rf", None, None))).as("f"))
+        .select(col("f.*"))
+        .orderBy("column")
+    }),
+
     // A — small-file COMPACTION under the oracle (added r10, r9 VERDICT
     // #1): the nightly maintenance op every 100 TB store actually runs —
     // an appended-every-15-minutes feed accumulates thousands of tiny
@@ -1055,6 +1101,34 @@ object SideEffects {
         |FROM events CROSS JOIN mu
         |WHERE user_id >= m // 10 AND user_id <= (3 * m) // 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "store_stats_ndv" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |         CAST(floor(l_quantity * 1e6) AS BIGINT) AS qq,
+        |         CAST(floor(l_extendedprice * 1e6) AS BIGINT) AS pq,
+        |         CAST(floor(l_discount * 1e6) AS BIGINT) AS dq,
+        |         l_returnflag
+        |  FROM lineitem
+        |)
+        |SELECT 'l_discount' AS "column", count(*) AS n_rows,
+        |       count(*) - count(dq) AS n_null,
+        |       CAST(count(DISTINCT dq) AS BIGINT) AS ndv,
+        |       min(dq) AS min_q, max(dq) AS max_q FROM li
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(*), count(*) - count(pq),
+        |       CAST(count(DISTINCT pq) AS BIGINT), min(pq), max(pq) FROM li
+        |UNION ALL
+        |SELECT 'l_orderkey', count(*), count(*) - count(l_orderkey),
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT),
+        |       min(l_orderkey), max(l_orderkey) FROM li
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(qq),
+        |       CAST(count(DISTINCT qq) AS BIGINT), min(qq), max(qq) FROM li
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |       CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM li
+        |ORDER BY "column"""".stripMargin,
     // incremental-manifest completeness: the pruned range aggregate over
     // BOTH file generations must equal the recompute from the full source
     "store_manifest_merge" ->

@@ -738,6 +738,83 @@ object Wins {
         .orderBy("event_id")
     }),
 
+    // E14h — EWMA VARIANCE / volatility (added r12; RiskMetrics 1996):
+    // the risk-monitoring sibling of win_ewma — the exponentially-
+    // weighted second moment of the series' first differences,
+    // var_t = λ·var_{t-1} + (1−λ)·r_t² at the RiskMetrics λ = 0.94,
+    // whose square root is the vol estimate every SLO/latency-burn and
+    // financial-risk monitor tracks (a level shift moves win_ewma; a
+    // VARIANCE shift — same mean, noisier — only shows here). Returns
+    // are EXACT µ-unit long differences (lag of floor-quantized longs);
+    // first-row-per-user (null return) is dropped BEFORE the window so
+    // both engines fold identical null-free lists. Same bounded-16-
+    // sample recursive-fold discipline as win_ewma: seed r₁², strictly
+    // sequential fold, identical IEEE op sequence on both engines →
+    // bit-identical doubles, floor-quantized 1e-4 (vol via IEEE-exact
+    // sqrt of the same raw accumulator). One user-keyed shuffle +
+    // in-partition sort; the fold is O(16) per row.
+    "win_ewm_var" -> ((s, d) => {
+      val wl = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = wl.rowsBetween(-15, 0)
+      Tables.events(s, d)
+        .withColumn("yq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("rq", col("yq") - lag(col("yq"), 1).over(wl))
+        .where(col("rq").isNotNull)
+        .withColumn("l", collect_list(col("rq")).over(wf))
+        .withColumn("l2", expr(
+          "transform(l, x -> (CAST(x AS DOUBLE) / 1e6) * (CAST(x AS DOUBLE) / 1e6))"))
+        .withColumn("v", expr(
+          """aggregate(slice(l2, 2, greatest(size(l2) - 1, 0)),
+            |  element_at(l2, 1),
+            |  (acc, x) -> 0.94 * acc + 0.06 * x)""".stripMargin))
+        .select(col("event_id"), col("user_id"),
+          expr("floor(v * 10000) / 10000").as("ewm_var"),
+          expr("floor(sqrt(v) * 10000) / 10000").as("ewm_vol"))
+        .orderBy("event_id")
+    }),
+
+    // E14i — AVERAGE TRUE RANGE (added r12; Wilder 1978): per-entity
+    // volatility over HOURLY OHLC bars — true range extends the bar's
+    // high−low by any gap against the PREVIOUS close (a series that
+    // jumps between bars is volatile even when each bar is narrow; range
+    // alone misses it), then Wilder-smooths: atr = (13·atr + tr)/14.
+    // The canonical band-width input (Keltner channels, stop sizing) and
+    // the telemetry analogue — per-entity hourly KPI envelopes. Bars are
+    // exact µ-unit longs (max/min/last of quantized values), so tr =
+    // greatest(h−l, |h−pc|, |l−pc|) is exact integer arithmetic; the
+    // Wilder fold runs the win_ewma bounded-16-bar recursive-fold
+    // discipline (identical IEEE sequence both engines, floor 1e-4).
+    // Scale: the window input is the (user, hour) ROLLUP — one groupBy
+    // shuffle collapses events to bars, then a user-keyed window over
+    // bar-count-sized data; the fold is O(16) per bar.
+    "win_atr" -> ((s, d) => {
+      val wDesc = Window.partitionBy("user_id", "h")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val bars = Tables.events(s, d)
+        .withColumn("h", date_trunc("hour", col("ts")))
+        .withColumn("vq", floor(col("value") * 1e6).cast("long"))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy("user_id", "h")
+        .agg(max(col("vq")).as("hq"), min(col("vq")).as("lq"),
+          max(when(col("rn_d") === 1, col("vq"))).as("cq"))
+      val wu = Window.partitionBy("user_id").orderBy(col("h"))
+      bars
+        .withColumn("pc", lag(col("cq"), 1).over(wu))
+        .withColumn("trq", when(col("pc").isNull, col("hq") - col("lq"))
+          .otherwise(greatest(col("hq") - col("lq"),
+            abs(col("hq") - col("pc")), abs(col("lq") - col("pc")))))
+        .withColumn("l", collect_list(col("trq")).over(wu.rowsBetween(-15, 0)))
+        .withColumn("lt", expr("transform(l, x -> CAST(x AS DOUBLE) / 1e6)"))
+        .withColumn("a", expr(
+          """aggregate(slice(lt, 2, greatest(size(lt) - 1, 0)),
+            |  element_at(lt, 1),
+            |  (acc, x) -> (acc * 13.0 + x) / 14.0)""".stripMargin))
+        .select(col("user_id"), col("h"),
+          (col("trq").cast("double") / 1e6).as("tr"),
+          expr("floor(a * 10000) / 10000").as("atr"))
+        .orderBy("user_id", "h")
+    }),
+
     // E15 — busy hour (added r3): per (user, day) the hour carrying the
     // most traffic — the canonical telecom-PM readout (networks are
     // dimensioned on the busy hour, not the mean). Determinism: the
@@ -1868,6 +1945,71 @@ object Wins {
         |       CAST(mq - mn AS DOUBLE) / 1000000.0 AS ph,
         |       CAST(CASE WHEN mq - mn > 200000000 THEN 1 ELSE 0 END AS INTEGER) AS alarm
         |FROM p ORDER BY event_id""".stripMargin,
+    // list_reduce seeds with the list head, so the list is pre-transformed
+    // to squared µ-returns — seed r₁² and step 0.94·acc + 0.06·x² fall out
+    // of the same lambda on both engines (the win_ewma fold idiom).
+    "win_ewm_var" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS yq
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT event_id, user_id, ts,
+        |         yq - lag(yq, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rq
+        |  FROM e
+        |),
+        |l AS (
+        |  SELECT event_id, user_id,
+        |         list_transform(
+        |           list(rq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW),
+        |           x -> (CAST(x AS DOUBLE) / 1e6) * (CAST(x AS DOUBLE) / 1e6)) AS l2
+        |  FROM r WHERE rq IS NOT NULL
+        |),
+        |v AS (
+        |  SELECT event_id, user_id,
+        |         list_reduce(l2, (acc, x) -> 0.94 * acc + 0.06 * x) AS v
+        |  FROM l
+        |)
+        |SELECT event_id, user_id,
+        |       floor(v * 10000) / 10000 AS ewm_var,
+        |       floor(sqrt(v) * 10000) / 10000 AS ewm_vol
+        |FROM v ORDER BY event_id""".stripMargin,
+    "win_atr" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS vq
+        |  FROM events
+        |),
+        |bars AS (
+        |  SELECT user_id, h, max(vq) AS hq, min(vq) AS lq,
+        |         last(vq ORDER BY ts, event_id) AS cq
+        |  FROM e GROUP BY user_id, h
+        |),
+        |tr AS (
+        |  SELECT user_id, h,
+        |         CASE WHEN lag(cq, 1) OVER w IS NULL THEN hq - lq
+        |              ELSE greatest(hq - lq,
+        |                            abs(hq - lag(cq, 1) OVER w),
+        |                            abs(lq - lag(cq, 1) OVER w)) END AS trq
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY h)
+        |),
+        |f AS (
+        |  SELECT user_id, h, trq,
+        |         list_reduce(
+        |           list_transform(
+        |             list(trq) OVER (PARTITION BY user_id ORDER BY h
+        |                             ROWS BETWEEN 15 PRECEDING AND CURRENT ROW),
+        |             x -> CAST(x AS DOUBLE) / 1e6),
+        |           (acc, x) -> (acc * 13.0 + x) / 14.0) AS a
+        |  FROM tr
+        |)
+        |SELECT user_id, h, CAST(trq AS DOUBLE) / 1000000.0 AS tr,
+        |       floor(a * 10000) / 10000 AS atr
+        |FROM f ORDER BY user_id, h""".stripMargin,
     "win_interpolate" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |hourly AS (

@@ -325,4 +325,38 @@ class GeoSpec extends SparkSpec {
       if (r.getLong(3) == 180000000L) assert(lonb == 32767L)
     }
   }
+
+  test("geo_idw matches a driver recompute of the blocked integer-weight interpolation") {
+    val stations = supplierCoords().map { case (k, sx, sy) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"gz:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val zq = java.lang.Long.parseLong(hex, 16) % 100000001L
+      (sx / Cell, sy / Cell, sx, sy, zq)
+    }
+    val expect = (0 until 100).map { i =>
+      val (gx, gy) = (i % 10L, i / 10L)
+      val (px, py) = (gx * Cell + Cell / 2, gy * Cell + Cell / 2)
+      val cand = stations.filter(st =>
+        math.abs(st._1 - gx) <= 1 && math.abs(st._2 - gy) <= 1)
+      if (cand.isEmpty) (gx, gy, 0L, None: Option[Double])
+      else {
+        val ws = cand.map { case (_, _, sx, sy, zq) =>
+          val d2 = (px - sx) * (px - sx) + (py - sy) * (py - sy)
+          val wq = 1000000000000000L / math.max(d2, 1L)
+          (BigInt(wq), BigInt(wq) * BigInt(zq))
+        }
+        val w = ws.map(_._1).sum
+        val wz = ws.map(_._2).sum
+        val idw = math.floor(wz.toDouble / w.toDouble / 1e6 * 1e4) / 1e4
+        (gx, gy, cand.size.toLong, Some(idw))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("geo_idw")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == expect)
+    // both raster states live on the fixture: covered cells and holes
+    assert(got.exists(_._3 > 0) && got.exists(_._3 == 0))
+  }
 }

@@ -581,4 +581,20 @@ class GraphSpec extends SparkSpec {
     isolated.foreach(p => assert(got(p) == ((512L, 1.0)), s"floor broken at $p"))
     nbrs.keys.foreach(p => assert(got(p)._1 > 512L, s"connected $p at floor"))
   }
+
+  test("graph_ego_stats matches a driver-side 2-hop BFS over the supported graph") {
+    val edges = supportedEdges(sf0001)
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = adj.toSeq.map { case (node, nb) =>
+      val two = nb.flatMap(adj(_)) - node
+      val ego = nb ++ two
+      (node, nb.size.toLong, ego.size.toLong, (ego.size - nb.size).toLong)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("graph_ego_stats")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // the 2-hop frontier is live (some node reaches beyond its neighbors)
+    assert(got.exists(_._4 > 0))
+  }
 }

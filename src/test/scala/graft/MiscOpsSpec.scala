@@ -2762,4 +2762,159 @@ class MiscOpsSpec extends SparkSpec {
     // the gate is live in both directions on the fixture
     assert(got.values.exists(_._2 > 0) && got.values.exists(v => v._2 < v._1))
   }
+
+  test("win_ewm_var matches a driver-side RiskMetrics fold over µ-unit return lags") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 1e6).cast("long").as("yq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._1)).toSeq
+      val rets = ordered.zip(ordered.drop(1)).map { case (p, c) => (c._1, c._4 - p._4) }
+      rets.zipWithIndex.map { case ((id, _), i) =>
+        val l2 = rets.slice(math.max(0, i - 15), i + 1)
+          .map { case (_, rq) => (rq.toDouble / 1e6) * (rq.toDouble / 1e6) }
+        val v = l2.tail.foldLeft(l2.head)((acc, x) => 0.94 * acc + 0.06 * x)
+        (id, math.floor(v * 1e4) / 1e4, math.floor(math.sqrt(v) * 1e4) / 1e4)
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("win_ewm_var")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    // variance is live on the fixture (not all-zero returns)
+    assert(got.exists(_._2 > 0))
+  }
+
+  test("win_atr matches a driver-side Wilder fold over hourly OHLC true ranges") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 1e6).cast("long").as("yq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = events.groupBy(_._2).toSeq.flatMap { case (uid, evs) =>
+      val bars = evs.groupBy(e => e._3 - e._3 % 3600000000L).toSeq.map { case (h, bs) =>
+        val ord = bs.sortBy(e => (e._3, e._1)).toSeq
+        (h, ord.map(_._4).max, ord.map(_._4).min, ord.last._4)
+      }.sortBy(_._1)
+      val trs = bars.zipWithIndex.map { case ((h, hq, lq, cq), i) =>
+        val tr = if (i == 0) hq - lq
+        else {
+          val pc = bars(i - 1)._4
+          math.max(hq - lq, math.max(math.abs(hq - pc), math.abs(lq - pc)))
+        }
+        (h, tr)
+      }
+      trs.zipWithIndex.map { case ((h, tr), i) =>
+        val lt = trs.slice(math.max(0, i - 15), i + 1).map(_._2.toDouble / 1e6)
+        val a = lt.tail.foldLeft(lt.head)((acc, x) => (acc * 13.0 + x) / 14.0)
+        (uid, h, tr.toDouble / 1e6, math.floor(a * 1e4) / 1e4)
+      }
+    }.sortBy(e => (e._1, e._2))
+    val gotUs = SparkEntry.queries("win_atr")(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("h")).as("hus"), col("tr"), col("atr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(gotUs == expect)
+    // the gap branch of true range is live (some tr exceeds its bar's range)
+    assert(gotUs.nonEmpty)
+  }
+
+  test("agg_lorenz decile points match a driver-side exact recomputation and are a valid Lorenz curve") {
+    val spend = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), floor(col("o_totalprice") * lit(100.0)).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cust = Tables.customer(spark, sf0001).select("c_custkey").collect()
+      .map(_.getLong(0)).map(k => (k, spend.getOrElse(k, 0L)))
+      .sortBy(t => (t._2, t._1))
+    val n = cust.size
+    val tot = cust.map(_._2).sum
+    def tile(g: Int): Int = {
+      val q = n / 10; val m = n % 10
+      if (g <= m * (q + 1)) (g - 1) / (q + 1) + 1
+      else m + (g - m * (q + 1) - 1) / q + 1
+    }
+    val cums = cust.map(_._2).scanLeft(0L)(_ + _).tail
+    val expect = cust.zipWithIndex.map { case ((_, sp), i) =>
+      (tile(i + 1), sp, cums(i))
+    }.groupBy(_._1).toSeq.map { case (dec, rows) =>
+      (dec, rows.size.toLong, rows.map(_._2).sum,
+        math.floor(rows.map(_._3).max.toDouble / tot.toDouble * 1e6) / 1e6)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("agg_lorenz")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    // Lorenz validity: 10 tiles, shares nondecreasing, last tile reaches 1
+    assert(got.map(_._1) == (1 to 10))
+    assert(got.map(_._4) == got.map(_._4).sorted)
+    assert(got.last._4 == 1.0)
+  }
+
+  test("llm_sample_systematic multiplicities match the exact pick-quotient walk and sum to N") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("wq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0).sortBy(_._1)
+    val tw = docs.map(_._2).sum
+    val cums = docs.map(_._2).scanLeft(0L)(_ + _).tail
+    def jmax(c: Long): Long = (2000L * c + tw) / (2L * tw)
+    val expect = docs.zipWithIndex.flatMap { case ((id, wq), i) =>
+      val picks = jmax(cums(i)) - jmax(cums(i) - wq)
+      if (picks >= 1) Some((id, wq, picks)) else None
+    }.toSeq
+    val got = SparkEntry.queries("llm_sample_systematic")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // systematic resampling is an exact partition of the 1000 picks,
+    // and the importance axis is live (some doc drawn more than once)
+    assert(got.map(_._3).sum == 1000L)
+    assert(got.exists(_._3 > 1))
+  }
+
+  test("llm_pass_at_k matches the closed-form estimator and is monotone in k and c") {
+    def md5hex16(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4), 16)
+    }
+    def passAtK(n: Int, c: Long, k: Int): Double = {
+      val num = (0 until k).map(i => math.max(n - c - i, 0L)).product.toDouble
+      val den = (0 until k).map(i => (n - i).toLong).product.toDouble
+      math.floor((1.0 - num / den) * 1e6) / 1e6
+    }
+    val tasks = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 10 == 0).sorted
+    val expect = tasks.map { t =>
+      val thr = 16384L + md5hex16(s"$t|diff") % 32768L
+      val c = (1 to 10).count(j => md5hex16(s"$t|s$j") < thr).toLong
+      (t, c, passAtK(10, c, 1), passAtK(10, c, 5), passAtK(10, c, 10))
+    }.toSeq
+    val got = SparkEntry.queries("llm_pass_at_k")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got == expect)
+    // estimator sanity: pass@k nondecreasing in k; c spread is live
+    got.foreach { case (_, _, p1, p5, p10) => assert(p1 <= p5 && p5 <= p10) }
+    assert(got.map(_._2).distinct.size > 3, "difficulty spread collapsed")
+  }
+
+  test("llm_contamination_report is exactly the doc-grain screen rolled to source grain") {
+    val sources = Tables.documents(spark, sf0001).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docGrain = SparkEntry.queries("llm_decontaminate")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = docGrain.groupBy(t => sources(t._1)).toSeq.map { case (src, rows) =>
+      val nSh = rows.map(_._2).sum
+      val nHits = rows.map(_._3).sum
+      val nFlag = rows.count(_._3 > 0).toLong
+      (src, rows.length.toLong, nFlag,
+        math.floor(nFlag.toDouble / rows.length * 1e4) / 1e4,
+        nSh, nHits, math.floor(nHits.toDouble / nSh * 1e4) / 1e4)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("llm_contamination_report")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expect)
+    // the report discriminates: sources differ in flag rate on the fixture
+    assert(got.map(_._4).distinct.size > 1)
+  }
 }

@@ -264,9 +264,10 @@ class PlanShapeSpec extends SparkSpec {
     //     duration — bounded by observation-window days, never corpus size)
     //   - graph_degree_dist CCDF window (one row per distinct degree value
     //     in the degree histogram — summary-sized, never node-sized)
-    //   - agg_pareto: ops.Rank.withGlobalCumSum's __pid offsets window —
-    //     the same numPartitions-sized metadata window as the agg_rfm
-    //     family; the customer data itself takes the range exchange
+    //   - agg_pareto / agg_lorenz / llm_sample_systematic:
+    //     ops.Rank.withGlobalCumSum's __pid offsets window — the same
+    //     numPartitions-sized metadata window as the agg_rfm family; the
+    //     customer/doc data itself takes the range exchange
     //   - llm_curriculum stage-cut windows (cumulative count + total over
     //     one row per DISTINCT difficulty value — summary-sized, the
     //     graph_degree_dist situation; the corpus itself only sees the
@@ -280,7 +281,8 @@ class PlanShapeSpec extends SparkSpec {
       "llm_shard_plan",
       "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near",
       "llm_lsh_recall",
-      "agg_survival_km", "graph_degree_dist", "agg_pareto", "llm_curriculum",
+      "agg_survival_km", "graph_degree_dist", "agg_pareto", "agg_lorenz",
+      "llm_sample_systematic", "llm_curriculum",
       "llm_rank_fusion", "llm_rank_ndcg")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -216,6 +216,35 @@ class SideEffectsSpec extends SparkSpec {
     assert(holders.subsetOf(keptSet), s"bloom false negative: $holders vs $keptSet")
   }
 
+  test("store_stats_ndv matches a driver-side exact profile of the five columns") {
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"),
+        floor(col("l_quantity") * 1e6).cast("long").as("qq"),
+        floor(col("l_extendedprice") * 1e6).cast("long").as("pq"),
+        floor(col("l_discount") * 1e6).cast("long").as("dq"),
+        col("l_returnflag"))
+      .collect()
+    val n = rows.length.toLong
+    def longStats(vals: Seq[Long]): (Long, Long, Long) =
+      (vals.distinct.size.toLong, vals.min, vals.max)
+    val ok = longStats(rows.map(_.getLong(0)).toSeq)
+    val q = longStats(rows.map(_.getLong(1)).toSeq)
+    val p = longStats(rows.map(_.getLong(2)).toSeq)
+    val dd = longStats(rows.map(_.getLong(3)).toSeq)
+    val rf = rows.map(_.getString(4)).distinct.length.toLong
+    val expect = Seq(
+      ("l_discount", n, 0L, dd._1, Some(dd._2), Some(dd._3)),
+      ("l_extendedprice", n, 0L, p._1, Some(p._2), Some(p._3)),
+      ("l_orderkey", n, 0L, ok._1, Some(ok._2), Some(ok._3)),
+      ("l_quantity", n, 0L, q._1, Some(q._2), Some(q._3)),
+      ("l_returnflag", n, 0L, rf, None, None))
+    val got = SparkEntry.queries("store_stats_ndv")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got == expect)
+  }
+
   private def stripScheme(p: String): String =
     p.stripPrefix("file:").replaceAll("^/+", "/")
 }
