@@ -483,6 +483,38 @@ object Streams {
         .orderBy("event_id")
     }),
 
+    // I9b — online EWMA variance (added r12): the RiskMetrics recursion
+    // var ← 0.94·var + 0.06·r² as a STREAMING operator — the volatility
+    // monitor deployed shape (the batch win_ewm_var re-folds a trailing
+    // 16-return frame per row; online state pays O(1) per sample: last
+    // µ-unit sample + running var). Returns are exact µ-unit long
+    // differences; first-ever sample emits nothing, the second seeds
+    // var = r₁². Batch rows fold in (ts, event_id) order, so the
+    // one-batch replay equals the UNBOUNDED sequential fold per entity —
+    // exactly the oracle (win_ewm_var's list_reduce without the frame
+    // bound). Emitted doubles are bit-identical to the oracle's fold;
+    // floor quantization (var and the IEEE-exact sqrt vol) at the sink
+    // edge.
+    "stream_ewm_var" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventsStream(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val scored = typed
+        .groupByKey(_._3)
+        .transformWithState(new EwmVarProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = withRocksDb(s) {
+        drain(s, scored.toDF("event_id", "user_id", "v"),
+          "graft_stream_ewm_var", OutputMode.Append())
+      }
+      out.select(col("event_id"), col("user_id"),
+          expr("floor(v * 1e4) / 1e4").as("ewm_var"),
+          expr("floor(sqrt(v) * 1e4) / 1e4").as("ewm_vol"))
+        .orderBy("event_id")
+    }),
+
     // I9b — online Kalman filtering (added r7): `win_kalman`'s adaptive-
     // gain smoother as keyed streaming state — (x̂, P) updates on every
     // arriving sample and emits the filtered estimate, O(1) per sample
@@ -1394,6 +1426,36 @@ object Streams {
            |SELECT event_id, user_id,
            |       floor((s[1] + s[2]) * 10000) / 10000 AS holt_forecast
            |FROM st ORDER BY event_id""".stripMargin,
+      // The UNBOUNDED win_ewm_var fold (no 16-sample frame): the online
+      // recursion and the full-history fold are the same recurrence.
+      "stream_ewm_var" ->
+        s"""WITH e AS (
+           |  SELECT event_id, user_id, ts,
+           |         CAST(floor(value * 1000000) AS BIGINT) AS yq
+           |  FROM $ev events
+           |),
+           |r AS (
+           |  SELECT event_id, user_id, ts,
+           |         yq - lag(yq, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rq
+           |  FROM e
+           |),
+           |l AS (
+           |  SELECT event_id, user_id,
+           |         list_transform(
+           |           list(rq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                          ROWS UNBOUNDED PRECEDING),
+           |           x -> (CAST(x AS DOUBLE) / 1e6) * (CAST(x AS DOUBLE) / 1e6)) AS l2
+           |  FROM r WHERE rq IS NOT NULL
+           |),
+           |v AS (
+           |  SELECT event_id, user_id,
+           |         list_reduce(l2, (acc, x) -> 0.94 * acc + 0.06 * x) AS v
+           |  FROM l
+           |)
+           |SELECT event_id, user_id,
+           |       floor(v * 10000) / 10000 AS ewm_var,
+           |       floor(sqrt(v) * 10000) / 10000 AS ewm_vol
+           |FROM v ORDER BY event_id""".stripMargin,
       "stream_kalman" ->
         s"""WITH l AS (
            |  SELECT event_id, user_id,
@@ -1812,6 +1874,49 @@ class Scd2EnrichProcessor extends org.apache.spark.sql.streaming.StatefulProcess
   * (`WelfordProcessor`) — one algorithm, two state APIs, equivalence by
   * construction (and re-proven over MemoryStream batches in
   * StreamingSpec). Same sharing pattern for Holt/Rate/Gap below. */
+/** Keyed state for `stream_ewm_var`: (last µ-unit sample, var, seeded
+  * flag) — the RiskMetrics recursion var ← 0.94·var + 0.06·r² needs only
+  * the previous sample (for the exact integer return) and the running
+  * variance: O(1) per key at any event volume. The first-ever sample
+  * emits nothing (no return yet, the batch twin's convention); the
+  * SECOND seeds var = r₁². Returns are exact µ-unit long differences
+  * computed identically to the batch twin's lag (floor-1e-6 quantize,
+  * long subtract), so the one-batch replay equals an UNBOUNDED
+  * sequential fold per entity — the oracle (win_ewm_var's list_reduce
+  * without the 16-sample frame bound). */
+object EwmVarState {
+  def fold(userId: Long, st0: (Double, Double, Double),
+           sorted: Seq[(Long, Long, Long, Double)])
+      : ((Double, Double, Double), Seq[(Long, Long, Double)]) = {
+    var (lastYq, v, seeded) = st0
+    var hasLast = seeded >= 1.0
+    var hasVar = seeded >= 2.0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    sorted.foreach { case (eventId, _, _, x) =>
+      val yq = math.floor(x * 1e6)
+      if (!hasLast) { lastYq = yq; hasLast = true }
+      else {
+        val r = (yq - lastYq) / 1e6
+        v = if (!hasVar) { hasVar = true; r * r } else 0.94 * v + 0.06 * (r * r)
+        lastYq = yq
+        out += ((eventId, userId, v))
+      }
+    }
+    ((lastYq, v, if (hasVar) 2.0 else if (hasLast) 1.0 else 0.0), out.toSeq)
+  }
+
+  def update(userId: Long, rows: Iterator[(Long, Long, Long, Double)],
+             state: GroupState[(Double, Double, Double)]): Iterator[(Long, Long, Double)] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (st, out) = fold(userId, state.getOption.getOrElse((0.0, 0.0, 0.0)), sorted)
+      state.update(st)
+      out.iterator
+    }
+  }
+}
+
 object WelfordState {
   def fold(userId: Long, st0: (Double, Double, Double),
            sorted: Seq[(Long, Long, Long, Double)])
@@ -2042,6 +2147,29 @@ class KalmanProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
       val (st, out) = KalmanState.fold(key,
         if (state.exists()) Some(state.get()) else None, sorted)
       state.update(st.get)
+      out.iterator
+    }
+  }
+}
+
+class EwmVarProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Double, Double, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Double, Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaDouble)
+    state = getHandle.getValueState[(Double, Double, Double)]("ewmvar", enc, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Double)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val (st, out) = EwmVarState.fold(key,
+        if (state.exists()) state.get() else (0.0, 0.0, 0.0), sorted)
+      state.update(st)
       out.iterator
     }
   }

@@ -96,6 +96,35 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L) == lv3 + tr3, "batch-2 forecast must fold from carried state")
   }
 
+  test("online EWMA variance carries (last, var) across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val scored = in.toDS()
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+        graft.streaming.EwmVarState.update)
+    val ckpt = tmpDir("ckpt_ewmvar")
+    val q = scored.toDF("event_id", "user_id", "v")
+      .writeStream.format("memory").queryName("ewmvar_test")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+    in.addData((1L, 1000L, 1L, 10.0), (2L, 2000L, 1L, 12.0))
+    q.processAllAvailable()
+    in.addData((3L, 3000L, 1L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ewmvar_test").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // same arithmetic by hand: returns are exact µ-unit lags / 1e6
+    val r2 = (math.floor(12.0 * 1e6) - math.floor(10.0 * 1e6)) / 1e6
+    val r3 = (math.floor(9.0 * 1e6) - math.floor(12.0 * 1e6)) / 1e6
+    val v2 = r2 * r2
+    val v3 = 0.94 * v2 + 0.06 * (r3 * r3)
+    assert(!out.contains(1L), "first-ever sample emits no variance")
+    assert(out(2L) == v2, "second sample seeds var = r1^2")
+    assert(out(3L) == v3, "batch-2 var must fold from carried state")
+  }
+
   test("dropDuplicatesWithinWatermark deduplicates across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
@@ -273,6 +302,14 @@ class StreamingSpec extends SparkSpec {
         .transformWithState(new graft.streaming.WelfordProcessor(),
           TimeMode.None(), OutputMode.Append()))
       assert(welV1 == welV2, s"welford routes diverged:\n$welV1\n$welV2")
+
+      val ewmV1 = run("eq_ewm_v1", _.toDS().groupByKey(_._3)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          graft.streaming.EwmVarState.update))
+      val ewmV2 = run("eq_ewm_v2", _.toDS().groupByKey(_._3)
+        .transformWithState(new graft.streaming.EwmVarProcessor(),
+          TimeMode.None(), OutputMode.Append()))
+      assert(ewmV1 == ewmV2, s"ewm_var routes diverged:\n$ewmV1\n$ewmV2")
 
       def runRate(name: String, mk: MemoryStream[(Long, Long, Long, Long)] =>
           org.apache.spark.sql.Dataset[_]): Seq[String] = {
