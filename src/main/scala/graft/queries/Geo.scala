@@ -490,6 +490,47 @@ object Geo {
         .orderBy("user_id")
     }),
 
+    // M8''' — TRAJECTORY SPEED SCREEN (added r12): per entity, the
+    // step-speed profile and its physical-plausibility violations — the
+    // data-cleaning pass every movement pipeline runs BEFORE stay/OD
+    // mining (a teleporting ping poisons both): step speed = step
+    // distance over elapsed time, flagged when it exceeds 50 m/s
+    // (180 km/h — nothing ground-based in the fixture's walk moves
+    // faster; the GPS-spoof / device-clock-glitch screen). Determinism:
+    // distance is the floored sqrt of an exact long (the
+    // geo_path_length stance), elapsed µs is an exact long lag, and
+    // speed is the EXACT integer quotient d·1e6 div max(Δµs, 1) — no
+    // float crosses the 50 m/s threshold. One entity-keyed window +
+    // one user-grain rollup, linear at any scale.
+    "geo_speed_outliers" -> ((s, d) => {
+      def coord(tag: String) =
+        (conv(substring(md5(concat(lit(tag), col("event_id").cast("string"))), 1, 12),
+          16, 10).cast("long") % Side)
+      val pts = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        coord("px:").as("px"), coord("py:").as("py"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      pts
+        .withColumn("lx", lag("px", 1).over(w))
+        .withColumn("ly", lag("py", 1).over(w))
+        .withColumn("lus", lag("us", 1).over(w))
+        .where(col("lx").isNotNull)
+        .withColumn("d", floor(sqrt(((col("px") - col("lx")) * (col("px") - col("lx"))
+          + (col("py") - col("ly")) * (col("py") - col("ly"))).cast("double")))
+          .cast("long"))
+        .withColumn("sp", expr("(d * 1000000) div greatest(us - lus, 1)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("sp") > 50L, 1L).otherwise(0L)).as("n_outliers"),
+          max(col("sp")).as("max_speed_mps"))
+        .withColumn("outlier_rate",
+          floor(col("n_outliers").cast("double") / col("n_steps").cast("double") * 1e4) / 1e4)
+        .select(col("user_id"), col("n_steps"), col("n_outliers"),
+          col("outlier_rate"), col("max_speed_mps"))
+        .orderBy("user_id")
+    }),
+
     // M8' — STAY-POINT detection (added r12; Li et al. 2008's stop
     // extraction in its production step-distance form): per entity,
     // maximal runs of consecutive trajectory points (in the (ts,
@@ -958,6 +999,33 @@ object Geo {
         |LEFT JOIN corelbl cl ON cl.k = s.s_suppkey
         |LEFT JOIN battach ba ON ba.k = s.s_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
+    "geo_speed_outliers" ->
+      """WITH pts AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |         CAST(concat('0x', substring(md5(concat('px:', CAST(event_id AS VARCHAR))),
+        |           1, 12)) AS BIGINT) % 1000000 AS px,
+        |         CAST(concat('0x', substring(md5(concat('py:', CAST(event_id AS VARCHAR))),
+        |           1, 12)) AS BIGINT) % 1000000 AS py
+        |  FROM events
+        |),
+        |seg AS (
+        |  SELECT user_id, us, event_id, px, py,
+        |         lag(px) OVER w AS lx, lag(py) OVER w AS ly, lag(us) OVER w AS lus
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |sp AS (
+        |  SELECT user_id,
+        |         (CAST(floor(sqrt(CAST((px - lx) * (px - lx) + (py - ly) * (py - ly)
+        |            AS DOUBLE))) AS BIGINT) * 1000000)
+        |           // greatest(us - lus, 1) AS sp
+        |  FROM seg WHERE lx IS NOT NULL
+        |)
+        |SELECT user_id, count(*) AS n_steps,
+        |       CAST(sum(CASE WHEN sp > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       floor(CAST(sum(CASE WHEN sp > 50 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*) * 1e4) / 1e4 AS outlier_rate,
+        |       CAST(max(sp) AS BIGINT) AS max_speed_mps
+        |FROM sp GROUP BY user_id ORDER BY user_id""".stripMargin,
     "geo_path_length" ->
       """WITH pts AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -2470,6 +2470,41 @@ object Llm {
         .orderBy("task_id")
     }),
 
+    // K14f — BEST-OF-N selection (added r12): the rejection-sampling /
+    // BoN step RLHF-style data pipelines run — per task, n candidate
+    // generations scored by a reward model, keep the argmax; the margin
+    // over the runner-up and the mean reward are the selection-quality
+    // diagnostics shipped beside the choice (margin ≈ 0 ⇒ the reward
+    // model can't distinguish its top candidates — BoN is buying
+    // nothing). Same md5 task fixture family as llm_pass_at_k; rewards
+    // are the samples' raw 16-bit hashes (exact ints, full 0..65535
+    // spread); ties break to the LOWest candidate index. mean_reward =
+    // Σr/8 is EXACT in double (sum < 2^19, divisor a power of two).
+    // One 8-way explode + one per-task window over 8 rows — bounded
+    // frame, embarrassingly parallel at any scale.
+    "llm_best_of_n" -> ((s, d) => {
+      val cand = Tables.documents(s, d)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("task_id"))
+        .withColumn("j", explode(expr("sequence(1, 8)")))
+        .withColumn("r", conv(substring(
+          md5(concat(col("task_id").cast("string"), lit("|r"), col("j").cast("string"))),
+          1, 4), 16, 10).cast("long"))
+      val w = Window.partitionBy("task_id").orderBy(col("r").desc, col("j").asc)
+      cand.withColumn("rn", row_number().over(w))
+        .groupBy("task_id")
+        .agg(
+          max(when(col("rn") === 1, col("j"))).as("best_j"),
+          max(when(col("rn") === 1, col("r"))).as("best_reward"),
+          max(when(col("rn") === 2, col("r"))).as("second_reward"),
+          sum(col("r")).as("rsum"))
+        .select(col("task_id"), col("best_j").cast("long").as("best_j"),
+          col("best_reward"), col("second_reward"),
+          (col("best_reward") - col("second_reward")).as("margin"),
+          (col("rsum").cast("double") / 8.0d).as("mean_reward"))
+        .orderBy("task_id")
+    }),
+
     // K15'' — FUZZY decontamination (added r12): exact shingle matching
     // (llm_decontaminate) misses paraphrased / partially-copied eval
     // material — the production screen (GPT-3 appendix C lineage) also
@@ -7607,6 +7642,28 @@ object Llm {
         |       ${pak(10)} AS pass_at_10
         |FROM cc ORDER BY task_id""".stripMargin
     },
+    "llm_best_of_n" ->
+      """WITH cand AS (
+        |  SELECT doc_id AS task_id, unnest(range(1, 9)) AS j
+        |  FROM documents WHERE doc_id % 10 = 0
+        |),
+        |scored AS (
+        |  SELECT task_id, j,
+        |         CAST(concat('0x', substring(
+        |           md5(CAST(task_id AS VARCHAR) || '|r' || CAST(j AS VARCHAR)), 1, 4)) AS BIGINT) AS r,
+        |         row_number() OVER (PARTITION BY task_id ORDER BY
+        |           CAST(concat('0x', substring(
+        |             md5(CAST(task_id AS VARCHAR) || '|r' || CAST(j AS VARCHAR)), 1, 4)) AS BIGINT) DESC,
+        |           j ASC) AS rn
+        |  FROM cand
+        |)
+        |SELECT task_id,
+        |       CAST(max(CASE WHEN rn = 1 THEN j END) AS BIGINT) AS best_j,
+        |       max(CASE WHEN rn = 1 THEN r END) AS best_reward,
+        |       max(CASE WHEN rn = 2 THEN r END) AS second_reward,
+        |       max(CASE WHEN rn = 1 THEN r END) - max(CASE WHEN rn = 2 THEN r END) AS margin,
+        |       CAST(sum(r) AS DOUBLE) / 8.0 AS mean_reward
+        |FROM scored GROUP BY task_id ORDER BY task_id""".stripMargin,
     "llm_sample_stratified" ->
       """WITH h AS (
         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || '/' || lang) AS h FROM documents

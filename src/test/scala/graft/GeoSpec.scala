@@ -359,4 +359,33 @@ class GeoSpec extends SparkSpec {
     // both raster states live on the fixture: covered cells and holes
     assert(got.exists(_._3 > 0) && got.exists(_._3 == 0))
   }
+
+  test("geo_speed_outliers matches a driver recompute of the integer speed quotients") {
+    val pts = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def c(tag: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$tag$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      java.lang.Long.parseLong(hex, 16) % Side
+    }
+    val expect = pts.groupBy(_._1).toSeq.map { case (uid, evs) =>
+      val ord = evs.sortBy(e => (e._2, e._3)).toSeq
+      val speeds = ord.zip(ord.drop(1)).map { case ((_, us0, id0), (_, us1, id1)) =>
+        val (dx, dy) = (c("px:", id1) - c("px:", id0), c("py:", id1) - c("py:", id0))
+        val d = math.floor(math.sqrt((dx * dx + dy * dy).toDouble)).toLong
+        d * 1000000L / math.max(us1 - us0, 1L)
+      }
+      val out = speeds.count(_ > 50L).toLong
+      (uid, speeds.size.toLong, out,
+        math.floor(out.toDouble / speeds.size * 1e4) / 1e4, speeds.max)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("geo_speed_outliers")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    assert(got == expect)
+    // the screen discriminates: both clean steps and violations exist
+    assert(got.exists(_._3 > 0) && got.exists(t => t._3 < t._2))
+  }
 }

@@ -2917,4 +2917,27 @@ class MiscOpsSpec extends SparkSpec {
     // the report discriminates: sources differ in flag rate on the fixture
     assert(got.map(_._4).distinct.size > 1)
   }
+
+  test("llm_best_of_n picks the argmax reward with lowest-index ties and exact diagnostics") {
+    def md5hex16(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4), 16)
+    }
+    val tasks = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 10 == 0).sorted
+    val expect = tasks.map { t =>
+      val rs = (1 to 8).map(j => (j.toLong, md5hex16(s"$t|r$j")))
+      val sorted = rs.sortBy { case (j, r) => (-r, j) }
+      val (bj, br) = sorted.head
+      val sr = sorted(1)._2
+      (t, bj, br, sr, br - sr, rs.map(_._2).sum.toDouble / 8.0)
+    }.toSeq
+    val got = SparkEntry.queries("llm_best_of_n")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+    // margins are spread (the diagnostic is live, not constant)
+    assert(got.map(_._5).distinct.size > 3)
+  }
 }
