@@ -1896,7 +1896,7 @@ object Aggs {
         .withColumn("decile", graft.ops.Rank.ntileExpr(10, "g", "n_all"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum("sp").as("rev_cents"),
-          max("cum").as("cumq"), max("n_all").as("na"))
+          max("cum").as("cumq"))
         .join(broadcast(cust.agg(sum("sp").as("tot"))))
         .select(col("decile"), col("n_customers"), col("rev_cents"),
           (floor(col("cumq").cast("double") / col("tot").cast("double") * 1e6) / 1e6)

@@ -195,13 +195,17 @@ object Llm {
     * (deterministic md5 order + LIMIT), probes from the top-`nprobe`
     * ranked cells restricted to the budget BEFORE the cell join,
     * per-query top-1 with (sim DESC, id ASC) ties, LEFT join keeping
-    * empty-probe queries as null-neighbor rows. Any change to the
-    * serving contract lives HERE — the one-level, two-level and probe
-    * keys (and their oracle tails) may never desynchronize. */
-  private def serveTail(v: DataFrame, ranked: DataFrame, nprobe: Int = 2): DataFrame = {
-    val qids = v.where(col("norm") > 0.0d)
+    * empty-probe queries as null-neighbor rows. `queryIds` overrides the
+    * default |sq budget with a caller-built (q_id) set — `llm_ivf_query`
+    * passes its bounded 25% |q sample through the SAME tail. Any change
+    * to the serving contract lives HERE — the one-level, two-level,
+    * probe and sampled-query keys (and their oracle tails) may never
+    * desynchronize. */
+  private def serveTail(v: DataFrame, ranked: DataFrame, nprobe: Int = 2,
+                        queryIds: Option[DataFrame] = None): DataFrame = {
+    val qids = queryIds.getOrElse(v.where(col("norm") > 0.0d)
       .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("|sq"))))
-      .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
+      .orderBy("h").limit(500).select(col("vec_id").as("q_id")))
     val probes = ranked.where(col("r") <= nprobe)
       .join(broadcast(qids), col("vec_id") === col("q_id"))
       .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
@@ -3521,38 +3525,21 @@ object Llm {
     // null-neighbor row, exactly like the probe key.
     "llm_ivf_query" -> ((s, d) => {
       val v = vecs(s, d)
-      val ranked = coarseRanked(v)
       // the sampled query STREAM, bounded (r12, r11 weak-set closure): the
       // md5 25% membership keeps the key's sampled-stream identity, the
       // LIMIT caps the window served per run at a fixed 500 — a deployed
       // index answers a bounded stream; the old uncapped sample grew Q
       // with n, making the scale row superlinear by construction (the
       // in-code declaration since r8; 10× probe read 21.6×). Pair volume
-      // is now |budget|·occupancy·nprobe at ANY corpus size.
+      // is now |budget|·occupancy·nprobe at ANY corpus size. The serving
+      // tail itself is serveTail verbatim (one contract, r12 review) —
+      // only the query-id set differs from the |sq-budget keys.
       val h = md5(concat(col("vec_id").cast("string"), lit("|q")))
       val qids = v.where(col("norm") > 0.0d)
         .withColumn("h", h)
         .where(conv(substring(col("h"), 1, 4), 16, 10).cast("long") < 16384L)
         .orderBy("h").limit(500).select(col("vec_id").as("q_id"))
-      val probes = ranked.where(col("r") <= 2)
-        .join(broadcast(qids), col("vec_id") === col("q_id"))
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
-          col("norm").as("a_n"), col("cell").as("p_cell"))
-      val cells = ranked.where(col("r") === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
-          col("norm").as("b_n"), col("cell").as("b_cell"))
-      val sims = probes.join(cells,
-          col("p_cell") === col("b_cell") && col("a_id") =!= col("b_id"))
-        .withColumn("sim", dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
-      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-      val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("a_id"), col("b_id").as("nn_id"), round(col("sim"), 4).as("sim"))
-      ranked.where(col("r") === 1)
-        .join(broadcast(qids), col("vec_id") === col("q_id"))
-        .select(col("vec_id"), col("cell"))
-        .join(nn, col("vec_id") === col("a_id"), "left")
-        .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"))
-        .orderBy("vec_id")
+      serveTail(v, coarseRanked(v), nprobe = 2, queryIds = Some(qids))
     }),
 
     // K8g' — FLAT-POLICY ANN serving (added r8, r7 VERDICT #1): the
@@ -4664,20 +4651,32 @@ object Llm {
   /** The [[contamShingles]]-based decontamination oracle, shared verbatim
     * by `llm_decontaminate` and `llm_bloom_decontaminate` (the bloom is a
     * prefilter only — exact verify makes the outputs row-identical). */
-  private val decontamSql =
-    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+  /** The [[contamShingles]] oracle CTE chain (t/d/sh/ev — tokenize,
+    * md5 eval split, distinct 5-gram shingles, eval shingle set),
+    * shared VERBATIM by `llm_decontaminate` and
+    * `llm_contamination_report` so the doc-grain screen and its
+    * source-grain rollup can never verify against different eval sets
+    * (r12 review). */
+  private val decontamCtes =
+    """t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
       |           FROM documents),
       |d AS (
       |  SELECT doc_id,
       |         CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
       |              < 3277 THEN 1 ELSE 0 END AS is_eval,
       |         list_distinct(list_transform(range(1, len(toks) - 3),
-      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
-      |                || ' ' || toks[i+4])) AS gs
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] ||
+      |                ' ' || toks[i+3] || ' ' || toks[i+4])) AS gs
       |  FROM t WHERE len(toks) >= 5
       |),
       |sh AS (SELECT doc_id, is_eval, unnest(gs) AS g FROM d),
-      |ev AS (SELECT DISTINCT g FROM sh WHERE is_eval = 1)
+      |ev AS (SELECT DISTINCT g FROM sh WHERE is_eval = 1)""".stripMargin
+  // NOTE: decontamCtes is interpolated into stripMargin'd strings below —
+  // no line above may START (post-strip) with '|', or the outer
+  // stripMargin would eat it (it did: '||' became '|', r12 review fix)
+
+  private val decontamSql =
+    s"""WITH $decontamCtes
       |SELECT sh.doc_id, count(*) AS n_shingles,
       |       CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
       |       round(CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -7672,22 +7671,10 @@ object Llm {
         |)
         |SELECT lang, rn, doc_id, h FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     "llm_decontaminate" -> decontamSql,
-    // The same shingle screen rolled to source grain (shared CTE text
-    // through `ev`; source joins at doc grain after the shingle agg).
+    // The same shingle screen rolled to source grain (the SHARED
+    // decontamCtes prefix; source joins at doc grain after the agg).
     "llm_contamination_report" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-        |           FROM documents),
-        |d AS (
-        |  SELECT doc_id,
-        |         CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-        |              < 3277 THEN 1 ELSE 0 END AS is_eval,
-        |         list_distinct(list_transform(range(1, len(toks) - 3),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
-        |                || ' ' || toks[i+4])) AS gs
-        |  FROM t WHERE len(toks) >= 5
-        |),
-        |sh AS (SELECT doc_id, is_eval, unnest(gs) AS g FROM d),
-        |ev AS (SELECT DISTINCT g FROM sh WHERE is_eval = 1),
+      s"""WITH $decontamCtes,
         |dg AS (
         |  SELECT sh.doc_id, count(*) AS n_sh,
         |         CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits

@@ -788,15 +788,15 @@ object Wins {
     // shuffle collapses events to bars, then a user-keyed window over
     // bar-count-sized data; the fold is O(16) per bar.
     "win_atr" -> ((s, d) => {
-      val wDesc = Window.partitionBy("user_id", "h")
-        .orderBy(col("ts").desc, col("event_id").desc)
+      // close = max_by on the unique (ts, event_id) key — the
+      // deterministic-pick idiom; ONE aggregation produces all three
+      // bar stats, no pre-groupBy sort pass (r12 review)
       val bars = Tables.events(s, d)
         .withColumn("h", date_trunc("hour", col("ts")))
         .withColumn("vq", floor(col("value") * 1e6).cast("long"))
-        .withColumn("rn_d", row_number().over(wDesc))
         .groupBy("user_id", "h")
         .agg(max(col("vq")).as("hq"), min(col("vq")).as("lq"),
-          max(when(col("rn_d") === 1, col("vq"))).as("cq"))
+          max_by(col("vq"), struct(col("ts"), col("event_id"))).as("cq"))
       val wu = Window.partitionBy("user_id").orderBy(col("h"))
       bars
         .withColumn("pc", lag(col("cq"), 1).over(wu))

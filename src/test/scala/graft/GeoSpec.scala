@@ -370,16 +370,20 @@ class GeoSpec extends SparkSpec {
         .map("%02x".format(_)).mkString.substring(0, 12)
       java.lang.Long.parseLong(hex, 16) % Side
     }
-    val expect = pts.groupBy(_._1).toSeq.map { case (uid, evs) =>
+    val expect = pts.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
       val ord = evs.sortBy(e => (e._2, e._3)).toSeq
       val speeds = ord.zip(ord.drop(1)).map { case ((_, us0, id0), (_, us1, id1)) =>
         val (dx, dy) = (c("px:", id1) - c("px:", id0), c("py:", id1) - c("py:", id0))
         val d = math.floor(math.sqrt((dx * dx + dy * dy).toDouble)).toLong
         d * 1000000L / math.max(us1 - us0, 1L)
       }
-      val out = speeds.count(_ > 50L).toLong
-      (uid, speeds.size.toLong, out,
-        math.floor(out.toDouble / speeds.size * 1e4) / 1e4, speeds.max)
+      // single-event users have no steps — the key drops them too
+      if (speeds.isEmpty) None
+      else {
+        val out = speeds.count(_ > 50L).toLong
+        Some((uid, speeds.size.toLong, out,
+          math.floor(out.toDouble / speeds.size * 1e4) / 1e4, speeds.max))
+      }
     }.sortBy(_._1)
     val got = SparkEntry.queries("geo_speed_outliers")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))

@@ -2813,8 +2813,15 @@ class MiscOpsSpec extends SparkSpec {
       .select(col("user_id"), unix_micros(col("h")).as("hus"), col("tr"), col("atr"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
     assert(gotUs == expect)
-    // the gap branch of true range is live (some tr exceeds its bar's range)
-    assert(gotUs.nonEmpty)
+    // the gap branch of true range is live: recompute each bar's plain
+    // high-low range and require some tr to exceed it (a dead gap branch
+    // would make tr == hq - lq everywhere)
+    val ranges = events.groupBy(e => (e._2, e._3 - e._3 % 3600000000L)).map {
+      case ((uid, h), bs) => (uid, h) -> (bs.map(_._4).max - bs.map(_._4).min)
+    }
+    assert(gotUs.exists { case (uid, h, tr, _) =>
+      tr > ranges((uid, h)).toDouble / 1e6
+    }, "no bar's true range exceeds its high-low range — gap branch dead")
   }
 
   test("agg_lorenz decile points match a driver-side exact recomputation and are a valid Lorenz curve") {
