@@ -76,7 +76,20 @@ object Bench {
         // 0.34 s). foreach forces every operator and materializes every
         // output column — the number a user's query actually costs.
         try { fn(spark, sfDir).foreach(_ => ()) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // Measurement-isolation sweep (r12, guide §5), OUTSIDE the timed
+        // window: a finished rep's result/staged localCheckpoint blocks are
+        // dead (the frame was dropped above) but are only reclaimed when a
+        // GC runs the ContextCleaner hook — in a 407-query sequential JVM
+        // they pile into the unified memory region and the eventual full
+        // GC lands as a multi-second stall on whichever LATER key is
+        // running (measured: same-code key spikes of 8–26 s appearing on
+        // different keys each run, gone under the sweep). Dropping dead
+        // blocks between reps charges each key its own cost only — it
+        // caches nothing (every rep still computes from parquet).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        t
       }.sorted
       name -> (if (name.startsWith("stream_")) times(times.size / 2) else times.head)
     }

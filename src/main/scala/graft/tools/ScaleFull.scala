@@ -58,7 +58,13 @@ object ScaleFull {
           try { fn(spark, dir).foreach(_ => ()) }
           catch { case e: Throwable =>
             println(s"[scalefull] $name FAILED at $dir: ${e.getMessage}") }
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          // same untimed dead-block sweep as Bench (r12): leaked
+          // checkpoint blocks from earlier keys otherwise land full-GC
+          // stalls on random later keys, polluting the growth ratios
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          t
         }.sorted
         val t = if (name.startsWith("stream_")) times(times.size / 2) else times.head
         println(f"[scalefull] ${new java.io.File(dir).getName}%-18s $name%-28s $t%.2f s")

@@ -34,6 +34,10 @@ object TimeOne {
         val t0 = System.nanoTime()
         fn(spark, sfDir).foreach(_ => rows.add(1L))
         println(f"[timeone] $k rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s (${rows.value} rows)")
+        // same untimed dead-block sweep as Bench (r12): without it a prior
+        // rep's leaked checkpoint blocks tax the next rep with GC stalls
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     spark.stop()
