@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MaskCard, MaskIntersect, MaskOps, VecDot}
+import graft.functions.{CdcCuts, HashOps, MaskCard, MaskIntersect, MaskOps, Md5Bits, Mh8, VecDot}
 
 /** Session-extension entry point: the production registration path for the
   * library's custom Catalyst expressions, activated with
@@ -46,6 +46,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "mask_card(a) - total popcount of an array<bigint> bitmask.",
         ""),
       (children: Seq[Expression]) => MaskOps.cardExpr(children)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_bits"),
+      new ExpressionInfo(
+        classOf[Md5Bits].getName,
+        null,
+        "md5_bits",
+        "md5_bits(s, start, len) - hex window [start, start+len) of md5(s) as an unsigned long; " +
+          "bit-identical to CAST(conv(substring(md5(s), start, len), 16, 10) AS BIGINT).",
+        ""),
+      (children: Seq[Expression]) => HashOps.md5BitsExpr(children)))
+    ext.injectFunction((
+      FunctionIdentifier("mh8_md5"),
+      new ExpressionInfo(
+        classOf[Mh8].getName,
+        null,
+        "mh8_md5",
+        "mh8_md5(s) - array(md5('0:'||s), ..., md5('7:'||s)) as lowercase hex.",
+        ""),
+      (children: Seq[Expression]) => HashOps.mh8Expr(children)))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(
+        classOf[CdcCuts].getName,
+        null,
+        "cdc_cuts",
+        "cdc_cuts(s) - 1-based char positions i in [2, len-7] where the 60-bit md5 prefix of the " +
+          "8-char window at i is divisible by 32 (content-defined chunk boundaries).",
+        ""),
+      (children: Seq[Expression]) => HashOps.cdcCutsExpr(children)))
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // own runtime join filtering but does not register them publicly;
     // surfacing them here gives the library a broadcastable membership

@@ -96,10 +96,15 @@ object CountMin {
     * MUST stay in lockstep with [[estimateCol]]'s SQL-side twin (pinned
     * by CountMinSpec). */
   def bucket(r: Int, item: String, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$r:$item".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    (java.lang.Long.parseLong(hex, 16) % width).toInt
+    // r12: thread-local digest + direct byte arithmetic — the same value
+    // as parseLong(first8HexChars, 16) % width (first 4 digest bytes as an
+    // unsigned 32-bit int), without a per-row MessageDigest + formatted
+    // hex string. SketchSpec's cross-engine lockstep pins the bucket
+    // function unchanged.
+    val dig = HashOps.md5(s"$r:$item".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+    (v % width).toInt
   }
 
   /** Point-query estimate over a finished sketch column: the min over

@@ -88,10 +88,15 @@ object Kmv {
     * / DuckDB `CAST(concat('0x', substring(md5(item),1,15)) AS BIGINT)`.
     * Lockstep pinned by SketchSpec. */
   def hash60(item: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
+    // r12: thread-local digest + direct byte arithmetic — the same value
+    // as parseLong(first15HexChars, 16) (7 full digest bytes + the high
+    // nibble of byte 7), without a per-row MessageDigest + formatted hex
+    // string. SketchSpec's cross-engine lockstep pins the hash unchanged.
+    val dig = HashOps.md5(item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) >> 4) & 0xfL)
   }
 
   /** Insert `h` into sorted-distinct `buf`, keeping at most `k` smallest.

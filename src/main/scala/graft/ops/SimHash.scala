@@ -39,8 +39,12 @@ object SimHash {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
     // four 16-bit chunks of the token md5 carry the 64 vote bits
+    // (r12: codegen md5_bits — identical values to the conv(substring(md5))
+    // chains, DigestSpec — at 4 digests/token instead of 4 full
+    // md5-hex/substring/parse expression chains)
+    graft.functions.HashOps.register(docs.sparkSession)
     val chunks = tok.select(col("doc_id") +: (0 until 4).map(k =>
-      conv(substring(md5(col("token")), 1 + 4 * k, 4), 16, 10).cast("long").as(s"tv$k")): _*)
+      call_function("md5_bits", col("token"), lit(1 + 4 * k), lit(4)).as(s"tv$k")): _*)
     val aggs = (0 until 64).map { j =>
       sum(shiftright(col(s"tv${j / 16}"), j % 16).bitwiseAND(lit(1L))).as(s"c$j")
     } :+ count(lit(1)).as("n")

@@ -443,13 +443,20 @@ object Aggs {
         .select(col("event_type"), col("event_id"),
           floor(col("value") * 1e6).cast("long").as("yq"))
         // one md5 yields 32 hex chars = FOUR independent 32-bit draws:
-        // replicate b reads window (b mod 4) of md5(event_id|⌊b/4⌋) —
-        // 8 hashes per row instead of 32, same determinism contract
-        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        // replicate b reads window (b mod 4) of md5(event_id|⌊b/4⌋).
+        // r12 (guide §4): the hash group g = b div 4 explodes FIRST and
+        // the digest is computed once per (event, g) — 8 digests/row
+        // materialized as a value, where the single-explode form
+        // re-evaluated the md5 chain in all four b-rows that share g
+        // (32 evals/row). b = 4g + m and the substring windows are
+        // unchanged, so every (event, b) draws the identical u.
+        .withColumn("g", explode(sequence(lit(0), lit(7))))
+        .withColumn("h", md5(concat(col("event_id").cast("string"), lit("|"),
+          col("g").cast("string"))))
+        .withColumn("m", explode(sequence(lit(0), lit(3))))
+        .withColumn("b", col("g") * 4 + col("m"))
         .withColumn("u", expr(
-          """CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '|',
-            |  CAST(b div 4 AS STRING))), pmod(b, 4) * 8 + 1, 8), 16, 10) AS BIGINT)"""
-            .stripMargin))
+          "CAST(conv(substring(h, m * 8 + 1, 8), 16, 10) AS BIGINT)"))
         .withColumn("w", wCol.cast("long"))
         .groupBy("event_type", "b")
         .agg(sum(col("w").cast(dec)).as("nw"),

@@ -39,8 +39,16 @@ object Dedup {
     * Shared by `lshVerified` and the `llm_dedup_minhash` key so the
     * banding scheme cannot drift between them. */
   private[queries] def bandKeys(tok: DataFrame): DataFrame = {
-    val mhCols = (0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("token")))).as(s"mh$i"))
-    val mh = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // r12: the 8 seeded hashes come from one codegen mh8_md5 call (one
+    // thread-local digest, no per-seed concat/hex-string churn) instead of
+    // 8 builtin md5(concat(...)) chains — identical hex strings (HashOps
+    // doc + DigestSpec), ~8× fewer digest allocations on the dedup
+    // family's dominant per-token stage.
+    graft.functions.HashOps.register(tok.sparkSession)
+    val mhCols = (0 until 8).map(i =>
+      min(element_at(col("__mh8"), i + 1)).as(s"mh$i"))
+    val mh = tok.withColumn("__mh8", call_function("mh8_md5", col("token")))
+      .groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     mh.select(col("doc_id"), posexplode(array(
       (0 until 2).map(j => md5(concat(
         col(s"mh${4 * j}"), col(s"mh${4 * j + 1}"),
@@ -88,7 +96,10 @@ object Dedup {
     * Long.MaxValue — overflow-safe). Returns (doc_id, t0..t7). */
   private[graft] val OphC = 1L << 60
   private[graft] def ophSlots(tok: DataFrame): DataFrame = {
-    val hv = conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long")
+    // r12: codegen md5_bits replaces the conv(substring(md5)) chain —
+    // identical value (HashOps doc), no hex-string/parse churn per token.
+    graft.functions.HashOps.register(tok.sparkSession)
+    val hv = call_function("md5_bits", col("token"), lit(1), lit(15))
     val binned = tok.select(col("doc_id"), hv.as("hv"))
       .withColumn("bin", col("hv") % 8)
     val mins = (0 until 8).map(j => min(when(col("bin") === j, col("hv"))).as(s"s$j"))
@@ -187,7 +198,7 @@ object Dedup {
     * per-side cardinality SQL expressions (over columns named
     * `a_mask`/`b_mask`); physical representation chosen from the measured
     * dictionary size (see object doc). */
-  private def tokenMasks(tok: DataFrame): (DataFrame, String, String => String) = {
+  private[queries] def tokenMasks(tok: DataFrame): (DataFrame, String, String => String) = {
     val distinctTok = tok.select("token").distinct()
     val v = distinctTok.count() // dictionary cardinality gate (tiny scan)
     val vocab = assignTokenIds(distinctTok, viaRdd = v > LargeVocab)

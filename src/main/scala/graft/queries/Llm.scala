@@ -40,11 +40,17 @@ object Llm {
     * (doc_id, chunk) occurrence, in no particular order. Shared core of
     * `llm_cdc_chunks` and `llm_dedup_cdc`. */
   def cdcChunks(docsRaw: DataFrame): DataFrame = {
+    // r12: the per-position boundary scan runs in the codegen cdc_cuts
+    // expression (one thread-local digest, byte-slice windows on ASCII
+    // text, boundary test on two digest bits) instead of the interpreted
+    // HOF filter whose every position paid substring + builtin md5 +
+    // hex-substring + conv — identical cut positions by construction
+    // (HashOps doc: value%32 depends only on hex chars 14–15; DigestSpec
+    // pins the chain equality).
+    graft.functions.HashOps.register(docsRaw.sparkSession)
     val docs = docsRaw.select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val cuts = docs.select(col("doc_id"), explode(expr(
-      "CASE WHEN len >= 9 THEN filter(sequence(2, len - 7), " +
-        "i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint) % 32 = 0) " +
-        "ELSE array() END")).as("s"))
+    val cuts = docs.select(col("doc_id"),
+      explode(call_function("cdc_cuts", col("text"))).as("s"))
     val starts = docs.select(col("doc_id"), lit(1).as("s")).unionByName(cuts)
     val w = Window.partitionBy("doc_id").orderBy("s")
     starts.withColumn("nxt", lead("s", 1).over(w))
@@ -133,14 +139,25 @@ object Llm {
   /** Per-doc 16-bit SimHash signature (doc_id, lang, simhash): bit j is
     * the sign of the per-token ±1 vote from bit j of the token's md5.
     * Shared by the signature key and the hamming-candidate key. */
-  private def simhashes(s: SparkSession, d: String): DataFrame =
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    // r12 (guide §2.3/§4): the 16 per-bit ±1 votes fold in ONE map-side-
+    // combined aggregation (16 sum columns) instead of explode(16) → two
+    // stacked groupBys — the exchange carries 1 row/doc of partials
+    // instead of 16 token-multiplied vote rows, and the plan drops from
+    // 2 Exchanges to 1. tv comes from the codegen md5_bits (identical
+    // value to the conv(substring(md5)) chain, DigestSpec). Each sgn_j
+    // sum and the Σ 2^j readout are the same exact integers as before.
+    graft.functions.HashOps.register(s)
+    val votes = (0 until 16).map(j =>
+      sum(expr(s"CASE WHEN ((tv >> $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"sgn$j"))
     tokensDistinct(s, d)
-      .withColumn("tv", conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"))
-      .select(col("doc_id"), col("lang"), col("tv"), explode(sequence(lit(0), lit(15))).as("j"))
-      .groupBy("doc_id", "lang", "j")
-      .agg(sum(expr("CASE WHEN ((tv >> j) & 1) = 1 THEN 1 ELSE -1 END")).as("sgn"))
+      .withColumn("tv", call_function("md5_bits", col("token"), lit(1), lit(4)))
       .groupBy("doc_id", "lang")
-      .agg(sum(when(col("sgn") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), col("lang"),
+        (0 until 16).map(j =>
+          when(col(s"sgn$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
+  }
 
   /** BM25 (k1=1.2, b=0.75) over the fixed 3-term demo query — the
     * `llm_bm25_search` body, shared with `llm_rank_fusion`'s lexical leg
@@ -1862,10 +1879,13 @@ object Llm {
     // carries ≤16 partial longs per doc, linear at any corpus size.
     // Sparse output (occupied dims only), the storage-honest form.
     "llm_hash_embed" -> ((s, d) => {
+      // r12: codegen md5_bits (identical values, DigestSpec) for the two
+      // per-token digest-window extractions
+      graft.functions.HashOps.register(s)
       tokensAll(s, d)
         .select(col("doc_id"),
-          (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % 16).as("dim"),
-          when(conv(substring(md5(col("token")), 9, 1), 16, 10).cast("long") % 2 === 0,
+          (call_function("md5_bits", col("token"), lit(1), lit(8)) % 16).as("dim"),
+          when(call_function("md5_bits", col("token"), lit(9), lit(1)) % 2 === 0,
             lit(1L)).otherwise(lit(-1L)).as("sgn"))
         .groupBy("doc_id", "dim").agg(sum("sgn").as("v"))
         .orderBy("doc_id", "dim")
@@ -2535,16 +2555,26 @@ object Llm {
         "doc_id").select(col("doc_id"), col("band_i").as("bi2"), col("band_v").as("bv2"))
       val cand = tb.join(eb, col("band_i") === col("bi2") && col("band_v") === col("bv2"))
         .select("doc_id", "eval_id").distinct()
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val tt = tok.select(col("doc_id"), col("token"))
-      val inter = cand
-        .join(tt, "doc_id")
-        .join(tt.select(col("doc_id").as("eval_id"), col("token")),
-          Seq("eval_id", "token"))
-        .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id"), col("n").as("na")), "doc_id")
-        .join(sizes.select(col("doc_id").as("eval_id"), col("n").as("nb")), "eval_id")
+      // r12 (guide §2.3/§4): exact intersection via the dictionary-encoded
+      // token bitmasks (llm_dedup_near's verify machinery) instead of the
+      // candidate×token equi-join — the old plan shuffled every candidate
+      // pair re-exploded to token grain (~|cand|·|tokens/doc| rows through
+      // a 3-way join + groupBy); the mask plan joins 1 mask row per side
+      // and computes |a∩b| as a codegen popcount. inter = count of shared
+      // DISTINCT tokens and n_a/n_b = per-doc distinct-token counts are
+      // the identical integers (mask bits are the per-doc distinct token
+      // dictionary ids), so jacq and every output row are unchanged —
+      // oracle re-verified hash-green, oracle SQL untouched.
+      graft.functions.MaskOps.register(s)
+      val (masks, interExpr, cardExpr) = Dedup.tokenMasks(tok)
+      val ma = masks.select(col("doc_id").as("ma_id"), col("mask").as("a_mask"))
+      val mb = masks.select(col("doc_id").as("mb_id"), col("mask").as("b_mask"))
+      cand
+        .join(ma, col("doc_id") === col("ma_id"))
+        .join(mb, col("eval_id") === col("mb_id"))
+        .withColumn("inter", expr(interExpr).cast("long"))
+        .withColumn("na", expr(cardExpr("a")).cast("long"))
+        .withColumn("nb", expr(cardExpr("b")).cast("long"))
         .withColumn("jacq", expr("(inter * 10000) div (na + nb - inter)"))
         .where(col("jacq") >= 5000L)
         .select(col("doc_id"), col("eval_id"), col("inter"),

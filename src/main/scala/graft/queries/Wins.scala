@@ -593,26 +593,21 @@ object Wins {
     }),
 
     "win_theil_sen" -> ((s, d) => {
+      // r12 (guide §4): the O(k²) pairwise-slope + sort + median readout
+      // runs in the codegen theil_sen_med kernel instead of ~120
+      // interpreted transform/flatten/array_sort/aggregate element evals
+      // per row — identical values (same IEEE slope op order, stable sort
+      // under Spark's own SQLOrderingUtil double comparator, same
+      // even/odd median and floor-1e-4; SeriesOpsSpec pins the kernel
+      // against the old HOF formulation on adversarial and random series,
+      // and the oracle re-verified hash-green at sf0.001/0.01/0.1).
+      graft.functions.SeriesOps.register(s)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
       Tables.events(s, d)
         .withColumn("l", collect_list(col("value")).over(w))
-        .withColumn("slopes", expr(
-          // size<2 guard keeps sequence() ascending (sequence(1,0) would
-          // auto-step DOWN and fabricate pairs)
-          "CASE WHEN size(l) < 2 THEN array() ELSE " +
-            "array_sort(flatten(transform(sequence(1, size(l) - 1), i -> " +
-            "transform(sequence(i + 1, size(l)), j -> " +
-            "(element_at(l, j) - element_at(l, i)) / CAST(j - i AS DOUBLE)))))" +
-            " END"))
-        .withColumn("ts_slope", expr(
-          """CASE WHEN size(l) < 2 THEN CAST(NULL AS DOUBLE) ELSE
-            |  floor((CASE WHEN size(slopes) % 2 = 1
-            |              THEN element_at(slopes, CAST((size(slopes) + 1) div 2 AS INT))
-            |              ELSE (element_at(slopes, CAST(size(slopes) div 2 AS INT))
-            |                  + element_at(slopes, CAST(size(slopes) div 2 + 1 AS INT))) / 2.0D
-            |         END) * 10000) / 10000 END""".stripMargin))
-        .select(col("event_id"), col("user_id"), col("ts_slope"))
+        .select(col("event_id"), col("user_id"),
+          call_function("theil_sen_med", col("l")).as("ts_slope"))
         .orderBy("event_id")
     }),
 

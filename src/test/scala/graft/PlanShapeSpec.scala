@@ -258,8 +258,10 @@ class PlanShapeSpec extends SparkSpec {
     //   - Dedup.assignTokenIds vocabulary window (one row per DISTINCT
     //     token, gated at 10M with the documented RDD zipWithIndex route
     //     past it — Dedup.scala LargeVocab): llm_dedup_incremental,
-    //     llm_dedup_lsh_verified, llm_dedup_near, and llm_lsh_recall
-    //     (whose truth side IS jaccardBitmask — same vocabulary window)
+    //     llm_dedup_lsh_verified, llm_dedup_near, llm_lsh_recall
+    //     (whose truth side IS jaccardBitmask — same vocabulary window),
+    //     and llm_decontaminate_fuzzy (r12: its candidate verify now
+    //     rides Dedup.tokenMasks — same vocabulary window, same gate)
     //   - agg_survival_km duration-grain risk window (one row per distinct
     //     duration — bounded by observation-window days, never corpus size)
     //   - graph_degree_dist CCDF window (one row per distinct degree value
@@ -280,7 +282,7 @@ class PlanShapeSpec extends SparkSpec {
       "agg_rfm", "llm_vocab_coverage", "llm_zipf_slope", "win_analytic",
       "llm_shard_plan",
       "llm_dedup_incremental", "llm_dedup_lsh_verified", "llm_dedup_near",
-      "llm_lsh_recall",
+      "llm_lsh_recall", "llm_decontaminate_fuzzy",
       "agg_survival_km", "graph_degree_dist", "agg_pareto", "agg_lorenz",
       "llm_sample_systematic", "llm_curriculum",
       "llm_rank_fusion", "llm_rank_ndcg")
@@ -332,12 +334,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("llm_cdc_chunks keeps the boundary scan inside the scan stage (no position explode)") {
-    // the cut-position filter must run INSIDE the higher-order filter over
-    // sequence(...) — a plan that exploded raw positions before filtering
-    // would materialize one row per corpus character
+    // the per-position boundary scan must run INSIDE one expression over
+    // the text — a plan that exploded raw positions before filtering
+    // would materialize one row per corpus character. r12: the scan is
+    // the codegen cdc_cuts kernel (replacing the interpreted HOF
+    // filter(sequence(...)) chain); only the sparse CUT positions are
+    // ever exploded into rows.
     val p = planOf("llm_cdc_chunks")
-    assert(p.contains("filter(sequence"),
-      s"boundary scan not inside a codegen'd higher-order filter:\n$p")
+    assert(p.contains("cdc_cuts("),
+      s"boundary scan not inside the codegen cdc_cuts kernel:\n$p")
+    assert(!p.contains("filter(sequence"),
+      s"interpreted per-position HOF chain resurfaced:\n$p")
   }
 
   test("join_interval_binned replaces the nested-loop range join with an equi-join") {
