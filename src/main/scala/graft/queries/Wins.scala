@@ -285,34 +285,27 @@ object Wins {
     // because the diagonal is a valid path — the spec's invariant),
     // floor-1e-4. One entity-keyed shuffle; 64 integer ops/row.
     "win_dtw" -> ((s, d) => {
+      // r12 (guide §4): the 8×8 DP runs in the codegen dtw16 kernel over
+      // one trailing-16 collect_list instead of 16 lag() window columns
+      // + 15 stacked 64-column projections — identical exact-integer DP
+      // (SeriesOpsSpec pins kernel == the stacked-projection
+      // formulation), same 16-sample warm-up filter (size(l) = 16 ⟺ the
+      // old lag-15 notNull), same IEEE warp_gain readout.
+      graft.functions.SeriesOps.register(s)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      var base = Tables.events(s, d)
+        .rowsBetween(-15, 0)
+      Tables.events(s, d)
         .where(col("value").isNotNull)
         .withColumn("vq", floor(col("value") * 1e6).cast("long"))
-      // a1..a8 = previous octave (lags 15..8); b1..b8 = current (lags 7..0)
-      for (i <- 1 to 8) base = base.withColumn(s"a$i", lag("vq", 16 - i).over(w))
-      for (j <- 1 to 7) base = base.withColumn(s"b$j", lag("vq", 8 - j).over(w))
-      base = base.withColumn("b8", col("vq"))
-      var df = base.where(col("a1").isNotNull)
-      for (k <- 2 to 16) {
-        val cols = for { i <- 1 to 8; j = k - i; if j >= 1 && j <= 8 } yield {
-          val c = abs(col(s"a$i") - col(s"b$j"))
-          val v =
-            if (i == 1 && j == 1) c
-            else if (i == 1) col(s"d_1_${j - 1}") + c
-            else if (j == 1) col(s"d_${i - 1}_1") + c
-            else c + least(col(s"d_${i - 1}_$j"), col(s"d_${i}_${j - 1}"),
-              col(s"d_${i - 1}_${j - 1}"))
-          v.as(s"d_${i}_$j")
-        }
-        df = df.select(col("*") +: cols.toSeq: _*)
-      }
-      val l1 = (1 to 8).map(i => abs(col(s"a$i") - col(s"b$i"))).reduce(_ + _)
-      df.withColumn("l1", l1)
+        .withColumn("l", collect_list(col("vq")).over(w))
+        .where(size(col("l")) === 16)
+        .withColumn("dl", expr("dtw16(l)"))
+        .withColumn("dtw", element_at(col("dl"), 1))
+        .withColumn("l1", element_at(col("dl"), 2))
         .select(col("event_id"), col("user_id"),
-          col("d_8_8").as("dtw_microunits"), col("l1").as("l1_microunits"),
+          col("dtw").as("dtw_microunits"), col("l1").as("l1_microunits"),
           when(col("l1") > 0,
-            floor((lit(1.0) - col("d_8_8").cast("double") / col("l1").cast("double"))
+            floor((lit(1.0) - col("dtw").cast("double") / col("l1").cast("double"))
               * 1e4) / 1e4).otherwise(lit(0.0)).as("warp_gain"))
         .orderBy("event_id")
     }),
@@ -356,14 +349,16 @@ object Wins {
     // Spark's shortest-repr HALF_UP 29.6787). O(16) per row, one
     // entity-keyed shuffle at any scale.
     "win_ewma" -> ((s, d) => {
+      // r12 (guide §4): the fold runs in the codegen ewma_fold kernel —
+      // identical IEEE op sequence to the HOF aggregate (SeriesOpsSpec),
+      // the floor-1e-4 edge stays in SQL so its long-cast semantics are
+      // untouched.
+      graft.functions.SeriesOps.register(s)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
       Tables.events(s, d)
         .withColumn("l", collect_list(col("value")).over(w))
-        .withColumn("ewma", expr(
-          """floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
-            |  CAST(element_at(l, 1) AS DOUBLE),
-            |  (acc, x) -> 0.25 * x + 0.75 * acc) * 10000) / 10000""".stripMargin))
+        .withColumn("ewma", expr("floor(ewma_fold(l) * 10000) / 10000"))
         .select(col("event_id"), col("user_id"), col("ewma"))
         .orderBy("event_id")
     }),
@@ -435,17 +430,14 @@ object Wins {
     }),
 
     "win_holt" -> ((s, d) => {
+      // r12 (guide §4): codegen holt_fold kernel — identical IEEE op
+      // sequence to the HOF aggregate (SeriesOpsSpec), floor edge in SQL.
+      graft.functions.SeriesOps.register(s)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
       Tables.events(s, d)
         .withColumn("l", collect_list(col("value")).over(w))
-        .withColumn("holt_forecast", expr(
-          """floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
-            |  named_struct('lv', CAST(element_at(l, 1) AS DOUBLE), 'tr', CAST(0.0 AS DOUBLE)),
-            |  (acc, x) -> named_struct(
-            |    'lv', 0.3 * x + 0.7 * (acc.lv + acc.tr),
-            |    'tr', 0.4 * ((0.3 * x + 0.7 * (acc.lv + acc.tr)) - acc.lv) + 0.6 * acc.tr),
-            |  acc -> acc.lv + acc.tr) * 10000) / 10000""".stripMargin))
+        .withColumn("holt_forecast", expr("floor(holt_fold(l) * 10000) / 10000"))
         .select(col("event_id"), col("user_id"), col("holt_forecast"))
         .orderBy("event_id")
     }),
@@ -465,19 +457,16 @@ object Wins {
     // IEEE divides of exact ints. First row per entity (empty history)
     // is excluded on both engines (empty frame ⇒ size 0 / NULL list).
     "win_forecast_eval" -> ((s, d) => {
+      graft.functions.SeriesOps.register(s)
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-16, -1)
       Tables.events(s, d)
         .withColumn("l", collect_list(col("value")).over(w))
         .where(size(col("l")) >= 1)
-        .withColumn("fcast", expr(
-          """aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
-            |  named_struct('lv', CAST(element_at(l, 1) AS DOUBLE), 'tr', CAST(0.0 AS DOUBLE)),
-            |  (acc, x) -> named_struct(
-            |    'lv', 0.3 * x + 0.7 * (acc.lv + acc.tr),
-            |    'tr', 0.4 * ((0.3 * x + 0.7 * (acc.lv + acc.tr)) - acc.lv) + 0.6 * acc.tr),
-            |  acc -> acc.lv + acc.tr)""".stripMargin))
+        // r12: the win_holt fold via the same codegen holt_fold kernel
+        // (raw, unquantized — exactly what the HOF chain produced here)
+        .withColumn("fcast", expr("holt_fold(l)"))
         .withColumn("err", col("value") - col("fcast"))
         // MAPE is undefined at zero actuals (sf0.1 has value = 0 rows):
         // the textbook practice — score it over positive actuals only,
@@ -512,19 +501,17 @@ object Wins {
     // libm ulp drift absorbed by the floor-1e-4 edge (the adamic_adar
     // ln() argument).
     "win_ewma_irregular" -> ((s, d) => {
+      // r12 (guide §4): codegen ewma_t_fold kernel over the (us, v)
+      // structs — the exp() is Math.exp on both routes and the decay is
+      // computed once per step (the duplicated SQL sub-expression equals
+      // the same value); SeriesOpsSpec pins equality, floor edge in SQL.
+      graft.functions.SeriesOps.register(s)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
       Tables.events(s, d)
         .withColumn("l", collect_list(
           struct(unix_micros(col("ts")).as("us"), col("value").as("v"))).over(w))
-        .withColumn("ewma_t", expr(
-          """floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
-            |  named_struct('us', element_at(l, 1).us, 'y', CAST(element_at(l, 1).v AS DOUBLE)),
-            |  (acc, x) -> named_struct(
-            |    'us', x.us,
-            |    'y', x.v * (1.0D - exp(-(CAST(x.us - acc.us AS DOUBLE) / 3600000000.0D)))
-            |       + acc.y * exp(-(CAST(x.us - acc.us AS DOUBLE) / 3600000000.0D))),
-            |  acc -> acc.y) * 10000) / 10000""".stripMargin))
+        .withColumn("ewma_t", expr("floor(ewma_t_fold(l) * 10000) / 10000"))
         .select(col("event_id"), col("user_id"), col("ewma_t"))
         .orderBy("event_id")
     }),
@@ -624,17 +611,16 @@ object Wins {
     // both engines execute the identical IEEE op sequence; D-suffixed
     // constants (the DECIMAL literal trap); floor-1e-4 quantized output.
     "win_kalman" -> ((s, d) => {
+      // r12 (guide §4): codegen kalman_fold kernel — identical IEEE op
+      // sequence (gain computed once per step, as the duplicated SQL
+      // sub-expression evaluates to the same value; SeriesOpsSpec pins
+      // equality), floor edge in SQL.
+      graft.functions.SeriesOps.register(s)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
       Tables.events(s, d)
         .withColumn("l", collect_list(col("value")).over(w))
-        .withColumn("kalman_est", expr(
-          """floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
-            |  named_struct('x', CAST(element_at(l, 1) AS DOUBLE), 'p', CAST(16.0 AS DOUBLE)),
-            |  (acc, z) -> named_struct(
-            |    'x', acc.x + ((acc.p + 4.0D) / ((acc.p + 4.0D) + 16.0D)) * (z - acc.x),
-            |    'p', (1.0D - ((acc.p + 4.0D) / ((acc.p + 4.0D) + 16.0D))) * (acc.p + 4.0D)),
-            |  acc -> acc.x) * 10000) / 10000""".stripMargin))
+        .withColumn("kalman_est", expr("floor(kalman_fold(l) * 10000) / 10000"))
         .select(col("event_id"), col("user_id"), col("kalman_est"))
         .orderBy("event_id")
     }),
@@ -657,12 +643,18 @@ object Wins {
     // generator is the production surface — m and first-season seeding are
     // arguments there, proven at m∈{4,7} in WinsOpsSpec (r5).
     "win_holt_winters" -> ((s, d) => {
+      // r12 (guide §4): the generated HOF fold runs in the codegen
+      // hw_fold kernel at the same pinned parameterization — identical
+      // IEEE op order per step (SeriesOpsSpec pins kernel == the
+      // ops.HoltWinters generated expression, which remains the
+      // reference formulation); floor edge in SQL.
+      graft.functions.SeriesOps.register(s)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
       Tables.events(s, d)
         .withColumn("l", collect_list(col("value")).over(w))
         .withColumn("hw_forecast",
-          expr(graft.ops.HoltWinters.forecastExpr("l", m = 4)))
+          expr("floor(hw_fold(l, 4, 0.3D, 0.2D, 0.3D, false) * 1e4) / 1e4"))
         .select(col("event_id"), col("user_id"), col("hw_forecast"))
         .orderBy("event_id")
     }),
@@ -675,12 +667,16 @@ object Wins {
     // Same generator (ops.HoltWinters), same m=4 cadence; proves the
     // seeded route cross-engine, not just against the scalatest reference.
     "win_holt_winters_seeded" -> ((s, d) => {
+      // r12: same hw_fold kernel, first-full-season seeding (the
+      // short-history fallback lives inside the kernel exactly like the
+      // generated expression's IF).
+      graft.functions.SeriesOps.register(s)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
       Tables.events(s, d)
         .withColumn("l", collect_list(col("value")).over(w))
         .withColumn("hw_forecast",
-          expr(graft.ops.HoltWinters.forecastExpr("l", m = 4, seedFirstSeason = true)))
+          expr("floor(hw_fold(l, 4, 0.3D, 0.2D, 0.3D, true) * 1e4) / 1e4"))
         .select(col("event_id"), col("user_id"), col("hw_forecast"))
         .orderBy("event_id")
     }),
@@ -749,6 +745,7 @@ object Wins {
     // sqrt of the same raw accumulator). One user-keyed shuffle +
     // in-partition sort; the fold is O(16) per row.
     "win_ewm_var" -> ((s, d) => {
+      graft.functions.SeriesOps.register(s)
       val wl = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val wf = wl.rowsBetween(-15, 0)
       Tables.events(s, d)
@@ -756,12 +753,10 @@ object Wins {
         .withColumn("rq", col("yq") - lag(col("yq"), 1).over(wl))
         .where(col("rq").isNotNull)
         .withColumn("l", collect_list(col("rq")).over(wf))
-        .withColumn("l2", expr(
-          "transform(l, x -> (CAST(x AS DOUBLE) / 1e6) * (CAST(x AS DOUBLE) / 1e6))"))
-        .withColumn("v", expr(
-          """aggregate(slice(l2, 2, greatest(size(l2) - 1, 0)),
-            |  element_at(l2, 1),
-            |  (acc, x) -> 0.94 * acc + 0.06 * x)""".stripMargin))
+        // r12 (guide §4): the transform-to-squares + fold runs in the
+        // codegen ewm_var_fold kernel over the µ-unit longs directly —
+        // identical IEEE op sequence per element (SeriesOpsSpec).
+        .withColumn("v", expr("ewm_var_fold(l)"))
         .select(col("event_id"), col("user_id"),
           expr("floor(v * 10000) / 10000").as("ewm_var"),
           expr("floor(sqrt(v) * 10000) / 10000").as("ewm_vol"))
