@@ -88,7 +88,7 @@ object Bench {
         // blocks between reps charges each key its own cost only — it
         // caches nothing (every rep still computes from parquet).
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         t
       }.sorted
       name -> (if (name.startsWith("stream_")) times(times.size / 2) else times.head)

@@ -29,9 +29,22 @@ object SeriesOps {
     * (lower-middle/upper-middle mean when even), floored at 1e-4.
     * Returns null when k < 2 (boxed Double for the nullable slot).
     * Called from generated code. */
+  /** True when any slot of `l` is SQL NULL. The library's call sites all
+    * feed `collect_list` outputs (containsNull = false), but the functions
+    * are session-registered and reachable from ad-hoc SQL over
+    * containsNull arrays, where ArrayData.getDouble/getLong on a null slot
+    * would fabricate 0.0/0 — null-propagate instead, matching the HOF
+    * `aggregate` chains these kernels are documented bit-identical to. */
+  private def anyNullSlot(l: ArrayData, k: Int): Boolean = {
+    var i = 0
+    while (i < k) { if (l.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   def theilSen(l: ArrayData): java.lang.Double = {
     val k = l.numElements()
     if (k < 2) return null
+    if (anyNullSlot(l, k)) return null
     val v = new Array[Double](k)
     var i = 0
     while (i < k) { v(i) = l.getDouble(i); i += 1 }
@@ -74,15 +87,18 @@ object SeriesOps {
   // it replaces VERBATIM (same literals, same op sequence per step) and
   // returns the RAW fold value — the floor-1e-4 quantization stays in the
   // caller's SQL, so the edge semantics (SQL floor(double) -> LongType)
-  // are untouched. Null on an empty list, exactly like the HOF's
-  // element_at(l, 1) seed. SeriesOpsSpec pins each kernel equal (<=>)
-  // to its HOF formulation on adversarial and random series.
+  // are untouched. Null on an empty list (where the HOF's element_at(l, 1)
+  // seed would THROW under ANSI mode — these kernels are the total
+  // function) and on any null slot (r13, ADVICE: ArrayData.getDouble on a
+  // null slot fabricates 0.0; the HOF chain null-propagates instead).
+  // SeriesOpsSpec pins each kernel equal (<=>) to its HOF formulation on
+  // adversarial and random series.
   // ---------------------------------------------------------------------
 
   /** win_ewma's fold: seed l[0], step y = 0.25*x + 0.75*y. */
   def ewma(l: ArrayData): java.lang.Double = {
     val k = l.numElements()
-    if (k == 0) return null
+    if (k == 0 || anyNullSlot(l, k)) return null
     var acc = l.getDouble(0)
     var i = 1
     while (i < k) { acc = 0.25 * l.getDouble(i) + 0.75 * acc; i += 1 }
@@ -95,7 +111,7 @@ object SeriesOps {
     * Returns lv + tr. */
   def holt(l: ArrayData): java.lang.Double = {
     val k = l.numElements()
-    if (k == 0) return null
+    if (k == 0 || anyNullSlot(l, k)) return null
     var lv = l.getDouble(0)
     var tr = 0.0
     var i = 1
@@ -113,7 +129,7 @@ object SeriesOps {
     * k = (p+4)/((p+4)+16), x' = x + k(z−x), p' = (1−k)(p+4). */
   def kalman(l: ArrayData): java.lang.Double = {
     val k = l.numElements()
-    if (k == 0) return null
+    if (k == 0 || anyNullSlot(l, k)) return null
     var x = l.getDouble(0)
     var p = 16.0
     var i = 1
@@ -132,7 +148,7 @@ object SeriesOps {
     * v = 0.94*v + 0.06*d. */
   def ewmVar(l: ArrayData): java.lang.Double = {
     val k = l.numElements()
-    if (k == 0) return null
+    if (k == 0 || anyNullSlot(l, k)) return null
     def d(i: Int): Double = {
       val r = l.getLong(i).toDouble / 1e6
       r * r
@@ -148,7 +164,7 @@ object SeriesOps {
     * the exp twice — same value; Spark's exp IS java.lang.Math.exp). */
   def ewmaT(l: ArrayData): java.lang.Double = {
     val k = l.numElements()
-    if (k == 0) return null
+    if (k == 0 || anyNullSlot(l, k)) return null
     val s0 = l.getStruct(0, 2)
     var us = s0.getLong(0)
     var y = s0.getDouble(1)
@@ -179,7 +195,7 @@ object SeriesOps {
   def holtWinters(l: ArrayData, m: Int, alpha: Double, beta: Double,
                   gamma: Double, seedFirstSeason: Boolean): java.lang.Double = {
     val k = l.numElements()
-    if (k == 0) return null
+    if (k == 0 || anyNullSlot(l, k)) return null
     val ca = (BigDecimal(1) - BigDecimal(alpha.toString)).toDouble
     val cb = (BigDecimal(1) - BigDecimal(beta.toString)).toDouble
     val cg = (BigDecimal(1) - BigDecimal(gamma.toString)).toDouble
@@ -227,6 +243,7 @@ object SeriesOps {
     * integers to the stacked-projection DP by construction. */
   def dtw16(l: ArrayData): ArrayData = {
     if (l.numElements() < 16) return null
+    if (anyNullSlot(l, l.numElements())) return null
     val a = new Array[Long](8)
     val b = new Array[Long](8)
     var i = 0

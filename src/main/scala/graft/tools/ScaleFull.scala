@@ -63,7 +63,7 @@ object ScaleFull {
           // checkpoint blocks from earlier keys otherwise land full-GC
           // stalls on random later keys, polluting the growth ratios
           spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+            .foreach(_.unpersist(blocking = true))
           t
         }.sorted
         val t = if (name.startsWith("stream_")) times(times.size / 2) else times.head

@@ -37,7 +37,7 @@ object TimeOne {
         // same untimed dead-block sweep as Bench (r12): without it a prior
         // rep's leaked checkpoint blocks tax the next rep with GC stalls
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
       }
     }
     spark.stop()

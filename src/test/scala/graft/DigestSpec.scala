@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -8,21 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Pins the r12 codegen hash expressions (graft.functions.HashOps)
   * bit-identical to the builtin md5/conv/substring chains they replaced in
   * the dedup/CDC hot paths — the exactness contract that keeps every
-  * oracle hash unaffected by the optimization. */
-class DigestSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private var spark: SparkSession = _
+  * oracle hash unaffected by the optimization.
+  *
+  * Uses the shared SparkSpec session: a getOrCreate() in a suite aliases
+  * whatever session an earlier suite created, so stopping it here would
+  * kill the SparkContext for every remaining suite (r12 driver failure). */
+class DigestSpec extends SparkSpec with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
-    spark = SparkSession.builder().master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.HashOps.register(spark)
+    graft.functions.HashOps.register(spark) // idempotent re-registration
   }
-
-  override def afterAll(): Unit = spark.stop()
 
   /** Adversarial strings: empty, single char, ASCII, multi-byte UTF-8
     * (2/3/4-byte sequences incl. an emoji supplementary pair), boundary

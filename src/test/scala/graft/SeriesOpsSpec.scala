@@ -1,26 +1,20 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the r12 codegen series kernels (graft.functions.SeriesOps)
-  * bit-identical to the interpreted HOF formulations they replaced. */
-class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private var spark: SparkSession = _
+  * bit-identical to the interpreted HOF formulations they replaced.
+  *
+  * Uses the shared SparkSpec session: a getOrCreate() in a suite aliases
+  * whatever session an earlier suite created, so stopping it here would
+  * kill the SparkContext for every remaining suite (r12 driver failure). */
+class SeriesOpsSpec extends SparkSpec with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
-    spark = SparkSession.builder().master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.SeriesOps.register(spark)
+    graft.functions.SeriesOps.register(spark) // idempotent re-registration
   }
-
-  override def afterAll(): Unit = spark.stop()
 
   /** The exact pre-r12 win_theil_sen HOF formulation over column `l`. */
   private def hofTheilSen = Seq(
@@ -78,11 +72,16 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Pin a double-array fold kernel (wrapped in the caller's exact SQL
-    * edge) against the HOF formulation it replaced. */
+    * edge) against the HOF formulation it replaced. The HOF's
+    * element_at(l, 1) seed THROWS on an empty array under ANSI mode
+    * (the Spark 4 default) where the kernel returns NULL — guard the
+    * REFERENCE so the empty fixture pins the kernel's documented
+    * null-on-empty behavior instead of crashing the reference. */
   private def pinFold(kernelSql: String, hofSql: String): Unit = {
     val sp = spark; import sp.implicits._
     val df = doubleSeries.toDF("l")
-      .withColumn("ref", expr(hofSql))
+      .withColumn("ref", expr(
+        s"CASE WHEN size(l) = 0 THEN CAST(NULL AS DOUBLE) ELSE ($hofSql) END"))
       .withColumn("fast", expr(kernelSql))
     assert(df.where(expr("NOT (fast <=> ref)")).count() === 0)
     assert(df.where(col("fast").isNotNull).count() > 300)
@@ -141,9 +140,10 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("l2", expr(
         "transform(l, x -> (CAST(x AS DOUBLE) / 1e6) * (CAST(x AS DOUBLE) / 1e6))"))
       .withColumn("ref", expr(
-        """aggregate(slice(l2, 2, greatest(size(l2) - 1, 0)),
+        """CASE WHEN size(l2) = 0 THEN CAST(NULL AS DOUBLE) ELSE
+          |aggregate(slice(l2, 2, greatest(size(l2) - 1, 0)),
           |  element_at(l2, 1),
-          |  (acc, x) -> 0.94 * acc + 0.06 * x)""".stripMargin))
+          |  (acc, x) -> 0.94 * acc + 0.06 * x) END""".stripMargin))
       .withColumn("fast", expr("ewm_var_fold(l)"))
     assert(df.where(expr("NOT (fast <=> ref)")).count() === 0)
     assert(df.where(col("fast").isNotNull).count() > 300)
@@ -167,13 +167,14 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = series.map(s => s.map(p => (p._1, p._2))).toDF("raw")
       .withColumn("l", expr("transform(raw, x -> named_struct('us', x._1, 'v', x._2))"))
       .withColumn("ref", expr(
-        """floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
+        """CASE WHEN size(l) = 0 THEN CAST(NULL AS DOUBLE) ELSE
+          |floor(aggregate(slice(l, 2, greatest(size(l) - 1, 0)),
           |  named_struct('us', element_at(l, 1).us, 'y', CAST(element_at(l, 1).v AS DOUBLE)),
           |  (acc, x) -> named_struct(
           |    'us', x.us,
           |    'y', x.v * (1.0D - exp(-(CAST(x.us - acc.us AS DOUBLE) / 3600000000.0D)))
           |       + acc.y * exp(-(CAST(x.us - acc.us AS DOUBLE) / 3600000000.0D))),
-          |  acc -> acc.y) * 10000) / 10000""".stripMargin))
+          |  acc -> acc.y) * 10000) / 10000 END""".stripMargin))
       .withColumn("fast", expr("floor(ewma_t_fold(l) * 10000) / 10000"))
     assert(df.where(expr("NOT (fast <=> ref)")).count() === 0)
     assert(df.where(col("fast").isNotNull).count() > 300)
