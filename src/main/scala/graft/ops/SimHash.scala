@@ -37,7 +37,7 @@ object SimHash {
     * survives a 100 TB corpus. */
   def signatures(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
-      explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
+      explode(array_distinct(array_remove(split(col("text"), " "), lit("")))).as("token"))
     // four 16-bit chunks of the token md5 carry the 64 vote bits
     // (r12: codegen md5_bits — identical values to the conv(substring(md5))
     // chains, DigestSpec — at 4 digests/token instead of 4 full

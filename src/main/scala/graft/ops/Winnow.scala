@@ -29,7 +29,7 @@ object Winnow {
   def fingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
     val toks = docs
-      .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+      .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
     val shingleExpr = transform(sequence(lit(0), size(col("toks")) - k),
       i => md5(concat_ws(" ", (0 until k).map(o => element_at(col("toks"), i + o + 1)): _*)))
     val shingled = toks.where(size(col("toks")) >= k)

@@ -388,8 +388,17 @@ object Aggs {
         .join(types.select(col("event_type").as("type_b")),
           col("type_a") < col("type_b"))
       val h = ev.groupBy("event_type", "yq").agg(count(lit(1)).as("c"))
-      val hv = h.join(broadcast(pairs),
-          col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      // r13 (guide §3): the OR-predicate join planned as a
+      // BroadcastNestedLoopJoin (every histogram row predicate-scanned
+      // against every pair). Exploding each pair into its two member rows
+      // (t = type_a, t = type_b — the broadcast side only) turns it into
+      // ONE BroadcastHashJoin over one histogram pass. Identical row
+      // multiset: type_a ≠ type_b within a pair, so a histogram row
+      // matches at most one member row per pair — exactly the rows the
+      // OR predicate admitted.
+      val mem = pairs.select(col("type_a").as("t"), col("type_a"), col("type_b"))
+        .unionByName(pairs.select(col("type_b").as("t"), col("type_a"), col("type_b")))
+      val hv = h.join(broadcast(mem), col("event_type") === col("t")).drop("t")
         .groupBy("type_a", "type_b", "yq")
         .agg(sum(col("c")).as("ct"),
           sum(when(col("event_type") === col("type_a"), col("c")).otherwise(0L)).as("ca"))

@@ -32,7 +32,7 @@ object Dedup {
     * once per pipeline and shared by every stage. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
+      explode(array_distinct(array_remove(split(col("text"), " "), lit("")))).as("token"))
 
   /** MinHash (8 seeded-md5 hashes, lexicographic min) + LSH banding
     * (2 bands × 4 rows): one (doc_id, band_i, band_v) row per band.
@@ -290,8 +290,8 @@ object Dedup {
     * Cost added: one DF aggregation and one doc-partitioned window —
     * both linear, both map-side-combinable. */
   def jaccardBitmask(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
-                     threshold: Double): DataFrame = {
-    graft.functions.MaskOps.register(s)
+                     threshold: Double,
+                     presentationSort: Boolean = true): DataFrame = {
     // NO size gate (r8): until this round the function degraded to
     // lshVerified past BroadcastDocs — a silent SEMANTICS swap (content-
     // driven banding, lang blocking lost, recall on the S-curve) that the
@@ -302,7 +302,26 @@ object Dedup {
     // collision-structured at any corpus size — and an engine must not
     // change an operator's ANSWER because the input grew. Callers who
     // want banded-recall dedup call lshVerified explicitly.
-    val tok = tokens(docs)
+    //
+    // r13 note: STAGING the token table here (localCheckpoint before the
+    // four consumers — mask dictionary, mask build, dfreq, prefix) was
+    // measured SLOWER at sf0.1 (llm_dedup_near 9.4 → 10.0 s warm,
+    // llm_lsh_recall 10.7 → 12.9 s): the materialization plus
+    // checkpoint-read serialization costs more than the repeated
+    // explode-from-parquet passes, which pipeline with their consumers.
+    // Left lazy deliberately.
+    jaccardBitmaskFromTok(s, tokens(docs), threshold, presentationSort)
+  }
+
+  /** [[jaccardBitmask]] over a caller-supplied (doc_id, lang, token)
+    * table, plus the presentation-sort switch: internal consumers whose
+    * downstream is an aggregation (llm_lsh_recall buckets the pairs) skip
+    * the final order-by — a full range exchange of the pair table that
+    * only a human reader needs. */
+  private[graft] def jaccardBitmaskFromTok(s: org.apache.spark.sql.SparkSession,
+                     tok: DataFrame, threshold: Double,
+                     presentationSort: Boolean): DataFrame = {
+    graft.functions.MaskOps.register(s)
     val (masks, interExpr, cardExpr) = tokenMasks(tok)
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id")
@@ -348,7 +367,7 @@ object Dedup {
       // 16-byte shuffle rows), masks join back in the verify
       .select("a_id", "b_id").distinct()
     verifyPairs(cand, masks, interExpr, cardExpr, threshold,
-      sorted = true, dedupAfterVerify = false)
+      sorted = presentationSort, dedupAfterVerify = false)
   }
 
   /** Connected components over near-dup pairs: collapse pairwise matches

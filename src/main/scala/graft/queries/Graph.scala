@@ -54,13 +54,26 @@ object Graph {
     * materialized; [[copurchaseEdgesPlan]] is the same derivation left
     * lazy, for plan audit ([[auditPlans]]). */
   private def copurchaseEdgesPlan(s: SparkSession, d: String): DataFrame = {
+    // r13 (guide §2.4): one groupBy collapses lineitem to sorted distinct
+    // part-set baskets and the (u < v) pairs are generated INSIDE each
+    // ≤8-part basket — replacing the old distinct → count-join → basket
+    // self-join chain (4 Exchanges + a matched-row-exploding join) with
+    // ONE map-side-combined aggregation + a narrow pair explode + the
+    // support groupBy. Identical edge set: collect_set = the old
+    // (ok, pk) distinct, the size cap = the old np ≤ 8 gate, and the
+    // ascending sort makes every in-basket combination satisfy u < v
+    // exactly once, so the per-(u,v) count is the same order-support.
+    // The pair HOF is interpreted but runs over ≤8-element arrays
+    // (≤28 pairs/basket) — nothing like the per-token scans of guide §4.
     val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val ok8 = li.groupBy("ok").agg(count(lit(1)).as("np")).where(col("np") <= 8)
-    val small = li.join(ok8.select("ok"), "ok")
-    small.select(col("ok"), col("pk").as("u"))
-      .join(small.select(col("ok").as("ok2"), col("pk").as("v")),
-        col("ok") === col("ok2") && col("u") < col("v"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .where(size(col("pks")) <= 8)
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+          |  transform(slice(pks, i + 2, size(pks)), y ->
+          |    named_struct('u', x, 'v', y))))""".stripMargin)).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
       .where(col("support") >= 2)
       .select("u", "v")

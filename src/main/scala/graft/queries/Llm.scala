@@ -24,11 +24,20 @@ import org.apache.spark.sql.functions._
 object Llm {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct, non-empty whitespace tokens per document: (doc_id, lang, token). */
+  /** Distinct, non-empty whitespace tokens per document: (doc_id, lang, token).
+    *
+    * r13 (guide §4): the non-empty filter is `array_remove(split(…), "")`,
+    * not the HOF `filter(split(…), t -> length(t) > 0)` — Spark's
+    * higher-order functions are CodegenFallback (interpreted lambda per
+    * array ELEMENT), while ArrayRemove participates in whole-stage codegen.
+    * Identical output: split emits no nulls, and both forms drop exactly
+    * the empty strings, preserving order. Applied at every token-scan call
+    * site in the llm/dedup family (this file, Dedup.tokens, ops.SimHash,
+    * ops.Winnow) — the single hottest scan expression in the bench. */
   private def tokensDistinct(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
+        explode(array_distinct(array_remove(split(col("text"), " "), lit("")))).as("token"))
 
   /** Content-defined chunk-frequency table over (doc_id, text) rows — the
     * body of `llm_cdc_chunks`, factored out so CdcFuzzySpec can drive it
@@ -97,7 +106,7 @@ object Llm {
   private def tokensAll(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+        explode(array_remove(split(col("text"), " "), lit(""))).as("token"))
 
   /** Encode a distinct-word table through the 4 trained BPE merges
     * ([[bpeMerges]]) via the codegen'd fold-rewrite: (token, wlen = char
@@ -167,7 +176,7 @@ object Llm {
     val qTerms = Seq("hash", "join", "vector") // fixed, lexicographic
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+        explode(array_remove(split(col("text"), " "), lit(""))).as("token"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
     val tf = toks.where(col("token").isin(qTerms: _*))
@@ -262,7 +271,7 @@ object Llm {
                            maxDf: Option[Long] = None,
                            percentileDf: Option[Double] = None): DataFrame = {
     val shAll = Tables.documents(s, d)
-      .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+      .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(0), size(col("toks")) - 3),
@@ -310,7 +319,7 @@ object Llm {
     * bloom-prefiltered formulations. */
   private def contamShingles(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+      .select(col("doc_id"), array_remove(split(col("text"), " "), lit("")).as("toks"))
       .where(size(col("toks")) >= 5)
       .withColumn("is_eval",
         (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") < 3277L)
@@ -1027,7 +1036,13 @@ object Llm {
     // midpoint for side-by-side reading. Cost = the near-dup exactness
     // bill + one banded join — both collision-structured, never corpus².
     "llm_lsh_recall" -> ((s, d) => {
-      val truth = Dedup.jaccardBitmask(s, Tables.documents(s, d), threshold = 0.5)
+      // r13: the truth side skips jaccardBitmask's presentation sort — the
+      // pairs feed a join + bucket aggregation here, never a reader, and
+      // the aggregation is order-insensitive (exact integer counts), so
+      // the readout is bit-identical. (Sharing one STAGED token table
+      // between truth and bands was measured slower — see jaccardBitmask.)
+      val truth = Dedup.jaccardBitmask(s, Tables.documents(s, d),
+          threshold = 0.5, presentationSort = false)
         .select("a_id", "b_id", "jacc")
       val bands = Dedup.bandKeys(tokensDistinct(s, d)).localCheckpoint(true)
       val l = bands.select(col("doc_id").as("a_id"), col("band_i"), col("band_v"))
@@ -1124,7 +1139,7 @@ object Llm {
     "llm_minhash_weighted" -> ((s, d) => {
       val tf = Tables.documents(s, d).where(col("doc_id") < 100)
         .select(col("doc_id"),
-          explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+          explode(array_remove(split(col("text"), " "), lit(""))).as("token"))
         .groupBy("doc_id", "token")
         .agg(least(count(lit(1)), lit(4L)).as("w"))
       val reps = tf.select(col("doc_id"), col("token"),
@@ -1367,7 +1382,7 @@ object Llm {
     "llm_dedup_span" -> ((s, d) => {
       val k = 5
       val sh = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .where(size(col("toks")) >= k)
         .select(col("doc_id"),
           posexplode(transform(sequence(lit(0), size(col("toks")) - k),
@@ -1572,7 +1587,7 @@ object Llm {
     "llm_span_mask" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
-          posexplode(filter(split(col("text"), " "), t => length(t) > 0)))
+          posexplode(array_remove(split(col("text"), " "), lit(""))))
         .withColumnRenamed("col", "token")
         .withColumn("pos", col("pos") + 1)
         .withColumn("starter", (expr(
@@ -1736,8 +1751,7 @@ object Llm {
     // the stop list is a broadcast 10-row frame.
     "llm_rake_keywords" -> ((s, d) => {
       val tok = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(filter(split(col("text"), " "),
-          t => length(t) > 0)).as(Seq("pos", "token")))
+        .select(col("doc_id"), posexplode(array_remove(split(col("text"), " "), lit(""))).as(Seq("pos", "token")))
       val stops = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(10)
         .select(col("token").as("stop"))
@@ -1851,7 +1865,7 @@ object Llm {
     // the exact integer sum, so the decision boundary cannot straddle.
     "llm_quality_linear" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .where(size(col("toks")) > 0)
         .withColumn("wsum", expr(
           """aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc
@@ -1912,8 +1926,15 @@ object Llm {
     // identical op order both engines, cross-engine libm ulp drift
     // absorbed by the floor-1e-4 edge (the adamic_adar ln() argument).
     "llm_dsir_weights" -> ((s, d) => {
+      // r13 (guide §4): both the bucket-counting scan and the per-doc
+      // scoring fold hash through codegen md5_bits instead of the
+      // interpreted conv(substring(md5(t),1,8),16,10) chain — identical
+      // values (DigestSpec pins the chain equality), identical fold order
+      // (the token-order HOF aggregate stays, only its per-token hash term
+      // is swapped), so every dsir_w is bit-unchanged.
+      graft.functions.HashOps.register(s)
       val bucketOf: Column => Column = t =>
-        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 16)
+        (call_function("md5_bits", t, lit(1), lit(8)) % 16)
       val bc = tokensAll(s, d)
         .groupBy(bucketOf(col("token")).as("bucket"))
         .agg(count(lit(1)).as("cr"),
@@ -1932,11 +1953,11 @@ object Llm {
       Tables.documents(s, d)
         .crossJoin(broadcast(la))
         .select(col("doc_id"), col("lang"),
-          size(filter(split(col("text"), " "), t => length(t) > 0)).as("n_tok"),
+          size(array_remove(split(col("text"), " "), lit(""))).as("n_tok"),
           expr("""floor(aggregate(
-            |  filter(split(text, ' '), t -> length(t) > 0), CAST(0.0 AS DOUBLE),
+            |  array_remove(split(text, ' '), ''), CAST(0.0 AS DOUBLE),
             |  (acc, t) -> acc + element_at(la,
-            |    CAST(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 16 + 1 AS INT))
+            |    CAST(md5_bits(t, 1, 8) % 16 + 1 AS INT))
             |) * 10000) / 10000""".stripMargin).as("dsir_w"))
         .orderBy("doc_id")
     }),
@@ -2001,7 +2022,7 @@ object Llm {
     "llm_source_card" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-          size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("toks"))
+          size(array_remove(split(col("text"), " "), lit(""))).cast("long").as("toks"))
       val byLang = docs.groupBy("source", "lang")
         .agg(count(lit(1)).as("n"), sum("toks").as("tok"), sum("n_chars").as("ch"),
           sum((col("toks") < 20).cast("long")).as("short"))
@@ -2035,7 +2056,7 @@ object Llm {
     // stream, partial aggs map-side.
     "llm_bigram_nll" -> ((s, d) => {
       val bg = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .where(size(col("toks")) >= 2)
         .withColumn("z", arrays_zip(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -2062,7 +2083,7 @@ object Llm {
     // picks broadcast when they fit.
     "llm_ngram_lm_interp" -> ((s, d) => {
       val bg = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .where(size(col("toks")) >= 2)
         .withColumn("z", arrays_zip(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -2126,7 +2147,7 @@ object Llm {
     "llm_gopher_rules" -> ((s, d) => {
       val stop8 = array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
       Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .withColumn("lines", split(col("text"), "\n"))
         .withColumn("n_words", size(col("toks")))
         .withColumn("n_lines", size(col("lines")))
@@ -2168,7 +2189,7 @@ object Llm {
     "llm_token_count" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(filter(split(col("text"), " "), t => length(t) > 0)).as("ws_tokens"),
+          size(array_remove(split(col("text"), " "), lit(""))).as("ws_tokens"),
           size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("re_tokens"),
           ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_bpe"))
         .orderBy("doc_id")
@@ -2191,7 +2212,7 @@ object Llm {
     "llm_curriculum" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
-          size(filter(split(col("text"), " "), t => length(t) > 0))
+          size(array_remove(split(col("text"), " "), lit("")))
             .cast("long").as("difficulty"))
       val byVal = docs.groupBy("difficulty").agg(count(lit(1)).as("nv"))
       val wv = Window.orderBy("difficulty") // value-grain: bounded input
@@ -2324,7 +2345,7 @@ object Llm {
     // whole-text fallback fingerprint.
     "llm_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .withColumn("fp",
           when(size(col("toks")) >= 3,
             array_min(transform(sequence(lit(0), size(col("toks")) - 3),
@@ -3334,7 +3355,7 @@ object Llm {
     "llm_chunk_split" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+          array_remove(split(col("text"), " "), lit("")).as("toks"))
         .withColumn("ntok", size(col("toks")))
         .where(col("ntok") > 0)
         .select(col("doc_id"), col("toks"),
@@ -3378,7 +3399,7 @@ object Llm {
       // derives from the per-gram counts (n_tok = total grams + 1), so no
       // per-row distinct pass and no doc-keyed rejoin against the corpus.
       Tables.documents(s, d)
-        .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .select(col("doc_id"), array_remove(split(col("text"), " "), lit("")).as("toks"))
         .where(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("toks")) - 2),
           i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("g"))
@@ -3401,7 +3422,7 @@ object Llm {
       val docs = Tables.documents(s, d)
       val nDocs = docs.count()
       val sh = docs
-        .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .select(col("doc_id"), array_remove(split(col("text"), " "), lit("")).as("toks"))
         .where(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("toks")) - 3),
           i => concat_ws(" ",
@@ -3436,7 +3457,7 @@ object Llm {
     // At 100 TB this is the single most common text-cleaning pass.
     "llm_dedup_lines" -> ((s, d) => {
       val lines = Tables.documents(s, d)
-        .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .select(col("doc_id"), array_remove(split(col("text"), " "), lit("")).as("toks"))
         .where(size(col("toks")) > 0)
         .select(col("doc_id"), explode(transform(
           sequence(lit(0), expr("CAST((size(toks) - 1) div 5 AS INT)")),
@@ -3464,7 +3485,7 @@ object Llm {
     "llm_filter_funnel" -> ((s, d) => {
       val stop = Seq("the", "of", "and", "a", "to", "in", "is", "it")
       val st = Tables.documents(s, d)
-        .select(filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .select(array_remove(split(col("text"), " "), lit("")).as("toks"))
         .where(size(col("toks")) > 0)
         .select(
           size(col("toks")).as("n_tok"),
@@ -3707,7 +3728,7 @@ object Llm {
     "llm_sample_systematic" -> ((s, d) => {
       val wdocs = Tables.documents(s, d)
         .select(col("doc_id"),
-          size(filter(split(col("text"), " "), t => length(t) > 0))
+          size(array_remove(split(col("text"), " "), lit("")))
             .cast("long").as("wq"))
         .where(col("wq") > 0)
       val ranked = graft.ops.Rank.withGlobalCumSum(wdocs,
@@ -3840,7 +3861,7 @@ object Llm {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
-          size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n_tok"))
+          size(array_remove(split(col("text"), " "), lit(""))).cast("long").as("n_tok"))
         .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
         .withColumn("batch", expr("start_tok div 2048"))
         .groupBy("source", "batch")
@@ -3866,7 +3887,7 @@ object Llm {
     "llm_pack_padded" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
-          size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n_tok"))
+          size(array_remove(split(col("text"), " "), lit(""))).cast("long").as("n_tok"))
       def policy(name: String, order: Seq[org.apache.spark.sql.Column]) = {
         val w = Window.partitionBy("source").orderBy(order: _*)
         docs.withColumn("policy", lit(name))
@@ -3895,7 +3916,7 @@ object Llm {
     "llm_domain_mix" -> ((s, d) => {
       val g = Tables.documents(s, d)
         .select(col("source"), col("lang"),
-          size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n_tok"))
+          size(array_remove(split(col("text"), " "), lit(""))).cast("long").as("n_tok"))
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
       val tot = g.agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
@@ -3919,7 +3940,7 @@ object Llm {
     "llm_mix_temperature" -> ((s, d) => {
       val g = Tables.documents(s, d)
         .select(col("source"),
-          size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n_tok"))
+          size(array_remove(split(col("text"), " "), lit(""))).cast("long").as("n_tok"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
       val denom = g.agg(sum(sqrt(col("n_tokens").cast("double"))).as("den"),
@@ -4019,7 +4040,7 @@ object Llm {
     // the ratio is a single IEEE divide of exact counts.
     "llm_ngram_novelty" -> ((s, d) => {
       val sh = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .where(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(array_distinct(
           transform(sequence(lit(0), size(col("toks")) - 3),
@@ -4066,7 +4087,7 @@ object Llm {
     // Zero shuffles: tokenize, score, filter — all map-side.
     "llm_sample_rejection" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("wc", size(filter(split(col("text"), " "), t => length(t) > 0)))
+        .withColumn("wc", size(array_remove(split(col("text"), " "), lit(""))))
         .withColumn("p_accept", least(lit(1.0), col("wc").cast("double") / 80.0))
         .withColumn("u", conv(substring(
           md5(concat(col("doc_id").cast("string"), lit("|rej"))), 1, 8),
@@ -4115,7 +4136,7 @@ object Llm {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val toks = tokensAll(s, d)
       val bg = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .where(size(col("toks")) >= 2)
         .withColumn("z", arrays_zip(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -4148,7 +4169,7 @@ object Llm {
     // (p=0 ⇒ bleu 0) via left joins + coalesce.
     "llm_self_bleu" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .where(size(col("toks")) >= 2)
       val w = Window.partitionBy("source").orderBy("doc_id")
       val pairs = docs
@@ -4317,7 +4338,7 @@ object Llm {
     // floor-1e-4. One scan, decile-grain output.
     "llm_judge_calibration" -> ((s, d) => {
       val j = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .select(least(col("n_chars"), lit(1000L)).as("cq"),
           when(size(array_distinct(col("toks"))) * 2 >= size(col("toks")), lit(1L))
             .otherwise(lit(0L)).as("y"))
@@ -4336,7 +4357,7 @@ object Llm {
 
     "llm_cohens_kappa" -> ((s, d) => {
       val j = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .select(
           when(col("n_chars") >= 300, lit(1L)).otherwise(lit(0L)).as("j1"),
           when(size(array_distinct(col("toks"))) * 2 >= size(col("toks")), lit(1L))
@@ -4373,7 +4394,7 @@ object Llm {
     // source grain; the single IEEE divide per readout, floor-1e-4.
     "llm_ece_brier" -> ((s, d) => {
       val j = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .select(col("source"),
           least(col("n_chars"), lit(1000L)).as("cq"),
           when(size(array_distinct(col("toks"))) * 2 >= size(col("toks")), lit(1L))
@@ -4471,7 +4492,7 @@ object Llm {
     // Vocabulary-grain throughout; the class totals broadcast as one row.
     "llm_nb_tokens" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .withColumn("y",
           when(size(array_distinct(col("toks"))) * 2 >= size(col("toks")), lit(1L))
             .otherwise(lit(0L)))
@@ -4570,7 +4591,7 @@ object Llm {
     // LCS key's 60-token DP envelope).
     "llm_rouge_n" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+        .withColumn("toks", array_remove(split(col("text"), " "), lit("")))
         .where(size(col("toks")) >= 2)
       val w = Window.partitionBy("source").orderBy("doc_id")
       val pairs = docs
@@ -4632,7 +4653,7 @@ object Llm {
     "llm_rouge_l" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("toks",
-          slice(filter(split(col("text"), " "), t => length(t) > 0), 1, 60))
+          slice(array_remove(split(col("text"), " "), lit("")), 1, 60))
         .where(size(col("toks")) >= 1)
       val w = Window.partitionBy("source").orderBy("doc_id")
       val pairs = docs
