@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CdcCuts, HashOps, MaskCard, MaskIntersect, MaskOps, Md5Bits, Mh8, VecDot}
+import graft.functions.{CdcCuts, HashOps, MaskCard, MaskIntersect, MaskOps, Md5Bits, Md5Words, Mh8, VecDot}
 
 /** Session-extension entry point: the production registration path for the
   * library's custom Catalyst expressions, activated with
@@ -75,6 +75,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "8-char window at i is divisible by 32 (content-defined chunk boundaries).",
         ""),
       (children: Seq[Expression]) => HashOps.cdcCutsExpr(children)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_words"),
+      new ExpressionInfo(
+        classOf[Md5Words].getName,
+        null,
+        "md5_words",
+        "md5_words(s) - the four 32-bit words of md5(s) as unsigned longs; word m+1 is " +
+          "bit-identical to CAST(conv(substring(md5(s), 8m+1, 8), 16, 10) AS BIGINT).",
+        ""),
+      (children: Seq[Expression]) => HashOps.md5WordsExpr(children)))
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // own runtime join filtering but does not register them publicly;
     // surfacing them here gives the library a broadcastable membership

@@ -99,6 +99,28 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** The four 32-bit words of md5(s) as unsigned longs — word m equals
+    * `CAST(conv(substring(md5(s), 8m+1, 8), 16, 10) AS BIGINT)` (hex chars
+    * [8m+1, 8m+8] = digest bytes 4m..4m+3, big-endian unsigned). One
+    * thread-local digest, no hex string — for call sites that consume
+    * SEVERAL windows of one digest (agg_bootstrap_ci reads all four).
+    * Called from generated code. */
+  def md5Words(s: UTF8String): ArrayData = {
+    val d = tlMd5.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    val out = new Array[Long](4)
+    var m = 0
+    while (m < 4) {
+      var v = 0L
+      var j = 4 * m
+      while (j < 4 * m + 4) { v = (v << 8) | (dig(j) & 0xffL); j += 1 }
+      out(m) = v
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** CDC cut positions for [[graft.queries.Llm.cdcChunks]]: the 1-based
     * CHARACTER positions i in [2, len−7] where the 60-bit prefix of
     * md5(utf8(substring(text, i, 8))) ≡ 0 (mod 32). Identical to the HOF
@@ -174,6 +196,10 @@ object HashOps {
     require(children.size == 1, s"cdc_cuts requires exactly 1 argument, got ${children.size}")
     CdcCuts(children.head)
   }
+  def md5WordsExpr(children: Seq[Expression]): Md5Words = {
+    require(children.size == 1, s"md5_words requires exactly 1 argument, got ${children.size}")
+    Md5Words(children.head)
+  }
 
   /** Register the three functions on the session. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -183,6 +209,8 @@ object HashOps {
       "mh8_md5", mh8Expr _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_cuts", cdcCutsExpr _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_words", md5WordsExpr _, "built-in")
   }
 }
 
@@ -216,6 +244,21 @@ case class Mh8(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.mh8($c)")
   override protected def withNewChildInternal(newChild: Expression): Mh8 =
+    copy(child = newChild)
+}
+
+/** `md5_words(str)` — see [[HashOps.md5Words]]. */
+case class Md5Words(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"md5_words requires a string argument, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_words"
+  override def nullSafeEval(a: Any): Any = HashOps.md5Words(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.md5Words($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Words =
     copy(child = newChild)
 }
 

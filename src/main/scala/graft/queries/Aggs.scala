@@ -442,6 +442,7 @@ object Aggs {
     // sorted list, so no float summation anywhere. B multiplies map
     // work ×32 but the shuffle carries types×32 rows.
     "agg_bootstrap_ci" -> ((s, d) => {
+      graft.functions.HashOps.register(s)
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
         4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L)
@@ -460,12 +461,16 @@ object Aggs {
         // (32 evals/row). b = 4g + m and the substring windows are
         // unchanged, so every (event, b) draws the identical u.
         .withColumn("g", explode(sequence(lit(0), lit(7))))
-        .withColumn("h", md5(concat(col("event_id").cast("string"), lit("|"),
-          col("g").cast("string"))))
+        // r13 (guide §4): md5_words extracts all four 32-bit windows of
+        // the one digest as longs — no commons-codec digest per call, no
+        // 32-char hex string, no substring/conv parse per (event, b);
+        // word m+1 is bit-identical to the old conv(substring(h, m*8+1,
+        // 8), 16, 10) readout (DigestSpec pins the equality).
+        .withColumn("ws", call_function("md5_words",
+          concat(col("event_id").cast("string"), lit("|"), col("g").cast("string"))))
         .withColumn("m", explode(sequence(lit(0), lit(3))))
         .withColumn("b", col("g") * 4 + col("m"))
-        .withColumn("u", expr(
-          "CAST(conv(substring(h, m * 8 + 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("u", element_at(col("ws"), (col("m") + 1).cast("int")))
         .withColumn("w", wCol.cast("long"))
         .groupBy("event_type", "b")
         .agg(sum(col("w").cast(dec)).as("nw"),
@@ -1309,7 +1314,8 @@ object Aggs {
     // production release ships the noisy column alone. ln() differs by
     // ≤1 ulp across libm implementations; round(4) absorbs it.
     "agg_dp_counts" -> ((s, d) => {
-      val h = conv(substring(md5(col("event_type")), 1, 8), 16, 10).cast("double")
+      val h = call_function("md5_bits", col("event_type"), lit(1), lit(8))
+        .cast("double")
       val u = (h + lit(0.5)) / lit(4294967296.0)
       val v = u - lit(0.5)
       val noise = -signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
@@ -2001,8 +2007,8 @@ object Aggs {
     "agg_ab_srm" -> ((s, d) => {
       val users = Tables.events(s, d).select("user_id").distinct()
         .withColumn("arm",
-          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 2)
+          call_function("md5_bits",
+            col("user_id").cast("string"), lit(1), lit(8)) % 2)
       users.agg(
           sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
@@ -2033,8 +2039,8 @@ object Aggs {
         .withColumn("ed", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
         .withColumn("vq", floor(col("value") * 1e6).cast("long"))
         .withColumn("arm",
-          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 2)
+          call_function("md5_bits",
+            col("user_id").cast("string"), lit(1), lit(8)) % 2)
       val rng = ev.agg(min("ed").as("d0"), max("ed").as("d1"))
       val cells = ev.crossJoin(broadcast(rng))
         .withColumn("period",
@@ -2074,8 +2080,8 @@ object Aggs {
         .withColumn("day", col("ts").cast("date"))
         .withColumn("vq", floor(col("value") * 1e6).cast("long"))
         .withColumn("arm",
-          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 2)
+          call_function("md5_bits",
+            col("user_id").cast("string"), lit(1), lit(8)) % 2)
         .groupBy("day", "arm")
         .agg(count(lit(1)).as("n"), sum("vq").as("s1"),
           sum(col("vq").cast(dec) * col("vq")).as("s2"))
@@ -2123,8 +2129,8 @@ object Aggs {
         .agg(sum("vq").as("sv"), count(lit(1)).as("n"))
         .select(col("user_id"),
           (col("sv").cast("double") / col("n").cast("double") / 1e6).as("yu"),
-          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 2).as("arm"))
+          (call_function("md5_bits",
+            col("user_id").cast("string"), lit(1), lit(8)) % 2).as("arm"))
         .withColumn("yq", floor(col("yu") * 1e6).cast("long"))
       // per-user means re-quantized to exact µ-unit longs so the arm
       // moments are order-free integer sums (no ordered fold needed)
@@ -2180,8 +2186,8 @@ object Aggs {
         (col("s").cast("double") / col("n").cast("double") / 1e6).as("yu"))
       val u = pre.join(post, "user_id")
         .withColumn("arm",
-          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 2)
+          call_function("md5_bits",
+            col("user_id").cast("string"), lit(1), lit(8)) % 2)
         .localCheckpoint(true) // user grain; read by pooled + per-arm folds
       def ofold(v: String) = expr(
         s"aggregate(array_sort(collect_list(named_struct('u', user_id, 'x', $v))), " +
@@ -2310,8 +2316,8 @@ object Aggs {
     "agg_capture_recapture" -> ((s, d) => {
       val u = Tables.events(s, d)
         .withColumn("parity",
-          conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 2)
+          call_function("md5_bits",
+            col("event_id").cast("string"), lit(1), lit(8)) % 2)
         .groupBy("user_id")
         .agg(max(when(col("parity") === 0, 1L).otherwise(0L)).as("in_a"),
           max(when(col("parity") === 1, 1L).otherwise(0L)).as("in_b"))

@@ -316,8 +316,10 @@ object Dedup {
   /** [[jaccardBitmask]] over a caller-supplied (doc_id, lang, token)
     * table, plus the presentation-sort switch: internal consumers whose
     * downstream is an aggregation (llm_lsh_recall buckets the pairs) skip
-    * the final order-by — a full range exchange of the pair table that
-    * only a human reader needs. */
+    * the final order-by. (Catalyst's EliminateSorts already removes the
+    * interior sort under an aggregation, so the switch is currently
+    * plan-neutral there — it exists to make the intent explicit and to
+    * protect consumers whose shape stops qualifying for the rule.) */
   private[graft] def jaccardBitmaskFromTok(s: org.apache.spark.sql.SparkSession,
                      tok: DataFrame, threshold: Double,
                      presentationSort: Boolean): DataFrame = {

@@ -55,9 +55,14 @@ object Geo {
 
   /** Deterministic planar meters from the entity key: 48 md5 bits mod the
     * square side. `tag` disambiguates entity type and axis. */
+  // r13 (guide §4): every synthesized coordinate hashes through the
+  // codegen md5_bits kernel instead of the interpreted
+  // conv(substring(md5(...))) chain — identical values (DigestSpec pins
+  // the chain equality), no per-row hex-string/parse churn. Resolved via
+  // the GraftExtensions registry (every bench/verify/test session).
   private def coord(tag: String, key: Column): Column =
-    pmod(conv(substring(md5(concat(lit(tag), key.cast("string"))), 1, 12), 16, 10)
-      .cast("long"), lit(Side))
+    pmod(call_function("md5_bits",
+      concat(lit(tag), key.cast("string")), lit(1), lit(12)), lit(Side))
 
   private def coordSql(tag: String, key: String): String =
     s"CAST(concat('0x', substring(md5(concat('$tag', CAST($key AS VARCHAR))), 1, 12)) AS BIGINT) % $Side"
@@ -119,8 +124,8 @@ object Geo {
 
   private def geodetic(tagLat: String, tagLon: String, key: Column): Seq[Column] = {
     def bits(tag: String, from: Int) =
-      conv(substring(md5(concat(lit(tag), key.cast("string"))), from, 12), 16, 10)
-        .cast("long")
+      call_function("md5_bits",
+        concat(lit(tag), key.cast("string")), lit(from), lit(12))
     val lat = pmod(bits(tagLat, 1), lit(120000000L)) - lit(60000000L)
     val lon = pmod(bits(tagLon, 1), lit(360000000L)) - lit(180000000L)
     Seq(lat.as("lat"), lon.as("lon"))
@@ -215,8 +220,9 @@ object Geo {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val st = suppliers(s, d)
         .withColumn("zq",
-          pmod(conv(substring(md5(concat(lit("gz:"), col("s_suppkey").cast("string"))),
-            1, 12), 16, 10).cast("long"), lit(100000001L)))
+          pmod(call_function("md5_bits",
+            concat(lit("gz:"), col("s_suppkey").cast("string")),
+            lit(1), lit(12)), lit(100000001L)))
       val centers = s.range(100)
         .select((col("id") % 10).as("gx"), expr("id div 10").as("gy"))
         .withColumn("px", col("gx") * lit(Cell) + lit(Cell / 2))
@@ -461,8 +467,8 @@ object Geo {
     // the agg_minmax_by idiom.
     "geo_path_length" -> ((s, d) => {
       def coord(tag: String) =
-        (conv(substring(md5(concat(lit(tag), col("event_id").cast("string"))), 1, 12),
-          16, 10).cast("long") % Side)
+        (call_function("md5_bits",
+          concat(lit(tag), col("event_id").cast("string")), lit(1), lit(12)) % Side)
       val pts = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
         coord("px:").as("px"), coord("py:").as("py"))
       val w = org.apache.spark.sql.expressions.Window
@@ -504,8 +510,8 @@ object Geo {
     // one user-grain rollup, linear at any scale.
     "geo_speed_outliers" -> ((s, d) => {
       def coord(tag: String) =
-        (conv(substring(md5(concat(lit(tag), col("event_id").cast("string"))), 1, 12),
-          16, 10).cast("long") % Side)
+        (call_function("md5_bits",
+          concat(lit(tag), col("event_id").cast("string")), lit(1), lit(12)) % Side)
       val pts = Tables.events(s, d).select(col("user_id"),
         unix_micros(col("ts")).as("us"), col("event_id"),
         coord("px:").as("px"), coord("py:").as("py"))
@@ -549,10 +555,11 @@ object Geo {
     // arithmetic exact longs; the only IEEE op is the step sqrt of an
     // exactly-representable long, floored (the geo_path_length stance).
     "geo_stay_points" -> ((s, d) => {
-      val mode = pmod(conv(substring(md5(concat(lit("sm:"),
-        col("event_id").cast("string"))), 1, 4), 16, 10).cast("long"), lit(4L))
-      def jit(tag: String) = pmod(conv(substring(md5(concat(lit(tag),
-        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(4001L)) - 2000L
+      val mode = pmod(call_function("md5_bits",
+        concat(lit("sm:"), col("event_id").cast("string")), lit(1), lit(4)), lit(4L))
+      def jit(tag: String) = pmod(call_function("md5_bits",
+        concat(lit(tag), col("event_id").cast("string")),
+        lit(1), lit(8)), lit(4001L)) - 2000L
       val pts = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
           mode.as("m"),
           coord("hx:", col("user_id")).as("hx"), coord("hy:", col("user_id")).as("hy"),

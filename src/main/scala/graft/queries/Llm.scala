@@ -322,8 +322,8 @@ object Llm {
       .select(col("doc_id"), array_remove(split(col("text"), " "), lit("")).as("toks"))
       .where(size(col("toks")) >= 5)
       .withColumn("is_eval",
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") < 3277L)
-          .cast("int"))
+        (call_function("md5_bits",
+          col("doc_id").cast("string"), lit(1), lit(4)) < 3277L).cast("int"))
       .select(col("doc_id"), col("is_eval"),
         explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 5),
           i => concat_ws(" ", (0 to 4).map(k => element_at(col("toks"), i + k + 1)): _*)))).as("g"))
@@ -508,8 +508,9 @@ object Llm {
       .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("embedding"))
       .withColumn("subvec", slice(col("embedding"), col("sub") * 8 + 1, lit(8)))
       .withColumn("cellseed",
-        pmod(conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"), col("sub"))),
-          1, 4), 16, 10).cast("long"), lit(16)))
+        pmod(call_function("md5_bits",
+          concat(col("vec_id").cast("string"), lit(":"), col("sub")),
+          lit(1), lit(4)), lit(16)))
       .drop("embedding")
     val cent = subs
       .select(col("sub"), col("cellseed"), posexplode(col("subvec")).as(Seq("i", "x")))
@@ -1036,11 +1037,12 @@ object Llm {
     // midpoint for side-by-side reading. Cost = the near-dup exactness
     // bill + one banded join — both collision-structured, never corpus².
     "llm_lsh_recall" -> ((s, d) => {
-      // r13: the truth side skips jaccardBitmask's presentation sort — the
-      // pairs feed a join + bucket aggregation here, never a reader, and
-      // the aggregation is order-insensitive (exact integer counts), so
-      // the readout is bit-identical. (Sharing one STAGED token table
-      // between truth and bands was measured slower — see jaccardBitmask.)
+      // r13: the truth side declares presentationSort=false — plan-neutral
+      // here (Catalyst's EliminateSorts already drops an order-by under
+      // the bucket aggregation) but makes the intent explicit and keeps
+      // the interior sort out if the downstream shape ever stops
+      // qualifying for the rule. (Sharing one STAGED token table between
+      // truth and bands was measured slower — see jaccardBitmask.)
       val truth = Dedup.jaccardBitmask(s, Tables.documents(s, d),
           threshold = 0.5, presentationSort = false)
         .select("a_id", "b_id", "jacc")
@@ -1591,7 +1593,7 @@ object Llm {
         .withColumnRenamed("col", "token")
         .withColumn("pos", col("pos") + 1)
         .withColumn("starter", (expr(
-          "cast(conv(substring(md5(concat(doc_id, ':', pos)), 1, 15), 16, 10) as bigint) % 8"
+          "md5_bits(concat(doc_id, ':', pos), 1, 15) % 8"
         ) === 0).cast("int"))
       val wCov = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 0)
       val wOrd = Window.partitionBy("doc_id").orderBy("pos")

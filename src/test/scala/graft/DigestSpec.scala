@@ -42,6 +42,16 @@ class DigestSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("md5_words equals the four conv(substring(md5(x), 8m+1, 8)) windows") {
+    val sp = spark; import sp.implicits._
+    val df = fixtures.toDF("s")
+      .withColumn("ws", call_function("md5_words", col("s")))
+    val checks = (0 until 4).map(m =>
+      element_at(col("ws"), m + 1) ===
+        expr(s"CAST(conv(substring(md5(s), ${8 * m + 1}, 8), 16, 10) AS BIGINT)"))
+    assert(df.where(!checks.reduce(_ && _)).count() === 0)
+  }
+
   test("mh8_md5 equals the 8 seeded builtin md5(concat('i:', x)) hashes") {
     val sp = spark; import sp.implicits._
     val df = fixtures.toDF("s")
