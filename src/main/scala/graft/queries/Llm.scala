@@ -296,7 +296,7 @@ object Llm {
     // stop-shingle removal: a shingle in more than maxDf docs generates
     // ~df²/2 candidate pairs while discriminating nothing — dropping it
     // bounds per-shingle pair fan-out, the standard near-dup scale knob
-    val sh = (maxDf, percentileDf) match {
+    val sh0 = (maxDf, percentileDf) match {
       case (Some(t), _) =>
         graft.ops.StopShingles.applyCap(shAll, graft.ops.StopShingles.dfs(shAll), t)
       case (_, Some(p)) =>
@@ -304,6 +304,15 @@ object Llm {
         graft.ops.StopShingles.applyCap(shAll, d, graft.ops.StopShingles.percentileCap(d, p))
       case _ => shAll
     }
+    // r13 (guide §5): the shingle stream feeds THREE consumers (per-doc
+    // totals + both self-join sides), and on the capped routes each lazy
+    // consumer re-executed the shingle explode AND its df table (the
+    // semi-join reads both) — up to ~8 full shingle builds per query.
+    // Stage it once; the blocks are shingle-grain but each build pays the
+    // 3-gram concat_ws + array_distinct per position, which is what made
+    // recompute lose here (unlike the plain token table, where staging
+    // was measured slower — see Dedup.jaccardBitmask).
+    val sh = sh0.localCheckpoint(true)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = sh.select(col("doc_id").as("a_id"), col("sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
