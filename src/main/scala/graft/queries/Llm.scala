@@ -74,10 +74,17 @@ object Llm {
     * rationale: min-chunk-size 16, >64-doc stop-chunk cap on pairing,
     * exact-integer 30% containment gate). */
   def cdcContainmentPairs(docsRaw: DataFrame): DataFrame = {
+    // r13 (guide §5): the distinct chunk-hash table feeds FOUR lazy
+    // consumers (the stop-chunk df gate, both self-join sides through
+    // `keep`, and the per-doc byte totals), each of which re-executed the
+    // whole cdcChunks pipeline (cut scan + window + substring + md5).
+    // Stage it once — the same trade shinglePairStats makes, and for the
+    // same reason: the rows are expensive to BUILD.
     val dc = cdcChunks(docsRaw)
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).as("clen"))
       .where(col("clen") >= 16).distinct()
+      .localCheckpoint(true)
     val keep = dc.join(
       dc.groupBy("h").agg(count(lit(1)).as("nd")).where(col("nd") <= 64).select("h"), "h")
     val bytes = dc.groupBy("doc_id").agg(sum("clen").as("bytes"))
